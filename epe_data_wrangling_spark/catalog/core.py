@@ -1,0 +1,601 @@
+"""Core relational suite: scans, filters, projections, aggregations,
+joins (broadcast/shuffle/semi/anti/outer/non-equi), set ops,
+sort/limit, scalar string/conditional/JSON functions.
+
+The reference exercises filters/projections/scalar functions heavily
+(SURVEY.md §2.2-2.3, §2.10) but has zero joins and zero aggregations
+(§2.4-2.5) — those are the *implied* surface its tidy output exists
+to serve, so they are implemented here over the driver's star schema.
+
+Scale notes (100 TB posture), per query in its docstring; common
+themes: dimension joins are explicitly broadcast; aggregations rely
+on Spark's partial (map-side) aggregation so the shuffle carries
+group keys not raw rows; every scan-level filter is a Catalyst
+pushdown (verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+
+def dec(c) -> F.Column:
+    """Exact-sum staging cast (see catalog.__doc__)."""
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,6)")
+
+
+# ---------------------------------------------------------------- aggregation
+
+@query(
+    "q1_pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (the canonical partial-agg
+    benchmark). Scale: filter pushed to parquet scan; hash aggregate
+    with map-side combine means the shuffle carries ≤ (flags×statuses)
+    rows per task regardless of input size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(disc_price).alias("_sdp"),
+            F.sum(disc_price * (F.lit(1) + dec("l_tax"))).alias("_sc"),
+            F.sum(dec("l_discount")).alias("_sd"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_sq").cast("decimal(38,12)").alias("sum_qty"),
+            F.col("_sbp").cast("decimal(38,12)").alias("sum_base_price"),
+            F.col("_sdp").cast("decimal(38,12)").alias("sum_disc_price"),
+            F.col("_sc").cast("decimal(38,12)").alias("sum_charge"),
+            F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
+            F.round(F.col("_sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@query(
+    "agg_stats_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           COUNT(DISTINCT o_custkey) AS uniq_custs,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate stats incl. COUNT DISTINCT (expand+two-phase in
+    Spark; at high cardinality swap for approx_count_distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("o_custkey").alias("uniq_custs"),
+            F.sum(dec("o_totalprice")).alias("_sp"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "o_orderpriority",
+            "cnt",
+            "uniq_custs",
+            F.col("_sp").cast("decimal(38,12)").alias("sum_price"),
+            F.round(F.col("_sp").cast("double") / F.col("cnt"), 6).alias("avg_price"),
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+@query(
+    "agg_having_big_spenders",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS spend
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 18
+    """,
+)
+def agg_having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_s"))
+        .filter(F.col("n_orders") >= 18)
+        .select("o_custkey", "n_orders", F.col("_s").cast("decimal(38,12)").alias("spend"))
+    )
+
+
+@query(
+    "monthly_revenue_trend",
+    headline=True,
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's implied headline aggregation: its tidy fact
+    table exists so consumers can 'make aggregations' over monthly
+    data (`tratamento_epe.rmd:36,141`) — here: revenue by month."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_r"))
+        .select("month", "n_orders", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+    )
+
+
+# ------------------------------------------------------------------- filters
+
+@query(
+    "filter_project_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS net_price,
+           l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 25
+    """,
+)
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter + narrow projection (reference F4/F5-style
+    predicates, SURVEY §2.3). All three predicates and the 4-column
+    ReadSchema push into the parquet scan — the 100 TB version reads
+    a fraction of the data."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.06))
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(18,6)")
+            .alias("net_price"),
+            "l_shipdate",
+        )
+    )
+
+
+@query(
+    "filter_regex_routing",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority
+    FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-')
+      AND NOT regexp_matches(o_orderpriority, 'URGENT$')
+    """,
+)
+def filter_regex_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex + negated-regex conjunction — the reference's routing
+    idiom (`tratamento_epe.R:213,234`, F9/F11 in SURVEY §2.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderpriority").rlike("^[12]-")
+        & ~F.col("o_orderpriority").rlike("URGENT$")
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@query(
+    "distinct_flags",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT as hash aggregate (partial+final; low-cardinality output)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------------------------ sort/top
+
+@query(
+    "sort_limit_top15",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def sort_limit_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    top-15 then driver merge, no global sort at any scale. Explicit
+    o_orderkey tie-break keeps the result total-ordered."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+@query(
+    "join_broadcast_star",
+    headline=True,
+    oracle="""
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with explicitly broadcast dimensions: the fact table
+    never shuffles for the join (only the final 5-row aggregate
+    shuffles). This is THE shape for 100 TB fact × small dims."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_r"))
+        .select("r_name", "n_orders", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    headline=True,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → fact join → grouped
+    revenue → top-10. customer is broadcast (post-filter it is small);
+    lineitem↔orders is a shuffle equi-join that AQE can skew-split."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_r"))
+        .select("l_orderkey", F.col("_r").cast("decimal(38,12)").alias("revenue"), "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    headline=True,
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped multi-join with a compound (2-key) join
+    condition; dims broadcast, facts shuffle once on orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_r"))
+        .select("n_name", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+    )
+
+
+@query(
+    "join_semi_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def join_semi_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): emits each customer at most once; at
+    scale the orders side is pre-filtered then semi-joined, so no
+    row multiplication ever occurs."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_lapsed_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — customers with no urgent orders.
+    The orders side is filtered before the anti join, so the join
+    input shrinks with predicate selectivity at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "join_outer_nation_parties",
+    oracle="""
+    SELECT COALESCE(cc.nk, sc.nk) AS nationkey,
+           COALESCE(cc.customers, 0) AS customers,
+           COALESCE(sc.suppliers, 0) AS suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS customers FROM customer GROUP BY c_nationkey) cc
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS suppliers FROM supplier GROUP BY s_nationkey) sc
+    ON cc.nk = sc.nk
+    """,
+)
+def join_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates (aggregate-then-join keeps the
+    outer join tiny regardless of input scale)."""
+    cc = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    sc = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return cc.join(sc, "nk", "full_outer").select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
+
+
+@query(
+    "join_range_price_bands",
+    oracle="""
+    SELECT band, COUNT(*) AS n_parts,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_price
+    FROM part
+    JOIN (VALUES ('low', 900.0, 935.0), ('mid', 935.0, 970.0), ('high', 970.0, 1000.0))
+         b(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join against a tiny banding table —
+    broadcast nested loop; the scale-safe pattern for banding a huge
+    fact table by a handful of ranges."""
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 900.0, 935.0), ("mid", 935.0, 970.0), ("high", 970.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum(dec("p_retailprice")).alias("_s"))
+        .select("band", "n_parts", F.col("_s").cast("decimal(38,12)").alias("sum_price"))
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+@query(
+    "setop_except_no_order_custkeys",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def setop_except_no_order_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics) — customers with finished but no
+    pending orders (SURVEY §2.8 engine surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = o.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.subtract(p)
+
+
+@query(
+    "setop_intersect_custkeys",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    INTERSECT SELECT o_custkey FROM orders
+    """,
+)
+def setop_intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "union_by_name_parties",
+    oracle="""
+    SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+           c_mktsegment AS segment, 'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_name, s_acctbal, s_nationkey, CAST(NULL AS VARCHAR), 'supplier'
+    FROM supplier
+    """,
+)
+def union_by_name_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName with missing-column fill — the engine form of the
+    reference's bind_rows (`tratamento_epe.R:202,267-273`, U1/U2):
+    schemas align by NAME, absent columns become typed nulls
+    (`R:192`'s as.character(NA) idiom)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+# ------------------------------------------------- scalar functions & JSON
+
+@query(
+    "string_funcs_customer",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS INTEGER) AS cust_num,
+           substr(c_name, 1, 8) AS name_prefix,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag,
+           length(c_name) AS name_len
+    FROM customer WHERE c_custkey < 100
+    """,
+)
+def string_funcs_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string suite mirroring the reference's stringr usage
+    (SURVEY §2.10: X1 regexp extract, X6 upper, X9 concat)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("int").alias("cust_num"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("tag"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@query(
+    "case_bucket_acctbal",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def case_bucket_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bucketing — the reference's ifelse idiom (X7,
+    `tratamento_epe.R:104,154,215`) as when/otherwise."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+    FROM events
+    GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column access: get_json_object over the events
+    props payload (extension surface noted in SURVEY §2.10 end)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type", (k % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .select("event_type", "k_bucket", "n", F.col("_s").cast("decimal(38,12)").alias("sum_value"))
+    )

@@ -1,0 +1,213 @@
+"""Window-function suite: LOCF fill (the reference's only window ops,
+W1/W2 — SURVEY §2.6), ranking/top-k-per-group, running aggregates,
+lag/lead deltas, and event sessionization (batch form of the
+session_window streaming operator).
+
+Scale notes: every window here partitions by a key (user/customer),
+so the sort is per-partition-group and parallel — there is no global
+sort anywhere. Sessionization via session_window is the same code
+path Structured Streaming uses, so the batch oracle check covers the
+streaming semantics too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.catalog.core import dec
+from epe_data_wrangling_spark.operators.windows import locf
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via row_number (SURVEY §2.7 engine surface).
+    Scale: partial top-k per partition would be even cheaper, but the
+    windowed form is the general idiom and AQE handles group skew."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rn")
+    )
+
+
+@query(
+    "window_running_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,12)) AS running_spend,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev_price
+    FROM orders
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag over an explicit ROWS frame; decimal staging
+    keeps the cumulative sum exact and order-free across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(frame).cast("decimal(38,12)").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )
+
+
+@query(
+    "window_locf_events",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM events
+    """,
+)
+def window_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF fill-down — the exact Spark form of the reference's
+    zoo::na.locf0 (W1/W2, `tratamento_epe.R:100,140`): last non-null
+    over an ordered, partitioned window; leading nulls stay null.
+    Here 'error' events' values are treated as missing and filled
+    from the user's previous event."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        locf(v, partition_by=["user_id"], order_by=["ts", "event_id"]).alias("value_filled"),
+    )
+
+
+@query(
+    "window_lag_gap_seconds",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS gap_us
+    FROM events
+    """,
+)
+def window_lag_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap via lag over microsecond epochs (exact integer
+    arithmetic on both engines; no float/timezone ambiguity)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return e.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap using Spark's
+    native session_window — the same operator Structured Streaming
+    uses for stateful session aggregation (SURVEY §2.11), so this
+    batch oracle check also pins the streaming semantics. The DuckDB
+    oracle is the classic gaps-and-islands rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+@query(
+    "tumbling_window_events",
+    headline=True,
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate via F.window — identical
+    logical op under readStream+watermark (SURVEY §2.11); batch form
+    is oracle-checkable."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "sliding_window_events",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+    FROM events, (VALUES (0), (1)) o(off)
+    GROUP BY 1
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h width, 30m slide): each event lands in
+    exactly 2 overlapping windows. Spark's F.window handles the
+    replication natively; the oracle replicates via a 2-row offset
+    cross join."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis column functions (training-data pipeline surface).
+
+All pure ``pyspark.sql.functions`` expressions — JVM-side, codegen'd,
+no Python on the data path — so each scales linearly with input and
+is reproducible in the DuckDB oracle. The reference has no text
+analytics; this is the north-star extension surface (BASELINE.json),
+designed for the ``documents`` table (doc_id, text, lang, source,
+n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-ratio
+#: language heuristic. Deliberately small and deterministic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "una", "es", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"),
+    "fr": ("le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"),
+    "pt": ("o", "a", "de", "e", "que", "em", "um", "uma", "para", "com"),
+}
+
+#: BPE-ish token pattern: word pieces, numbers, or single punctuation
+#: marks — a deterministic proxy for subword token counting.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokenization to ``array<string>``, empties dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+
+
+def word_count(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish tokens via regexp_count (word pieces + digits +
+    punctuation) — a cheap, deterministic token-budget estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Word n-grams as ``array<string>`` (space-joined), the unit set
+    for Jaccard / MinHash dedup. Uses sequence+transform+slice —
+    whole-stage codegen, no explode needed at this stage."""
+    w = words(col)
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", w)))
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS[lang]])
+    w = words(col)
+    lower = F.transform(w, F.lower)
+    hits = F.size(F.filter(lower, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(col: Column | str) -> Column:
+    w = words(col)
+    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long"))
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: rewards mid-length docs and
+    stopword presence, penalizes punctuation soup. Deterministic
+    arithmetic only, so oracle-reproducible."""
+    wc = word_count(col).cast("double")
+    length_term = F.least(wc / F.lit(50.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 4, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    return F.round((length_term + sw_term + punct_term) / 3, 6)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-hit ratio — the language-ID signal."""
+    w = F.transform(words(col), F.lower)
+    out: dict[str, Column] = {}
+    for lang, stops in LANG_STOPWORDS.items():
+        sw = F.array(*[F.lit(s) for s in stops])
+        hits = F.size(F.filter(w, lambda t: F.array_contains(sw, t)))
+        out[lang] = F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax over lang_scores with deterministic (score desc, lang asc)
+    tie-break; 'und' when no stopword hits at all."""
+    scores = lang_scores(col)
+    pairs = F.array(
+        *[F.struct(score.alias("s"), F.lit(lang).alias("l")) for lang, score in sorted(scores.items())]
+    )
+    best = F.array_max(pairs)  # struct compare: by s, then by l
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))

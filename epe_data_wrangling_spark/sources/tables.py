@@ -1,0 +1,67 @@
+"""Parquet star-schema sources.
+
+The reference's only source is a single HTTP-fetched ``.xls`` workbook
+(`tratamento_epe.R:39-47,57,63`); its workbook ingest lives in
+``sources.workbook``. This module is the engine's general tabular
+source layer over the driver's TPC-H-ish parquet tables
+(TESTDATA.md): plain ``spark.read.parquet`` scans, which at cluster
+scale are splittable columnar reads with predicate pushdown and
+column pruning handled by Catalyst — the scale-correct analogue of
+the reference's eager whole-file reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Every table the driver materializes per scale factor.
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Small dimension tables that should broadcast in star joins.
+DIMENSIONS: frozenset[str] = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one star-schema table.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
+    which Spark's reader rejects by default; it is read as raw nanos
+    (``nanosAsLong``) and truncated to a microsecond timestamp —
+    exactly what DuckDB's reader does, so oracle parity holds.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register tables as temp views so ``spark.sql`` can address them."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)

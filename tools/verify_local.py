@@ -1,0 +1,111 @@
+"""Local replica of the driver's oracle-differential check.
+
+Runs every catalog query through Spark AND its DuckDB oracle at a
+given scale factor, then compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted by
+their stringified form). Exact hashing details of the real driver are
+unknown; this is intentionally strict (string-exact after canonical
+formatting) so anything passing here should pass any reasonable
+driver comparison.
+
+Usage: python tools/verify_local.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from epe_data_wrangling_spark.catalog import all_queries  # noqa: E402
+from epe_data_wrangling_spark.session import get_spark  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v) -> str:
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def table_digest(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x1f".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), sorted(cols), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    spark = get_spark(app_name="verify_local")
+    qs = all_queries()
+    failures = []
+    for name, q in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+            s_digest = table_digest(scols, [tuple(r) for r in srows])
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if q.oracle is None:
+            print(f"okro {name}: rows={s_digest[0]} (rows-only, no oracle) [{time.time()-t0:.1f}s]")
+            if s_digest[0] == 0:
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            res = con.execute(q.oracle)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            o_digest = table_digest(ocols, orows)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        if s_digest == o_digest:
+            print(f"ok   {name}: rows={s_digest[0]} hash={s_digest[2]} [{time.time()-t0:.1f}s]")
+            if s_digest[0] == 0:
+                print(f"  WARN {name}: zero rows")
+        else:
+            failures.append(name)
+            print(f"FAIL {name}: spark={s_digest} oracle={o_digest}")
+            # print a small diff sample
+            sset = {"\x1f".join(canon(v) for v in r) for r in [tuple(r) for r in srows]}
+            oset = {"\x1f".join(canon(v) for v in r) for r in orows}
+            for label, d in (("spark-only", sset - oset), ("oracle-only", oset - sset)):
+                for line in list(sorted(d))[:3]:
+                    print(f"    {label}: {line.replace(chr(31), ' | ')!r}")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
