@@ -44,7 +44,7 @@ def str_to_title(col: Column | str) -> Column:
 def as_numeric(col: Column | str) -> Column:
     """R ``as.numeric``: parse or NA, never an error (`R:144,182`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(c, "double")
+    return c.try_cast("double")
 
 
 def paste(*cols: Column | str, sep: str = " ") -> Column:
@@ -67,4 +67,4 @@ def make_month_date(year: Column | str, month: Column | str) -> Column:
     unparseable input like R's as.Date."""
     y = F.col(year) if isinstance(year, str) else year
     m = F.col(month) if isinstance(month, str) else month
-    return F.make_date(F.try_cast(y, "int"), F.try_cast(m, "int"), F.lit(1))
+    return F.make_date(y.try_cast("int"), m.try_cast("int"), F.lit(1))

@@ -1,0 +1,217 @@
+"""Per-sheet normalization — the reference's ``tratamento_dados_epe``
+(`tratamento_epe.R:80-200`) re-expressed as a lazy Spark plan builder.
+
+Input: a ``grid_to_df`` frame (string columns named read_xls-style,
+plus ``_sheet``/``_row_idx``). Output: the canonical intermediate form
+``atributo_1..atributo_4 string, data date, valor double``
+(SURVEY §1.1). Two raw shapes (SURVEY C1):
+
+- **Shape A** (`R:96-156`): stacked per-year blocks; months spread
+  over 12 unnamed columns (13 incl. a pre-aggregated ``Total_Ano``
+  that is dropped — C2); year + section markers forward-filled down
+  the sheet (W1/W2).
+- **Shape B** (`R:158-196`): one wide table; the first post-junk row
+  carries the years, each spanning 12 month columns (P9 — the
+  data-dependent-schema point: one driver-side row collect, then a
+  fully lazy plan).
+
+Everything except Shape B's single header-row collect is a narrow,
+lazy DataFrame op; the only shuffle is the per-sheet LOCF window sort
+(partitioned by ``_sheet``, so sheets fill independently and in
+parallel — SURVEY §4.3.1).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.functions.cleaning import (
+    as_numeric,
+    make_month_date,
+    regexp_extract_na,
+    str_to_title,
+    typed_null,
+)
+from epe_data_wrangling_spark.operators.reshape import unpivot_regex
+from epe_data_wrangling_spark.operators.windows import locf
+from epe_data_wrangling_spark.sources.workbook import qcol
+
+#: Output schema of every normalized sheet (fixed, SURVEY §1.1).
+NORMALIZED_COLS = ("atributo_1", "atributo_2", "atributo_3", "atributo_4", "data", "valor")
+
+PLACEHOLDER_RE = re.compile(r"^\.\.\.[0-9]+$")
+SECTION_PATTERN = "REGIÃO GEOGRÁFICA|SUBSISTEMA ELÉTRICO|SUBSISTEMA"
+YEAR_PATTERN = r"^[0-9]{4}(|\*)$"
+
+
+def _tag_and_slice(df: DataFrame, sheet: str, data_cols: list[str]) -> DataFrame:
+    """P1 (sheet-name tag), P2 (title broadcast from the first data
+    row's first cell, `R:88` — realized as a broadcast cross join of a
+    1-row projection, no collect), F1 (drop junk rows 1-3, `R:89`)."""
+    title = df.filter(F.col("_row_idx") == 0).select(
+        qcol(data_cols[0]).alias("atributo_2")
+    )
+    return (
+        df.withColumn("atributo_1", F.lit(sheet))
+        .crossJoin(F.broadcast(title))
+        .filter(F.col("_row_idx") >= 3)
+    )
+
+
+def normalize_sheet_a(df: DataFrame, sheet: str) -> DataFrame:
+    """Shape A (`tratamento_epe.R:96-156`). See module docstring."""
+    data_cols = [c for c in df.columns if c not in ("_sheet", "_row_idx")]
+    t = _tag_and_slice(df, sheet, data_cols)
+
+    # Year from column 2 (`R:98`): 4-digit (optionally starred) cell,
+    # digits only, NA on miss (str_extract semantics), then LOCF down
+    # the sheet (W1, `R:100`).
+    year_raw = regexp_extract_na(regexp_extract_na(qcol(data_cols[1]), YEAR_PATTERN), "[0-9]+")
+    t = t.withColumn("ano", year_raw)
+    t = t.withColumn(
+        "ano", locf("ano", partition_by=["_sheet"], order_by=["_row_idx"])
+    )
+
+    # Section marker from column 1 + canonicalization (`R:102-104`).
+    sec = regexp_extract_na(qcol(data_cols[0]), SECTION_PATTERN)
+    t = t.withColumn(
+        "atributo_3",
+        F.when(sec.rlike("SUBSISTEMA"), F.lit("SUBSISTEMA ELÉTRICO")).otherwise(sec),
+    )
+
+    # P3/C2 (`R:106-129`): rename the unnamed `...k` columns to month
+    # names 1..12 (+ Total_Ano when 13 of them); P4: first column →
+    # atributo_4 (`R:131`). Plan-time Python, exactly like the
+    # reference's plan-shaping lambdas (SURVEY §2.12-2.13).
+    placeholders = [c for c in data_cols if PLACEHOLDER_RE.match(c)]
+    month_names = [str(m) for m in range(1, 13)] + (
+        ["Total_Ano"] if len(placeholders) == 13 else []
+    )
+    if len(placeholders) != len(month_names):
+        raise ValueError(
+            f"sheet {sheet!r}: {len(placeholders)} unnamed columns, expected 12 or 13"
+        )
+    for old, new in zip(placeholders, month_names):
+        t = t.withColumnRenamed(old, new)
+    t = t.withColumnRenamed(data_cols[0], "atributo_4")
+
+    # P5: drop the pre-aggregated annual total (`R:133`) — the engine
+    # re-derives totals via rollup/cube instead (SURVEY §2.5).
+    t = t.drop("Total_Ano")
+
+    # F3+F4 (`R:136-138`): strip TOTAL/NC aggregate rows. R's
+    # !grepl(NA) keeps nulls at F3; F4 then drops them — same net
+    # effect as the null-safe conjunction here.
+    a4 = F.col("atributo_4")
+    t = t.filter(a4.isNull() | ~a4.rlike("^TOTAL|^NC "))
+    t = t.filter((a4 != "TOTAL BRASIL") & a4.isNotNull())
+
+    # W2 (`R:140`): fill section markers down; F5 (`R:142`): a row is
+    # data iff January is present.
+    t = t.withColumn(
+        "atributo_3", locf("atributo_3", partition_by=["_sheet"], order_by=["_row_idx"])
+    )
+    t = t.filter(F.col("1").isNotNull())
+
+    # R5 cast (`R:144`) + R1 unpivot (`R:148`) + X10 date (`R:150`).
+    t = t.select(
+        *[as_numeric(qcol(c)).alias(c) if re.match(r"^[0-9]+$", c) else qcol(c).alias(c) for c in t.columns]
+    )
+    t = unpivot_regex(
+        t,
+        id_cols=["atributo_1", "atributo_2", "atributo_3", "atributo_4", "ano"],
+        name_pattern=r"^[0-9]+$",
+        var_name="mes",
+        value_name="valor",
+    )
+    t = t.withColumn("data", make_month_date("ano", "mes"))
+
+    # P6 + X5/X7 string fixups (`R:152-156`).
+    t = t.select(*NORMALIZED_COLS)
+    t = t.withColumn(
+        "atributo_4",
+        F.when(F.col("atributo_4") == "C.OESTE", "Centro-Oeste").otherwise(
+            str_to_title("atributo_4")
+        ),
+    )
+    return t.withColumn(
+        "atributo_3",
+        F.when(F.col("atributo_4").rlike("Resid|Comer|Indus|Outros"), "CLASSE").otherwise(
+            F.col("atributo_3")
+        ),
+    )
+
+
+def normalize_sheet_b(df: DataFrame, sheet: str) -> DataFrame:
+    """Shape B (`tratamento_epe.R:158-196`). The header harvest (P9,
+    `R:162-171`) is the pipeline's one data-dependent planning point:
+    collect exactly one row on the driver, derive the year_month
+    column names, then build the rest of the plan lazily."""
+    data_cols = [c for c in df.columns if c not in ("_sheet", "_row_idx")]
+    t = _tag_and_slice(df, sheet, data_cols)
+
+    # P9: harvest the year header (first post-junk row, `R:163`).
+    hdr = t.filter(F.col("_row_idx") == 3).select(*[qcol(c) for c in data_cols]).first()
+    if hdr is None:
+        raise ValueError(f"sheet {sheet!r}: no header row at _row_idx 3")
+    years = []
+    for cell in hdr[1:]:
+        m = re.fullmatch(r"[0-9]{4}(\*|)", str(cell or ""))
+        if m:
+            years.append(re.sub(r"[^0-9]", "", m.group(0)))
+    if 12 * len(years) != len(data_cols) - 1:
+        raise ValueError(
+            f"sheet {sheet!r}: {len(years)} years × 12 ≠ {len(data_cols) - 1} data columns"
+        )
+    new_names = [f"{y}_{m}" for y in years for m in range(1, 13)]
+    t = t.withColumnRenamed(data_cols[0], "atributo_3")
+    for old, new in zip(data_cols[1:], new_names):
+        t = t.withColumnRenamed(old, new)
+
+    # F6/F7/F8 (`R:175-179`): keep real data rows (3rd column non-null
+    # — this also removes the year-header row itself), labeled, and
+    # not TOTAL aggregates.
+    t = t.filter(F.col(new_names[1]).isNotNull())
+    t = t.filter(F.col("atributo_3").isNotNull())
+    t = t.filter(~F.col("atributo_3").rlike("^TOTAL"))
+
+    # R5 cast (`R:182`) + R2 unpivot (`R:185`) + R3 split (`R:187`) +
+    # X10 date (`R:189`) + X11 null pad (`R:192`) + P6 (`R:194`).
+    t = t.select(
+        *[
+            as_numeric(qcol(c)).alias(c) if re.match(r"^[0-9]{4}_[0-9]+$", c) else qcol(c).alias(c)
+            for c in t.columns
+        ]
+    )
+    t = unpivot_regex(
+        t,
+        id_cols=["atributo_1", "atributo_2", "atributo_3"],
+        name_pattern=r"^[0-9]{4}_[0-9]+$",
+        var_name="ano_mes",
+        value_name="valor",
+    )
+    parts = F.split("ano_mes", "_")
+    t = t.withColumn("data", make_month_date(parts.getItem(0), parts.getItem(1)))
+    t = t.withColumn("atributo_4", typed_null("string"))
+    return t.select(*NORMALIZED_COLS)
+
+
+def normalize_workbook(sheets: dict[str, DataFrame], split_sheet: str = "CONSUMIDORES TOTAIS") -> DataFrame:
+    """U1 (`R:202`): normalize every sheet and union by name. Sheets up
+    to and including ``split_sheet`` (workbook order) are Shape A, the
+    rest Shape B (C1, `R:94`)."""
+    names = list(sheets)
+    if split_sheet not in names:
+        raise ValueError(f"split sheet {split_sheet!r} not in workbook {names}")
+    split_at = names.index(split_sheet)
+    frames = [
+        normalize_sheet_a(df, s) if i <= split_at else normalize_sheet_b(df, s)
+        for i, (s, df) in enumerate(sheets.items())
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
