@@ -1,0 +1,63 @@
+"""Headline benchmark — the driver's per-round performance probe.
+
+Runs every catalog query flagged ``headline=True`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on a
+``local[$SPARK_GRAFT_CPUS]`` session and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {<name>: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the no-op sink (full plan
+execution, no driver collect overhead). A tiny warm-up query runs
+first so JVM/codegen startup is not billed to the first headline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from epe_data_wrangling_spark.catalog import all_queries
+from epe_data_wrangling_spark.session import get_spark
+
+
+def run_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
+
+    queries = {n: q for n, q in all_queries().items() if q.headline}
+    timings: dict[str, float] = {}
+    for name, q in sorted(queries.items()):
+        timings[name] = round(run_query(q.fn, spark, sf_dir), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

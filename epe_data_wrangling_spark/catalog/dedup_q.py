@@ -1,5 +1,146 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication suite over documents/embeddings (north star):
+exact hash dedup, MinHash-LSH, exact n-gram Jaccard, SimHash,
+embedding-cosine near-dup. Operators in operators.dedup; oracles
+mirror them expression-by-expression via catalog.ducksql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.catalog import ducksql as D
+from epe_data_wrangling_spark.operators import dedup as X
+from epe_data_wrangling_spark.sources.tables import load_table
 
 QUERIES: dict[str, CatalogQuery] = {}
 query = make_registrar(QUERIES)
+
+_W = D.words("text")
+_SH5 = f"list_distinct({D.shingles('words', 5)})"
+_JACCARD = (
+    "len(list_intersect(sa.shingles, sb.shingles)) / "
+    "len(list_distinct(list_concat(sa.shingles, sb.shingles)))"
+)
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash-groupBy: shuffle carries 16-byte md5 keys,
+    never document bodies — the 100 TB-safe exact pass."""
+    return X.exact_dedup(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
+    r = num_hashes // bands
+    sig = ", ".join(D.minhash_sig_exprs("shingles", num_hashes))
+    bexprs = ", ".join(D.band_exprs(bands, r))
+    return f"""
+    WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SH5} AS shingles FROM w),
+    sig AS (SELECT doc_id, {sig} FROM sh),
+    bands AS (SELECT doc_id, unnest([{bexprs}]) AS bk FROM sig),
+    cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT c.a_id, c.b_id, {_JACCARD} AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+                JOIN sh sb ON sb.doc_id = c.b_id
+    WHERE {_JACCARD} >= {threshold}
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_sql(), headline=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 8×2 banded LSH candidates + exact-Jaccard verify
+    at 0.8 (operators.dedup.minhash_lsh_pairs). One shuffle on band
+    keys; no all-pairs compare."""
+    return X.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=5, num_hashes=16, bands=8, threshold=0.8,
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SH5} AS shingles FROM w),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT c.a_id, c.b_id, {_JACCARD} AS jaccard
+    FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+                JOIN sh sb ON sb.doc_id = c.b_id
+    WHERE {_JACCARD} >= 0.25
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-shingle candidates + Jaccard ≥ 0.25 (operators.
+    dedup.ngram_jaccard_pairs) — the unsketched baseline the MinHash
+    path approximates."""
+    return X.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=5, threshold=0.25,
+    )
+
+
+def _simhash_sql(num_bits: int = 16, blocks: int = 4, max_hamming: int = 3) -> str:
+    bpb = num_bits // blocks
+    bits = ", ".join(D.simhash_bit_exprs("wd", num_bits))
+    pack = D.simhash_pack(num_bits)
+    blk = ", ".join(
+        f"CAST({i} AS VARCHAR) || ':' || CAST((sh >> {i * bpb}) % {2 ** bpb} AS VARCHAR)"
+        for i in range(blocks)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, list_distinct({_W}) AS wd FROM documents),
+    bits AS (SELECT doc_id, {bits} FROM w),
+    sk AS (SELECT doc_id, {pack} AS sh FROM bits),
+    blocked AS (SELECT doc_id, sh, unnest([{blk}]) AS blk FROM sk)
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-16 near-dup pairs (Hamming ≤ 3) via 4-block LSH
+    (pigeonhole-complete) + exact verify (operators.dedup.
+    simhash_pairs)."""
+    pairs = X.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_bits=16, blocks=4, max_hamming=3,
+    )
+    return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {D.cosine('a.v', 'b.v')} AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {D.cosine('a.v', 'b.v')} >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.45 (operators.dedup.
+    embedding_neardup_pairs). Brute-force at test scale; bucket with
+    the hyperplane LSH first at corpus scale."""
+    return X.embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.45
+    )

@@ -1,0 +1,99 @@
+"""DuckDB SQL fragment generators mirroring the engine's Spark
+expressions — the oracle side of the text/dedup/similarity operators.
+
+Every fragment here is the *same operation tree* as its Spark
+counterpart in ``functions.text`` / ``functions.hashing`` /
+``functions.vectors``, so per-row doubles come out bit-identical and
+hashes/sketches string-identical. Keep the two sides in lockstep:
+change one, change the other.
+"""
+
+from __future__ import annotations
+
+from epe_data_wrangling_spark.functions.text import BPE_TOKEN_RE, LANG_STOPWORDS
+
+
+def words(col: str) -> str:
+    """functions.text.words: trim → split on \\s+ → drop empties."""
+    return f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), x -> x <> '')"
+
+
+def shingles(words_expr: str, n: int) -> str:
+    """functions.text.word_shingles (space-joined word n-grams, whole
+    text as a single shingle for short docs)."""
+    return (
+        f"CASE WHEN len({words_expr}) >= {n} THEN "
+        f"list_transform(generate_series(1, len({words_expr}) - {n - 1}), "
+        f"i -> array_to_string(({words_expr})[i:i+{n - 1}], ' ')) "
+        f"ELSE [array_to_string({words_expr}, ' ')] END"
+    )
+
+
+def minhash_sig_exprs(shingles_col: str, num_hashes: int) -> list[str]:
+    """functions.hashing.minhash_signature, one expression per seed."""
+    return [
+        f"list_min(list_transform({shingles_col}, s -> md5('{i}|' || s))) AS s{i}"
+        for i in range(num_hashes)
+    ]
+
+
+def band_exprs(bands: int, rows_per_band: int) -> list[str]:
+    """functions.hashing.lsh_band_keys over sig columns s0..s{k-1}."""
+    out = []
+    for b in range(bands):
+        cols = " || ',' || ".join(f"s{b * rows_per_band + j}" for j in range(rows_per_band))
+        out.append(f"'{b}|' || md5({cols})")
+    return out
+
+
+def md5_bit(token_expr: str, bit: int) -> str:
+    """functions.hashing.md5_bit (hex-digit strpos + floor/mod)."""
+    pos, shift = bit // 4 + 1, 3 - bit % 4
+    hexv = f"(strpos('0123456789abcdef', substr(md5({token_expr}), {pos}, 1)) - 1)"
+    return f"(CAST(floor({hexv} / {2 ** shift}) AS BIGINT) % 2)"
+
+
+def simhash_bit_exprs(words_col: str, num_bits: int) -> list[str]:
+    """functions.hashing.simhash_bits: per-bit ±1 tally sign."""
+    return [
+        f"CASE WHEN list_sum(list_transform({words_col}, t -> 2 * {md5_bit('t', j)} - 1)) >= 0 "
+        f"THEN 1 ELSE 0 END AS b{j}"
+        for j in range(num_bits)
+    ]
+
+
+def simhash_pack(num_bits: int) -> str:
+    """functions.hashing.simhash packing (bit 0 = MSB)."""
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(num_bits):
+        expr = f"({expr} * 2 + b{j})"
+    return expr
+
+
+def cosine(a: str, b: str) -> str:
+    """functions.vectors.cosine: dot/(norm·norm), double-accumulated."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def hyperplane_bucket(vec: str) -> str:
+    """operators.similarity.hyperplane_bucket over the frozen planes."""
+    from epe_data_wrangling_spark.operators._planes import PLANES
+
+    bits = [
+        f"CASE WHEN list_dot_product({vec}, [{', '.join(repr(x) for x in plane)}]) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for plane in PLANES
+    ]
+    return " || ".join(bits)
+
+
+def stopword_hits(lower_words: str, lang: str) -> str:
+    sw = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+    return f"len(list_filter({lower_words}, t -> list_contains([{sw}], t)))"
+
+
+def bpe_count(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{BPE_TOKEN_RE}'))"

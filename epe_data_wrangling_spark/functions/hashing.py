@@ -45,11 +45,13 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     the lexicographic min of ``md5(i|s)`` over shingles s. Pure
     higher-order-function expression — whole-stage codegen, no UDF.
     """
+    def seeded(i: int):
+        # NB: must be a unary lambda — a second parameter would make
+        # Spark's higher-order transform pass the element INDEX into it.
+        return lambda s: seeded_md5(s, i)
+
     return F.array(
-        *[
-            F.array_min(F.transform(shingles, lambda s, i=i: seeded_md5(s, i)))
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)]
     )
 
 
@@ -93,13 +95,14 @@ def simhash_bits(tokens: Column, num_bits: int) -> list[Column]:
     at 100 TB you would trade this exact-oracle form for a pandas_udf
     computing all 64 bits in one pass per Arrow batch.
     """
+    def merge(j: int):
+        # binary lambda required: a third parameter would change how
+        # Spark binds the higher-order function's arguments.
+        return lambda acc, t: acc + (md5_bit(t, j) * 2 - 1).cast("long")
+
     out = []
     for j in range(num_bits):
-        tally = F.aggregate(
-            tokens,
-            F.lit(0).cast("long"),
-            lambda acc, t, j=j: acc + (md5_bit(t, j) * 2 - 1).cast("long"),
-        )
+        tally = F.aggregate(tokens, F.lit(0).cast("long"), merge(j))
         out.append(F.when(tally >= 0, F.lit(1)).otherwise(F.lit(0)))
     return out
 

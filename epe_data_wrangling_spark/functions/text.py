@@ -76,8 +76,9 @@ def punct_ratio(col: Column | str) -> Column:
 
 def mean_word_length(col: Column | str) -> Column:
     w = words(col)
-    total = F.aggregate(w, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long"))
-    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+    return F.when(
+        F.size(w) > 0, F.length(F.array_join(w, "")) / F.size(w)
+    ).otherwise(F.lit(0.0))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -1,1 +1,195 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for the training-data pipeline surface
+(north star — BASELINE.json; no counterpart in the reference, which
+dedups nothing).
+
+Four families, each with an explicit shuffle story so the plan
+survives 100 TB (SURVEY §4.4):
+
+- **Exact** (`exact_dedup`): group by md5(text). The shuffle carries a
+  16-byte key + doc id, never the text. Classic hash-groupBy dedup.
+- **MinHash + LSH** (`minhash_lsh_pairs`): shingle → k seeded-md5
+  min-hashes → banded keys → explode + self-join on the band key.
+  Candidate generation is one shuffle on the band key; the O(n²)
+  all-pairs compare never happens. k=16, b=8, r=2 ⇒ P(candidate) =
+  1-(1-j²)⁸ (≈0.9997 at j=0.8).
+- **SimHash** (`simhash_pairs`): 16-bit sign-aggregate sketch, then
+  multi-block LSH (4 blocks × 4 bits — Hamming ≤ 3 guarantees ≥ 1
+  identical block by pigeonhole) + exact Hamming verify.
+- **Exact n-gram Jaccard** (`ngram_jaccard_pairs`): explode shingles,
+  join on shingle equality for candidates, verify set Jaccard. The
+  non-sketched baseline; at 100 TB prefer the MinHash path (bounded
+  candidate fan-out) — this one's fan-out is data-dependent.
+- **Embedding cosine** (`embedding_neardup_pairs`): threshold on
+  exact cosine; brute-force here, bucketed via the hyperplane LSH in
+  ``operators.similarity`` at scale.
+
+All computations are md5-hex-string based (functions.hashing) so the
+DuckDB oracle reproduces them exactly; everything is JVM-side
+Catalyst expressions — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.functions.hashing import (
+    lsh_band_keys,
+    minhash_signature,
+    simhash,
+)
+from epe_data_wrangling_spark.functions.text import word_shingles
+from epe_data_wrangling_spark.functions.vectors import cosine
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one surviving (min) id per distinct
+    text plus the duplicate count. Shuffles md5 keys, not text."""
+    return (
+        df.groupBy(F.md5(text_col).alias("fingerprint"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    return F.size(F.array_intersect(a, b)) / F.size(F.array_union(a, b))
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", _jaccard(F.col("sa"), F.col("sb")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs (a_id < b_id, exact Jaccard ≥ threshold) with
+    MinHash-LSH candidate generation. Returns (a_id, b_id, jaccard)."""
+    rows_per_band = num_hashes // bands
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    banded = sh.select(
+        "doc_id",
+        F.explode(
+            lsh_band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band)
+        ).alias("bk"),
+    )
+    a = banded.select(F.col("doc_id").alias("a_id"), "bk")
+    b = banded.select(F.col("doc_id").alias("b_id"), "bk")
+    cand = (
+        a.join(b, "bk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_pairs(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via exact shared-shingle candidates + Jaccard
+    verify. Returns (a_id, b_id, jaccard)."""
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = exploded.select(F.col("doc_id").alias("a_id"), "s")
+    b = exploded.select(F.col("doc_id").alias("b_id"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_pairs(cand, sh, threshold)
+
+
+def simhash_sketches(df: DataFrame, text_col: str, id_col: str, *, num_bits: int = 16) -> DataFrame:
+    from epe_data_wrangling_spark.functions.text import words
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        simhash(F.array_distinct(words(text_col)), num_bits).alias("sh"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_bits: int = 16,
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
+    multi-block LSH (pigeonhole-complete for max_hamming < blocks).
+    Returns (a_id, b_id, hamming)."""
+    bits_per_block = num_bits // blocks
+    mask = (1 << bits_per_block) - 1
+    sk = simhash_sketches(df, text_col, id_col, num_bits=num_bits)
+    blocked = sk.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(i), (F.shiftright("sh", i * bits_per_block) % F.lit(mask + 1))
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("blk"),
+    )
+    a = blocked.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("ha"), "blk")
+    b = blocked.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("hb"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold. Brute-force
+    pair join (exact); at scale, restrict candidates with
+    ``similarity.hyperplane_bucket`` first (same verify expression)."""
+    a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
