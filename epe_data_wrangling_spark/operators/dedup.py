@@ -42,6 +42,25 @@ from epe_data_wrangling_spark.functions.text import word_shingles
 from epe_data_wrangling_spark.functions.vectors import cosine
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Explicit exchange barrier: repartition on ``keys`` with a fixed
+    partition count (2× default parallelism).
+
+    Two jobs in one node. (1) *Parallelism*: the small-file scans of
+    the test corpus arrive as 1 task; the sketch math after this
+    barrier runs on every core. (2) *Materialize-once*: Catalyst's
+    projection collapse would otherwise inline the (expensive) sketch
+    expressions into every downstream consumer — 8 band keys × 2
+    self-join branches recompute a 16-hash signature 16×. A shuffle
+    boundary pins the projection below it to exactly one evaluation,
+    and identical subtrees above it are unified by ReuseExchange.
+    The explicit count keeps AQE from coalescing the tiny exchange
+    back to one partition (data is small, compute is not).
+    """
+    n = 2 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys)
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: one surviving (min) id per distinct
     text plus the duplicate count. Shuffles md5 keys, not text."""
@@ -52,9 +71,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    return _spread(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+        ),
+        "doc_id",
     )
 
 
@@ -87,11 +109,15 @@ def minhash_lsh_pairs(
     MinHash-LSH candidate generation. Returns (a_id, b_id, jaccard)."""
     rows_per_band = num_hashes // bands
     sh = _shingle_sets(df, text_col, id_col, shingle_n)
-    banded = sh.select(
+    # Materialize the k-hash signature behind its own exchange so band
+    # keys / both join branches read it instead of recomputing it.
+    sig = _spread(
+        sh.select("doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")),
         "doc_id",
-        F.explode(
-            lsh_band_keys(minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band)
-        ).alias("bk"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(lsh_band_keys(F.col("sig"), bands, rows_per_band)).alias("bk"),
     )
     a = banded.select(F.col("doc_id").alias("a_id"), "bk")
     b = banded.select(F.col("doc_id").alias("b_id"), "bk")
@@ -150,7 +176,9 @@ def simhash_pairs(
     Returns (a_id, b_id, hamming)."""
     bits_per_block = num_bits // blocks
     mask = (1 << bits_per_block) - 1
-    sk = simhash_sketches(df, text_col, id_col, num_bits=num_bits)
+    # Barrier: the 16 per-bit aggregates are evaluated once, not once
+    # per block expression per join branch (see _spread).
+    sk = _spread(simhash_sketches(df, text_col, id_col, num_bits=num_bits), "doc_id")
     blocked = sk.select(
         "doc_id",
         "sh",
