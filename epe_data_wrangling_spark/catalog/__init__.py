@@ -57,12 +57,13 @@ def all_queries() -> dict[str, CatalogQuery]:
         epe_q,
         reshape_q,
         similarity_q,
+        streaming_q,
         text_q,
         windows_q,
     )
 
     merged: dict[str, CatalogQuery] = {}
-    for mod in (core, windows_q, reshape_q, text_q, dedup_q, similarity_q, epe_q):
+    for mod in (core, windows_q, reshape_q, text_q, dedup_q, similarity_q, streaming_q, epe_q):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

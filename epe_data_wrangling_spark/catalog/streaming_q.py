@@ -1,0 +1,126 @@
+"""Structured Streaming suite (SURVEY §2.11 — extension surface; the
+reference is batch-only).
+
+Each query builds a real ``readStream`` plan over the events table,
+executes it to completion (availableNow → memory sink via
+``streaming.ops.run_to_memory``), and returns the materialized
+result, so the driver's collect-and-compare contract applies to
+streaming exactly as to batch. The oracles are the same SQL as the
+batch twins — the point: one logical plan, two execution modes,
+identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.streaming import ops
+from epe_data_wrangling_spark.streaming.sources import stream_events
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+
+@query(
+    "streaming_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → 1h tumbling agg → availableNow →
+    memory sink. Same oracle as batch ``tumbling_window_events``."""
+    return ops.run_to_memory(
+        ops.tumbling_counts(stream_events(spark, sf_dir)), "s_tumbling"
+    )
+
+
+@query(
+    "streaming_sliding_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+    FROM events, (VALUES (0), (1)) o(off)
+    GROUP BY 1
+    """,
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream 1h/30m sliding windows; twin of
+    ``sliding_window_events``."""
+    return ops.run_to_memory(
+        ops.sliding_counts(stream_events(spark, sf_dir)), "s_sliding"
+    )
+
+
+@query(
+    "streaming_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000 THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS new_session
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session_window over the stream (30-minute gap); twin
+    of batch ``sessionize_events`` and the same gaps-and-islands
+    oracle."""
+    return ops.run_to_memory(
+        ops.session_counts(stream_events(spark, sf_dir)), "s_sessions"
+    )
+
+
+@query(
+    "streaming_dedup_keys",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over the stream — watermark-
+    bounded first-seen dedup state, projected to the key set (which is
+    order-independent and therefore oracle-checkable)."""
+    return ops.run_to_memory(
+        ops.dedup_keys_within_watermark(
+            stream_events(spark, sf_dir), ["user_id", "event_type"]
+        ),
+        "s_dedup",
+        output_mode="append",
+    )
+
+
+@query(
+    "streaming_user_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS max_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-user totals via applyInPandasWithState
+    (arbitrary-state operator); emits once per micro-batch, so with
+    availableNow over the test corpus the final table is exactly the
+    batch group-by."""
+    return ops.run_to_memory(
+        ops.user_stats_stateful(stream_events(spark, sf_dir)).select(
+            "user_id", "n_events", "max_ts"
+        ),
+        "s_user_stats",
+        output_mode="update",
+    )

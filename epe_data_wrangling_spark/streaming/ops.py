@@ -1,0 +1,176 @@
+"""Streaming operators (SURVEY §2.11 extension surface).
+
+Each transformation takes an events DataFrame — batch OR streaming —
+and returns the same logical plan for both, so the DuckDB oracle that
+checks the batch form also pins the streaming semantics. Streaming
+execution is exercised through ``run_to_memory`` (availableNow
+trigger → memory sink), which is how the catalog's ``streaming_*``
+queries return a plain DataFrame to the driver.
+
+Watermarks: ``withWatermark`` is applied on the streaming path to
+bound state (late data older than the delay is dropped and its state
+evicted — the 100 TB requirement for unbounded streams). The
+window aggregations run in *complete* output mode in the test
+harness so results are independent of watermark-driven flush timing;
+in production append/update mode plus the same watermark is the
+latency-oriented choice.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from epe_data_wrangling_spark.catalog.core import dec
+
+
+def with_watermark(events: DataFrame, delay: str) -> DataFrame:
+    """Event-time watermark on the streaming path; no-op for batch
+    (mirrors Spark, which ignores watermarks in batch queries)."""
+    return events.withWatermark("ts", delay) if events.isStreaming else events
+
+
+def tumbling_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling count/sum per event_type — the streaming twin
+    of catalog ``tumbling_window_events`` (same oracle)."""
+    return (
+        with_watermark(events, watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """1h/30m sliding count/sum — streaming twin of
+    ``sliding_window_events``."""
+    return (
+        with_watermark(events, watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+        )
+    )
+
+
+def session_counts(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregation (30-minute inactivity gap) —
+    streaming twin of ``sessionize_events``. session_window is the
+    native stateful merge-on-overlap operator; state per open session,
+    evicted once the watermark passes session_end + gap."""
+    return (
+        with_watermark(events, watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def dedup_keys_within_watermark(
+    events: DataFrame, keys: list[str], *, watermark: str = "2 hours"
+) -> DataFrame:
+    """First-seen key dedup. Streaming: dropDuplicatesWithinWatermark
+    (state bounded by the watermark — the streaming analogue of the
+    batch exact-dedup operator). Batch: plain dropDuplicates.
+    Projects to the key columns so the result is a deterministic set
+    (which *row* is first is processing-order-dependent; which *keys*
+    exist is not)."""
+    deduped = (
+        events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+        if events.isStreaming
+        else events.dropDuplicates(keys)
+    )
+    return deduped.select(*keys)
+
+
+#: Output schema of `user_stats_stateful` — kept module-level so the
+#: oracle/test side can reference it.
+USER_STATS_SCHEMA = "user_id BIGINT, n_events BIGINT, total_value DOUBLE, max_ts TIMESTAMP"
+_STATE_SCHEMA = "n BIGINT, total DOUBLE, max_us BIGINT"
+
+
+def _user_stats_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum(value), max(ts)) with explicit
+    GroupState — emits the updated totals once per micro-batch."""
+    n, total, max_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        if len(pdf):
+            max_us = max(max_us, int(pdf["ts"].max().value // 1000))
+    state.update((n, total, max_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_ts": [pd.Timestamp(max_us * 1000)],
+        }
+    )
+
+
+def user_stats_stateful(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful per-user aggregate via applyInPandasWithState —
+    the arbitrary-state escape hatch for operators session_window
+    can't express (SURVEY §2.11). State is one small tuple per user;
+    Arrow-batched, grouped shuffle on user_id only."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    result: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming plan to completion with availableNow and
+    return the materialized result as a batch DataFrame.
+
+    This is the bridge that lets streaming queries participate in the
+    driver's collect-and-compare contract: process everything
+    available, one final state flush, read the memory sink back."""
+    checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return result.sparkSession.table(name)
