@@ -55,6 +55,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         core,
         dedup_q,
         epe_q,
+        multimodal_q,
         reshape_q,
         similarity_q,
         streaming_q,
@@ -63,7 +64,17 @@ def all_queries() -> dict[str, CatalogQuery]:
     )
 
     merged: dict[str, CatalogQuery] = {}
-    for mod in (core, windows_q, reshape_q, text_q, dedup_q, similarity_q, streaming_q, epe_q):
+    for mod in (
+        core,
+        windows_q,
+        reshape_q,
+        text_q,
+        dedup_q,
+        similarity_q,
+        streaming_q,
+        multimodal_q,
+        epe_q,
+    ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -90,6 +90,17 @@ def hyperplane_bucket(vec: str) -> str:
     return " || ".join(bits)
 
 
+def hex_int(col: str, start: int, ndigits: int) -> str:
+    """Integer value of ``ndigits`` lowercase hex digits of ``col``
+    starting at 1-based ``start`` — mirrors Python's
+    ``int(h[start-1:start-1+ndigits], 16)`` via a strpos fold."""
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(ndigits):
+        d = f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        expr = f"({expr} * 16 + {d})"
+    return expr
+
+
 def stopword_hits(lower_words: str, lang: str) -> str:
     sw = ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
     return f"len(list_filter({lower_words}, t -> list_contains([{sw}], t)))"
