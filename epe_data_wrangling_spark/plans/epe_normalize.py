@@ -37,7 +37,7 @@ from epe_data_wrangling_spark.functions.cleaning import (
 )
 from epe_data_wrangling_spark.operators.reshape import unpivot_regex
 from epe_data_wrangling_spark.operators.windows import locf
-from epe_data_wrangling_spark.sources.workbook import qcol
+from epe_data_wrangling_spark.sources.workbook import plan_time_rows, qcol
 
 #: Output schema of every normalized sheet (fixed, SURVEY §1.1).
 NORMALIZED_COLS = ("atributo_1", "atributo_2", "atributo_3", "atributo_4", "data", "valor")
@@ -49,16 +49,22 @@ YEAR_PATTERN = r"^[0-9]{4}(|\*)$"
 
 def _tag_and_slice(df: DataFrame, sheet: str, data_cols: list[str]) -> DataFrame:
     """P1 (sheet-name tag), P2 (title broadcast from the first data
-    row's first cell, `R:88` — realized as a broadcast cross join of a
-    1-row projection, no collect), F1 (drop junk rows 1-3, `R:89`)."""
-    title = df.filter(F.col("_row_idx") == 0).select(
-        qcol(data_cols[0]).alias("atributo_2")
-    )
-    return (
-        df.withColumn("atributo_1", F.lit(sheet))
-        .crossJoin(F.broadcast(title))
-        .filter(F.col("_row_idx") >= 3)
-    )
+    row's first cell, `R:88`), F1 (drop junk rows 1-3, `R:89`).
+
+    When the ingester left the raw rows on the driver
+    (``plan_time_rows``), the title is inlined as a literal — zero
+    extra plan nodes. Otherwise it is realized distributively as a
+    broadcast cross join of a 1-row projection (no collect)."""
+    rows = plan_time_rows(df)
+    if rows is not None:
+        cell0 = next((r[2] for r in rows if r[1] == 0), None)
+        tagged = df.withColumn("atributo_2", F.lit(cell0).cast("string"))
+    else:
+        title_df = df.filter(F.col("_row_idx") == 0).select(
+            qcol(data_cols[0]).alias("atributo_2")
+        )
+        tagged = df.crossJoin(F.broadcast(title_df))
+    return tagged.withColumn("atributo_1", F.lit(sheet)).filter(F.col("_row_idx") >= 3)
 
 
 def normalize_sheet_a(df: DataFrame, sheet: str) -> DataFrame:
@@ -153,8 +159,14 @@ def normalize_sheet_b(df: DataFrame, sheet: str) -> DataFrame:
     data_cols = [c for c in df.columns if c not in ("_sheet", "_row_idx")]
     t = _tag_and_slice(df, sheet, data_cols)
 
-    # P9: harvest the year header (first post-junk row, `R:163`).
-    hdr = t.filter(F.col("_row_idx") == 3).select(*[qcol(c) for c in data_cols]).first()
+    # P9: harvest the year header (first post-junk row, `R:163`) —
+    # from the ingester's driver-side rows when available, else one
+    # distributed row collect (the forced inspect-then-plan point).
+    rows = plan_time_rows(df)
+    if rows is not None:
+        hdr = next((r[2:] for r in rows if r[1] == 3), None)
+    else:
+        hdr = df.filter(F.col("_row_idx") == 3).select(*[qcol(c) for c in data_cols]).first()
     if hdr is None:
         raise ValueError(f"sheet {sheet!r}: no header row at _row_idx 3")
     years = []

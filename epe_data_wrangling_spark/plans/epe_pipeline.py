@@ -23,9 +23,19 @@ def run_pipeline(
     source: str | dict[str, DataFrame],
     *,
     split_sheet: str = "CONSUMIDORES TOTAIS",
+    materialize: bool = True,
 ) -> DataFrame:
     """Full pipeline. ``source`` is a workbook path or an
-    already-ingested ``{sheet: grid DataFrame}`` dict (ordered)."""
+    already-ingested ``{sheet: grid DataFrame}`` dict (ordered).
+
+    ``materialize`` localCheckpoints the normalized union before the
+    five-branch semantic fan-out (C3): the union-of-N-sheets plan is
+    deep (a window + unpivot subtree per sheet), and without lineage
+    truncation Catalyst re-analyzes that whole tree once per branch —
+    driver time quadratic-ish in sheets × branches. The checkpoint
+    pins the (small) normalized table and the semantic stage plans
+    over a leaf. The fact table is the scale-bearing output; the
+    normalized workbook is bounded by workbook size (§4.3.1)."""
     if isinstance(source, str):
         from epe_data_wrangling_spark.sources.workbook import read_workbook
 
@@ -33,6 +43,9 @@ def run_pipeline(
     else:
         sheets = source
     normalized = normalize_workbook(sheets, split_sheet=split_sheet)
+    if materialize:
+        normalized = normalized.localCheckpoint(eager=True)
+        return semantic_map(normalized, cache=False)
     return semantic_map(normalized)
 
 

@@ -76,7 +76,20 @@ def grid_to_df(spark: SparkSession, grid: Grid, sheet: str) -> DataFrame:
     # One partition per sheet: sheets are small by contract (§4.3.1),
     # and a single partition keeps the per-sheet LOCF window sort
     # shuffle-free while sheets still parallelize across each other.
-    return spark.createDataFrame(data, schema).coalesce(1)
+    df = spark.createDataFrame(data, schema).coalesce(1)
+    # Driver-side ingest already holds the rows, so expose them for
+    # plan-time inspection (title cell, Shape-B year header — SURVEY
+    # §4.3.2's inspect-then-plan points). Saves one Spark job per
+    # lookup; normalize falls back to a distributed collect when the
+    # frame didn't come through this ingester.
+    df._epe_rows = data
+    return df
+
+
+def plan_time_rows(df: DataFrame) -> list[tuple] | None:
+    """Raw (sheet, row_idx, *cells) tuples if ``df`` was built by
+    ``grid_to_df`` on this driver, else None."""
+    return getattr(df, "_epe_rows", None)
 
 
 def read_workbook_grids(path: str) -> dict[str, Grid]:
