@@ -73,3 +73,46 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(
         e.filter(F.col("vec_id") < 50), e, vec_col="embedding", id_col="vec_id", k=3
     )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+    assigned AS (
+      SELECT vid, vv, cell FROM (
+        SELECT e.vec_id AS vid, e.v AS vv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {D.cosine('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {D.cosine('q.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e q CROSS JOIN cents c
+        WHERE q.vec_id < 20) t
+      WHERE rn <= 4)
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             {D.cosine('p.qv', 'a.vv')} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {D.cosine('p.qv', 'a.vv')} DESC, a.vid) AS INTEGER) AS rank
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.vid) t
+    WHERE rank <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (operators.similarity.ivf_topk): 16 deterministic
+    coarse centroids, corpus quantized to cells, each of the first 20
+    query vectors probes its 4 nearest cells — top-3 within the
+    probed ~quarter of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        e.filter(F.col("vec_id") < 20), e,
+        vec_col="embedding", id_col="vec_id",
+        k=3, n_centroids=16, n_probe=4,
+    )

@@ -64,6 +64,83 @@ def hyperplane_bucket(vec: Column) -> Column:
     return F.concat(*bits)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (max cosine,
+    ties → lowest centroid id). Centroids are broadcast — assignment
+    is one narrow pass over the corpus, the IVF build step."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
+    c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    w = Window.partitionBy("vid").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    return (
+        v.join(F.broadcast(c))
+        .select("vid", "vv", "cell", cosine(F.col("vv"), F.col("cv")).alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vv", "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize the corpus into
+    centroid cells, then search only each query's ``n_probe`` closest
+    cells. The 100 TB shape: centroids broadcast (tiny), the corpus
+    is partitioned by cell, and a query touches n_probe/n_centroids
+    of the data instead of all of it.
+
+    Centroid choice here is the deterministic stand-in — the
+    ``n_centroids`` lowest-id vectors — so the DuckDB oracle can
+    reproduce the index bit-for-bit; a production build would train
+    them offline (k-means) and broadcast the trained table through
+    the identical plan.
+    """
+    cents = (
+        candidates.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+        .orderBy(id_col)
+        .limit(n_centroids)
+    )
+    assigned = ivf_assign(candidates, cents, vec_col=vec_col, id_col=id_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = cents.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+    wp = Window.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    probes = (
+        q.join(F.broadcast(c))
+        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("cv")).alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("vv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -1,0 +1,121 @@
+"""Property-based invariants (SURVEY §5.2): unpivot∘pivot round-trip,
+LOCF idempotence and leading-null preservation, union-by-name
+alignment, selector-key functional dependency, MinHash containment.
+
+Hypothesis drives the *data*; each property runs on a handful of
+generated frames (Spark jobs are ~100 ms each, so max_examples stays
+small — the point is shrinkable structural coverage, not volume).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.operators.reshape import pivot_wide, unpivot_regex
+from epe_data_wrangling_spark.operators.windows import locf
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# values: floats without NaN (NaN breaks equality checks), incl. None
+opt_double = st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), opt_double, opt_double, opt_double),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda r: r[0],
+    )
+)
+@SETTINGS
+def test_unpivot_pivot_roundtrip(spark, rows):
+    """melt → pivot_wide(first) reconstructs the original wide frame
+    (keys unique, so `first` is exact)."""
+    df = spark.createDataFrame(rows, "id int, m1 double, m2 double, m3 double")
+    long = unpivot_regex(
+        df, id_cols=["id"], name_pattern=r"^m[0-9]+$", var_name="k", value_name="v"
+    )
+    wide = pivot_wide(
+        long, group_cols=["id"], pivot_col="k", value_col="v", values=["m1", "m2", "m3"]
+    )
+    assert sorted(map(tuple, wide.collect())) == sorted(rows)
+
+
+@given(
+    vals=st.lists(opt_double, min_size=1, max_size=12),
+)
+@SETTINGS
+def test_locf_idempotent_and_leading_nulls(spark, vals):
+    """locf∘locf == locf; leading nulls stay null (na.locf0 parity,
+    `tratamento_epe.R:100`); non-null positions are never changed."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "idx int, x double"
+    ).withColumn("g", F.lit(1))
+    once = df.withColumn("f", locf("x", partition_by=["g"], order_by=["idx"]))
+    twice = once.withColumn("f2", locf("f", partition_by=["g"], order_by=["idx"]))
+    rows = sorted(twice.collect(), key=lambda r: r.idx)
+
+    # reference semantics computed in plain Python
+    expect, last = [], None
+    for v in vals:
+        last = v if v is not None else last
+        expect.append(last)
+    assert [r.f for r in rows] == expect
+    assert [r.f2 for r in rows] == [r.f for r in rows]  # idempotent
+    for r in rows:
+        if vals[r.idx] is not None:
+            assert r.f == vals[r.idx]
+
+
+@given(
+    a=st.lists(st.tuples(st.integers(0, 9), st.text(max_size=3)), max_size=5),
+    b=st.lists(st.tuples(st.text(max_size=3), st.integers(0, 9)), max_size=5),
+)
+@SETTINGS
+def test_union_by_name_aligns_columns(spark, a, b):
+    """unionByName matches by NAME (bind_rows parity, `R:267-273`)
+    even when physical column order differs."""
+    da = spark.createDataFrame(a, "k int, s string")
+    db = spark.createDataFrame(b, "s string, k int")
+    u = da.unionByName(db)
+    assert sorted(map(tuple, u.collect())) == sorted(a + [(k, s) for s, k in b])
+
+
+def test_chave_seletora_functional_dependency(spark):
+    """chave_seletora is a pure function of (dado, mercado, classe,
+    abertura): one key per distinct tuple and vice versa (`R:274`)."""
+    from epe_data_wrangling_spark.plans.epe_demo import demo_workbook
+    from epe_data_wrangling_spark.plans.epe_pipeline import run_pipeline
+
+    out = run_pipeline(spark, demo_workbook(spark))
+    n_keys = out.select("chave_seletora").distinct().count()
+    n_tuples = out.select("dado", "mercado", "classe", "abertura").distinct().count()
+    n_both = out.select("chave_seletora", "dado", "mercado", "classe", "abertura").distinct().count()
+    assert n_keys == n_tuples == n_both
+
+
+@given(
+    words_a=st.lists(st.text("abcdef", min_size=1, max_size=4), min_size=6, max_size=20),
+)
+@SETTINGS
+def test_minhash_identical_docs_collide(spark, words_a):
+    """A document always MinHash-LSH-collides with itself: an exact
+    duplicate pair is a candidate in every band and has Jaccard 1."""
+    from epe_data_wrangling_spark.operators.dedup import minhash_lsh_pairs
+
+    text = " ".join(words_a)
+    df = spark.createDataFrame([(0, text), (1, text)], "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", shingle_n=3, num_hashes=8, bands=4, threshold=0.9
+    ).collect()
+    assert len(pairs) == 1
+    assert pairs[0].a_id == 0 and pairs[0].b_id == 1
+    assert pairs[0].jaccard == pytest.approx(1.0)

@@ -1,0 +1,49 @@
+"""Sink round-trips (S5/S6): partitioned parquet with partition
+pruning on read-back, CSV and JSON interchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.sources import sinks
+from epe_data_wrangling_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "fact")
+    nation = load_table(spark, SF_DIR, "nation")
+    sinks.write_parquet(nation, out, partition_by=("n_regionkey",))
+
+    back = spark.read.parquet(out)
+    assert back.count() == nation.count()
+    assert sorted(back.columns) == sorted(nation.columns)
+
+    # partition pruning: a filter on the partition key only plans the
+    # matching directories — visible as partition filters in the scan
+    pruned = back.filter(F.col("n_regionkey") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
+    expect = nation.filter(F.col("n_regionkey") == 1).count()
+    assert pruned.count() == expect
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "csv")
+    region = load_table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    sinks.write_csv(region, out)
+    back = spark.read.option("header", "true").csv(out)
+    got = sorted((int(r.r_regionkey), r.r_name) for r in back.collect())
+    want = sorted((r.r_regionkey, r.r_name) for r in region.collect())
+    assert got == want
+
+
+def test_json_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "json")
+    region = load_table(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    sinks.write_json(region, out)
+    back = spark.read.json(out)
+    got = sorted((r.r_regionkey, r.r_name) for r in back.collect())
+    want = sorted((r.r_regionkey, r.r_name) for r in region.collect())
+    assert got == want
