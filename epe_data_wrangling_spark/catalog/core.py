@@ -599,3 +599,88 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
         .select("event_type", "k_bucket", "n", F.col("_s").cast("decimal(38,12)").alias("sum_value"))
     )
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT s.s_nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-treated equi-join (operators.joins.salted_join): the fact
+    side's key is salted into 8 sub-keys and the dimension replicated
+    8x and broadcast — logically the plain join the oracle runs,
+    physically no single hot-key straggler task can exist."""
+    from epe_data_wrangling_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    return (
+        salted_join(li, su, "suppkey", n_salts=8)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), F.sum(dec("l_quantity")).alias("_s"))
+        .select("s_nationkey", "n_items", F.col("_s").cast("decimal(38,12)").alias("sum_qty"))
+    )
+
+
+@query(
+    "agg_count_distinct_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (expand + two-phase aggregate in
+    Spark). The exact twin of the HLL sketch below."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_distinct_hll")  # no oracle: sketch estimates are engine-specific
+def agg_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd 1%) per group — the
+    100 TB path where exact distinct's expand/shuffle is the
+    bottleneck (SURVEY §2.5, §4.4). Rows-only check by design:
+    DuckDB's approx sketch differs; the exact twin above is the
+    value-checked anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_percentiles_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark percentile ==
+    DuckDB quantile_cont, both linear-interpolation). At 100 TB the
+    same call swaps to approx_percentile (t-digest) — rows-only like
+    the HLL query, for the same reason."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )

