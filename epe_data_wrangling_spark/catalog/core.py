@@ -684,3 +684,30 @@ def agg_percentiles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
         F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
     )
+
+
+#: TPC-H Q6 shape, written once in engine-neutral SQL: Spark executes
+#: this very string via spark.sql over registered views, and the
+#: driver hands the SAME string to DuckDB — the pure-SQL entry point
+#: of the engine (decimal staging keeps the sum order-free).
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DECIMAL(38,12)) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1994-01-01'
+      AND l_shipdate < DATE '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_q6_forecast_revenue", oracle=_Q6_SQL)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 through the SQL surface: one engine-neutral SQL string
+    is both the Spark plan (spark.sql over temp views) and the DuckDB
+    oracle — parser/analyzer parity by construction."""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)

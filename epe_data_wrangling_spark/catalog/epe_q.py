@@ -46,6 +46,13 @@ def _expected_values_sql() -> str:
     """
 
 
+#: Per-session memo of the demo fact table: the pipeline output is
+#: deterministic and already localCheckpointed, so consumer queries
+#: (annual agg, wide reconstruction) reuse the materialized table
+#: instead of re-running ingest+normalize per query.
+_FACT_MEMO: dict["SparkSession", DataFrame] = {}
+
+
 @query("epe_pipeline_demo", oracle=_expected_values_sql())
 def epe_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full EPE pipeline (ingest → normalize A/B → 5-branch semantic
@@ -54,4 +61,73 @@ def epe_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from epe_data_wrangling_spark.plans.epe_demo import demo_workbook
     from epe_data_wrangling_spark.plans.epe_pipeline import run_pipeline
 
-    return run_pipeline(spark, demo_workbook(spark))
+    if spark not in _FACT_MEMO:
+        _FACT_MEMO[spark] = run_pipeline(spark, demo_workbook(spark))
+    return _FACT_MEMO[spark]
+
+
+@query(
+    "epe_annual_consumption",
+    oracle=f"""
+    WITH fact AS ({_expected_values_sql()})
+    SELECT chave_seletora, CAST(year(data) AS INTEGER) AS ano,
+           CAST(SUM(CAST(valor AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS valor_ano,
+           COUNT(*) AS n_meses
+    FROM fact GROUP BY chave_seletora, year(data)
+    """,
+)
+def epe_annual_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact table's stated purpose (`tratamento_epe.rmd:36,141`):
+    re-derive the annual aggregates the reference deliberately strips
+    (Total_Ano / TOTAL rows) from clean monthly atoms — filter by
+    selector key, group by year (SURVEY §2.5)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.core import dec
+
+    fact = epe_pipeline_demo(spark, sf_dir)
+    return (
+        fact.groupBy("chave_seletora", F.year("data").cast("int").alias("ano"))
+        .agg(F.sum(dec("valor")).alias("_s"), F.count(F.lit(1)).alias("n_meses"))
+        .select(
+            "chave_seletora", "ano",
+            F.col("_s").cast("decimal(38,12)").alias("valor_ano"), "n_meses",
+        )
+    )
+
+
+@query(
+    "epe_wide_reconstruction",
+    oracle=f"""
+    WITH fact AS ({_expected_values_sql()})
+    SELECT atributo, CAST(year(data) AS INTEGER) AS ano,
+           SUM(CASE WHEN month(data) = 1 THEN valor END) AS m1,
+           SUM(CASE WHEN month(data) = 2 THEN valor END) AS m2,
+           SUM(CASE WHEN month(data) = 3 THEN valor END) AS m3,
+           SUM(CASE WHEN month(data) = 6 THEN valor END) AS m6,
+           SUM(CASE WHEN month(data) = 12 THEN valor END) AS m12
+    FROM fact
+    WHERE mercado = 'TOTAL' AND classe = 'RESIDENCIAL' AND abertura = 'REGIÃO GEOGRÁFICA'
+    GROUP BY atributo, year(data)
+    """,
+)
+def epe_wide_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 (SURVEY §2.9): reconstruct the original wide month view from
+    the tidy fact table with groupBy().pivot() — the consumer-side
+    inverse of the unpivot at the heart of the reference. Explicit
+    pivot values: no discovery scan (scale note in operators.reshape).
+    One observation per cell ⇒ sum ≡ first; sum is what a dashboard
+    reconstruction would use."""
+    from pyspark.sql import functions as F
+
+    fact = epe_pipeline_demo(spark, sf_dir)
+    sel = fact.filter(
+        (F.col("mercado") == "TOTAL")
+        & (F.col("classe") == "RESIDENCIAL")
+        & (F.col("abertura") == "REGIÃO GEOGRÁFICA")
+    ).withColumn("mes_out", F.concat(F.lit("m"), F.month("data").cast("string")))
+    return (
+        sel.groupBy("atributo", F.year("data").cast("int").alias("ano"))
+        .pivot("mes_out", ["m1", "m2", "m3", "m6", "m12"])
+        .agg(F.sum("valor"))
+    )
