@@ -75,6 +75,20 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_cosine_topk_arrow", headline=True)  # rows-only: float order differs
+def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized twin of ann_cosine_topk (operators.similarity.
+    brute_topk_arrow): numpy matmul per Arrow batch, block-local
+    top-k, window merge. Rows-only by design — numpy's pairwise float
+    summation differs from the expression tree's sequential order in
+    the last ulp, so values can't hash-match; ann_cosine_topk is the
+    value-checked anchor and tests pin ranking agreement."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.brute_topk_arrow(
+        e.filter(F.col("vec_id") < 10), e, vec_col="embedding", id_col="vec_id", k=5
+    )
+
+
 @query(
     "ann_ivf_topk",
     oracle=f"""
