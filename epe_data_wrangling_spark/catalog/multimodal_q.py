@@ -65,6 +65,7 @@ def multimodal_resize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "multimodal_frame_sample",
+    headline=True,
     oracle=f"""
     WITH p AS (SELECT doc_id, {_HX} AS hx FROM documents WHERE {_MEDIA} = 'video'),
     f AS (SELECT doc_id, hx,

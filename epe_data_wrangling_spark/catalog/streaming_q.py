@@ -24,6 +24,7 @@ query = make_registrar(QUERIES)
 
 @query(
     "streaming_tumbling_window",
+    headline=True,
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
