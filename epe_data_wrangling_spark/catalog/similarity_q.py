@@ -130,3 +130,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_col="embedding", id_col="vec_id",
         k=3, n_centroids=16, n_probe=4,
     )
+
+
+@query(
+    "array_higher_order_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           sqrt(list_dot_product(v, v)) AS l2,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+           list_max(v) AS max_val
+    FROM e
+    """,
+)
+def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface (SURVEY §2.10 extension
+    note): transform/filter/aggregate/zip_with over the embedding
+    arrays — all JVM-side codegen'd expressions, the zero-UDF path
+    for array columns at scale."""
+    from epe_data_wrangling_spark.functions.vectors import norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        norm(v).alias("l2"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+        F.array_max(v).cast("double").alias("max_val"),
+    )
