@@ -42,12 +42,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.8) -> str:
     r = num_hashes // bands
-    sig = ", ".join(D.minhash_sig_exprs("shingles", num_hashes))
+    sig = ", ".join(D.minhash_sig_exprs("hs", num_hashes))
     bexprs = ", ".join(D.band_exprs(bands, r))
     return f"""
     WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
     sh AS (SELECT doc_id, {_SH5} AS shingles FROM w),
-    sig AS (SELECT doc_id, {sig} FROM sh),
+    hsh AS (SELECT doc_id, {D.base_hash_list('shingles')} AS hs FROM sh),
+    sig AS (SELECT doc_id, {sig} FROM hsh),
     bands AS (SELECT doc_id, unnest([{bexprs}]) AS bk FROM sig),
     cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
              FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id

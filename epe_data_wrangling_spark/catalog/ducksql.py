@@ -10,6 +10,7 @@ change one, change the other.
 
 from __future__ import annotations
 
+from epe_data_wrangling_spark.functions.hashing import MINHASH_AB, MINHASH_P
 from epe_data_wrangling_spark.functions.text import BPE_TOKEN_RE, LANG_STOPWORDS
 
 
@@ -29,20 +30,34 @@ def shingles(words_expr: str, n: int) -> str:
     )
 
 
-def minhash_sig_exprs(shingles_col: str, num_hashes: int) -> list[str]:
-    """functions.hashing.minhash_signature, one expression per seed."""
+def base_hash_list(shingles_col: str) -> str:
+    """functions.hashing.base_hash mapped over a shingle list: the
+    integer base hash (first 8 md5 hex digits mod P) per shingle —
+    computed ONCE, like the Spark side's single-md5 pass."""
+    return (
+        f"list_transform({shingles_col}, s -> {hex_int('md5(s)', 1, 8)} % {MINHASH_P})"
+    )
+
+
+def minhash_sig_exprs(hashes_col: str, num_hashes: int) -> list[str]:
+    """functions.hashing.minhash_signature over a pre-computed base-
+    hash list (``base_hash_list``): min of (a·h+b) mod P per hash."""
     return [
-        f"list_min(list_transform({shingles_col}, s -> md5('{i}|' || s))) AS s{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform({hashes_col}, "
+        f"h -> ({a} * h + {b}) % {MINHASH_P})) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
     ]
 
 
 def band_exprs(bands: int, rows_per_band: int) -> list[str]:
-    """functions.hashing.lsh_band_keys over sig columns s0..s{k-1}."""
+    """functions.hashing.lsh_band_keys over sig columns s0..s{k-1}:
+    'b|' ⊕ ',' ⊕ values (concat_ws semantics)."""
     out = []
     for b in range(bands):
-        cols = " || ',' || ".join(f"s{b * rows_per_band + j}" for j in range(rows_per_band))
-        out.append(f"'{b}|' || md5({cols})")
+        cols = " || ',' || ".join(
+            f"CAST(s{b * rows_per_band + j} AS VARCHAR)" for j in range(rows_per_band)
+        )
+        out.append(f"'{b}|,' || {cols}")
     return out
 
 

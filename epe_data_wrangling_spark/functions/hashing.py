@@ -38,26 +38,60 @@ def seeded_md5(col: Column | str, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}|"), c))
 
 
+#: Mersenne prime modulus of the universal hash family.
+MINHASH_P = 2**31 - 1
+#: Frozen (a, b) coefficients (numpy default_rng(11)) — shared
+#: verbatim with the DuckDB oracle; regenerating would silently
+#: change every signature. k = 16 hashes.
+MINHASH_AB: tuple[tuple[int, int], ...] = (
+    (287335975, 276102407), (1711717682, 1072191044), (1267085885, 1291707886),
+    (1529378281, 61609175), (1042610374, 317668847), (862198698, 1993317992),
+    (1176290586, 151227035), (1165533626, 278687433), (1620142123, 2036519845),
+    (2103343575, 1335484845), (1864733255, 792406698), (312974494, 1098201708),
+    (952911210, 1423444400), (2135758728, 591221179), (1837640958, 296284179),
+    (746780223, 1692302142),
+)
+
+
+def base_hash(col: Column) -> Column:
+    """Integer base hash of a string: first 8 hex digits of md5 as a
+    bigint, reduced mod P. ONE md5 per value; the k hash family
+    members are affine projections of this (universal hashing),
+    which both engines evaluate with exact int64 arithmetic
+    (a·h+b < 2^62, no overflow either side)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint") % F.lit(MINHASH_P)
+    )
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature of an ``array<string>`` shingle column.
 
-    Returns ``array<string>`` of length ``num_hashes``; element i is
-    the lexicographic min of ``md5(i|s)`` over shingles s. Pure
-    higher-order-function expression — whole-stage codegen, no UDF.
+    Returns ``array<long>`` of length ``num_hashes``; element i is
+    min over shingles of ``(aᵢ·h(s) + bᵢ) mod P``. Single-pass
+    ``aggregate``: md5 runs once per shingle (not once per shingle
+    per hash) and all k minima advance together through one
+    ``zip_with`` — whole-stage codegen, no UDF, one array traversal.
     """
-    def seeded(i: int):
-        # NB: must be a unary lambda — a second parameter would make
-        # Spark's higher-order transform pass the element INDEX into it.
-        return lambda s: seeded_md5(s, i)
+    if num_hashes > len(MINHASH_AB):
+        raise ValueError(f"at most {len(MINHASH_AB)} hashes frozen, got {num_hashes}")
+    ab = MINHASH_AB[:num_hashes]
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)]
+    def step(acc: Column, s: Column) -> Column:
+        h = base_hash(s)
+        vals = F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) for a, b in ab])
+        return F.zip_with(acc, vals, lambda m, v: F.least(m, v))
+
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(MINHASH_P).cast("bigint"), num_hashes),
+        step,
     )
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Band keys of a MinHash signature: ``array<string>`` of length
-    ``bands``; key b = 'b|' + md5(sig[b*r] || ',' || ... ).
+    ``bands``; key b = 'b|sig[b·r],…,sig[b·r+r-1]'.
 
     Two docs share a band key iff their signatures agree on that whole
     band — the classic S-curve collision probability. Downstream,
@@ -66,8 +100,11 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """
     keys = []
     for b in range(bands):
-        sl = [F.element_at(signature, b * rows_per_band + j + 1) for j in range(rows_per_band)]
-        keys.append(F.concat(F.lit(f"{b}|"), F.md5(F.concat_ws(",", *sl))))
+        sl = [
+            F.element_at(signature, b * rows_per_band + j + 1).cast("string")
+            for j in range(rows_per_band)
+        ]
+        keys.append(F.concat_ws(",", F.lit(f"{b}|"), *sl))
     return F.array(*keys)
 
 
@@ -85,32 +122,51 @@ def md5_bit(col: Column, bit: int) -> Column:
     return F.floor(hex_digit_value(digit) / F.lit(2**shift)) % F.lit(2)
 
 
+def _hex_bit(h: Column, bit: int) -> Column:
+    """Bit ``bit`` (0 = MSB of first hex digit) of an md5 hex string."""
+    digit = F.substring(h, bit // 4 + 1, 1)
+    shift = 3 - bit % 4
+    return F.floor(hex_digit_value(digit) / F.lit(2**shift)) % F.lit(2)
+
+
 def simhash_bits(tokens: Column, num_bits: int) -> list[Column]:
     """SimHash of an ``array<string>`` token column, one 0/1 Column per
     bit: bit_j = 1 iff Σ_tokens (2·bit_j(md5(t)) − 1) ≥ 0.
 
-    Expressed with ``aggregate`` over the token array so it stays
-    JVM-side. num_bits is kept small (16) because each bit is an
-    independent aggregate expression; for a 64-bit production simhash
-    at 100 TB you would trade this exact-oracle form for a pandas_udf
-    computing all 64 bits in one pass per Arrow batch.
+    Single-pass form: ONE ``aggregate`` over the tokens with an
+    ``array<long>`` tally accumulator — md5 is evaluated once per
+    token (not once per token per bit; a 16× md5 saving) and the 16
+    bit-tallies advance together via ``zip_with`` against the hash.
+    Stays entirely JVM-side; bit values are identical to the naive
+    per-bit definition the DuckDB oracle runs.
     """
-    def merge(j: int):
-        # binary lambda required: a third parameter would change how
-        # Spark binds the higher-order function's arguments.
-        return lambda acc, t: acc + (md5_bit(t, j) * 2 - 1).cast("long")
+    tallies = _simhash_tallies(tokens, num_bits)
+    return [
+        F.when(F.element_at(tallies, j + 1) >= 0, F.lit(1)).otherwise(F.lit(0))
+        for j in range(num_bits)
+    ]
 
-    out = []
-    for j in range(num_bits):
-        tally = F.aggregate(tokens, F.lit(0).cast("long"), merge(j))
-        out.append(F.when(tally >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return out
+
+def _simhash_tallies(tokens: Column, num_bits: int) -> Column:
+    def step(acc: Column, t: Column) -> Column:
+        h = F.md5(t)
+        increments = F.array(*[(_hex_bit(h, j) * 2 - 1).cast("long") for j in range(num_bits)])
+        return F.zip_with(acc, increments, lambda a, d: a + d)
+
+    return F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), num_bits),
+        step,
+    )
 
 
 def simhash(tokens: Column, num_bits: int = 16) -> Column:
-    """SimHash packed into a long (bit 0 = MSB)."""
-    bits = simhash_bits(tokens, num_bits)
-    packed = F.lit(0).cast("long")
-    for b in bits:
-        packed = packed * F.lit(2) + b.cast("long")
-    return packed
+    """SimHash packed into a long (bit 0 = MSB): the tally array is
+    folded once more to the packed value, so the whole sketch is ONE
+    expression tree referencing the tally aggregate exactly once
+    (element_at per bit would inline the aggregate num_bits times)."""
+    return F.aggregate(
+        _simhash_tallies(tokens, num_bits),
+        F.lit(0).cast("long"),
+        lambda acc, tally: acc * 2 + F.when(tally >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
