@@ -96,7 +96,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_sql(num_bits: int = 16, blocks: int = 4, max_hamming: int = 3) -> str:
+def _simhash_sql(num_bits: int = 32, blocks: int = 4, max_hamming: int = 3) -> str:
     bpb = num_bits // blocks
     bits = ", ".join(D.simhash_bit_exprs("wd", num_bits))
     pack = D.simhash_pack(num_bits)
@@ -118,12 +118,13 @@ def _simhash_sql(num_bits: int = 16, blocks: int = 4, max_hamming: int = 3) -> s
 
 @query("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-16 near-dup pairs (Hamming ≤ 3) via 4-block LSH
-    (pigeonhole-complete) + exact verify (operators.dedup.
-    simhash_pairs)."""
+    """SimHash-32 near-dup pairs (Hamming ≤ 3) via 4-block LSH
+    (8-bit blocks — 256 values each, so candidate buckets stay small;
+    pigeonhole-complete for Hamming < 4) + exact verify
+    (operators.dedup.simhash_pairs)."""
     pairs = X.simhash_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
-        num_bits=16, blocks=4, max_hamming=3,
+        num_bits=32, blocks=4, max_hamming=3,
     )
     return pairs.select("a_id", "b_id", F.col("hamming").cast("int").alias("hamming"))
 

@@ -47,3 +47,21 @@ def test_json_roundtrip(spark, tmp_path):
     got = sorted((r.r_regionkey, r.r_name) for r in back.collect())
     want = sorted((r.r_regionkey, r.r_name) for r in region.collect())
     assert got == want
+
+
+def test_epe_fact_month_partitioned_write(spark, tmp_path):
+    """S5 for the EPE pipeline itself: month-partitioned fact sink,
+    read back one month with partition pruning (SURVEY §4.4)."""
+    from epe_data_wrangling_spark.plans.epe_demo import demo_workbook
+    from epe_data_wrangling_spark.plans.epe_pipeline import run_pipeline, write_fact
+
+    out = str(tmp_path / "epe_fact")
+    fact = run_pipeline(spark, demo_workbook(spark))
+    write_fact(fact, out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == fact.count()
+    one_month = back.filter(F.col("data") == "2004-01-01")
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "data" in plan.split("PartitionFilters")[1][:120]
+    assert one_month.count() == fact.filter(F.col("data") == "2004-01-01").count()
