@@ -1,0 +1,64 @@
+"""Recall of the approximate similarity/dedup paths against their
+exact twins on the deterministic corpus — the quality half of the
+speed/recall trade each approximate operator makes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.operators import dedup as X
+from epe_data_wrangling_spark.operators import similarity as S
+from epe_data_wrangling_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return {(r.a_id, r.b_id) for r in df.select("a_id", "b_id").collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """Every exact-Jaccard ≥ 0.8 pair should be recovered by the
+    16-hash 8×2-band LSH (P[candidate] ≈ 0.9997 at j = 0.8), and LSH
+    never reports a pair below threshold (exact verify step)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = _pairs(
+        X.ngram_jaccard_pairs(docs, "text", "doc_id", shingle_n=5, threshold=0.8)
+    )
+    lsh = _pairs(
+        X.minhash_lsh_pairs(
+            docs, "text", "doc_id", shingle_n=5, num_hashes=16, bands=8, threshold=0.8
+        )
+    )
+    assert lsh <= exact  # no false positives past the verify
+    recall = len(lsh & exact) / len(exact) if exact else 1.0
+    assert recall >= 0.95, f"LSH recall {recall:.3f} over {len(exact)} true pairs"
+
+
+def test_ivf_recall_curve(spark):
+    """IVF recall@3 vs the exact top-3 rises monotonically with the
+    number of probed cells — the speed/recall dial. On this corpus
+    (near-uniform synthetic vectors, untrained centroids — the worst
+    case for coarse quantization): ~0.76 at 8/16 probes, ≥0.9 at
+    14/16, and exactly 1.0 at 16/16 (covered in test_similarity)."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 50)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_topk(q, e, vec_col="embedding", id_col="vec_id", k=3).collect()
+    }
+
+    def recall(n_probe: int) -> float:
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                q, e, vec_col="embedding", id_col="vec_id",
+                k=3, n_centroids=16, n_probe=n_probe,
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r8, r14 = recall(8), recall(14)
+    assert r8 >= 0.6, f"recall@3 with 8 probes collapsed: {r8:.3f}"
+    assert r14 >= 0.9, f"recall@3 with 14 probes too low: {r14:.3f}"
+    assert r14 >= r8, "recall must not fall as probes increase"

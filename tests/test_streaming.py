@@ -59,3 +59,42 @@ def test_stateful_user_stats_matches_groupby(spark):
         output_mode="update",
     )
     assert _rows(stream) == _rows(batch)
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental ingest: restarting a file-source query
+    on the same checkpoint skips files already committed and processes
+    only newly arrived ones."""
+    import os
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    events_file = os.path.join(SF_DIR, "events.parquet")
+    os.symlink(events_file, src / "e1.parquet")
+
+    out = str(tmp_path / "out")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_file).schema
+
+    def run_once() -> int:
+        stream = spark.readStream.schema(schema).parquet(str(src)).select("event_id")
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return spark.read.parquet(out).count()
+
+    n_total = spark.read.parquet(events_file).count()
+    assert run_once() == n_total  # first run: everything
+
+    os.symlink(events_file, src / "e2.parquet")  # a "new" file arrives
+    # second run, same checkpoint: only the new file is appended
+    # (2N, not 3N — e1 is committed in the checkpoint and skipped)
+    assert run_once() == 2 * n_total
