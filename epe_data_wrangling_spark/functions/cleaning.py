@@ -63,8 +63,13 @@ def typed_null(dtype: str = "string") -> Column:
 def make_month_date(year: Column | str, month: Column | str) -> Column:
     """R ``as.Date(paste(ano, mes, 1, sep='-'))`` (`R:150,189`):
     first-of-month date from (possibly unpadded) year/month strings.
-    ``make_date`` avoids format-string ambiguity and yields NULL on
-    unparseable input like R's as.Date."""
+    ``make_date`` avoids format-string ambiguity; the explicit month
+    guard keeps as.Date's NULL-on-invalid semantics under ANSI mode
+    too (unguarded make_date(2004, 13, 1) *throws* when
+    spark.sql.ansi.enabled=true — no try_make_date exists)."""
     y = F.col(year) if isinstance(year, str) else year
     m = F.col(month) if isinstance(month, str) else month
-    return F.make_date(y.try_cast("int"), m.try_cast("int"), F.lit(1))
+    yi, mi = y.try_cast("int"), m.try_cast("int")
+    return F.when(mi.between(1, 12), F.make_date(yi, mi, F.lit(1))).otherwise(
+        F.lit(None).cast("date")
+    )
