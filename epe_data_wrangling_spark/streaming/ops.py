@@ -170,7 +170,10 @@ def run_to_memory(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # never hand back a partially-filled sink as if complete
+            raise TimeoutError(f"streaming query {name!r} still running after {timeout_sec}s")
     finally:
         q.stop()
     return result.sparkSession.table(name)
