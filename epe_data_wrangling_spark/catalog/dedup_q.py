@@ -146,3 +146,45 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.embedding_neardup_pairs(
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.45
     )
+
+
+def _simhash_groups_sql(num_bits: int = 32, blocks: int = 4, max_hamming: int = 3) -> str:
+    bpb = num_bits // blocks
+    bits = ", ".join(D.simhash_bit_exprs("wd", num_bits))
+    pack = D.simhash_pack(num_bits)
+    blk = ", ".join(
+        f"CAST({i} AS VARCHAR) || ':' || CAST((sh >> {i * bpb}) % {2 ** bpb} AS VARCHAR)"
+        for i in range(blocks)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, list_distinct({_W}) AS wd FROM documents),
+    bits AS (SELECT doc_id, {bits} FROM w),
+    sk AS (SELECT doc_id, {pack} AS sh FROM bits),
+    g AS (SELECT sh, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs FROM sk GROUP BY sh),
+    blocked AS (SELECT sh, keep_id, n_docs, unnest([{blk}]) AS blk FROM g)
+    SELECT DISTINCT a.keep_id AS a_keep_id, b.keep_id AS b_keep_id,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming,
+           a.n_docs AS a_n_docs, b.n_docs AS b_n_docs
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.sh < b.sh
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_groups", oracle=_simhash_groups_sql())
+def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level SimHash dedup (operators.dedup.
+    simhash_dedup_groups): identical sketches collapse to exact
+    groups first, then the Hamming-LSH join runs over DISTINCT
+    sketches only — candidate volume scales with distinct-sketch
+    count, not documents, which is what holds at high duplicate
+    density (the doc-level pair enumeration is quadratic per
+    cluster)."""
+    g = X.simhash_dedup_groups(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        num_bits=32, blocks=4, max_hamming=3,
+    )
+    return g.select(
+        "a_keep_id", "b_keep_id",
+        F.col("hamming").cast("int").alias("hamming"),
+        "a_n_docs", "b_n_docs",
+    )

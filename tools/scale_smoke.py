@@ -1,0 +1,114 @@
+"""Scale smoke: replicate the sf0.1 tables ~10× into /tmp and run the
+heaviest operators on the enlarged corpus — the 'would this plan
+survive a scale-up' probe, with evidence instead of assertion.
+
+documents: 10 replicas per doc, each with a replica tag appended to
+the text, so every doc acquires 9 *near*-duplicates (Jaccard ≈ 0.8+)
+— a worst-practical-case duplicate density for the dedup paths.
+lineitem: plain 10× replication (6M rows) for the agg/join paths.
+
+Usage: python tools/scale_smoke.py [base_sf_dir] — prints one JSON
+line with per-operator seconds at the enlarged scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.operators import dedup as X
+from epe_data_wrangling_spark.operators import similarity as S
+from epe_data_wrangling_spark.session import get_spark
+
+WORK = "/tmp/scale_smoke"
+REPLICAS = 10
+
+
+def main() -> None:
+    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(WORK, ignore_errors=True)
+    os.makedirs(WORK)
+
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    n_docs = docs.count()
+    rep = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    big_docs = (
+        docs.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
+            F.concat("text", F.lit(" replicatag"), F.col("rep").cast("string")).alias("text"),
+        )
+        .repartition(64)
+    )
+    big_docs.write.mode("overwrite").parquet(f"{WORK}/documents.parquet")
+
+    li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
+    li.crossJoin(rep).drop("rep").repartition(64).write.mode("overwrite").parquet(
+        f"{WORK}/lineitem.parquet"
+    )
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, df) -> None:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    bd = spark.read.parquet(f"{WORK}/documents.parquet")
+    run("minhash_lsh_50k_docs", X.minhash_lsh_pairs(bd, "text", "doc_id"))
+    # cluster-level simhash: the doc-level pair enumeration is
+    # quadratic per duplicate cluster (90M pairs on this corpus);
+    # distinct-sketch groups are the scale shape
+    run(
+        "simhash_groups_50k_docs",
+        X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4),
+    )
+    run("exact_dedup_50k_docs", X.exact_dedup(bd, "text", "doc_id"))
+
+    bl = spark.read.parquet(f"{WORK}/lineitem.parquet")
+    run(
+        "q1_shape_6m_rows",
+        bl.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.avg("l_extendedprice"),
+            F.count(F.lit(1)),
+        ),
+    )
+
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    run(
+        "ann_arrow_2k_corpus_100q",
+        S.brute_topk_arrow(
+            emb.filter(F.col("vec_id") < 100), emb, vec_col="embedding", id_col="vec_id", k=5
+        ),
+    )
+
+    n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
+    n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
+    print(
+        json.dumps(
+            {
+                "docs": n_docs * REPLICAS,
+                "lineitem_rows": li.count() * REPLICAS,
+                "minhash_pairs_found": n_pairs,
+                "simhash_group_pairs_found": n_groups,
+                "timings_sec": timings,
+            }
+        )
+    )
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
