@@ -188,3 +188,27 @@ def dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("int").alias("hamming"),
         "a_n_docs", "b_n_docs",
     )
+
+
+@query(
+    "dedup_embedding_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {D.hyperplane_bucket('v', 3)} AS bucket FROM e)
+    SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+           {D.cosine('a.v', 'c.v')} AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {D.cosine('a.v', 'c.v')} >= 0.45
+    """,
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-bucketed embedding near-dup (operators.dedup.
+    embedding_neardup_bucketed) — the scale path for
+    dedup_embedding_cosine: within-bucket candidates only, exact-
+    cosine verify. 3 planes here because the demo threshold (0.45)
+    sits at ~63°, where 8-plane collision probability is ~3%; at the
+    usual 0.9+ near-dup bar all 8 planes keep recall high."""
+    return X.embedding_neardup_bucketed(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.45, n_planes=3,
+    )

@@ -93,14 +93,14 @@ def cosine(a: str, b: str) -> str:
     )
 
 
-def hyperplane_bucket(vec: str) -> str:
+def hyperplane_bucket(vec: str, n_planes: int | None = None) -> str:
     """operators.similarity.hyperplane_bucket over the frozen planes."""
     from epe_data_wrangling_spark.operators._planes import PLANES
 
     bits = [
         f"CASE WHEN list_dot_product({vec}, [{', '.join(repr(x) for x in plane)}]) >= 0 "
         "THEN '1' ELSE '0' END"
-        for plane in PLANES
+        for plane in PLANES[: n_planes or len(PLANES)]
     ]
     return " || ".join(bits)
 

@@ -304,12 +304,50 @@ def embedding_neardup_pairs(
     threshold: float = 0.45,
 ) -> DataFrame:
     """Near-dup pairs by embedding cosine ≥ threshold. Brute-force
-    pair join (exact); at scale, restrict candidates with
-    ``similarity.hyperplane_bucket`` first (same verify expression)."""
+    pair join (exact); ``embedding_neardup_bucketed`` is the
+    LSH-restricted scale path with the same verify expression."""
     a = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_bucketed(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.45,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding near-dup pairs restricted to sign-LSH buckets (the
+    first ``n_planes`` frozen hyperplanes of ``operators.similarity``):
+    candidates are the within-bucket pairs only — expected
+    O(n²/2^n_planes) — then the exact cosine verify.
+
+    ``n_planes`` is the recall/selectivity dial: a same-bucket pair at
+    angle θ has probability (1 − θ/π)^n_planes, so high thresholds
+    (0.9+, the usual near-dup bar) tolerate all 8 planes, while low
+    thresholds need fewer planes (or multiple tables) to keep
+    recall."""
+    from epe_data_wrangling_spark.operators.similarity import hyperplane_bucket
+
+    withb = _spread(
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("v"),
+            hyperplane_bucket(F.col(vec_col), n_planes=n_planes).alias("bucket"),
+        ),
+        "vid",
+    )
+    a = withb.select(F.col("vid").alias("a_id"), F.col("v").alias("va"), "bucket")
+    b = withb.select(F.col("vid").alias("b_id"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -54,12 +54,12 @@ def brute_topk(
     )
 
 
-def hyperplane_bucket(vec: Column) -> Column:
+def hyperplane_bucket(vec: Column, *, n_planes: int | None = None) -> Column:
     """Sign-LSH bucket id: one character per plane ('1' if v·p ≥ 0).
     Narrow, codegen'd, reproducible in SQL from the same literals."""
     bits = [
         F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, "1").otherwise("0")
-        for plane in PLANES
+        for plane in PLANES[: n_planes or len(PLANES)]
     ]
     return F.concat(*bits)
 
