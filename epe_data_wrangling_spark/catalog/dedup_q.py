@@ -212,3 +212,33 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         threshold=0.45, n_planes=3,
     )
+
+
+@query(
+    "dedup_minhash_clusters",
+    oracle=f"""
+    WITH pairs AS ({_minhash_sql()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges)
+    SELECT node, MIN(r) AS rep FROM (
+      WITH RECURSIVE reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.u, rc.r FROM reach rc JOIN edges e ON e.v = rc.node
+      )
+      SELECT node, r FROM reach) t
+    GROUP BY node
+    """,
+)
+def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH pairs → connected components
+    (operators.dedup.connected_components, iterative min-label
+    propagation) → (node, rep) with rep = min doc in the component.
+    The keep-one-per-cluster step of a real dedup pipeline; the
+    oracle computes the same fixpoint with a recursive CTE."""
+    pairs = X.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=5, num_hashes=16, bands=8, threshold=0.8,
+    )
+    return X.connected_components(pairs, "a_id", "b_id")

@@ -228,6 +228,63 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node, rep)
+    with rep = min node id in the component — the step that turns
+    near-dup PAIRS into dedup CLUSTERS (keep rep, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow).
+    Each round is one join + one aggregate, localCheckpointed so the
+    plan stays flat; the loop stops early at fixpoint. The fixpoint
+    is unique, so results are deterministic regardless of execution
+    order — which is what makes this iterative operator
+    oracle-checkable (DuckDB recursive CTE computes the same
+    min-reachable-id).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("rep").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("rep"), F.coalesce(F.col("nmin"), F.col("rep"))).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_dedup_groups(
     df: DataFrame,
     text_col: str,

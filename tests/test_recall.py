@@ -62,3 +62,23 @@ def test_ivf_recall_curve(spark):
     assert r8 >= 0.6, f"recall@3 with 8 probes collapsed: {r8:.3f}"
     assert r14 >= 0.9, f"recall@3 with 14 probes too low: {r14:.3f}"
     assert r14 >= r8, "recall must not fall as probes increase"
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation reaches the fixpoint across a long chain
+    (diameter > 1 round), a triangle, and a self-contained pair."""
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5-6, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r.node: r.rep for r in X.connected_components(edges, "a_id", "b_id").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
