@@ -3,25 +3,24 @@
 The dedup/fingerprint operators need hash functions that (a) run
 JVM-side in Spark (no Python on the data path) and (b) can be
 reproduced *bit-for-bit* by the DuckDB correctness oracle. The only
-hash both engines share exactly is ``md5`` (hex string out), so every
-sketch here is built from md5 hex strings:
+hash both engines share exactly is ``md5`` (hex string out) — Spark's
+xxhash64 and DuckDB's hash are different algorithms — so every sketch
+bottoms out in md5, evaluated ONCE per value and then extended with
+exact integer arithmetic both engines share:
 
-- **seeded hash**: ``md5(seed || '|' || x)`` — k independent "random"
-  functions from one primitive (standard universal-hashing-by-salt).
-- **MinHash**: signature_i = lexicographic MIN of the seeded md5 over
-  a document's shingle set. A uniform hash's min over a set is
-  order-free and merge-able (it is a map-side-combinable aggregate in
-  Spark ⇒ scales to 100 TB with one shuffle per doc-id).
-- **LSH bands**: band value = md5 of the concatenated signature
-  slice; equal band value ⇔ candidate pair. Join on the band string.
-- **SimHash**: per-bit majority over token hashes; bits are extracted
-  from md5 hex digits via strpos('0123456789abcdef', digit), which
-  both engines evaluate identically.
-
-Keeping sketches as *strings* sidesteps engine-specific integer hash
-semantics (Spark xxhash64 vs DuckDB hash are different algorithms)
-at a modest width cost; at 100 TB the signature width per doc is
-k × 32 bytes (k=16 ⇒ 512 B), negligible next to the text itself.
+- **base hash**: first 8 md5 hex digits as int64, mod P = 2³¹−1.
+- **hash family**: hᵢ(x) = (aᵢ·h(x) + bᵢ) mod P with frozen (aᵢ, bᵢ)
+  (universal hashing; products stay < 2⁶², exact on both engines).
+- **MinHash**: signature_i = MIN of hᵢ over a document's shingle
+  set, all k minima advanced in one aggregate pass. A uniform hash's
+  min over a set is order-free and merge-able (map-side-combinable
+  ⇒ scales to 100 TB with one shuffle per doc-id).
+- **LSH bands**: band key = band index ⊕ the signature slice values;
+  equal key ⇔ candidate pair. Join on the band string.
+- **SimHash**: per-bit majority over token hashes; bits come from the
+  same 32-bit base hash (operators.dedup.simhash_sketches holds the
+  columnar formulation; the expression forms here are the
+  oracle-shared definitions).
 """
 
 from __future__ import annotations

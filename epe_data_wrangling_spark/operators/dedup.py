@@ -2,30 +2,39 @@
 (north star — BASELINE.json; no counterpart in the reference, which
 dedups nothing).
 
-Four families, each with an explicit shuffle story so the plan
-survives 100 TB (SURVEY §4.4):
+Families, each with an explicit shuffle story so the plan survives
+100 TB (SURVEY §4.4):
 
 - **Exact** (`exact_dedup`): group by md5(text). The shuffle carries a
   16-byte key + doc id, never the text. Classic hash-groupBy dedup.
-- **MinHash + LSH** (`minhash_lsh_pairs`): shingle → k seeded-md5
-  min-hashes → banded keys → explode + self-join on the band key.
-  Candidate generation is one shuffle on the band key; the O(n²)
-  all-pairs compare never happens. k=16, b=8, r=2 ⇒ P(candidate) =
-  1-(1-j²)⁸ (≈0.9997 at j=0.8).
-- **SimHash** (`simhash_pairs`): 16-bit sign-aggregate sketch, then
-  multi-block LSH (4 blocks × 4 bits — Hamming ≤ 3 guarantees ≥ 1
-  identical block by pigeonhole) + exact Hamming verify.
+- **MinHash + LSH** (`minhash_lsh_pairs`): shingle → ONE md5 per
+  shingle reduced to an integer base hash → k frozen universal-hash
+  projections folded to the signature in a single aggregate pass →
+  banded keys → explode + self-join on the band key. Candidate
+  generation is one shuffle on the band key; the O(n²) all-pairs
+  compare never happens. k=16, b=8, r=2 ⇒ P(candidate) = 1-(1-j²)⁸
+  (≈0.9997 at j=0.8).
+- **SimHash** (`simhash_pairs`, `simhash_dedup_groups`): columnar
+  32-bit sign sketch (explode tokens → 32 SUM hash-aggregate), then
+  multi-block LSH (Hamming ≤ 3 guarantees ≥ 1 identical block of 4
+  by pigeonhole) + exact Hamming verify. Pair enumeration is
+  quadratic per duplicate cluster — `simhash_dedup_groups` is the
+  density-safe shape (identical sketches collapse first, the join
+  runs over distinct sketches only; see SCALE.md).
 - **Exact n-gram Jaccard** (`ngram_jaccard_pairs`): explode shingles,
   join on shingle equality for candidates, verify set Jaccard. The
   non-sketched baseline; at 100 TB prefer the MinHash path (bounded
   candidate fan-out) — this one's fan-out is data-dependent.
-- **Embedding cosine** (`embedding_neardup_pairs`): threshold on
-  exact cosine; brute-force here, bucketed via the hyperplane LSH in
-  ``operators.similarity`` at scale.
+- **Embedding cosine** (`embedding_neardup_pairs`,
+  `embedding_neardup_bucketed`): threshold on exact cosine —
+  brute-force, and the sign-LSH-bucketed scale path.
+- **Clusters** (`connected_components`): pairs → components →
+  keep-one-per-cluster, the terminal step of a dedup pipeline.
 
-All computations are md5-hex-string based (functions.hashing) so the
-DuckDB oracle reproduces them exactly; everything is JVM-side
-Catalyst expressions — zero Python UDFs.
+Every sketch is reproduced exactly by the DuckDB oracle
+(functions.hashing + catalog.ducksql share the md5/integer
+arithmetic); everything on the data path is JVM-side Catalyst
+expressions — zero Python UDFs.
 """
 
 from __future__ import annotations
