@@ -53,6 +53,7 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 def all_queries() -> dict[str, CatalogQuery]:
     from epe_data_wrangling_spark.catalog import (
         core,
+        curate_q,
         dedup_q,
         epe_q,
         multimodal_q,
@@ -73,6 +74,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         similarity_q,
         streaming_q,
         multimodal_q,
+        curate_q,
         epe_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
