@@ -711,3 +711,58 @@ def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_Q6_SQL)
+
+
+@query(
+    "setop_exceptall_multiset",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 10
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def setop_exceptall_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (exceptAll — duplicates preserved by
+    count), the bag-semantics counterpart of the distinct set ops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.exceptAll(b)
+
+
+@query(
+    "date_series_calendar",
+    oracle="""
+    SELECT CAST(d AS DATE) AS day,
+           CAST(EXTRACT(isodow FROM d) AS INTEGER) AS dow,
+           CAST(EXTRACT(week FROM d) AS INTEGER) AS iso_week
+    FROM generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY) t(d)
+    """,
+)
+def date_series_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation: sequence() + explode — the
+    date-spine idiom for as-of joins and gap-filling (a generated
+    dimension, no source scan at all)."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1995-03-31").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day")
+        )
+        .select(
+            "day",
+            F.dayofweek("day").alias("_dow_sun1"),
+            F.weekofyear("day").alias("iso_week"),
+        )
+        .select(
+            "day",
+            # ISO day-of-week (Mon=1..Sun=7) from Spark's Sun=1 form
+            F.when(F.col("_dow_sun1") == 1, 7).otherwise(F.col("_dow_sun1") - 1).alias("dow"),
+            "iso_week",
+        )
+    )
