@@ -766,3 +766,44 @@ def date_series_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iso_week",
         )
     )
+
+
+@query(
+    "join_asof_last_error",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts AS err_ts,
+             MAX(value) AS err_value
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, ts)
+    SELECT e.event_id, e.user_id, e.ts,
+           r.err_ts AS asof_err_ts, r.err_value AS asof_err_value
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.err_ts
+    """,
+)
+def join_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join_backward): every event
+    enriched with the user's most recent error event at-or-before it.
+    Spark has no native as-of operator; the union+window form costs
+    one key shuffle (vs the quadratic naive range join). DuckDB's
+    native ASOF JOIN is the oracle. Right side pre-aggregated to
+    unique (user, ts) so ties are well-defined on both engines."""
+    from epe_data_wrangling_spark.operators.joins import asof_join_backward
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.col("ts").alias("err_ts"))
+        .agg(F.max("value").alias("err_value"))
+    )
+    return asof_join_backward(
+        left, right,
+        on="user_id", left_ts="ts", right_ts="err_ts",
+        value_cols=["err_ts", "err_value"],
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("asof_err_ts").alias("asof_err_ts"),
+        F.col("asof_err_value").alias("asof_err_value"),
+    )
