@@ -211,3 +211,49 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_s").cast("decimal(38,12)").alias("sum_value"),
         )
     )
+
+
+@query(
+    "gap_fill_monthly_spend",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey % 20 AS bucket, date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS spend
+      FROM orders GROUP BY 1, 2),
+    spine AS (
+      SELECT b.bucket, mo.month
+      FROM (SELECT DISTINCT bucket FROM m) b,
+           (SELECT DISTINCT month FROM m) mo),
+    j AS (
+      SELECT spine.bucket, spine.month, m.spend
+      FROM spine LEFT JOIN m ON m.bucket = spine.bucket AND m.month = spine.month)
+    SELECT bucket, month,
+           last_value(spend IGNORE NULLS) OVER (
+             PARTITION BY bucket ORDER BY month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS spend_filled
+    FROM j
+    """,
+)
+def gap_fill_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling composition: month spine × key set → outer join
+    actuals → LOCF fill-down (the reference's W1/W2 operator doing
+    consumer-side work). A bucket's missing months appear with its
+    last known value; leading gaps stay null. The spine is the
+    global distinct-month set crossed with the key set — a generated
+    dimension + one key-partitioned window, no collect, no global
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            (F.col("o_custkey") % 20).alias("bucket"),
+            F.trunc("o_orderdate", "month").alias("month"),
+        )
+        .agg(F.sum(dec("o_totalprice")).cast("decimal(38,12)").alias("spend"))
+    )
+    spine = m.select("bucket").distinct().crossJoin(m.select("month").distinct())
+    j = spine.join(m, ["bucket", "month"], "left")
+    return j.select(
+        "bucket",
+        "month",
+        locf("spend", partition_by=["bucket"], order_by=["month"]).alias("spend_filled"),
+    )

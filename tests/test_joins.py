@@ -1,0 +1,46 @@
+"""As-of join semantics: backward match, equal-timestamp ties,
+leading rows with no match, and key isolation."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from epe_data_wrangling_spark.operators.joins import asof_join_backward
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2020-01-01 00:05:00")),  # before any right row → null
+            (2, 1, _ts("2020-01-01 00:10:00")),  # exactly at right ts → matches it
+            (3, 1, _ts("2020-01-01 00:25:00")),  # between rights → earlier one
+            (4, 1, _ts("2020-01-01 00:40:00")),  # after all → latest
+            (5, 2, _ts("2020-01-01 00:30:00")),  # other key: only its own rights
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-01 00:10:00"), 10.0),
+            (1, _ts("2020-01-01 00:30:00"), 30.0),
+            (2, _ts("2020-01-01 00:01:00"), 99.0),
+        ],
+        "user_id long, rts timestamp, v double",
+    )
+    out = {
+        r.event_id: (r.asof_rts, r.asof_v)
+        for r in asof_join_backward(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["rts", "v"],
+        ).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2020-01-01 00:10:00"), 10.0)
+    assert out[3] == (_ts("2020-01-01 00:10:00"), 10.0)
+    assert out[4] == (_ts("2020-01-01 00:30:00"), 30.0)
+    assert out[5] == (_ts("2020-01-01 00:01:00"), 99.0)
+    assert len(out) == 5  # all left rows survive (left semantics)
