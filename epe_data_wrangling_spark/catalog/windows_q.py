@@ -257,3 +257,35 @@ def gap_fill_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         locf("spend", partition_by=["bucket"], order_by=["month"]).alias("spend_filled"),
     )
+
+
+@query(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           NTILE(4) OVER w AS bal_quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume,
+           DENSE_RANK() OVER w AS drank
+    FROM customer
+    WHERE c_acctbal > 9000
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic distribution functions (ntile / percent_rank /
+    cume_dist / dense_rank) per market segment — the ranking surface
+    SURVEY §2.6 notes the reference lacks but the engine must expose.
+    Deterministic: the window orders by (c_acctbal, c_custkey) so no
+    ties; rounding to 9 dp absorbs double formatting differences.
+    Scale: partitioned by segment, sort is per-group and parallel."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
