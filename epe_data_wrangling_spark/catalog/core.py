@@ -1084,3 +1084,95 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("c_acctbal")).cast("decimal(38,12)").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "agg_stat_moments",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+           ROUND(VAR_SAMP(l_quantity), 6) AS var_qty,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: sample stddev/variance,
+    Pearson correlation, sample covariance — all single-pass
+    partial-aggregatable moments (Spark merges per-partition moment
+    sketches, so the shuffle carries O(groups) state at any scale).
+    Rounded to absorb last-ulp differences in merge order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority) + 2 * GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond the cube/rollup queries): detail,
+    per-priority subtotal, and grand total in one pass, with a
+    grouping-bit marker disambiguating real NULLs from subtotal rows.
+    Spark expands sets into one Expand node feeding a single hash
+    aggregate — one shuffle for all three granularities."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            (F.grouping("o_orderpriority") + F.lit(2) * F.grouping("o_orderstatus"))
+            .cast("int")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec("o_totalprice")).cast("decimal(38,12)").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "fuzzy_name_levenshtein",
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey,
+           levenshtein(c.c_name, s.s_name) AS edit_dist
+    FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+    WHERE c.c_custkey <= 200
+    ORDER BY edit_dist, c.c_custkey, s.s_suppkey
+    LIMIT 50
+    """,
+)
+def fuzzy_name_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein edit distance over a
+    co-partitioned (same-nation) candidate join — the blocked-join
+    shape that keeps pairwise string comparison tractable at scale
+    (compare within blocking key, never all-pairs). Deterministic
+    top-50 with full tie-break."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(s), F.col("c_nationkey") == F.col("s_nationkey"))
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.levenshtein("c_name", "s_name").alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "c_custkey", "s_suppkey")
+        .limit(50)
+    )
