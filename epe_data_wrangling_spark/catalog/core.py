@@ -38,10 +38,10 @@ def dec(c) -> F.Column:
     headline=True,
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) * (1 + CAST(l_tax AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
            ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -56,7 +56,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     with map-side combine means the shuffle carries ≤ (flags×statuses)
     rows per task regardless of input size."""
     l = load_table(spark, sf_dir, "lineitem")
-    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # Products are computed in DOUBLE then staged per-row at
+    # decimal(18,6) — lossless for ≤6dp money data, and it keeps the
+    # summed unscaled value < 2^53 so the final decimal→double cast is
+    # correctly rounded on BOTH engines (DuckDB double-rounds int128
+    # decimals above that; observed on scale-12 sums at sf0.01).
+    disc_price = dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+    charge = dec(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * (F.lit(1) + F.col("l_tax"))
+    )
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2001-06-30 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -64,17 +72,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).alias("_sq"),
             F.sum(dec("l_extendedprice")).alias("_sbp"),
             F.sum(disc_price).alias("_sdp"),
-            F.sum(disc_price * (F.lit(1) + dec("l_tax"))).alias("_sc"),
+            F.sum(charge).alias("_sc"),
             F.sum(dec("l_discount")).alias("_sd"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("_sq").cast("decimal(38,12)").alias("sum_qty"),
-            F.col("_sbp").cast("decimal(38,12)").alias("sum_base_price"),
-            F.col("_sdp").cast("decimal(38,12)").alias("sum_disc_price"),
-            F.col("_sc").cast("decimal(38,12)").alias("sum_charge"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sbp").cast("double").alias("sum_base_price"),
+            F.col("_sdp").cast("double").alias("sum_disc_price"),
+            F.col("_sc").cast("double").alias("sum_charge"),
             F.round(F.col("_sq").cast("double") / F.col("count_order"), 6).alias("avg_qty"),
             F.round(F.col("_sd").cast("double") / F.col("count_order"), 6).alias("avg_disc"),
             "count_order",
@@ -88,7 +96,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            COUNT(*) AS cnt,
            COUNT(DISTINCT o_custkey) AS uniq_custs,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
@@ -112,7 +120,7 @@ def agg_stats_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "cnt",
             "uniq_custs",
-            F.col("_sp").cast("decimal(38,12)").alias("sum_price"),
+            F.col("_sp").cast("double").alias("sum_price"),
             F.round(F.col("_sp").cast("double") / F.col("cnt"), 6).alias("avg_price"),
             "min_price",
             "max_price",
@@ -124,7 +132,7 @@ def agg_stats_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_big_spenders",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS spend
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
     FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 18
     """,
 )
@@ -135,7 +143,7 @@ def agg_having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_s"))
         .filter(F.col("n_orders") >= 18)
-        .select("o_custkey", "n_orders", F.col("_s").cast("decimal(38,12)").alias("spend"))
+        .select("o_custkey", "n_orders", F.col("_s").cast("double").alias("spend"))
     )
 
 
@@ -145,7 +153,7 @@ def agg_having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1
     """,
 )
@@ -157,7 +165,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_r"))
-        .select("month", "n_orders", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+        .select("month", "n_orders", F.col("_r").cast("double").alias("revenue"))
     )
 
 
@@ -167,7 +175,7 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_project_pushdown",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS net_price,
+           CAST(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS DOUBLE) AS net_price,
            l_shipdate
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -192,8 +200,8 @@ def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(18,6)")
+            dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            .cast("double")
             .alias("net_price"),
             "l_shipdate",
         )
@@ -257,7 +265,7 @@ def sort_limit_top15(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -279,7 +287,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_r"))
-        .select("r_name", "n_orders", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+        .select("r_name", "n_orders", F.col("_r").cast("double").alias("revenue"))
     )
 
 
@@ -288,7 +296,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -311,8 +319,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_r"))
-        .select("l_orderkey", F.col("_r").cast("decimal(38,12)").alias("revenue"), "o_orderdate", "o_orderpriority")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("_r"))
+        .select("l_orderkey", F.col("_r").cast("double").alias("revenue"), "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
     )
@@ -323,7 +331,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(38,12)) AS revenue
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -355,8 +363,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("_r"))
-        .select("n_name", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+        .agg(F.sum(dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))).alias("_r"))
+        .select("n_name", F.col("_r").cast("double").alias("revenue"))
     )
 
 
@@ -431,7 +439,7 @@ def join_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_price_bands",
     oracle="""
     SELECT band, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_price
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
     FROM part
     JOIN (VALUES ('low', 900.0, 935.0), ('mid', 935.0, 970.0), ('high', 970.0, 1000.0))
          b(band, lo, hi)
@@ -455,7 +463,7 @@ def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_parts"), F.sum(dec("p_retailprice")).alias("_s"))
-        .select("band", "n_parts", F.col("_s").cast("decimal(38,12)").alias("sum_price"))
+        .select("band", "n_parts", F.col("_s").cast("double").alias("sum_price"))
     )
 
 
@@ -584,7 +592,7 @@ def case_bucket_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
     """,
@@ -597,7 +605,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("event_type", (k % 10).alias("k_bucket"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
-        .select("event_type", "k_bucket", "n", F.col("_s").cast("decimal(38,12)").alias("sum_value"))
+        .select("event_type", "k_bucket", "n", F.col("_s").cast("double").alias("sum_value"))
     )
 
 
@@ -606,7 +614,7 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_nationkey,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey
     """,
@@ -628,7 +636,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join(li, su, "suppkey", n_salts=8)
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("n_items"), F.sum(dec("l_quantity")).alias("_s"))
-        .select("s_nationkey", "n_items", F.col("_s").cast("decimal(38,12)").alias("sum_qty"))
+        .select("s_nationkey", "n_items", F.col("_s").cast("double").alias("sum_qty"))
     )
 
 
@@ -651,17 +659,42 @@ def agg_count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct_hll")  # no oracle: sketch estimates are engine-specific
+@query(
+    "agg_approx_distinct_hll",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers_exact,
+           TRUE AS hll_within_3rsd
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def agg_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd 1%) per group — the
     100 TB path where exact distinct's expand/shuffle is the
-    bottleneck (SURVEY §2.5, §4.4). Rows-only check by design:
-    DuckDB's approx sketch differs; the exact twin above is the
-    value-checked anchor."""
+    bottleneck (SURVEY §2.5, §4.4). Sketch estimates are
+    engine-specific, so the contract hashed against the oracle is:
+    exact columns value-checked, plus an in-query assertion that the
+    HLL estimate lands within 3·rsd of the exact count (the oracle
+    pins that flag to TRUE — an out-of-bounds sketch turns the row
+    red instead of being silently unvalidated)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_customers_approx"),
-        F.count(F.lit(1)).alias("n_orders"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers_exact"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_customers_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_customers_exact"))
+                <= F.lit(3 * 0.01) * F.col("n_customers_exact")
+            ).alias("hll_within_3rsd"),
+        )
     )
 
 
@@ -692,7 +725,7 @@ def agg_percentiles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: of the engine (decimal staging keeps the sum order-free).
 _Q6_SQL = """
     SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
-                AS DECIMAL(38,12)) AS revenue,
+                AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01'
@@ -845,7 +878,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
-                AS DECIMAL(38,12)) AS revenue
+                AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -876,7 +909,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(rev.cast("decimal(38,12)").alias("revenue"))
+        .agg(rev.cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -886,10 +919,10 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
     GROUP BY l_returnflag
@@ -1008,7 +1041,7 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle="""
     SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1039,7 +1072,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("decimal(38,12)").alias("total_qty"))
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
@@ -1049,7 +1082,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_balance",
     oracle="""
     SELECT c.c_nationkey, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS totacctbal
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
                                 / COUNT(*)
@@ -1081,7 +1114,7 @@ def q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(dec("c_acctbal")).cast("decimal(38,12)").alias("totacctbal"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
 
@@ -1119,7 +1152,7 @@ def agg_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority, o_orderstatus,
            GROUPING(o_orderpriority) + 2 * GROUPING(o_orderstatus) AS gid,
            COUNT(*) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
     """,
@@ -1142,7 +1175,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("gid"),
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(dec("o_totalprice")).cast("decimal(38,12)").alias("revenue"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
         )
     )
 

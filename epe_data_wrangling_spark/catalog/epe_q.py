@@ -71,7 +71,7 @@ def epe_pipeline_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH fact AS ({_expected_values_sql()})
     SELECT chave_seletora, CAST(year(data) AS INTEGER) AS ano,
-           CAST(SUM(CAST(valor AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS valor_ano,
+           CAST(SUM(CAST(valor AS DECIMAL(18,6))) AS DOUBLE) AS valor_ano,
            COUNT(*) AS n_meses
     FROM fact GROUP BY chave_seletora, year(data)
     """,
@@ -91,7 +91,7 @@ def epe_annual_consumption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("valor")).alias("_s"), F.count(F.lit(1)).alias("n_meses"))
         .select(
             "chave_seletora", "ano",
-            F.col("_s").cast("decimal(38,12)").alias("valor_ano"), "n_meses",
+            F.col("_s").cast("double").alias("valor_ano"), "n_meses",
         )
     )
 

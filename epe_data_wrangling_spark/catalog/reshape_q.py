@@ -29,7 +29,7 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
       UNION ALL
       SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
     SELECT measure, COUNT(*) AS n,
-           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS total
+           CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
     FROM long GROUP BY measure
     """,
 )
@@ -48,7 +48,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         long.groupBy("measure")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("val")).alias("_t"))
-        .select("measure", "n", F.col("_t").cast("decimal(38,12)").alias("total"))
+        .select("measure", "n", F.col("_t").cast("double").alias("total"))
     )
 
 
@@ -78,7 +78,7 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_region_nation_revenue",
     oracle="""
     SELECT r_name, n_name, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -101,7 +101,7 @@ def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .rollup("r_name", "n_name")
         .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(dec("o_totalprice")).alias("_r"))
-        .select("r_name", "n_name", "n_orders", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+        .select("r_name", "n_name", "n_orders", F.col("_r").cast("double").alias("revenue"))
     )
 
 
@@ -109,7 +109,7 @@ def rollup_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -119,5 +119,5 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("o_totalprice")).alias("_r"))
-        .select("o_orderstatus", "o_orderpriority", "n", F.col("_r").cast("decimal(38,12)").alias("revenue"))
+        .select("o_orderstatus", "o_orderpriority", "n", F.col("_r").cast("double").alias("revenue"))
     )

@@ -29,7 +29,7 @@ query = make_registrar(QUERIES)
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -46,7 +46,7 @@ def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events, (VALUES (0), (1)) o(off)
     GROUP BY 1
     """,
@@ -96,14 +96,17 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over the stream — watermark-
     bounded first-seen dedup state, projected to the key set (which is
-    order-independent and therefore oracle-checkable)."""
+    order-independent and therefore oracle-checkable). The sink is
+    re-distinct'd: if the source ever splits into enough micro-batches
+    that watermark eviction lets an old key re-emit, the appended
+    duplicate must not break the set-equality oracle."""
     return ops.run_to_memory(
         ops.dedup_keys_within_watermark(
             stream_events(spark, sf_dir), ["user_id", "event_type"]
         ),
         "s_dedup",
         output_mode="append",
-    )
+    ).distinct()
 
 
 @query(
@@ -115,13 +118,21 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful per-user totals via applyInPandasWithState
-    (arbitrary-state operator); emits once per micro-batch, so with
-    availableNow over the test corpus the final table is exactly the
-    batch group-by."""
-    return ops.run_to_memory(
+    (arbitrary-state operator). Update mode emits one row per user
+    per micro-batch and the memory sink appends them, so the sink is
+    collapsed to the LATEST emission per user (every emitted stat is
+    monotone non-decreasing, so max == last). This keeps the oracle
+    equality independent of how many micro-batches the source splits
+    the input into (e.g. multiple files or maxFilesPerTrigger)."""
+    from pyspark.sql import functions as F
+
+    sink = ops.run_to_memory(
         ops.user_stats_stateful(stream_events(spark, sf_dir)).select(
             "user_id", "n_events", "max_ts"
         ),
         "s_user_stats",
         output_mode="update",
+    )
+    return sink.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_ts").alias("max_ts")
     )

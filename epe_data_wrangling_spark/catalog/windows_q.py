@@ -54,7 +54,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,12)) AS running_spend,
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
            lag(o_totalprice) OVER (PARTITION BY o_custkey
                                    ORDER BY o_orderdate, o_orderkey) AS prev_price
     FROM orders
@@ -69,7 +69,7 @@ def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_custkey",
-        F.sum(dec("o_totalprice")).over(frame).cast("decimal(38,12)").alias("running_spend"),
+        F.sum(dec("o_totalprice")).over(frame).cast("double").alias("running_spend"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )
 
@@ -165,7 +165,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -181,7 +181,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
-            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+            F.col("_s").cast("double").alias("sum_value"),
         )
     )
 
@@ -191,7 +191,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
     FROM events, (VALUES (0), (1)) o(off)
     GROUP BY 1
     """,
@@ -208,7 +208,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("w.start").alias("window_start"),
             "n",
-            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+            F.col("_s").cast("double").alias("sum_value"),
         )
     )
 
@@ -218,7 +218,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
       SELECT o_custkey % 20 AS bucket, date_trunc('month', o_orderdate) AS month,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,12)) AS spend
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS spend
       FROM orders GROUP BY 1, 2),
     spine AS (
       SELECT b.bucket, mo.month
@@ -248,7 +248,7 @@ def gap_fill_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") % 20).alias("bucket"),
             F.trunc("o_orderdate", "month").alias("month"),
         )
-        .agg(F.sum(dec("o_totalprice")).cast("decimal(38,12)").alias("spend"))
+        .agg(F.sum(dec("o_totalprice")).cast("double").alias("spend"))
     )
     spine = m.select("bucket").distinct().crossJoin(m.select("month").distinct())
     j = spine.join(m, ["bucket", "month"], "left")

@@ -104,8 +104,12 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def lang_id(col: Column | str) -> Column:
-    """argmax over lang_scores with deterministic (score desc, lang asc)
-    tie-break; 'und' when no stopword hits at all."""
+    """argmax over lang_scores with deterministic tie-break: score
+    desc, then lexicographically LAST language wins on equal scores
+    (array_max over (s, l) structs compares l ascending, so the
+    greatest struct carries the greatest language string — the DuckDB
+    oracle encodes the same lex-last-wins rule); 'und' when no
+    stopword hits at all."""
     scores = lang_scores(col)
     pairs = F.array(
         *[F.struct(score.alias("s"), F.lit(lang).alias("l")) for lang, score in sorted(scores.items())]

@@ -267,6 +267,7 @@ def connected_components(
         .withColumn("rep", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
@@ -291,6 +292,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Falling through with changed labels means some component has
+        # diameter > max_iter and the returned reps would be silently
+        # wrong (partial propagation) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not reach fixpoint within {max_iter} "
+            "iterations (component diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 

@@ -44,6 +44,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which Spark's reader rejects by default; it is read as raw nanos
     (``nanosAsLong``) and truncated to a microsecond timestamp —
     exactly what DuckDB's reader does, so oracle parity holds.
+
+    NOTE (deliberate session-wide side effect): reading ``events``
+    sets ``spark.sql.legacy.parquet.nanosAsLong=true`` for the whole
+    session, so any OTHER nanos-timestamp parquet read later in the
+    same session also surfaces as bigint. The conf cannot be scoped
+    per-read (no DataFrameReader option exists, and it is consulted
+    again at scan execution, so save/restore around schema inference
+    would break collection). Engine policy: nanos columns are always
+    read as longs and explicitly truncated to microsecond timestamps,
+    as done for ``ts`` below — apply the same pattern to new sources.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -47,7 +47,7 @@ def tumbling_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFra
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
-            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+            F.col("_s").cast("double").alias("sum_value"),
         )
     )
 
@@ -62,7 +62,7 @@ def sliding_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFram
         .select(
             F.col("w.start").alias("window_start"),
             "n",
-            F.col("_s").cast("decimal(38,12)").alias("sum_value"),
+            F.col("_s").cast("double").alias("sum_value"),
         )
     )
 

