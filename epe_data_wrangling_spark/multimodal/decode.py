@@ -1,11 +1,15 @@
 """Arrow-batched media decode operators (mapInPandas).
 
-Real image/audio/video decoding needs Pillow / soundfile / av, none
-of which exist in this container — so the *decode step itself* is
-STUBBED: ``require_real_decoders()`` raises ``NotImplementedError``
-describing what the production body would do, and the default
-``fake`` mode substitutes a deterministic md5-derived stand-in for
-the decoded values. Everything around the stub is real and tested:
+Image HEADER metadata (PNG IHDR / JPEG SOFn) is parsed for REAL with
+stdlib ``struct`` — see ``parse_image_header`` — so ``image_meta``
+returns true width/height/channels for actual PNG/JPEG payloads with
+no codec dependency. Full pixel/audio/video decoding needs Pillow /
+soundfile / av, none of which exist in this container — so the
+*pixel-level decode step* is STUBBED: ``require_real_decoders()``
+raises ``NotImplementedError`` describing what the production body
+would do, and the default ``fake`` mode substitutes a deterministic
+md5-derived stand-in for the decoded values (also the fallback for
+non-PNG/JPEG payloads in ``image_meta``). Everything around the stub is real and tested:
 the asset schema, the mapInPandas iterator/batch shape, the output
 StructTypes, the per-media routing, and the (byte-exact) semantics
 the DuckDB oracle checks.
@@ -24,6 +28,7 @@ linearly; only the small extracted features ever reach a shuffle.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -57,24 +62,91 @@ def _md5(payload: bytes | bytearray) -> str:
     return hashlib.md5(bytes(payload)).hexdigest()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → sample channel count (PNG spec §11.2.2).
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG SOFn markers that carry frame dimensions — every 0xC0–0xCF
+#: except DHT (C4), JPG (C8), DAC (CC) (ITU T.81 table B.1).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(b: bytes) -> tuple[int, int, int] | None:
+    """Stdlib header parse → (width, height, channels), or None when
+    the payload is not a recognized real image format.
+
+    PNG: dimensions live in the IHDR chunk, which the spec requires to
+    be first — bytes 16..24 hold big-endian width/height, byte 25 the
+    color type. JPEG: walk the marker segments from SOI to the first
+    SOFn frame header, which carries (precision, height, width,
+    n_components). No external codec needed for either."""
+    if b.startswith(_PNG_SIG) and len(b) >= 26 and b[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", b[16:24])
+        channels = _PNG_CHANNELS.get(b[25])
+        if channels is not None and width > 0 and height > 0:
+            return width, height, channels
+        return None
+    if b.startswith(b"\xff\xd8"):  # JPEG SOI
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:  # desynchronized — not a parseable JPEG
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if marker in _JPEG_SOF:
+                if i + 2 + seg_len > len(b) or seg_len < 8:
+                    return None
+                height, width = struct.unpack(">HH", b[i + 5 : i + 9])
+                channels = b[i + 9]
+                if width > 0 and height > 0 and 1 <= channels <= 4:
+                    return width, height, channels
+                return None
+            i += 2 + seg_len
+    return None
+
+
 def image_meta(assets: DataFrame, *, mode: str = "fake") -> DataFrame:
     """Decode image headers → (asset_id, n_bytes, width, height,
-    channels). Fake mode derives dimensions from md5(payload) so the
-    oracle can reproduce them hex-digit-for-hex-digit."""
+    channels).
+
+    REAL for PNG and JPEG: dimensions/channels come from a stdlib
+    ``struct`` parse of the container header (PNG IHDR / JPEG SOFn —
+    see ``parse_image_header``), no codec library needed. Payloads
+    that are neither fall back to the deterministic md5-derived fake,
+    which is what the synthetic text corpus exercises — the DuckDB
+    oracle reproduces that fake hex-digit-for-hex-digit (real
+    PNG/JPEG payloads never hit the fake path, and the synthetic
+    corpus never hits the real path, so the oracle stays exact).
+    ``mode="real"`` additionally gates full pixel decode, which
+    remains stubbed."""
     if mode != "fake":
         require_real_decoders()
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            h = pdf["payload"].map(_md5)
+            ids, nbytes, ws, hs, cs = [], [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                parsed = parse_image_header(b)
+                if parsed is None:
+                    x = _md5(b)
+                    parsed = (
+                        256 + int(x[0:3], 16) % 1792,
+                        256 + int(x[3:6], 16) % 1792,
+                        1 + int(x[6], 16) % 4,
+                    )
+                ids.append(aid)
+                nbytes.append(len(b))
+                ws.append(parsed[0])
+                hs.append(parsed[1])
+                cs.append(parsed[2])
             yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "n_bytes": pdf["payload"].map(len),
-                    "width": h.map(lambda x: 256 + int(x[0:3], 16) % 1792),
-                    "height": h.map(lambda x: 256 + int(x[3:6], 16) % 1792),
-                    "channels": h.map(lambda x: 1 + int(x[6], 16) % 4),
-                }
+                {"asset_id": ids, "n_bytes": nbytes, "width": ws, "height": hs, "channels": cs}
             )
 
     return (

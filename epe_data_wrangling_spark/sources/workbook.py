@@ -93,12 +93,23 @@ def plan_time_rows(df: DataFrame) -> list[tuple] | None:
 
 
 def read_workbook_grids(path: str) -> dict[str, Grid]:
-    """S2+S3 — sheet discovery + per-sheet raw grids via pandas (all
-    cells as text, no header interpretation; ``grid_to_df`` applies
-    the read_xls naming). Gated: pandas Excel engines may be absent."""
+    """S2+S3 — sheet discovery + per-sheet raw grids (all cells as
+    text, no header interpretation; ``grid_to_df`` applies the
+    read_xls naming).
+
+    Engines, in order: pandas' ExcelFile if an Excel engine (openpyxl
+    / xlrd / calamine) is installed; else, for ``.xlsx``, the
+    stdlib-only OOXML reader in ``sources.xlsx`` — this container
+    ships no Excel engine, so the stdlib path is the one actually
+    exercised end-to-end by ``tests/test_epe_pipeline.py``."""
     import pandas as pd  # local import: optional dependency surface
 
-    xl = pd.ExcelFile(path)
+    try:
+        xl = pd.ExcelFile(path)
+    except ImportError:
+        from epe_data_wrangling_spark.sources.xlsx import read_xlsx_grids
+
+        return read_xlsx_grids(path)
     grids: dict[str, Grid] = {}
     for sheet in xl.sheet_names:
         pdf = xl.parse(sheet, header=None, dtype=str)

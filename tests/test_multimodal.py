@@ -50,3 +50,58 @@ def test_real_decode_is_stubbed(spark):
         pytest.skip("real decoders present in this environment")
     with pytest.raises(NotImplementedError):
         decode.image_meta(assets, mode="real")
+
+
+def _tiny_png(width: int, height: int, color_type: int = 6) -> bytes:
+    """Minimal real PNG prefix: signature + IHDR (the spec-mandated
+    first chunk) — all image_meta needs; no IDAT required."""
+    import struct as _s
+    import zlib
+
+    ihdr = _s.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    chunk = _s.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += _s.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _tiny_jpeg(width: int, height: int, n_comp: int = 3) -> bytes:
+    """Minimal real JPEG prefix: SOI, APP0 (JFIF), then SOF0 with the
+    frame dimensions — enough for any header parser."""
+    import struct as _s
+
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x48\x00\x48\x00\x00"
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
+    sof0 = b"\xff\xc0" + _s.pack(">HBHHB", 8 + 3 * n_comp, 8, height, width, n_comp) + comps
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_parse_image_header_png_jpeg():
+    assert decode.parse_image_header(_tiny_png(640, 480)) == (640, 480, 4)
+    assert decode.parse_image_header(_tiny_png(1, 99999, color_type=2)) == (1, 99999, 3)
+    assert decode.parse_image_header(_tiny_jpeg(1920, 1080)) == (1920, 1080, 3)
+    assert decode.parse_image_header(_tiny_jpeg(8, 8, n_comp=1)) == (8, 8, 1)
+    # not real images -> None (md5-fake fallback territory)
+    assert decode.parse_image_header(b"plain text payload") is None
+    assert decode.parse_image_header(b"\x89PNGbut-not-really") is None
+    assert decode.parse_image_header(b"\xff\xd8\x00broken") is None
+
+
+def test_image_meta_real_headers_via_spark(spark):
+    """End-to-end through the mapInPandas operator: real PNG/JPEG
+    payloads yield their true header dimensions; a text payload falls
+    back to the deterministic md5 fake."""
+    rows = [
+        (1, "image", bytearray(_tiny_png(320, 200))),
+        (2, "image", bytearray(_tiny_jpeg(1024, 768))),
+        (3, "image", bytearray(b"not an image at all")),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id BIGINT, media_type STRING, payload BINARY"
+    )
+    got = {r.asset_id: r for r in decode.image_meta(assets).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (320, 200, 4)
+    assert (got[2].width, got[2].height, got[2].channels) == (1024, 768, 3)
+    # fake fallback stays in its documented range
+    assert 256 <= got[3].width < 2048 and 256 <= got[3].height < 2048
+    assert 1 <= got[3].channels <= 4
+    assert got[1].n_bytes == len(_tiny_png(320, 200))
