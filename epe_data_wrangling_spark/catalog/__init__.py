@@ -136,6 +136,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         dedup_q,
         epe_q,
         multimodal_q,
+        pipeline_q,
         reshape_q,
         similarity_q,
         streaming_q,
@@ -155,6 +156,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         multimodal_q,
         curate_q,
         epe_q,
+        pipeline_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

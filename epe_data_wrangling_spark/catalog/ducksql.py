@@ -123,3 +123,23 @@ def stopword_hits(lower_words: str, lang: str) -> str:
 
 def bpe_count(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{BPE_TOKEN_RE}'))"
+
+
+def quality(col: str) -> str:
+    """functions.text.quality_score: (length + stopword + punctuation
+    terms) / 3, rounded to 6 dp — one row-level double expression."""
+    w = words(col)
+    lw = f"list_transform({w}, t -> lower(t))"
+    sw_ratio = (
+        f"CASE WHEN len({w}) > 0 THEN {stopword_hits(lw, 'en')} / len({w}) ELSE 0.0 END"
+    )
+    punct = (
+        f"CASE WHEN length({col}) > 0 THEN "
+        f"length(regexp_replace({col}, '[A-Za-z0-9\\s]', '', 'g')) / length({col}) "
+        "ELSE 0.0 END"
+    )
+    return (
+        f"round((least(CAST(len({w}) AS DOUBLE) / 50.0, 1.0) "
+        f"+ least(({sw_ratio}) * 4, 1.0) "
+        f"+ (1.0 - least(({punct}) * 5, 1.0))) / 3, 6)"
+    )

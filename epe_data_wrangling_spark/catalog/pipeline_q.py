@@ -1,0 +1,254 @@
+"""Training-data pipeline suite over the documents table (north-star
+surface beyond dedup/ANN/text-metrics): chunking, benchmark-
+contamination checks, PII scrubbing, deterministic stratified
+sampling, within-document repetition scoring, and corpus accounting.
+
+Scale notes (100 TB posture): every query here is either a narrow
+per-row Catalyst expression pass (chunking, PII, repetition — scale
+as pure scans) or a broadcast-join/group-by whose shuffled payload is
+keys and counts, never raw text (contamination, sampling, stats).
+Zero Python on any data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.catalog import ducksql as D
+from epe_data_wrangling_spark.functions import pipeline as P
+from epe_data_wrangling_spark.functions import text as T
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+_W = D.words("text")
+
+CHUNK_SIZE = 16  #: words per chunk
+CHUNK_STRIDE = 12  #: chunk start stride (overlap = SIZE - STRIDE)
+CONTAM_N = 5  #: contamination shingle width
+SAMPLE_PER_STRATUM = 20
+
+
+@query(
+    "text_chunking",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    s AS (SELECT doc_id, ws,
+                 unnest(generate_series(1, len(ws), {CHUNK_STRIDE})) AS start
+          FROM w)
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(len(ws[start:start + {CHUNK_SIZE - 1}]) AS INTEGER) AS n_chunk_words,
+           array_to_string(ws[start:start + {CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking ({CHUNK_SIZE} words, stride
+    {CHUNK_STRIDE} → {CHUNK_SIZE - CHUNK_STRIDE}-word overlap) — the
+    unit-of-training-example splitter. 1→N via explode of the chunk
+    start offsets; a narrow op with no shuffle: 100 TB of documents
+    chunk linearly, partition by partition."""
+    d = load_table(spark, sf_dir, "documents")
+    w = T.words("text")
+    return (
+        d.select("doc_id", w.alias("ws"), F.explode(P.chunk_starts("text", CHUNK_STRIDE)).alias("start"))
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {CHUNK_STRIDE} AS INT)").alias("chunk_idx"),
+            F.size(F.slice(F.col("ws"), F.col("start"), CHUNK_SIZE)).alias("n_chunk_words"),
+            F.concat_ws(" ", F.slice(F.col("ws"), F.col("start"), CHUNK_SIZE)).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id,
+                       unnest(list_distinct({D.shingles(_W, CONTAM_N)})) AS s
+                FROM documents),
+    b AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 97 = 0),
+    m AS (SELECT sh.doc_id, count(DISTINCT sh.s) AS n_shared
+          FROM sh JOIN b ON sh.s = b.s AND b.bid <> sh.doc_id
+          GROUP BY sh.doc_id)
+    SELECT d.doc_id,
+           d.doc_id % 97 = 0 AS is_benchmark,
+           COALESCE(m.n_shared, 0) AS n_shared_shingles,
+           COALESCE(m.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training docs sharing any
+    {CONTAM_N}-gram with the benchmark set (doc_id % 97 == 0 stands in
+    for an eval suite), self-matches excluded. The benchmark shingle
+    set is small by definition → broadcast hash join against the
+    corpus's exploded shingles; the only shuffle is the per-doc count.
+    This is the scale shape: corpus never joins corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(T.word_shingles("text", CONTAM_N))).alias("s")
+    )
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bid"), "s"
+    )
+    shared = (
+        sh.join(F.broadcast(bench), "s")
+        .filter(F.col("bid") != F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )
+    return (
+        d.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared_shingles"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def _pii_scrub_sql() -> str:
+    scrubbed = "text"
+    for kind, pat in P.PII_PATTERNS:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '<{kind.upper()}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INTEGER) AS n_{kind}"
+        for kind, pat in P.PII_PATTERNS
+    )
+    return f"""
+    SELECT doc_id, {counts}, md5({scrubbed}) AS scrubbed_md5
+    FROM documents
+    """
+
+
+@query("text_pii_scrub", oracle=_pii_scrub_sql())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: per-pattern match counts (email / ipv4 /
+    phone — RE2-safe public patterns) plus the md5 of the scrubbed
+    text. Pure regexp expressions, narrow scan; the synthetic corpus
+    contains no PII (counts 0, scrub = identity), so the redaction
+    semantics themselves are pinned by crafted-string unit tests in
+    tests/test_pipeline_ops.py."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = P.pii_counts("text")
+    return d.select(
+        "doc_id",
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+        F.md5(P.pii_scrub("text").cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER) AS rn
+      FROM documents) t
+    WHERE rn <= {SAMPLE_PER_STRATUM}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-{SAMPLE_PER_STRATUM}
+    docs per language by md5(doc_id) order — hash-ordered sampling is
+    reproducible across engines and runs (unlike RAND), and the
+    per-stratum window sort parallelizes across strata. The 100 TB
+    form swaps row_number for a per-stratum threshold on the hash
+    value (no sort at all); this windowed form is the exact-k
+    variant."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("rn"))
+        .filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+    )
+
+
+@query(
+    "doc_repetition_scores",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+    g AS (SELECT doc_id, ws,
+                 CASE WHEN len(ws) >= 3 THEN
+                   list_transform(generate_series(1, len(ws) - 2),
+                                  i -> array_to_string(ws[i:i+2], ' '))
+                 ELSE [] END AS grams
+          FROM w)
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CASE WHEN len(ws) > 0 THEN len(list_distinct(ws)) / len(ws)
+                ELSE 1.0 END AS distinct_word_ratio,
+           CAST(COALESCE(list_max(list_transform(list_distinct(ws),
+                    x -> len(list_filter(ws, y -> y = x)))), 0) AS INTEGER)
+             AS max_word_freq,
+           CASE WHEN len(grams) > 0
+                THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                ELSE 0.0 END AS dup_trigram_fraction
+    FROM g
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (the boilerplate/spam
+    signal): distinct-word ratio, max single-word frequency, repeated
+    trigram fraction. Per-row array expressions only — O(doc²) in
+    words-per-doc but documents are bounded; the corpus dimension is
+    a narrow scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.word_count("text").alias("n_words"),
+        P.distinct_word_ratio("text").alias("distinct_word_ratio"),
+        P.max_word_frequency("text").alias("max_word_freq"),
+        P.dup_ngram_fraction("text", 3).alias("dup_trigram_fraction"),
+    )
+
+
+@query(
+    "corpus_source_stats",
+    oracle=f"""
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM({D.bpe_count("text")}) AS BIGINT) AS total_bpe_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(CAST(SUM(CAST({D.quality("text")} AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS mean_quality
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus accounting per (source, lang): doc counts, total BPE-ish
+    token budget, char bounds, mean quality. The per-row quality
+    double is 6-dp-rounded, so staging it at decimal(18,6) makes the
+    group sum exact and order-free on both engines. One partial-agg
+    shuffle carrying only group keys + moments."""
+    d = load_table(spark, sf_dir, "documents")
+    q = T.quality_score("text").cast("decimal(18,6)")
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.bpe_token_count("text").cast("long")).alias("total_bpe_tokens"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(q).alias("_q"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_bpe_tokens",
+            "min_chars",
+            "max_chars",
+            F.round(F.col("_q").cast("double") / F.col("n_docs"), 6).alias("mean_quality"),
+        )
+    )

@@ -1,0 +1,111 @@
+"""Training-data pipeline operators: crafted-example semantics for
+chunking, PII scrubbing, repetition scoring, and contamination
+(the catalog queries check them against DuckDB at corpus scale;
+these tests pin the behaviors the synthetic corpus can't exercise,
+e.g. actual PII hits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.functions import pipeline as P
+
+
+def _one(spark, text: str, cols: dict):
+    df = spark.createDataFrame([(text,)], "text STRING").select(
+        *[c.alias(n) for n, c in cols.items()]
+    )
+    return df.collect()[0]
+
+
+def test_chunking_boundaries(spark):
+    text = " ".join(f"w{i}" for i in range(30))  # 30 words
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = (
+        df.select("doc_id", "text", F.explode(P.chunk_starts("text", 12)).alias("start"))
+        .select(
+            "start",
+            F.size(F.expr("slice(filter(split(trim(text), '\\\\s+'), w -> w != ''), start, 16)")).alias("n"),
+            P.chunk_at("text", F.col("start"), 16).alias("chunk"),
+        )
+        .collect()
+    )
+    # starts 1, 13, 25; last chunk truncated to 6 words
+    assert [(r.start, r.n) for r in rows] == [(1, 16), (13, 16), (25, 6)]
+    assert rows[0].chunk.split() == [f"w{i}" for i in range(16)]
+    assert rows[2].chunk.split() == [f"w{i}" for i in range(24, 30)]
+    # overlap: chunk k shares SIZE-STRIDE=4 words with chunk k+1
+    assert rows[0].chunk.split()[-4:] == rows[1].chunk.split()[:4]
+
+
+def test_chunking_empty_doc(spark):
+    df = spark.createDataFrame([(1, "   ")], "doc_id LONG, text STRING")
+    assert df.select(F.explode(P.chunk_starts("text", 12))).count() == 0
+
+
+def test_pii_scrub_and_counts(spark):
+    text = (
+        "mail alice.smith+x@example.co.uk or bob@test.org, "
+        "call +1 (555) 123-4567, server at 10.0.0.1 port 8080"
+    )
+    r = _one(
+        spark,
+        text,
+        {
+            "scrubbed": P.pii_scrub("text"),
+            **{f"n_{k}": c for k, c in P.pii_counts("text").items()},
+        },
+    )
+    assert r.n_email == 2
+    assert r.n_ipv4 == 1
+    assert r.n_phone >= 1
+    assert "<EMAIL>" in r.scrubbed and "<IPV4>" in r.scrubbed and "<PHONE>" in r.scrubbed
+    assert "example.co.uk" not in r.scrubbed
+    assert "10.0.0.1" not in r.scrubbed
+    assert "555" not in r.scrubbed
+
+
+def test_pii_scrub_clean_text_identity(spark):
+    text = "no personal data here just words"
+    r = _one(spark, text, {"scrubbed": P.pii_scrub("text")})
+    assert r.scrubbed == text
+
+
+def test_repetition_metrics(spark):
+    # "a b a b a b" -> 6 words, 2 distinct, max freq 3,
+    # trigrams: [a b a, b a b, a b a, b a b] -> 4 total 2 distinct -> 0.5
+    r = _one(
+        spark,
+        "a b a b a b",
+        {
+            "ratio": P.distinct_word_ratio("text"),
+            "maxf": P.max_word_frequency("text"),
+            "dup3": P.dup_ngram_fraction("text", 3),
+        },
+    )
+    assert abs(r.ratio - 2 / 6) < 1e-12
+    assert r.maxf == 3
+    assert abs(r.dup3 - 0.5) < 1e-12
+
+
+def test_repetition_short_and_empty(spark):
+    r = _one(spark, "one two", {"dup3": P.dup_ngram_fraction("text", 3)})
+    assert r.dup3 == 0.0  # too short for any trigram
+    r = _one(spark, "", {"ratio": P.distinct_word_ratio("text"),
+                         "maxf": P.max_word_frequency("text")})
+    assert r.ratio == 1.0 and r.maxf == 0
+
+
+def test_contamination_excludes_self_matches(spark):
+    """A benchmark doc that matches only itself is NOT contaminated;
+    a train doc sharing a 5-gram with a benchmark doc is."""
+    from epe_data_wrangling_spark.catalog.pipeline_q import contamination_ngram_overlap
+
+    # monkey-build: run the catalog query on the real corpus and check
+    # the invariants rather than a fixture (query logic = operator).
+    out = contamination_ngram_overlap(spark, "/root/testdata/sf0.001").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert all((r.doc_id % 97 == 0) == r.is_benchmark for r in out)
+    assert all((r.n_shared_shingles > 0) == r.contaminated for r in out)
+    # every doc present exactly once
+    assert len(by_id) == len(out)
