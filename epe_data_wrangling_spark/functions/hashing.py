@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from epe_data_wrangling_spark.functions.expr import bind
+
 HEX_DIGITS = "0123456789abcdef"
 
 
@@ -77,9 +79,16 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     ab = MINHASH_AB[:num_hashes]
 
     def step(acc: Column, s: Column) -> Column:
-        h = base_hash(s)
-        vals = F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) for a, b in ab])
-        return F.zip_with(acc, vals, lambda m, v: F.least(m, v))
+        # bind the base hash: without it the md5+conv subtree is
+        # inlined (and re-evaluated) once per hash-family member.
+        return bind(
+            base_hash(s),
+            lambda h: F.zip_with(
+                acc,
+                F.array(*[(F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P) for a, b in ab]),
+                lambda m, v: F.least(m, v),
+            ),
+        )
 
     return F.aggregate(
         shingles,
@@ -148,9 +157,15 @@ def simhash_bits(tokens: Column, num_bits: int) -> list[Column]:
 
 def _simhash_tallies(tokens: Column, num_bits: int) -> Column:
     def step(acc: Column, t: Column) -> Column:
-        h = F.md5(t)
-        increments = F.array(*[(_hex_bit(h, j) * 2 - 1).cast("long") for j in range(num_bits)])
-        return F.zip_with(acc, increments, lambda a, d: a + d)
+        # bind: one md5 per token, not one per token per bit
+        return bind(
+            F.md5(t),
+            lambda h: F.zip_with(
+                acc,
+                F.array(*[(_hex_bit(h, j) * 2 - 1).cast("long") for j in range(num_bits)]),
+                lambda a, d: a + d,
+            ),
+        )
 
     return F.aggregate(
         tokens,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from epe_data_wrangling_spark.functions.expr import bind
 from epe_data_wrangling_spark.functions.text import words
 
 #: PII patterns (public, conventional shapes), applied in this order.
@@ -31,10 +32,12 @@ def chunk_starts(col: Column | str, stride: int) -> Column:
     ≤ word count (empty doc → no chunks). Guarded: Spark's sequence()
     raises on (1, 0, +step) where DuckDB's generate_series returns
     empty — the WHEN makes both sides agree on 'no chunks'."""
-    w = words(col)
-    return F.when(
-        F.size(w) > 0, F.sequence(F.lit(1), F.size(w), F.lit(stride))
-    ).otherwise(F.array().cast("array<int>"))
+    return bind(
+        words(col),
+        lambda w: F.when(
+            F.size(w) > 0, F.sequence(F.lit(1), F.size(w), F.lit(stride))
+        ).otherwise(F.array().cast("array<int>")),
+    )
 
 
 def chunk_at(col: Column | str, start: Column, size: int) -> Column:
@@ -61,36 +64,48 @@ def pii_scrub(col: Column | str) -> Column:
 def distinct_word_ratio(col: Column | str) -> Column:
     """|distinct words| / |words| in [0,1]; 1.0 for empty docs (no
     repetition evidence)."""
-    w = words(col)
-    return F.when(
-        F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)
-    ).otherwise(F.lit(1.0))
+    return bind(
+        words(col),
+        lambda w: F.when(
+            F.size(w) > 0, F.size(F.array_distinct(w)) / F.size(w)
+        ).otherwise(F.lit(1.0)),
+    )
 
 
 def max_word_frequency(col: Column | str) -> Column:
     """Highest occurrence count of any single word (0 for empty docs).
     Per-row O(distinct·n) expression — fine for document-sized rows;
     the corpus dimension stays a narrow scan."""
-    w = words(col)
-    counts = F.transform(
-        F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x))
+    return bind(
+        words(col),
+        lambda w: F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(w), lambda x: F.size(F.filter(w, lambda y: y == x))
+                )
+            ),
+            F.lit(0),
+        ),
     )
-    return F.coalesce(F.array_max(counts), F.lit(0))
 
 
 def dup_ngram_fraction(col: Column | str, n: int) -> Column:
     """1 − |distinct n-grams| / |n-grams|: the fraction of repeated
     word n-grams inside the document (0.0 when fewer than n words —
     too short to repeat)."""
-    w = words(col)
-    grams = F.when(
-        F.size(w) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.when(
-        F.size(grams) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
+    def frac(w: Column) -> Column:
+        grams = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return bind(
+            grams,
+            lambda g: F.when(
+                F.size(g) > 0, F.lit(1.0) - F.size(F.array_distinct(g)) / F.size(g)
+            ).otherwise(F.lit(0.0)),
+        )
+
+    return bind(words(col), frac)
