@@ -719,6 +719,40 @@ def agg_percentiles_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50_exact,
+           TRUE AS approx_within_band
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna / t-digest-style sketch,
+    accuracy 1000) — the 100 TB path where exact percentile's full
+    sort-per-group is the bottleneck. Same checkable contract as the
+    HLL query: the exact p50 is value-checked, and an in-query flag
+    asserts the sketch lands within 2% of it (oracle pins TRUE), so
+    sketch drift turns the row red instead of going unvalidated."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50_exact"),
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)).alias("_p50a"),
+        )
+        .select(
+            "o_orderpriority",
+            "p50_exact",
+            (
+                F.abs(F.col("_p50a") - F.col("p50_exact"))
+                <= F.lit(0.02) * F.abs(F.col("p50_exact"))
+            ).alias("approx_within_band"),
+        )
+    )
+
+
 #: TPC-H Q6 shape, written once in engine-neutral SQL: Spark executes
 #: this very string via spark.sql over registered views, and the
 #: driver hands the SAME string to DuckDB — the pure-SQL entry point

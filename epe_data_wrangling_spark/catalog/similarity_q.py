@@ -133,6 +133,48 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+           FROM e, LATERAL unnest(generate_series(1, len(v))) u(i))
+    SELECT label, dim, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 1000000000.0 AS mean_val
+    FROM ex GROUP BY label, dim
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per
+    (label, dim) — the class-prototype aggregation of an ML pipeline
+    (k-means update step, nearest-class-mean classifiers). Exact and
+    order-free across engines: each component is staged as a
+    round(x·1e9) BIGINT (both engines round half away from zero), so
+    the group sum is integer-exact and the mean is one double
+    division chain. Scale: posexplode fans out dims×rows but the
+    partial (map-side) aggregate collapses to (label, dim) pairs
+    before the shuffle — the exchange carries |labels|·|dims| rows
+    regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum(staged).alias("_s"))
+        .select(
+            "label",
+            "dim",
+            "n_vecs",
+            (
+                F.col("_s").cast("double") / F.col("n_vecs").cast("double") / F.lit(1e9)
+            ).alias("mean_val"),
+        )
+    )
+
+
+@query(
     "array_higher_order_stats",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -74,3 +74,67 @@ def test_pipeline_from_real_xlsx_matches_golden(spark, tmp_path):
         for c, m, d, cl, ab, at, dt, v in EXPECTED_ROWS
     )
     assert got == want
+
+
+def test_read_xlsx_shared_strings_and_gaps(tmp_path):
+    """Files written by Excel/openpyxl use the shared-string table and
+    omit blank cells/rows; the reader must resolve t="s" indices and
+    reconstruct gaps from A1-style refs."""
+    import zipfile
+
+    path = str(tmp_path / "shared.xlsx")
+    ct = (
+        '<?xml version="1.0"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        "</Types>"
+    )
+    ns_m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    wb = (
+        f'<workbook xmlns="{ns_m}" '
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Plan1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    wb_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        '</Relationships>'
+    )
+    root_rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        '</Relationships>'
+    )
+    # shared strings incl. a multi-run <si> (rich text) and accents
+    sst = (
+        f'<sst xmlns="{ns_m}" count="3" uniqueCount="3">'
+        "<si><t>REGIÃO</t></si>"
+        "<si><r><t>Consumo </t></r><r><t>Cativo</t></r></si>"
+        "<si><t>ok</t></si></sst>"
+    )
+    # row 1: A1 shared-0, C1 number (gap at B1); row 3: B3 rich-text (row 2 absent)
+    ws = (
+        f'<worksheet xmlns="{ns_m}"><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1"><v>42.5</v></c></row>'
+        '<row r="3"><c r="B3" t="s"><v>1</v></c><c r="C3" t="s"><v>2</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", ct)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", ws)
+
+    grids = read_xlsx_grids(path)
+    assert list(grids) == ["Plan1"]
+    assert grids["Plan1"] == [
+        ["REGIÃO", None, "42.5"],
+        [None, None, None],
+        [None, "Consumo Cativo", "ok"],
+    ]
