@@ -110,6 +110,57 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT join (streaming.ops.static_enrich): each
+    streamed event enriched with the customer dimension, broadcast
+    per micro-batch. Stateless — the streaming form of the batch
+    star-schema dimension join."""
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer")
+    return ops.run_to_memory(
+        ops.static_enrich(
+            stream_events(spark, sf_dir), dim, "user_id", "c_custkey",
+            ["event_id", "user_id", "c_mktsegment"],
+        ).withColumnRenamed("c_mktsegment", "segment"),
+        "s_enrich",
+        output_mode="append",
+    )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join
+    (streaming.ops.purchase_click_attribution): purchases × same-user
+    clicks in the preceding 30 minutes. Event-time bounds on both
+    watermarked inputs keep join state O(window), the unbounded-
+    stream requirement; the oracle is the identical interval join in
+    batch."""
+    return ops.run_to_memory(
+        ops.purchase_click_attribution(
+            stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+        ),
+        "s_pc_join",
+        output_mode="append",
+    )
+
+
+@query(
     "streaming_user_stats",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS max_ts

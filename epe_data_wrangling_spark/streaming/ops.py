@@ -147,6 +147,43 @@ def user_stats_stateful(events: DataFrame, *, watermark: str = "2 hours") -> Dat
     )
 
 
+def static_enrich(events: DataFrame, dim: DataFrame, on_left: str, on_right: str,
+                  select_cols: list[str]) -> DataFrame:
+    """Stream-static LEFT join: enrich each event with dimension
+    attributes. The static side is re-broadcast per micro-batch —
+    stateless (no watermark needed), the streaming analogue of the
+    broadcast dimension join in the batch star schema."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "left"
+    ).select(*select_cols)
+
+
+def purchase_click_attribution(
+    purchases: DataFrame, clicks: DataFrame, *, lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with event-time bounds: every purchase
+    paired with the same user's clicks in the preceding ``lookback``
+    window (last-touch attribution). Both sides carry watermarks and
+    the join condition bounds event time on both inputs, so Spark can
+    evict join state once the watermark passes ts+lookback — the
+    requirement for an unbounded stream-stream join (state is
+    O(lookback·rate), not O(stream)). Works identically in batch:
+    the same plan is the oracle's interval join."""
+    p = with_watermark(purchases.filter(F.col("event_type") == "purchase"), watermark).alias("p")
+    c = with_watermark(clicks.filter(F.col("event_type") == "click"), watermark).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            f"p.user_id = c.user_id AND c.ts >= p.ts - interval {lookback} AND c.ts <= p.ts"
+        ),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+
+
 def run_to_memory(
     result: DataFrame,
     name: str,
