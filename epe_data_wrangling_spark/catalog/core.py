@@ -798,6 +798,23 @@ def setop_exceptall_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_intersectall_multiset",
+    oracle="""
+    SELECT l_suppkey FROM lineitem WHERE l_quantity > 40
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def setop_intersectall_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (intersectAll — duplicates kept by min
+    count), completing the set-op family alongside EXCEPT ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 40).select("l_suppkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_suppkey")
+    return a.intersectAll(b)
+
+
+@query(
     "date_series_calendar",
     oracle="""
     SELECT CAST(d AS DATE) AS day,

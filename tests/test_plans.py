@@ -85,3 +85,37 @@ def test_whole_stage_codegen_covers_scan_filter_project(spark):
     # filter → project must all sit in one codegen stage
     plan = _plan(q)
     assert plan.count("*(1)") >= 2, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must broadcast — the corpus side may
+    never shuffle its exploded shingles for the join."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["contamination_ngram_overlap"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    # shingle join is broadcast; the final doc_id left join back onto
+    # the (small, aggregated) count table may legitimately SMJ.
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_is_narrow(spark):
+    """Chunking is explode + projection only: no exchange anywhere in
+    the plan (the 100 TB 'scales as a pure scan' claim, asserted)."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["text_chunking"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_centroids_aggregate_partial_final(spark):
+    """posexplode fan-out must collapse map-side: partial+final
+    HashAggregate around one exchange."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["embedding_label_centroids"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
