@@ -138,3 +138,21 @@ def test_read_xlsx_shared_strings_and_gaps(tmp_path):
         [None, None, None],
         [None, "Consumo Cativo", "ok"],
     ]
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m epe_data_wrangling_spark --input real.xlsx --out dir
+    writes the month-partitioned fact table (the reference script's
+    whole workflow, as one command)."""
+    from epe_data_wrangling_spark.__main__ import main
+
+    xlsx = str(tmp_path / "wb.xlsx")
+    write_xlsx(xlsx, workbook_grids())
+    out = str(tmp_path / "fact")
+    rc = main(["--input", xlsx, "--out", out, "--format", "parquet"])
+    assert rc == 0
+    from epe_data_wrangling_spark.session import get_spark
+
+    fact = get_spark("cli-check").read.parquet(out)
+    assert fact.count() == len(EXPECTED_ROWS)
+    assert "chave_seletora" in fact.columns and "valor" in fact.columns
