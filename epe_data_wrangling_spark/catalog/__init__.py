@@ -134,6 +134,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         core,
         curate_q,
         dedup_q,
+        dq_q,
         epe_q,
         multimodal_q,
         pipeline_q,
@@ -157,6 +158,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         curate_q,
         epe_q,
         pipeline_q,
+        dq_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,125 @@
+"""Data-quality / constraint-audit suite (engine surface the
+reference's manual eyeballing implies: its junk-row slicing and
+regex routing ARE ad-hoc data-quality rules — `tratamento_epe.R:89,
+133-138` strips rows that violate its shape expectations. Here the
+idea is generalized to declarative, oracle-checked audits).
+
+Scale notes: every audit is a single scan with conditional
+aggregation (one partial+final pass, shuffle carries rule counters
+only) or an aggregate-then-anti-join for referential checks — the
+shapes that audit 100 TB in one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+
+@query(
+    "dq_orders_constraint_audit",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pk,
+      CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+      CAST(SUM(CASE WHEN o_orderdate < DATE '1990-01-01'
+                      OR o_orderdate > DATE '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+        AS date_out_of_range,
+      CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END) AS BIGINT)
+        AS bad_status_domain,
+      COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_pk
+    FROM orders
+    """,
+)
+def dq_orders_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint audit over orders in ONE scan:
+    null-PK, non-positive price, date range, status domain, and
+    PK-uniqueness violations as conditional aggregates. The whole
+    audit is a single partial+final aggregate — rule count doesn't
+    change the pass count."""
+    o = load_table(spark, sf_dir, "orders")
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("o_orderkey").isNull()).alias("null_pk"),
+        viol(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        viol(
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("2030-01-01").cast("date"))
+        ).alias("date_out_of_range"),
+        viol(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status_domain"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_pk"),
+    )
+
+
+@query(
+    "dq_orphan_orders_fk",
+    oracle="""
+    SELECT COUNT(*) AS n_orphans,
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_big_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def dq_orphan_orders_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orders whose o_custkey has no
+    customer row (left-anti join against the distinct key set). At
+    scale the key set is dimension-sized → broadcast anti join; the
+    fact side never shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey").distinct()
+    orphans = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+    return orphans.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.coalesce(F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_big_orphans"),
+    )
+
+
+@query(
+    "dq_lineitem_null_profile",
+    oracle="""
+    SELECT 'l_quantity' AS col,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+    FROM lineitem
+    """,
+)
+def dq_lineitem_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-rate profile for selected columns, one row per column.
+    Spark computes all counters in ONE scan (a single aggregate whose
+    results are unpivoted via stack) — the oracle's UNION ALL of
+    three scans is the semantic spec, not the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"null_{c}")
+            for c in ("l_quantity", "l_discount", "l_returnflag")
+        ],
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, 'l_quantity', null_l_quantity, "
+            "'l_discount', null_l_discount, "
+            "'l_returnflag', null_l_returnflag) AS (col, n_null)"
+        ),
+        "n_rows",
+    )

@@ -156,3 +156,44 @@ def test_cli_end_to_end(tmp_path):
     fact = get_spark("cli-check").read.parquet(out)
     assert fact.count() == len(EXPECTED_ROWS)
     assert "chave_seletora" in fact.columns and "valor" in fact.columns
+
+
+def test_xlsx_roundtrip_property():
+    """Property: any grid of text/number/None cells survives
+    write_xlsx → read_xlsx_grids modulo trailing-blank trimming."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.from_regex(r"[A-Za-zÀ-ÿ0-9 .,;_*%&<>'\"-]{0,12}", fullmatch=True),
+        st.integers(-10**9, 10**9).map(str),
+        st.floats(-1e6, 1e6, allow_nan=False).map(lambda x: f"{x:.4f}"),
+    )
+    grid = st.lists(st.lists(cell, min_size=1, max_size=6), min_size=1, max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(grids=st.dictionaries(
+        st.from_regex(r"[A-Za-z][A-Za-z0-9 _-]{0,8}", fullmatch=True),
+        grid, min_size=1, max_size=3))
+    def check(grids, tmp):
+        import os
+        import uuid
+
+        # empty-string cells read back as None (no text content is
+        # stored for them) — normalize the expectation up front
+        grids = {
+            s: [[None if (c is None or c == "") else c for c in row] for row in g]
+            for s, g in grids.items()
+        }
+        path = os.path.join(tmp, f"{uuid.uuid4().hex}.xlsx")
+        write_xlsx(path, grids)
+        back = read_xlsx_grids(path)
+        assert list(back) == list(grids)
+        for s, g in grids.items():
+            assert _strip_trailing_blanks(back[s]) == _strip_trailing_blanks(g), s
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        check(tmp=tmp)
