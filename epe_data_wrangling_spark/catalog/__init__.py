@@ -136,6 +136,8 @@ def all_queries() -> dict[str, CatalogQuery]:
         dedup_q,
         dq_q,
         epe_q,
+        evolve_q,
+        mlprep_q,
         multimodal_q,
         pipeline_q,
         reshape_q,
@@ -159,6 +161,8 @@ def all_queries() -> dict[str, CatalogQuery]:
         epe_q,
         pipeline_q,
         dq_q,
+        mlprep_q,
+        evolve_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,243 @@
+"""Table-evolution and profiling suite: SCD type-2 history build,
+MERGE-style upsert, per-group z-score anomaly flagging, and a
+fixed-width histogram.
+
+Scale notes (100 TB posture): SCD2 is per-key windowed (parallel
+across keys, no global sort); MERGE is one shuffle-on-key full outer
+join (exchange-free against a bucketed target); anomaly stats are a
+tiny per-group table broadcast back against the fact scan; the
+histogram is a partial-aggregated single pass. Zero Python on any
+data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+Z_THRESHOLD = 2.5
+HIST_WIDTH = 25000.0
+HIST_MAX_BUCKET = 19
+
+
+@query(
+    "scd2_user_history",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    versioned AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS version
+      FROM flagged),
+    seg AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM versioned GROUP BY user_id, version, event_type)
+    SELECT user_id, version, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to,
+           n_events,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             IS NULL AS is_current
+    FROM seg
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from an event log: per
+    user, collapse consecutive runs of the same event_type into
+    versioned validity intervals [valid_from, valid_to) with an
+    is_current flag — the standard dimension-history derivation
+    (change detection via lag, version via running sum of change
+    flags, interval close via lead). All windows are partitioned by
+    user_id with a deterministic (ts, event_id) order, so the work
+    parallelizes across keys with no global sort; 100 TB of events
+    needs exactly one shuffle on user_id reused by every window and
+    the group-by."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    flagged = e.withColumn(
+        "chg",
+        F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0),
+    )
+    versioned = flagged.withColumn("version", F.sum("chg").over(w).cast("int"))
+    seg = versioned.groupBy("user_id", "version", "event_type").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    valid_to = F.lead("valid_from").over(w2)
+    return seg.select(
+        "user_id",
+        "version",
+        "event_type",
+        "valid_from",
+        valid_to.alias("valid_to"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders),
+    src AS (
+      SELECT o_orderkey, floor(c * 105 / 100.0) / 100.0 AS price,
+             'R' AS status
+      FROM cents WHERE o_orderkey % 11 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey,
+             c / 100.0 AS price, 'N' AS status
+      FROM cents WHERE o_orderkey % 997 = 0)
+    SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           COALESCE(s.price, t.o_totalprice) AS o_totalprice,
+           COALESCE(s.status, t.o_orderstatus) AS o_orderstatus,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN s.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM orders t FULL OUTER JOIN src s USING (o_orderkey)
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics as one declarative plan: a deterministic
+    source of updates (keys ≡ 0 mod 11, +5% repriced, status 'R') and
+    inserts (fresh keys offset by 10M, status 'N') full-outer-joined
+    against the target; matched rows take source values ('update'),
+    source-only rows are 'insert', target-only rows are 'keep'. The
+    scale shape of upsert/CDC-apply: one shuffle on the merge key —
+    against a bucketed target table the exchange disappears on the
+    target side, and the output is partition-aligned for write-back."""
+    o = load_table(spark, sf_dir, "orders")
+    # Reprice in integer cents: round(x*100) is unambiguous (inputs are
+    # 2-dp money), and the +5% is integer math — exact on both engines,
+    # unlike round(x * 1.05, 2) whose half-digit ties Spark and DuckDB
+    # break differently.
+    cents = o.withColumn("c", F.round(F.col("o_totalprice") * 100).cast("bigint"))
+    updates = cents.filter(F.col("o_orderkey") % 11 == 0).select(
+        "o_orderkey",
+        (F.floor(F.col("c") * 105 / 100.0) / 100.0).alias("price"),
+        F.lit("R").alias("status"),
+    )
+    inserts = cents.filter(F.col("o_orderkey") % 997 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        (F.col("c") / 100.0).alias("price"),
+        F.lit("N").alias("status"),
+    )
+    src = updates.unionByName(inserts)
+    t, s = o.alias("t"), src.alias("s")
+    return t.join(s, "o_orderkey", "full_outer").select(
+        F.coalesce(F.col("t.o_orderkey"), F.col("s.o_orderkey")).alias("o_orderkey"),
+        F.coalesce(F.col("s.price"), F.col("t.o_totalprice")).alias("o_totalprice"),
+        F.coalesce(F.col("s.status"), F.col("t.o_orderstatus")).alias("o_orderstatus"),
+        F.when(F.col("t.o_orderkey").isNull(), "insert")
+        .when(F.col("s.price").isNull(), "keep")
+        .otherwise("update")
+        .alias("action"),
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS mean,
+             CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS msq
+      FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mean) / sqrt(s.msq - s.mean * s.mean), 6)
+             AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE e.value IS NOT NULL
+      AND abs((e.value - s.mean) / sqrt(s.msq - s.mean * s.mean))
+            > {Z_THRESHOLD}
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier flagging (|z| > {Z_THRESHOLD}
+    against the population std). Moments are staged as decimal sums of
+    6-dp-rounded values so mean/msq are exact and order-free on both
+    engines; the z expression is then one shared double tree, so the
+    threshold comparison can't flip between engines. Scale shape: the
+    stats table is |event_type| rows — broadcast back against the
+    fact scan, so the outlier pass is a narrow second scan with no
+    fact shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean"),
+        (
+            F.sum(
+                F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("msq"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.sqrt(
+        F.col("msq") - F.col("mean") * F.col("mean")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > Z_THRESHOLD)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("zscore"))
+    )
+
+
+@query(
+    "histogram_order_totals",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / {HIST_WIDTH}), {HIST_MAX_BUCKET})
+                AS INTEGER) AS bucket,
+           least(floor(o_totalprice / {HIST_WIDTH}), {HIST_MAX_BUCKET})
+             * {HIST_WIDTH} AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders GROUP BY bucket, bucket_lo
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals ({HIST_WIDTH:g}-wide
+    buckets, top bucket open-ended at {HIST_MAX_BUCKET}): the
+    data-profiling primitive behind range-partition planning and skew
+    detection. One partial-aggregated scan; the exchange carries at
+    most {HIST_MAX_BUCKET + 1} rows regardless of input size."""
+    o = load_table(spark, sf_dir, "orders")
+    b = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_MAX_BUCKET)
+    )
+    return (
+        o.select(
+            b.cast("int").alias("bucket"),
+            (b * HIST_WIDTH).alias("bucket_lo"),
+            "o_totalprice",
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

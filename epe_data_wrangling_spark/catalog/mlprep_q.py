@@ -1,0 +1,221 @@
+"""ML-prep suite over documents/embeddings (north-star surface):
+TF-IDF term scoring, inverted-index posting lists, and a full k-means
+Lloyd training loop (the IVF coarse-quantizer trainer).
+
+Scale notes (100 TB posture): the text queries shuffle only
+(doc_id, term) keys and counts — never raw text; k-means broadcasts
+the K centroids every round so the corpus is scanned narrowly (one
+argmin pass + one partial-aggregated (cluster, dim) update per
+iteration, the canonical distributed Lloyd shape). Zero Python on
+any data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.catalog import ducksql as D
+from epe_data_wrangling_spark.functions import text as T
+from epe_data_wrangling_spark.functions import vectors as V
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+TFIDF_TOPK = 3
+POSTINGS_DF_MIN = 5  #: index only terms appearing in at least this many docs
+POSTINGS_HEAD = 100  #: stored posting-list prefix length (bounds array size)
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+_LW = D.words("lower(text)")
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_LW}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(tf.tf AS DOUBLE) * n.n_docs / dfreq.doc_freq AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term) AS INTEGER) AS rank
+      FROM scored) t
+    WHERE rank <= {TFIDF_TOPK}
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TFIDF_TOPK} TF-IDF terms per document (rational idf
+    variant N/df — exact in IEEE double, so no cross-engine log()
+    rounding hazard). Shape: explode → (doc, term) count → term-level
+    doc-frequency join → per-doc windowed top-k. The shuffles carry
+    keys and counts only; the df table is vocabulary-sized (broadcast
+    at scale) and the per-doc window is the block-local top-k
+    pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf").cast("double") * F.col("n_docs") / F.col("doc_freq")).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH t AS (SELECT DISTINCT doc_id, unnest({_LW}) AS term FROM documents),
+    p AS (SELECT term, COUNT(*) AS doc_freq,
+                 (list(doc_id ORDER BY doc_id))[1:{POSTINGS_HEAD}] AS postings_head
+          FROM t GROUP BY term)
+    SELECT term, doc_freq, postings_head FROM p
+    WHERE doc_freq >= {POSTINGS_DF_MIN}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the first
+    {POSTINGS_HEAD} doc_ids of the sorted posting list (the stored
+    prefix bounds array size regardless of corpus scale — a real index
+    would spill full lists to a block-compressed sink, keeping the
+    head inline for short-circuit lookups). One shuffle on term
+    carrying (term, doc_id) pairs; sort_array makes the collect_list
+    deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("term")
+    ).distinct()
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
+                "postings_head"
+            ),
+        )
+        .filter(F.col("doc_freq") >= POSTINGS_DF_MIN)
+    )
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled {KMEANS_ITERS}-iteration Lloyd CTE chain mirroring the
+    Spark plan below, operation tree for operation tree."""
+    mean = (
+        "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
+    )
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (SELECT vec_id, v, cid FROM (
+        SELECT ev.vec_id, ev.v, c.cid,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY (ev.vv - 2 * list_dot_product(ev.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM ev CROSS JOIN {cents} c) t
+      WHERE rn = 1)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""
+    {out}x AS (SELECT cid, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+        FROM {assigned}, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    {out} AS (SELECT cid, dim, COUNT(*) AS n_vecs, {mean} AS mean_val
+              FROM {out}x GROUP BY cid, dim)"""
+
+    def to_cent(means: str, out: str) -> str:
+        return f"""
+    {out}l AS (SELECT cid, list(mean_val ORDER BY dim) AS c
+               FROM {means} GROUP BY cid),
+    {out} AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM {out}l)"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    c0l AS (SELECT vec_id AS cid, v AS c FROM e ORDER BY vec_id LIMIT {KMEANS_K}),
+    c0 AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM c0l),
+    {assign("c0", "a1")},
+    {update("a1", "m1")},
+    {to_cent("m1", "c1")},
+    {assign("c1", "a2")},
+    {update("a2", "m2")}
+    SELECT cid, dim, n_vecs, mean_val FROM m2
+    """
+
+
+@query("kmeans_lloyd_centroids", oracle=_kmeans_oracle())
+def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means training, {KMEANS_ITERS} full Lloyd iterations with
+    K={KMEANS_K} (deterministic init: the {KMEANS_K} lowest vec_ids) —
+    the coarse-quantizer trainer behind ann_ivf_topk's centroids.
+    Output: the trained centroids as (cid, dim, n_vecs, mean_val)
+    rows. Each iteration is (1) an argmin pass against the BROADCAST
+    centroids using dist² = ‖v‖² − 2·v·c + ‖c‖² with per-side norms
+    precomputed, then (2) a (cluster, dim) partial-aggregated mean
+    with components staged as round(x·1e9) BIGINT so the sums are
+    integer-exact and order-free (same staging as
+    embedding_label_centroids). At 100 TB the corpus is scanned once
+    per iteration with no corpus-sized shuffle: the exchange after
+    map-side combine carries K·dims rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    cents = (
+        ev.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+
+    def assign(cents_df: DataFrame) -> DataFrame:
+        c = cents_df.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+        dist2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cid"))
+        return (
+            ev.crossJoin(F.broadcast(c.select("cid", "c", "cc")))
+            .withColumn("dist2", dist2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        x = assigned.select("cid", F.posexplode(F.col("v")).alias("dim", "x"))
+        return x.groupBy("cid", "dim").agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(staged).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("mean_val"),
+        )
+
+    def to_cent(means: DataFrame) -> DataFrame:
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("c")
+        )
+
+    means = update(assign(cents))
+    for _ in range(KMEANS_ITERS - 1):
+        means = update(assign(to_cent(means)))
+    return means.select("cid", "dim", "n_vecs", "mean_val")

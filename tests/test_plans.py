@@ -119,3 +119,37 @@ def test_centroids_aggregate_partial_final(spark):
     plan = _plan(q)
     assert plan.count("HashAggregate") >= 2
     assert "partial_" in plan
+
+
+def test_kmeans_broadcasts_centroids_every_iteration(spark):
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["kmeans_lloyd_centroids"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    # both Lloyd iterations join the corpus against BROADCAST centroids
+    # (nested-loop on the K-row side) — the corpus itself never shuffles
+    # for the assignment step
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_stats_broadcast_no_fact_shuffle(spark):
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["anomaly_zscore_events"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    # per-type stats (small) broadcast back against the event scan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_reuses_one_user_partitioning(spark):
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["scd2_user_history"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    # lag + running-sum windows, the version group-by, and the lead
+    # window are all keyed by user_id: one hash exchange on user_id
+    # must serve the chain (Spark reuses the partitioning; extra
+    # exchanges would mean the windows re-shuffle per step)
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
