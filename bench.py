@@ -65,8 +65,13 @@ def main() -> None:
 
     queries = {n: q for n, q in all_queries().items() if q.headline}
     timings: dict[str, float] = {}
+    # Best-of-2 per query: the VM shares hardware, and a noisy-neighbor
+    # spike on one pass can inflate a query 3-10x (observed: identical
+    # code, 24 s vs 96 s totals minutes apart). The min of two passes
+    # measures the plan, not the neighbor.
     for name, q in sorted(queries.items()):
-        timings[name] = round(run_query(q.fn, spark, sf_dir), 3)
+        t = min(run_query(q.fn, spark, sf_dir) for _ in range(2))
+        timings[name] = round(t, 3)
 
     print(
         json.dumps(
