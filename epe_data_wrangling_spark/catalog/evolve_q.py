@@ -241,3 +241,54 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+EPISODE_HOURS = 4
+EPISODE_BIN_S = EPISODE_HOURS * 3600
+
+
+@query(
+    "join_interval_episodes",
+    oracle=f"""
+    WITH err AS (
+      SELECT event_id AS episode_id, user_id, ts AS ep_start,
+             ts + INTERVAL {EPISODE_HOURS} HOUR AS ep_end
+      FROM events WHERE event_type = 'error')
+    SELECT e.episode_id, e.ep_start, p.user_id, p.event_id,
+           p.event_type, p.ts
+    FROM err e JOIN events p
+      ON p.user_id = e.user_id
+     AND p.ts >= e.ep_start AND p.ts <= e.ep_end
+    """,
+)
+def join_interval_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (point-in-range) join: attach every event falling
+    inside a {EPISODE_HOURS}-hour 'error episode' window opened by
+    each error event of the same user — incident-context gathering.
+    Runs through operators.joins.binned_interval_join: intervals
+    explode over the ≤2 time bins they span, the join is an EQUI-join
+    on (user_id, bin) refined by the exact BETWEEN — one bounded
+    shuffle instead of the per-user cartesian a naive range join
+    plans. The oracle states the BETWEEN semantics directly."""
+    from epe_data_wrangling_spark.operators.joins import binned_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    episodes = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("episode_id"),
+        "user_id",
+        F.col("ts").alias("ep_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {EPISODE_HOURS} HOURS")).alias("ep_end"),
+    )
+    points = e.select("user_id", "event_id", "event_type", "ts")
+    joined = binned_interval_join(
+        points,
+        episodes,
+        on="user_id",
+        point_ts="ts",
+        start_ts="ep_start",
+        end_ts="ep_end",
+        bin_seconds=EPISODE_BIN_S,
+    )
+    return joined.select(
+        "episode_id", "ep_start", "user_id", "event_id", "event_type", "ts"
+    )

@@ -187,3 +187,35 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_ts").alias("max_ts")
     )
+
+
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → foreachBatch MERGE into a keyed parquet target
+    (latest event per user, copy-on-write + atomic swap per
+    micro-batch) → read the target back. The CDC-apply sink pattern;
+    incremental two-batch semantics are pinned by
+    tests/test_streaming.py. Oracle = latest-per-key over the whole
+    log (idempotent merge ⇒ batch-count-independent)."""
+    import tempfile as _tf
+
+    target = f"{_tf.mkdtemp(prefix='upsert_tgt_')}/latest"
+    out = ops.upsert_latest_foreach_batch(
+        stream_events(spark, sf_dir).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        ),
+        target,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    return out.select("user_id", "event_id", "ts", "event_type", "value")

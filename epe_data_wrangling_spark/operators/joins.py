@@ -17,7 +17,7 @@ side) so the shuffle disappears entirely for dim joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,51 @@ def salted_join(
     if broadcast_small:
         replicated = F.broadcast(replicated)
     return salted_large.join(replicated, [on, "_salt"], how).drop("_salt")
+
+
+def binned_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    on: str,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``points.ts BETWEEN intervals.start AND
+    intervals.end`` within a key) via time binning — the batch form of
+    Flink's interval join, and the scale treatment of a predicate
+    Spark would otherwise plan as a per-key cartesian range join.
+
+    Each interval is exploded across the fixed-width time bins it
+    covers (⌈len/bin⌉ + 1 copies), points are tagged with their bin,
+    and the join becomes an EQUI-join on (key, bin) refined by the
+    exact BETWEEN predicate. A (point, interval) pair can match in at
+    most one bin — the point's — so no dedup is needed. Cost: one
+    shuffle on (key, bin) with interval fan-out ~len/bin, versus the
+    per-key O(points × intervals) of the naive range join. Pick
+    ``bin_seconds`` ≈ the typical interval length so fan-out stays
+    small while bins stay selective.
+
+    Column names (besides ``on``) must be disjoint between the two
+    inputs; rename before calling.
+    """
+    if how != "inner":
+        raise ValueError("binned_interval_join is inner-only (range semantics)")
+
+    def _bin(ts_col: str) -> Column:
+        return F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bin_seconds))
+
+    ib = intervals.withColumn(
+        "_bin", F.explode(F.sequence(_bin(start_ts), _bin(end_ts)))
+    )
+    pb = points.withColumn("_bin", _bin(point_ts))
+    return (
+        pb.join(ib, [on, "_bin"], "inner")
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("_bin")
+    )

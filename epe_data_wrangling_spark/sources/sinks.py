@@ -51,3 +51,11 @@ def write_excel_small(df: DataFrame, path: str, *, max_rows: int = 100_000) -> N
     if n > max_rows:
         raise ValueError(f"refusing Excel export of {n} rows (max {max_rows})")
     df.toPandas().to_excel(path, index=False)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC columnar sink (S5/S6 family) — Spark-native alternative to
+    parquet where the surrounding stack (Hive/Presto ORC warehouses)
+    prefers it; same splittable, predicate-pushdown-capable scan
+    properties."""
+    df.write.mode(mode).orc(path)

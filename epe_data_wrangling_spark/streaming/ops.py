@@ -23,7 +23,7 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -214,3 +214,72 @@ def run_to_memory(
     finally:
         q.stop()
     return result.sparkSession.table(name)
+
+
+def upsert_latest_foreach_batch(
+    events: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming upsert (CDC-apply) via ``foreachBatch``: each
+    micro-batch is MERGEd into a keyed parquet target, keeping the
+    latest row per key by ``order_cols`` (descending, last name is
+    the uniqueness tie-break). The merge is copy-on-write: union the
+    target with the batch, window to rank per key, rewrite to a
+    staging dir, atomically swap — the Delta-style OPTIMIZE-free
+    upsert loop expressed with nothing but the DataFrame API and a
+    directory rename. On object storage the swap step is what a table
+    format's transaction log replaces; the plan shape (one shuffle on
+    the merge key per batch, target scanned narrowly) is identical.
+
+    Returns the final target as a batch DataFrame. Restartable: the
+    checkpoint tracks consumed files, the swap is atomic, and re-
+    merging an already-applied batch is idempotent (latest-per-key is
+    a set operation).
+    """
+    import os
+    import shutil
+
+    order = [F.col(c).desc() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exists = os.path.isdir(target_dir)
+        merged = (
+            spark.read.parquet(target_dir).unionByName(batch_df)
+            if exists
+            else batch_df
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        stage = f"{target_dir}.stage-{batch_id}"
+        latest.write.mode("overwrite").parquet(stage)  # full materialize first
+        if exists:
+            old = f"{target_dir}.old-{batch_id}"
+            os.rename(target_dir, old)
+            os.rename(stage, target_dir)
+            shutil.rmtree(old)
+        else:
+            os.rename(stage, target_dir)
+
+    checkpoint = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(f"upsert stream still running after {timeout_sec}s")
+    finally:
+        q.stop()
+    return events.sparkSession.read.parquet(target_dir)

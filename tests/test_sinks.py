@@ -65,3 +65,20 @@ def test_epe_fact_month_partitioned_write(spark, tmp_path):
     plan = one_month._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "data" in plan.split("PartitionFilters")[1][:120]
     assert one_month.count() == fact.filter(F.col("data") == "2004-01-01").count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from epe_data_wrangling_spark.sources.sinks import write_orc
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_orc")
+    write_orc(o, out)
+    back = spark.read.orc(out)
+    assert back.count() == o.count()
+    assert set(back.columns) == set(o.columns)
+    # ORC scans take pushed filters like parquet ones
+    q = back.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]

@@ -98,3 +98,52 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     # second run, same checkpoint: only the new file is appended
     # (2N, not 3N — e1 is committed in the checkpoint and skipped)
     assert run_once() == 2 * n_total
+
+
+def test_foreach_batch_upsert_is_incremental(spark, tmp_path):
+    """Two micro-batches of the event log MERGEd one after the other
+    must produce exactly the latest-per-user table of the full log —
+    the incremental CDC-apply contract (and its idempotence: keys
+    re-sent in batch 2 overwrite batch 1's rows, never duplicate)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import upsert_latest_foreach_batch
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "latest")
+    first.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    schema = first.schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        return upsert_latest_foreach_batch(
+            stream, target, key_cols=["user_id"], order_cols=["ts", "event_id"]
+        )
+
+    # NOTE: each call uses a fresh checkpoint, so batch 2 re-reads b1 —
+    # deliberately: re-merging an applied batch must be a no-op
+    got1 = run_once()
+    assert got1.count() == first.select("user_id").distinct().count()
+
+    second.coalesce(1).write.parquet(str(src / "b2.parquet"))
+    got2 = run_once().select("user_id", "event_id")
+
+    w = __import__("pyspark").sql.Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id")
+    )
+    assert got2.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got2).count() == 0
