@@ -252,3 +252,187 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_q").cast("double") / F.col("n_docs"), 6).alias("mean_quality"),
         )
     )
+
+
+DUP_N = 8  #: cross-corpus duplicate n-gram width
+PACK_BUDGET = 2048  #: tokens per packed training sequence
+
+
+@query(
+    "corpus_dup_ngram_fraction",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                         {D.shingles(_W, DUP_N)}, s -> md5(s)))) AS g
+                FROM documents),
+    gdf AS (SELECT g, COUNT(*) AS gdf FROM sh GROUP BY g),
+    per AS (SELECT sh.doc_id,
+                   COUNT(*) AS n_grams,
+                   COUNT(*) FILTER (WHERE gdf.gdf >= 2) AS n_shared
+            FROM sh JOIN gdf USING (g) GROUP BY sh.doc_id)
+    SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+           CAST(n_shared AS INTEGER) AS n_shared,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_shared AS DOUBLE) / n_grams ELSE 0.0 END
+             AS dup_fraction
+    FROM per
+    """,
+)
+def corpus_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicated-{DUP_N}-gram fraction per document —
+    the RefinedWeb/Gopher-style inter-document repetition signal
+    (what fraction of this doc's shingles exist anywhere else in the
+    corpus). Shingles travel as md5 keys, so the gram-frequency
+    shuffle carries 32-byte hashes and counts, never text; the
+    per-doc rollup is a second key-only shuffle. Both are
+    partial-aggregated — the corpus text is scanned exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    T.word_shingles("text", DUP_N),
+                    lambda s: F.md5(s.cast("binary")),
+                )
+            )
+        ).alias("g"),
+    )
+    gdf = sh.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    per = (
+        sh.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("gdf") >= 2, 1)).alias("n_shared"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("int").alias("n_grams"),
+        F.col("n_shared").cast("int").alias("n_shared"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.col("n_shared").cast("double") / F.col("n_grams"),
+        )
+        .otherwise(0.0)
+        .alias("dup_fraction"),
+    )
+
+
+def _curation_sql() -> str:
+    from epe_data_wrangling_spark.catalog.text_q import _lang_id_sql
+
+    grams = (
+        "CASE WHEN len(ws) >= 3 THEN list_transform(generate_series(1, len(ws) - 2), "
+        "i -> array_to_string(ws[i:i+2], ' ')) ELSE [] END"
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, {_W} AS ws, {D.quality("text")} AS quality
+               FROM documents),
+    g AS (SELECT doc_id, ws, quality, {grams} AS grams FROM w),
+    m AS (SELECT doc_id, quality,
+                 CAST(len(ws) AS INTEGER) AS n_words,
+                 CASE WHEN len(grams) > 0
+                      THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                      ELSE 0.0 END AS dup3
+          FROM g),
+    l AS ({_lang_id_sql()})
+    SELECT m.doc_id, m.quality, l.lang_guess, m.n_words, m.dup3,
+           (m.quality >= 0.5 AND l.lang_guess = 'en'
+            AND m.n_words BETWEEN 10 AND 5000 AND m.dup3 <= 0.2) AS keep,
+           (CASE WHEN NOT m.quality >= 0.5 THEN 'low_quality;' ELSE '' END
+            || CASE WHEN NOT l.lang_guess = 'en' THEN 'wrong_lang;' ELSE '' END
+            || CASE WHEN NOT m.n_words BETWEEN 10 AND 5000 THEN 'bad_length;' ELSE '' END
+            || CASE WHEN NOT m.dup3 <= 0.2 THEN 'repetitive;' ELSE '' END)
+             AS reasons
+    FROM m JOIN l USING (doc_id)
+    """
+
+
+@query("curation_decisions", oracle=_curation_sql())
+def curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainable corpus-filter pass: every document gets a keep/drop
+    decision plus a machine-readable reasons string naming each failed
+    rule (quality floor, language, length band, within-doc
+    repetition) — the auditable form of a filtering pipeline, where
+    dropped data can be accounted for by cause. Pure per-row Catalyst
+    expressions over one narrow scan."""
+    d = load_table(spark, sf_dir, "documents")
+    quality = T.quality_score("text")
+    lang = T.lang_id("text")
+    n_words = T.word_count("text")
+    dup3 = P.dup_ngram_fraction("text", 3)
+    m = d.select(
+        "doc_id",
+        quality.alias("quality"),
+        lang.alias("lang_guess"),
+        n_words.alias("n_words"),
+        dup3.alias("dup3"),
+    )
+    r_q = F.col("quality") >= 0.5
+    r_l = F.col("lang_guess") == "en"
+    r_n = F.col("n_words").between(10, 5000)
+    r_d = F.col("dup3") <= 0.2
+    return m.select(
+        "doc_id",
+        "quality",
+        "lang_guess",
+        "n_words",
+        "dup3",
+        (r_q & r_l & r_n & r_d).alias("keep"),
+        F.concat(
+            F.when(~r_q, F.lit("low_quality;")).otherwise(""),
+            F.when(~r_l, F.lit("wrong_lang;")).otherwise(""),
+            F.when(~r_n, F.lit("bad_length;")).otherwise(""),
+            F.when(~r_d, F.lit("repetitive;")).otherwise(""),
+        ).alias("reasons"),
+    )
+
+
+@query(
+    "pack_sequences_greedy",
+    oracle=f"""
+    WITH t AS (SELECT lang, doc_id,
+                      CAST({D.bpe_count("text")} AS INTEGER) AS n_tokens
+               FROM documents),
+    c AS (SELECT lang, doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_before
+          FROM t)
+    SELECT lang, doc_id, n_tokens,
+           CAST(floor(cum_before / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           cum_before % {PACK_BUDGET} AS offset_in_pack
+    FROM c
+    """,
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential training-sequence packing: within each language
+    stream (ordered by doc_id for determinism), documents fill
+    {PACK_BUDGET}-token packs by running offset — the streaming
+    packer used to batch variable-length documents into fixed context
+    windows (a doc starting at offset o lands in pack ⌊o/budget⌋;
+    the consumer splits stragglers at pack boundaries). One window
+    cumsum per language partition: parallel across langs, no global
+    sort, no shuffle beyond the lang partitioning."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "doc_id", T.bpe_token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    )
+    return c.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("cum_before") / float(PACK_BUDGET)).cast("bigint").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).alias("offset_in_pack"),
+    )
