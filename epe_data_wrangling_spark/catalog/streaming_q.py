@@ -219,3 +219,50 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_cols=["ts", "event_id"],
     )
     return out.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+    WITH p AS (SELECT event_id, ts, user_id FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, ts, user_id FROM events
+          WHERE event_type = 'click'),
+    cut AS (SELECT max(ts) - INTERVAL '2 hours 30 minutes' AS cut
+            FROM events)
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, p.user_id AS user_id
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    CROSS JOIN cut
+    WHERE p.ts <= cut.cut
+    """,
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join (last-touch
+    attribution with explicit nulls for organic purchases), compared
+    over the CLOSED event-time region: null rows exist only where the
+    final watermark proves no late click can match, so both engines
+    restrict to ts ≤ max_ts − watermark − lookback (the open tail is
+    still legitimately pending in the stream). Verified
+    symmetric-difference-empty against batch in the closed region."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    res = ops.run_to_memory(
+        ops.purchase_click_attribution_outer(
+            stream_events(spark, sf_dir), stream_events(spark, sf_dir)
+        ),
+        "s_loj_attr",
+        output_mode="append",
+    )
+    cutoff = load_table(spark, sf_dir, "events").agg(
+        (F.max("ts") - F.expr("interval 2 hours 30 minutes")).alias("cut")
+    )
+    return (
+        res.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("purchase_ts") <= F.col("cut"))
+        .drop("cut")
+    )

@@ -283,3 +283,32 @@ def upsert_latest_foreach_batch(
     finally:
         q.stop()
     return events.sparkSession.read.parquet(target_dir)
+
+
+def purchase_click_attribution_outer(
+    purchases: DataFrame, clicks: DataFrame, *, lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every purchase, attributed click
+    or null. Unlike the inner join, null rows can only be emitted once
+    the watermark proves no matching click can still arrive — so the
+    last ~watermark+lookback of event time stays 'open' (no null
+    emitted yet) at any point in the stream, including availableNow
+    termination. Consumers comparing against batch must restrict to
+    the closed region (ts ≤ max_ts − watermark − lookback); the
+    catalog query does exactly that. State bounds are the same as the
+    inner join's: O(lookback·rate) per side."""
+    p = with_watermark(purchases.filter(F.col("event_type") == "purchase"), watermark).alias("p")
+    c = with_watermark(clicks.filter(F.col("event_type") == "click"), watermark).alias("c")
+    return p.join(
+        c,
+        F.expr(
+            f"p.user_id = c.user_id AND c.ts >= p.ts - interval {lookback} AND c.ts <= p.ts"
+        ),
+        "left_outer",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.event_id").alias("click_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
