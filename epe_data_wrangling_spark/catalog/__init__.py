@@ -137,6 +137,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         dq_q,
         epe_q,
         evolve_q,
+        graph_q,
         mlprep_q,
         multimodal_q,
         pipeline_q,
@@ -163,6 +164,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         dq_q,
         mlprep_q,
         evolve_q,
+        graph_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

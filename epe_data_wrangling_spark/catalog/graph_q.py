@@ -1,0 +1,107 @@
+"""Graph-analytics suite: PageRank over the customer↔supplier
+trading graph (edges from lineitem⋈orders, both directions so the
+walk is well-defined on the bipartite structure).
+
+Scale notes (100 TB posture): each PageRank iteration is one
+edge-shuffle (contributions grouped by destination) joined against
+the rank vector — the canonical distributed form; the rank and
+degree tables are node-sized. Cross-engine determinism follows the
+repo's staging idiom: per-edge contributions are rounded to 12 dp
+and summed as DECIMAL(28,12), so the per-node sum is exact and
+order-free on both engines, and the damping update is one shared
+double tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+PR_ITERS = 3
+PR_DAMPING = 0.85  #: teleport = 1 - damping
+
+
+def _pagerank_oracle() -> str:
+    stage = "CAST(SUM(CAST(round(r.r / d.deg, 12) AS DECIMAL(28,12))) AS DOUBLE)"
+    parts = [
+        """
+    WITH base AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, PR_ITERS + 1):
+        parts.append(f"""
+    s{i} AS (SELECT e.dst AS node, {stage} AS s
+             FROM edges e JOIN r{i - 1} r ON e.src = r.node
+                          JOIN outdeg d ON e.src = d.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT nodes.node,
+                    {1 - PR_DAMPING} / nn.n + {PR_DAMPING} * COALESCE(s{i}.s, 0.0) AS r
+             FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON nodes.node = s{i}.node)""")
+    parts.append(f"""
+    SELECT node, round(r, 10) AS pagerank FROM r{PR_ITERS}
+    """)
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
+
+
+@query("pagerank_trading_graph", oracle=_pagerank_oracle())
+def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {PR_ITERS} full iterations (damping {PR_DAMPING}),
+    over the undirected customer↔supplier graph induced by line items
+    — 'which parties anchor the trading network'. Per iteration: one
+    shuffle of per-edge contributions grouped by destination; rank
+    and degree vectors are node-sized side tables. Contributions are
+    12-dp-decimal-staged so both engines sum exactly; isolated
+    parties (no line items) are outside the walk by construction.
+    The matching DuckDB oracle unrolls the same {PR_ITERS}
+    iterations."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    base = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(r.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("r") / F.col("deg"), 12).cast("decimal(28,12)").alias("c"),
+            )
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("s"))
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(s, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1 - PR_DAMPING) / F.col("n")
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return r.select("node", F.round(F.col("r"), 10).alias("pagerank"))
