@@ -292,3 +292,37 @@ def join_interval_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "episode_id", "ep_start", "user_id", "event_id", "event_type", "ts"
     )
+
+
+N_BINS = 10
+
+
+@query(
+    "feature_quantile_bins",
+    oracle=f"""
+    WITH b AS (SELECT o_totalprice,
+                      ntile({N_BINS}) OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS bin
+               FROM orders)
+    SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM b GROUP BY bin
+    """,
+)
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of a numeric feature with the
+    learned bin edges — the feature-engineering discretizer. This
+    exact-ntile form needs a total order (fine for the checked SF and
+    for learning edges on a SAMPLE); the 100 TB form computes the
+    {N_BINS - 1} edges via approx_percentile on a scan and assigns
+    bins with a broadcast range lookup — same output contract, no
+    global sort. The deterministic (value, key) tie-break keeps both
+    engines' ntile identical."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select("o_totalprice", F.ntile(N_BINS).over(w).cast("int").alias("bin"))
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

@@ -219,3 +219,41 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(KMEANS_ITERS - 1):
         means = update(assign(to_cent(means)))
     return means.select("cid", "dim", "n_vecs", "mean_val")
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM e)
+    SELECT vec_id, max_abs,
+           list_transform(v, x -> CAST(round(x * (127.0 / max_abs))
+                                       AS INTEGER)) AS q
+    FROM m
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    absmax scaling, the standard storage/bandwidth compression before
+    ANN serving): q_i = round(x_i · 127/max|x|). Pure array
+    expressions — a narrow scan that compresses 4-byte floats to
+    1-byte codes at any corpus size; both engines share the identical
+    round(x·s) tree (round is half-away-from-zero in both). max_abs
+    is kept alongside for dequantization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = e.select(
+        "vec_id",
+        v.alias("v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("max_abs"),
+    )
+    return m.select(
+        "vec_id",
+        "max_abs",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * (F.lit(127.0) / F.col("max_abs"))).cast("int"),
+        ).alias("q"),
+    )

@@ -82,3 +82,22 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     q = back.filter(F.col("o_totalprice") > 100000.0).select("o_orderkey")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Appended batches with a widened schema read back as one table
+    under mergeSchema: old rows carry nulls in the new column — the
+    landing-zone evolution contract (a 100 TB corpus is never
+    rewritten when a field is added)."""
+    out = str(tmp_path / "evolving")
+    o = load_table(spark, SF_DIR, "orders")
+    o.select("o_orderkey", "o_totalprice").write.parquet(out, mode="append")
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.parquet(
+        out, mode="append"
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"o_orderkey", "o_totalprice", "o_orderpriority"}
+    n = o.count()
+    assert back.count() == 2 * n
+    # exactly the first batch's rows lack the late column
+    assert back.filter(F.col("o_orderpriority").isNull()).count() == n

@@ -94,6 +94,20 @@ def main() -> None:
         ),
     )
 
+    # r2 additions — run the catalog plans directly against sf0.1
+    # inputs (events/orders aren't replicated here; their 10× story is
+    # the lineitem-backed pagerank below plus the q1 shape above)
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    cat = all_queries()
+    for qname, label in [
+        ("kmeans_lloyd_centroids", "kmeans_2iter_5k_vecs"),
+        ("corpus_dup_ngram_fraction", "dup_ngram_fraction_sf01"),
+        ("join_interval_episodes", "interval_join_sf01"),
+        ("pagerank_trading_graph", "pagerank_3iter_sf01"),
+    ]:
+        run(label, cat[qname].fn(spark, base))
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
