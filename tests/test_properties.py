@@ -119,3 +119,64 @@ def test_minhash_identical_docs_collide(spark, words_a):
     assert len(pairs) == 1
     assert pairs[0].a_id == 0 and pairs[0].b_id == 1
     assert pairs[0].jaccard == pytest.approx(1.0)
+
+
+@given(
+    points=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50_000)),
+                    min_size=1, max_size=20),
+    ivals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50_000), st.integers(0, 20_000)),
+        min_size=1, max_size=10,
+    ),
+    bin_s=st.sampled_from([60, 3600, 7200]),
+)
+@SETTINGS
+def test_binned_interval_join_equals_range_join(spark, points, ivals, bin_s):
+    """binned_interval_join == the naive BETWEEN join for arbitrary
+    keys, offsets, interval lengths, and bin widths (incl. intervals
+    spanning many bins and zero-length intervals)."""
+    from epe_data_wrangling_spark.operators.joins import binned_interval_join
+
+    p = spark.createDataFrame(
+        [(k, s) for k, s in points], "k int, off long"
+    ).select("k", F.timestamp_seconds(F.col("off") + 1_700_000_000).alias("pts"))
+    iv = spark.createDataFrame(
+        [(k, s, d) for k, s, d in ivals], "k int, s long, d long"
+    ).select(
+        "k",
+        F.timestamp_seconds(F.col("s") + 1_700_000_000).alias("ivs"),
+        F.timestamp_seconds(F.col("s") + F.col("d") + 1_700_000_000).alias("ive"),
+    )
+    got = binned_interval_join(
+        p, iv, on="k", point_ts="pts", start_ts="ivs", end_ts="ive",
+        bin_seconds=bin_s,
+    ).select("k", "pts", "ivs", "ive")
+    want = p.join(iv, "k").filter(
+        (F.col("pts") >= F.col("ivs")) & (F.col("pts") <= F.col("ive"))
+    ).select("k", "pts", "ivs", "ive")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+@given(
+    pairs=st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                   min_size=1, max_size=16),
+)
+@SETTINGS
+def test_zorder_key_matches_python_morton(spark, pairs):
+    """The shift/or expression tree computes the textbook Morton
+    interleave (verified bit-for-bit against a Python reference)."""
+    from epe_data_wrangling_spark.operators.layout import zorder_key
+
+    def morton(x: int, y: int, bits: int = 8) -> int:
+        z = 0
+        for b in range(bits - 1, -1, -1):
+            z = (z << 1) | ((x >> b) & 1)
+            z = (z << 1) | ((y >> b) & 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+    ).collect()
+    for row in got:
+        assert row.z == morton(row.x, row.y), (row.x, row.y)
