@@ -326,3 +326,108 @@ def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+           v.user_id IS NOT NULL AS did_view,
+           c.user_id IS NOT NULL AS did_click_after_view,
+           p.user_id IS NOT NULL AS did_purchase_after_click
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v ON u.user_id = v.user_id
+    LEFT JOIN c ON u.user_id = c.user_id
+    LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each stage
+    strictly after the previous one's first completion): the product-
+    analytics sequence operator. Three chained conditional MIN
+    aggregates — every stage is one filtered agg joined to the
+    previous stage's per-user timestamp, so the event log is scanned
+    once per stage with key-only shuffles; no per-user sequence
+    materialization, no UDFs. 100 TB form is identical (stages are
+    associative over partitions)."""
+    e = load_table(spark, sf_dir, "events")
+    users = e.select("user_id").distinct()
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.col("t_view").isNotNull().alias("did_view"),
+            F.col("t_click").isNotNull().alias("did_click_after_view"),
+            F.col("t_purchase").isNotNull().alias("did_purchase_after_click"),
+        )
+    )
+
+
+@query(
+    "event_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (market-basket) matrix: for every unordered pair
+    of event types, how many users exhibit both. The distinct
+    (user, type) projection collapses the log before the self-join,
+    so the joined volume is users × types², not events² — the
+    standard itemset-counting shape (at 100 TB the distinct
+    projection is the only event-sized shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -257,3 +257,108 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.round(x * (F.lit(127.0) / F.col("max_abs"))).cast("int"),
         ).alias("q"),
     )
+
+
+IVF_TRAINED_PROBE = 4
+IVF_TRAINED_K = 3
+IVF_TRAINED_NQ = 20
+
+
+def _ivf_trained_oracle() -> str:
+    cos_pc = D.cosine("p.qv", "c.cv")
+    cos_ec = D.cosine("e.v", "c.cv")
+    cos_qa = D.cosine("p.qv", "a.vv")
+    return f"""
+    WITH m2 AS ({_kmeans_oracle()}),
+    cents AS (SELECT cid AS cell, list(mean_val ORDER BY dim) AS cv
+              FROM m2 GROUP BY cid),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      SELECT vid, vv, cell FROM (
+        SELECT e.vec_id AS vid, e.v AS vv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos_ec} DESC, c.cell) AS rn
+        FROM e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos_pc.replace('p.qv', 'q.v')} DESC, c.cell) AS rn
+        FROM e q CROSS JOIN cents c
+        WHERE q.vec_id < {IVF_TRAINED_NQ}) t
+      WHERE rn <= {IVF_TRAINED_PROBE})
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             {cos_qa} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {cos_qa} DESC, a.vid) AS INTEGER) AS rank
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.vid) t
+    WHERE rank <= {IVF_TRAINED_K}
+    """
+
+
+@query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained ANN index: the k-means Lloyd trainer
+    (kmeans_lloyd_centroids, {KMEANS_ITERS} iterations) supplies the
+    IVF coarse quantizer, the corpus is quantized to the trained
+    cells, and each of the first {IVF_TRAINED_NQ} queries probes its
+    {IVF_TRAINED_PROBE} best cells for cosine top-{IVF_TRAINED_K} —
+    the full offline-train → index → serve composition as ONE
+    declarative plan, hash-checked through both stages. Scale shape
+    inherits from both parts: training never shuffles the corpus,
+    the trained centroid table broadcasts, and a query touches
+    ~{IVF_TRAINED_PROBE}/{KMEANS_K} of the corpus."""
+    from epe_data_wrangling_spark.functions.vectors import cosine
+
+    means = kmeans_lloyd_centroids(spark, sf_dir)
+    cents = means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("cv")
+    ).select(F.col("cid").alias("cell"), "cv")
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("vid"),
+            F.col("v").alias("vv"),
+            "cell",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("cell"))))
+        .filter(F.col("rn") == 1)
+        .select("vid", "vv", "cell")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < IVF_TRAINED_NQ)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "cell",
+            cosine(F.col("v"), F.col("cv")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))))
+        .filter(F.col("rn") <= IVF_TRAINED_PROBE)
+        .select("query_id", "qv", "cell")
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vid"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("vv")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wk).cast("int"))
+        .filter(F.col("rank") <= IVF_TRAINED_K)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
