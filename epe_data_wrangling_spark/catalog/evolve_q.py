@@ -431,3 +431,97 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "scd2_dimension_lookup",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    versioned AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS version
+      FROM flagged),
+    seg AS (
+      SELECT user_id, CAST(version AS INTEGER) AS version, event_type,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM versioned GROUP BY user_id, version, event_type),
+    dim AS (
+      SELECT user_id, version, event_type AS state_at_time, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM seg)
+    SELECT e.event_id, e.user_id, e.ts, d.version, d.state_at_time
+    FROM events e JOIN dim d
+      ON e.user_id = d.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    """,
+)
+def scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated dimension lookup: join each fact row to the
+    SCD2 version that was valid at its timestamp (the canonical
+    'enrich with historical attributes as-of event time' join,
+    composed on scd2_user_history's output). Because validity
+    intervals within a key are non-overlapping and key-partitioned,
+    the plan is a plain equi-join on user_id plus the validity
+    filter — already the 100 TB shape (one key shuffle, no range-join
+    explosion); each event matches exactly one version."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    dim = scd2_user_history(spark, sf_dir).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state_at_time"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        e.join(dim, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+        )
+        .select("event_id", "user_id", "ts", "version", "state_at_time")
+    )
+
+
+@query(
+    "period_over_period_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue
+      FROM orders GROUP BY date_trunc('month', o_orderdate))
+    SELECT month, revenue,
+           LAG(revenue) OVER (ORDER BY month) AS prev_revenue,
+           round((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month), 6) AS mom_change
+    FROM m
+    """,
+)
+def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change (the period-comparison
+    analytic): monthly sums decimal-staged for exactness, then one
+    lag window over the month series. The single-partition window is
+    over |months| rows — the already-aggregated series — so the
+    global order is trivially cheap at any fact-table size."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
+    )
