@@ -74,3 +74,68 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("quality") >= 0.5) & (F.col("lang_guess") == "en"))
     )
+
+
+_KEEP_BEST_SQL = f"""
+    WITH pairs AS ({_minhash_sql()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    comp AS (
+      SELECT node, MIN(r) AS rep FROM (
+        WITH RECURSIVE reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.u, rc.r FROM reach rc JOIN edges e ON e.v = rc.node
+        )
+        SELECT node, r FROM reach) t
+      GROUP BY node),
+    q AS ({_quality_sql()}),
+    clustered AS (
+      SELECT q.doc_id, q.quality,
+             COALESCE(comp.rep, q.doc_id) AS cluster
+      FROM q LEFT JOIN comp ON comp.node = q.doc_id),
+    ranked AS (
+      SELECT doc_id, quality, cluster,
+             CAST(COUNT(*) OVER (PARTITION BY cluster) AS INTEGER)
+               AS cluster_size,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM clustered)
+    SELECT doc_id, cluster, cluster_size, quality
+    FROM ranked WHERE rn = 1
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup with a QUALITY keep-policy: among each near-duplicate
+    cluster (MinHash-LSH pairs → connected components), keep the
+    highest-quality document instead of the arbitrary lowest-id
+    representative — the policy real corpus curation wants ('of these
+    nine mirrors, keep the cleanest'). Singletons are their own
+    cluster. Scale shape identical to curate_corpus (banded LSH
+    shuffle + node-sized component table broadcast); the keep
+    decision is one window over cluster-sized groups."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = X.minhash_lsh_pairs(d, "text", "doc_id")
+    comp = X.connected_components(pairs, "a_id", "b_id")
+    q = d.select("doc_id", T.quality_score("text").alias("quality"))
+    clustered = (
+        q.join(comp, q.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(F.col("rep"), F.col("doc_id")).alias("cluster"),
+        )
+    )
+    wc = Window.partitionBy("cluster")
+    wr = Window.partitionBy("cluster").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        clustered.withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("int"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster", "cluster_size", "quality")
+    )
