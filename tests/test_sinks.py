@@ -101,3 +101,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert back.count() == 2 * n
     # exactly the first batch's rows lack the late column
     assert back.filter(F.col("o_orderpriority").isNull()).count() == n
+
+
+def test_csv_malformed_rows_permissive(spark, tmp_path):
+    """Landing-zone robustness: PERMISSIVE CSV parsing captures rows
+    that don't fit the schema in _corrupt_record instead of failing
+    the 100 TB job; DROPMALFORMED yields only the clean rows."""
+    src = tmp_path / "raw.csv"
+    src.write_text("k,v\n1,10.5\n2,not_a_number\n3,30.25\nbroken line only\n")
+    schema = "k int, v double, _corrupt_record string"
+    back = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(str(src))
+    )
+    rows = back.cache().collect()
+    assert len(rows) == 4
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert {r.k for r in good} == {1, 3}
+    assert len(bad) == 2  # the unparsable value and the ragged line
+    dropped = (
+        spark.read.option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .schema("k int, v double")
+        .csv(str(src))
+    )
+    assert {r.k for r in dropped.collect()} == {1, 3}
