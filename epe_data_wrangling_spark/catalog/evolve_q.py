@@ -525,3 +525,71 @@ def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("mom_change"),
     )
+
+
+EPOCH_2024_US = 1704067200000000  #: 2024-01-01 in microseconds
+
+
+@query(
+    "regression_trend_per_type",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - {EPOCH_2024_US}) / 86400000000.0 AS x,
+             value AS y
+      FROM events WHERE value IS NOT NULL),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(y, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE) AS syy
+      FROM pts GROUP BY event_type)
+    SELECT event_type, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 8)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2
+    FROM s
+    """,
+)
+def regression_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend (the SQL-standard
+    REGR_SLOPE / REGR_INTERCEPT / R² family) of event value against
+    time-in-days: closed-form from five decimal-staged moment sums,
+    so the whole regression is ONE partial-aggregated scan — the
+    canonical way to fit millions of tiny per-key models at 100 TB
+    (no per-group iteration, no collect). Moment staging keeps both
+    engines' sums exact; slope/intercept/R² are then one shared
+    double tree."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x = (F.unix_micros(F.col("ts")) - F.lit(EPOCH_2024_US)) / F.lit(86400000000.0)
+    y = F.col("value")
+
+    def stg(c, p):
+        return F.sum(F.round(c, 6).cast(f"decimal({p},6)")).cast("double")
+
+    s = e.select("event_type", x.alias("x"), y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        stg(F.col("x"), 18).alias("sx"),
+        stg(F.col("y"), 18).alias("sy"),
+        stg(F.col("x") * F.col("y"), 28).alias("sxy"),
+        stg(F.col("x") * F.col("x"), 28).alias("sxx"),
+        stg(F.col("y") * F.col("y"), 28).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(slope, 8).alias("slope"),
+        F.round((sy - slope * sx) / n, 8).alias("intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            8,
+        ).alias("r2"),
+    )
