@@ -76,9 +76,15 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # materialization barriers: edges/nodes/outdeg are referenced in
+    # every iteration and Spark does not CSE across DataFrame branches
+    # — without these the orders⋈lineitem edge derivation re-executes
+    # ~2× per iteration (same idiom as the dedup sketch barriers; a
+    # production run would persist the edge list once regardless)
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
 
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
