@@ -242,3 +242,51 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=5, num_hashes=16, bands=8, threshold=0.8,
     )
     return X.connected_components(pairs, "a_id", "b_id")
+
+
+SPAN_N = 8
+SPAN_MIN_RUN = 12
+SPAN_MAX_FREQ = 10
+
+_W_SPAN = D.words("text")
+
+
+@query(
+    "dedup_shared_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_W_SPAN} AS ws FROM documents),
+    gt AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+                  md5(array_to_string(ws[u.i:u.i+{SPAN_N - 1}], ' ')) AS g
+           FROM w, LATERAL unnest(generate_series(1,
+                  greatest(len(ws) - {SPAN_N - 1}, 0))) u(i)),
+    rare AS (SELECT g FROM (SELECT g, COUNT(*) AS c FROM gt GROUP BY g) t
+             WHERE c <= {SPAN_MAX_FREQ}),
+    s AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS i, b.pos AS j
+          FROM gt a JOIN gt b USING (g) JOIN rare USING (g)
+          WHERE a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, i - j AS d, i, j,
+                 i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j
+                                        ORDER BY i) AS isl
+          FROM s)
+    SELECT doc_a, doc_b,
+           CAST(MIN(i) AS INTEGER) AS a_start,
+           CAST(MIN(j) AS INTEGER) AS b_start,
+           CAST(COUNT(*) + {SPAN_N - 1} AS INTEGER) AS len_words
+    FROM r GROUP BY doc_a, doc_b, d, isl
+    HAVING COUNT(*) + {SPAN_N - 1} >= {SPAN_MIN_RUN}
+    """,
+)
+def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal shared word-runs (≥ {SPAN_MIN_RUN} words) between
+    document pairs — the relational form of exact-substring dedup
+    (operators.dedup.shared_span_pairs): positional {SPAN_N}-gram
+    seeds with corpus-frequency suppression, diagonal gaps-and-islands
+    merge, span = seeds + {SPAN_N} − 1. Unlike MinHash (whole-doc
+    similarity) this localizes WHERE the overlap is — the operator
+    behind surgical span removal instead of whole-doc dropping."""
+    d = load_table(spark, sf_dir, "documents")
+    return X.shared_span_pairs(
+        d, "text", "doc_id", n=SPAN_N, min_run=SPAN_MIN_RUN,
+        max_gram_freq=SPAN_MAX_FREQ,
+    )

@@ -39,7 +39,7 @@ expressions — zero Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.functions.hashing import (
@@ -425,4 +425,79 @@ def embedding_neardup_bucketed(
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 8,
+    min_run: int = 12,
+    max_gram_freq: int = 10,
+) -> DataFrame:
+    """Maximal shared word-runs between document pairs — the
+    relational approximation of exact-substring training-data dedup
+    (suffix-array spans à la "Deduplicating Training Data Makes
+    Language Models Better"; PAPERS.md): find every pair of documents
+    sharing a run of ≥ ``min_run`` consecutive identical words and
+    report the run's position in both.
+
+    Shape: (1) seed matches = positional ``n``-gram md5 join (grams
+    occurring in > ``max_gram_freq`` positions corpus-wide are
+    suppressed first — boilerplate shingles are what makes naive
+    substring joins quadratic); (2) seeds on the same pair and
+    DIAGONAL (i − j constant) with consecutive i form one run —
+    classic gaps-and-islands (island = i − row_number); (3) a run of
+    k seeds spans k + n − 1 words. The shuffles carry md5 keys,
+    positions, and pair ids — never text. Returns
+    (doc_a, doc_b, a_start, b_start, len_words), 1-based starts.
+    """
+    from epe_data_wrangling_spark.functions.expr import bind
+    from epe_data_wrangling_spark.functions.text import words
+
+    grams_arr = bind(
+        words(text_col),
+        lambda w: F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice(w, i, n)).cast("binary")).alias("g"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,g:string>>")),
+    )
+    grams = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams_arr).alias("s"))
+        .select("_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
+    )
+    rare = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c")).filter(
+        F.col("_c") <= max_gram_freq
+    )
+    g2 = grams.join(rare.select("g"), "g")
+    a, b = g2.alias("a"), g2.alias("b")
+    seeds = a.join(
+        b, (F.col("a.g") == F.col("b.g")) & (F.col("a._id") < F.col("b._id"))
+    ).select(
+        F.col("a._id").alias("doc_a"),
+        F.col("b._id").alias("doc_b"),
+        F.col("a.pos").alias("i"),
+        F.col("b.pos").alias("j"),
+    )
+    win = Window.partitionBy("doc_a", "doc_b", "d").orderBy("i")
+    runs = (
+        seeds.withColumn("d", F.col("i") - F.col("j"))
+        .withColumn("isl", F.col("i") - F.row_number().over(win))
+        .groupBy("doc_a", "doc_b", "d", "isl")
+        .agg(
+            F.min("i").alias("a_start"),
+            F.min("j").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("int").alias("len_words"),
+        )
+    )
+    return runs.filter(F.col("len_words") >= min_run).select(
+        "doc_a", "doc_b", "a_start", "b_start", "len_words"
     )

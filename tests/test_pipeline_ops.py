@@ -109,3 +109,23 @@ def test_contamination_excludes_self_matches(spark):
     assert all((r.n_shared_shingles > 0) == r.contaminated for r in out)
     # every doc present exactly once
     assert len(by_id) == len(out)
+
+
+def test_shared_span_pairs_localizes_overlap(spark):
+    """A planted 15-word run shared between two otherwise-different
+    documents must come back as exactly one span with the right
+    positions and length; unrelated docs must produce nothing."""
+    from epe_data_wrangling_spark.operators.dedup import shared_span_pairs
+
+    run = " ".join(f"shared{k}" for k in range(15))
+    docs = [
+        (1, "alpha beta gamma " + run + " delta epsilon"),      # run at pos 4
+        (2, "one two three four five six " + run),              # run at pos 7
+        (3, "totally unrelated words " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = shared_span_pairs(df, "text", "doc_id", n=8, min_run=12).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    assert (row.a_start, row.b_start, row.len_words) == (4, 7, 15)
