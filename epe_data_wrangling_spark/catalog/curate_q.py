@@ -139,3 +139,91 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster", "cluster_size", "quality")
     )
+
+
+def _span_scrub_sql() -> str:
+    from epe_data_wrangling_spark.catalog.dedup_q import (
+        QUERIES as _DQ,
+    )
+
+    spans_sql = _DQ["dedup_shared_spans"].oracle
+    w = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+    return f"""
+    WITH spans AS ({spans_sql}),
+    targets AS (SELECT doc_b AS doc_id, b_start AS s, len_words AS l
+                FROM spans),
+    wsrc AS (SELECT doc_id, {w} AS ws FROM documents),
+    wp AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos, ws[u.i] AS word
+           FROM wsrc, LATERAL unnest(generate_series(1, len(ws))) u(i)),
+    rem AS (SELECT DISTINCT wp.doc_id, wp.pos
+            FROM wp JOIN targets t
+              ON wp.doc_id = t.doc_id
+             AND wp.pos >= t.s AND wp.pos < t.s + t.l),
+    nrem AS (SELECT doc_id, COUNT(*) AS cnt FROM rem GROUP BY doc_id),
+    kept AS (SELECT wp.doc_id, wp.pos, wp.word
+             FROM wp LEFT JOIN rem
+               ON wp.doc_id = rem.doc_id AND wp.pos = rem.pos
+             WHERE rem.pos IS NULL)
+    SELECT k.doc_id, CAST(n.cnt AS INTEGER) AS n_removed,
+           md5(array_to_string(list(k.word ORDER BY k.pos), ' '))
+             AS scrubbed_md5
+    FROM kept k JOIN nrem n ON k.doc_id = n.doc_id
+    GROUP BY k.doc_id, n.cnt
+    """
+
+
+@query("scrub_shared_spans", oracle=_span_scrub_sql())
+def scrub_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span removal — the terminal action on
+    dedup_shared_spans' findings: for every document that shares a
+    run with a lower-id document, delete exactly the overlapping word
+    positions (union of all its spans) and emit the scrubbed text's
+    md5 plus the removed-word count. Word positions explode narrowly,
+    the span table is tiny (broadcast), and the rebuild is one
+    ordered collect per affected doc — text itself never shuffles
+    except for the affected docs' rebuild."""
+    from pyspark.sql import Window as _W
+
+    from epe_data_wrangling_spark.catalog.dedup_q import (
+        SPAN_MAX_FREQ,
+        SPAN_MIN_RUN,
+        SPAN_N,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = X.shared_span_pairs(
+        d, "text", "doc_id", n=SPAN_N, min_run=SPAN_MIN_RUN,
+        max_gram_freq=SPAN_MAX_FREQ,
+    )
+    targets = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        F.col("len_words").alias("l"),
+    )
+    wp = d.select(
+        "doc_id", F.posexplode(T.words("text")).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    rem = (
+        wp.join(F.broadcast(targets), "doc_id")
+        .filter((F.col("pos") >= F.col("s")) & (F.col("pos") < F.col("s") + F.col("l")))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    nrem = rem.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("n_removed"))
+    kept = wp.join(rem, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.join(nrem, "doc_id")
+        .groupBy("doc_id", "n_removed")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                        lambda st: st["word"],
+                    ),
+                ).cast("binary")
+            ).alias("scrubbed_md5")
+        )
+        .select("doc_id", "n_removed", "scrubbed_md5")
+    )
