@@ -123,3 +123,89 @@ def dq_lineitem_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_rows",
     )
+
+
+@query(
+    "chisq_source_lang",
+    oracle="""
+    WITH o AS (SELECT source, lang, COUNT(*) AS obs
+               FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, SUM(obs) AS r FROM o GROUP BY source),
+    ct AS (SELECT lang, SUM(obs) AS c FROM o GROUP BY lang),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT o.source, o.lang, o.obs,
+             CAST(rt.r AS DOUBLE) * ct.c / n.n AS expected
+      FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n)
+    SELECT source, lang, CAST(obs AS BIGINT) AS obs,
+           round(expected, 6) AS expected,
+           round((obs - expected) * (obs - expected) / expected, 6)
+             AS chi2_term
+    FROM cells
+    """,
+)
+def chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence profile (χ² cells) of source ×
+    lang: observed vs expected counts and each cell's χ² term — the
+    'is my corpus mix skewed by source' audit. Marginals are tiny
+    aggregates broadcast back onto the cell table; all values derive
+    from exact integer counts, so the double tree is identical across
+    engines. One grouped scan of the corpus regardless of size."""
+    d = load_table(spark, sf_dir, "documents")
+    o = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("source").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("lang").agg(F.sum("obs").alias("c"))
+    n = o.agg(F.sum("obs").alias("n"))
+    expected = F.col("r").cast("double") * F.col("c") / F.col("n")
+    return (
+        o.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            "obs",
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                (F.col("obs") - expected) * (F.col("obs") - expected) / expected, 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "gini_impurity_profile",
+    oracle="""
+    WITH c AS (SELECT event_type, COUNT(*) AS cnt FROM events
+               GROUP BY event_type),
+    n AS (SELECT SUM(cnt) AS n FROM c)
+    SELECT 'event_type' AS column_name,
+           CAST(COUNT(*) AS INTEGER) AS n_distinct,
+           round(1.0 - SUM(CAST((CAST(cnt AS DOUBLE) / n.n)
+                                * (CAST(cnt AS DOUBLE) / n.n)
+                                AS DECIMAL(18,12))), 6) AS gini
+    FROM c CROSS JOIN n GROUP BY n.n
+    """,
+)
+def gini_impurity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity (1 − Σp²) of the event_type distribution — the
+    log-free concentration metric (entropy's rational cousin, so no
+    cross-engine ln() hazard). p² terms are decimal-staged before the
+    sum so the reduction is order-free; input is the tiny per-type
+    count table."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    n = c.agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("n")
+        .agg(
+            F.lit("event_type").alias("column_name"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.sum((p * p).cast("decimal(18,12)")), 6
+            ).alias("gini"),
+        )
+        .select("column_name", "n_distinct", "gini")
+    )
