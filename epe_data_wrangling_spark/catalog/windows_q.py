@@ -289,3 +289,44 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.dense_rank().over(w).alias("drank"),
     )
+
+
+ROLL_MED_FRAME = 9  #: rows preceding (window = this + current row)
+
+
+@query(
+    "rolling_median_value",
+    oracle=f"""
+    WITH f AS (SELECT user_id, event_id, ts, value FROM events
+               WHERE value IS NOT NULL),
+    w AS (SELECT user_id, event_id, ts, value,
+                 list(value) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN {ROLL_MED_FRAME} PRECEDING
+                                   AND CURRENT ROW) AS win
+          FROM f)
+    SELECT user_id, event_id, ts, value,
+           list_sort(win)[CAST(floor((len(win) + 1) / 2) AS INTEGER)]
+             AS rolling_median
+    FROM w
+    """,
+)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median (lower-middle of the last {ROLL_MED_FRAME + 1}
+    events per user) — the robust rolling statistic mean can't give
+    you. Built from collect_list over a rows frame + array_sort +
+    positional pick: pure selection, no arithmetic, so cross-engine
+    parity is exact by construction. Per-key frames parallelize like
+    every other window; frame size bounds the per-row array cost at
+    any scale."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLL_MED_FRAME, 0)
+    )
+    win = F.array_sort(F.collect_list("value").over(w))
+    med = F.element_at(win, F.floor((F.size(win) + 1) / 2).cast("int"))
+    return e.select(
+        "user_id", "event_id", "ts", "value", med.alias("rolling_median")
+    )
