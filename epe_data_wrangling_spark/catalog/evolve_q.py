@@ -593,3 +593,43 @@ def regression_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("r2"),
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH act AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('week', ts) AS DATE) AS week
+                 FROM events),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week
+               FROM act GROUP BY user_id)
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-active week,
+    counted per subsequent active week offset — the standard
+    retention triangle. Two grouped passes over the distinct
+    (user, week) activity projection (which is the only event-sized
+    shuffle); the cohort table is user-sized and joins back on the
+    key. date math is integer-exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
