@@ -330,3 +330,97 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id", "event_id", "ts", "value", med.alias("rolling_median")
     )
+
+
+@query(
+    "window_first_last_nth",
+    oracle="""
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER w AS last_type,
+           nth_value(event_type, 3) OVER w AS third_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window-function surface: first / last / third event
+    type per user over the full partition frame (explicit UNBOUNDED
+    FOLLOWING — the default frame would silently make last_value mean
+    'current row'). One row per user via distinct over the constant-
+    per-partition values; one user_id exchange total."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+
+
+@query(
+    "revenue_pareto_contribution",
+    oracle="""
+    WITH r AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(round(o.o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name),
+    t AS (SELECT n_name, revenue,
+                 SUM(revenue) OVER () AS total,
+                 SUM(revenue) OVER (ORDER BY revenue DESC, n_name)
+                   AS running
+          FROM r)
+    SELECT n_name, revenue,
+           round(revenue / total, 6) AS share,
+           round(running / total, 6) AS cumulative_share,
+           running / total <= 0.8 AS in_top80
+    FROM t
+    """,
+)
+def revenue_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / contribution analysis: each nation's revenue share and
+    the cumulative share in descending-revenue order (the 80/20 cut
+    flagged). Heavy lifting is one partial-aggregated star join; the
+    windows then run over the |nations|-row aggregate, so the global
+    ordering is free at any fact size. Revenue decimal-staged; the
+    share divisions are one shared double tree."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    wt = Window.partitionBy()
+    wr = Window.orderBy(F.col("revenue").desc(), "n_name")
+    t = r.select(
+        "n_name",
+        "revenue",
+        F.sum("revenue").over(wt).alias("total"),
+        F.sum("revenue").over(wr).alias("running"),
+    )
+    return t.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total"), 6).alias("share"),
+        F.round(F.col("running") / F.col("total"), 6).alias("cumulative_share"),
+        (F.col("running") / F.col("total") <= 0.8).alias("in_top80"),
+    )
