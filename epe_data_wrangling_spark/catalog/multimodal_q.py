@@ -99,3 +99,79 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed pseudo-energy over audio payloads
     (multimodal.decode.audio_energy)."""
     return decode.audio_energy(_assets(spark, sf_dir))
+
+
+N_REAL_ASSETS = 40
+
+
+@query(
+    "multimodal_bmp_pixel_stats",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {N_REAL_ASSETS - 1}))
+                   AS asset_id),
+    px AS (SELECT ids.asset_id, xx.x, yy.y
+           FROM ids,
+                LATERAL unnest(generate_series(0, 15)) xx(x),
+                LATERAL unnest(generate_series(0, 11)) yy(y)),
+    s AS (SELECT asset_id,
+                 SUM((x * 11 + y * 2 + 3 * asset_id) % 256) AS sum_r,
+                 SUM((x * 3 + y * 5 + 2 * asset_id) % 256) AS sum_g,
+                 SUM((x * 7 + y * 13 + asset_id) % 256) AS sum_b
+          FROM px GROUP BY asset_id)
+    SELECT asset_id, CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           round(CAST(sum_r AS BIGINT) / CAST(16 * 12 AS DOUBLE), 6) AS mean_r,
+           round(CAST(sum_g AS BIGINT) / CAST(16 * 12 AS DOUBLE), 6) AS mean_g,
+           round(CAST(sum_b AS BIGINT) / CAST(16 * 12 AS DOUBLE), 6) AS mean_b
+    FROM s
+    """,
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, hash-checked: {N_REAL_ASSETS} actual 24-bit
+    BMP files (built by multimodal.assets.make_bmp with a
+    deterministic pixel formula) are struct-parsed — header AND
+    padded bottom-up pixel rows — by decode.bmp_pixel_stats, and the
+    exact integer channel sums must equal the oracle's closed-form
+    evaluation of the same formula over generate_series. This is a
+    full container-to-pixels decode path with zero codec
+    dependencies; at scale the payloads would live in parquet binary
+    columns exactly like this and never shuffle."""
+    from epe_data_wrangling_spark.multimodal.assets import make_bmp
+
+    rows = [(i, bytearray(make_bmp(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.bmp_pixel_stats(assets)
+
+
+@query(
+    "multimodal_wav_energy",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {N_REAL_ASSETS - 1}))
+                   AS asset_id),
+    sm AS (SELECT ids.asset_id,
+                  ((ii.i * 37 + ids.asset_id * 101) % 2048) - 1024 AS v
+           FROM ids, LATERAL unnest(generate_series(0, 255)) ii(i))
+    SELECT asset_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(256 AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(MAX(abs(v)) AS INTEGER) AS peak_abs
+    FROM sm GROUP BY asset_id
+    """,
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked: {N_REAL_ASSETS} actual RIFF/
+    WAVE 16-bit PCM files (multimodal.assets.make_wav, deterministic
+    samples) decoded with stdlib ``wave`` by decode.wav_meta_energy;
+    exact integer signal energy and peak must equal the oracle's
+    closed-form sum of the generation formula. Complements the
+    md5-fake ``multimodal_audio_energy`` (which pins the mapInPandas
+    plumbing for formats whose codecs aren't installable here)."""
+    from epe_data_wrangling_spark.multimodal.assets import make_wav
+
+    rows = [(i, bytearray(make_wav(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.wav_meta_energy(assets)

@@ -3,9 +3,12 @@
 Image HEADER metadata (PNG IHDR / JPEG SOFn) is parsed for REAL with
 stdlib ``struct`` — see ``parse_image_header`` — so ``image_meta``
 returns true width/height/channels for actual PNG/JPEG payloads with
-no codec dependency. Full pixel/audio/video decoding needs Pillow /
-soundfile / av, none of which exist in this container — so the
-*pixel-level decode step* is STUBBED: ``require_real_decoders()``
+no codec dependency. UNCOMPRESSED containers are decoded for real all
+the way to samples: ``bmp_pixel_stats`` (struct-parsed 24-bit BMP
+pixel rows) and ``wav_meta_energy`` (stdlib ``wave`` PCM), both
+hash-checked against closed-form oracles. Only COMPRESSED pixel/audio/
+video decoding needs Pillow / soundfile / av, none of which exist in
+this container — so that decode step is STUBBED: ``require_real_decoders()``
 raises ``NotImplementedError`` describing what the production body
 would do, and the default ``fake`` mode substitutes a deterministic
 md5-derived stand-in for the decoded values (also the fallback for
@@ -236,4 +239,109 @@ def audio_energy(assets: DataFrame, *, mode: str = "fake") -> DataFrame:
         assets.filter("media_type = 'audio'")
         .select("asset_id", "payload")
         .mapInPandas(fn, "asset_id BIGINT, window_idx INT, energy DOUBLE")
+    )
+
+
+# ---- REAL decoders for uncompressed containers (BMP / WAV) -----------
+#
+# No codec library needed: BMP is a struct-parsed pixel array, WAV is
+# stdlib ``wave``. These are full decode paths (headers AND samples),
+# hash-checked against closed-form DuckDB oracles via the
+# deterministic fixtures in multimodal.assets — the pixel-level stub
+# above now covers only compressed formats (PNG/JPEG pixels, lossy
+# audio/video).
+
+
+def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL BMP decode → per-image channel statistics:
+    (asset_id, width, height, sum_r, sum_g, sum_b, mean_r/g/b).
+
+    Parses BITMAPINFOHEADER with ``struct``, walks the bottom-up
+    padded pixel rows, and accumulates exact integer channel sums —
+    so the oracle comparison has no float accumulation hazard; the
+    means are one shared double tree. Narrow mapInPandas: payload
+    bytes never shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] != b"BM":
+                    continue
+                (data_off,) = struct.unpack_from("<I", b, 10)
+                hdr_size, w, h = struct.unpack_from("<Iii", b, 14)
+                bpp = struct.unpack_from("<H", b, 28)[0]
+                if hdr_size < 40 or bpp != 24 or w <= 0 or h == 0:
+                    continue
+                bottom_up, h_abs = h > 0, abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                sr = sg = sb = 0
+                for row in range(h_abs):
+                    off = data_off + row * stride
+                    px = b[off : off + w * 3]
+                    sb += sum(px[0::3])
+                    sg += sum(px[1::3])
+                    sr += sum(px[2::3])
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h_abs)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    decoded = assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, width INT, height INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )
+    from pyspark.sql import functions as F
+
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
+    )
+
+
+def wav_meta_energy(assets: DataFrame) -> DataFrame:
+    """REAL WAV decode via stdlib ``wave`` → (asset_id, sample_rate,
+    n_channels, n_samples, sum_sq, peak_abs): container metadata plus
+    exact integer signal energy (sum of squared 16-bit samples) and
+    peak amplitude. Narrow mapInPandas; integer outputs make the
+    oracle check float-hazard-free."""
+    import io
+    import wave
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "sample_rate", "n_channels", "n_samples",
+                 "sum_sq", "peak_abs")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    continue
+                with wave.open(io.BytesIO(b), "rb") as wv:
+                    if wv.getsampwidth() != 2:
+                        continue
+                    n = wv.getnframes()
+                    raw = wv.readframes(n)
+                    samples = struct.unpack(f"<{n * wv.getnchannels()}h", raw)
+                out["asset_id"].append(aid)
+                out["sample_rate"].append(wv.getframerate())
+                out["n_channels"].append(wv.getnchannels())
+                out["n_samples"].append(n)
+                out["sum_sq"].append(sum(s * s for s in samples))
+                out["peak_abs"].append(max(abs(s) for s in samples) if samples else 0)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, sample_rate INT, n_channels INT, "
+        "n_samples INT, sum_sq BIGINT, peak_abs INT",
     )

@@ -105,3 +105,49 @@ def test_image_meta_real_headers_via_spark(spark):
     assert 256 <= got[3].width < 2048 and 256 <= got[3].height < 2048
     assert 1 <= got[3].channels <= 4
     assert got[1].n_bytes == len(_tiny_png(320, 200))
+
+
+def test_bmp_fixture_pixel_at_raw_offset():
+    """Independent byte-level check: pixel (5, 3) of asset 9, located
+    by hand from the BMP layout (54-byte header, bottom-up rows,
+    4-byte stride padding, BGR order), matches the generation formula
+    — so the builder and the decoder cannot share a compensating
+    bug."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        BMP_H,
+        BMP_W,
+        bmp_pixel,
+        make_bmp,
+    )
+
+    b = make_bmp(9)
+    x, y = 5, 3
+    stride = (BMP_W * 3 + 3) // 4 * 4
+    off = 54 + (BMP_H - 1 - y) * stride + x * 3  # bottom-up row order
+    assert (b[off + 2], b[off + 1], b[off]) == bmp_pixel(x, y, 9)
+
+
+def test_wav_fixture_sample_at_raw_offset():
+    import struct
+
+    from epe_data_wrangling_spark.multimodal.assets import make_wav, wav_sample
+
+    b = make_wav(4)
+    # data chunk: RIFF(12) + fmt(24) + data header(8) = byte 44 for
+    # the minimal stdlib-written PCM layout
+    (v10,) = struct.unpack_from("<h", b, 44 + 10 * 2)
+    assert v10 == wav_sample(10, 4)
+
+
+def test_real_decoders_reject_foreign_payloads(spark):
+    """Non-BMP / non-WAV payloads are skipped, not misparsed."""
+    from epe_data_wrangling_spark.multimodal.decode import (
+        bmp_pixel_stats,
+        wav_meta_energy,
+    )
+
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"not an image at all"))], "asset_id long, payload binary"
+    )
+    assert bmp_pixel_stats(junk).count() == 0
+    assert wav_meta_energy(junk).count() == 0
