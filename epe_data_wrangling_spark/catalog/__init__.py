@@ -85,9 +85,9 @@ PRIORITY_ORDER = [
     "text_quality_scores",
     "text_lang_id",
     "text_fingerprint",
-    # multimodal
+    # multimodal (bmp_pixel_stats = REAL container-to-pixels decode)
     "multimodal_image_meta",
-    "multimodal_resize_fingerprint",
+    "multimodal_bmp_pixel_stats",
     "multimodal_frame_sample",
     # streaming
     "streaming_tumbling_window",

@@ -175,3 +175,36 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(make_wav(i))) for i in range(N_REAL_ASSETS)]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.wav_meta_energy(assets)
+
+
+@query(
+    "multimodal_y4m_frame_stats",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {N_REAL_ASSETS - 1}))
+                   AS asset_id),
+    px AS (SELECT ids.asset_id, ff.f, xx.x, yy.y
+           FROM ids,
+                LATERAL unnest(generate_series(0, 3)) ff(f),
+                LATERAL unnest(generate_series(0, 15)) xx(x),
+                LATERAL unnest(generate_series(0, 11)) yy(y))
+    SELECT asset_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+           CAST(SUM((x * 5 + y * 9 + f * 17 + asset_id) % 256) AS BIGINT)
+             AS sum_y,
+           round(CAST(SUM((x * 5 + y * 9 + f * 17 + asset_id) % 256)
+                      AS BIGINT) / CAST(16 * 12 AS DOUBLE), 6) AS mean_y
+    FROM px GROUP BY asset_id, f
+    """,
+)
+def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, hash-checked per frame: {N_REAL_ASSETS}
+    actual YUV4MPEG2 clips (4 formula frames each, C444) parsed by
+    decode.y4m_frame_stats — stream header, FRAME markers, raw Y
+    planes — with exact per-frame luma sums equal to the oracle's
+    closed form. Completes the real-decode triple (BMP image, WAV
+    audio, Y4M video), all stdlib-only."""
+    from epe_data_wrangling_spark.multimodal.assets import make_y4m
+
+    rows = [(i, bytearray(make_y4m(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.y4m_frame_stats(assets)

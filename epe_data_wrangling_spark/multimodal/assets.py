@@ -99,3 +99,25 @@ def make_wav(asset_id: int, rate: int = WAV_RATE, n: int = WAV_N) -> bytes:
             b"".join(_struct.pack("<h", wav_sample(i, asset_id)) for i in range(n))
         )
     return buf.getvalue()
+
+
+Y4M_W, Y4M_H, Y4M_FRAMES = 16, 12, 4
+
+
+def y4m_luma(x: int, y: int, frame: int, asset_id: int) -> int:
+    """Y-plane value of pixel (x, y) in frame ``frame`` — the oracle's
+    closed form."""
+    return (x * 5 + y * 9 + frame * 17 + asset_id) % 256
+
+
+def make_y4m(asset_id: int, w: int = Y4M_W, h: int = Y4M_H,
+             frames: int = Y4M_FRAMES) -> bytes:
+    """A real YUV4MPEG2 (y4m) clip: text stream header, per-frame
+    FRAME marker, raw C444 planes (Y with formula values, U/V flat
+    128)."""
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode())
+    for f in range(frames):
+        out += b"FRAME\n"
+        out += bytes(y4m_luma(x, y, f, asset_id) for y in range(h) for x in range(w))
+        out += bytes([128]) * (w * h) * 2  # U and V planes
+    return bytes(out)

@@ -345,3 +345,63 @@ def wav_meta_energy(assets: DataFrame) -> DataFrame:
         "asset_id BIGINT, sample_rate INT, n_channels INT, "
         "n_samples INT, sum_sq BIGINT, peak_abs INT",
     )
+
+
+def y4m_frame_stats(assets: DataFrame) -> DataFrame:
+    """REAL video decode (YUV4MPEG2): parse the stream header, walk
+    the FRAME-delimited raw C444 planes, and emit per-frame luma
+    statistics — (asset_id, frame_idx, width, height, sum_y,
+    mean_y). 1→N inside the Arrow batch like frame_samples; exact
+    integer sums keep the oracle float-hazard-free. The full
+    image/audio/video real-decode triple with zero codec
+    dependencies."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "frame_idx", "width", "height", "sum_y")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload)
+                if not b.startswith(b"YUV4MPEG2"):
+                    continue
+                nl = b.find(b"\n")
+                if nl < 0:
+                    continue
+                w = h = None
+                c444 = False
+                for tok in b[9:nl].split():
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                    elif tok[:1] == b"C":
+                        c444 = tok[1:] == b"444"
+                if not (w and h and c444):
+                    continue  # only the 4:4:4 layout is supported here
+                frame_bytes = w * h * 3
+                i, fidx = nl + 1, 0
+                while b.startswith(b"FRAME", i):
+                    i = b.find(b"\n", i) + 1  # frame params ignored
+                    ypl = b[i : i + w * h]
+                    if len(ypl) < w * h:
+                        break
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(fidx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_y"].append(sum(ypl))
+                    i += frame_bytes
+                    fidx += 1
+            yield pd.DataFrame(out)
+
+    decoded = assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, frame_idx INT, width INT, height INT, sum_y BIGINT",
+    )
+    from pyspark.sql import functions as F
+
+    return decoded.select(
+        "asset_id", "frame_idx", "width", "height", "sum_y",
+        F.round(F.col("sum_y") / (F.col("width") * F.col("height")).cast("double"), 6)
+        .alias("mean_y"),
+    )

@@ -151,3 +151,22 @@ def test_real_decoders_reject_foreign_payloads(spark):
     )
     assert bmp_pixel_stats(junk).count() == 0
     assert wav_meta_energy(junk).count() == 0
+
+
+def test_y4m_fixture_luma_at_raw_offset():
+    """Frame 2, pixel (7, 5) located by hand in the y4m byte stream
+    (header line, FRAME markers, C444 plane sizes) matches the
+    formula."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        Y4M_H,
+        Y4M_W,
+        make_y4m,
+        y4m_luma,
+    )
+
+    b = make_y4m(3)
+    hdr_end = b.find(b"\n") + 1
+    frame_size = len(b"FRAME\n") + Y4M_W * Y4M_H * 3
+    f, x, y = 2, 7, 5
+    off = hdr_end + f * frame_size + len(b"FRAME\n") + y * Y4M_W + x
+    assert b[off] == y4m_luma(x, y, f, 3)
