@@ -208,3 +208,59 @@ def multimodal_y4m_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(make_y4m(i))) for i in range(N_REAL_ASSETS)]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.y4m_frame_stats(assets)
+
+
+KEYFRAME_DELTA = 16.0
+
+
+@query(
+    "multimodal_keyframes",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {N_REAL_ASSETS - 1}))
+                   AS asset_id),
+    px AS (SELECT ids.asset_id, ff.f, xx.x, yy.y
+           FROM ids,
+                LATERAL unnest(generate_series(0, 3)) ff(f),
+                LATERAL unnest(generate_series(0, 15)) xx(x),
+                LATERAL unnest(generate_series(0, 11)) yy(y)),
+    fr AS (SELECT asset_id, CAST(f AS INTEGER) AS frame_idx,
+                  round(CAST(SUM((x * 5 + y * 9 + f * 17 + asset_id) % 256)
+                             AS BIGINT) / CAST(16 * 12 AS DOUBLE), 6) AS mean_y
+           FROM px GROUP BY asset_id, f),
+    d AS (SELECT asset_id, frame_idx, mean_y,
+                 LAG(mean_y) OVER (PARTITION BY asset_id
+                                   ORDER BY frame_idx) AS prev_y
+          FROM fr)
+    SELECT asset_id, frame_idx, mean_y,
+           round(abs(mean_y - prev_y), 6) AS luma_delta
+    FROM d
+    WHERE prev_y IS NULL OR abs(mean_y - prev_y) > {KEYFRAME_DELTA}
+    """,
+)
+def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection on top of the REAL video decode: keep frame
+    0 plus any frame whose mean-luma delta vs the previous frame
+    exceeds {KEYFRAME_DELTA} — the decode → feature → select
+    composition of a video-curation pipeline (scene-change detection
+    in its simplest form), hash-checked through both stages. Per-asset
+    lag windows over the tiny frame-stats table; payload bytes stay in
+    the narrow decode pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.multimodal.assets import make_y4m
+
+    rows = [(i, bytearray(make_y4m(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    fr = decode.y4m_frame_stats(assets).select("asset_id", "frame_idx", "mean_y")
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    d = fr.withColumn("prev_y", F.lag("mean_y").over(w))
+    return d.filter(
+        F.col("prev_y").isNull()
+        | (F.abs(F.col("mean_y") - F.col("prev_y")) > KEYFRAME_DELTA)
+    ).select(
+        "asset_id",
+        "frame_idx",
+        "mean_y",
+        F.round(F.abs(F.col("mean_y") - F.col("prev_y")), 6).alias("luma_delta"),
+    )
