@@ -82,3 +82,15 @@ def test_connected_components_chain_and_islands(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A chain longer than max_iter must raise rather than return
+    silently-partial labels (the ADVICE r1 failure mode)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        X.connected_components(edges, "a_id", "b_id", max_iter=2)
