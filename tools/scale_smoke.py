@@ -105,6 +105,7 @@ def main() -> None:
         ("corpus_dup_ngram_fraction", "dup_ngram_fraction_sf01"),
         ("join_interval_episodes", "interval_join_sf01"),
         ("pagerank_trading_graph", "pagerank_3iter_sf01"),
+        ("dedup_shared_spans", "shared_spans_sf01"),
     ]:
         run(label, cat[qname].fn(spark, base))
 
