@@ -374,3 +374,79 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= IVF_TRAINED_K)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+           FROM e, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    s AS (SELECT dim, COUNT(*) AS n,
+                 SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS sx,
+                 SUM(CAST(round(x * 1000000000.0) AS BIGINT)
+                     * CAST(round(x * 1000000000.0) AS BIGINT)) AS sxx
+          FROM ex GROUP BY dim)
+    SELECT dim, CAST(n AS BIGINT) AS n_vecs,
+           round(CAST(sx AS DOUBLE) / n / 1000000000.0, 8) AS mean_val,
+           round((CAST(sxx AS DOUBLE) / n / 1e18)
+                 - (CAST(sx AS DOUBLE) / n / 1000000000.0)
+                   * (CAST(sx AS DOUBLE) / n / 1000000000.0), 8) AS var_val
+    FROM s
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance of the embedding corpus — the
+    whitening/normalization statistics an ML pipeline computes before
+    training. Components staged as round(x·1e9) BIGINT; the variance
+    uses exact integer sums of squares (scaled 1e18) so both engines'
+    moments agree exactly before the one shared double tree. Map-side
+    combine collapses to |dims| rows pre-shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    sc = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    s = ex.select("dim", sc.alias("s")).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("s").alias("sx"),
+        F.sum(F.col("s") * F.col("s")).alias("sxx"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n_vecs") / F.lit(1e9)
+    msq = F.col("sxx").cast("double") / F.col("n_vecs") / F.lit(1e18)
+    return s.select(
+        "dim",
+        "n_vecs",
+        F.round(mean, 8).alias("mean_val"),
+        F.round(msq - mean * mean, 8).alias("var_val"),
+    )
+
+
+@query(
+    "split_manifest",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                           AS BIGINT) % 10 AS bucket
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+)
+def split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split manifest keyed by
+    md5(doc_id) — reproducible across engines, runs, and cluster
+    sizes (no RAND, no order dependence), the property a training
+    pipeline needs so the split never shifts when data is
+    repartitioned. Narrow scan; the manifest can be joined back to
+    any table of the corpus by key."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % 10
+    )
+    return d.select(
+        "doc_id",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
