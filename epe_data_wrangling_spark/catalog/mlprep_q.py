@@ -450,3 +450,106 @@ def split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
     )
+
+
+POWER_ITERS = 3
+_W0 = 0.125  #: 1/sqrt(64) exactly — uniform unit start vector
+
+
+def _power_oracle() -> str:
+    """Gramian + {POWER_ITERS} unrolled power iterations; every sum
+    (matrix-vector products, norms) decimal-staged for order-free
+    exactness, matching the Spark loop term for term."""
+    head = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS i, v[u.i] AS xi,
+                  v
+           FROM e, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    p AS (SELECT i, CAST(u.j - 1 AS INTEGER) AS j,
+                 round(xi * v[u.j] * 1000000000.0) AS sp
+          FROM ex, LATERAL unnest(generate_series(1, len(v))) u(j)),
+    g AS (SELECT i, j,
+                 CAST(SUM(CAST(sp AS BIGINT)) AS DOUBLE) / 1000000000.0
+                   AS gij
+          FROM p GROUP BY i, j),
+    w0 AS (SELECT DISTINCT i AS dim, {_W0} AS w FROM g)"""
+    parts = [head]
+    for k in range(1, POWER_ITERS + 1):
+        parts.append(f"""
+    u{k} AS (SELECT g.i AS dim,
+                  CAST(SUM(CAST(round(g.gij * w.w, 9) AS DECIMAL(28,9)))
+                       AS DOUBLE) AS u
+           FROM g JOIN w{k - 1} w ON g.j = w.dim GROUP BY g.i),
+    n{k} AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(38,12)))
+                              AS DOUBLE)) AS nrm
+             FROM u{k}),
+    w{k} AS (SELECT dim, u / n{k}.nrm AS w FROM u{k} CROSS JOIN n{k})""")
+    parts.append(f"""
+    SELECT w{POWER_ITERS}.dim, round(w{POWER_ITERS}.w, 8) AS component,
+           round(n{POWER_ITERS}.nrm, 6) AS eigenvalue_est
+    FROM w{POWER_ITERS} CROSS JOIN n{POWER_ITERS}
+    """)
+    return ",".join([parts[0]] + parts[1:-1]) + parts[-1]
+
+
+@query("pca_top_component", oracle=_power_oracle())
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (uncentered
+    second moment) via {POWER_ITERS} power iterations on the Gramian —
+    distributed linear algebra as plain DataFrame ops. The Gramian is
+    accumulated by a double dim-explode with map-side combine, so the
+    shuffle carries dims² (=4096) rows per task no matter how many
+    vectors; each iteration is then a join/agg over the tiny (dims²)
+    matrix against the dims-row vector. Every summation (G entries,
+    G·w products, the norm) is integer- or decimal-staged so both
+    engines reach identical doubles; the eigenvalue estimate is the
+    final iterate's norm. The whitening counterpart of
+    embedding_dim_stats."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    p = ex.select(
+        "i",
+        F.posexplode(F.col("v")).alias("j", "xj"),
+        F.col("xi"),
+    ).select(
+        "i", "j", F.round(F.col("xi") * F.col("xj") * F.lit(1e9)).alias("sp")
+    )
+    g = (
+        p.groupBy("i", "j")
+        .agg((F.sum(F.col("sp").cast("bigint")).cast("double") / F.lit(1e9)).alias("gij"))
+        .localCheckpoint(eager=True)  # G feeds every iteration
+    )
+    w = g.select(F.col("i").alias("dim")).distinct().select(
+        "dim", F.lit(_W0).alias("w")
+    )
+    nrm_df = None
+    for _ in range(POWER_ITERS):
+        u = (
+            g.join(w.withColumnRenamed("dim", "j"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum(F.round(F.col("gij") * F.col("w"), 9).cast("decimal(28,9)"))
+                .cast("double")
+                .alias("u")
+            )
+            .select(F.col("i").alias("dim"), "u")
+        )
+        nrm_df = u.agg(
+            F.sqrt(
+                F.sum(F.round(F.col("u") * F.col("u"), 12).cast("decimal(38,12)")).cast(
+                    "double"
+                )
+            ).alias("nrm")
+        )
+        w = u.crossJoin(F.broadcast(nrm_df)).select(
+            "dim", (F.col("u") / F.col("nrm")).alias("w")
+        )
+    return w.crossJoin(F.broadcast(nrm_df)).select(
+        "dim",
+        F.round(F.col("w"), 8).alias("component"),
+        F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
+    )
