@@ -553,3 +553,71 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w"), 8).alias("component"),
         F.round(F.col("nrm"), 6).alias("eigenvalue_est"),
     )
+
+
+PROJ_TOPK = 10
+
+
+def _projection_oracle() -> str:
+    power = _power_oracle()
+    return f"""
+    WITH comp AS ({power}),
+    e2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ex2 AS (SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+            FROM e2, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    proj AS (SELECT ex2.vec_id,
+                    CAST(SUM(CAST(round(ex2.x * comp.component, 8)
+                                  AS DECIMAL(28,8))) AS DOUBLE) AS score
+             FROM ex2 JOIN comp ON ex2.dim = comp.dim
+             GROUP BY ex2.vec_id),
+    ranked AS (SELECT vec_id, score,
+                      row_number() OVER (ORDER BY score DESC, vec_id) AS rhi,
+                      row_number() OVER (ORDER BY score ASC, vec_id) AS rlo
+               FROM proj)
+    SELECT vec_id, score,
+           CASE WHEN rhi <= {PROJ_TOPK} THEN 'high' ELSE 'low' END AS tail
+    FROM ranked
+    WHERE rhi <= {PROJ_TOPK} OR rlo <= {PROJ_TOPK}
+    """
+
+
+@query("pca_projection_extremes", oracle=_projection_oracle())
+def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned principal direction: project every embedding
+    onto pca_top_component and return the {PROJ_TOPK} most extreme
+    vectors of each tail — the train→apply composition (outlier
+    surfacing / diversity anchors along the dominant axis of the
+    corpus). The 64-row component broadcasts; the projection is one
+    narrow exploded dot product with a decimal-staged per-vector sum,
+    hash-checked through BOTH the training iterations and the
+    application pass."""
+    comp = pca_top_component(spark, sf_dir).select("dim", "component")
+    comp = comp.localCheckpoint(eager=True)  # trained vector reused per row
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    proj = (
+        ex.join(F.broadcast(comp), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(F.col("x") * F.col("component"), 8).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    whi = Window.orderBy(F.col("score").desc(), "vec_id")
+    wlo = Window.orderBy(F.col("score").asc(), "vec_id")
+    ranked = proj.select(
+        "vec_id",
+        "score",
+        F.row_number().over(whi).alias("rhi"),
+        F.row_number().over(wlo).alias("rlo"),
+    )
+    return ranked.filter(
+        (F.col("rhi") <= PROJ_TOPK) | (F.col("rlo") <= PROJ_TOPK)
+    ).select(
+        "vec_id",
+        "score",
+        F.when(F.col("rhi") <= PROJ_TOPK, "high").otherwise("low").alias("tail"),
+    )
