@@ -436,3 +436,47 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("cum_before") / float(PACK_BUDGET)).cast("bigint").alias("pack_id"),
         (F.col("cum_before") % PACK_BUDGET).alias("offset_in_pack"),
     )
+
+
+PPS_TARGET = 50  #: expected sample size
+
+
+@query(
+    "sample_weighted_systematic",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, n_chars AS wt FROM documents),
+    t AS (SELECT CAST(SUM(wt) / {PPS_TARGET} AS BIGINT) AS step FROM w),
+    c AS (SELECT doc_id, wt,
+                 SUM(wt) OVER (ORDER BY doc_id) AS cum
+          FROM w)
+    SELECT c.doc_id, CAST(c.wt AS BIGINT) AS weight,
+           CAST(c.cum AS BIGINT) AS cum_weight
+    FROM c CROSS JOIN t
+    WHERE c.cum // t.step > (c.cum - c.wt) // t.step
+    """,
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling:
+    walk the cumulative weight line (weight = n_chars) in doc_id
+    order and keep every document whose interval crosses a step
+    boundary (step = total/{PPS_TARGET}) — selection probability
+    ∝ document size, sample size ≈ {PPS_TARGET}, all integer-exact
+    (no pow/rand, so reproducible across engines and cluster
+    layouts). One window cumsum; the 100 TB form partitions the
+    cumulative line per shard with per-shard offsets."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.col("n_chars").alias("wt"))
+    t = w.agg((F.sum("wt") / PPS_TARGET).cast("bigint").alias("step"))
+    c = w.withColumn("cum", F.sum("wt").over(Window.orderBy("doc_id")))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(
+            F.floor(F.col("cum") / F.col("step"))
+            > F.floor((F.col("cum") - F.col("wt")) / F.col("step"))
+        )
+        .select(
+            "doc_id",
+            F.col("wt").cast("bigint").alias("weight"),
+            F.col("cum").cast("bigint").alias("cum_weight"),
+        )
+    )
