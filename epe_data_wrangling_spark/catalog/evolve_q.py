@@ -633,3 +633,79 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "categorical_encode_dense",
+    oracle="""
+    WITH v AS (SELECT DISTINCT o_orderpriority FROM orders),
+    codes AS (SELECT o_orderpriority,
+                     CAST(row_number() OVER (ORDER BY o_orderpriority) - 1
+                          AS INTEGER) AS code
+              FROM v)
+    SELECT o.o_orderkey, o.o_orderpriority, c.code
+    FROM orders o JOIN codes c USING (o_orderpriority)
+    """,
+)
+def categorical_encode_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label encoding: map a categorical column to dense integer codes
+    via a sorted distinct-value dictionary joined back (broadcast —
+    the dictionary is vocabulary-sized). Deterministic code assignment
+    (lexicographic), the reproducibility requirement for a feature
+    store; the fact scan never shuffles."""
+    o = load_table(spark, sf_dir, "orders")
+    codes = (
+        o.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            (F.row_number().over(Window.orderBy("o_orderpriority")) - 1)
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    return o.select("o_orderkey", "o_orderpriority").join(
+        F.broadcast(codes), "o_orderpriority"
+    ).select("o_orderkey", "o_orderpriority", "code")
+
+
+@query(
+    "impute_value_by_type_mean",
+    oracle="""
+    WITH m AS (SELECT event_type,
+                      round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6)))
+                                 AS DOUBLE) / COUNT(value), 6) AS mean_v
+               FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           COALESCE(e.value, m.mean_v) AS value_imputed,
+           e.value IS NULL AS was_imputed
+    FROM events e JOIN m USING (event_type)
+    """,
+)
+def impute_value_by_type_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation by per-group mean (decimal-staged so
+    the imputed constant is identical across engines): nulls take the
+    event_type mean, with a was_imputed audit flag — the standard
+    feature-cleaning pass. The |types|-row stats broadcast back; one
+    narrow pass over the facts."""
+    e = load_table(spark, sf_dir, "events")
+    m = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count("value"),
+                6,
+            ).alias("mean_v")
+        )
+    )
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.coalesce(F.col("value"), F.col("mean_v")).alias("value_imputed"),
+            F.col("value").isNull().alias("was_imputed"),
+        )
+    )
