@@ -383,9 +383,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex AS (SELECT CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
            FROM e, LATERAL unnest(generate_series(1, len(v))) u(i)),
     s AS (SELECT dim, COUNT(*) AS n,
-                 SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS sx,
-                 SUM(CAST(round(x * 1000000000.0) AS BIGINT)
-                     * CAST(round(x * 1000000000.0) AS BIGINT)) AS sxx
+                 SUM(CAST(CAST(round(x * 1000000000.0) AS BIGINT)
+                          AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(CAST(round(x * 1000000000.0) AS BIGINT)
+                          * CAST(round(x * 1000000000.0) AS BIGINT)
+                          AS DECIMAL(38,0))) AS sxx
           FROM ex GROUP BY dim)
     SELECT dim, CAST(n AS BIGINT) AS n_vecs,
            round(CAST(sx AS DOUBLE) / n / 1000000000.0, 8) AS mean_val,
@@ -405,10 +407,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     ex = e.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
     sc = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    # each s*s fits int64 (≤1e18) but their SUM does not at corpus
+    # scale — with ANSI off the bigint sum WRAPS silently (caught at
+    # sf0.1: negative variances). Sum in DECIMAL(38,0) on both engines.
     s = ex.select("dim", sc.alias("s")).groupBy("dim").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.sum("s").alias("sx"),
-        F.sum(F.col("s") * F.col("s")).alias("sxx"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias("sxx"),
     )
     mean = F.col("sx").cast("double") / F.col("n_vecs") / F.lit(1e9)
     msq = F.col("sxx").cast("double") / F.col("n_vecs") / F.lit(1e18)

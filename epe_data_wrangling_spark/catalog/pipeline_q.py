@@ -445,14 +445,14 @@ PPS_TARGET = 50  #: expected sample size
     "sample_weighted_systematic",
     oracle=f"""
     WITH w AS (SELECT doc_id, n_chars AS wt FROM documents),
-    t AS (SELECT CAST(SUM(wt) / {PPS_TARGET} AS BIGINT) AS step FROM w),
+    t AS (SELECT CAST(SUM(wt) // {PPS_TARGET} AS BIGINT) AS step FROM w),
     c AS (SELECT doc_id, wt,
                  SUM(wt) OVER (ORDER BY doc_id) AS cum
           FROM w)
     SELECT c.doc_id, CAST(c.wt AS BIGINT) AS weight,
            CAST(c.cum AS BIGINT) AS cum_weight
     FROM c CROSS JOIN t
-    WHERE c.cum // t.step > (c.cum - c.wt) // t.step
+    WHERE c.cum // t.step > (c.cum - c.wt) // t.step  -- integer floor division
     """,
 )
 def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,13 +466,20 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative line per shard with per-shard offsets."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.col("n_chars").alias("wt"))
-    t = w.agg((F.sum("wt") / PPS_TARGET).cast("bigint").alias("step"))
+    # step must be the exact integer quotient on BOTH engines: casting
+    # a double quotient truncates in Spark but rounds in DuckDB
+    t = w.agg(F.sum("wt").alias("tot")).select(
+        F.expr(f"tot DIV {PPS_TARGET}").alias("step")
+    )
     c = w.withColumn("cum", F.sum("wt").over(Window.orderBy("doc_id")))
     return (
         c.crossJoin(F.broadcast(t))
+        # integer division, NOT floor(double /): at exact multiples the
+        # double quotient can land one ulp under k and floor to k-1
+        # (caught at sf0.1: one boundary doc shifted) — DIV matches
+        # DuckDB's // exactly
         .filter(
-            F.floor(F.col("cum") / F.col("step"))
-            > F.floor((F.col("cum") - F.col("wt")) / F.col("step"))
+            F.expr("cum DIV step") > F.expr("(cum - wt) DIV step")
         )
         .select(
             "doc_id",
