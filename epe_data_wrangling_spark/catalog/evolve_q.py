@@ -709,3 +709,51 @@ def impute_value_by_type_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNull().alias("was_imputed"),
         )
     )
+
+
+@query(
+    "ivm_incremental_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ivm_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, proven: the orders aggregate is
+    computed as BASE (keys ≢ 9 mod 10, the 'already materialized'
+    90%) merged with DELTA (the 'newly arrived' 10%) via a full outer
+    join of partial states — and the oracle computes the SAME
+    aggregate directly over everything, so the hash check certifies
+    merge(partial, delta) ≡ recompute(full). This is the contract an
+    incremental pipeline relies on: count and decimal-staged sum are
+    associative partial states. At 100 TB only the delta is scanned
+    per refresh; the merge is a |groups|-row join."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("s"),
+        )
+
+    base = agg(o.filter(F.col("o_orderkey") % 10 != 9))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 == 9))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
