@@ -129,3 +129,41 @@ def test_shared_span_pairs_localizes_overlap(spark):
     row = got[0]
     assert (row.doc_a, row.doc_b) == (1, 2)
     assert (row.a_start, row.b_start, row.len_words) == (4, 7, 15)
+
+
+def test_split_manifest_ratios_and_stability(spark):
+    """The md5 split is ~80/10/10 and identical under repartitioning
+    (the property rand()-based splits lack)."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["split_manifest"].fn
+    got = q(spark, "/root/testdata/sf0.01")
+    counts = {r.split: r.n for r in got.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    assert total == 500
+    assert 0.7 < counts["train"] / total < 0.9
+    assert 0.04 < counts["val"] / total < 0.17
+    assert 0.04 < counts["test"] / total < 0.17
+    again = q(spark, "/root/testdata/sf0.01").repartition(13)
+    assert got.exceptAll(again).count() == 0
+
+
+def test_pps_sample_size_tracks_target_at_both_sfs(spark):
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["sample_weighted_systematic"].fn
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = q(spark, sf).count()
+        assert 45 <= n <= 55, f"{sf}: PPS sample size {n} far from target 50"
+
+
+def test_pca_component_is_unit_norm(spark):
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    comp = all_queries()["pca_top_component"].fn(spark, "/root/testdata/sf0.01")
+    norm2 = comp.agg(F.sum(F.col("component") * F.col("component")).alias("s")).collect()[0].s
+    assert abs(norm2 - 1.0) < 1e-6
+    eig = comp.select("eigenvalue_est").distinct().collect()
+    assert len(eig) == 1 and eig[0][0] > 0
