@@ -757,3 +757,60 @@ def ivm_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "cascade_delete_audit",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 53 = 0),
+    del_orders AS (SELECT o_orderkey FROM orders
+                   JOIN del ON o_custkey = c_custkey),
+    surviving_li AS (
+      SELECT l.* FROM lineitem l
+      LEFT JOIN del_orders d ON l.l_orderkey = d.o_orderkey
+      WHERE d.o_orderkey IS NULL)
+    SELECT (SELECT COUNT(*) FROM del) AS n_customers_deleted,
+           (SELECT COUNT(*) FROM del_orders) AS n_orders_cascaded,
+           (SELECT COUNT(*) FROM lineitem) -
+             (SELECT COUNT(*) FROM surviving_li) AS n_lineitems_cascaded,
+           (SELECT COUNT(*) FROM surviving_li) AS n_lineitems_surviving,
+           (SELECT CAST(SUM(l_orderkey) AS BIGINT) FROM surviving_li)
+             AS surviving_orderkey_checksum
+    """,
+)
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade, audited: a deterministic subject set
+    (custkeys ≡ 0 mod 53) is deleted and the deletion propagates
+    customer → orders → lineitem via anti-joins; output counts each
+    cascade level plus a checksum of the surviving fact rows — the
+    compliance evidence a deletion pipeline must produce. Scale
+    shape: the subject set is small (broadcast anti-joins all the way
+    down); facts are scanned once per level and never shuffled."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dele = c.filter(F.col("c_custkey") % 53 == 0).select("c_custkey")
+    del_orders = o.join(
+        F.broadcast(dele), o.o_custkey == dele.c_custkey
+    ).select("o_orderkey")
+    surviving = li.join(
+        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_anti"
+    )
+    n_li = li.agg(F.count(F.lit(1)).alias("n"))
+    stats = surviving.agg(
+        F.count(F.lit(1)).alias("n_surv"),
+        F.sum("l_orderkey").alias("chk"),
+    )
+    return (
+        dele.agg(F.count(F.lit(1)).alias("n_customers_deleted"))
+        .crossJoin(del_orders.agg(F.count(F.lit(1)).alias("n_orders_cascaded")))
+        .crossJoin(F.broadcast(n_li))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "n_customers_deleted",
+            "n_orders_cascaded",
+            (F.col("n") - F.col("n_surv")).alias("n_lineitems_cascaded"),
+            F.col("n_surv").alias("n_lineitems_surviving"),
+            F.col("chk").cast("bigint").alias("surviving_orderkey_checksum"),
+        )
+    )

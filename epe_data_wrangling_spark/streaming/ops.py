@@ -223,6 +223,7 @@ def upsert_latest_foreach_batch(
     key_cols: list[str],
     order_cols: list[str],
     timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming upsert (CDC-apply) via ``foreachBatch``: each
     micro-batch is MERGEd into a keyed parquet target, keeping the
@@ -269,7 +270,7 @@ def upsert_latest_foreach_batch(
         else:
             os.rename(stage, target_dir)
 
-    checkpoint = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
     q = (
         events.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint)

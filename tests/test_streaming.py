@@ -147,3 +147,35 @@ def test_foreach_batch_upsert_is_incremental(spark, tmp_path):
     )
     assert got2.exceptAll(expect).count() == 0
     assert expect.exceptAll(got2).count() == 0
+
+
+def test_foreach_batch_upsert_restart_without_new_data(spark, tmp_path):
+    """Restarting the upsert stream on the SAME checkpoint with no new
+    files must leave the target untouched (no duplicate merge, no
+    empty-overwrite)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import upsert_latest_foreach_batch
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "latest")
+    events.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.schema).parquet(str(src) + "/*")
+        )
+        return upsert_latest_foreach_batch(
+            stream, target, key_cols=["user_id"], order_cols=["ts", "event_id"],
+            checkpoint_dir=ckpt,
+        )
+
+    first = run_once().collect()
+    second = run_once().collect()  # no new files: zero-batch restart
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
