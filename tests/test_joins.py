@@ -44,3 +44,36 @@ def test_asof_backward_semantics(spark):
     assert out[4] == (_ts("2020-01-01 00:30:00"), 30.0)
     assert out[5] == (_ts("2020-01-01 00:01:00"), 99.0)
     assert len(out) == 5  # all left rows survive (left semantics)
+
+
+def test_q21_sole_supplier_semantics_on_crafted_orders(spark):
+    """Crafted case: order A has lines only from supplier 1 (sole),
+    order B mixes suppliers 1 and 2 (not sole), order C is sole but
+    not order-status F — only order A may count."""
+    from pyspark.sql import functions as F
+
+    li = spark.createDataFrame(
+        [(100, 1), (100, 1), (200, 1), (200, 2), (300, 3)],
+        "l_orderkey long, l_suppkey long",
+    )
+    orders = spark.createDataFrame(
+        [(100, "F"), (200, "F"), (300, "O")],
+        "o_orderkey long, o_orderstatus string",
+    )
+    o = orders.filter(F.col("o_orderstatus") == "F")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    cand = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_anti",
+        )
+    )
+    got = {
+        (r.l_suppkey, r.n)
+        for r in cand.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert got == {(1, 1)}  # supplier 1, exactly order 100
