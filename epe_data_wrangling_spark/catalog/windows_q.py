@@ -424,3 +424,52 @@ def revenue_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("running") / F.col("total"), 6).alias("cumulative_share"),
         (F.col("running") / F.col("total") <= 0.8).alias("in_top80"),
     )
+
+
+@query(
+    "monthly_value_percentile_bands",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.10) AS p10,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.90) AS p90
+    FROM orders GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def monthly_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-over-time report: exact P10/P50/P90 of order value
+    per month (Spark percentile ≡ DuckDB quantile_cont, both linear
+    interpolation — parity proven by agg_percentiles_priority). The
+    per-month groups sort independently; the 100 TB swap is
+    approx_percentile per the same contract as the approx twin."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.percentile("o_totalprice", F.lit(0.10)).alias("p10"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.90)).alias("p90"),
+    )
+
+
+@query(
+    "tumbling_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hourly window (windowed COUNT DISTINCT —
+    the unique-visitors metric). Exact two-phase distinct within each
+    window; at stream scale the drop-in is approx_count_distinct with
+    the HLL query's bound contract."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
