@@ -814,3 +814,62 @@ def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chk").cast("bigint").alias("surviving_orderkey_checksum"),
         )
     )
+
+
+@query(
+    "funnel_conversion_rates",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY e.user_id)
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked,
+           (SELECT COUNT(*) FROM p) AS n_purchased,
+           round(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+           round(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM c), 6) AS click_to_purchase
+    """,
+)
+def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel roll-up: stage populations and conversion rates in
+    one summary row (built on the same chained-conditional-MIN stages
+    as funnel_conversion). Tiny aggregates cross-joined — the report
+    a dashboard reads."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id").filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id").filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    nu = e.agg(F.countDistinct("user_id").alias("n_users"))
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        nu.crossJoin(F.broadcast(nv)).crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+        .select(
+            "n_users", "n_viewed", "n_clicked", "n_purchased",
+            F.round(F.col("n_clicked").cast("double") / F.col("n_viewed"), 6)
+            .alias("view_to_click"),
+            F.round(F.col("n_purchased").cast("double") / F.col("n_clicked"), 6)
+            .alias("click_to_purchase"),
+        )
+    )

@@ -473,3 +473,48 @@ def tumbling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "seasonality_monthly_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY date_trunc('month', o_orderdate)),
+    w AS (SELECT month, rev,
+                 SUM(rev) OVER (ORDER BY month
+                                ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                   AS ma_sum,
+                 COUNT(*) OVER (ORDER BY month
+                                ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                   AS ma_n
+          FROM m)
+    SELECT month, CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(ma_sum AS DOUBLE) / ma_n, 6) AS ma12,
+           round(CAST(rev AS DOUBLE) - CAST(ma_sum AS DOUBLE) / ma_n, 6)
+             AS seasonal_component
+    FROM w
+    """,
+)
+def seasonality_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, additive: monthly revenue minus its
+    centered 12-month moving average. The frame aggregate runs over
+    DECIMAL sums so the moving window is order-free exact (frame
+    summation order differs between engines for doubles); the series
+    is the already-aggregated month table, so the global-order window
+    is |months| rows at any fact size."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("month").rowsBetween(-6, 5)
+    ma_sum = F.sum("rev").over(w)
+    ma_n = F.count(F.lit(1)).over(w)
+    ma = ma_sum.cast("double") / ma_n
+    return m.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(ma, 6).alias("ma12"),
+        F.round(F.col("rev").cast("double") - ma, 6).alias("seasonal_component"),
+    )
