@@ -9,7 +9,7 @@ catalog.ducksql so doubles are bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
@@ -130,4 +130,88 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_min(F.transform(T.word_shingles("text", 8), F.md5)).alias("fp"),
+    )
+
+
+@query(
+    "text_readability_proxy",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(len({_W}) AS INTEGER) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS INTEGER) AS n_sentences,
+             CAST(len(array_to_string({_W}, '')) AS INTEGER) AS n_letters
+      FROM documents)
+    SELECT doc_id, n_words, n_sentences,
+           round(CAST(n_words AS DOUBLE) / n_sentences, 6)
+             AS words_per_sentence,
+           round(CAST(n_letters AS DOUBLE) / greatest(n_words, 1), 6)
+             AS chars_per_word,
+           round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 + 11.8 * (CAST(n_letters AS DOUBLE) / greatest(n_words, 1))
+                 - 15.59, 6) AS grade_proxy
+    FROM s
+    """,
+)
+def text_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch-Kincaid-shaped, chars-per-word as
+    the syllable proxy since syllabification is codec-free): sentence
+    and word lengths plus the graded combination — a standard quality
+    feature for corpus filtering. Pure per-row expressions, one
+    narrow scan, shared double tree on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    w = T.words("text")
+    n_words = F.size(w)
+    n_sent = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    n_letters = F.length(F.concat_ws("", w))
+    wps = n_words.cast("double") / n_sent
+    cpw = n_letters.cast("double") / F.greatest(n_words, F.lit(1))
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        F.round(wps, 6).alias("words_per_sentence"),
+        F.round(cpw, 6).alias("chars_per_word"),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * cpw - F.lit(15.59), 6).alias(
+            "grade_proxy"
+        ),
+    )
+
+
+ZIPF_TOPK = 20
+
+
+@query(
+    "zipf_term_constants",
+    oracle=f"""
+    WITH t AS (SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                       '\\s+'), x -> x <> '')) AS term
+               FROM documents),
+    f AS (SELECT term, COUNT(*) AS freq FROM t GROUP BY term),
+    r AS (SELECT term, freq,
+                 CAST(row_number() OVER (ORDER BY freq DESC, term)
+                      AS INTEGER) AS rank
+          FROM f)
+    SELECT rank, term, freq, CAST(rank * freq AS BIGINT) AS zipf_constant
+    FROM r WHERE rank <= {ZIPF_TOPK}
+    """,
+)
+def zipf_term_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf profile of the corpus vocabulary: rank×frequency for the
+    top {ZIPF_TOPK} terms (constant under Zipf's law — the corpus-
+    health diagnostic that flags boilerplate-dominated crawls where
+    the curve flattens). Term counts shuffle as keys+counts; the
+    global rank runs over the tiny frequency table."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(F.explode(T.words(F.lower(F.col("text")))).alias("term"))
+    f = t.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    r = f.select(
+        "term", "freq",
+        F.row_number().over(Window.orderBy(F.col("freq").desc(), "term"))
+        .cast("int").alias("rank"),
+    )
+    return r.filter(F.col("rank") <= ZIPF_TOPK).select(
+        "rank", "term", "freq",
+        (F.col("rank") * F.col("freq")).cast("bigint").alias("zipf_constant"),
     )
