@@ -873,3 +873,91 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("click_to_purchase"),
         )
     )
+
+
+@query(
+    "interarrival_stats_per_user",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                  AS BIGINT) / 1000000.0 AS gap_s
+      FROM events),
+    s AS (SELECT user_id, COUNT(gap_s) AS n_gaps,
+                 CAST(SUM(CAST(round(gap_s, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) / COUNT(gap_s) AS mean_gap,
+                 CAST(SUM(CAST(round(gap_s * gap_s) AS DECIMAL(38,0))
+                      ) AS DOUBLE) / COUNT(gap_s) AS msq
+          FROM g WHERE gap_s IS NOT NULL GROUP BY user_id)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           mean_gap AS mean_gap_s,
+           sqrt(msq - mean_gap * mean_gap) AS std_gap_s,
+           sqrt(msq - mean_gap * mean_gap) / mean_gap AS burstiness_cv
+    FROM s
+    """,
+)
+def interarrival_stats_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal behavior profile: per-user inter-event gap mean/std
+    and the coefficient of variation (CV > 1 ⇒ bursty, CV ≈ 1 ⇒
+    Poisson-like — the bot-vs-human signal). Gaps via lag over the
+    per-user order; moments decimal-staged with gap² at whole-second
+    granularity so the unscaled sums stay under 2^53 (decimal→double
+    casts are correctly rounded on both engines only below that); one
+    user_id exchange serves the lag window and the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+        .cast("bigint") / F.lit(1000000.0)
+    )
+    g = e.select("user_id", gap.alias("gap_s")).filter(F.col("gap_s").isNotNull())
+    s = g.groupBy("user_id").agg(
+        F.count("gap_s").alias("n_gaps"),
+        (
+            F.sum(F.round(F.col("gap_s"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count("gap_s")
+        ).alias("mean_gap"),
+        # gap² staged at 0 dp: the 6-dp staging's unscaled sums exceed
+        # 2^53, where DuckDB's decimal→double cast double-rounds and
+        # diverges from Spark (caught at both SFs once output rounding
+        # was removed); 1 s² granularity keeps sums exactly castable
+        (
+            F.sum(
+                F.round(F.col("gap_s") * F.col("gap_s")).cast("decimal(38,0)")
+            ).cast("double")
+            / F.count("gap_s")
+        ).alias("msq"),
+    )
+    # no final rounding: the doubles are identical on both engines by
+    # construction (staged sums), and round()'s half-digit tie-breaks
+    # are the one thing the engines do differently (caught at sf0.1)
+    std = F.sqrt(F.col("msq") - F.col("mean_gap") * F.col("mean_gap"))
+    return s.select(
+        "user_id",
+        "n_gaps",
+        F.col("mean_gap").alias("mean_gap_s"),
+        std.alias("std_gap_s"),
+        (std / F.col("mean_gap")).alias("burstiness_cv"),
+    )
+
+
+@query(
+    "order_lines_histogram",
+    oracle="""
+    WITH n AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem
+               GROUP BY l_orderkey)
+    SELECT CAST(n_lines AS INTEGER) AS n_lines,
+           COUNT(*) AS n_orders
+    FROM n GROUP BY n_lines
+    """,
+)
+def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution (lines per order) — the fan-out profile
+    that sizes join estimates and skew expectations. Two partial-agg
+    passes; output is at most max-lines rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return n.groupBy(F.col("n_lines").cast("int").alias("n_lines")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
