@@ -626,3 +626,108 @@ def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         F.when(F.col("rhi") <= PROJ_TOPK, "high").otherwise("low").alias("tail"),
     )
+
+
+def _label_sep_oracle() -> str:
+    mean = (
+        "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
+    )
+    d2 = "(list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, c.c)) + list_dot_product(c.c, c.c)"
+    pd2 = "(list_dot_product(a.c, a.c) - 2 * list_dot_product(a.c, b.c)) + list_dot_product(b.c, b.c)"
+    return f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT label, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+           FROM e, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    m AS (SELECT label, dim, {mean} AS mx FROM ex GROUP BY label, dim),
+    carr AS (SELECT label, list(mx ORDER BY dim) AS c FROM m GROUP BY label),
+    scat AS (SELECT e.label, COUNT(*) AS n_vecs,
+                    CAST(SUM(CAST(round(sqrt({d2}), 6) AS DECIMAL(18,6)))
+                         AS DOUBLE) / COUNT(*) AS scatter
+             FROM e JOIN carr c ON e.label = c.label GROUP BY e.label),
+    pairs AS (SELECT a.label AS la, b.label AS lb, sqrt({pd2}) AS d
+              FROM carr a JOIN carr b ON a.label <> b.label),
+    nearest AS (SELECT la AS label, lb AS nearest_label, d AS nearest_dist
+                FROM (SELECT la, lb, d,
+                             row_number() OVER (PARTITION BY la
+                                                ORDER BY d, lb) AS rn
+                      FROM pairs) t WHERE rn = 1)
+    SELECT s.label, CAST(s.n_vecs AS BIGINT) AS n_vecs, s.scatter,
+           n.nearest_label, n.nearest_dist,
+           n.nearest_dist / s.scatter AS separation_ratio
+    FROM scat s JOIN nearest n ON s.label = n.label
+    """
+
+
+@query("label_separation_metrics", oracle=_label_sep_oracle())
+def label_separation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality evaluation of the labeled embedding space: per
+    label, the mean member-to-centroid distance (scatter) vs the
+    distance to the NEAREST other centroid, and their ratio (> 1 ⇒
+    separable, Dunn-index-style) — the metric that tells a labeling
+    or clustering pipeline whether classes are collapsing. Centroids
+    via the proven integer-staged means; member distances staged at
+    6 dp (unscaled sums ≪ 2^53); the centroid-pair matrix is
+    |labels|², driver-free and broadcast. No output rounding — every
+    emitted double is identical on both engines by construction."""
+    from epe_data_wrangling_spark.functions.vectors import dot
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ex = e.select("label", F.posexplode(F.col("v")).alias("dim", "x"))
+    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    m = ex.groupBy("label", "dim").agg(
+        (
+            F.sum(staged).cast("double") / F.count(F.lit(1)).cast("double") / F.lit(1e9)
+        ).alias("mx")
+    )
+    carr = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mx"))), lambda s: s["mx"]
+        ).alias("c")
+    ).localCheckpoint(eager=True)  # reused by scatter AND the pair matrix
+
+    cj = carr.select(F.col("label").alias("_cl"), F.col("c"))
+    d2 = (dot(F.col("v"), F.col("v")) - 2 * dot(F.col("v"), F.col("c"))) + dot(
+        F.col("c"), F.col("c")
+    )
+    scat = (
+        e.join(F.broadcast(cj), e.label == F.col("_cl"))
+        .select("label", F.sqrt(d2).alias("dist"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.round(F.col("dist"), 6).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("scatter"),
+        )
+    )
+    a = carr.select(F.col("label").alias("la"), F.col("c").alias("ca"))
+    b = carr.select(F.col("label").alias("lb"), F.col("c").alias("cb"))
+    pd2 = (dot(F.col("ca"), F.col("ca")) - 2 * dot(F.col("ca"), F.col("cb"))) + dot(
+        F.col("cb"), F.col("cb")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("la") != F.col("lb"))
+        .select("la", "lb", F.sqrt(pd2).alias("d"))
+    )
+    wn = Window.partitionBy("la").orderBy("d", "lb")
+    nearest = (
+        pairs.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("la").alias("label"),
+            F.col("lb").alias("nearest_label"),
+            F.col("d").alias("nearest_dist"),
+        )
+    )
+    return (
+        scat.join(nearest, "label")
+        .select(
+            "label", "n_vecs", "scatter", "nearest_label", "nearest_dist",
+            (F.col("nearest_dist") / F.col("scatter")).alias("separation_ratio"),
+        )
+    )
