@@ -731,3 +731,80 @@ def label_separation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("nearest_dist") / F.col("scatter")).alias("separation_ratio"),
         )
     )
+
+
+@query(
+    "quantization_error_report",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS max_abs
+          FROM e),
+    q AS (SELECT vec_id, v, max_abs,
+                 list_transform(v, x -> CAST(round(x * (127.0 / max_abs))
+                                             AS INTEGER)) AS qv
+          FROM m),
+    err AS (SELECT vec_id,
+                   list_max(list_transform(
+                     list_zip(v, qv),
+                     p -> abs(p[1] - p[2] * (max_abs / 127.0)))) AS max_err,
+                   CAST(CAST(round(
+                     list_sum(list_transform(list_zip(v, qv),
+                       p -> (p[1] - p[2] * (max_abs / 127.0))
+                            * (p[1] - p[2] * (max_abs / 127.0)))), 12)
+                     AS DECIMAL(28,12)) AS DOUBLE) AS sq_err
+            FROM q)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           max(max_err) AS worst_abs_err,
+           CAST(SUM(CAST(round(sq_err, 12) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*) AS mean_sq_err
+    FROM err
+    """,
+)
+def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the int8-quantization loop: dequantize q·(max_abs/127)
+    and report the corpus-level worst absolute reconstruction error
+    and mean per-vector squared error — the codec-quality evidence a
+    compression rollout needs. Per-vector math is array expressions;
+    the only aggregates are a decimal-staged MSE and an exact MAX.
+    (DuckDB's list_zip pairs the lanes; Spark's zip_with fuses the
+    same loop.)"""
+    from epe_data_wrangling_spark.functions.expr import bind
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    m = e.select("vec_id", v.alias("v")).withColumn(
+        "max_abs", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    qv = F.transform(
+        F.col("v"), lambda x: F.round(x * (F.lit(127.0) / F.col("max_abs"))).cast("int")
+    )
+    q = m.withColumn("qv", qv)
+    diff = F.zip_with(
+        F.col("v"), F.col("qv"),
+        lambda x, c: x - c * (F.col("max_abs") / F.lit(127.0)),
+    )
+    err = q.select(
+        "vec_id",
+        F.array_max(F.transform(bind(diff, lambda d: d), lambda x: F.abs(x))).alias(
+            "max_err"
+        ),
+        F.aggregate(
+            bind(diff, lambda d: d), F.lit(0.0), lambda acc, x: acc + x * x
+        ).alias("raw_sq"),
+    ).select(
+        "vec_id",
+        "max_err",
+        F.round(F.col("raw_sq"), 12).cast("decimal(28,12)").alias("sq_dec"),
+    )
+    per_vec = err.select(
+        "vec_id", "max_err", F.col("sq_dec").cast("double").alias("sq_err")
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.max("max_err").alias("worst_abs_err"),
+        (
+            F.sum(F.round(F.col("sq_err"), 12).cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_sq_err"),
+    )
