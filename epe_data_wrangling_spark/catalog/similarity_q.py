@@ -202,3 +202,133 @@ def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
         F.array_max(v).cast("double").alias("max_val"),
     )
+
+
+RECALL_NQ = 50
+RECALL_K = 3
+RECALL_IVF_CENTS = 16
+RECALL_IVF_PROBE = 8
+
+
+def _recall_oracle() -> str:
+    exact = f"""
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {D.cosine('q.v', 'c.v')} DESC, c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {RECALL_NQ}) t
+      WHERE rn <= {RECALL_K})"""
+    lsh = f"""
+    b AS (SELECT vec_id, v, {D.hyperplane_bucket('v')} AS bucket FROM e),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {D.cosine('q.v', 'c.v')} DESC, c.vec_id) AS rn
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < {RECALL_NQ}) t
+      WHERE rn <= {RECALL_K})"""
+    ivf = f"""
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e
+              ORDER BY vec_id LIMIT {RECALL_IVF_CENTS}),
+    assigned AS (
+      SELECT vid, vv, cell FROM (
+        SELECT e.vec_id AS vid, e.v AS vv, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {D.cosine('e.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {D.cosine('q.v', 'c.cv')} DESC, c.cell) AS rn
+        FROM e q CROSS JOIN cents c
+        WHERE q.vec_id < {RECALL_NQ}) t
+      WHERE rn <= {RECALL_IVF_PROBE}),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vid AS neighbor_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY {D.cosine('p.qv', 'a.vv')} DESC, a.vid) AS rn
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE p.query_id <> a.vid) t
+      WHERE rn <= {RECALL_K})"""
+
+    def summary(idx: str) -> str:
+        return f"""
+      SELECT '{idx}' AS index_name,
+             CAST(COUNT(*) AS BIGINT) AS n_queries,
+             CAST(SUM(n_hit) AS BIGINT) AS total_hits,
+             CAST(SUM(n_hit) AS DOUBLE) / ({RECALL_K} * COUNT(*)) AS mean_recall,
+             CAST(COUNT(*) FILTER (WHERE n_hit = {RECALL_K}) AS BIGINT)
+               AS n_perfect,
+             CAST(COUNT(*) FILTER (WHERE n_hit = 0) AS BIGINT) AS n_zero
+      FROM (SELECT ex.query_id, COUNT(ap.neighbor_id) AS n_hit
+            FROM exact ex LEFT JOIN {idx} ap
+              ON ex.query_id = ap.query_id
+             AND ex.neighbor_id = ap.neighbor_id
+            GROUP BY ex.query_id) h"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {exact},
+    {lsh},
+    {ivf}
+    {summary('lsh')}
+    UNION ALL
+    {summary('ivf')}
+    """
+
+
+@query("ann_recall_report", oracle=_recall_oracle())
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval-evaluation harness AS a hash-checked query:
+    recall@{RECALL_K} against the exact cosine top-{RECALL_K} for two
+    index designs side by side — sign-LSH (8 frozen planes) and IVF
+    ({RECALL_IVF_PROBE}/{RECALL_IVF_CENTS} probed cells). Every
+    quantity is an integer intersection count, so the measurement is
+    oracle-exact. On this near-uniform corpus it correctly ranks the
+    designs: bucket-sparse sign-LSH collapses (the known failure mode
+    the report exists to catch) while IVF holds usable recall — the
+    post-rebuild certification a retrieval pipeline runs."""
+    from epe_data_wrangling_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < RECALL_NQ)
+    exact = S.brute_topk(
+        queries_df, e, vec_col="embedding", id_col="vec_id", k=RECALL_K
+    ).select("query_id", "neighbor_id").localCheckpoint(eager=True)
+
+    def summary(approx: DataFrame, name: str) -> DataFrame:
+        ap = approx.select(
+            F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+        )
+        hits = (
+            exact.join(
+                ap,
+                (exact.query_id == F.col("aq")) & (exact.neighbor_id == F.col("an")),
+                "left",
+            )
+            .groupBy("query_id")
+            .agg(F.count("an").alias("n_hit"))
+        )
+        return hits.agg(
+            F.lit(name).alias("index_name"),
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_hit").alias("total_hits"),
+            (
+                F.sum("n_hit").cast("double") / (F.lit(RECALL_K) * F.count(F.lit(1)))
+            ).alias("mean_recall"),
+            F.count(F.when(F.col("n_hit") == RECALL_K, 1)).alias("n_perfect"),
+            F.count(F.when(F.col("n_hit") == 0, 1)).alias("n_zero"),
+        )
+
+    lsh = S.lsh_topk(queries_df, e, vec_col="embedding", id_col="vec_id", k=RECALL_K)
+    ivf = S.ivf_topk(
+        queries_df, e, vec_col="embedding", id_col="vec_id",
+        k=RECALL_K, n_centroids=RECALL_IVF_CENTS, n_probe=RECALL_IVF_PROBE,
+    )
+    return summary(lsh, "lsh").unionByName(summary(ivf, "ivf"))
