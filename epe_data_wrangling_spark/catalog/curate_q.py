@@ -227,3 +227,61 @@ def scrub_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_removed", "scrubbed_md5")
     )
+
+
+_DEDUP_RATE_SQL = f"""
+    WITH pairs AS ({_minhash_sql()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    comp AS (
+      SELECT node, MIN(r) AS rep FROM (
+        WITH RECURSIVE reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.u, rc.r FROM reach rc JOIN edges e ON e.v = rc.node
+        )
+        SELECT node, r FROM reach) t
+      GROUP BY node),
+    flags AS (
+      SELECT d.doc_id, d.source,
+             comp.node IS NOT NULL AS in_cluster,
+             comp.node IS NOT NULL AND comp.node <> comp.rep AS dropped
+      FROM documents d LEFT JOIN comp ON comp.node = d.doc_id)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE in_cluster) AS BIGINT)
+             AS n_in_clusters,
+           CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) FILTER (WHERE dropped) AS DOUBLE) / COUNT(*)
+             AS dedup_rate
+    FROM flags GROUP BY source
+"""
+
+
+@query("dedup_rate_by_source", oracle=_DEDUP_RATE_SQL)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawl is dirtiest: per source, how many documents sit in
+    a near-duplicate cluster and how many dedup would drop
+    (non-representatives) — the accounting view that steers crawl
+    budget. Composes MinHash-LSH pairs → components → per-source
+    conditional counts; ratios are exact integer divisions in
+    double."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = X.minhash_lsh_pairs(d, "text", "doc_id")
+    comp = X.connected_components(pairs, "a_id", "b_id")
+    flags = d.select("doc_id", "source").join(
+        comp, d.doc_id == comp.node, "left"
+    ).select(
+        "source",
+        F.col("node").isNotNull().alias("in_cluster"),
+        (F.col("node").isNotNull() & (F.col("node") != F.col("rep"))).alias("dropped"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("in_cluster"), 1)).alias("n_in_clusters"),
+        F.count(F.when(F.col("dropped"), 1)).alias("n_dropped"),
+        (
+            F.count(F.when(F.col("dropped"), 1)).cast("double") / F.count(F.lit(1))
+        ).alias("dedup_rate"),
+    )

@@ -209,3 +209,49 @@ def gini_impurity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("column_name", "n_distinct", "gini")
     )
+
+
+def _orphan_sql(child: str, ck: str, parent: str, pk: str) -> str:
+    return (f"(SELECT COUNT(*) FROM {child} c LEFT JOIN {parent} p "
+            f"ON c.{ck} = p.{pk} WHERE p.{pk} IS NULL)")
+
+
+@query(
+    "dq_referential_summary",
+    oracle=f"""
+    SELECT
+      {_orphan_sql('orders', 'o_custkey', 'customer', 'c_custkey')} AS orphan_orders_customer,
+      {_orphan_sql('lineitem', 'l_orderkey', 'orders', 'o_orderkey')} AS orphan_lineitem_orders,
+      {_orphan_sql('lineitem', 'l_partkey', 'part', 'p_partkey')} AS orphan_lineitem_part,
+      {_orphan_sql('lineitem', 'l_suppkey', 'supplier', 's_suppkey')} AS orphan_lineitem_supplier,
+      {_orphan_sql('customer', 'c_nationkey', 'nation', 'n_nationkey')} AS orphan_customer_nation,
+      {_orphan_sql('supplier', 's_nationkey', 'nation', 'n_nationkey')} AS orphan_supplier_nation,
+      {_orphan_sql('nation', 'n_regionkey', 'region', 'r_regionkey')} AS orphan_nation_region
+    """,
+)
+def dq_referential_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity dashboard: orphan counts for
+    every foreign-key edge of the star schema in ONE row — the audit
+    a landing pipeline runs per batch. Each edge is a broadcast anti
+    join count (dimension side small), facts scanned once per edge
+    and never shuffled; zeros certify the contract, nonzeros localize
+    the broken edge."""
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey", "orphan_orders_customer"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey", "orphan_lineitem_orders"),
+        ("lineitem", "l_partkey", "part", "p_partkey", "orphan_lineitem_part"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey", "orphan_lineitem_supplier"),
+        ("customer", "c_nationkey", "nation", "n_nationkey", "orphan_customer_nation"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey", "orphan_supplier_nation"),
+        ("nation", "n_regionkey", "region", "r_regionkey", "orphan_nation_region"),
+    ]
+    out = None
+    for child, ck, parent, pk, alias in edges:
+        cdf = load_table(spark, sf_dir, child).select(ck)
+        pdf = load_table(spark, sf_dir, parent).select(pk)
+        cnt = (
+            cdf.join(F.broadcast(pdf), cdf[ck] == pdf[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+        out = cnt if out is None else out.crossJoin(F.broadcast(cnt))
+    return out
