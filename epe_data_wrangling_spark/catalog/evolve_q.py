@@ -961,3 +961,133 @@ def order_lines_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.groupBy(F.col("n_lines").cast("int").alias("n_lines")).agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), mx.maxd) AS INTEGER)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                  AS DOUBLE) AS monetary
+      FROM orders CROSS JOIN mx GROUP BY o_custkey, mx.maxd),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey)
+                  AS INTEGER) AS r_quartile,
+             CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey)
+                  AS INTEGER) AS f_quartile,
+             CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey)
+                  AS INTEGER) AS m_quartile
+      FROM base)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           r_quartile, f_quartile, m_quartile,
+           CAST(r_quartile AS VARCHAR) || CAST(f_quartile AS VARCHAR)
+             || CAST(m_quartile AS VARCHAR) AS rfm_segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic CRM model): per customer, days
+    since last order, order count, decimal-staged lifetime spend, and
+    quartile codes for each (best = 1), concatenated into the
+    '111'-style segment label. Deterministic ntile via explicit
+    tie-breaks; the heavy work is one per-customer aggregate — the
+    quartile windows run over the customer-level table. 100 TB form:
+    approx-percentile cut points broadcast instead of global ntile."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).cast("int").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    rq = F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).cast("int")
+    fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).cast("int")
+    mq = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).cast("int")
+    scored = base.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        rq.alias("r_quartile"), fq.alias("f_quartile"), mq.alias("m_quartile"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_quartile").cast("string"),
+            F.col("f_quartile").cast("string"),
+            F.col("m_quartile").cast("string"),
+        ),
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT n.n_name, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                      AS DECIMAL(18,6))) AS rev
+      FROM lineitem l
+      JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      JOIN nation n ON su.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, l.l_suppkey),
+    t AS (SELECT n_name, l_suppkey, rev,
+                 SUM(rev) OVER (PARTITION BY n_name) AS tot
+          FROM s)
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(
+                 (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE))
+                 * (CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE)), 12)
+               AS DECIMAL(18,12))) AS DOUBLE) AS hhi
+    FROM t GROUP BY n_name
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation (1/n = perfectly even, →1 = monopoly) — the
+    market-structure metric, all rational arithmetic: revenues staged
+    losslessly at decimal(18,6) (the ≤4-dp products cast exactly),
+    exact decimal window total, squared shares re-staged at 12 dp
+    before the final sum (unscaled ≪ 2^53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            # stage at 6 dp WITHOUT rounding: the 2dp-price x 2dp-discount
+            # product has at most 4 decimals, so the decimal cast is exact
+            # (rounding to 2 dp hit per-row half-ties that differ between
+            # engines and shifted every share in the low bits)
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ).alias("rev")
+        )
+    )
+    t = s.withColumn("tot", F.sum("rev").over(Window.partitionBy("n_name")))
+    share = F.col("rev").cast("double") / F.col("tot").cast("double")
+    return t.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(F.round(share * share, 12).cast("decimal(18,12)"))
+        .cast("double")
+        .alias("hhi"),
+    )
