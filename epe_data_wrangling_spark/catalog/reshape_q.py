@@ -121,3 +121,51 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("o_totalprice")).alias("_r"))
         .select("o_orderstatus", "o_orderpriority", "n", F.col("_r").cast("double").alias("revenue"))
     )
+
+
+@query(
+    "pivot_multi_measure",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS F_total,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+             AS F_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                    THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS O_total,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+             AS O_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                    THEN CAST(round(o_totalprice, 2) AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS P_total,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+             AS P_n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_measure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure pivot (R6 extended): order status pivoted wide
+    with TWO aggregates per cell (decimal-staged total + count),
+    explicit pivot values so no discovery scan. Spark names pivot
+    columns <value>_<agg-alias>; the oracle states the same cells as
+    conditional aggregation — the spec, while pivot is the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_total").cast("double").alias("F_total"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("F_n"),
+        F.col("O_total").cast("double").alias("O_total"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("O_n"),
+        F.col("P_total").cast("double").alias("P_total"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("P_n"),
+    )
