@@ -138,6 +138,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         epe_q,
         evolve_q,
         graph_q,
+        journey_q,
         mlprep_q,
         multimodal_q,
         pipeline_q,
@@ -165,6 +166,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         mlprep_q,
         evolve_q,
         graph_q,
+        journey_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

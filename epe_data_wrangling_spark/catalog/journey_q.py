@@ -1,0 +1,252 @@
+"""User-journey analytics over the events stream: first-order Markov
+transition matrix, session path signatures, time-weighted averages
+(trapezoidal-style integration over event time), and the forward
+as-of join ("time to next X").
+
+The reference has no event data at all — this suite extends SURVEY
+§2.6/§2.7 (windows) and §2.4 (as-of joins) with the product-analytics
+vocabulary a training-data/feature pipeline needs (funnel/retention
+cousins live in ``evolve_q``/``pipeline_q``).
+
+Scale notes (100 TB posture): every query here partitions by
+``user_id`` — per-user windows sort locally after ONE shuffle, no
+global sort anywhere. Transition counting and path signatures reduce
+per-user sequences to (state, next) pairs / bounded path strings
+before the second (tiny) aggregation shuffle. The forward as-of join
+is the union+window idiom from ``operators.joins`` — one shuffle on
+the key, versus the quadratic per-left-row range join. Session paths
+are bounded by the 30-minute gap rule, so no path string grows with
+corpus size.
+
+Determinism: per-user ordering ties broken by ``event_id``
+everywhere; probabilities/averages are plain double divisions with
+identical operand trees on both engines, rounded at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.operators.joins import asof_join_forward
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+SESSION_GAP_US = 1_800_000_000  #: 30-minute inactivity gap (microseconds)
+PATH_TOPK = 25
+ASOF_TOL_SECONDS = 3600  #: forward as-of tolerance: next purchase within 1 h
+
+
+@query(
+    "markov_event_transitions",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    c AS (SELECT event_type, next_type, COUNT(*) AS n
+          FROM nxt WHERE next_type IS NOT NULL
+          GROUP BY event_type, next_type)
+    SELECT event_type, next_type, n,
+           round(n / CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT), 10) AS p
+    FROM c
+    """,
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    (state, next-state) pair, the observed count and the row-
+    normalized transition probability. The lead() is per-user (one
+    shuffle, local sort); the |states|² matrix is a tiny second
+    aggregate. At 100 TB the pair stream is already reduced map-side
+    by partial aggregation — nothing user-sized ever concentrates."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("event_type")
+    return pairs.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 10).alias("p"),
+    )
+
+
+@query(
+    "session_path_signatures",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM numbered GROUP BY user_id, session_no)
+    SELECT path, COUNT(*) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT {PATH_TOPK}
+    """,
+)
+def session_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common whole-session event-type paths ('view>click>
+    purchase'): sessionize with the 30-minute gap rule (gaps-and-
+    islands — the same session definition ``sessionize_events`` pins
+    against session_window), concatenate each session's ordered event
+    types, count signatures. Paths are bounded by session length, so
+    the signature aggregate's keys stay small; the heavy work is the
+    per-user window, one shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.lag("ts").over(w).isNull(), 1)
+        .when(
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > SESSION_GAP_US, 1
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(run))
+    paths = (
+        numbered.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return paths.orderBy(F.desc("n_sessions"), "path").limit(PATH_TOPK)
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events),
+    iv AS (SELECT user_id, value, (next_us - us) AS dur_us
+           FROM d WHERE next_us IS NOT NULL)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           round(CAST(SUM(dur_us) AS BIGINT) / 1000000.0, 6) AS total_sec,
+           round(CAST(SUM(CAST(round(value * (dur_us / 1000000.0), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE)
+                 / (CAST(SUM(dur_us) AS BIGINT) / 1000000.0), 8) AS tw_avg
+    FROM iv GROUP BY user_id
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user: each reading is
+    held until the next event (step interpolation), so the average
+    weights each value by its holding duration — the standard
+    irregular-time-series statistic a plain AVG gets wrong. Per-user
+    lead() = one shuffle; weighted terms are rounded to 6 dp and
+    decimal-summed so both engines add exactly, then one double
+    division at the end."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).where(F.col("next_us").isNotNull())
+    iv = d.select("user_id", "value", (F.col("next_us") - F.col("us")).alias("dur_us"))
+    return iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum("dur_us") / F.lit(1000000.0), 6).alias("total_sec"),
+        F.round(
+            F.sum(
+                F.round(F.col("value") * (F.col("dur_us") / F.lit(1000000.0)), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double")
+            / (F.sum("dur_us") / F.lit(1000000.0)),
+            8,
+        ).alias("tw_avg"),
+    )
+
+
+@query(
+    "asof_forward_error_purchase",
+    oracle=f"""
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    pur AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id,
+           p.event_id AS pur_event_id,
+           round((epoch_us(p.ts) - epoch_us(e.ts)) / 1000000.0, 6) AS wait_sec,
+           p.value AS pur_value
+    FROM err e LEFT JOIN LATERAL (
+      SELECT event_id, ts, value FROM pur p
+      WHERE p.user_id = e.user_id AND p.ts >= e.ts
+        AND epoch_us(p.ts) - epoch_us(e.ts) <= {ASOF_TOL_SECONDS * 1_000_000}
+      ORDER BY p.ts, p.event_id LIMIT 1) p ON TRUE
+    """,
+)
+def asof_forward_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every error event, the user's next
+    purchase within one hour (event id, wait seconds, value) — "does
+    an error precede conversion, and how fast". Uses
+    ``operators.joins.asof_join_forward`` (union + per-key
+    current→following window): one shuffle on user_id, versus the
+    per-error range join the lateral-subquery formulation would plan.
+    The DuckDB oracle IS that independent lateral formulation, so the
+    check is cross-shape, not just cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    err = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join_forward(
+        err,
+        pur.withColumnRenamed("event_id", "pe_id").withColumnRenamed("value", "pv"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["pe_id", "pv"],
+        right_tie="pe_id",
+        tolerance_seconds=ASOF_TOL_SECONDS,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_pe_id").alias("pur_event_id"),
+        F.round((F.unix_micros("asof_ts") - F.unix_micros("ts")) / F.lit(1000000.0), 6).alias(
+            "wait_sec"
+        ),
+        F.col("asof_pv").alias("pur_value"),
+    )

@@ -72,6 +72,81 @@ def asof_join_backward(
     return filled.filter(F.col("_side") == 1).drop("_side")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    right_tie: str | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """As-of (forward / "next event") join: for every left row, attach
+    the EARLIEST right row of the same key with ``right_ts >=
+    left_ts`` — the mirror of :func:`asof_join_backward`, used for
+    "time to next X" analyses (error → next purchase, signal → next
+    fill). Optional ``tolerance_seconds`` nulls the match when the
+    matched right row is further ahead than the tolerance.
+
+    Same scale shape as the backward variant: tag both sides, union by
+    key, sort by (ts, side[, right_tie]) within each key — LEFT before
+    RIGHT on timestamp ties so an equal timestamp still matches — and
+    take ``first(..., ignorenulls)`` over the current→following frame.
+    ONE shuffle on the key, per-key parallel sort, no range join.
+    ``right_tie`` (a right-side unique column, e.g. its event id)
+    makes tie-breaks among equal-timestamp right rows deterministic.
+
+    The matched right timestamp comes back as ``asof_ts`` (null when
+    no match / out of tolerance).
+    """
+    lcols = left.columns
+    l2 = left.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(left_ts)).alias("_us"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast("long").alias("_r_us"),
+    )
+    r2 = right.select(
+        F.col(on).alias("_k"),
+        F.unix_micros(F.col(right_ts)).alias("_us"),
+        F.lit(1).alias("_side"),
+        (F.col(right_tie).cast("long") if right_tie else F.lit(0)).cast("long").alias("_tie"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        F.unix_micros(F.col(right_ts)).alias("_r_us"),
+    )
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_us", "_side", "_tie")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = u.select(
+        "_side",
+        "_us",
+        *lcols,
+        F.first("_r_us", ignorenulls=True).over(w).alias("_m_us"),
+        *[F.first(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("_side") == 0)
+    in_tol = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (F.col("_m_us") - F.col("_us")) <= F.lit(int(tolerance_seconds * 1_000_000))
+    )
+    keep = F.col("_m_us").isNotNull() & in_tol
+    return out.select(
+        *lcols,
+        F.when(keep, F.timestamp_micros(F.col("_m_us"))).alias("asof_ts"),
+        *[F.when(keep, F.col(f"asof_{c}")).alias(f"asof_{c}") for c in value_cols],
+    )
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -77,3 +77,43 @@ def test_q21_sole_supplier_semantics_on_crafted_orders(spark):
         .collect()
     }
     assert got == {(1, 1)}  # supplier 1, exactly order 100
+
+
+def test_asof_forward_semantics(spark):
+    """Forward mirror: earliest right with rts >= ts; equal timestamp
+    matches; tolerance nulls far matches; equal-ts right rows break
+    ties on right_tie; keys are isolated."""
+    from epe_data_wrangling_spark.operators.joins import asof_join_forward
+
+    left = spark.createDataFrame(
+        [
+            (1, 1, _ts("2020-01-01 00:05:00")),  # next right at 00:10 → match
+            (2, 1, _ts("2020-01-01 00:10:00")),  # equal ts → matches 00:10
+            (3, 1, _ts("2020-01-01 00:31:00")),  # next right 02:00, > 1h away → null
+            (4, 2, _ts("2020-01-01 00:00:00")),  # two rights at same ts → min rid
+            (5, 3, _ts("2020-01-01 00:00:00")),  # key with no rights → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 1, _ts("2020-01-01 00:10:00"), 10.0),
+            (12, 1, _ts("2020-01-01 02:00:00"), 30.0),
+            (22, 2, _ts("2020-01-01 00:30:00"), 22.0),
+            (21, 2, _ts("2020-01-01 00:30:00"), 21.0),
+        ],
+        "rid long, user_id long, rts timestamp, v double",
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_rid, r.asof_v)
+        for r in asof_join_forward(
+            left, right, on="user_id", left_ts="ts", right_ts="rts",
+            value_cols=["rid", "v"], right_tie="rid", tolerance_seconds=3600,
+        ).collect()
+    }
+    assert out[1] == (_ts("2020-01-01 00:10:00"), 11, 10.0)
+    assert out[2] == (_ts("2020-01-01 00:10:00"), 11, 10.0)
+    assert out[3] == (None, None, None)
+    assert out[4] == (_ts("2020-01-01 00:30:00"), 21, 21.0)
+    assert out[5] == (None, None, None)
+    assert len(out) == 5
