@@ -139,6 +139,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         evolve_q,
         graph_q,
         journey_q,
+        linkage_q,
         mlprep_q,
         multimodal_q,
         pipeline_q,
@@ -167,6 +168,7 @@ def all_queries() -> dict[str, CatalogQuery]:
         evolve_q,
         graph_q,
         journey_q,
+        linkage_q,
     ):
         overlap = merged.keys() & mod.QUERIES.keys()
         if overlap:

@@ -1,0 +1,241 @@
+"""Record linkage & association analytics: deletion-neighborhood
+blocked fuzzy matching (entity resolution), 2-D skyline (Pareto-
+optimal set), and market-basket pair lift.
+
+The reference deduplicates nothing and links nothing — this suite
+extends the dedup family (SURVEY §2 north-star) from *documents* to
+*entities*: the candidate-generation-then-verify shape of
+``dedup_minhash_lsh`` applied to edit distance instead of Jaccard.
+
+Scale notes (100 TB posture):
+
+- **Entity resolution** uses SymSpell-style deletion neighborhoods:
+  each name emits length+1 keys (itself plus every single-character
+  deletion), candidates are the equi-join on key, and only candidates
+  pay the Levenshtein verify. Candidate volume is Σ|block|² over
+  *key* blocks — linear-ish for name-like data — versus the O(n²)
+  all-pairs edit-distance join. One shuffle on the deletion key,
+  16-byte-ish keys, never a cartesian.
+- **Skyline** is the sort-based sweep: order by revenue desc and keep
+  rows whose balance strictly exceeds the running max — O(n log n),
+  one window, no dominance self-join. The window is global (the input
+  is supplier-dimension-sized); a fact-scale skyline would pre-prune
+  per partition (local skyline) before this sweep, which composes
+  because skyline(∪ skyline_i) = skyline(∪ inputs).
+- **Basket lift** reduces lineitem to distinct (order, part) pairs,
+  self-joins within order — fan-out bounded by per-order basket size
+  squared, not corpus size — then joins part-level counts (broadcast,
+  part-dimension-sized) for support/lift.
+
+Determinism: exact-duplicate (revenue, balance) points keep one
+representative (documented weak-dominance tie rule, same window both
+engines); lift/support are double divisions with identical operand
+trees, rounded; all top-k orderings carry unique tie-break keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.sources.tables import load_table
+
+QUERIES: dict[str, CatalogQuery] = {}
+query = make_registrar(QUERIES)
+
+LEV_MAX = 1  #: verify threshold: names within this edit distance link
+BASKET_MIN_PAIRS = 3  #: support floor for reported part pairs
+BASKET_TOPK = 20
+
+
+@query(
+    "linkage_deletion_neighborhood",
+    oracle=f"""
+    WITH keys AS (
+      SELECT c_custkey, c_name,
+             unnest(list_distinct(list_append(
+               list_transform(range(1, length(c_name) + 1),
+                              i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+               c_name))) AS k
+      FROM customer),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS ca, a.c_name AS na,
+                      b.c_custkey AS cb, b.c_name AS nb
+      FROM keys a JOIN keys b ON a.k = b.k AND a.c_custkey < b.c_custkey),
+    edges AS (
+      SELECT ca, na, cb, nb FROM cand WHERE levenshtein(na, nb) <= {LEV_MAX}),
+    sides AS (
+      SELECT ca AS c_custkey, na AS c_name, nb AS partner FROM edges
+      UNION ALL
+      SELECT cb, nb, na FROM edges)
+    SELECT c_custkey, c_name,
+           COUNT(*) AS n_neighbors, MIN(partner) AS nearest_name
+    FROM sides GROUP BY c_custkey, c_name
+    """,
+)
+def linkage_deletion_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution on customer names: SymSpell-style deletion-
+    neighborhood blocking (each name emits itself plus every single-
+    char deletion as candidate keys), equi-join on key, Levenshtein ≤
+    {LEV_MAX} verify, then a per-entity linkage profile (neighbor
+    count + lexicographically first partner). The blocking guarantees
+    recall for edit distance ≤ 1 (any substitution/insert/delete pair
+    shares a deletion key) while candidate volume stays near-linear —
+    the edit-distance analogue of MinHash-LSH's band buckets."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    n = F.col("c_name")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(n)),
+        lambda i: F.concat(n.substr(F.lit(1), i - 1), n.substr(i + 1, F.length(n))),
+    )
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.array_distinct(F.concat(deletions, F.array(n)))).alias("k"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("ca"),
+            F.col("a.c_name").alias("na"),
+            F.col("b.c_custkey").alias("cb"),
+            F.col("b.c_name").alias("nb"),
+        )
+        .distinct()
+    )
+    edges = cand.where(F.levenshtein("na", "nb") <= LEV_MAX)
+    both = edges.select(
+        F.col("ca").alias("c_custkey"), F.col("na").alias("c_name"), F.col("nb").alias("partner")
+    ).unionAll(
+        edges.select(
+            F.col("cb").alias("c_custkey"),
+            F.col("nb").alias("c_name"),
+            F.col("na").alias("partner"),
+        )
+    )
+    return both.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_neighbors"), F.min("partner").alias("nearest_name")
+    )
+
+
+@query(
+    "skyline_suppliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_suppkey),
+    pts AS (
+      SELECT s_suppkey, s_name, revenue, s_acctbal,
+             MAX(s_acctbal) OVER (ORDER BY revenue DESC, s_acctbal DESC, s_suppkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_bal
+      FROM supplier JOIN rev ON s_suppkey = l_suppkey)
+    SELECT s_suppkey, s_name, revenue, s_acctbal
+    FROM pts WHERE prev_max_bal IS NULL OR s_acctbal > prev_max_bal
+    """,
+)
+def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal suppliers under (lineitem revenue ↑, account
+    balance ↑): the 2-D skyline via the classic sort sweep — order by
+    revenue desc and keep each row whose balance strictly exceeds the
+    running max of all higher-revenue rows. One window over a
+    dimension-sized input replaces the O(n²) dominance anti-join;
+    exact-duplicate points keep their first representative (weak-
+    dominance tie rule, identical on both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+    pts = s.join(rev, s.s_suppkey == rev.l_suppkey).select(
+        "s_suppkey", "s_name", "revenue", "s_acctbal"
+    )
+    w = (
+        Window.orderBy(F.desc("revenue"), F.desc("s_acctbal"), "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = pts.withColumn("prev_max_bal", F.max("s_acctbal").over(w))
+    return swept.where(
+        F.col("prev_max_bal").isNull() | (F.col("s_acctbal") > F.col("prev_max_bal"))
+    ).drop("prev_max_bal")
+
+
+@query(
+    "basket_part_pairs_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_one FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b)
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n_orders, 8) AS support,
+           round((CAST(n_ab AS DOUBLE) * n_orders) / (pa.n_one * CAST(pb.n_one AS DOUBLE)), 8)
+             AS lift
+    FROM pairs
+    JOIN pc pa ON pa.l_partkey = part_a
+    JOIN pc pb ON pb.l_partkey = part_b
+    CROSS JOIN n
+    WHERE n_ab >= {BASKET_MIN_PAIRS}
+    ORDER BY lift DESC, part_a, part_b LIMIT {BASKET_TOPK}
+    """,
+)
+def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs co-ordered in the same
+    order, with support and lift, top-{BASKET_TOPK} by lift (floor of
+    {BASKET_MIN_PAIRS} co-occurrences). The pair join is within-order
+    (fan-out = basket size², not corpus²); part marginals and the
+    order count are dimension-/scalar-sized and broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_one"))
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_PAIRS)
+    )
+    pa = pc.select(F.col("l_partkey").alias("part_a"), F.col("n_one").alias("na_one"))
+    pb = pc.select(F.col("l_partkey").alias("part_b"), F.col("n_one").alias("nb_one"))
+    out = (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n_orders"), 8).alias("support"),
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("na_one") * F.col("nb_one").cast("double")),
+                8,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(BASKET_TOPK)
