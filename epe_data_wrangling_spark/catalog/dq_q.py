@@ -255,3 +255,91 @@ def dq_referential_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = cnt if out is None else out.crossJoin(F.broadcast(cnt))
     return out
+
+
+@query(
+    "entropy_lang_by_source",
+    oracle="""
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+               FROM documents GROUP BY source, lang),
+    t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_langs FROM c GROUP BY source),
+    terms AS (
+      SELECT c.source, t.tot, t.n_langs,
+             CAST(round((n / CAST(tot AS DOUBLE)) * log2(n / CAST(tot AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS term
+      FROM c JOIN t USING (source))
+    SELECT source, MAX(tot) AS n_docs, MAX(n_langs) AS n_langs,
+           round(-CAST(SUM(term) AS DOUBLE), 10) AS lang_entropy_bits
+    FROM terms GROUP BY source
+    """,
+)
+def entropy_lang_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's language distribution —
+    the mixture-diversity audit a corpus-balance dashboard needs (0 =
+    monolingual source; log2(k) = uniform over k languages). Two
+    partial-aggregated scans ((source,lang) counts, then per-source
+    reduce); entropy terms are rounded to 12 dp and decimal-summed so
+    the per-source sum is order-free on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_langs")
+    )
+    p = F.col("n") / F.col("tot").cast("double")
+    terms = c.join(t, "source").select(
+        "source",
+        "tot",
+        "n_langs",
+        F.round(p * F.log2(p), 12).cast("decimal(28,12)").alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("tot").alias("n_docs"),
+        F.max("n_langs").alias("n_langs"),
+        F.round(-F.sum("term").cast("double"), 10).alias("lang_entropy_bits"),
+    )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(floor(o_totalprice / power(10, floor(log10(o_totalprice))))
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM x)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+           round(COUNT(*) / CAST(total AS DOUBLE), 8) AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 8) AS benford_freq,
+           round(COUNT(*) / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / digit), 8)
+             AS deviation
+    FROM x CROSS JOIN n GROUP BY digit, total
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: observed first-significant-
+    digit frequencies vs the log10(1+1/d) expectation — the classic
+    fabricated-numbers screen for financial columns. One scan to a
+    9-row digit histogram (partial-aggregated); the scalar total
+    broadcasts back. Synthetic uniform-ish prices will deviate from
+    Benford — the point of the audit is the per-digit deviation
+    column, not conformance."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    x = o.select(digit.alias("digit"))
+    n = x.agg(F.count(F.lit(1)).alias("total"))
+    counts = x.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    obs = F.col("n") / F.col("total").cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 8).alias("obs_freq"),
+            F.round(exp, 8).alias("benford_freq"),
+            F.round(obs - exp, 8).alias("deviation"),
+        )
+    )

@@ -808,3 +808,95 @@ def quantization_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mean_sq_err"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "query")  #: fixed query terms (broadcast side)
+BM25_TOPK = 15
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    avg = "(sum_dl / CAST(n_docs AS DOUBLE))"
+    contribs = [
+        f"ln((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0)"
+        f" * (tf{i} * {BM25_K1 + 1}) / "
+        f"(tf{i} + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl / {avg}))"
+        for i in range(len(BM25_TERMS))
+    ]
+    score = " + ".join(contribs)
+    return f"""
+    WITH d AS (SELECT doc_id, {_LW} AS toks FROM documents),
+    t AS (SELECT doc_id, len(toks) AS dl,
+             {tf_cols}
+          FROM d),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {df_cols}
+          FROM t)
+    SELECT doc_id, round({score}, 8) AS score
+    FROM t CROSS JOIN s
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """
+
+
+@query("bm25_doc_scores", oracle=_bm25_oracle())
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring of the corpus for a fixed term set —
+    the classic lexical ranker (k1={k1}, b={b}) that complements the
+    TF-IDF/ANN retrieval surface. One narrow scan computes per-doc
+    term frequencies row-level (no token explode — the query set is
+    tiny and inlined); corpus stats (N, avgdl, per-term df) reduce to
+    ONE scalar row, broadcast back, and the scorer is pure row-level
+    double math identical to the DuckDB oracle's operand tree. At
+    100 TB: two passes over token arrays, zero wide shuffles — the
+    only exchanges carry one stats row and the final top-k."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.words(F.lower(F.col("text")))
+
+    def tf_of(term: str) -> F.Column:
+        # NB: a plain single-param lambda — a second (default) param
+        # would make pyspark treat it as the (element, index) form.
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    t = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(term).alias(f"tf{i}") for i, term in enumerate(BM25_TERMS)],
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    avg = F.col("sum_dl") / F.col("n_docs").cast("double")
+    contribs = [
+        F.log((F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5)) + F.lit(1.0))
+        * (F.col(f"tf{i}") * F.lit(BM25_K1 + 1))
+        / (F.col(f"tf{i}") + F.lit(BM25_K1) * (F.lit(1 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avg))
+        for i in range(len(BM25_TERMS))
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    scored = (
+        t.crossJoin(F.broadcast(stats))
+        .where(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+        .select("doc_id", F.round(score, 8).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
+
+
+bm25_doc_scores.__doc__ = bm25_doc_scores.__doc__.format(k1=BM25_K1, b=BM25_B)
