@@ -290,3 +290,79 @@ def dedup_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", n=SPAN_N, min_run=SPAN_MIN_RUN,
         max_gram_freq=SPAN_MAX_FREQ,
     )
+
+
+#: Incremental-ingest split: the "new batch" sources vs the standing corpus.
+INCOMING_SOURCES = ("src15", "src16", "src17", "src18", "src19")
+
+
+@query(
+    "dedup_incremental_new_docs",
+    oracle=f"""
+    WITH inc AS (SELECT doc_id, source, md5(text) AS h FROM documents
+                 WHERE source IN {INCOMING_SOURCES!r}),
+    ex AS (SELECT DISTINCT md5(text) AS h FROM documents
+           WHERE source NOT IN {INCOMING_SOURCES!r}),
+    tagged AS (
+      SELECT inc.doc_id, inc.source, inc.h,
+             EXISTS (SELECT 1 FROM ex WHERE ex.h = inc.h) AS dup_existing
+      FROM inc),
+    fresh AS (
+      SELECT doc_id, source, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM tagged WHERE NOT dup_existing)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN t.dup_existing THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_existing,
+           CAST(SUM(CASE WHEN f.rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_within,
+           CAST(SUM(CASE WHEN f.rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted
+    FROM tagged t LEFT JOIN fresh f ON t.doc_id = f.doc_id
+    GROUP BY t.source
+    """,
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup accounting — the nightly-ingest shape: a new
+    batch (sources {INCOMING_SOURCES}) is deduplicated AGAINST the
+    standing corpus (16-byte hash semi-join; bodies never shuffle)
+    and then WITHIN itself (first-doc_id-wins per fingerprint), and
+    each source reports incoming / dup-vs-corpus / dup-within /
+    accepted counts. At 100 TB the existing-corpus side is a
+    fingerprint index you keep materialized, so each increment costs
+    one hash join against fingerprints, not a corpus rescan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("source").isin(*INCOMING_SOURCES)
+    inc = d.where(is_inc).select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    ex = (
+        d.where(~is_inc)
+        .select(F.md5(F.col("text").cast("binary")).alias("h"))
+        .distinct()
+    )
+    exm = ex.withColumn("dup_existing", F.lit(True))
+    tagged = inc.join(exm, "h", "left").withColumn(
+        "dup_existing", F.coalesce(F.col("dup_existing"), F.lit(False))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    fresh = (
+        tagged.where(~F.col("dup_existing"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "rn")
+    )
+    acc = tagged.join(fresh, "doc_id", "left")
+    return acc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("dup_existing"), 1).otherwise(0)).alias("n_dup_vs_existing"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_within"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_accepted"),
+    )
+
+
+dedup_incremental_new_docs.__doc__ = dedup_incremental_new_docs.__doc__.format(
+    INCOMING_SOURCES=", ".join(INCOMING_SOURCES)
+)

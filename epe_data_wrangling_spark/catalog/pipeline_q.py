@@ -487,3 +487,77 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum").cast("bigint").alias("cum_weight"),
         )
     )
+
+
+#: mixture_rebalance: u01 hash threshold — first 8 md5 hex digits / 2^32.
+_U01 = f"({D.hex_int('md5(CAST(doc_id AS VARCHAR))', 1, 8)} / 4294967296.0)"
+
+
+@query(
+    "mixture_rebalance",
+    oracle=f"""
+    WITH stats AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+                   FROM documents GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS k FROM documents),
+    rates AS (SELECT source, n_before,
+                     least(1.0, CAST(total AS DOUBLE) / k / n_before) AS rate
+              FROM stats CROSS JOIN tot),
+    sel AS (SELECT d.source FROM documents d JOIN rates r USING (source)
+            WHERE {_U01} < r.rate),
+    after AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after
+              FROM sel GROUP BY source),
+    ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM after)
+    SELECT r.source, r.n_before, round(r.rate, 8) AS rate,
+           COALESCE(a.n_after, 0) AS n_after,
+           round(COALESCE(a.n_after, 0) / CAST(ta.total_after AS DOUBLE), 8)
+             AS achieved_share
+    FROM rates r LEFT JOIN after a USING (source) CROSS JOIN ta
+    """,
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing — the data-mixing pass a training
+    pipeline runs before tokenization: compute per-source sampling
+    rates that move the corpus toward a UNIFORM source mixture
+    (rate = min(1, target/|source|)), select documents by a
+    deterministic md5-threshold coin flip (reproducible across
+    engines, runs, and cluster sizes — no RAND), and report the
+    achieved mixture. Over-represented sources downsample; sources at
+    or under target keep everything (rate 1). Shuffles carry
+    (source, count) pairs only; the rate table is source-sized and
+    broadcast back onto the scan."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    tot = d.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("source").alias("k")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_before",
+        F.least(
+            F.lit(1.0), F.col("total").cast("double") / F.col("k") / F.col("n_before")
+        ).alias("rate"),
+    )
+    u01 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    sel = d.join(F.broadcast(rates), "source").where(u01 < F.col("rate"))
+    after = sel.groupBy("source").agg(F.count(F.lit(1)).alias("n_after"))
+    ta = after.agg(F.sum("n_after").alias("total_after"))
+    return (
+        rates.join(after, "source", "left")
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "source",
+            "n_before",
+            F.round("rate", 8).alias("rate"),
+            F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+            F.round(
+                F.coalesce(F.col("n_after"), F.lit(0))
+                / F.col("total_after").cast("double"),
+                8,
+            ).alias("achieved_share"),
+        )
+    )
