@@ -170,3 +170,40 @@ def test_y4m_fixture_luma_at_raw_offset():
     f, x, y = 2, 7, 5
     off = hdr_end + f * frame_size + len(b"FRAME\n") + y * Y4M_W + x
     assert b[off] == y4m_luma(x, y, f, 3)
+
+
+def test_binaryfile_source_feeds_bmp_decode(spark, tmp_path):
+    """File-based multimodal ingest: write real BMP files, read them
+    back through Spark's binaryFile datasource (path/length/content),
+    and run the same real decoder — byte-identical stats to the
+    in-memory payload path. This is the ingest shape a 100 TB image
+    corpus actually uses (directory of blobs → binary column)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.multimodal import decode
+    from epe_data_wrangling_spark.multimodal.assets import make_bmp
+
+    ids = list(range(4))
+    for i in ids:
+        (tmp_path / f"asset_{i:03d}.bmp").write_bytes(make_bmp(i))
+
+    files = spark.read.format("binaryFile").load(str(tmp_path))
+    assert {"path", "length", "content"} <= set(files.columns)
+    assets = files.select(
+        F.regexp_extract(F.col("path"), r"asset_(\d+)\.bmp$", 1)
+        .cast("long")
+        .alias("asset_id"),
+        F.col("content").alias("payload"),
+    )
+    via_files = {
+        r.asset_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in decode.bmp_pixel_stats(assets).collect()
+    }
+    mem = spark.createDataFrame(
+        [(i, bytearray(make_bmp(i))) for i in ids], "asset_id long, payload binary"
+    )
+    via_mem = {
+        r.asset_id: (r.width, r.height, r.sum_r, r.sum_g, r.sum_b)
+        for r in decode.bmp_pixel_stats(mem).collect()
+    }
+    assert via_files == via_mem and set(via_files) == set(ids)
