@@ -101,6 +101,16 @@ def asof_join_forward(
     The matched right timestamp comes back as ``asof_ts`` (null when
     no match / out of tolerance).
     """
+    if right_tie is not None:
+        from pyspark.sql.types import NumericType
+
+        tie_type = right.schema[right_tie].dataType
+        if not isinstance(tie_type, NumericType):
+            raise TypeError(
+                f"right_tie column {right_tie!r} must be numeric for a deterministic "
+                f"tie-break; got {tie_type.simpleString()} (a silent cast would null "
+                "every value and lose the ordering)"
+            )
     lcols = left.columns
     l2 = left.select(
         F.col(on).alias("_k"),
