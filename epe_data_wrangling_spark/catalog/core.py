@@ -1552,3 +1552,319 @@ def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 20)
         .drop("_rn")
     )
+
+
+# ------------------------------------------------- TPC-H completion (partsupp
+# derived). The driver's star schema ships no partsupp table, so the four
+# partsupp-dependent shapes (Q2/Q11/Q16/Q20) and Q9 derive the part-supplier
+# relation from lineitem itself: ps_availqty = total quantity ever shipped by
+# the pair, ps_supplycost = the pair's minimum observed unit price floored to
+# whole cents via integer arithmetic (a raw quotient carries >6 true decimal
+# digits, where the double→decimal staging cast can disagree across engines by
+# one ulp — Spark rounds the double's shortest decimal repr, DuckDB the exact
+# binary value; a 2-digit cost keeps every downstream product exactly
+# canonicalizable). Same adaptation spirit as q21's EXISTS floor. The derived
+# ps aggregate is the SAME subplan text on both sides, so parity holds.
+
+_PS_SQL = """
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ps_availqty,
+             FLOOR(MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)) * 100)
+               / 100 AS ps_supplycost
+      FROM lineitem GROUP BY 1, 2"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem-derived stand-in for TPC-H's partsupp (see above)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.sum(dec("l_quantity")).cast("double").alias("ps_availqty"),
+        (
+            F.floor(
+                F.min(F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double"))
+                * 100
+            )
+            / F.lit(100)
+        ).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    elig AS (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+             ps.ps_supplycost,
+             MIN(ps.ps_supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM part p
+      JOIN ps ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_size = 15 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM elig WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every STANDARD
+    size-15 part, the European supplier(s) quoting the region-minimum
+    supply cost — the correlated scalar-MIN subquery, decorrelated the
+    way engines plan it: a per-part MIN window over the eligible
+    (part × supplier) pairs, then an equality filter. partsupp is
+    derived from lineitem (module note above). Dimensions broadcast;
+    the only shuffle is the derived-ps aggregation keyed on
+    (partkey, suppkey); the window re-partitions by part key only
+    after the dims have pruned the pair set."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    elig = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn(
+            "min_cost", F.min("ps_supplycost").over(Window.partitionBy("p_partkey"))
+        )
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+    )
+    return (
+        elig.select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - ps.ps_supplycost * l.l_quantity
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit = revenue minus
+    supply cost for every '%bolt%' part, rolled up by supplier nation
+    and order year — the 6-way join whose planner challenge is keeping
+    the two fact-sized inputs (lineitem and the derived ps) on one
+    shuffle key while every dimension broadcasts. The ps join is keyed
+    (partkey, suppkey); the per-row profit expression is written with
+    the identical operand tree on both engines and decimal-staged
+    before the order-free SUM."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    ps = _derived_partsupp(spark, sf_dir)
+    profit = dec(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(
+            ps,
+            (ps.ps_partkey == l.l_partkey) & (ps.ps_suppkey == l.l_suppkey),
+        )
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("_p"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_p").cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    natps AS (
+      SELECT ps.ps_partkey,
+             CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(18,6)) AS val
+      FROM ps
+      JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'),
+    byp AS (
+      SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+      FROM natps GROUP BY ps_partkey),
+    tot AS (SELECT CAST(SUM(val) AS DOUBLE) AS total_value,
+                   COUNT(DISTINCT ps_partkey) AS n_parts FROM natps)
+    SELECT ps_partkey, part_value
+    FROM byp, tot
+    WHERE part_value > 2.0 * total_value / n_parts
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part
+    inventory value within one nation, keeping parts whose value
+    exceeds 2x the nation's mean per-part value (scale-invariant where
+    TPC-H's fixed fraction goes empty as the part count grows) — the
+    GROUP BY + HAVING against a scalar aggregate over the same
+    subplan. The shared
+    nation-filtered pair set is localCheckpointed so the per-part and
+    total aggregates don't recompute the derived-ps shuffle (Spark
+    does not CSE across DataFrame branches); the 1-row total then
+    broadcasts into the comparison."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natps = (
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            dec(F.col("ps_supplycost") * F.col("ps_availqty")).alias("val"),
+        )
+        .localCheckpoint(eager=True)  # feeds both byp and the scalar total
+    )
+    byp = natps.groupBy("ps_partkey").agg(F.sum("val").cast("double").alias("part_value"))
+    tot = natps.agg(
+        F.sum("val").cast("double").alias("total_value"),
+        F.countDistinct("ps_partkey").alias("n_parts"),
+    )
+    return (
+        byp.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.lit(2.0) * F.col("total_value") / F.col("n_parts"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+@query(
+    "q16_parts_supplier_cnt",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers can provide each surviving (brand, type, size)
+    bucket, excluding a brand, a type family, and blacklisted
+    suppliers (adapted: negative account balance stands in for the
+    complaint-comment scan — the schema ships no s_comment). The
+    NOT IN decorrelates to a broadcast anti join; COUNT(DISTINCT)
+    shuffles only (group keys, suppkey) pairs after the part dim
+    broadcast-prunes the pair set."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_promotion_suppliers",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    q95 AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty95
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey),
+    excess AS (
+      SELECT DISTINCT ps.ps_suppkey
+      FROM ps
+      JOIN q95 ON ps.ps_partkey = q95.l_partkey AND ps.ps_suppkey = q95.l_suppkey
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      WHERE p.p_name LIKE 'small%' AND ps.ps_availqty > 1.8 * q95.qty95)
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND s.s_suppkey IN (SELECT ps_suppkey FROM excess)
+    ORDER BY s.s_name
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation whose standing quantity of 'small%' parts exceeds 1.8× what
+    they shipped of the part in 1995 (adapted threshold: the derived
+    ps_availqty is all-time quantity, a superset of the year slice, so
+    the factor is >1 to stay selective) — the nested IN-chain that
+    decorrelates to two semi joins. Both fact-sized aggregates share
+    the (partkey, suppkey) shuffle key; the part filter broadcasts;
+    the final supplier probe is a broadcast semi join on the distinct
+    excess-supplier set."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    q95 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("qty95"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    excess = (
+        ps.join(
+            q95,
+            (ps.ps_partkey == q95.l_partkey) & (ps.ps_suppkey == q95.l_suppkey),
+        )
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .filter(F.col("ps_availqty") > F.lit(1.8) * F.col("qty95"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(excess), s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
