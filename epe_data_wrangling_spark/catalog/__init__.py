@@ -22,6 +22,7 @@ Oracle-parity rules used throughout (see also tools/verify_local.py):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -37,12 +38,35 @@ class CatalogQuery:
     headline: bool = False  # included in bench.py's headline set
 
 
+#: ``{ALL_CAPS}`` placeholders in query docstrings refer to module-level
+#: tuning constants (e.g. ``{LEV_MAX}``). They are resolved once at
+#: registration from the function's own module globals, so docs (and
+#: CATALOG.md, generated from them) always show the live values without
+#: each module needing a manual ``fn.__doc__.format(...)`` call.
+_DOC_PLACEHOLDER = re.compile(r"\{([A-Z][A-Z_0-9]*)\}")
+
+
+def _render_const(v) -> str:
+    if isinstance(v, (list, tuple, set, frozenset)):
+        return ", ".join(str(x) for x in v)
+    return str(v)
+
+
+def _resolve_doc(fn) -> str:
+    doc = fn.__doc__ or ""
+    g = getattr(fn, "__globals__", {})
+    return _DOC_PLACEHOLDER.sub(
+        lambda m: _render_const(g[m.group(1)]) if m.group(1) in g else m.group(0), doc
+    )
+
+
 def make_registrar(registry: dict[str, CatalogQuery]):
     """Per-module decorator factory: ``@query('name', oracle=..., headline=...)``."""
 
     def query(name: str, oracle: str | None = None, headline: bool = False):
         def deco(fn):
-            registry[name] = CatalogQuery(name, fn, oracle, fn.__doc__ or "", headline)
+            fn.__doc__ = _resolve_doc(fn)
+            registry[name] = CatalogQuery(name, fn, oracle, fn.__doc__, headline)
             return fn
 
         return deco

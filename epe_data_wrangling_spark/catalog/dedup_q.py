@@ -363,6 +363,3 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-dedup_incremental_new_docs.__doc__ = dedup_incremental_new_docs.__doc__.format(
-    INCOMING_SOURCES=", ".join(INCOMING_SOURCES)
-)

@@ -241,9 +241,3 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("lift"), "part_a", "part_b").limit(BASKET_TOPK)
 
 
-linkage_deletion_neighborhood.__doc__ = linkage_deletion_neighborhood.__doc__.format(
-    LEV_MAX=LEV_MAX
-)
-basket_part_pairs_lift.__doc__ = basket_part_pairs_lift.__doc__.format(
-    BASKET_TOPK=BASKET_TOPK, BASKET_MIN_PAIRS=BASKET_MIN_PAIRS
-)

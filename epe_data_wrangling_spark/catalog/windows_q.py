@@ -518,3 +518,81 @@ def seasonality_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ma, 6).alias("ma12"),
         F.round(F.col("rev").cast("double") - ma, 6).alias("seasonal_component"),
     )
+
+
+EWMA_SPAN = 32  #: frame length (rows) the smoother looks back over
+EWMA_DECAY = 0.5  #: per-step decay; 0.5 ⇒ weights are exact powers of two
+
+
+@query(
+    "window_ewma_user_value",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW) AS xs,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    t AS (
+      SELECT user_id, value, xs,
+             list_transform(generate_series(1, len(xs)),
+                            i -> pow({EWMA_DECAY}, CAST(len(xs) - i AS DOUBLE))) AS wts
+      FROM w WHERE rn = 1)
+    SELECT user_id,
+           CAST(len(xs) AS INTEGER) AS n_window,
+           list_dot_product(xs, wts) / list_dot_product(wts, list_transform(wts, x -> 1.0)) AS ewma,
+           value AS last_value
+    FROM t
+    """,
+)
+def window_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event
+    values — the classic streaming smoother, expressed as a bounded
+    window frame (last {EWMA_SPAN} rows) so state is O(span) per key.
+    Weights use decay {EWMA_DECAY}: exact powers of two, so every
+    term x·2^-k is exact dyadic scaling and the two engines' sums are
+    bit-identical by construction (no libm-rounding hazard). The
+    numerator/denominator are both left-fold dot products (Spark
+    ``aggregate`` ≡ DuckDB ``list_dot_product`` — same proven pairing
+    as functions.vectors.dot). Emits each user's final smoothed
+    level. Scale: per-user partition sort, frame-bounded memory — no
+    global sort, no shuffle beyond the keyed exchange; at 100 TB this
+    is the same shape as any per-entity sessionization pass."""
+    e = load_table(spark, sf_dir, "events")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), 0)
+    )
+    last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    xs = F.col("xs")
+    n = F.size(xs)
+    wts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.pow(F.lit(EWMA_DECAY), (n - i).cast("double")),
+    )
+    dot_fold = lambda a, b: F.aggregate(  # noqa: E731 — mirrors list_dot_product
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        e.select(
+            "user_id",
+            "value",
+            F.collect_list("value").over(frame).alias("xs"),
+            F.row_number().over(last).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .withColumn("wts", wts)
+        .select(
+            "user_id",
+            n.cast("int").alias("n_window"),
+            (
+                dot_fold(xs, F.col("wts"))
+                / dot_fold(F.col("wts"), F.transform(F.col("wts"), lambda x: F.lit(1.0)))
+            ).alias("ewma"),
+            F.col("value").alias("last_value"),
+        )
+    )

@@ -40,10 +40,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one star-schema table.
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS),
-    which Spark's reader rejects by default; it is read as raw nanos
-    (``nanosAsLong``) and truncated to a microsecond timestamp —
-    exactly what DuckDB's reader does, so oracle parity holds.
+    ``events.parquet`` has stored ``ts`` two ways across driver data
+    generations; both are normalized to a session-tz TIMESTAMP (LTZ)
+    so every consumer (watermarks, ``F.window``, ``unix_micros``)
+    sees one type:
+
+    - parquet TIMESTAMP(NANOS) (older corpora): Spark's reader
+      rejects it by default; read as raw nanos (``nanosAsLong``) and
+      truncated to microseconds — exactly what DuckDB's reader does.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (current
+      corpora): Spark 4 infers TIMESTAMP_NTZ; cast to LTZ. Under the
+      engine's UTC session timezone the cast is value-preserving, so
+      the displayed instant matches DuckDB's naive read.
 
     NOTE (deliberate session-wide side effect): reading ``events``
     sets ``spark.sql.legacy.parquet.nanosAsLong=true`` for the whole
@@ -61,8 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -9,11 +9,12 @@ transformation as an oracle-checked batch query, applied to a
 Structured Streaming contract (one DataFrame program, two execution
 modes).
 
-`events.parquet` stores ``ts`` as parquet TIMESTAMP(NANOS) (see
-``sources.tables.load_table``): the stream source reads it as raw
-nanos via ``nanosAsLong`` with an explicit schema (streaming scans
-cannot infer), then truncates to microsecond timestamps like the
-batch reader and DuckDB both do.
+``events.parquet``'s ``ts`` encoding varies by driver data generation
+(TIMESTAMP(NANOS) or TIMESTAMP(MICROS) NTZ — see
+``sources.tables.load_table``): the stream source reads with an
+explicit schema (streaming scans cannot infer) and normalizes ``ts``
+to a session-tz TIMESTAMP exactly like the batch reader, so batch and
+stream run the same logical plan on the same type.
 """
 
 from __future__ import annotations
@@ -56,8 +57,13 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(_as_stream_dir(path))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Current corpora store TIMESTAMP(MICROS, isAdjustedToUTC=false);
+        # watermarks require LTZ. UTC session tz makes this value-preserving.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
