@@ -900,3 +900,170 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 bm25_doc_scores.__doc__ = bm25_doc_scores.__doc__.format(k1=BM25_K1, b=BM25_B)
+
+
+PQ_M = 4  #: subspaces (64-dim embeddings -> 16 dims each)
+PQ_SUB = 16  #: dims per subspace
+PQ_K = 8  #: codebook size per subspace
+PQ_NQ = 10  #: queries served
+PQ_TOPK = 5  #: neighbors per query
+
+
+def _pq_oracle() -> str:
+    """Product-quantization CTE chain: per-subspace Lloyd round with
+    the same integer-staged means as _kmeans_oracle, then ADC serve
+    with round(d2*1e9) BIGINT distance tables so per-pair sums over
+    the PQ_M subspaces are order-free exact."""
+    mean = (
+        "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
+    )
+    d2 = "(s.vv - 2 * list_dot_product(s.v, c.c)) + c.cc"
+    qd2 = "(s.vv - 2 * list_dot_product(s.v, c.c)) + c.cc"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub0 AS (SELECT vec_id, u.m AS m,
+                    v[u.m * {PQ_SUB} + 1 : (u.m + 1) * {PQ_SUB}] AS v
+             FROM e, LATERAL unnest(generate_series(0, {PQ_M - 1})) u(m)),
+    sub AS (SELECT vec_id, m, v, list_dot_product(v, v) AS vv FROM sub0),
+    init AS (SELECT m, vec_id AS cid, v AS c FROM (
+               SELECT m, vec_id, v,
+                      row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+               FROM sub0) t WHERE rn <= {PQ_K}),
+    c0 AS (SELECT m, cid, c, list_dot_product(c, c) AS cc FROM init),
+    a1 AS (SELECT vec_id, m, v, cid FROM (
+             SELECT s.vec_id, s.m, s.v, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY {d2}, c.cid) AS rn
+             FROM sub s JOIN c0 c ON s.m = c.m) t WHERE rn = 1),
+    m1x AS (SELECT m, cid, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+            FROM a1, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    m1 AS (SELECT m, cid, dim, {mean} AS mean_val
+           FROM m1x GROUP BY m, cid, dim),
+    c1l AS (SELECT m, cid, list(mean_val ORDER BY dim) AS c
+            FROM m1 GROUP BY m, cid),
+    c1 AS (SELECT m, cid, c, list_dot_product(c, c) AS cc FROM c1l),
+    codes AS (SELECT vec_id, m, cid FROM (
+                SELECT s.vec_id, s.m, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY {d2}, c.cid) AS rn
+                FROM sub s JOIN c1 c ON s.m = c.m) t WHERE rn = 1),
+    dtab AS (SELECT s.vec_id AS query_id, s.m, c.cid,
+                    CAST(round(({qd2}) * 1000000000.0) AS BIGINT) AS d2_r
+             FROM sub s JOIN c1 c ON s.m = c.m
+             WHERE s.vec_id < {PQ_NQ}),
+    scores AS (SELECT d.query_id, k.vec_id, SUM(d.d2_r) AS adc_r
+               FROM codes k JOIN dtab d ON k.m = d.m AND k.cid = d.cid
+               WHERE d.query_id <> k.vec_id
+               GROUP BY d.query_id, k.vec_id)
+    SELECT query_id, neighbor_id, rank,
+           round(CAST(adc_r AS DOUBLE) / 1000000000.0, 6) AS adc_dist
+    FROM (SELECT query_id, vec_id AS neighbor_id, adc_r,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_r, vec_id) AS INTEGER) AS rank
+          FROM scores) t
+    WHERE rank <= {PQ_TOPK}
+    """
+
+
+@query("pq_adc_topk", oracle=_pq_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the memory-bound scale path beyond
+    IVF: embeddings split into {PQ_M} subspaces of {PQ_SUB} dims;
+    ONE keyed Lloyd round (subspace id is just another grouping key,
+    so all {PQ_M} codebooks train in a single plan — no per-subspace
+    loop) yields {PQ_K}-entry codebooks; vectors compress to {PQ_M}
+    one-byte codes; queries build per-subspace asymmetric-distance
+    tables against the trained codebooks and every corpus vector is
+    scored by {PQ_M} table lookups summed (ADC). Distance entries are
+    staged round(d2·1e9) BIGINT so the per-pair sums are order-free
+    exact cross-engine. Scale (100 TB): training and encoding scan
+    the corpus with only (m,cid,dim)-sized shuffles; the served scan
+    joins codes against a BROADCAST distance table of
+    {PQ_NQ}x{PQ_M}x{PQ_K} rows and shuffles only (query, vec)
+    partial sums — the corpus itself, stored as codes, is ~{PQ_SUB}x
+    smaller than raw floats, which is the point of PQ."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sub = (
+        e.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[F.slice(v, m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)])
+            ).alias("m", "v"),
+        )
+        .withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    )
+    init = (
+        sub.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("m").orderBy("vec_id"))
+        )
+        .filter(F.col("rn") <= PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+    )
+
+    def with_cc(cents: DataFrame) -> DataFrame:
+        return cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+
+    def assign(cents_cc: DataFrame) -> DataFrame:
+        d2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
+        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("cid"))
+        return (
+            sub.join(F.broadcast(cents_cc), "m")
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    a1 = assign(with_cc(init)).select("vec_id", "m", "v", "cid")
+    m1 = (
+        a1.select("m", "cid", F.posexplode(F.col("v")).alias("dim", "x"))
+        .groupBy("m", "cid", "dim")
+        .agg(
+            (
+                F.sum(staged).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("mean_val")
+        )
+    )
+    c1 = with_cc(
+        m1.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("c")
+        )
+    ).localCheckpoint(eager=False)
+    # ^ materialization barrier: c1 feeds BOTH the corpus encoding and
+    # the query distance tables; Spark does not CSE across DataFrame
+    # branches, so without it the keyed Lloyd subtree runs twice.
+    codes = assign(c1).select("vec_id", "m", "cid")
+    d2q = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
+    dtab = (
+        sub.filter(F.col("vec_id") < PQ_NQ)
+        .join(F.broadcast(c1), "m")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "m",
+            "cid",
+            F.round(d2q * F.lit(1e9)).cast("bigint").alias("d2_r"),
+        )
+    )
+    scores = (
+        codes.join(F.broadcast(dtab), ["m", "cid"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_r").alias("adc_r"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_r", "vec_id")
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round(F.col("adc_r").cast("double") / F.lit(1e9), 6).alias("adc_dist"),
+        )
+    )

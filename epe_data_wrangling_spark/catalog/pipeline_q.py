@@ -561,3 +561,109 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_share"),
         )
     )
+
+
+LM_ADD_K = 0.5  #: add-k smoothing mass per bigram type
+
+
+@query(
+    "lm_bigram_perplexity",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {D.words("lower(text)")} AS ws FROM documents),
+    pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM d WHERE len(ws) >= 2),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+    model AS (SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, SUM(c_bg) AS c_ctx FROM model GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v
+              FROM (SELECT unnest(ws) AS w FROM d)),
+    scored AS (
+      SELECT m.w1, m.w2,
+             CAST(round(-ln((m.c_bg + {LM_ADD_K}) /
+                            (c.c_ctx + {LM_ADD_K} * v.v)) * 1000000000.0)
+                  AS BIGINT) AS nll_r
+      FROM model m JOIN ctx c ON m.w1 = c.w1 CROSS JOIN vocab v),
+    per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(s.nll_r) AS nll_sum
+      FROM bg b JOIN scored s ON b.w1 = s.w1 AND b.w2 = s.w2
+      GROUP BY b.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(CAST(nll_sum AS DOUBLE) / 1000000000.0
+                 / CAST(n_bigrams AS DOUBLE), 6) AS cross_entropy,
+           round(exp(round(CAST(nll_sum AS DOUBLE) / 1000000000.0
+                           / CAST(n_bigrams AS DOUBLE), 6)), 6) AS perplexity
+    FROM per_doc
+    """,
+)
+def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (the CCNet/KenLM-style filter):
+    train an add-k-smoothed bigram model ON the corpus itself, then
+    score every document's cross-entropy and perplexity under it —
+    low-perplexity docs are fluent/common text, high-perplexity ones
+    are junk or outliers. P(w2|w1) = (c(w1,w2)+{LM_ADD_K}) /
+    (c(w1·)+{LM_ADD_K}·V). Parity: each bigram type's -ln P is
+    rounded to 9 dp and staged as BIGINT so the per-doc sums are
+    integer-exact and order-free; exp() runs on the 6-dp-rounded
+    cross-entropy so a 1-ulp libm difference cannot survive into the
+    hash. Scale (100 TB): the model is |distinct bigrams| rows —
+    orders of magnitude below token count; doc-bigrams join the model
+    on the bigram key with map-side-combinable counts on both inputs,
+    and token text never shuffles beyond the distinct-type tables
+    (the corpus scan emits (w1,w2) pairs already grouped per doc)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.words(F.lower(F.col("text"))).alias("ws")
+    )
+    ws = F.col("ws")
+    bg = (
+        d.filter(F.size(ws) >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("i"),
+            ws,
+        )
+        .select(
+            "doc_id",
+            F.element_at(ws, F.col("i")).alias("w1"),
+            F.element_at(ws, F.col("i") + 1).alias("w2"),
+        )
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = model.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = d.select(F.explode(ws).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        model.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    (F.col("c_bg") + F.lit(LM_ADD_K))
+                    / (F.col("c_ctx") + F.lit(LM_ADD_K) * F.col("v"))
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("nll_r"),
+        )
+    )
+    per_doc = (
+        bg.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_r").alias("nll_sum"),
+        )
+    )
+    ce = F.round(
+        F.col("nll_sum").cast("double") / F.lit(1e9) / F.col("n_bigrams").cast("double"),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        ce.alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )

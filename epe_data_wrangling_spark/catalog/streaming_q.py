@@ -266,3 +266,34 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("purchase_ts") <= F.col("cut"))
         .drop("cut")
     )
+
+
+@query(
+    "streaming_record_highs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM events)
+    SELECT user_id, ts, value,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS record_idx
+    FROM seq
+    WHERE prev_max IS NULL OR value > prev_max
+    """,
+)
+def streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user record-high transitions via transformWithStateInPandas
+    (the Spark 4 arbitrary-state API — ValueState + flatMap-with-state
+    emission, see streaming.ops.record_highs_stateful). Append mode:
+    every emitted row is an immutable fact, so the memory sink needs
+    no collapsing and the oracle is the batch running-max filter over
+    the same log."""
+    mode = "append" if ops.has_tws_runtime() else "update"
+    return ops.run_to_memory(
+        ops.record_highs_stateful(stream_events(spark, sf_dir)),
+        "s_record_highs",
+        output_mode=mode,
+    )

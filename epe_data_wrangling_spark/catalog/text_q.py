@@ -215,3 +215,114 @@ def zipf_term_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank", "term", "freq",
         (F.col("rank") * F.col("freq")).cast("bigint").alias("zipf_constant"),
     )
+
+
+CMS_ROWS = 4  #: independent hash rows (d)
+CMS_COLS = 1024  #: buckets per row (w); eps ~ e/w
+CMS_TOPK = 20  #: heavy hitters reported
+
+
+def _cms_bucket_sql(seed: int, term: str) -> str:
+    from epe_data_wrangling_spark.catalog.ducksql import hex_int
+
+    md5 = "md5('" + str(seed) + "|' || " + term + ")"
+    return f"({hex_int(md5, 1, 8)}) % {CMS_COLS}"
+
+
+def _cms_oracle() -> str:
+    buckets = ",\n             ".join(
+        f"{_cms_bucket_sql(j, 'term')} AS b{j}" for j in range(CMS_ROWS)
+    )
+    mins = ", ".join(
+        f"(SELECT bucket_total FROM sketch s WHERE s.row_id = {j} "
+        f"AND s.bucket = t.b{j})" for j in range(CMS_ROWS)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {j} AS row_id, b{j} AS bucket, cnt FROM terms"
+        for j in range(CMS_ROWS)
+    )
+    return f"""
+    WITH tok AS (SELECT unnest({{W}}) AS term
+                 FROM (SELECT lower(text) AS text FROM documents)),
+    terms AS (
+      SELECT term, COUNT(*) AS cnt,
+             {buckets}
+      FROM tok GROUP BY term),
+    sketch AS (
+      SELECT row_id, bucket, SUM(cnt) AS bucket_total
+      FROM ({unions}) GROUP BY row_id, bucket),
+    hh AS (SELECT term, cnt,
+                  row_number() OVER (ORDER BY cnt DESC, term) AS rn
+           FROM terms)
+    SELECT t.term, CAST(t.cnt AS BIGINT) AS exact_count,
+           CAST(least({mins}) AS BIGINT) AS cms_estimate,
+           CAST(least({mins}) - t.cnt AS BIGINT) AS overestimate
+    FROM hh h JOIN terms t ON h.term = t.term
+    WHERE h.rn <= {CMS_TOPK}
+    """.replace("{W}", D.words("text"))
+
+
+@query("sketch_cms_heavy_hitters", oracle=_cms_oracle())
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus term frequencies, checked against
+    exact counts for the top-{CMS_TOPK} heavy hitters. The sketch is
+    {CMS_ROWS}x{CMS_COLS} md5-derived counters (CMS is linear, so it
+    is built from per-term partial counts — identical to streaming
+    token-at-a-time updates); a term's estimate is the min of its
+    {CMS_ROWS} bucket totals, always >= exact (the `overestimate`
+    column exposes the sketch error directly). Scale: the corpus scan
+    reduces to |vocab| rows before any shuffle (map-side combine);
+    the sketch itself is a fixed {CMS_ROWS}*{CMS_COLS}-cell table
+    regardless of corpus size — THE bounded-memory frequency summary
+    for 100 TB streams; the heavy-hitter probe is a broadcast join of
+    top-k terms against it."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(T.words(F.lower(F.col("text")))).alias("term")
+    )
+
+    def bucket(seed: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}|"), F.col("term"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_COLS
+        )
+
+    terms = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    terms = terms.select(
+        "term", "cnt", *[bucket(j).alias(f"b{j}") for j in range(CMS_ROWS)]
+    )
+    sketch = None
+    for j in range(CMS_ROWS):
+        part = terms.select(
+            F.lit(j).alias("row_id"), F.col(f"b{j}").alias("bucket"), "cnt"
+        )
+        sketch = part if sketch is None else sketch.unionByName(part)
+    sketch = sketch.groupBy("row_id", "bucket").agg(
+        F.sum("cnt").alias("bucket_total")
+    )
+    hh = (
+        terms.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term"))
+        )
+        .filter(F.col("rn") <= CMS_TOPK)
+        .drop("rn")
+    )
+    est = hh
+    for j in range(CMS_ROWS):
+        sj = sketch.filter(F.col("row_id") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("bucket_total").alias(f"est{j}")
+        )
+        est = est.join(F.broadcast(sj), f"b{j}")
+    estimate = F.least(*[F.col(f"est{j}") for j in range(CMS_ROWS)])
+    return est.select(
+        "term",
+        F.col("cnt").cast("bigint").alias("exact_count"),
+        estimate.cast("bigint").alias("cms_estimate"),
+        (estimate - F.col("cnt")).cast("bigint").alias("overestimate"),
+    )

@@ -313,3 +313,122 @@ def purchase_click_attribution_outer(
         F.col("c.event_id").alias("click_id"),
         F.col("p.user_id").alias("user_id"),
     )
+
+
+#: Output schema of `record_highs_stateful` (module-level for tests).
+RECORD_HIGHS_SCHEMA = "user_id BIGINT, ts TIMESTAMP, value DOUBLE, record_idx BIGINT"
+
+
+class _RecordHighsProcessor:
+    """StatefulProcessor emitting a row each time a user's event value
+    sets a new strict maximum (plus how many records the user has set).
+
+    Defined lazily as a plain class and upgraded to the real
+    ``StatefulProcessor`` base at call time so importing this module
+    never requires the Spark 4 stateful-processor API to exist."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("hwm", "max_value DOUBLE, n BIGINT")
+
+    def handleInputRows(self, key, rows, timer_values) -> "Iterator[pd.DataFrame]":
+        if self._state.exists():
+            max_value, n = self._state.get()
+        else:
+            max_value, n = None, 0
+        out_ts, out_val, out_idx = [], [], []
+        for pdf in rows:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                v = float(row.value)
+                if max_value is None or v > max_value:
+                    max_value = v
+                    n += 1
+                    out_ts.append(row.ts)
+                    out_val.append(v)
+                    out_idx.append(n)
+        self._state.update((max_value, n))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ts),
+                    "ts": out_ts,
+                    "value": out_val,
+                    "record_idx": out_idx,
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def _record_highs_apply(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState twin of _RecordHighsProcessor — same
+    per-key logic against the legacy GroupState API."""
+    max_value, n = state.get if state.exists else (None, 0)
+    out_ts, out_val, out_idx = [], [], []
+    for pdf in pdfs:
+        for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+            v = float(row.value)
+            if max_value is None or v > max_value:
+                max_value = v
+                n += 1
+                out_ts.append(row.ts)
+                out_val.append(v)
+                out_idx.append(n)
+    state.update((max_value, n))
+    if out_ts:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ts),
+                "ts": out_ts,
+                "value": out_val,
+                "record_idx": out_idx,
+            }
+        )
+
+
+def has_tws_runtime() -> bool:
+    """transformWithStateInPandas drives its Python worker protocol
+    over protobuf; without the ``google.protobuf`` package the JVM
+    side crashes the runner at init. Gate on importability."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def record_highs_stateful(events: DataFrame) -> DataFrame:
+    """Per-user record-high detector — arbitrary-state streaming with
+    a flatMap-with-state shape (0..n output rows per input row) that
+    no built-in streaming aggregation expresses. ValueState holds
+    (running max, records-so-far); each new strict maximum EMITS a
+    transition row.
+
+    Runs on ``transformWithStateInPandas`` (the Spark 4 successor
+    API) when its protobuf runtime is available, else on
+    ``applyInPandasWithState`` with byte-identical semantics (this
+    container lacks protobuf — see has_tws_runtime). Emitted records
+    are immutable facts, so the sink needs no collapsing and the
+    batch oracle is an exact running-max window filter. State per key
+    is two scalars — 100 TB posture: grouped shuffle on user_id once,
+    state store size O(|users|)."""
+    if has_tws_runtime():
+        from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+        proc = type("RecordHighs", (_RecordHighsProcessor, StatefulProcessor), {})()
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=RECORD_HIGHS_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _record_highs_apply,
+        outputStructType=RECORD_HIGHS_SCHEMA,
+        stateStructType="max_value DOUBLE, n BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -179,3 +179,27 @@ def test_foreach_batch_upsert_restart_without_new_data(spark, tmp_path):
     first = run_once().collect()
     second = run_once().collect()  # no new files: zero-batch restart
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_record_highs_matches_running_max_filter(spark):
+    """record_highs_stateful (flatMap-with-state) must equal the batch
+    running-max window filter, including the per-user record index."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    batch = (
+        events.withColumn("prev_max", prev_max)
+        .filter(F.col("prev_max").isNull() | (F.col("value") > F.col("prev_max")))
+        .withColumn("record_idx", F.row_number().over(w).cast("long"))
+        .select("user_id", "ts", "value", "record_idx")
+    )
+    mode = "append" if ops.has_tws_runtime() else "update"
+    stream = ops.run_to_memory(
+        ops.record_highs_stateful(stream_events(spark, SF_DIR)),
+        "t_record_highs",
+        output_mode=mode,
+    )
+    assert _rows(stream) == _rows(batch)
