@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
-from epe_data_wrangling_spark.catalog.core import dec
+from epe_data_wrangling_spark.catalog.core import dec, stage6, unstage6
 from epe_data_wrangling_spark.operators.windows import locf
 from epe_data_wrangling_spark.sources.tables import load_table
 
@@ -165,7 +165,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(round((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
     FROM events GROUP BY date_trunc('hour', ts), event_type
     """,
 )
@@ -176,12 +176,12 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(stage6("value")).alias("_s"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
-            F.col("_s").cast("double").alias("sum_value"),
+            unstage6("_s").alias("sum_value"),
         )
     )
 
@@ -191,7 +191,7 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS window_start,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           CAST(SUM(CAST(round((value) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
     FROM events, (VALUES (0), (1)) o(off)
     GROUP BY 1
     """,
@@ -204,11 +204,11 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(stage6("value")).alias("_s"))
         .select(
             F.col("w.start").alias("window_start"),
             "n",
-            F.col("_s").cast("double").alias("sum_value"),
+            unstage6("_s").alias("sum_value"),
         )
     )
 

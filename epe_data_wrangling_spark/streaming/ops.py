@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from epe_data_wrangling_spark.catalog.core import dec
+from epe_data_wrangling_spark.catalog.core import dec, stage6, unstage6
 
 
 def with_watermark(events: DataFrame, delay: str) -> DataFrame:
@@ -42,12 +42,12 @@ def tumbling_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFra
     return (
         with_watermark(events, watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(stage6("value")).alias("_s"))
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n",
-            F.col("_s").cast("double").alias("sum_value"),
+            unstage6("_s").alias("sum_value"),
         )
     )
 
@@ -58,11 +58,11 @@ def sliding_counts(events: DataFrame, *, watermark: str = "2 hours") -> DataFram
     return (
         with_watermark(events, watermark)
         .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).alias("_s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(stage6("value")).alias("_s"))
         .select(
             F.col("w.start").alias("window_start"),
             "n",
-            F.col("_s").cast("double").alias("sum_value"),
+            unstage6("_s").alias("sum_value"),
         )
     )
 
