@@ -75,82 +75,155 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 
 
 #: Explicit catalog order. The external driver hash-checks the FIRST
-#: 50 entries only (observed in round 1: exactly core's 40 + windows'
-#: 9 + reshape's 1st got CORRECTNESS rows; everything after had none),
-#: so the head of this list is the externally-validated surface.
-#: Composition of the first 50:
-#:   - every north-star family (EPE reference pipeline, dedup, ANN,
-#:     text, multimodal, streaming, curation, reshape) — at least one
-#:     scale-path representative each, quadratic verification twins
-#:     (dedup_simhash doc-pairs, ngram-jaccard, brute embedding
-#:     cosine) deliberately demoted past the window;
-#:   - every query that failed hash_match in round 1 (decimal
-#:     canonicalization — all fixed to double finals in r2).
-#: Queries past position 50 remain locally verified per round by
-#: tools/verify_local.py; the driver simply records no row for them.
+#: 50 entries only (observed rounds 1-3), so the head of this list is
+#: the externally-validated surface for the round. The window ROTATES
+#: each round (round-3 verdict, "Next round" item 1): ~10 anchors stay
+#: pinned (one per operator family, regression canaries), and the other
+#: ~40 slots go to queries that have never earned a driver CORRECTNESS
+#: row. Rounds 1-3 certified 77 distinct queries; this round-4 window
+#: is disjoint from round 3's except the anchors. Remaining
+#: never-certified queries are queued in ROTATION_BACKLOG for round 5+.
+#: Queries outside the window remain locally verified every round by
+#: tools/verify_local.py (full 184-query DuckDB-differential sweep).
 PRIORITY_ORDER = [
-    # EPE reference pipeline (certifies the whole tratamento_epe port)
+    # --- anchors (10): one per family, certified r3, kept as canaries
     "epe_pipeline_demo",
-    "epe_annual_consumption",
-    "epe_wide_reconstruction",
-    # dedup — scale paths
-    "dedup_exact_hash",
     "dedup_minhash_lsh",
-    "dedup_simhash_groups",
-    "dedup_embedding_bucketed",
-    "dedup_minhash_clusters",
-    # similarity / ANN
     "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "ann_ivf_topk",
-    "array_higher_order_stats",
-    # text analysis
     "text_token_stats",
-    "text_quality_scores",
-    "text_lang_id",
-    "text_fingerprint",
-    # multimodal (bmp_pixel_stats = REAL container-to-pixels decode)
-    "multimodal_image_meta",
     "multimodal_bmp_pixel_stats",
-    "multimodal_frame_sample",
-    # streaming
     "streaming_tumbling_window",
-    "streaming_sessionize",
-    "streaming_dedup_keys",
-    "streaming_user_stats",
-    # curation pipeline
     "curate_corpus",
-    # reshape
-    "unpivot_lineitem_measures",
     "pivot_event_type_counts",
-    "rollup_region_nation_revenue",
-    "cube_status_priority",
-    # windows (round-1 hash-fails, now double finals)
     "window_running_spend",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "gap_fill_monthly_spend",
-    # core (round-1 hash-fails, now double finals)
     "q1_pricing_summary",
-    "agg_stats_priority",
-    "agg_having_big_spenders",
-    "monthly_revenue_trend",
-    "filter_project_pushdown",
-    "join_broadcast_star",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "join_range_price_bands",
-    "json_extract_events",
-    "join_salted_skew",
-    "sql_q6_forecast_revenue",
-    "q10_returned_revenue",
-    "q12_shipmode_priority",
-    "q18_large_orders",
-    "q22_idle_balance",
-    "grouping_sets_revenue",
-    # newly oracle-checkable (bound-checked estimate, was no_oracle)
-    "agg_approx_distinct_hll",
+    # --- never-driver-certified (40), rotated in this round ---
+    # TPC-H additions (round-3 partsupp derivations + never-windowed)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_cnt",
+    "q20_promotion_suppliers",
+    "q7_nation_volume",
+    "q21_sole_supplier",
+    # core / set ops
+    "agg_approx_percentiles",
+    "setop_intersectall_multiset",
+    # windows
+    "window_ewma_user_value",
+    "rolling_median_value",
+    "revenue_pareto_contribution",
+    "seasonality_monthly_revenue",
+    # reshape
+    "pivot_multi_measure",
+    # text / sketches
+    "sketch_cms_heavy_hitters",
+    "text_readability_proxy",
+    "bm25_doc_scores",
+    # dedup
+    "dedup_shared_spans",
+    "scrub_shared_spans",
+    "dedup_incremental_new_docs",
+    # streaming
+    "streaming_record_highs",
+    "streaming_stream_join",
+    "streaming_upsert_latest",
+    # multimodal
+    "multimodal_wav_energy",
+    "multimodal_y4m_frame_stats",
+    # LLM pipeline
+    "lm_bigram_perplexity",
+    "pack_sequences_greedy",
+    "sample_weighted_systematic",
+    "mixture_rebalance",
+    # data quality
+    "dq_orders_constraint_audit",
+    "dq_lineitem_null_profile",
+    "benford_first_digit_audit",
+    # ML prep
+    "pq_adc_topk",
+    "ann_ivf_trained_topk",
+    "pca_projection_extremes",
+    # evolve / journey / graph / linkage
+    "feature_quantile_bins",
+    "customer_rfm_segments",
+    "funnel_conversion",
+    "pagerank_trading_graph",
+    "linkage_deletion_neighborhood",
 ]  # == 50 entries; assert below
+
+#: Never-driver-certified queries queued for the round-5+ windows, in
+#: intended rotation order. Kept here (not just in docs) so the next
+#: round's rotation is a mechanical splice, and so tooling can report
+#: certification breadth (tools/verify_local.py --coverage).
+ROTATION_BACKLOG = [
+    "q8_market_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "monthly_value_percentile_bands",
+    "tumbling_distinct_users",
+    "window_first_last_nth",
+    "zipf_term_constants",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
+    "ann_recall_report",
+    "streaming_sliding_window",
+    "streaming_static_enrich",
+    "streaming_stream_join_outer",
+    "multimodal_resize_fingerprint",
+    "multimodal_audio_energy",
+    "multimodal_keyframes",
+    "dedup_keep_best",
+    "dedup_rate_by_source",
+    "text_chunking",
+    "contamination_ngram_overlap",
+    "text_pii_scrub",
+    "sample_stratified",
+    "doc_repetition_scores",
+    "corpus_source_stats",
+    "corpus_dup_ngram_fraction",
+    "curation_decisions",
+    "dq_orphan_orders_fk",
+    "chisq_source_lang",
+    "gini_impurity_profile",
+    "dq_referential_summary",
+    "entropy_lang_by_source",
+    "text_tfidf_topk",
+    "inverted_index_postings",
+    "kmeans_lloyd_centroids",
+    "embedding_quantize_int8",
+    "embedding_dim_stats",
+    "split_manifest",
+    "pca_top_component",
+    "label_separation_metrics",
+    "quantization_error_report",
+    "scd2_user_history",
+    "merge_upsert_orders",
+    "anomaly_zscore_events",
+    "histogram_order_totals",
+    "join_interval_episodes",
+    "event_type_cooccurrence",
+    "scd2_dimension_lookup",
+    "period_over_period_revenue",
+    "regression_trend_per_type",
+    "cohort_retention",
+    "categorical_encode_dense",
+    "impute_value_by_type_mean",
+    "ivm_incremental_agg_merge",
+    "cascade_delete_audit",
+    "funnel_conversion_rates",
+    "interarrival_stats_per_user",
+    "order_lines_histogram",
+    "supplier_concentration_hhi",
+    "markov_event_transitions",
+    "session_path_signatures",
+    "time_weighted_avg_value",
+    "asof_forward_error_purchase",
+    "skyline_suppliers",
+    "basket_part_pairs_lift",
+]
 
 
 def all_queries() -> dict[str, CatalogQuery]:
@@ -199,11 +272,13 @@ def all_queries() -> dict[str, CatalogQuery]:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(mod.QUERIES)
 
-    missing = [n for n in PRIORITY_ORDER if n not in merged]
+    missing = [n for n in PRIORITY_ORDER + ROTATION_BACKLOG if n not in merged]
     if missing:
-        raise ValueError(f"PRIORITY_ORDER names unknown queries: {missing}")
+        raise ValueError(f"PRIORITY_ORDER/BACKLOG names unknown queries: {missing}")
     if len(PRIORITY_ORDER) != len(set(PRIORITY_ORDER)):
         raise ValueError("PRIORITY_ORDER contains duplicates")
+    if set(PRIORITY_ORDER) & set(ROTATION_BACKLOG):
+        raise ValueError("query in both PRIORITY_ORDER and ROTATION_BACKLOG")
     ordered: dict[str, CatalogQuery] = {n: merged[n] for n in PRIORITY_ORDER}
     for n, q in merged.items():
         if n not in ordered:
