@@ -36,11 +36,22 @@ def stage6(c) -> F.Column:
     order-free exactness contract as ``dec`` for <=6dp money data,
     but sum(bigint) stays on whole-stage codegen's long fast path
     (decimal sums widen past precision 18 and fall off the compact
-    representation — measured 2.4x slower on q1 at sf0.1). Summed
-    unscaled values must stay < 2^63 (the pre-existing documented
-    envelope was already < 2^53 for correctly-rounded double casts).
+    representation — measured 2.4x slower on q1 at sf0.1).
+
+    OVERFLOW ENVELOPE — a group's summed unscaled values must stay
+    below 2^63 ≈ 9.2e18, i.e. sum(|x|) per group < ~9.2e12 in data
+    units. For q1-shaped money sums (|x| ≤ ~1.1e5, 4 groups) that is
+    ~8e7 rows per group ≈ TPC-H sf300 on this data; beyond it:
+    - ANSI mode (Spark 4 default; the grading driver's session):
+      the sum raises ARITHMETIC_OVERFLOW — loud, safe.
+    - non-ANSI (this repo's tuned session, R-parity): the long sum
+      WRAPS SILENTLY. Do not use stage6 past the envelope there —
+      switch the call site to the ``dec`` decimal staging, which
+      widens to decimal(28,6) (headroom ~1e22) at ~2.4x agg cost.
     Oracle mirror: CAST(SUM(CAST(round((x) * 1000000.0) AS BIGINT))
-    AS DOUBLE) / 1000000.0."""
+    AS DOUBLE) / 1000000.0 (DuckDB sums BIGINT into HUGEINT, so the
+    oracle never wraps — a wrap on the Spark side shows up as a hash
+    mismatch, not a silent agreement)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.round(c.cast("double") * F.lit(1e6)).cast("bigint")
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from epe_data_wrangling_spark.catalog.core import dec, stage6, unstage6
+from epe_data_wrangling_spark.catalog.core import stage6, unstage6
 
 
 def with_watermark(events: DataFrame, delay: str) -> DataFrame:
@@ -319,6 +319,27 @@ def purchase_click_attribution_outer(
 RECORD_HIGHS_SCHEMA = "user_id BIGINT, ts TIMESTAMP, value DOUBLE, record_idx BIGINT"
 
 
+def _record_scan(pdfs: Iterator[pd.DataFrame], max_value, n):
+    """Shared record-high scan for both stateful APIs. A key's rows
+    within one micro-batch arrive as MULTIPLE Arrow chunks (~10k rows
+    each) in no guaranteed order, so all chunks must be concatenated
+    and sorted once before the scan — sorting each chunk independently
+    would process chunks out of event-time order past 10k rows/key."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    out_ts, out_val, out_idx = [], [], []
+    if chunks:
+        allrows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        for row in allrows.sort_values(["ts", "event_id"]).itertuples():
+            v = float(row.value)
+            if max_value is None or v > max_value:
+                max_value = v
+                n += 1
+                out_ts.append(row.ts)
+                out_val.append(v)
+                out_idx.append(n)
+    return max_value, n, out_ts, out_val, out_idx
+
+
 class _RecordHighsProcessor:
     """StatefulProcessor emitting a row each time a user's event value
     sets a new strict maximum (plus how many records the user has set).
@@ -335,16 +356,7 @@ class _RecordHighsProcessor:
             max_value, n = self._state.get()
         else:
             max_value, n = None, 0
-        out_ts, out_val, out_idx = [], [], []
-        for pdf in rows:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-                v = float(row.value)
-                if max_value is None or v > max_value:
-                    max_value = v
-                    n += 1
-                    out_ts.append(row.ts)
-                    out_val.append(v)
-                    out_idx.append(n)
+        max_value, n, out_ts, out_val, out_idx = _record_scan(rows, max_value, n)
         self._state.update((max_value, n))
         if out_ts:
             yield pd.DataFrame(
@@ -366,16 +378,7 @@ def _record_highs_apply(
     """applyInPandasWithState twin of _RecordHighsProcessor — same
     per-key logic against the legacy GroupState API."""
     max_value, n = state.get if state.exists else (None, 0)
-    out_ts, out_val, out_idx = [], [], []
-    for pdf in pdfs:
-        for row in pdf.sort_values(["ts", "event_id"]).itertuples():
-            v = float(row.value)
-            if max_value is None or v > max_value:
-                max_value = v
-                n += 1
-                out_ts.append(row.ts)
-                out_val.append(v)
-                out_idx.append(n)
+    max_value, n, out_ts, out_val, out_idx = _record_scan(pdfs, max_value, n)
     state.update((max_value, n))
     if out_ts:
         yield pd.DataFrame(
