@@ -1573,14 +1573,15 @@ def q21_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     )
-    w = Window.orderBy(F.col("numwait").desc(), "s_name")
     return (
         cand.join(s, cand.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
+        # top-20 via orderBy().limit(): TakeOrderedAndProject merges
+        # per-partition top-20s on the driver — no single-task global
+        # window over the supplier-sized aggregate
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )
 
 

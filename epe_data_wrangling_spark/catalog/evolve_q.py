@@ -311,16 +311,29 @@ N_BINS = 10
 )
 def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency (decile) binning of a numeric feature with the
-    learned bin edges — the feature-engineering discretizer. This
-    exact-ntile form needs a total order (fine for the checked SF and
-    for learning edges on a SAMPLE); the 100 TB form computes the
-    {N_BINS - 1} edges via approx_percentile on a scan and assigns
-    bins with a broadcast range lookup — same output contract, no
-    global sort. The deterministic (value, key) tie-break keeps both
-    engines' ntile identical."""
+    learned bin edges — the feature-engineering discretizer. Exact
+    ntile({N_BINS}) semantics WITHOUT the global unpartitioned window
+    (which serializes all orders through one task): distributed rank
+    via operators.windows.global_row_number (approx-percentile range
+    shards + per-shard row_number + broadcast offsets), then the ANSI
+    ntile bucket computed arithmetically from (rank, total). The
+    deterministic (value, key) tie-break keeps both engines' ntile
+    identical; results are bit-equal to the oracle's global ntile."""
+    from epe_data_wrangling_spark.operators.windows import (
+        exact_ntile_from_rank,
+        global_row_number,
+    )
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.select("o_totalprice", F.ntile(N_BINS).over(w).cast("int").alias("bin"))
+    ranked, total = global_row_number(
+        o.select("o_totalprice", "o_orderkey"),
+        F.col("o_totalprice"),
+        "o_orderkey",
+        out="_rank",
+    )
+    b = ranked.select(
+        "o_totalprice", exact_ntile_from_rank("_rank", total, N_BINS).alias("bin")
+    )
     return b.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.min("o_totalprice").alias("lo"),
@@ -507,19 +520,28 @@ def scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def period_over_period_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-over-month revenue change (the period-comparison
-    analytic): monthly sums decimal-staged for exactness, then one
-    lag window over the month series. The single-partition window is
-    over |months| rows — the already-aggregated series — so the
-    global order is trivially cheap at any fact-table size."""
+    analytic): monthly sums decimal-staged for exactness. LAG over
+    the month series is expressed as a broadcast self-join on the
+    time-dimension-sized aggregate (previous existing month = max
+    month strictly before, then fetch its revenue) — exact lag
+    semantics with no global ordering window at all; the series is
+    bounded by calendar time, so the |months|² dominance join is
+    constant-sized at any fact-table scale."""
     o = load_table(spark, sf_dir, "orders")
     m = o.groupBy(F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")).agg(
         F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)"))
         .cast("double")
         .alias("revenue")
+    ).localCheckpoint(eager=True)  # tiny; three self-join sides reuse it
+    earlier = m.select(F.col("month").alias("pm"), F.col("revenue").alias("prev_revenue"))
+    withprev = (
+        m.join(F.broadcast(earlier.select("pm")), F.col("pm") < F.col("month"), "left")
+        .groupBy("month", "revenue")
+        .agg(F.max("pm").alias("pmx"))
+        .join(F.broadcast(earlier), F.col("pmx") == F.col("pm"), "left")
     )
-    w = Window.orderBy("month")
-    prev = F.lag("revenue").over(w)
-    return m.select(
+    prev = F.col("prev_revenue")
+    return withprev.select(
         "month",
         "revenue",
         prev.alias("prev_revenue"),
@@ -652,17 +674,14 @@ def categorical_encode_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a sorted distinct-value dictionary joined back (broadcast —
     the dictionary is vocabulary-sized). Deterministic code assignment
     (lexicographic), the reproducibility requirement for a feature
-    store; the fact scan never shuffles."""
+    store; the fact scan never shuffles. The dictionary FIT is a
+    driver-side sort of the distinct values (the standard label-
+    encoder fit step — it must fit in one broadcast anyway, and this
+    avoids a global ordering window entirely)."""
     o = load_table(spark, sf_dir, "orders")
-    codes = (
-        o.select("o_orderpriority")
-        .distinct()
-        .select(
-            "o_orderpriority",
-            (F.row_number().over(Window.orderBy("o_orderpriority")) - 1)
-            .cast("int")
-            .alias("code"),
-        )
+    vals = sorted(r[0] for r in o.select("o_orderpriority").distinct().collect())
+    codes = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "o_orderpriority STRING, code INT"
     )
     return o.select("o_orderkey", "o_orderpriority").join(
         F.broadcast(codes), "o_orderpriority"
@@ -996,9 +1015,14 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     since last order, order count, decimal-staged lifetime spend, and
     quartile codes for each (best = 1), concatenated into the
     '111'-style segment label. Deterministic ntile via explicit
-    tie-breaks; the heavy work is one per-customer aggregate — the
-    quartile windows run over the customer-level table. 100 TB form:
-    approx-percentile cut points broadcast instead of global ntile."""
+    tie-breaks. The three quartile assignments avoid the global
+    unpartitioned window (single-task over the whole customer table):
+    each runs the distributed exact-rank (range shards from
+    approx-percentile cut points + per-shard row_number + broadcast
+    offsets, operators.windows.global_row_number) and derives the
+    ANSI ntile bucket from (rank, total) arithmetically — bit-equal
+    to the oracle's global ntile(4). DESC orders rank the negated
+    measure."""
     o = load_table(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("maxd"))
     base = (
@@ -1018,12 +1042,25 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    rq = F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).cast("int")
-    fq = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")).cast("int")
-    mq = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey")).cast("int")
-    scored = base.select(
+    from epe_data_wrangling_spark.operators.windows import (
+        exact_ntile_from_rank,
+        global_row_number,
+    )
+
+    base = base.localCheckpoint(eager=True)  # three rank passes reuse it
+    scored = base
+    for qcol, value in (
+        ("r_quartile", F.col("recency_days")),
+        ("f_quartile", -F.col("frequency")),
+        ("m_quartile", -F.col("monetary")),
+    ):
+        scored, total = global_row_number(scored, value, "o_custkey", out="_rank")
+        scored = scored.withColumn(
+            qcol, exact_ntile_from_rank("_rank", total, 4)
+        ).drop("_rank")
+    scored = scored.select(
         "o_custkey", "recency_days", "frequency", "monetary",
-        rq.alias("r_quartile"), fq.alias("f_quartile"), mq.alias("m_quartile"),
+        "r_quartile", "f_quartile", "m_quartile",
     )
     return scored.withColumn(
         "rfm_segment",

@@ -18,10 +18,12 @@ Scale notes (100 TB posture):
   16-byte-ish keys, never a cartesian.
 - **Skyline** is the sort-based sweep: order by revenue desc and keep
   rows whose balance strictly exceeds the running max — O(n log n),
-  one window, no dominance self-join. The window is global (the input
-  is supplier-dimension-sized); a fact-scale skyline would pre-prune
-  per partition (local skyline) before this sweep, which composes
-  because skyline(∪ skyline_i) = skyline(∪ inputs).
+  no dominance self-join. The running max is DISTRIBUTED
+  (operators.windows.sharded_prefix_max: range shards + per-shard
+  prefix max + broadcast offsets), so even the supplier-dimension
+  input never funnels through one task; a fact-scale skyline would
+  additionally pre-prune per partition (local skyline) first, which
+  composes because skyline(∪ skyline_i) = skyline(∪ inputs).
 - **Basket lift** reduces lineitem to distinct (order, part) pairs,
   self-joins within order — fan-out bounded by per-order basket size
   squared, not corpus size — then joins part-level counts (broadcast,
@@ -35,7 +37,7 @@ trees, rounded; all top-k orderings carry unique tie-break keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
@@ -146,10 +148,15 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto-optimal suppliers under (lineitem revenue ↑, account
     balance ↑): the 2-D skyline via the classic sort sweep — order by
     revenue desc and keep each row whose balance strictly exceeds the
-    running max of all higher-revenue rows. One window over a
-    dimension-sized input replaces the O(n²) dominance anti-join;
-    exact-duplicate points keep their first representative (weak-
-    dominance tie rule, identical on both engines)."""
+    running max of all higher-revenue rows. The sweep's exclusive
+    running max is distributed (operators.windows.sharded_prefix_max:
+    range shards on -revenue + per-shard prefix max + broadcast shard
+    offsets) instead of one unpartitioned window, so the supplier-
+    sized input never serializes through a single task; exact-
+    duplicate points keep their first representative (weak-dominance
+    tie rule, identical on both engines)."""
+    from epe_data_wrangling_spark.operators.windows import sharded_prefix_max
+
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
@@ -164,11 +171,13 @@ def skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = s.join(rev, s.s_suppkey == rev.l_suppkey).select(
         "s_suppkey", "s_name", "revenue", "s_acctbal"
     )
-    w = (
-        Window.orderBy(F.desc("revenue"), F.desc("s_acctbal"), "s_suppkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    swept = sharded_prefix_max(
+        pts,
+        -F.col("revenue"),
+        [F.desc("s_acctbal"), "s_suppkey"],
+        "s_acctbal",
+        out="prev_max_bal",
     )
-    swept = pts.withColumn("prev_max_bal", F.max("s_acctbal").over(w))
     return swept.where(
         F.col("prev_max_bal").isNull() | (F.col("s_acctbal") > F.col("prev_max_bal"))
     ).drop("prev_max_bal")

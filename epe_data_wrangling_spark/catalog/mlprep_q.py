@@ -595,7 +595,11 @@ def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus). The 64-row component broadcasts; the projection is one
     narrow exploded dot product with a decimal-staged per-vector sum,
     hash-checked through BOTH the training iterations and the
-    application pass."""
+    application pass. Each tail is an orderBy().limit() — Spark plans
+    TakeOrderedAndProject (per-partition top-k, driver merge of
+    2×{PROJ_TOPK} rows), never a global single-task sort; the low
+    tail anti-joins the {PROJ_TOPK}-row high tail so overlap keeps
+    the 'high' label, matching the oracle's rank-filter exactly."""
     comp = pca_top_component(spark, sf_dir).select("dim", "component")
     comp = comp.localCheckpoint(eager=True)  # trained vector reused per row
     e = load_table(spark, sf_dir, "embeddings")
@@ -611,21 +615,19 @@ def pca_projection_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score")
         )
     )
-    whi = Window.orderBy(F.col("score").desc(), "vec_id")
-    wlo = Window.orderBy(F.col("score").asc(), "vec_id")
-    ranked = proj.select(
-        "vec_id",
-        "score",
-        F.row_number().over(whi).alias("rhi"),
-        F.row_number().over(wlo).alias("rlo"),
+    proj = proj.localCheckpoint(eager=True)  # scored once, two tails read it
+    hi = (
+        proj.orderBy(F.col("score").desc(), "vec_id")
+        .limit(PROJ_TOPK)
+        .withColumn("tail", F.lit("high"))
     )
-    return ranked.filter(
-        (F.col("rhi") <= PROJ_TOPK) | (F.col("rlo") <= PROJ_TOPK)
-    ).select(
-        "vec_id",
-        "score",
-        F.when(F.col("rhi") <= PROJ_TOPK, "high").otherwise("low").alias("tail"),
+    lo = (
+        proj.orderBy(F.col("score").asc(), "vec_id")
+        .limit(PROJ_TOPK)
+        .withColumn("tail", F.lit("low"))
+        .join(F.broadcast(hi.select("vec_id")), "vec_id", "left_anti")
     )
+    return hi.unionByName(lo).select("vec_id", "score", "tail")
 
 
 def _label_sep_oracle() -> str:

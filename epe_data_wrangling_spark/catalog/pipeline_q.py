@@ -462,8 +462,11 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary (step = total/{PPS_TARGET}) — selection probability
     ∝ document size, sample size ≈ {PPS_TARGET}, all integer-exact
     (no pow/rand, so reproducible across engines and cluster
-    layouts). One window cumsum; the 100 TB form partitions the
-    cumulative line per shard with per-shard offsets."""
+    layouts). The cumulative line is computed WITHOUT a global
+    unpartitioned window (single-task at scale): range shards from
+    approx-percentile cut points of doc_id, per-shard cumsum, plus
+    broadcast per-shard prefix offsets (operators.windows.
+    sharded_cumsum) — exact because doc_id is unique."""
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.col("n_chars").alias("wt"))
     # step must be the exact integer quotient on BOTH engines: casting
@@ -471,7 +474,9 @@ def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = w.agg(F.sum("wt").alias("tot")).select(
         F.expr(f"tot DIV {PPS_TARGET}").alias("step")
     )
-    c = w.withColumn("cum", F.sum("wt").over(Window.orderBy("doc_id")))
+    from epe_data_wrangling_spark.operators.windows import sharded_cumsum
+
+    c = sharded_cumsum(w, "doc_id", "wt", out="cum")
     return (
         c.crossJoin(F.broadcast(t))
         # integer division, NOT floor(double /): at exact multiples the

@@ -9,7 +9,7 @@ catalog.ducksql so doubles are bit-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
@@ -201,17 +201,30 @@ def zipf_term_constants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf profile of the corpus vocabulary: rank×frequency for the
     top {ZIPF_TOPK} terms (constant under Zipf's law — the corpus-
     health diagnostic that flags boilerplate-dominated crawls where
-    the curve flattens). Term counts shuffle as keys+counts; the
-    global rank runs over the tiny frequency table."""
+    the curve flattens). Term counts shuffle as keys+counts; top-{ZIPF_TOPK}
+    selection is an orderBy().limit() TakeOrdered (no global window
+    over the vocabulary), and ranks are reconstructed on the
+    {ZIPF_TOPK}-row result by a broadcast dominance self-join
+    (rank = 1 + rows strictly earlier in the total order)."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select(F.explode(T.words(F.lower(F.col("text")))).alias("term"))
     f = t.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
-    r = f.select(
-        "term", "freq",
-        F.row_number().over(Window.orderBy(F.col("freq").desc(), "term"))
-        .cast("int").alias("rank"),
+    top = (
+        f.orderBy(F.col("freq").desc(), "term")
+        .limit(ZIPF_TOPK)
+        .localCheckpoint(eager=True)  # k rows; both self-join sides reuse
     )
-    return r.filter(F.col("rank") <= ZIPF_TOPK).select(
+    r = (
+        top.alias("a")
+        .join(
+            F.broadcast(top.alias("b")),
+            F.expr("b.freq > a.freq OR (b.freq = a.freq AND b.term < a.term)"),
+            "left",
+        )
+        .groupBy(F.col("a.term").alias("term"), F.col("a.freq").alias("freq"))
+        .agg((F.count(F.col("b.term")) + 1).cast("int").alias("rank"))
+    )
+    return r.select(
         "rank", "term", "freq",
         (F.col("rank") * F.col("freq")).cast("bigint").alias("zipf_constant"),
     )
@@ -306,13 +319,9 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = sketch.groupBy("row_id", "bucket").agg(
         F.sum("cnt").alias("bucket_total")
     )
-    hh = (
-        terms.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term"))
-        )
-        .filter(F.col("rn") <= CMS_TOPK)
-        .drop("rn")
-    )
+    # top-k via orderBy().limit() (TakeOrderedAndProject) — the rank
+    # itself isn't part of the output, so no global window is needed
+    hh = terms.orderBy(F.col("cnt").desc(), "term").limit(CMS_TOPK)
     est = hh
     for j in range(CMS_ROWS):
         sj = sketch.filter(F.col("row_id") == j).select(

@@ -378,9 +378,11 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation n ON c.c_nationkey = n.n_nationkey
       GROUP BY n.n_name),
     t AS (SELECT n_name, revenue,
-                 SUM(revenue) OVER () AS total,
-                 SUM(revenue) OVER (ORDER BY revenue DESC, n_name)
-                   AS running
+                 CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER ()
+                      AS DOUBLE) AS total,
+                 CAST(SUM(CAST(revenue AS DECIMAL(18,2)))
+                      OVER (ORDER BY revenue DESC, n_name)
+                      AS DOUBLE) AS running
           FROM r)
     SELECT n_name, revenue,
            round(revenue / total, 6) AS share,
@@ -392,10 +394,12 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / contribution analysis: each nation's revenue share and
     the cumulative share in descending-revenue order (the 80/20 cut
-    flagged). Heavy lifting is one partial-aggregated star join; the
-    windows then run over the |nations|-row aggregate, so the global
-    ordering is free at any fact size. Revenue decimal-staged; the
-    share divisions are one shared double tree."""
+    flagged). Heavy lifting is one partial-aggregated star join down
+    to the |nations|-row aggregate; the running sum is then a
+    broadcast dominance self-join (sum over rows at-or-before in the
+    (revenue DESC, n_name) total order) and the grand total a
+    broadcast scalar aggregate — no unpartitioned window anywhere,
+    and the |nations|² join is constant-sized at any fact scale."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -408,15 +412,22 @@ def revenue_pareto_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue")
         )
+        .localCheckpoint(eager=True)  # |nations| rows; self-join sides reuse
     )
-    wt = Window.partitionBy()
-    wr = Window.orderBy(F.col("revenue").desc(), "n_name")
-    t = r.select(
-        "n_name",
-        "revenue",
-        F.sum("revenue").over(wt).alias("total"),
-        F.sum("revenue").over(wr).alias("running"),
+    before = (F.col("b.revenue") > F.col("a.revenue")) | (
+        (F.col("b.revenue") == F.col("a.revenue")) & (F.col("b.n_name") <= F.col("a.n_name"))
     )
+    run = (
+        r.alias("a")
+        .join(F.broadcast(r.alias("b")), before)
+        .groupBy(F.col("a.n_name").alias("n_name"), F.col("a.revenue").alias("revenue"))
+        # decimal-staged so the unordered join-side sum is exact and
+        # order-free (a double sum here would differ from the oracle's
+        # sequential prefix sum by summation order)
+        .agg(F.sum(F.col("b.revenue").cast("decimal(18,2)")).cast("double").alias("running"))
+    )
+    tot = r.agg(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("total"))
+    t = run.crossJoin(F.broadcast(tot))
     return t.select(
         "n_name",
         "revenue",
@@ -502,17 +513,39 @@ def seasonality_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     centered 12-month moving average. The frame aggregate runs over
     DECIMAL sums so the moving window is order-free exact (frame
     summation order differs between engines for doubles); the series
-    is the already-aggregated month table, so the global-order window
-    is |months| rows at any fact size."""
+    is the already-aggregated month table. The centered 12-month
+    moving frame is a broadcast rank-band self-join over the bounded
+    month series (rank = count of earlier months, band = ranks within
+    [-6, +5]) — exact ROWS-frame semantics, decimal-staged so the
+    unordered band sum equals the oracle's sequential one, and no
+    unpartitioned window; the |months|×12 join is calendar-bounded at
+    any fact scale."""
     o = load_table(spark, sf_dir, "orders")
-    m = o.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
-    ).agg(F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("rev"))
-    w = Window.orderBy("month").rowsBetween(-6, 5)
-    ma_sum = F.sum("rev").over(w)
-    ma_n = F.count(F.lit(1)).over(w)
-    ma = ma_sum.cast("double") / ma_n
-    return m.select(
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")).alias("rev"))
+        .localCheckpoint(eager=True)  # |months| rows; self-join sides reuse
+    )
+    ranked = (
+        m.alias("a")
+        .join(F.broadcast(m.alias("b")), F.col("b.month") < F.col("a.month"), "left")
+        .groupBy(F.col("a.month").alias("month"), F.col("a.rev").alias("rev"))
+        .agg(F.count(F.col("b.month")).alias("rank0"))
+        .localCheckpoint(eager=True)
+    )
+    band = (F.col("b.rank0") >= F.col("a.rank0") - 6) & (
+        F.col("b.rank0") <= F.col("a.rank0") + 5
+    )
+    win = (
+        ranked.alias("a")
+        .join(F.broadcast(ranked.alias("b")), band)
+        .groupBy(F.col("a.month").alias("month"), F.col("a.rev").alias("rev"))
+        .agg(F.sum(F.col("b.rev")).alias("ma_sum"), F.count(F.lit(1)).alias("ma_n"))
+    )
+    ma = F.col("ma_sum").cast("double") / F.col("ma_n")
+    return win.select(
         "month",
         F.col("rev").cast("double").alias("revenue"),
         F.round(ma, 6).alias("ma12"),

@@ -98,17 +98,25 @@ def read_workbook_grids(path: str) -> dict[str, Grid]:
     read_xls naming).
 
     Engines, in order: pandas' ExcelFile if an Excel engine (openpyxl
-    / xlrd / calamine) is installed; else, for ``.xlsx``, the
-    stdlib-only OOXML reader in ``sources.xlsx`` — this container
-    ships no Excel engine, so the stdlib path is the one actually
-    exercised end-to-end by ``tests/test_epe_pipeline.py``."""
+    / xlrd / calamine) is installed; else the stdlib readers — OOXML
+    (``sources.xlsx``) or legacy BIFF8 (``sources.xls_biff``), chosen
+    by the file's MAGIC BYTES, not its extension (the reference's
+    real artifact is a ``.xls`` — `tratamento_epe.R:39,63`). This
+    container ships no Excel engine, so the stdlib paths are the ones
+    actually exercised end-to-end by ``tests/test_epe_pipeline.py``
+    and ``tests/test_xls_ingest.py``."""
     import pandas as pd  # local import: optional dependency surface
 
     try:
         xl = pd.ExcelFile(path)
     except ImportError:
+        from epe_data_wrangling_spark.sources.xls_biff import CFB_MAGIC, read_xls_grids
         from epe_data_wrangling_spark.sources.xlsx import read_xlsx_grids
 
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic == CFB_MAGIC:
+            return read_xls_grids(path)
         return read_xlsx_grids(path)
     grids: dict[str, Grid] = {}
     for sheet in xl.sheet_names:

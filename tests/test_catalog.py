@@ -30,10 +30,10 @@ def test_priority_window_covers_every_family():
         "dedup_minhash_lsh",      # dedup
         "ann_cosine_topk",        # similarity
         "text_token_stats",       # text analysis
-        "multimodal_image_meta",  # multimodal
+        "multimodal_bmp_pixel_stats",  # multimodal (real pixel decode)
         "streaming_tumbling_window",  # streaming
         "curate_corpus",          # curation composition
-        "unpivot_lineitem_measures",  # reshape
+        "pivot_event_type_counts",  # reshape
         "q1_pricing_summary",     # core TPC-H shapes
         "window_running_spend",   # windows
     ):
