@@ -104,7 +104,6 @@ PRIORITY_ORDER = [
     "q11_important_stock",
     "q16_parts_supplier_cnt",
     "q20_promotion_suppliers",
-    "q7_nation_volume",
     "q21_sole_supplier",
     # core / set ops
     "agg_approx_percentiles",
@@ -128,7 +127,8 @@ PRIORITY_ORDER = [
     "streaming_record_highs",
     "streaming_stream_join",
     "streaming_upsert_latest",
-    # multimodal
+    # multimodal (png = new round-4 real compressed-pixel decode)
+    "multimodal_png_pixel_stats",
     "multimodal_wav_energy",
     "multimodal_y4m_frame_stats",
     # LLM pipeline
@@ -157,6 +157,7 @@ PRIORITY_ORDER = [
 #: round's rotation is a mechanical splice, and so tooling can report
 #: certification breadth (tools/verify_local.py --coverage).
 ROTATION_BACKLOG = [
+    "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",
     "q19_disjunctive_revenue",

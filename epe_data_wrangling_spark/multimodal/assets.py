@@ -101,6 +101,77 @@ def make_wav(asset_id: int, rate: int = WAV_RATE, n: int = WAV_N) -> bytes:
     return buf.getvalue()
 
 
+PNG_W, PNG_H = 16, 12
+
+
+def png_pixel(x: int, y: int, asset_id: int) -> tuple[int, int, int]:
+    """(r, g, b) of pixel (x, y) — the closed form the oracle mirrors."""
+    return (
+        (x * 13 + y * 7 + 5 * asset_id) % 256,
+        (x * 17 + y * 3 + 7 * asset_id) % 256,
+        (x * 5 + y * 11 + 3 * asset_id) % 256,
+    )
+
+
+def make_png(asset_id: int, w: int = PNG_W, h: int = PNG_H) -> bytes:
+    """A real 8-bit RGB PNG (zlib-compressed IDAT) with formula pixels.
+    Scanline filters CYCLE through all five types (y % 5: None, Sub,
+    Up, Average, Paeth), so a decoder must implement real unfiltering
+    — a filter-0-only fixture would never catch a broken Paeth."""
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + tag
+            + body
+            + _struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    raw = bytearray()
+    prev = bytes(w * bpp)
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(png_pixel(x, y, asset_id))
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub
+            raw += bytes(
+                (row[i] - (row[i - bpp] if i >= bpp else 0)) % 256
+                for i in range(len(row))
+            )
+        elif ft == 2:  # Up
+            raw += bytes((row[i] - prev[i]) % 256 for i in range(len(row)))
+        elif ft == 3:  # Average
+            raw += bytes(
+                (row[i] - ((row[i - bpp] if i >= bpp else 0) + prev[i]) // 2) % 256
+                for i in range(len(row))
+            )
+        else:  # Paeth
+            out = bytearray()
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out.append((row[i] - pred) % 256)
+            raw += out
+        prev = bytes(row)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 Y4M_W, Y4M_H, Y4M_FRAMES = 16, 12, 4
 
 

@@ -3,12 +3,15 @@
 Image HEADER metadata (PNG IHDR / JPEG SOFn) is parsed for REAL with
 stdlib ``struct`` — see ``parse_image_header`` — so ``image_meta``
 returns true width/height/channels for actual PNG/JPEG payloads with
-no codec dependency. UNCOMPRESSED containers are decoded for real all
-the way to samples: ``bmp_pixel_stats`` (struct-parsed 24-bit BMP
-pixel rows) and ``wav_meta_energy`` (stdlib ``wave`` PCM), both
-hash-checked against closed-form oracles. Only COMPRESSED pixel/audio/
-video decoding needs Pillow / soundfile / av, none of which exist in
-this container — so that decode step is STUBBED: ``require_real_decoders()``
+no codec dependency. Containers are decoded for real all the way to
+samples wherever stdlib suffices: ``png_pixel_stats`` (zlib inflate +
+full five-filter scanline unfiltering — a COMPRESSED format),
+``bmp_pixel_stats`` (struct-parsed 24-bit BMP pixel rows),
+``wav_meta_energy`` (stdlib ``wave`` PCM) and ``y4m_frame_stats``,
+all hash-checked against closed-form oracles. Only codec-dependent
+decoding (JPEG pixels, lossy audio/video) needs Pillow / soundfile /
+av, none of which exist in this container — so that decode step is
+STUBBED: ``require_real_decoders()``
 raises ``NotImplementedError`` describing what the production body
 would do, and the default ``fake`` mode substitutes a deterministic
 md5-derived stand-in for the decoded values (also the fallback for
@@ -51,13 +54,14 @@ except ImportError:
 def require_real_decoders() -> None:
     """STUB GATE for real media decoding."""
     raise NotImplementedError(
-        "Real media decode is stubbed in this environment (no Pillow/"
-        "soundfile/av). A production deployment replaces the fake-mode "
-        "bodies below with: PIL.Image.open(io.BytesIO(payload)) → "
-        "size/mode for images; soundfile.read → PCM frames for audio; "
-        "av.open → keyframe iteration for video. The mapInPandas "
-        "plumbing, schemas and routing in this module are the real, "
-        "tested code path either way."
+        "Codec-dependent media decode is stubbed in this environment "
+        "(no Pillow/soundfile/av). PNG pixels decode for REAL via "
+        "decode_png_pixels (stdlib zlib + unfilter); BMP/WAV/Y4M "
+        "decode for real too. What remains stubbed: JPEG pixel "
+        "decode (needs a DCT codec: PIL.Image.open), lossy audio "
+        "(soundfile.read), codec video (av.open → keyframes). The "
+        "mapInPandas plumbing, schemas and routing in this module are "
+        "the real, tested code path either way."
     )
 
 
@@ -287,6 +291,125 @@ def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
                 out["asset_id"].append(aid)
                 out["width"].append(w)
                 out["height"].append(h_abs)
+                out["sum_r"].append(sr)
+                out["sum_g"].append(sg)
+                out["sum_b"].append(sb)
+            yield pd.DataFrame(out)
+
+    decoded = assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, width INT, height INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )
+    from pyspark.sql import functions as F
+
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
+    )
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
+    """REAL PNG pixel decode with nothing but stdlib ``zlib``:
+    chunk walk → IHDR, concatenated IDAT inflate, then per-scanline
+    unfiltering (all five PNG filter types incl. Paeth — PNG spec
+    §9). Returns (width, height, channels, recon) where ``recon`` is
+    the raw interleaved 8-bit samples, or None for PNGs outside the
+    supported envelope (non-8-bit depth, interlaced, palette) and
+    non-PNG payloads. This retires the compressed-image half of the
+    ``require_real_decoders`` stub for the most common format."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        return None
+    i = 8
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, i)
+        tag = b[i + 4 : i + 8]
+        body = b[i + 8 : i + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + ln  # len + tag + body + crc
+    if not (w and h) or depth != 8 or interlace != 0:
+        return None
+    channels = _PNG_CHANNELS.get(ctype)
+    if channels is None or ctype == 3:  # palette: out of scope
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    recon = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        ft = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ft == 1:  # Sub
+            for k in range(channels, stride):
+                line[k] = (line[k] + line[k - channels]) % 256
+        elif ft == 2:  # Up
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) % 256
+        elif ft == 3:  # Average
+            for k in range(stride):
+                left = line[k - channels] if k >= channels else 0
+                line[k] = (line[k] + (left + prev[k]) // 2) % 256
+        elif ft == 4:  # Paeth
+            for k in range(stride):
+                a = line[k - channels] if k >= channels else 0
+                up = prev[k]
+                c = prev[k - channels] if k >= channels else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                line[k] = (line[k] + pred) % 256
+        elif ft != 0:
+            return None
+        recon += line
+        prev = bytes(line)
+    return w, h, channels, bytes(recon)
+
+
+def png_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode → per-image channel statistics, the compressed
+    twin of ``bmp_pixel_stats``: (asset_id, width, height, sum_r,
+    sum_g, sum_b, mean_r/g/b). Grayscale maps to r=g=b; alpha is
+    ignored for the sums. Exact integer channel sums (no float
+    accumulation hazard); narrow mapInPandas, payloads never
+    shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_png_pixels(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, ch, px = decoded
+                if ch >= 3:
+                    sr = sum(px[0::ch])
+                    sg = sum(px[1::ch])
+                    sb = sum(px[2::ch])
+                else:  # gray / gray+alpha
+                    sr = sg = sb = sum(px[0::ch])
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
                 out["sum_r"].append(sr)
                 out["sum_g"].append(sg)
                 out["sum_b"].append(sb)
