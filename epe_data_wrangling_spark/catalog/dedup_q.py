@@ -253,6 +253,7 @@ _W_SPAN = D.words("text")
 
 @query(
     "dedup_shared_spans",
+    headline=True,
     oracle=f"""
     WITH w AS (SELECT doc_id, {_W_SPAN} AS ws FROM documents),
     gt AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,

@@ -54,7 +54,7 @@ def _pagerank_oracle() -> str:
     return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 
-@query("pagerank_trading_graph", oracle=_pagerank_oracle())
+@query("pagerank_trading_graph", headline=True, oracle=_pagerank_oracle())
 def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, {PR_ITERS} full iterations (damping {PR_DAMPING}),
     over the undirected customer↔supplier graph induced by line items

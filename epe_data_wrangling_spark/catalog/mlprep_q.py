@@ -851,7 +851,7 @@ def _bm25_oracle() -> str:
     """
 
 
-@query("bm25_doc_scores", oracle=_bm25_oracle())
+@query("bm25_doc_scores", headline=True, oracle=_bm25_oracle())
 def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval scoring of the corpus for a fixed term set —
     the classic lexical ranker (k1={k1}, b={b}) that complements the
@@ -968,7 +968,7 @@ def _pq_oracle() -> str:
     """
 
 
-@query("pq_adc_topk", oracle=_pq_oracle())
+@query("pq_adc_topk", headline=True, oracle=_pq_oracle())
 def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN, the memory-bound scale path beyond
     IVF: embeddings split into {PQ_M} subspaces of {PQ_SUB} dims;
