@@ -157,6 +157,7 @@ PRIORITY_ORDER = [
 #: round's rotation is a mechanical splice, and so tooling can report
 #: certification breadth (tools/verify_local.py --coverage).
 ROTATION_BACKLOG = [
+    "bpe_train_merges",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

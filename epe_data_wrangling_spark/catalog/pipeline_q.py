@@ -672,3 +672,171 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ce.alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+
+
+BPE_MERGES = 3  #: learned merge steps
+
+
+def _bpe_oracle() -> str:
+    """Unrolled {BPE_MERGES}-iteration BPE merge-learning CTE chain —
+    the same pair-count → argmax → gaps-and-islands greedy-merge
+    relational plan the Spark side builds, iteration for iteration."""
+    parts = [f"""
+    WITH tok AS (SELECT unnest({_W}) AS word
+                 FROM (SELECT lower(text) AS text FROM documents)),
+    w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                  list_transform(range(1, length(word) + 1),
+                                 i -> substr(word, i, 1)) AS syms
+           FROM tok GROUP BY word)"""]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f"""
+    p{i} AS (SELECT syms[k] AS l, syms[k + 1] AS r, SUM(freq) AS cnt
+             FROM w{i - 1}, LATERAL unnest(generate_series(1, len(syms) - 1)) u(k)
+             GROUP BY syms[k], syms[k + 1]),
+    t{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    s{i} AS (SELECT word, freq, k, syms[k] AS s,
+                    COALESCE(syms[k] = t.l AND syms[k + 1] = t.r, FALSE) AS is_occ,
+                    t.l, t.r
+             FROM w{i - 1} CROSS JOIN t{i} t,
+                  LATERAL unnest(generate_series(1, len(syms))) u(k)),
+    o{i} AS (SELECT word, k,
+                    k - row_number() OVER (PARTITION BY word ORDER BY k) AS island
+             FROM s{i} WHERE is_occ),
+    k{i} AS (SELECT word, k FROM (
+               SELECT word, k,
+                      row_number() OVER (PARTITION BY word, island ORDER BY k) AS rk
+               FROM o{i}) z WHERE rk % 2 = 1),
+    m{i} AS (SELECT s.word, s.freq, s.k, s.s, s.l, s.r,
+                    (kk.k IS NOT NULL) AS m,
+                    lag(kk.k IS NOT NULL)
+                      OVER (PARTITION BY s.word ORDER BY s.k) AS pm
+             FROM s{i} s LEFT JOIN k{i} kk
+               ON s.word = kk.word AND s.k = kk.k),
+    w{i} AS (SELECT word, freq,
+                    list(CASE WHEN m THEN l || r ELSE s END ORDER BY k) AS syms
+             FROM m{i} WHERE pm IS NULL OR NOT pm
+             GROUP BY word, freq)""")
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS step, l AS merge_left, r AS merge_right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, BPE_MERGES + 1)
+    )
+    return ",".join(parts) + " " + finals
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — {BPE_MERGES} merge-learning steps over
+    the corpus, the missing half of tokenization (bpe_token_count
+    applies a tokenizer; this learns one). Each step: (1) count
+    adjacent symbol pairs weighted by word frequency (vocabulary-sized
+    shuffle of pair keys + counts — the corpus is scanned ONCE total,
+    at the initial word-frequency aggregate), (2) broadcast the argmax
+    pair (count desc, then lexicographic — deterministic), (3) apply
+    the merge greedily left-to-right per word. Greedy non-overlap over
+    runs (e.g. 'aaaa' with pair (a,a) → 'aa','aa') is expressed
+    RELATIONALLY as gaps-and-islands — occurrence positions that chain
+    by +1 form an island; keep the 1st, 3rd, … of each island — so the
+    identical plan runs on both engines with no UDF and no
+    order-dependent fold. Output: (step, merge_left, merge_right,
+    pair_count) — the learned merge table. 100 TB posture: after the
+    first aggregate everything operates on the vocabulary (words ×
+    symbols), per-word windows only; the merge table itself is what a
+    real tokenizer trainer (GPT-2 BPE, SentencePiece-BPE) emits."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.words(F.lower(F.col("text")))).alias("word"))
+    words = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+        .localCheckpoint(eager=True)  # vocabulary-sized; start of each step
+    )
+    merges = []
+    for step in range(1, BPE_MERGES + 1):
+        top = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(syms, 1, size(syms) - 1)").alias("l"),
+                        F.expr("slice(syms, 2, size(syms) - 1)").alias("r"),
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row, reused by merge + output
+        )
+        if top.isEmpty():  # vocabulary fully merged: no pair left to learn
+            break
+        merges.append(
+            top.select(
+                F.lit(step).alias("step"),
+                F.col("l").alias("merge_left"),
+                F.col("r").alias("merge_right"),
+                F.col("cnt").cast("bigint").alias("pair_count"),
+            )
+        )
+        sp = (
+            words.select("word", "freq", "syms", F.posexplode("syms").alias("k0", "s"))
+            .withColumn("k", F.col("k0") + 1)  # 1-based like the oracle
+            .crossJoin(F.broadcast(top))
+            .withColumn(
+                "is_occ",
+                F.coalesce(
+                    (F.col("s") == F.col("l"))
+                    & (F.try_element_at("syms", F.col("k") + 1) == F.col("r")),
+                    F.lit(False),
+                ),
+            )
+        )
+        wk = Window.partitionBy("word").orderBy("k")
+        occ = sp.filter("is_occ").select(
+            F.col("word").alias("ow"),
+            F.col("k").alias("ok"),
+            (F.col("k") - F.row_number().over(Window.partitionBy("word").orderBy("k"))).alias(
+                "island"
+            ),
+        )
+        kept = (
+            occ.withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("ow", "island").orderBy("ok")),
+            )
+            .filter(F.col("rk") % 2 == 1)
+            .select("ow", "ok")
+        )
+        merged = (
+            sp.join(
+                kept,
+                (F.col("word") == F.col("ow")) & (F.col("k") == F.col("ok")),
+                "left",
+            )
+            .withColumn("m", F.col("ok").isNotNull())
+            .withColumn("pm", F.lag("m").over(wk))
+        )
+        words = (
+            merged.filter(F.col("pm").isNull() | ~F.col("pm"))
+            .withColumn(
+                "ns",
+                F.when(F.col("m"), F.concat(F.col("l"), F.col("r"))).otherwise(
+                    F.col("s")
+                ),
+            )
+            .groupBy("word", "freq")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(k, ns))), x -> x.ns)"
+                ).alias("syms")
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

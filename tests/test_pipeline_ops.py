@@ -167,3 +167,24 @@ def test_pca_component_is_unit_norm(spark):
     assert abs(norm2 - 1.0) < 1e-6
     eig = comp.select("eigenvalue_est").distinct().collect()
     assert len(eig) == 1 and eig[0][0] > 0
+
+
+def test_bpe_greedy_run_handling(spark, tmp_path):
+    """BPE merge application must be greedy-left over runs: 'aaaa'
+    with learned pair (a,a) becomes ('aa','aa'), never ('aa','a','a')
+    or an overlap artifact — the gaps-and-islands keep-odd rule. Also
+    covers the no-pairs-left early stop (vocabulary fully merged
+    before BPE_MERGES steps)."""
+    from epe_data_wrangling_spark.catalog.pipeline_q import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa", "en", "t", 12)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in bpe_train_merges(spark, str(tmp_path)).collect()]
+    # step 1: pairs of 'aaaa' = 3 per occurrence x2 + 1 from 'aa' = 7
+    # greedy: aaaa -> [aa, aa], aa -> [aa]
+    # step 2: (aa, aa) count 2 -> aaaa -> [aaaa]
+    # step 3: no adjacent pairs remain -> early stop, no third row
+    assert got == [(1, "a", "a", 7), (2, "aa", "aa", 2)]
