@@ -138,3 +138,33 @@ def test_unicode_and_bool_cells(tmp_path):
     assert g[0][0] == "Março"
     assert g[1][0] == "não-residencial"
     assert g[1][1] == "1234.5" and g[1][2] == "-7"
+
+
+def test_fetch_over_loopback_http(tmp_path):
+    """S1 (workbook.fetch) end-to-end without external network: serve
+    a real BIFF8 fixture from a loopback http.server, download it via
+    fetch(), and parse the downloaded bytes — the exact
+    download-then-read sequence of `tratamento_epe.R:39-47,63`."""
+    import http.server
+    import threading
+
+    from epe_data_wrangling_spark.sources.workbook import fetch
+
+    src = tmp_path / "serve"
+    src.mkdir()
+    write_xls(str(src / "consumo.xls"), workbook_grids())
+
+    def handler(*a, **kw):
+        return http.server.SimpleHTTPRequestHandler(*a, directory=str(src), **kw)
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = httpd.server_address[1]
+        dest = str(tmp_path / "downloaded.xls")
+        out = fetch(f"http://127.0.0.1:{port}/consumo.xls", dest)
+        assert out == dest
+        grids = read_workbook_grids(dest)
+        assert set(grids) == set(workbook_grids())
+    finally:
+        httpd.shutdown()
