@@ -158,6 +158,7 @@ PRIORITY_ORDER = [
 #: certification breadth (tools/verify_local.py --coverage).
 ROTATION_BACKLOG = [
     "bpe_train_merges",
+    "mmr_diverse_topk",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

@@ -332,3 +332,100 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=RECALL_K, n_centroids=RECALL_IVF_CENTS, n_probe=RECALL_IVF_PROBE,
     )
     return summary(lsh, "lsh").unionByName(summary(ivf, "ivf"))
+
+
+MMR_K = 4  #: picks
+MMR_LAMBDA = 0.7  #: relevance weight; 1-λ penalizes similarity to picks
+
+
+def _mmr_oracle() -> str:
+    """Unrolled {MMR_K}-step MMR CTE chain mirroring the Spark loop
+    pick for pick (same cosine trees, same λ literals)."""
+    lam, mu = repr(MMR_LAMBDA), repr(1 - MMR_LAMBDA)
+    cos_q = D.cosine("r.v", "s.v")
+    parts = [f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    r AS (SELECT vec_id, v, {D.cosine('v', 'qv')} AS rel
+          FROM e CROSS JOIN q WHERE vec_id <> 0),
+    p1 AS (SELECT vec_id, v, rel, {lam} * rel - {mu} * 0.0 AS score
+           FROM r ORDER BY rel DESC, vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id, v FROM p1)"""]
+    for k in range(2, MMR_K + 1):
+        parts.append(f"""
+    c{k} AS (SELECT r.vec_id, r.v, r.rel, MAX({cos_q}) AS dv
+             FROM r CROSS JOIN sel{k - 1} s
+             WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+             GROUP BY r.vec_id, r.v, r.rel),
+    p{k} AS (SELECT vec_id, v, rel, {lam} * rel - {mu} * dv AS score
+             FROM c{k} ORDER BY {lam} * rel - {mu} * dv DESC, vec_id LIMIT 1),
+    sel{k} AS (SELECT vec_id, v FROM sel{k - 1}
+               UNION ALL SELECT vec_id, v FROM p{k})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {k} AS pick_rank, vec_id, round(rel, 6) AS relevance, "
+        f"round(score, 6) AS mmr_score FROM p{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    return ",".join(parts) + " " + finals
+
+
+@query("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection: pick {MMR_K} vectors that
+    are relevant to the query (vec_id 0's embedding, broadcast) but
+    mutually diverse — score = λ·cos(q,v) − (1−λ)·max_cos(v, picked),
+    λ={MMR_LAMBDA}. The diversity-aware sampler an eval-set or
+    few-shot-pool builder needs where plain top-k returns near-
+    duplicates. Each of the {MMR_K} greedy steps is one corpus scan:
+    relevance re-derived from the shared cosine tree, the diversity
+    penalty a broadcast of the ≤{MMR_K}-row picked set and an
+    order-free MAX — no pairwise corpus join anywhere, so a step is
+    O(corpus·picks) flops with only a TakeOrdered(1) reduction; a
+    production run would persist the relevance column once instead of
+    rescanning. Ties broken by vec_id; cosines are bit-identical
+    sequential folds on both engines, so selection is deterministic
+    cross-engine (hash-checked)."""
+    from epe_data_wrangling_spark.functions.vectors import cosine
+
+    lam, mu = F.lit(MMR_LAMBDA), F.lit(1 - MMR_LAMBDA)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    r = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "v", cosine(F.col("v"), F.col("qv")).alias("rel"))
+    )
+    pick = (
+        r.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", "v", "rel", (lam * F.col("rel") - mu * F.lit(0.0)).alias("score"))
+        .localCheckpoint(eager=True)
+    )
+    picks = [pick.select(F.lit(1).alias("pick_rank"), "vec_id", "rel", "score")]
+    selected = pick.select("vec_id", "v")
+    for k in range(2, MMR_K + 1):
+        sv = selected.select(F.col("vec_id").alias("sid"), F.col("v").alias("sv"))
+        score = lam * F.col("rel") - mu * F.col("dv")
+        pick = (
+            r.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(sv))
+            .groupBy("vec_id", "v", "rel")
+            .agg(F.max(cosine(F.col("v"), F.col("sv"))).alias("dv"))
+            .orderBy(score.desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "v", "rel", score.alias("score"))
+            .localCheckpoint(eager=True)
+        )
+        picks.append(pick.select(F.lit(k).alias("pick_rank"), "vec_id", "rel", "score"))
+        selected = selected.unionByName(pick.select("vec_id", "v"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "pick_rank",
+        "vec_id",
+        F.round("rel", 6).alias("relevance"),
+        F.round("score", 6).alias("mmr_score"),
+    )
