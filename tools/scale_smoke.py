@@ -109,6 +109,61 @@ def main() -> None:
     ]:
         run(label, cat[qname].fn(spark, base))
 
+    # r4: distributed-ordering primitives vs the single-task global
+    # window they replaced, at 10× (600k orders / 500k docs). The
+    # sharded form pays 2 extra small jobs (percentile cut points +
+    # shard totals) to keep EVERY data-sized stage partitioned — at
+    # this modest scale the two should be comparable; the global form
+    # degrades with data volume (one task sorts everything), the
+    # sharded form with nothing but shard count.
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.operators.windows import (
+        exact_ntile_from_rank,
+        global_row_number,
+        sharded_cumsum,
+    )
+
+    orders = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    (
+        orders.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") * REPLICAS + F.col("rep")).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{WORK}/orders.parquet")
+    )
+    bo = spark.read.parquet(f"{WORK}/orders.parquet")
+
+    def ntile_global():
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        b = bo.select(F.ntile(10).over(w).cast("int").alias("bin"), "o_totalprice")
+        return b.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"), F.min("o_totalprice"), F.max("o_totalprice")
+        )
+
+    def ntile_sharded():
+        ranked, total = global_row_number(
+            bo, F.col("o_totalprice"), "o_orderkey", out="_rank"
+        )
+        b = ranked.select(
+            exact_ntile_from_rank("_rank", total, 10).alias("bin"), "o_totalprice"
+        )
+        return b.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"), F.min("o_totalprice"), F.max("o_totalprice")
+        )
+
+    run("ntile_global_600k_orders", ntile_global())
+    run("ntile_sharded_600k_orders", ntile_sharded())
+    bd_w = bd.select("doc_id", F.length("text").alias("wt"))
+    run(
+        "cumsum_global_500k_docs",
+        bd_w.withColumn("cum", F.sum("wt").over(Window.orderBy("doc_id"))),
+    )
+    run("cumsum_sharded_500k_docs", sharded_cumsum(bd_w, "doc_id", "wt", out="cum"))
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
