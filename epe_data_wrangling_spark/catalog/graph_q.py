@@ -90,9 +90,17 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(PR_ITERS):
+        # rank/degree are node-sized: BROADCAST them into the edge
+        # scan so each iteration is map-side contribution + ONE
+        # shuffle (the groupBy on dst) — without the hints Spark
+        # plans SortMergeJoins that re-shuffle the full edge list
+        # every iteration (measured 9 SMJs in the 3-iteration plan).
+        # Valid while the rank vector fits an executor (~16k nodes
+        # here; fine to ~10^8); past that, pre-partition edges and
+        # rank on src once and reuse the co-location instead.
         contrib = (
-            edges.join(r.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            edges.join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
+            .join(F.broadcast(outdeg), "src")
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("r") / F.col("deg"), 12).cast("decimal(28,12)").alias("c"),
@@ -101,7 +109,7 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         s = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("s"))
         r = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(s, "node", "left")
+            .join(F.broadcast(s), "node", "left")
             .select(
                 "node",
                 (
