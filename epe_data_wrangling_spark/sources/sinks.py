@@ -46,11 +46,13 @@ def write_excel_small(df: DataFrame, path: str, *, max_rows: int = 100_000) -> N
     """Excel export (S6, `write.xlsx`) — DRIVER-SIDE, small results
     only; refuses anything that doesn't obviously fit. Requires an
     Excel writer engine (openpyxl/xlsxwriter), which this container
-    may not have — gated import."""
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f"refusing Excel export of {n} rows (max {max_rows})")
-    df.toPandas().to_excel(path, index=False)
+    may not have — gated import. ONE action: pull max_rows+1 rows and
+    refuse if the probe overflows (a separate count() would scan the
+    input twice)."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(f"refusing Excel export of >{max_rows} rows")
+    pdf.to_excel(path, index=False)
 
 
 def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
