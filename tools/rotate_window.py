@@ -1,0 +1,69 @@
+"""Propose the next driver-certification window rotation.
+
+The external driver hash-checks only the first 50 entries of
+``catalog.PRIORITY_ORDER``; rounds rotate the non-anchor 40 slots
+through queries that have never received a driver CORRECTNESS row.
+This tool reads every CORRECTNESS_r*.json in the repo root, computes
+which catalog queries remain uncertified, and prints the proposed
+next window (anchors + the head of ROTATION_BACKLOG filtered to
+still-uncertified, oracle-bearing queries) plus the leftover backlog
+— ready to paste into catalog/__init__.py.
+
+Usage: python tools/rotate_window.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from epe_data_wrangling_spark.catalog import (  # noqa: E402
+    PRIORITY_ORDER,
+    ROTATION_BACKLOG,
+    all_queries,
+)
+
+ANCHORS = PRIORITY_ORDER[:10]  # per-family canaries, kept every round
+
+
+def main() -> int:
+    qs = all_queries()
+    certified: set[str] = set()
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rows = json.load(open(path))
+        certified |= {
+            name
+            for name, row in rows.items()
+            if row.get("hash_match") or (row.get("rows_match") and row.get("err") is None)
+        }
+    uncertified = [
+        n for n in qs if n not in certified and qs[n].oracle is not None
+    ]
+    print(f"catalog: {len(qs)}  certified-ever: {len(certified)}  "
+          f"uncertified-with-oracle: {len(uncertified)}")
+
+    pool = [n for n in ROTATION_BACKLOG if n in uncertified]
+    extra = [n for n in uncertified if n not in pool and n not in ANCHORS]
+    pool += extra  # new queries not yet queued
+    window = ANCHORS + pool[: 50 - len(ANCHORS)]
+    leftover = pool[50 - len(ANCHORS):]
+
+    print("\nPRIORITY_ORDER = [  # proposed next window")
+    for n in window:
+        print(f'    "{n}",')
+    print("]\n\nROTATION_BACKLOG = [")
+    for n in leftover:
+        print(f'    "{n}",')
+    print("]")
+    if len(window) < 50:
+        refill = [n for n in qs if n not in window][: 50 - len(window)]
+        print(f"\nNOTE: only {len(window)} entries — certification is "
+              f"nearly complete; refill with re-certifications: {refill}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
