@@ -149,7 +149,9 @@ def sharded_cumsum(
     ≤ n_shards rows) broadcast back on. ``order_col`` must be UNIQUE —
     with duplicate keys the global window's RANGE frame gives tied
     rows one shared total, which a shard boundary through the tie
-    group would split."""
+    group would split. ``value_col`` must be INTEGRAL (offsets travel
+    as BIGINT; integer sums are also what makes the result order-free
+    — stage doubles with round(x*10^k) first, as the catalog does)."""
     spark = df.sparkSession
     sdf = _range_shards(df.withColumn("_rank_v", F.col(order_col)), F.col("_rank_v"), n_shards)
     totals = sdf.groupBy("_shard").agg(F.sum(value_col).alias("_t")).collect()
@@ -192,7 +194,10 @@ def sharded_prefix_max(
     for r in sorted(totals, key=lambda r: r["_shard"]):
         offs.append((r["_shard"], run))
         if r["_t"] is not None:
-            run = r["_t"] if run is None else max(run, r["_t"])
+            # float() so integer value columns fit the DOUBLE offset
+            # schema (exact below 2^53 — the documented envelope)
+            t = float(r["_t"])
+            run = t if run is None else max(run, t)
     odf = spark.createDataFrame(offs or [(0, None)], "_shard INT, _off DOUBLE")
     w = (
         Window.partitionBy("_shard")

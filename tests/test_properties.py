@@ -180,3 +180,123 @@ def test_zorder_key_matches_python_morton(spark, pairs):
     ).collect()
     for row in got:
         assert row.z == morton(row.x, row.y), (row.x, row.y)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1, max_size=60, unique_by=lambda t: t[1],
+    ),
+    shards=st.integers(1, 7),
+)
+@SETTINGS
+def test_global_row_number_equals_window_rank(spark, vals, shards):
+    """Distributed rank (range shards + offsets) must equal the global
+    window's row_number for any data and shard count — including heavy
+    value ties, which must never straddle a shard."""
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.operators.windows import global_row_number
+
+    df = spark.createDataFrame(vals, "v INT, k BIGINT")
+    ranked, total = global_row_number(df, F.col("v"), "k", out="r", n_shards=shards)
+    got = {(r.v, r.k): r.r for r in ranked.collect()}
+    w = Window.orderBy("v", "k")
+    want = {
+        (r.v, r.k): r.r
+        for r in df.withColumn("r", F.row_number().over(w)).collect()
+    }
+    assert got == want and total == len(vals)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10**6)),
+        min_size=1, max_size=60, unique_by=lambda t: t[1],
+    ),
+    n=st.integers(1, 10),
+)
+@SETTINGS
+def test_exact_ntile_from_rank_equals_ntile(spark, vals, n):
+    """Arithmetic ntile from (rank, total) == F.ntile over the global
+    window, for any bucket count (incl. n > rows)."""
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.operators.windows import (
+        exact_ntile_from_rank,
+        global_row_number,
+    )
+
+    df = spark.createDataFrame(vals, "v INT, k BIGINT")
+    ranked, total = global_row_number(df, F.col("v"), "k", out="r")
+    got = {
+        (r.v, r.k): r.b
+        for r in ranked.select(
+            "v", "k", exact_ntile_from_rank("r", total, n).alias("b")
+        ).collect()
+    }
+    w = Window.orderBy("v", "k")
+    want = {
+        (r.v, r.k): r.b
+        for r in df.withColumn("b", F.ntile(n).over(w).cast("int")).collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 1000)),
+        min_size=1, max_size=60, unique_by=lambda t: t[0],
+    ),
+    shards=st.integers(1, 7),
+)
+@SETTINGS
+def test_sharded_cumsum_equals_window_cumsum(spark, vals, shards):
+    """Sharded running sum == global-window running sum over a unique
+    order key, for any shard count."""
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.operators.windows import sharded_cumsum
+
+    df = spark.createDataFrame(vals, "k BIGINT, wt BIGINT")
+    got = {
+        r.k: r.cum
+        for r in sharded_cumsum(df, "k", "wt", out="cum", n_shards=shards).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        r.k: r.cum
+        for r in df.withColumn("cum", F.sum("wt").over(w)).collect()
+    }
+    assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(-50, 50), st.integers(0, 10**6)),
+        min_size=1, max_size=50, unique_by=lambda t: t[2],
+    ),
+    shards=st.integers(1, 5),
+)
+@SETTINGS
+def test_sharded_prefix_max_equals_window(spark, vals, shards):
+    """Sharded exclusive prefix max == the global exclusive-frame
+    window, including NULL for first rows and ties of the order
+    value across rows."""
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.operators.windows import sharded_prefix_max
+
+    df = spark.createDataFrame(vals, "ov INT, x INT, k BIGINT")
+    got = {
+        r.k: r.pm
+        for r in sharded_prefix_max(
+            df, F.col("ov"), ["k"], "x", out="pm", n_shards=shards
+        ).collect()
+    }
+    w = Window.orderBy("ov", "k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.pm
+        for r in df.withColumn("pm", F.max("x").over(w)).collect()
+    }
+    assert got == want
