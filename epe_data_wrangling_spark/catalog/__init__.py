@@ -159,6 +159,7 @@ PRIORITY_ORDER = [
 ROTATION_BACKLOG = [
     "bpe_train_merges",
     "mmr_diverse_topk",
+    "agg_exact_median_distributed",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

@@ -1899,3 +1899,42 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
+
+
+@query(
+    "agg_exact_median_distributed",
+    oracle="""
+    WITH r AS (SELECT o_totalprice,
+                      row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                        AS rn,
+                      COUNT(*) OVER () AS n
+               FROM orders)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_orders,
+           AVG(o_totalprice) AS median_price
+    FROM r WHERE rn IN ((n + 1) // 2, n // 2 + 1)
+    """,
+)
+def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global median without a global sort — the distributed
+    selection the approx_percentile queries explicitly trade away:
+    operators.windows.global_row_number assigns exact ranks (range
+    shards + per-shard row_number + broadcast offsets), then the one
+    or two middle ranks are filtered out and averaged. Total cost is
+    two scans plus one partitioned sort — no single-task WindowExec,
+    no full-data sort — where a naive exact median plans
+    ORDER BY over everything. The oracle computes the same middle-rank
+    average with DuckDB's (single-node, legitimately global) window;
+    AVG over the ≤2 middle values is the same (a+b)/2 double on both
+    engines. Generalizes to any exact quantile set (the ranks are free
+    once assigned)."""
+    from epe_data_wrangling_spark.operators.windows import global_row_number
+
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked, total = global_row_number(
+        o, F.col("o_totalprice"), "o_orderkey", out="rn"
+    )
+    lo, hi = (total + 1) // 2, total // 2 + 1
+    return ranked.filter(F.col("rn").isin(lo, hi)).agg(
+        F.lit(total).cast("bigint").alias("n_orders"),
+        F.avg("o_totalprice").alias("median_price"),
+    )
