@@ -160,6 +160,7 @@ ROTATION_BACKLOG = [
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",
+    "anomaly_mad_events",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

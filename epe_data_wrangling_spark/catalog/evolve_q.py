@@ -1128,3 +1128,58 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hhi"),
     )
+
+
+MAD_K = 0.6745  #: Φ⁻¹(0.75): scales MAD to σ-equivalent units
+MAD_THRESHOLD = 3.5  #: |modified z| flag level (Iglewicz-Hoaglin)
+
+
+@query(
+    "anomaly_mad_events",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      WHERE e.value IS NOT NULL GROUP BY e.event_type, med.med)
+    SELECT e.event_id, e.event_type, e.value,
+           round({MAD_K} * (e.value - m.med) / m.mad, 6) AS robust_z
+    FROM events e JOIN mad m USING (event_type)
+    WHERE e.value IS NOT NULL AND m.mad > 0
+      AND abs({MAD_K} * (e.value - m.med) / m.mad) > {MAD_THRESHOLD}
+    """,
+)
+def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flagging — the modified z-score
+    |{MAD_K}·(x−med)/MAD| > {MAD_THRESHOLD} (Iglewicz–Hoaglin), the
+    variant production monitoring uses because mean/σ (the
+    anomaly_zscore_events twin) are themselves dragged by the
+    outliers being hunted. Two grouped EXACT percentile passes (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, both linear
+    interpolation — the parity `agg_percentiles_priority` pins), each
+    a per-group sort of |event_type| groups; the med/MAD table is
+    group-count-sized and broadcast back, so the flagging pass is a
+    narrow fact scan with no fact shuffle. Zero-MAD groups (>50%
+    ties) are excluded on both sides rather than dividing by zero; at
+    100 TB swap the exact percentiles for approx_percentile and keep
+    the identical flagging expression."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = F.lit(MAD_K) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > MAD_THRESHOLD))
+        .select(
+            "event_id", "event_type", "value", F.round(rz, 6).alias("robust_z")
+        )
+    )
