@@ -168,3 +168,64 @@ def test_fetch_over_loopback_http(tmp_path):
         assert set(grids) == set(workbook_grids())
     finally:
         httpd.shutdown()
+
+
+def test_rk_mulrk_boolerr_formula_records(tmp_path):
+    """Real Excel writers emit RK/MULRK for most numbers, BOOLERR for
+    booleans, and FORMULA(+STRING) for computed cells — none of which
+    our fixture writer produces. Hand-assemble a workbook stream with
+    those records and check every decode path, including both RK
+    encodings (30-bit int, truncated double) and the div-100 flag."""
+    import struct
+
+    from epe_data_wrangling_spark.sources import xls_biff as B
+
+    def rk_int(v, cents=False):
+        return ((v << 2) | 0x02 | (1 if cents else 0)) & 0xFFFFFFFF
+
+    def rk_dbl(x, cents=False):
+        hi = struct.unpack("<Q", struct.pack("<d", x))[0] >> 32
+        return (hi & 0xFFFFFFFC) | (1 if cents else 0)
+
+    sheet = bytearray()
+    sheet += B._rec(B._BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0x0600))
+    # row 0: RK int 1234; RK int -7 in cents (-0.07); RK double 2.5
+    sheet += B._rec(B._RK, struct.pack("<HHHI", 0, 0, 15, rk_int(1234)))
+    sheet += B._rec(B._RK, struct.pack("<HHHI", 0, 1, 15, rk_int(-7, cents=True)))
+    sheet += B._rec(B._RK, struct.pack("<HHHI", 0, 2, 15, rk_dbl(2.5)))
+    # row 1: MULRK of three ints 10, 20, 30 at cols 0-2
+    mul = struct.pack("<HH", 1, 0)
+    for v in (10, 20, 30):
+        mul += struct.pack("<HI", 15, rk_int(v))
+    mul += struct.pack("<H", 2)
+    sheet += B._rec(B._MULRK, mul)
+    # row 2: TRUE, an error cell (skipped), numeric FORMULA 6.5,
+    # string FORMULA -> STRING record
+    sheet += B._rec(B._BOOLERR, struct.pack("<HHHBB", 2, 0, 15, 1, 0))
+    sheet += B._rec(B._BOOLERR, struct.pack("<HHHBB", 2, 1, 15, 0x17, 1))
+    sheet += B._rec(B._FORMULA, struct.pack("<HHH", 2, 2, 15)
+                    + struct.pack("<d", 6.5) + b"\x00\x00\x00\x00\x00\x00")
+    res_str = bytes([0]) + b"\x00" * 5 + b"\xff\xff"
+    sheet += B._rec(B._FORMULA, struct.pack("<HHH", 2, 3, 15)
+                    + res_str + b"\x00\x00\x00\x00\x00\x00")
+    sheet += B._rec(B._STRING, struct.pack("<HB", 2, 0x00) + b"ok")
+    sheet += B._rec(B._EOF, b"")
+
+    bs = B._rec(
+        B._BOUNDSHEET, struct.pack("<IHBB", 0, 0, 1, 0x00) + b"S"
+    )
+    globals_head = B._rec(
+        B._BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0x0600)
+    )
+    glob_size = len(globals_head) + len(bs) + 4
+    bs = B._rec(
+        B._BOUNDSHEET, struct.pack("<IHBB", glob_size, 0, 1, 0x00) + b"S"
+    )
+    wb = globals_head + bs + B._rec(B._EOF, b"") + bytes(sheet)
+    path = str(tmp_path / "hand.xls")
+    B._write_cfb(path, {"Workbook": wb})
+
+    g = B.read_xls_grids(path)["S"]
+    assert g[0] == ["1234", "-0.07", "2.5", None]
+    assert g[1] == ["10", "20", "30", None]
+    assert g[2] == ["TRUE", None, "6.5", "ok"]
