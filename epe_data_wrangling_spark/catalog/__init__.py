@@ -161,6 +161,7 @@ ROTATION_BACKLOG = [
     "mmr_diverse_topk",
     "agg_exact_median_distributed",
     "anomaly_mad_events",
+    "mixture_temperature_sampling",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

@@ -840,3 +840,108 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+TEMP_ALPHA_SQRT = True  #: α = 0.5, expressed as sqrt() (bit-exact cross-engine)
+TEMP_BUDGET = 0.5  #: target corpus fraction after sampling
+
+#: temperature coin: distinct md5 stream from mixture_rebalance's.
+_T_MD5 = "md5('t|' || CAST(doc_id AS VARCHAR))"
+_TU01 = f"({D.hex_int(_T_MD5, 1, 8)} / 4294967296.0)"
+
+
+@query(
+    "mixture_temperature_sampling",
+    oracle=f"""
+    WITH stats AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_before
+                   FROM documents GROUP BY lang),
+    w AS (SELECT lang, n_before,
+                 CAST(round(sqrt(CAST(n_before AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS wgt
+          FROM stats),
+    tot AS (SELECT CAST(SUM(wgt) AS DOUBLE) AS sum_w,
+                   CAST(SUM(n_before) AS BIGINT) AS total FROM w),
+    rates AS (SELECT lang, n_before,
+                     CAST(wgt AS DOUBLE) / tot.sum_w AS p,
+                     least(1.0, (tot.total * {TEMP_BUDGET})
+                                * (CAST(wgt AS DOUBLE) / tot.sum_w)
+                                / n_before) AS rate
+              FROM w CROSS JOIN tot),
+    sel AS (SELECT d.lang FROM documents d JOIN rates r USING (lang)
+            WHERE {_TU01} < r.rate),
+    after AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after
+              FROM sel GROUP BY lang),
+    ta AS (SELECT CAST(SUM(n_after) AS BIGINT) AS total_after FROM after)
+    SELECT r.lang, r.n_before, round(r.p, 8) AS target_share,
+           round(r.rate, 8) AS rate,
+           COALESCE(a.n_after, 0) AS n_after,
+           round(COALESCE(a.n_after, 0) / CAST(ta.total_after AS DOUBLE), 8)
+             AS achieved_share
+    FROM rates r LEFT JOIN after a USING (lang) CROSS JOIN ta
+    """,
+)
+def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (the mT5/XLM-R recipe):
+    sampling weights ∝ n^α with α=0.5 — boosts low-resource languages
+    without the uniform target's aggressive downsampling of the head.
+    α is expressed as sqrt() (correctly-rounded IEEE on both engines,
+    unlike a general pow); the weight sum is 9-dp-decimal staged so
+    the normalizer is exact and order-free; selection is the
+    deterministic md5-threshold coin (its own 't|' stream, so
+    composing this with mixture_rebalance never correlates picks).
+    Budget = {TEMP_BUDGET} of the corpus. Shuffles carry (lang,
+    count) pairs only; the rate table is language-sized, broadcast
+    back onto a narrow scan — at 100 TB this is one aggregate plus
+    one filter pass."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    w = stats.select(
+        "lang",
+        "n_before",
+        F.round(F.sqrt(F.col("n_before").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("wgt"),
+    )
+    tot = w.agg(
+        F.sum("wgt").cast("double").alias("sum_w"),
+        F.sum("n_before").cast("bigint").alias("total"),
+    )
+    p = F.col("wgt").cast("double") / F.col("sum_w")
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_before",
+        p.alias("p"),
+        F.least(
+            F.lit(1.0),
+            (F.col("total") * F.lit(TEMP_BUDGET)) * p / F.col("n_before"),
+        ).alias("rate"),
+    )
+    u01 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("t|"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    sel = d.join(F.broadcast(rates.select("lang", "rate")), "lang").where(u01 < F.col("rate"))
+    after = sel.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after"))
+    ta = after.agg(F.sum("n_after").cast("bigint").alias("total_after"))
+    return (
+        rates.join(after, "lang", "left")
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "lang",
+            "n_before",
+            F.round("p", 8).alias("target_share"),
+            F.round("rate", 8).alias("rate"),
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            F.round(
+                F.coalesce("n_after", F.lit(0)) / F.col("total_after").cast("double"), 8
+            ).alias("achieved_share"),
+        )
+    )
