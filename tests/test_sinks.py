@@ -130,3 +130,70 @@ def test_csv_malformed_rows_permissive(spark, tmp_path):
         .csv(str(src))
     )
     assert {r.k for r in dropped.collect()} == {1, 3}
+
+
+def test_rds_roundtrip_all_column_types(spark, tmp_path):
+    """sources.rds: gzip'd version-2 XDR RDS (the saveRDS default
+    format, R Internals §Serialization) round-trips character /
+    double / integer / logical / Date columns including NAs."""
+    import datetime as dt
+    import gzip
+    import struct
+
+    from epe_data_wrangling_spark.sources.rds import read_rds_frame, write_rds_small
+
+    df = spark.createDataFrame(
+        [("a", 1.5, 3, dt.date(2004, 1, 1), True),
+         ("é", None, None, None, None),
+         (None, -2.25, -7, dt.date(2005, 12, 1), False)],
+        "s string, x double, i int, d date, b boolean",
+    )
+    path = str(tmp_path / "t.rds")
+    write_rds_small(df, path)
+    # byte-structural checks readRDS performs: gzip wrapper, XDR
+    # marker 'X\n', stream version 2
+    raw = open(path, "rb").read()
+    assert raw[:2] == b"\x1f\x8b"
+    stream = gzip.decompress(raw)
+    assert stream[:2] == b"X\n"
+    assert struct.unpack_from(">i", stream, 2)[0] == 2
+    back = read_rds_frame(path)
+    assert back["s"] == ["a", "é", None]
+    assert back["x"] == [1.5, None, -2.25]
+    assert back["i"] == [3, None, -7]
+    assert back["d"] == [dt.date(2004, 1, 1), None, dt.date(2005, 12, 1)]
+    assert back["b"] == [True, None, False]
+
+
+def test_rds_of_epe_fact_table(spark, tmp_path):
+    """The reference's final artifact (`tratamento_epe.rmd`
+    "Exportação": saveRDS of the tidy fact table) produced from OUR
+    pipeline: export the golden fact table to RDS and read it back
+    identical — a user keeping an R consumer downstream gets the
+    exact file the reference produced."""
+    from epe_data_wrangling_spark.plans.epe_pipeline import run_pipeline
+    from epe_data_wrangling_spark.sources.rds import read_rds_frame, write_rds_small
+    from tests.epe_fixtures import workbook
+
+    fact = run_pipeline(spark, workbook(spark))
+    path = str(tmp_path / "dados_epe_tratados.RDS")
+    write_rds_small(fact, path)
+    back = read_rds_frame(path)
+    rows = fact.collect()
+    assert len(back["chave_seletora"]) == len(rows) == 288
+    want = sorted((r.chave_seletora, r.data.isoformat(), float(r.valor)) for r in rows)
+    got = sorted(
+        (c, d.isoformat(), float(v))
+        for c, d, v in zip(back["chave_seletora"], back["data"], back["valor"])
+    )
+    assert got == want
+
+
+def test_rds_refuses_oversize(spark, tmp_path):
+    import pytest as _pytest
+
+    from epe_data_wrangling_spark.sources.rds import write_rds_small
+
+    df = spark.range(100).selectExpr("id")
+    with _pytest.raises(ValueError, match="refusing"):
+        write_rds_small(df, str(tmp_path / "x.rds"), max_rows=10)
