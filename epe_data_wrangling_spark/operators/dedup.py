@@ -474,6 +474,12 @@ def shared_span_pairs(
         df.select(F.col(id_col).alias("_id"), F.explode(grams_arr).alias("s"))
         .select("_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
     )
+    # exchange barrier on g (see _spread): the shingle explode+md5 is
+    # referenced by the frequency count AND both self-join sides —
+    # without the barrier Catalyst inlines it into every branch
+    # (~4 evaluations); with it, one evaluation + ReuseExchange, and
+    # the count/join/self-join are all partition-aligned on g
+    grams = _spread(grams, "g")
     rare = grams.groupBy("g").agg(F.count(F.lit(1)).alias("_c")).filter(
         F.col("_c") <= max_gram_freq
     )
