@@ -162,6 +162,7 @@ ROTATION_BACKLOG = [
     "agg_exact_median_distributed",
     "anomaly_mad_events",
     "mixture_temperature_sampling",
+    "streaming_incremental_dedup",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

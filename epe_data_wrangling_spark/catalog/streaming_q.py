@@ -297,3 +297,71 @@ def streaming_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_record_highs",
         output_mode=mode,
     )
+
+
+INC_CHUNKS = 4  #: landing-zone arrivals (sorted sources, contiguous)
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    src AS (SELECT DISTINCT source FROM d),
+    ck AS (SELECT s.source,
+                  CAST((SELECT COUNT(*) FROM src o WHERE o.source < s.source)
+                       * {INC_CHUNKS} // (SELECT COUNT(*) FROM src)
+                       AS INTEGER) AS c
+           FROM src s),
+    dd AS (SELECT d.doc_id, d.source, d.h, ck.c FROM d JOIN ck USING (source)),
+    flags AS (
+      SELECT doc_id, source, h, c,
+             EXISTS (SELECT 1 FROM dd o WHERE o.h = dd.h AND o.c < dd.c)
+               AS dve,
+             EXISTS (SELECT 1 FROM dd o WHERE o.h = dd.h AND o.c = dd.c
+                       AND o.doc_id < dd.doc_id) AS dww
+      FROM dd)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN dve THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_vs_existing,
+           CAST(SUM(CASE WHEN NOT dve AND dww THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_within,
+           CAST(SUM(CASE WHEN NOT dve AND NOT dww THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted
+    FROM flags GROUP BY source
+    """,
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming nightly-ingest dedup (streaming.ops.
+    incremental_dedup_runs): the corpus arrives as {INC_CHUNKS}
+    successive landing-zone drops (sorted sources, contiguous
+    chunks — chunk = rank×{INC_CHUNKS} DIV n, the same rule the
+    oracle computes relationally), each processed by restarting ONE
+    file-source stream with availableNow against ONE checkpoint
+    (exactly-once across restarts) and foreachBatch-deduplicated
+    against the PERSISTENT fingerprint index that previous drops
+    built. Per-source accounting: incoming / dup-vs-index /
+    dup-within-drop / accepted. The oracle states the end-state
+    algebraically (h seen in an earlier chunk ⇔ it was accepted into
+    the index before this drop, because every fingerprint's first
+    occurrence is accepted); the streaming run must land on exactly
+    those counts — certifying checkpoint reuse, index persistence
+    and the within-batch first-wins rule together."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sources = sorted(r[0] for r in docs.select("source").distinct().collect())
+    n = len(sources)
+    groups: dict[int, list[str]] = {}
+    for i, s in enumerate(sources):
+        groups.setdefault(i * INC_CHUNKS // n, []).append(s)
+    increments = [
+        (f"chunk{c}", docs.filter(F.col("source").isin(*groups[c])))
+        for c in sorted(groups)
+    ]
+    work = tempfile.mkdtemp(prefix="inc_dedup_")
+    return ops.incremental_dedup_runs(spark, increments, work_dir=work)

@@ -435,3 +435,97 @@ def record_highs_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_dedup_runs(
+    spark,
+    increments: "list[tuple[str, DataFrame]]",
+    *,
+    work_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming nightly-ingest dedup: each (name, docs) increment is
+    landed as files in a watched directory, processed by ONE
+    file-source stream restarted with ``availableNow`` per arrival
+    (the exactly-once append-only-landing-zone contract — the
+    checkpoint carries processed-file state ACROSS runs), and
+    ``foreachBatch``-deduplicated against a PERSISTENT fingerprint
+    index:
+
+    - dup-vs-index: md5(text) semi-join against the index parquet
+      (16-byte keys; document bodies never shuffle and never
+      re-scan old increments — the index IS the corpus memory);
+    - dup-within: first-doc_id-wins inside the increment;
+    - accepted fingerprints are APPENDED to the index, and one
+      accounting row per batch is appended to an audit sink.
+
+    Returns the audit table (source, n_incoming, n_dup_vs_existing,
+    n_dup_within, n_accepted) — the streaming twin of the batch
+    ``dedup_incremental_new_docs`` accounting. State is O(|index|)
+    on disk, not in the stream; each increment costs one hash join
+    against fingerprints, never a corpus rescan."""
+    import os
+
+    from pyspark.sql import Window
+
+    landing = os.path.join(work_dir, "landing")
+    index_dir = os.path.join(work_dir, "index")
+    audit_dir = os.path.join(work_dir, "audit")
+    checkpoint = os.path.join(work_dir, "ckpt")
+    os.makedirs(landing, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.select(
+            "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
+        )
+        if os.path.isdir(index_dir):
+            idx = spark.read.parquet(index_dir).withColumn("_dup", F.lit(True))
+            tagged = b.join(idx, "h", "left").withColumn(
+                "dup_existing", F.coalesce(F.col("_dup"), F.lit(False))
+            )
+        else:
+            tagged = b.withColumn("dup_existing", F.lit(False))
+        w = Window.partitionBy("h").orderBy("doc_id")
+        fresh = (
+            tagged.where(~F.col("dup_existing"))
+            .withColumn("rn", F.row_number().over(w))
+        )
+        audit = (
+            tagged.join(fresh.select("doc_id", "rn"), "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_incoming"),
+                F.sum(F.when(F.col("dup_existing"), 1).otherwise(0)).alias(
+                    "n_dup_vs_existing"
+                ),
+                F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_within"),
+                F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_accepted"),
+            )
+        )
+        audit.write.mode("append").parquet(audit_dir)
+        fresh.where(F.col("rn") == 1).select("h").write.mode("append").parquet(index_dir)
+
+    schema = None
+    for i, (name, docs) in enumerate(increments):
+        docs.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(landing, f"inc_{i:03d}_{name}")
+        )
+        if schema is None:
+            schema = spark.read.parquet(os.path.join(landing, f"inc_{i:03d}_{name}")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(f"incremental dedup run {i} still running")
+        finally:
+            q.stop()
+    return spark.read.parquet(audit_dir)

@@ -304,3 +304,29 @@ def test_tws_branch_gate_reflects_environment():
         "env gained protobuf: record_highs now takes the TWS branch; "
         "update the suite to exercise it end-to-end"
     )
+
+
+def test_incremental_dedup_index_persists_across_runs(spark, tmp_path):
+    """The fingerprint index must carry ACROSS availableNow restarts:
+    a text accepted in drop 1 is dup-vs-existing in drop 2, and
+    within-drop copies dedup first-doc_id-wins."""
+    docs1 = spark.createDataFrame(
+        [(1, "s1", "alpha"), (2, "s1", "beta"), (3, "s1", "alpha")],
+        "doc_id long, source string, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(10, "s2", "alpha"), (11, "s2", "gamma"), (12, "s2", "gamma")],
+        "doc_id long, source string, text string",
+    )
+    audit = ops.incremental_dedup_runs(
+        spark,
+        [("d1", docs1), ("d2", docs2)],
+        work_dir=str(tmp_path / "work"),
+    )
+    got = {r.source: (r.n_incoming, r.n_dup_vs_existing, r.n_dup_within, r.n_accepted)
+           for r in audit.collect()}
+    # drop 1: alpha accepted (doc 1), beta accepted, doc 3 dup-within
+    assert got["s1"] == (3, 0, 1, 2)
+    # drop 2: alpha now dup vs the persisted index; gamma accepted
+    # once, its second copy dup-within
+    assert got["s2"] == (3, 1, 1, 1)
