@@ -163,6 +163,7 @@ ROTATION_BACKLOG = [
     "anomaly_mad_events",
     "mixture_temperature_sampling",
     "streaming_incremental_dedup",
+    "graph_strong_tie_components",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

@@ -119,3 +119,65 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("node", F.round(F.col("r"), 10).alias("pagerank"))
+
+
+STRONG_TIE_MIN = 4  #: (customer, supplier) interactions for an edge
+
+
+@query(
+    "graph_strong_tie_components",
+    oracle=f"""
+    WITH RECURSIVE pair AS (
+      SELECT 'c' || o_custkey AS u, 's' || l_suppkey AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= {STRONG_TIE_MIN}),
+    sym AS (SELECT u, v FROM pair UNION SELECT v, u FROM pair),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.node),
+    comp AS (SELECT node, MIN(r) AS rep FROM reach GROUP BY node)
+    SELECT rep,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CASE WHEN node LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers,
+           CAST(SUM(CASE WHEN node LIKE 's%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_suppliers
+    FROM comp GROUP BY rep
+    """,
+)
+def graph_strong_tie_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the STRONG-TIE trading graph (pairs
+    with ≥ {STRONG_TIE_MIN} line items — thresholding is what makes a
+    dense bipartite graph sparse enough that components mean
+    something: trading communities, not one giant blob). Reuses the
+    dedup clustering operator (operators.dedup.connected_components:
+    iterative min-label propagation, localCheckpoint per round,
+    early fixpoint stop, raises on non-convergence) on a non-dedup
+    graph — per-component size and customer/supplier mix. The oracle
+    computes the same min-reachable-id with a recursive CTE; the
+    fixpoint is unique, so the iterative and recursive forms must
+    agree exactly. Scale: edge building is one partial-agg shuffle;
+    each propagation round is a node-sized join + aggregate, rounds
+    bounded by component diameter (tiny under thresholding)."""
+    from epe_data_wrangling_spark.operators.dedup import connected_components
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= STRONG_TIE_MIN)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("u"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("v"),
+        )
+    )
+    comp = connected_components(edges, "u", "v")
+    return comp.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("node").startswith("c"), 1).otherwise(0)).alias("n_customers"),
+        F.sum(F.when(F.col("node").startswith("s"), 1).otherwise(0)).alias("n_suppliers"),
+    )
