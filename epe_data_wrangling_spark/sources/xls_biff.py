@@ -245,8 +245,11 @@ def _short_string(b: bytes, o: int) -> str:
 def _num_text(x: float) -> str:
     """Numeric cell → canonical text: integers without '.0' (read_xls
     shows '2004', and the normalize plan's regexes expect that),
-    everything else via repr (shortest round-trip decimal)."""
+    everything else via repr (shortest round-trip decimal). Negative
+    zero keeps its sign (str(int(-0.0)) would drop it)."""
     if x == int(x) and abs(x) < 1e15:
+        if x == 0 and str(x)[0] == "-":
+            return "-0"
         return str(int(x))
     return repr(x)
 
@@ -360,11 +363,13 @@ _REC_CAP = 8224  #: max record payload ([MS-XLS] 2.1.4)
 
 
 def _enc_string(s: str) -> bytes:
-    """XLUnicodeRichExtendedString, always UTF-16 (fHighByte=1)."""
+    """XLUnicodeRichExtendedString, always UTF-16 (fHighByte=1).
+    cch counts UTF-16 CODE UNITS (surrogate pairs are 2), not code
+    points — len(raw)//2, not len(s)."""
     raw = s.encode("utf-16-le")
     if 3 + len(raw) > _REC_CAP:
         raise ValueError("string too long for one SST record")
-    return struct.pack("<HB", len(s), 0x01) + raw
+    return struct.pack("<HB", len(raw) // 2, 0x01) + raw
 
 
 def _rec(op: int, payload: bytes) -> bytes:
@@ -434,7 +439,8 @@ def write_xls(path: str, grids: dict[str, Grid]) -> str:
 
     def boundsheet(name: str, pos: int) -> bytes:
         raw = name.encode("utf-16-le")
-        return _rec(_BOUNDSHEET, struct.pack("<IHBB", pos, 0, len(name), 0x01) + raw)
+        # cch = UTF-16 code units (see _enc_string)
+        return _rec(_BOUNDSHEET, struct.pack("<IHBB", pos, 0, len(raw) // 2, 0x01) + raw)
 
     globals_head = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0x0DBB, 0x07CC, 0, 0x0600))
     # two passes: boundsheet record sizes don't depend on offsets

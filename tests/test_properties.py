@@ -300,3 +300,71 @@ def test_sharded_prefix_max_equals_window(spark, vals, shards):
         for r in df.withColumn("pm", F.max("x").over(w)).collect()
     }
     assert got == want
+
+
+_cell = st.one_of(
+    st.none(),
+    st.integers(-10**9, 10**9).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda x: repr(float(x))),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=0, max_size=25,
+    ),
+)
+
+
+def _canon_cell(c):
+    import re
+    if c is None:
+        return None
+    s = str(c)
+    if re.fullmatch(r"-?\d+(\.\d+)?", s):
+        return repr(float(s))
+    return s
+
+
+def _strip(grid):
+    rows = [list(r) for r in grid]
+    while rows and all(c is None for c in rows[-1]):
+        rows.pop()
+    width = 0
+    for r in rows:
+        w = len(r)
+        while w and r[w - 1] is None:
+            w -= 1
+        width = max(width, w)
+    return [
+        [_canon_cell(c) for c in (r[:width] + [None] * (width - len(r[:width])))]
+        for r in rows
+    ]
+
+
+@given(
+    grid=st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=8),
+)
+@SETTINGS
+def test_xls_biff8_roundtrip_property(tmp_path_factory, grid):
+    """Any text/numeric/None grid survives a BIFF8 write+read up to
+    the documented canonicalization (numeric text re-canonicalized,
+    trailing blanks unstored). Shrinking finds minimal failing cells
+    — the reader/writer pair has no grid-shape assumptions."""
+    from epe_data_wrangling_spark.sources.xls_biff import read_xls_grids, write_xls
+
+    path = str(tmp_path_factory.mktemp("xls") / "p.xls")
+    write_xls(path, {"S": grid})
+    back = read_xls_grids(path)["S"]
+    assert _strip(back) == _strip(grid)
+
+
+@given(
+    grid=st.lists(st.lists(_cell, min_size=1, max_size=6), min_size=1, max_size=8),
+)
+@SETTINGS
+def test_xlsx_roundtrip_property(tmp_path_factory, grid):
+    """Same property over the OOXML writer/reader pair."""
+    from epe_data_wrangling_spark.sources.xlsx import read_xlsx_grids, write_xlsx
+
+    path = str(tmp_path_factory.mktemp("xlsx") / "p.xlsx")
+    write_xlsx(path, {"S": grid})
+    back = read_xlsx_grids(path)["S"]
+    assert _strip(back) == _strip(grid)
