@@ -368,3 +368,32 @@ def test_xlsx_roundtrip_property(tmp_path_factory, grid):
     write_xlsx(path, {"S": grid})
     back = read_xlsx_grids(path)["S"]
     assert _strip(back) == _strip(grid)
+
+
+@given(
+    svals=st.lists(st.one_of(st.none(), st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")), max_size=20)),
+        min_size=1, max_size=12),
+    xvals=st.lists(st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False)),
+                   min_size=1, max_size=12),
+    ivals=st.lists(st.one_of(st.none(), st.integers(-(2**31) + 1, 2**31 - 1)),
+                   min_size=1, max_size=12),
+)
+@SETTINGS
+def test_rds_roundtrip_property(tmp_path_factory, spark, svals, xvals, ivals):
+    """Random character/double/integer columns (with NAs) survive the
+    RDS write+read byte-format round trip."""
+    from epe_data_wrangling_spark.sources.rds import read_rds_frame, write_rds_small
+
+    n = min(len(svals), len(xvals), len(ivals))
+    rows = list(zip(svals[:n], xvals[:n], ivals[:n]))
+    df = spark.createDataFrame(rows, "s string, x double, i long")
+    path = str(tmp_path_factory.mktemp("rds") / "p.rds")
+    write_rds_small(df, path)
+    back = read_rds_frame(path)
+    assert back["s"] == [r[0] for r in rows]
+    assert back["x"] == [r[1] for r in rows]
+    got_i = back["i"]
+    want_i = [r[2] for r in rows]
+    # all-int columns (no float upcast in the column chooser)
+    assert [None if v is None else int(v) for v in got_i] == want_i
