@@ -188,3 +188,63 @@ def test_bpe_greedy_run_handling(spark, tmp_path):
     # step 2: (aa, aa) count 2 -> aaaa -> [aaaa]
     # step 3: no adjacent pairs remain -> early stop, no third row
     assert got == [(1, "a", "a", 7), (2, "aa", "aa", 2)]
+
+
+def _bpe_python(words_freq: dict, n_merges: int):
+    """Reference BPE trainer in plain Python: pair counts weighted by
+    word freq, argmax with (count desc, pair lex) tie-break, greedy
+    left-to-right merge — the textbook algorithm, independently of
+    both the Spark plan and the DuckDB oracle."""
+    syms = {w: [c for c in w] for w in words_freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, f in words_freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_python_on_random_corpora(spark, tmp_path):
+    """Third-implementation check: the Spark gaps-and-islands BPE must
+    equal a plain-Python textbook trainer on deterministic pseudo-
+    random corpora (run-heavy alphabet to stress overlap handling)."""
+    import random
+
+    from epe_data_wrangling_spark.catalog.pipeline_q import BPE_MERGES, bpe_train_merges
+
+    rng = random.Random(7)
+    for trial in range(3):
+        words = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 7)))
+            for _ in range(rng.randint(5, 25))
+        ]
+        text = " ".join(words)
+        docs = spark.createDataFrame(
+            [(1, text, "en", "t", len(text))],
+            "doc_id long, text string, lang string, source string, n_chars int",
+        )
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+        got = [tuple(r) for r in bpe_train_merges(spark, str(d)).collect()]
+        freqs: dict = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        want = _bpe_python(freqs, BPE_MERGES)
+        assert got == want, (trial, text)
