@@ -164,6 +164,7 @@ ROTATION_BACKLOG = [
     "mixture_temperature_sampling",
     "streaming_incremental_dedup",
     "graph_strong_tie_components",
+    "sketch_hll_mergeable_daily",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

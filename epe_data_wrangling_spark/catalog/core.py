@@ -1938,3 +1938,63 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(total).cast("bigint").alias("n_orders"),
         F.avg("o_totalprice").alias("median_price"),
     )
+
+
+HLL_MERGE_TOL = 0.05  #: acceptance band for the merged-sketch estimate
+
+
+@query(
+    "sketch_hll_mergeable_daily",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      FROM events GROUP BY date_trunc('month', ts))
+    SELECT month, n_days, n_users_exact, TRUE AS merged_within_tol
+    FROM m
+    """,
+)
+def sketch_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    Spark 4's hll_sketch_agg / hll_union_agg): one compact sketch per
+    DAY, merged per month — the incremental-view-maintenance pattern
+    for COUNT(DISTINCT) at 100 TB, where daily sketches are stored
+    once (KBs each) and ANY date-range distinct estimate is a
+    register-wise union of stored sketches, never a rescan of raw
+    events (unlike approx_count_distinct, whose result can't be
+    merged after the fact). HLL union is commutative/associative, so
+    the merged estimate is deterministic regardless of merge order;
+    the hashed contract mirrors agg_approx_distinct_hll: exact
+    columns value-checked, plus an in-query assertion that the merged
+    estimate lands within {HLL_MERGE_TOL:.0%} of the exact count
+    (oracle pins TRUE — an out-of-band sketch turns the row red)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(F.col("ts"), F.col("user_id"))
+        .groupBy(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    monthly = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = (
+        e.groupBy(F.date_trunc("month", F.col("ts")).cast("date").alias("month"))
+        .agg(F.countDistinct("user_id").alias("n_users_exact"))
+    )
+    return (
+        monthly.join(exact, "month")
+        .select(
+            "month",
+            "n_days",
+            "n_users_exact",
+            (
+                F.abs(F.col("_est") - F.col("n_users_exact"))
+                <= F.lit(HLL_MERGE_TOL) * F.col("n_users_exact")
+            ).alias("merged_within_tol"),
+        )
+    )
