@@ -197,3 +197,30 @@ def test_rds_refuses_oversize(spark, tmp_path):
     df = spark.range(100).selectExpr("id")
     with _pytest.raises(ValueError, match="refusing"):
         write_rds_small(df, str(tmp_path / "x.rds"), max_rows=10)
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lakehouse schema drift: a writer adds a column mid-stream.
+    Readers must (a) see the union schema with mergeSchema and nulls
+    for pre-drift files, and (b) keep predicate pushdown on the
+    original columns — the ingestion posture for an evolving 100 TB
+    landing zone."""
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "t")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS a").write.mode(
+        "append"
+    ).parquet(base)
+    spark.range(100, 200).selectExpr(
+        "id", "id * 2 AS a", "CAST(id AS STRING) AS b"
+    ).write.mode("append").parquet(base)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "a", "b"}
+    assert merged.count() == 200
+    # pre-drift rows surface NULL b
+    assert merged.filter(F.col("b").isNull()).count() == 100
+    assert merged.filter(F.col("b").isNotNull()).count() == 100
+    # pushdown still reaches the scan on the original column
+    plan = merged.filter(F.col("a") > 300).select("id", "a")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(a), GreaterThan(a,300)" in plan, plan
