@@ -45,3 +45,28 @@ def test_catalog_is_reasonably_large_and_named():
     assert len(qs) >= 120
     assert all(n == q.name for n, q in qs.items())
     assert all(q.doc for q in qs.values()), "every query needs a docstring"
+
+
+def test_rotation_window_disjoint_from_r3_except_anchors():
+    """The round-3 verdict's rotation contract: ~10 anchors persist,
+    every other window slot goes to a query with no prior driver
+    CORRECTNESS row. Guard the non-anchor slots against accidentally
+    re-certifying already-certified queries (which would waste the
+    round's certification breadth)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
+    r3 = set(json.load(open(path)))
+    rotated = set(PRIORITY_ORDER[10:])
+    overlap = rotated & r3
+    assert not overlap, f"non-anchor window slots repeat r3-certified queries: {overlap}"
+
+
+def test_rotation_backlog_is_registered_and_disjoint():
+    from epe_data_wrangling_spark.catalog import ROTATION_BACKLOG
+
+    qs = all_queries()
+    missing = [n for n in ROTATION_BACKLOG if n not in qs]
+    assert not missing
+    assert not set(ROTATION_BACKLOG) & set(PRIORITY_ORDER)
