@@ -330,3 +330,74 @@ def test_incremental_dedup_index_persists_across_runs(spark, tmp_path):
     # drop 2: alpha now dup vs the persisted index; gamma accepted
     # once, its second copy dup-within
     assert got["s2"] == (3, 1, 1, 1)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """The watermark claim in ops.__doc__ ('late data older than the
+    delay is dropped and its state evicted'), proven end-to-end in
+    APPEND mode across two availableNow restarts of one checkpoint:
+    run 1 advances the watermark past a window and emits it; run 2
+    delivers an event INSIDE that closed window (later than the
+    10-minute delay) plus a fresh event — the late event must not
+    re-emit or alter the closed window, the fresh one must appear."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            str(land / name)
+        )
+
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(land))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    # run 1: two events in the 10:00 window, then one at 12:30 that
+    # advances the watermark to 12:20 — the 10:00 window closes+emits
+    write_file("f1", [(1, "2024-01-01 10:05", 1.0),
+                      (1, "2024-01-01 10:50", 1.0),
+                      (1, "2024-01-01 12:30", 1.0)])
+    run_once()
+    first = {(r.ws.isoformat(), r.n) for r in spark.read.parquet(out).collect()}
+    assert ("2024-01-01T10:00:00", 2) in first
+
+    # run 2: a LATE event back in the closed 10:00 window + a fresh
+    # 14:10 event that closes the 12:00 window
+    write_file("f2", [(1, "2024-01-01 10:20", 1.0),
+                      (1, "2024-01-01 14:10", 1.0)])
+    run_once()
+    final = {(r.ws.isoformat(), r.n) for r in spark.read.parquet(out).collect()}
+    # closed window unchanged (late event dropped, no duplicate emit)
+    assert ("2024-01-01T10:00:00", 2) in final
+    assert ("2024-01-01T10:00:00", 3) not in final
+    assert ("2024-01-01T10:00:00", 1) not in final
+    # the 12:00 window emitted once the run-2 watermark passed it
+    assert ("2024-01-01T12:00:00", 1) in final
