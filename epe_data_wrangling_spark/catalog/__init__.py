@@ -165,6 +165,7 @@ ROTATION_BACKLOG = [
     "streaming_incremental_dedup",
     "graph_strong_tie_components",
     "sketch_hll_mergeable_daily",
+    "graph_cotrade_clustering",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

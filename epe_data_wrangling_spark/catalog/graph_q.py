@@ -181,3 +181,103 @@ def graph_strong_tie_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("node").startswith("c"), 1).otherwise(0)).alias("n_customers"),
         F.sum(F.when(F.col("node").startswith("s"), 1).otherwise(0)).alias("n_suppliers"),
     )
+
+
+COTRADE_MIN = 3  #: (customer, supplier) interactions for a strong tie
+
+
+@query(
+    "graph_cotrade_clustering",
+    oracle=f"""
+    WITH pair AS (
+      SELECT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= {COTRADE_MIN}),
+    ss AS (SELECT DISTINCT a.s AS s1, b.s AS s2
+           FROM pair a JOIN pair b ON a.c = b.c AND a.s < b.s),
+    tri AS (SELECT e1.s1 AS u, e1.s2 AS v, e2.s2 AS w
+            FROM ss e1 JOIN ss e2 ON e1.s2 = e2.s1
+                       JOIN ss e3 ON e1.s1 = e3.s1 AND e2.s2 = e3.s2),
+    part AS (SELECT u AS s FROM tri UNION ALL SELECT v FROM tri
+             UNION ALL SELECT w FROM tri),
+    tcnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             FROM part GROUP BY s),
+    deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS degree FROM
+              (SELECT s1 AS s FROM ss UNION ALL SELECT s2 FROM ss) z
+            GROUP BY s)
+    SELECT d.s AS s_suppkey, d.degree,
+           COALESCE(t.n_triangles, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN round(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coef
+    FROM deg d LEFT JOIN tcnt t ON d.s = t.s
+    """,
+)
+def graph_cotrade_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts and local clustering coefficient
+    over the co-trade projection (suppliers linked when they share a
+    ≥{COTRADE_MIN}-line-item customer) — the canonical distributed
+    triangle enumeration: ordered edges (s1 < s2) joined edge⋈edge on
+    the shared endpoint then closed by a third edge lookup, so each
+    triangle is emitted exactly once and candidate volume is Σ deg²
+    over the THRESHOLDED graph (the strong-tie filter is what keeps
+    the projection sparse; an unthresholded bipartite projection is
+    quadratic in customers' supplier fan-out). Coefficient =
+    2T / d(d−1), the graph-cohesion feature for entity-risk scoring.
+    Shuffles carry supplier-id pairs only."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pair = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= COTRADE_MIN)
+        .select("c", "s")
+    )
+    ss = (
+        pair.alias("a")
+        .join(pair.alias("b"), (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge list reused by 3 join sides + degrees
+    )
+    tri = (
+        ss.alias("e1")
+        .join(ss.alias("e2"), F.col("e1.s2") == F.col("e2.s1"))
+        .join(
+            ss.alias("e3"),
+            (F.col("e1.s1") == F.col("e3.s1")) & (F.col("e2.s2") == F.col("e3.s2")),
+        )
+        .select(F.col("e1.s1").alias("u"), F.col("e1.s2").alias("v"), F.col("e2.s2").alias("w"))
+    )
+    part = (
+        tri.select(F.col("u").alias("s"))
+        .unionAll(tri.select(F.col("v").alias("s")))
+        .unionAll(tri.select(F.col("w").alias("s")))
+    )
+    tcnt = part.groupBy("s").agg(F.count(F.lit(1)).alias("n_triangles"))
+    deg = (
+        ss.select(F.col("s1").alias("s"))
+        .unionAll(ss.select(F.col("s2").alias("s")))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tcnt, "s", "left")
+        .select(
+            F.col("s").alias("s_suppkey"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coef"),
+        )
+    )
