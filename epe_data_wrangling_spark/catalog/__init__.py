@@ -166,6 +166,7 @@ ROTATION_BACKLOG = [
     "graph_strong_tie_components",
     "sketch_hll_mergeable_daily",
     "graph_cotrade_clustering",
+    "linkage_blocking_quality",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",
