@@ -167,6 +167,7 @@ ROTATION_BACKLOG = [
     "sketch_hll_mergeable_daily",
     "graph_cotrade_clustering",
     "linkage_blocking_quality",
+    "journey_conversion_hazard",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

@@ -250,3 +250,104 @@ def asof_forward_error_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("asof_pv").alias("pur_value"),
     )
+
+
+HAZARD_HORIZON = 14  #: day offsets reported (0..H)
+
+
+@query(
+    "journey_conversion_hazard",
+    oracle=f"""
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+          GROUP BY e.user_id),
+    delay AS (SELECT v.user_id,
+                     CAST(date_diff('day', CAST(v.t_view AS DATE),
+                                    CAST(p.t_purchase AS DATE)) AS INTEGER)
+                       AS d
+              FROM v LEFT JOIN p USING (user_id)),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM delay),
+    days AS (SELECT unnest(generate_series(0, {HAZARD_HORIZON})) AS day),
+    ev AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM delay WHERE d IS NOT NULL AND d <= {HAZARD_HORIZON}
+           GROUP BY d),
+    cum AS (SELECT days.day,
+                   (SELECT COALESCE(SUM(e2.n_events), 0) FROM ev e2
+                    WHERE e2.day < days.day) AS converted_before
+            FROM days)
+    SELECT c.day,
+           COALESCE(e.n_events, 0) AS n_converting,
+           n.total - c.converted_before AS n_at_risk,
+           round(CAST(COALESCE(e.n_events, 0) AS DOUBLE)
+                 / (n.total - c.converted_before), 6) AS hazard
+    FROM cum c LEFT JOIN ev e USING (day) CROSS JOIN n
+    WHERE n.total - c.converted_before > 0
+    """,
+)
+def journey_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete time-to-conversion hazard (the survival-analysis view
+    of the funnel): for each day offset d since a user's first view,
+    how many converted exactly then (first purchase strictly after
+    the view) out of everyone still unconverted — h(d) = events(d) /
+    at-risk(d), never-converters staying at risk through the
+    {HAZARD_HORIZON}-day horizon; days whose risk set has emptied are
+    excluded (hazard undefined — and an ANSI-mode division-by-zero
+    otherwise: the driver's session runs ANSI, so the guard is a
+    correctness requirement, not cosmetics). All counts are integers
+    and the hazard one rounded division, so cross-engine parity is exact
+    with no cumulative-product float hazard (at-risk is total minus
+    conversions BEFORE d, a dominance sum over the bounded
+    {HAZARD_HORIZON + 1}-row day spine — no unpartitioned window).
+    Scale: two per-user aggregates (key-only shuffles) and a
+    spine-sized broadcast join; the fact table is scanned twice."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    delay = v.join(p, "user_id", "left").select(
+        "user_id",
+        F.datediff(
+            F.col("t_purchase").cast("date"), F.col("t_view").cast("date")
+        ).cast("int").alias("d"),
+    )
+    total = delay.agg(F.count(F.lit(1)).alias("total"))
+    ev = (
+        delay.filter(F.col("d").isNotNull() & (F.col("d") <= HAZARD_HORIZON))
+        .groupBy(F.col("d").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=True)  # spine-sized; reused by 2 joins
+    )
+    days = spark.range(0, HAZARD_HORIZON + 1).select(F.col("id").cast("int").alias("day"))
+    cum = (
+        days.alias("a")
+        .join(F.broadcast(ev.alias("b")), F.col("b.day") < F.col("a.day"), "left")
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.coalesce(F.sum("b.n_events"), F.lit(0)).alias("converted_before"))
+    )
+    return (
+        cum.join(F.broadcast(ev), "day", "left")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("total") - F.col("converted_before") > 0)
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_converting"),
+            (F.col("total") - F.col("converted_before")).alias("n_at_risk"),
+            F.round(
+                F.coalesce("n_events", F.lit(0)).cast("double")
+                / (F.col("total") - F.col("converted_before")),
+                6,
+            ).alias("hazard"),
+        )
+    )
