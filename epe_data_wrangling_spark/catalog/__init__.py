@@ -168,6 +168,7 @@ ROTATION_BACKLOG = [
     "graph_cotrade_clustering",
     "linkage_blocking_quality",
     "journey_conversion_hazard",
+    "epe_consumption_growth",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

@@ -131,3 +131,70 @@ def epe_wide_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("mes_out", ["m1", "m2", "m3", "m6", "m12"])
         .agg(F.sum("valor"))
     )
+
+
+@query(
+    "epe_consumption_growth",
+    oracle=f"""
+    WITH fact AS ({_expected_values_sql()}),
+    yr AS (SELECT chave_seletora, atributo,
+                  CAST(year(data) AS INTEGER) AS ano,
+                  CAST(SUM(CAST(valor AS DECIMAL(18,6))) AS DOUBLE) AS valor_ano
+           FROM fact GROUP BY chave_seletora, atributo, year(data)),
+    prev AS (SELECT a.chave_seletora, a.atributo, a.ano, a.valor_ano,
+                    b.valor_ano AS valor_prev
+             FROM yr a LEFT JOIN yr b
+               ON a.chave_seletora = b.chave_seletora
+              AND a.atributo = b.atributo AND b.ano = a.ano - 1)
+    SELECT chave_seletora, atributo, ano, valor_ano, valor_prev,
+           round((valor_ano - valor_prev) / valor_prev, 6) AS yoy_growth
+    FROM prev WHERE valor_prev IS NOT NULL AND valor_prev <> 0
+    """,
+)
+def epe_consumption_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year consumption growth per (selector key, atributo)
+    — the downstream analysis the reference's tidy table exists to
+    serve (`tratamento_epe.rmd:36`: "fazer agregações a fim de
+    computar cálculos de interesse"): exact decimal annual totals,
+    previous year fetched by an equi-join on ano−1 (no ordering
+    window at all), growth as one shared double tree. Zero-or-missing
+    base years are excluded on both sides (ANSI-safe division).
+    Certifies the port end-to-end THROUGH a consumer query: workbook
+    → normalize → semantic map → fact → analytic."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.core import dec
+
+    fact = epe_pipeline_demo(spark, sf_dir)
+    yr = (
+        fact.groupBy(
+            "chave_seletora", "atributo", F.year("data").cast("int").alias("ano")
+        )
+        .agg(F.sum(dec("valor")).cast("double").alias("valor_ano"))
+        .localCheckpoint(eager=True)  # driver-side small; two join sides
+    )
+    prev = yr.select(
+        F.col("chave_seletora").alias("ck"),
+        F.col("atributo").alias("at"),
+        (F.col("ano") + 1).alias("anx"),
+        F.col("valor_ano").alias("valor_prev"),
+    )
+    joined = yr.join(
+        prev,
+        (F.col("chave_seletora") == F.col("ck"))
+        & (F.col("atributo") == F.col("at"))
+        & (F.col("ano") == F.col("anx")),
+        "left",
+    )
+    return joined.filter(
+        F.col("valor_prev").isNotNull() & (F.col("valor_prev") != 0)
+    ).select(
+        "chave_seletora",
+        "atributo",
+        "ano",
+        "valor_ano",
+        "valor_prev",
+        F.round(
+            (F.col("valor_ano") - F.col("valor_prev")) / F.col("valor_prev"), 6
+        ).alias("yoy_growth"),
+    )
