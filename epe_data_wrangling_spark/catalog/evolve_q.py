@@ -679,7 +679,12 @@ def categorical_encode_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoder fit step — it must fit in one broadcast anyway, and this
     avoids a global ordering window entirely)."""
     o = load_table(spark, sf_dir, "orders")
-    vals = sorted(r[0] for r in o.select("o_orderpriority").distinct().collect())
+    # NULL-safe sort, NULLS LAST to match the oracle's row_number ASC
+    # (DuckDB default); a bare sorted() would raise on None
+    vals = sorted(
+        (r[0] for r in o.select("o_orderpriority").distinct().collect()),
+        key=lambda v: (v is None, v or ""),
+    )
     codes = spark.createDataFrame(
         [(v, i) for i, v in enumerate(vals)], "o_orderpriority STRING, code INT"
     )

@@ -331,18 +331,29 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_true = truth.count()
     n_cand = cand.count()
     n_found = truth.join(cand, ["ca", "cb"], "left_semi").count()
-    total_pairs = n_cust * (n_cust - 1) / 2
-    return spark.createDataFrame(
-        [
-            (
-                n_cust,
-                n_true,
-                n_cand,
-                n_found,
-                round(n_found / n_true, 6) if n_true else 1.0,
-                round(1.0 - n_cand / total_pairs, 6),
-            )
-        ],
-        "n_cust BIGINT, n_true_pairs BIGINT, n_candidates BIGINT, "
-        "n_found BIGINT, pair_completeness DOUBLE, reduction_ratio DOUBLE",
+    # final rounding stays ENGINE-side (F.round = half away from zero,
+    # like the oracle's SQL round) — Python round() is half-to-even
+    # and can diverge on exact 5e-7 midpoints
+    raw = spark.createDataFrame(
+        [(n_cust, n_true, n_cand, n_found)],
+        "n_cust BIGINT, n_true_pairs BIGINT, n_candidates BIGINT, n_found BIGINT",
+    )
+    return raw.select(
+        "n_cust",
+        "n_true_pairs",
+        "n_candidates",
+        "n_found",
+        F.round(
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_found").cast("double") / F.col("n_true_pairs"),
+            ).otherwise(F.lit(1.0)),
+            6,
+        ).alias("pair_completeness"),
+        F.round(
+            1.0
+            - F.col("n_candidates").cast("double")
+            / (F.col("n_cust") * (F.col("n_cust") - 1) / 2),
+            6,
+        ).alias("reduction_ratio"),
     )

@@ -836,6 +836,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    if not merges:  # single-symbol vocabulary: nothing to learn
+        return spark.createDataFrame(
+            [], "step INT, merge_left STRING, merge_right STRING, pair_count BIGINT"
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

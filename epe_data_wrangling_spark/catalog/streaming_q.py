@@ -364,4 +364,15 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in sorted(groups)
     ]
     work = tempfile.mkdtemp(prefix="inc_dedup_")
-    return ops.incremental_dedup_runs(spark, increments, work_dir=work)
+    try:
+        audit = ops.incremental_dedup_runs(spark, increments, work_dir=work)
+        # materialize before cleanup: the returned frame reads the
+        # audit parquet lazily, and the work dir holds a full corpus
+        # copy (landing + index + checkpoint) that must not leak into
+        # /tmp on every certification sweep
+        rows = audit.collect()
+        return spark.createDataFrame(rows, audit.schema)
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)

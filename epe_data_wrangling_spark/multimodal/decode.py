@@ -333,7 +333,9 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
         tag = b[i + 4 : i + 8]
         body = b[i + 8 : i + 8 + ln]
         if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:  # truncated header: malformed, not an error
+                return None
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", body[:13])
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":

@@ -99,8 +99,12 @@ def global_row_number(
 
     Ties of ``value`` are confined to one shard by construction, so
     ranks are identical to the global window's for any deterministic
-    (value, tiebreak) total order. ``value`` must be ASC; negate
-    numeric columns for DESC. Returns (df+rank column, total rows).
+    (value, tiebreak) total order. ``value`` must be ASC and
+    NON-NULL: NULLs would land in shard 0 and rank FIRST (Spark ASC
+    is nulls-first) while a SQL oracle's row_number ranks them LAST —
+    filter or coalesce nullable columns before calling (every catalog
+    caller ranks non-null keys). Negate numeric columns for DESC.
+    Returns (df+rank column, total rows).
     """
     spark = df.sparkSession
     sdf = _range_shards(df.withColumn("_rank_v", value), F.col("_rank_v"), n_shards)

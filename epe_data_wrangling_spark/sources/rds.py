@@ -113,7 +113,11 @@ class _Writer:
 
 
 def _col_writer(w: _Writer, vals: list):
-    """Pick the R column type from the python values."""
+    """Pick the R column type from the python values. datetimes are
+    EXCLUDED from the Date branch (datetime subclasses date but
+    datetime - date raises) and fall through to ISO strings."""
+    from datetime import datetime
+
     nn = [v for v in vals if v is not None]
     if nn and all(isinstance(v, bool) for v in nn):
         return lambda: w.lglsxp(vals)
@@ -121,7 +125,9 @@ def _col_writer(w: _Writer, vals: list):
         -(2**31) < v < 2**31 for v in nn
     ):
         return lambda: w.intsxp(vals)
-    if nn and all(isinstance(v, date) for v in nn):
+    if nn and all(
+        isinstance(v, date) and not isinstance(v, datetime) for v in nn
+    ):
         epoch = date(1970, 1, 1)
         days = [None if v is None else float((v - epoch).days) for v in vals]
         return lambda: w.realsxp(

@@ -64,6 +64,10 @@ def _cfb_workbook_stream(data: bytes) -> bytes:
     compound file. Raises ValueError on non-CFB input."""
     if data[:8] != CFB_MAGIC:
         raise ValueError("not a CFB (.xls) file")
+    # sector s lives at file offset (s+1)*ssz: identical to the common
+    # 512-byte layout (header fills sector -1) and correct for
+    # major-version-4 files with 4096-byte sectors, where the 512-byte
+    # header is padded to a full sector
     ssz = 1 << _u16(data, 30)
     n_fat = _u32(data, 44)
     dir_start = _u32(data, 48)
@@ -78,13 +82,13 @@ def _cfb_workbook_stream(data: bytes) -> bytes:
     for _ in range(n_difat):
         if s in (_ENDCHAIN, _FREE):
             break
-        ent = struct.unpack_from(f"<{per}I", data, 512 + s * ssz)
+        ent = struct.unpack_from(f"<{per}I", data, (s + 1) * ssz)
         difat.extend(ent[:-1])
         s = ent[-1]
 
     fat: list[int] = []
     for fs in [x for x in difat if x != _FREE][:n_fat]:
-        fat.extend(struct.unpack_from(f"<{per}I", data, 512 + fs * ssz))
+        fat.extend(struct.unpack_from(f"<{per}I", data, (fs + 1) * ssz))
 
     def chain(start: int) -> list[int]:
         out, s, seen = [], start, set()
@@ -95,7 +99,7 @@ def _cfb_workbook_stream(data: bytes) -> bytes:
         return out
 
     def read_chain(start: int, size: int | None = None) -> bytes:
-        buf = b"".join(data[512 + s * ssz : 512 + (s + 1) * ssz] for s in chain(start))
+        buf = b"".join(data[(s + 1) * ssz : (s + 2) * ssz] for s in chain(start))
         return buf if size is None else buf[:size]
 
     dirdata = read_chain(dir_start)
@@ -120,7 +124,7 @@ def _cfb_workbook_stream(data: bytes) -> bytes:
     mini = read_chain(root[2], root[3])
     minifat: list[int] = []
     for s in chain(minifat_start):
-        minifat.extend(struct.unpack_from(f"<{per}I", data, 512 + s * ssz))
+        minifat.extend(struct.unpack_from(f"<{per}I", data, (s + 1) * ssz))
     out, s, seen = [], start, set()
     while s not in (_ENDCHAIN, _FREE) and s < len(minifat) and s not in seen:
         seen.add(s)
@@ -428,7 +432,12 @@ def write_xls(path: str, grids: dict[str, Grid]) -> str:
                 if val is None:
                     continue
                 s = str(val)
-                if _NUMERIC.match(s):
+                # NUMBER only when the text round-trips IDENTICALLY
+                # through the reader's canonical formatting —
+                # zero-padded codes ('007') and trailing decimals
+                # ('1.50') must stay strings or the all-text grid
+                # contract would silently alter them
+                if _NUMERIC.match(s) and _num_text(float(s)) == s:
                     buf += _rec(_NUMBER, struct.pack("<HHHd", r, c, 15, float(s)))
                 else:
                     buf += _rec(_LABELSST, struct.pack("<HHHI", r, c, 15, istr(s)))

@@ -164,14 +164,17 @@ def main() -> None:
             F.count(F.lit(1)).alias("n"), F.min("o_totalprice"), F.max("o_totalprice")
         )
 
+    # sharded forms passed as THUNKS: their construction runs driver
+    # jobs (percentile cut points + shard counts) that must land
+    # inside the timer for an unbiased comparison
     run("ntile_global_600k_orders", ntile_global())
-    run("ntile_sharded_600k_orders", ntile_sharded())
+    run("ntile_sharded_600k_orders", ntile_sharded)
     bd_w = bd.select("doc_id", F.length("text").alias("wt"))
     run(
         "cumsum_global_500k_docs",
         bd_w.withColumn("cum", F.sum("wt").over(Window.orderBy("doc_id"))),
     )
-    run("cumsum_sharded_500k_docs", sharded_cumsum(bd_w, "doc_id", "wt", out="cum"))
+    run("cumsum_sharded_500k_docs", lambda: sharded_cumsum(bd_w, "doc_id", "wt", out="cum"))
 
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
