@@ -169,6 +169,7 @@ ROTATION_BACKLOG = [
     "linkage_blocking_quality",
     "journey_conversion_hazard",
     "epe_consumption_growth",
+    "dq_schema_profile",
     "q7_nation_volume",
     "q8_market_share",
     "q15_top_supplier",

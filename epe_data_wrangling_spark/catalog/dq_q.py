@@ -343,3 +343,76 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(obs - exp, 8).alias("deviation"),
         )
     )
+
+
+_PROFILE_COLS = [  # (name, numeric) — orders schema
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, numeric in _PROFILE_COLS:
+        mn = f"CAST(MIN({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(MAX({name}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(f"""
+    SELECT '{name}' AS col_name,
+           CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+           {mn} AS min_num, {mx} AS max_num
+    FROM orders""")
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_schema_profile", oracle=_profile_oracle())
+def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style column profile of the orders table — per
+    column: null count, exact distinct count, numeric min/max (NULL
+    for non-numeric columns, whose min/max STRING formatting is not
+    engine-portable) — the first pass a data contract check runs on
+    an unfamiliar table. ONE scan: every metric is computed in a
+    single aggregate row, then unpivoted into per-column rows with a
+    literal-array explode (no second scan, no per-column pass). At
+    100 TB swap the exact distinct counts for approx_count_distinct
+    under the same output contract."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, numeric in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__nulls"),
+            F.countDistinct(name).alias(f"{name}__dist"),
+        ]
+        if numeric:
+            aggs += [
+                F.min(name).cast("double").alias(f"{name}__min"),
+                F.max(name).cast("double").alias(f"{name}__max"),
+            ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"{name}__nulls").cast("bigint").alias("n_nulls"),
+                F.col(f"{name}__dist").cast("bigint").alias("n_distinct"),
+                (
+                    F.col(f"{name}__min")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"{name}__max")
+                    if numeric
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+            for name, numeric in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_num", "r.max_num"
+    )
