@@ -237,6 +237,8 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
+    "workbook_source_cells",
+    "variant_shred_events",
 ]
 
 

@@ -640,6 +640,44 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_shred_events",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS kb,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           SUM(length(CAST(json(props) AS VARCHAR))) AS rt_chars,
+           COUNT(json_extract_string(props, '$.missing')) AS n_missing
+    FROM events
+    GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 7
+    """,
+)
+def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type end-to-end: parse_json → an open
+    semi-structured binary encoding that, unlike get_json_object,
+    is parsed ONCE and then field-accessed positionally (the
+    shredding-ready storage form for schema-drifting payloads at
+    100 TB — re-parsing JSON text per path access is the classic
+    scan bottleneck). Exercises parse_json, typed variant_get,
+    try_variant_get on an absent path (NULL, not error), and the
+    to_json round trip (canonical form must agree with DuckDB's
+    json() canonicalization byte-for-byte for the length sum to
+    match)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    shredded = e.select(
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.length(F.to_json(v)).alias("rt_len"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing"),
+    )
+    return shredded.groupBy((F.col("k") % 7).alias("kb")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum("rt_len").alias("rt_chars"),
+        F.count("missing").alias("n_missing"),
+    )
+
+
+@query(
     "join_salted_skew",
     oracle="""
     SELECT s.s_nationkey,

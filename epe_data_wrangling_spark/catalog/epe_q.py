@@ -198,3 +198,89 @@ def epe_consumption_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("valor_ano") - F.col("valor_prev")) / F.col("valor_prev"), 6
         ).alias("yoy_growth"),
     )
+
+
+def _wb_source_expected() -> list[tuple]:
+    """Golden per-(fmt, sheet) stats computed in plain Python from the
+    demo grids — the independent truth the Spark DataSource read path
+    must land on for BOTH container formats."""
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+
+    rows = []
+    for fmt in ("xls", "xlsx"):
+        for si, (sheet, grid) in enumerate(workbook_grids().items()):
+            cells = [
+                (r, c, str(v))
+                for r, row in enumerate(grid)
+                for c, v in enumerate(row)
+                if v is not None
+            ]
+            rows.append(
+                (
+                    fmt,
+                    si,
+                    sheet,
+                    len(cells),
+                    sum(len(v) for _, _, v in cells),
+                    max(r for r, _, _ in cells),
+                    max(c for _, c, _ in cells),
+                )
+            )
+    return rows
+
+
+def _wb_source_values_sql() -> str:
+    rows = ",\n      ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in _wb_source_expected()
+    )
+    return f"""
+    SELECT fmt, sheet_idx, sheet, n_cells, total_chars, max_row_idx, max_col_idx
+    FROM (VALUES
+      {rows}
+    ) t(fmt, sheet_idx, sheet, n_cells, total_chars, max_row_idx, max_col_idx)
+    """
+
+
+@query("workbook_source_cells", oracle=_wb_source_values_sql())
+def workbook_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED workbook ingest path (S2-S4 at fleet scale):
+    the Python Data Source API source ``spark.read.format("workbook")``
+    (sources.spark_datasource, Spark 4 / SPARK-44076) over a landing
+    directory holding the demo workbook in BOTH container formats
+    (OOXML ``.xlsx`` + BIFF8 ``.xls``) — planning lists the directory
+    only; all parsing runs executor-side, one partition per file,
+    magic-byte format dispatch. Aggregated to per-(format, sheet)
+    stats and checked against a Python-computed golden, so the two
+    binary readers AND the datasource plumbing must agree cell-for-
+    cell with the in-memory grid truth."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+    from epe_data_wrangling_spark.sources.spark_datasource import register
+    from epe_data_wrangling_spark.sources.xls_biff import write_xls
+    from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+
+    # Fixed, content-deterministic drop dir: overwritten (never
+    # accumulated) across sweeps — no per-run /tmp leak.
+    drop = os.path.join(tempfile.gettempdir(), "epe_wb_source_demo")
+    os.makedirs(drop, exist_ok=True)
+    grids = workbook_grids()
+    write_xlsx(os.path.join(drop, "demo.xlsx"), grids)
+    write_xls(os.path.join(drop, "demo.xls"), grids)
+
+    register(spark)
+    cells = spark.read.format("workbook").load(drop)
+    return (
+        cells.withColumn("fmt", F.element_at(F.split(F.col("file"), r"\."), -1))
+        .groupBy("fmt", "sheet_idx", "sheet")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum(F.length("value")).alias("total_chars"),
+            F.max("row_idx").alias("max_row_idx"),
+            F.max("col_idx").alias("max_col_idx"),
+        )
+        .orderBy("fmt", "sheet_idx")
+    )

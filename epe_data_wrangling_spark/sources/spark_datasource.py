@@ -1,0 +1,114 @@
+"""Workbook ingest as a first-class Spark data source (Python Data
+Source API, Spark 4 / SPARK-44076): ``spark.read.format("workbook")``.
+
+The driver-side ingest in ``sources.workbook`` is the right tool for
+ONE small messy workbook (the reference's actual artifact,
+`tratamento_epe.R:39,63`), because the normalize stage needs
+plan-time access to specific cells. This module is the DISTRIBUTED
+counterpart for the fleet-of-workbooks shape — a landing zone with
+thousands of spreadsheet drops — where parsing must happen on
+executors, not the driver:
+
+- **Planning touches no file contents.** ``partitions()`` only lists
+  the directory; every byte of workbook parsing happens inside
+  ``read()`` on an executor. One :class:`InputPartition` per FILE —
+  the natural split unit for container formats, since both OOXML
+  (shared-strings part, ZIP central directory) and BIFF8 (CFB FAT,
+  workbook-global SST) hold workbook-global state that a sheet-level
+  split would force every task to re-read.
+- **Output is the raw CELL relation** ``(file, sheet, sheet_idx,
+  row_idx, col_idx, value)`` — no header interpretation, every value
+  text (read_xls parity). Header naming, junk slicing and typing are
+  downstream relational work (``plans.epe_normalize``), keeping this
+  source schema-stable no matter how ragged the sheets are; ragged /
+  blank cells simply produce no row (sparse representation).
+- Format detection is per-file by MAGIC BYTES (CFB → BIFF8 reader,
+  else OOXML), so one load() can mix ``.xls`` and ``.xlsx`` drops.
+
+Registration is per-session and idempotent: ``register(spark)``.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: The cell relation. row_idx/col_idx are 0-based positions in the raw
+#: grid (row 0 is the sheet's header row under read_xls semantics);
+#: sheet_idx preserves workbook sheet ORDER, which is semantic for the
+#: reference (Shape-A/Shape-B dispatch happens by sheet, SURVEY C1).
+CELLS_SCHEMA = (
+    "file string, sheet string, sheet_idx int, row_idx long, col_idx int, value string"
+)
+
+_EXTS = (".xls", ".xlsx")
+
+
+def _expand_paths(path: str) -> list[str]:
+    """path → sorted concrete file list. Accepts one file, a glob, or
+    a directory (non-recursive; workbook extensions only)."""
+    if os.path.isdir(path):
+        files = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith(_EXTS)
+        ]
+    elif any(ch in path for ch in "*?["):
+        files = [f for f in _glob.glob(path) if f.lower().endswith(_EXTS)]
+    else:
+        files = [path] if os.path.exists(path) else []
+    if not files:
+        raise FileNotFoundError(f"workbook source: no workbook files at {path!r}")
+    return sorted(files)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, file: str):
+        self.file = file
+
+
+class WorkbookCellReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("workbook source requires a path: .load('<file|dir|glob>')")
+        self.path = path
+
+    def partitions(self) -> list[InputPartition]:
+        # Metadata-only planning: a directory listing, zero file opens.
+        return [_FilePartition(f) for f in _expand_paths(self.path)]
+
+    def read(self, partition: _FilePartition):
+        # Executor-side: magic-byte dispatch to the stdlib readers
+        # (pandas-engine fallback inside read_workbook_grids applies
+        # if an Excel engine is installed on the executors).
+        from epe_data_wrangling_spark.sources.workbook import read_workbook_grids
+
+        file = partition.file
+        for sheet_idx, (sheet, grid) in enumerate(read_workbook_grids(file).items()):
+            for row_idx, row in enumerate(grid):
+                for col_idx, value in enumerate(row):
+                    if value is not None:
+                        yield (file, sheet, sheet_idx, row_idx, col_idx, str(value))
+
+
+class WorkbookDataSource(DataSource):
+    """``spark.read.format("workbook").load(path)`` → cell relation."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "workbook"
+
+    def schema(self) -> str:
+        return CELLS_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return WorkbookCellReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source on this session (re-register
+    simply overwrites the prior registration)."""
+    spark.dataSource.register(WorkbookDataSource)

@@ -1,0 +1,95 @@
+"""Python Data Source API integration (sources.spark_datasource).
+
+Truth source: the in-memory grids the fixture workbooks are written
+from. The Spark read path (executor-side parse → cell relation) must
+reproduce every non-blank cell of every sheet, for both container
+formats, for directory/glob multi-file loads.
+"""
+
+import pytest
+
+from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+from epe_data_wrangling_spark.sources.spark_datasource import register
+from epe_data_wrangling_spark.sources.xls_biff import write_xls
+from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+
+
+def _expected_cells(file: str, grids) -> set:
+    out = set()
+    for sheet_idx, (sheet, grid) in enumerate(grids.items()):
+        for r, row in enumerate(grid):
+            for c, v in enumerate(row):
+                if v is not None:
+                    out.add((file, sheet, sheet_idx, r, c, str(v)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def workbook_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wb_drop")
+    grids = workbook_grids()
+    write_xlsx(str(d / "drop_a.xlsx"), grids)
+    write_xls(str(d / "drop_b.xls"), grids)
+    return d, grids
+
+
+def _read(spark, path):
+    register(spark)
+    return spark.read.format("workbook").load(str(path))
+
+
+def test_single_xlsx_cells_match_grid_truth(spark, workbook_dir):
+    d, grids = workbook_dir
+    path = str(d / "drop_a.xlsx")
+    got = {tuple(r) for r in _read(spark, path).collect()}
+    assert got == _expected_cells(path, grids)
+
+
+def test_single_xls_cells_match_grid_truth(spark, workbook_dir):
+    d, grids = workbook_dir
+    path = str(d / "drop_b.xls")
+    got = {tuple(r) for r in _read(spark, path).collect()}
+    assert got == _expected_cells(path, grids)
+
+
+def test_directory_load_mixes_formats_one_partition_per_file(spark, workbook_dir):
+    d, grids = workbook_dir
+    df = _read(spark, d)
+    assert df.rdd.getNumPartitions() == 2  # one InputPartition per file
+    got = {tuple(r) for r in df.collect()}
+    want = _expected_cells(str(d / "drop_a.xlsx"), grids) | _expected_cells(
+        str(d / "drop_b.xls"), grids
+    )
+    assert got == want
+
+
+def test_glob_load(spark, workbook_dir):
+    d, grids = workbook_dir
+    df = _read(spark, str(d / "*.xls"))
+    got = {tuple(r) for r in df.collect()}
+    assert got == _expected_cells(str(d / "drop_b.xls"), grids)
+
+
+def test_missing_path_raises(spark, workbook_dir):
+    d, _ = workbook_dir
+    with pytest.raises(Exception, match="no workbook files"):
+        _read(spark, str(d / "nope_dir")).collect()
+
+
+def test_header_row_reconstructs_readxl_names(spark, workbook_dir):
+    """Row 0 of each sheet is the header row under read_xls semantics;
+    the cell relation must let downstream rebuild the exact names the
+    driver-side ingester produces (``...k`` for blank header cells)."""
+    from epe_data_wrangling_spark.sources.workbook import readxl_names
+
+    d, grids = workbook_dir
+    df = _read(spark, str(d / "drop_a.xlsx"))
+    hdr = df.where("row_idx = 0").collect()
+    by_sheet: dict[str, dict[int, str]] = {}
+    for row in hdr:
+        by_sheet.setdefault(row.sheet, {})[row.col_idx] = row.value
+    for sheet, grid in grids.items():
+        width = len(grid[0])
+        cells = by_sheet.get(sheet, {})
+        rebuilt = [cells.get(i) for i in range(width)]
+        assert readxl_names(rebuilt) == readxl_names(grid[0])
