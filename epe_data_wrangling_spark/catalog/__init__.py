@@ -239,6 +239,7 @@ ROTATION_BACKLOG = [
     "basket_part_pairs_lift",
     "workbook_source_cells",
     "variant_shred_events",
+    "multimodal_gif_pixel_stats",
 ]
 
 

@@ -305,3 +305,45 @@ def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_y",
         F.round(F.abs(F.col("mean_y") - F.col("prev_y")), 6).alias("luma_delta"),
     )
+
+
+@query(
+    "multimodal_gif_pixel_stats",
+    oracle=f"""
+    WITH ids AS (SELECT unnest(generate_series(0, {N_REAL_ASSETS - 1}))
+                   AS asset_id),
+    px AS (SELECT ids.asset_id,
+                  (xx.x * 13 + yy.y * 7 + 5 * ids.asset_id) % 256 AS idx
+           FROM ids,
+                LATERAL unnest(generate_series(0, 23)) xx(x),
+                LATERAL unnest(generate_series(0, 17)) yy(y)),
+    s AS (SELECT asset_id,
+                 SUM((idx * 3) % 256) AS sum_r,
+                 SUM((idx * 7) % 256) AS sum_g,
+                 SUM((idx * 11) % 256) AS sum_b
+          FROM px GROUP BY asset_id)
+    SELECT asset_id, CAST(24 AS INTEGER) AS width, CAST(18 AS INTEGER) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           round(CAST(sum_r AS BIGINT) / CAST(24 * 18 AS DOUBLE), 6) AS mean_r,
+           round(CAST(sum_g AS BIGINT) / CAST(24 * 18 AS DOUBLE), 6) AS mean_g,
+           round(CAST(sum_b AS BIGINT) / CAST(24 * 18 AS DOUBLE), 6) AS mean_b
+    FROM s
+    """,
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palette-image decode, hash-checked: {N_REAL_ASSETS} actual
+    GIF89a files (multimodal.assets.make_gif — REAL variable-width
+    LZW, 256-entry global color table, extension block in the stream)
+    are decoded by decode.gif_pixel_stats — extension walk, sub-block
+    reassembly, LZW decompress incl. the 9→10-bit width growth and
+    KwKwK case, palette mapping — and the exact integer channel sums
+    must equal the oracle's closed-form composition of the index and
+    palette formulas. Second compressed format decoded for real with
+    zero codec dependencies (after PNG)."""
+    from epe_data_wrangling_spark.multimodal.assets import make_gif
+
+    rows = [(i, bytearray(make_gif(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.gif_pixel_stats(assets)

@@ -192,3 +192,89 @@ def make_y4m(asset_id: int, w: int = Y4M_W, h: int = Y4M_H,
         out += bytes(y4m_luma(x, y, f, asset_id) for y in range(h) for x in range(w))
         out += bytes([128]) * (w * h) * 2  # U and V planes
     return bytes(out)
+
+
+GIF_W, GIF_H = 24, 18
+
+
+def gif_palette(i: int) -> tuple[int, int, int]:
+    """(r, g, b) of global-color-table entry i — the closed form the
+    oracle composes with ``gif_index``."""
+    return ((i * 3) % 256, (i * 7) % 256, (i * 11) % 256)
+
+
+def gif_index(x: int, y: int, asset_id: int) -> int:
+    """Palette index of pixel (x, y)."""
+    return (x * 13 + y * 7 + 5 * asset_id) % 256
+
+
+def _gif_lzw_compress(indices: bytes, min_code_size: int) -> bytes:
+    """Real GIF-flavor LZW (variable code width 9→12 bits, LSB-first
+    bit packing, CLEAR/EOI codes) — the inverse of
+    ``decode.gif_lzw_decompress``."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w = b""
+    for byte in indices:
+        k = bytes([byte])
+        if w + k in table:
+            w += k
+        else:
+            emit(table[w])
+            table[w + k] = next_code
+            next_code += 1
+            # GIF widens AFTER the code that made the table reach
+            # 2^code_size entries; at 4096 an encoder must CLEAR
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            w = k
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(asset_id: int, w: int = GIF_W, h: int = GIF_H) -> bytes:
+    """A real GIF89a with a 256-entry global color table and a REAL
+    LZW-compressed image stream (min code size 8; at 24×18 the string
+    table passes 512 entries, so the variable-width 9→10-bit growth
+    path is exercised, not just fixed-width codes). A Graphic Control
+    Extension precedes the image so decoders must walk/skip extension
+    blocks. Pixels are palette indices from ``gif_index`` mapped
+    through ``gif_palette``."""
+    out = bytearray()
+    out += b"GIF89a"
+    out += _struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # global table, 8 bpp, 256 entries
+    for i in range(256):
+        out += bytes(gif_palette(i))
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # GCE (no transparency)
+    out += bytes([0x2C]) + _struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+    indices = bytes(gif_index(x, y, asset_id) for y in range(h) for x in range(w))
+    lzw = _gif_lzw_compress(indices, 8)
+    out += bytes([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        block = lzw[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += bytes([0, 0x3B])  # block terminator + trailer
+    return bytes(out)

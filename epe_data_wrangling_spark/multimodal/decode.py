@@ -530,3 +530,155 @@ def y4m_frame_stats(assets: DataFrame) -> DataFrame:
         F.round(F.col("sum_y") / (F.col("width") * F.col("height")).cast("double"), 6)
         .alias("mean_y"),
     )
+
+
+def gif_lzw_decompress(data: bytes, min_code_size: int) -> bytes | None:
+    """GIF-flavor LZW decode (GIF89a spec appendix F): variable code
+    width starting at min_code_size+1, LSB-first packing, CLEAR
+    resets the string table, EOI terminates; the KwKwK case handled.
+    Returns the index stream, or None on a corrupt code sequence."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    table: list[bytes] = []
+    code_size = 0
+    prev: bytes | None = None
+    out = bytearray()
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, like real decoders
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        out += entry
+        prev = entry
+        # widen AFTER the table fills the current width (mirror of the
+        # encoder's post-add growth); 12 bits is the GIF ceiling
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """REAL GIF decode with zero dependencies: header + logical screen
+    descriptor, global color table, extension-block walk, image
+    descriptor, sub-block reassembly, LZW decompress, palette
+    mapping. Returns (width, height, rgb) — interleaved 8-bit RGB of
+    the FIRST image — or None outside the supported envelope (local
+    color tables, interlace) or for non-GIF payloads."""
+    if b[:6] not in (b"GIF89a", b"GIF87a"):
+        return None
+    if len(b) < 13:
+        return None
+    packed = b[10]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:
+            break
+        elif block == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None
+        continue
+    if pos >= len(b) or b[pos] != 0x2C:
+        return None
+    w, h = struct.unpack_from("<HH", b, pos + 5)
+    ipacked = b[pos + 9]
+    if ipacked & 0x80 or ipacked & 0x40:  # local table / interlace
+        return None
+    pos += 10
+    min_code_size = b[pos]
+    pos += 1
+    lzw = bytearray()
+    while pos < len(b) and b[pos] != 0:
+        ln = b[pos]
+        lzw += b[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    indices = gif_lzw_decompress(bytes(lzw), min_code_size)
+    if indices is None or len(indices) < w * h or not palette:
+        return None
+    rgb = bytearray()
+    for i in indices[: w * h]:
+        rgb += palette[3 * i : 3 * i + 3]
+    return w, h, bytes(rgb)
+
+
+def gif_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL GIF decode → per-image exact integer channel sums — the
+    palette-format sibling of ``png_pixel_stats`` (same output
+    contract, same narrow mapInPandas shape: payloads never
+    shuffle)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_gif_pixels(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(px[0::3]))
+                out["sum_g"].append(sum(px[1::3]))
+                out["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    decoded = assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, width INT, height INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )
+    from pyspark.sql import functions as F
+
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
+    )

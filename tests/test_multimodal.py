@@ -265,3 +265,54 @@ def test_png_pixel_stats_rejects_foreign_and_unsupported(spark):
         "asset_id long, payload binary",
     )
     assert png_pixel_stats(junk).count() == 0
+
+
+def test_gif_decode_roundtrip_exact_pixels():
+    """decode_gif_pixels must reverse the REAL LZW stream (variable
+    code width incl. the 9→10-bit growth at 24×18, KwKwK case) and
+    map the palette exactly."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        GIF_H,
+        GIF_W,
+        gif_index,
+        gif_palette,
+        make_gif,
+    )
+    from epe_data_wrangling_spark.multimodal.decode import decode_gif_pixels
+
+    b = make_gif(7)
+    w, h, px = decode_gif_pixels(b)
+    assert (w, h) == (GIF_W, GIF_H)
+    for y in range(h):
+        for x in range(w):
+            off = (y * w + x) * 3
+            assert tuple(px[off : off + 3]) == gif_palette(gif_index(x, y, 7)), (x, y)
+
+
+def test_gif_fixture_is_real_gif89a():
+    from epe_data_wrangling_spark.multimodal.assets import make_gif
+
+    b = make_gif(0)
+    assert b[:6] == b"GIF89a"
+    assert b[-1] == 0x3B
+    # extension block present before the image descriptor
+    assert 0x21 in b[13 + 768 : 13 + 768 + 1]
+
+
+def test_gif_lzw_handles_kwkwk_and_clear():
+    from epe_data_wrangling_spark.multimodal.assets import _gif_lzw_compress
+    from epe_data_wrangling_spark.multimodal.decode import gif_lzw_decompress
+
+    # aaaa... is the canonical KwKwK trigger
+    for data in (b"\x00" * 50, bytes(range(100)) * 3, b"abcabcabcabc" * 10):
+        assert gif_lzw_decompress(_gif_lzw_compress(data, 8), 8) == data
+
+
+def test_gif_pixel_stats_rejects_foreign_payloads(spark):
+    from epe_data_wrangling_spark.multimodal.decode import gif_pixel_stats
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(b"not a gif")), (2, bytearray(b"GIF89a\x01"))],
+        "asset_id long, payload binary",
+    )
+    assert gif_pixel_stats(assets).count() == 0
