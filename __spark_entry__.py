@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from epe_data_wrangling_spark.catalog import all_queries
+from epe_data_wrangling_spark.catalog import all_queries, resolve_oracle
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "join_broadcast_star"
@@ -34,4 +34,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle SQL per query (omitted ⇒ rows-only check)."""
-    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}
+    return {
+        name: resolve_oracle(q)
+        for name, q in all_queries().items()
+        if q.oracle is not None
+    }

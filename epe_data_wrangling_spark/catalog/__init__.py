@@ -33,9 +33,18 @@ from pyspark.sql import DataFrame, SparkSession
 class CatalogQuery:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: SQL text, or a zero-arg callable returning it (LAZY oracle — for
+    #: golden-VALUES oracles whose computation is too costly for import
+    #: time, e.g. the JPEG golden decodes 40 fixtures driver-side).
+    #: Consumers resolve via ``resolve_oracle``.
+    oracle: str | Callable[[], str] | None
     doc: str = ""
     headline: bool = False  # included in bench.py's headline set
+
+
+def resolve_oracle(q: CatalogQuery) -> str | None:
+    """Oracle SQL text for a query, resolving lazy (callable) oracles."""
+    return q.oracle() if callable(q.oracle) else q.oracle
 
 
 #: ``{ALL_CAPS}`` placeholders in query docstrings refer to module-level
@@ -240,6 +249,7 @@ ROTATION_BACKLOG = [
     "workbook_source_cells",
     "variant_shred_events",
     "multimodal_gif_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
 ]
 
 

@@ -347,3 +347,59 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(make_gif(i))) for i in range(N_REAL_ASSETS)]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.gif_pixel_stats(assets)
+
+
+def _jpeg_expected_sql() -> str:
+    """LAZY golden oracle (resolved only when the comparison runs, not
+    at import): decode the 40 JPEG fixtures with decode_jpeg_pixels in
+    plain driver-side Python and freeze the channel sums as VALUES.
+
+    Provenance: this certifies the Spark mapInPandas path lands on the
+    single-process decode of the same payloads (JPEG is lossy, so no
+    closed-form pixel oracle can exist). Codec CORRECTNESS is anchored
+    separately in tests/test_multimodal.py: the encoder and decoder
+    share no tables (the decoder reads DQT/DHT from the bitstream),
+    and decode(encode(x)) must reconstruct smooth content within a
+    tight error bound — a broken FDCT/IDCT/Huffman/unstuffing step
+    fails that property, not just determinism."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    rows = []
+    for aid in range(N_REAL_ASSETS):
+        w, h, px = decode_jpeg_pixels(make_jpeg(aid))
+        rows.append(
+            f"({aid}, {w}, {h}, {sum(px[0::3])}, {sum(px[1::3])}, {sum(px[2::3])})"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT asset_id, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           round(sum_r / CAST(width * height AS DOUBLE), 6) AS mean_r,
+           round(sum_g / CAST(width * height AS DOUBLE), 6) AS mean_g,
+           round(sum_b / CAST(width * height AS DOUBLE), 6) AS mean_b
+    FROM (VALUES
+      {values}
+    ) t(asset_id, width, height, sum_r, sum_g, sum_b)
+    """
+
+
+@query("multimodal_jpeg_pixel_stats", oracle=_jpeg_expected_sql)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec decode, hash-checked: {N_REAL_ASSETS} actual
+    baseline JPEGs (multimodal.assets.make_jpeg — float FDCT,
+    quality-90 Annex-K quantization, Annex-K Huffman, interleaved
+    4:4:4 MCU scan, byte stuffing, non-multiple-of-8 dims) decoded by
+    decode.jpeg_pixel_stats: marker walk, DQT/DHT parsed FROM the
+    bitstream, entropy decode, dequantize, IDCT, YCbCr→RGB. With PNG
+    (zlib) and GIF (LZW) this completes the big-three image formats
+    decoded for real with zero codec dependencies; the
+    require_real_decoders stub now covers only codec video/audio."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+
+    rows = [(i, bytearray(make_jpeg(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.jpeg_pixel_stats(assets)

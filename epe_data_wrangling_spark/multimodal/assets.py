@@ -278,3 +278,257 @@ def make_gif(asset_id: int, w: int = GIF_W, h: int = GIF_H) -> bytes:
         out += bytes([len(block)]) + block
     out += bytes([0, 0x3B])  # block terminator + trailer
     return bytes(out)
+
+
+# ---- baseline JPEG fixture encoder -----------------------------------
+#
+# A real ITU T.81 baseline sequential JPEG writer: YCbCr 4:4:4, float
+# FDCT, Annex-K quantization tables scaled to quality 90, Annex-K
+# Huffman tables, interleaved MCU scan with byte stuffing. The decoder
+# (decode.decode_jpeg_pixels) shares NONE of these constants — it
+# reads quantization and Huffman tables from the bitstream, so the
+# pair is two independent implementations meeting at the spec.
+
+JPG_W, JPG_H = 20, 14  # non-multiple-of-8: exercises MCU padding/crop
+
+_ZZ = [  # zigzag order (T.81 Figure A.6)
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QL = [  # Annex K.1 luminance
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+_QC = [  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 Huffman specs: (BITS counts per length 1..16, HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+_JPEG_QUALITY = 90
+
+
+def _scaled_qtable(base: list[int]) -> list[int]:
+    """IJG quality scaling (quality > 50 branch)."""
+    scale = 200 - 2 * _JPEG_QUALITY
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in base]
+
+
+def jpeg_pixel(x: int, y: int, asset_id: int) -> tuple[int, int, int]:
+    """Smooth gradient formula — low-frequency content, so quality-90
+    quantization reconstructs within a small bounded error (asserted
+    in tests and by the catalog oracle's tolerance design)."""
+    return (
+        (x * 3 + y * 2 + asset_id * 7) % 200 + 28,
+        (x * 2 + y * 4 + asset_id * 5) % 200 + 28,
+        (x * 4 + y * 3 + asset_id * 3) % 200 + 28,
+    )
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical code assignment (T.81 C.2): symbol → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _fdct8(block: list[float]) -> list[float]:
+    """Direct 2-D type-II DCT with orthonormal scaling (T.81 A.3.3)."""
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for yy in range(8):
+                for xx in range(8):
+                    s += (
+                        block[yy * 8 + xx]
+                        * _COS[xx][u]
+                        * _COS[yy][v]
+                    )
+            cu = _INV_SQRT2 if u == 0 else 1.0
+            cv = _INV_SQRT2 if v == 0 else 1.0
+            out[v * 8 + u] = 0.25 * cu * cv * s
+    return out
+
+
+import math as _math
+
+_COS = [[_math.cos((2 * i + 1) * j * _math.pi / 16) for j in range(8)] for i in range(8)]
+_INV_SQRT2 = 1.0 / _math.sqrt(2.0)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _amp_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def make_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
+    """A real baseline JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI): YCbCr
+    4:4:4, quality-90 Annex-K quant tables, Annex-K Huffman tables,
+    interleaved MCU scan, 0xFF byte stuffing, edge-replicated MCU
+    padding for the non-multiple-of-8 dimensions."""
+    ql, qc = _scaled_qtable(_QL), _scaled_qtable(_QC)
+
+    # formula RGB → 3 YCbCr planes (JFIF full-range, rounded)
+    planes = [[0] * (w * h) for _ in range(3)]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = jpeg_pixel(x, y, asset_id)
+            yy = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+            for ci, v in enumerate((yy, cb, cr)):
+                planes[ci][y * w + x] = min(255, max(0, round(v)))
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+
+    def block_of(plane: list[int], bx: int, by: int) -> list[float]:
+        out = []
+        for yy in range(8):
+            sy = min(by * 8 + yy, h - 1)
+            for xx in range(8):
+                sx = min(bx * 8 + xx, w - 1)
+                out.append(float(plane[sy * w + sx]) - 128.0)
+        return out
+
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+
+    out = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                q = ql if ci == 0 else qc
+                dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                coef = _fdct8(block_of(planes[ci], bx, by))
+                zz = [round(coef[_ZZ[k]] / q[k]) for k in range(64)]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                size = _category(diff)
+                code, ln = dc_t[size]
+                out.put(code, ln)
+                if size:
+                    out.put(_amp_bits(diff, size), size)
+                run = 0
+                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                for k in range(1, 64):
+                    if k > last_nz:
+                        code, ln = ac_t[0x00]  # EOB
+                        out.put(code, ln)
+                        break
+                    if zz[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_t[0xF0]  # ZRL
+                        out.put(code, ln)
+                        run -= 16
+                    size = _category(zz[k])
+                    code, ln = ac_t[(run << 4) | size]
+                    out.put(code, ln)
+                    out.put(_amp_bits(zz[k], size), size)
+                    run = 0
+    scan = out.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits + vals)
+
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0]) + bytes(ql[k] for k in range(64))) + seg(
+        0xDB, bytes([1]) + bytes(qc[k] for k in range(64))
+    )
+    sof = seg(
+        0xC0,
+        bytes([8])
+        + _struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dhts = seg(0xC4, dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return b"\xff\xd8" + jfif + dqt + sof + dhts + sos + scan + b"\xff\xd9"

@@ -55,13 +55,14 @@ def require_real_decoders() -> None:
     """STUB GATE for real media decoding."""
     raise NotImplementedError(
         "Codec-dependent media decode is stubbed in this environment "
-        "(no Pillow/soundfile/av). PNG pixels decode for REAL via "
-        "decode_png_pixels (stdlib zlib + unfilter); BMP/WAV/Y4M "
-        "decode for real too. What remains stubbed: JPEG pixel "
-        "decode (needs a DCT codec: PIL.Image.open), lossy audio "
-        "(soundfile.read), codec video (av.open → keyframes). The "
-        "mapInPandas plumbing, schemas and routing in this module are "
-        "the real, tested code path either way."
+        "(no Pillow/soundfile/av). Images decode for REAL, "
+        "dependency-free: PNG (decode_png_pixels: zlib + unfilter), "
+        "GIF (decode_gif_pixels: LZW + palette), baseline JPEG "
+        "(decode_jpeg_pixels: Huffman + IDCT), plus BMP/WAV/Y4M. "
+        "What remains stubbed: progressive/subsampled JPEG, lossy "
+        "audio (soundfile.read), codec video (av.open → keyframes). "
+        "The mapInPandas plumbing, schemas and routing in this module "
+        "are the real, tested code path either way."
     )
 
 
@@ -657,6 +658,280 @@ def gif_pixel_stats(assets: DataFrame) -> DataFrame:
                 ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 decoded = decode_gif_pixels(bytes(payload))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                out["asset_id"].append(aid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(px[0::3]))
+                out["sum_g"].append(sum(px[1::3]))
+                out["sum_b"].append(sum(px[2::3]))
+            yield pd.DataFrame(out)
+
+    decoded = assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, width INT, height INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )
+    from pyspark.sql import functions as F
+
+    npx = (F.col("width") * F.col("height")).cast("double")
+    return decoded.select(
+        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
+        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
+        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
+    )
+
+
+# ---- baseline JPEG decoder -------------------------------------------
+
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+import math as _math
+
+_JCOS = [[_math.cos((2 * i + 1) * j * _math.pi / 16) for j in range(8)] for i in range(8)]
+_JISQ2 = 1.0 / _math.sqrt(2.0)
+
+
+def _idct8(coef: list[float]) -> list[float]:
+    out = [0.0] * 64
+    for yy in range(8):
+        for xx in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = _JISQ2 if v == 0 else 1.0
+                for u in range(8):
+                    cu = _JISQ2 if u == 0 else 1.0
+                    s += cu * cv * coef[v * 8 + u] * _JCOS[xx][u] * _JCOS[yy][v]
+            out[yy * 8 + xx] = 0.25 * s
+    return out
+
+
+class _JpegBitReader:
+    """MSB-first entropy-data reader with 0xFF00 unstuffing; any other
+    marker ends the scan."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise EOFError
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise EOFError  # real marker: scan over
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+class _HuffDecoder:
+    """Canonical Huffman per T.81 C.2, decoded by (length, code)."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.map: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.map[(length, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _JpegBitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.map.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad Huffman code")
+
+
+def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
+    """REAL baseline JPEG decode with zero dependencies: marker walk,
+    DQT/DHT parsed FROM THE FILE (nothing shared with the fixture
+    encoder's constant tables), SOF0, interleaved-MCU entropy decode
+    (byte unstuffing, DC prediction, EOB/ZRL), dequantize, float
+    IDCT, level shift, YCbCr→RGB. Returns (width, height, rgb) or
+    None outside the supported envelope (progressive/arithmetic,
+    subsampled chroma, restart markers, 12-bit) and for non-JPEG
+    payloads."""
+    if b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    w = h = None
+    comps: list[tuple[int, int, int]] = []  # (id, qtab, hv)
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
+    i = 2
+    scan_at = None
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (ln,) = struct.unpack_from(">H", b, i + 2)
+        body = b[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                if pq != 0:
+                    return None  # 16-bit tables: out of envelope
+                qt[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:
+            if body[0] != 8:
+                return None
+            h, w = struct.unpack_from(">HH", body, 1)
+            nc = body[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    return None  # subsampling: out of envelope
+                comps.append((cid, tq, hv))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF
+        elif marker == 0xDD:
+            return None  # restart intervals: out of envelope
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
+            scan_at = i + 2 + ln
+            break
+        elif marker == 0xD9:
+            return None
+        i += 2 + ln
+    if scan_at is None or w is None or not comps or len(scan_comps) != len(comps):
+        return None
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [[0] * (bw * 8 * bh * 8) for _ in comps]
+    pred = [0] * len(comps)
+    br = _JpegBitReader(b, scan_at)
+    comp_by_id = {cid: (qtab) for cid, qtab, _ in comps}
+    try:
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, (cid, dct, act) in enumerate(scan_comps):
+                    q = qt.get(comp_by_id.get(cid))
+                    dc_h, ac_h = huff.get((0, dct)), huff.get((1, act))
+                    if q is None or dc_h is None or ac_h is None:
+                        return None
+                    zz = [0] * 64
+                    size = dc_h.decode(br)
+                    diff = _extend(br.bits(size), size) if size else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = ac_h.decode(br)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        if k > 63:
+                            return None
+                        sz = sym & 0x0F
+                        zz[k] = _extend(br.bits(sz), sz)
+                        k += 1
+                    coef = [0.0] * 64
+                    for k in range(64):
+                        coef[_JPEG_ZZ[k]] = zz[k] * q[k]
+                    px = _idct8(coef)
+                    plane = planes[ci]
+                    stride = bw * 8
+                    for yy in range(8):
+                        row = (by * 8 + yy) * stride + bx * 8
+                        for xx in range(8):
+                            v = round(px[yy * 8 + xx]) + 128
+                            plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+    except (EOFError, ValueError):
+        return None
+
+    rgb = bytearray(w * h * 3)
+    stride = bw * 8
+    if len(comps) == 3:
+        for y in range(h):
+            for x in range(w):
+                yy = planes[0][y * stride + x]
+                cb = planes[1][y * stride + x] - 128
+                cr = planes[2][y * stride + x] - 128
+                r = round(yy + 1.402 * cr)
+                g = round(yy - 0.344136 * cb - 0.714136 * cr)
+                bl = round(yy + 1.772 * cb)
+                o = (y * w + x) * 3
+                rgb[o] = 0 if r < 0 else (255 if r > 255 else r)
+                rgb[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                rgb[o + 2] = 0 if bl < 0 else (255 if bl > 255 else bl)
+    elif len(comps) == 1:
+        for y in range(h):
+            for x in range(w):
+                v = planes[0][y * stride + x]
+                o = (y * w + x) * 3
+                rgb[o] = rgb[o + 1] = rgb[o + 2] = v
+    else:
+        return None
+    return w, h, bytes(rgb)
+
+
+def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode → per-image exact integer channel
+    sums (same contract and mapInPandas shape as png/gif stats)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                decoded = decode_jpeg_pixels(bytes(payload))
                 if decoded is None:
                     continue
                 w, h, px = decoded

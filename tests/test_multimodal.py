@@ -316,3 +316,72 @@ def test_gif_pixel_stats_rejects_foreign_payloads(spark):
         "asset_id long, payload binary",
     )
     assert gif_pixel_stats(assets).count() == 0
+
+
+def test_jpeg_roundtrip_bounded_error_smooth():
+    """The encoder/decoder pair shares no tables (decoder reads
+    DQT/DHT from the bitstream); a broken FDCT, IDCT, Huffman builder
+    or unstuffing step cannot reconstruct smooth content within a few
+    code values. Wrap-free gradient → error ≤ 4 per channel."""
+    from epe_data_wrangling_spark.multimodal import assets as A
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    orig = A.jpeg_pixel
+    A.jpeg_pixel = lambda x, y, aid: (30 + x * 2 + y, 60 + x + y * 2, 90 + x + y)
+    try:
+        b = A.make_jpeg(0)
+    finally:
+        A.jpeg_pixel = orig
+    w, h, rgb = decode_jpeg_pixels(b)
+    assert (w, h) == (A.JPG_W, A.JPG_H)
+    for y in range(h):
+        for x in range(w):
+            o = (y * w + x) * 3
+            exp = (30 + x * 2 + y, 60 + x + y * 2, 90 + x + y)
+            for c in range(3):
+                assert abs(rgb[o + c] - exp[c]) <= 4, (x, y, c)
+
+
+def test_jpeg_fixture_formula_images_decode_with_small_mean_error():
+    """The formula fixtures contain %-wrap edges (legit high-frequency
+    content, locally larger error) — the MEAN error must still be
+    ~1 code value; garbage decoding is orders of magnitude off."""
+    from epe_data_wrangling_spark.multimodal.assets import jpeg_pixel, make_jpeg
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    total = n = 0
+    for aid in (0, 3, 11):
+        w, h, rgb = decode_jpeg_pixels(make_jpeg(aid))
+        for y in range(h):
+            for x in range(w):
+                exp = jpeg_pixel(x, y, aid)
+                o = (y * w + x) * 3
+                total += sum(abs(rgb[o + c] - exp[c]) for c in range(3))
+                n += 3
+    assert total / n < 2.5
+
+
+def test_jpeg_rejects_out_of_envelope_and_foreign():
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    assert decode_jpeg_pixels(b"not a jpeg") is None
+    assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    b = bytearray(make_jpeg(0))
+    i = b.find(bytes([0xFF, 0xC0]))
+    b[i + 1] = 0xC2  # progressive SOF: out of envelope
+    assert decode_jpeg_pixels(bytes(b)) is None
+
+
+def test_jpeg_byte_stuffing_present_and_unstuffed():
+    """Quality-90 scans of 40 assets reliably contain 0xFF bytes that
+    the encoder must stuff; corrupting a stuffed pair must not crash."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+
+    stuffed = 0
+    for aid in range(40):
+        b = make_jpeg(aid)
+        sos = b.find(bytes([0xFF, 0xDA]))
+        scan = b[sos:-2]
+        stuffed += scan.count(bytes([0xFF, 0x00]))
+    assert stuffed > 0

@@ -24,7 +24,7 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-from epe_data_wrangling_spark.catalog import all_queries  # noqa: E402
+from epe_data_wrangling_spark.catalog import all_queries, resolve_oracle  # noqa: E402
 from epe_data_wrangling_spark.session import get_spark  # noqa: E402
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -97,7 +97,7 @@ def main() -> int:
                 print(f"  WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(q.oracle)
+            res = con.execute(resolve_oracle(q))
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
             o_digest = table_digest(ocols, orows)
