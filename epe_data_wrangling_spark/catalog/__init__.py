@@ -119,11 +119,12 @@ PRIORITY_ORDER = [
     "setop_intersectall_multiset",
     # windows
     "window_ewma_user_value",
-    "rolling_median_value",
-    "revenue_pareto_contribution",
-    "seasonality_monthly_revenue",
-    # reshape
-    "pivot_multi_measure",
+    # Spark-4 API surface added this round: Python Data Source,
+    # VARIANT, and the two new real compressed-image decoders
+    "workbook_source_cells",
+    "variant_shred_events",
+    "multimodal_gif_pixel_stats",
+    "multimodal_jpeg_pixel_stats",
     # text / sketches
     "sketch_cms_heavy_hitters",
     "text_readability_proxy",
@@ -166,6 +167,10 @@ PRIORITY_ORDER = [
 #: round's rotation is a mechanical splice, and so tooling can report
 #: certification breadth (tools/verify_local.py --coverage).
 ROTATION_BACKLOG = [
+    "pivot_multi_measure",
+    "rolling_median_value",
+    "revenue_pareto_contribution",
+    "seasonality_monthly_revenue",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",
@@ -246,10 +251,6 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
-    "workbook_source_cells",
-    "variant_shred_events",
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_pixel_stats",
 ]
 
 
