@@ -251,6 +251,8 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
+    "dedup_semantic_clusters",
+    "xml_source_nations",
 ]
 
 

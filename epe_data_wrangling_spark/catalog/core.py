@@ -678,6 +678,55 @@ def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "xml_source_nations",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           SUM(n.n_nationkey) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def xml_source_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML source (spark-xml merged upstream,
+    SPARK-44265): the nation dimension is rendered to an XML document
+    driver-side (dimension-sized — 25 rows; at scale XML lands in
+    object storage and this read is already distributed), read back
+    with ``spark.read.format("xml").option("rowTag", ...)``, then
+    joined to the broadcast region PARQUET table — a cross-format
+    star join. The oracle computes from the original parquet alone,
+    so the XML render → infer-schema → read path must be lossless."""
+    import os
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    n = load_table(spark, sf_dir, "nation")
+    rows = n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    doc = ["<nations>"]
+    for r in sorted(rows, key=lambda r: r.n_nationkey):
+        doc.append(
+            f"<nation><n_nationkey>{r.n_nationkey}</n_nationkey>"
+            f"<n_name>{escape(r.n_name)}</n_name>"
+            f"<n_regionkey>{r.n_regionkey}</n_regionkey></nation>"
+        )
+    doc.append("</nations>")
+    xml_dir = os.path.join(tempfile.gettempdir(), "epe_xml_source_demo")
+    os.makedirs(xml_dir, exist_ok=True)
+    with open(os.path.join(xml_dir, "nation.xml"), "w") as f:
+        f.write("".join(doc))
+
+    nx = spark.read.format("xml").option("rowTag", "nation").load(xml_dir)
+    r = load_table(spark, sf_dir, "region")
+    return (
+        nx.join(F.broadcast(r), nx.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+    )
+
+
+@query(
     "join_salted_skew",
     oracle="""
     SELECT s.s_nationkey,

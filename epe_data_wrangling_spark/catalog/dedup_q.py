@@ -364,3 +364,43 @@ def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    c0 AS (SELECT vec_id AS cid, v AS c, list_dot_product(v, v) AS cc
+           FROM e ORDER BY vec_id LIMIT 8),
+    a AS (SELECT cid, vec_id, v FROM (
+        SELECT c.cid, ev.vec_id, ev.v,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY (ev.vv - 2 * list_dot_product(ev.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM ev CROSS JOIN c0 c) t WHERE rn = 1),
+    p AS (SELECT x.cid, x.vec_id AS a_id, y.vec_id AS b_id
+          FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          WHERE {D.cosine('x.v', 'y.v')} >= 0.45),
+    m AS (SELECT cid, COUNT(*) AS n_members FROM a GROUP BY cid),
+    ps AS (SELECT cid, COUNT(*) AS n_pairs,
+                  COUNT(DISTINCT b_id) AS n_dropped
+           FROM p GROUP BY cid)
+    SELECT m.cid, m.n_members,
+           COALESCE(ps.n_pairs, 0) AS n_pairs,
+           COALESCE(ps.n_dropped, 0) AS n_dropped
+    FROM m LEFT JOIN ps ON m.cid = ps.cid
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators.dedup.semantic_dedup_summary): embedding-
+    space clustering (assignment against 8 broadcast seed centroids —
+    the k-means E-step) restricts the cosine duplicate search to
+    WITHIN-cluster pairs, the data-adaptive counterpart of the sign-
+    LSH buckets (dedup_embedding_bucketed): O(Σ n_c²) instead of
+    O(n²), one exemplar kept per duplicate pair group. Per-cluster
+    accounting row: members, duplicate pairs, dropped count."""
+    return X.semantic_dedup_summary(
+        load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        k=8, threshold=0.45,
+    )

@@ -49,6 +49,7 @@ from epe_data_wrangling_spark.functions.hashing import (
 )
 from epe_data_wrangling_spark.functions.text import word_shingles
 from epe_data_wrangling_spark.functions.vectors import cosine
+from epe_data_wrangling_spark.functions.vectors import dot as dot_
 
 
 def _spread(df: DataFrame, *keys: str) -> DataFrame:
@@ -506,4 +507,73 @@ def shared_span_pairs(
     )
     return runs.filter(F.col("len_words") >= min_run).select(
         "doc_a", "doc_b", "a_start", "b_start", "len_words"
+    )
+
+
+def semantic_dedup_summary(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    k: int = 8,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then search for semantic duplicates WITHIN each
+    cluster only — the observation that near-duplicates land in the
+    same k-means cell turns the all-pairs O(n²) cosine search into
+    O(Σ n_c²), the same density argument as the LSH buckets but with
+    data-adaptive cells.
+
+    Clustering here is the assignment step against K deterministic
+    seed centroids (the K lowest ids — swap in kmeans_lloyd-trained
+    centroids for the paper's full recipe; assignment is the part
+    that touches the corpus and the part that must scale). Within
+    each cell, pairs at cosine ≥ threshold are duplicates and every
+    member with a lower-id partner is DROPPED (the paper keeps one
+    exemplar per duplicate group; lowest id is the deterministic
+    choice).
+
+    Returns one row per cluster: (cid, n_members, n_pairs,
+    n_dropped). 100 TB shape: centroids broadcast (K rows), one
+    corpus scan for assignment, and the pair join shuffles on cid so
+    each cell's quadratic work is partition-local; cell-size skew is
+    the known SemDeDup hazard — cap cluster radius by raising K."""
+    ev = df.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("vv", dot_(F.col("v"), F.col("v")))
+    cents = (
+        ev.orderBy("vid").limit(k).select(F.col("vid").alias("cid"), F.col("v").alias("c"))
+    ).withColumn("cc", dot_(F.col("c"), F.col("c")))
+    dist2 = (F.col("vv") - 2 * dot_(F.col("v"), F.col("c"))) + F.col("cc")
+    w = Window.partitionBy("vid").orderBy(F.col("dist2"), F.col("cid"))
+    assigned = (
+        ev.crossJoin(F.broadcast(cents))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", "vid", "v")
+    )
+    a = assigned.select("cid", F.col("vid").alias("a_id"), F.col("v").alias("va"))
+    b = assigned.select("cid", F.col("vid").alias("b_id"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cid", "a_id", "b_id")
+    )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    pair_stats = pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("b_id").alias("n_dropped"),
+    )
+    return (
+        members.join(pair_stats, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
     )
