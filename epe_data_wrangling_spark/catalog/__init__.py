@@ -253,6 +253,7 @@ ROTATION_BACKLOG = [
     "basket_part_pairs_lift",
     "dedup_semantic_clusters",
     "xml_source_nations",
+    "streaming_workbook_landing",
 ]
 
 

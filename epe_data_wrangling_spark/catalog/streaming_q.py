@@ -376,3 +376,84 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _wb_landing_expected_sql() -> str:
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+
+    rows = []
+    for fname in ("drop1.xlsx", "drop2.xls"):
+        for sheet, grid in workbook_grids().items():
+            n = sum(1 for row in grid for v in row if v is not None)
+            rows.append(f"('{fname}', '{sheet}', {n})")
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT fname, sheet, CAST(n_cells AS BIGINT) AS n_cells
+    FROM (VALUES
+      {values}
+    ) t(fname, sheet, n_cells)
+    """
+
+
+@query("streaming_workbook_landing", oracle=_wb_landing_expected_sql)
+def streaming_workbook_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's real operating mode, streaming-native: a
+    landing zone where a workbook drop appears each cycle
+    (`tratamento_epe.R:39` re-downloads the same monthly-republished
+    .xls), watched by the workbook Python Data Source's
+    SimpleDataSourceStreamReader (sources.spark_datasource.
+    WorkbookStreamReader — offset = seen-file set, replayable
+    readBetweenOffsets). TWO availableNow runs over ONE checkpoint
+    with a drop landing between them (second drop in the OTHER
+    container format): the parquet sink must hold each file's cells
+    exactly once — certifying offset commit/restart and the
+    streaming half of the datasource against the Python-computed
+    grid truth."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+    from epe_data_wrangling_spark.sources.spark_datasource import register
+    from epe_data_wrangling_spark.sources.xls_biff import write_xls
+    from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="wb_landing_")
+    land = os.path.join(work, "land")
+    os.makedirs(land)
+    out = os.path.join(work, "cells")
+    ckpt = os.path.join(work, "ckpt")
+    grids = workbook_grids()
+    try:
+        stream = spark.readStream.format("workbook").load(land)
+
+        def run_pass() -> None:
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        write_xlsx(os.path.join(land, "drop1.xlsx"), grids)
+        run_pass()
+        write_xls(os.path.join(land, "drop2.xls"), grids)
+        run_pass()
+
+        agg = (
+            spark.read.parquet(out)
+            .groupBy(
+                F.element_at(F.split(F.col("file"), "/"), -1).alias("fname"),
+                "sheet",
+            )
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

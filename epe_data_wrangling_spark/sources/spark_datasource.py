@@ -107,8 +107,68 @@ class WorkbookDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return WorkbookCellReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "WorkbookStreamReader":
+        return WorkbookStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotently register the source on this session (re-register
     simply overwrites the prior registration)."""
     spark.dataSource.register(WorkbookDataSource)
+
+
+# ---- streaming: the landing-zone drop watcher ------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class WorkbookStreamReader(SimpleDataSourceStreamReader):
+    """Streaming counterpart of :class:`WorkbookCellReader` — the
+    monthly-drop shape the reference actually lives in (a workbook
+    republished to the same site every cycle, `tratamento_epe.R:39`):
+    each micro-batch picks up workbook files not seen by any earlier
+    batch and emits their cells.
+
+    Offsets are {"seen": sorted file list} — pure metadata, JSON-
+    serializable, and replayable: ``readBetweenOffsets`` re-parses
+    exactly the files that joined between two offsets, so recovery
+    after failure re-reads the same drops (files are immutable once
+    landed, the standard landing-zone contract)."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("workbook source requires a path: .load('<dir>')")
+        self.path = path
+
+    def _files(self) -> list[str]:
+        try:
+            return _expand_paths(self.path)
+        except FileNotFoundError:
+            return []  # an empty landing zone is a normal streaming state
+
+    @staticmethod
+    def _cells(files: list[str]):
+        from epe_data_wrangling_spark.sources.workbook import read_workbook_grids
+
+        for file in files:
+            for sheet_idx, (sheet, grid) in enumerate(read_workbook_grids(file).items()):
+                for row_idx, row in enumerate(grid):
+                    for col_idx, value in enumerate(row):
+                        if value is not None:
+                            yield (file, sheet, sheet_idx, row_idx, col_idx, str(value))
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = sorted(f for f in self._files() if f not in seen)
+        end = {"seen": sorted(seen | set(new))}
+        # materialized list, not a generator: the prefetching wrapper
+        # pickles the batch so an un-committed prefetch can be replayed
+        return list(self._cells(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return list(self._cells(new))

@@ -93,3 +93,41 @@ def test_header_row_reconstructs_readxl_names(spark, workbook_dir):
         cells = by_sheet.get(sheet, {})
         rebuilt = [cells.get(i) for i in range(width)]
         assert readxl_names(rebuilt) == readxl_names(grid[0])
+
+
+def test_streaming_landing_zone_exactly_once(spark, tmp_path):
+    """Drops land between two availableNow runs over ONE checkpoint:
+    each file's cells are emitted exactly once (offset = seen-file
+    set), so the cumulative sink holds both drops without dups."""
+    land = tmp_path / "land"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    grids = workbook_grids()
+    write_xlsx(str(land / "drop1.xlsx"), grids)
+
+    register(spark)
+    df = spark.readStream.format("workbook").load(str(land))
+    n_cells = sum(
+        1 for g in grids.values() for row in g for v in row if v is not None
+    )
+
+    def run() -> int:
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return spark.read.parquet(out).count()
+
+    assert run() == n_cells
+    write_xls(str(land / "drop2.xls"), grids)  # second drop, other format
+    assert run() == 2 * n_cells
+    files = {
+        r.file.rsplit("/", 1)[-1]
+        for r in spark.read.parquet(out).select("file").distinct().collect()
+    }
+    assert files == {"drop1.xlsx", "drop2.xls"}
