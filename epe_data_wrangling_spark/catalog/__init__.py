@@ -254,6 +254,8 @@ ROTATION_BACKLOG = [
     "dedup_semantic_clusters",
     "xml_source_nations",
     "streaming_workbook_landing",
+    "sql_recursive_cte_bfs",
+    "dq_observe_single_scan",
 ]
 
 

@@ -416,3 +416,73 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(F.explode(rows).alias("r")).select(
         "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_num", "r.max_num"
     )
+
+
+@query(
+    "dq_observe_single_scan",
+    oracle="""
+    WITH main AS (
+      SELECT COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderstatus = 'F'),
+    qc AS (
+      SELECT COUNT(*) AS scanned_rows,
+             COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS bad_price,
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_cust,
+             MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+      FROM orders)
+    SELECT 'result.n_orders' AS metric, CAST(n_orders AS VARCHAR) AS value FROM main
+    UNION ALL SELECT 'result.revenue', CAST(revenue AS VARCHAR) FROM main
+    UNION ALL SELECT 'qc.scanned_rows', CAST(scanned_rows AS VARCHAR) FROM qc
+    UNION ALL SELECT 'qc.bad_price', CAST(bad_price AS VARCHAR) FROM qc
+    UNION ALL SELECT 'qc.null_cust', CAST(null_cust AS VARCHAR) FROM qc
+    UNION ALL SELECT 'qc.min_date', CAST(min_date AS VARCHAR) FROM qc
+    UNION ALL SELECT 'qc.max_date', CAST(max_date AS VARCHAR) FROM qc
+    """,
+)
+def dq_observe_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SINGLE-SCAN audit pattern via ``df.observe`` (Spark's
+    Observation API): data-quality metrics — scanned-row count,
+    non-positive prices, null FKs, date bounds — ride the SAME
+    parquet scan as a production aggregate, as accumulator-style
+    observed metrics. At 100 TB this is the difference between
+    auditing for free and paying a second full pass; the pushed
+    filter on the production branch cannot corrupt the audit because
+    observe() sits UPSTREAM of the filter in the plan. Output
+    unifies the production result and the observed metrics as
+    (metric, value) rows, both oracle-checked."""
+    from pyspark.sql import Observation
+
+    from epe_data_wrangling_spark.catalog.core import dec
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("qc")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("scanned_rows"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_cust"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    main = (
+        observed.filter(F.col("o_orderstatus") == "F")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+    )
+    [mrow] = main.collect()  # one action: fills both result and metrics
+    qc = obs.get
+    rows = [
+        ("result.n_orders", str(mrow.n_orders)),
+        ("result.revenue", repr(mrow.revenue)),
+        ("qc.scanned_rows", str(qc["scanned_rows"])),
+        ("qc.bad_price", str(qc["bad_price"])),
+        ("qc.null_cust", str(qc["null_cust"])),
+        # the column is a parquet TIMESTAMP; render like DuckDB's
+        # CAST(ts AS VARCHAR) (dates here are day-granular)
+        ("qc.min_date", qc["min_date"].strftime("%Y-%m-%d %H:%M:%S")),
+        ("qc.max_date", qc["max_date"].strftime("%Y-%m-%d %H:%M:%S")),
+    ]
+    return spark.createDataFrame(rows, "metric string, value string")

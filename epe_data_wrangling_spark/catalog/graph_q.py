@@ -281,3 +281,44 @@ def graph_cotrade_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coef"),
         )
     )
+
+
+_RECURSIVE_BFS_SQL = f"""
+    WITH RECURSIVE pair AS (
+      SELECT 'c' || CAST(o_custkey AS STRING) AS u,
+             's' || CAST(l_suppkey AS STRING) AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= {STRONG_TIE_MIN}),
+    sym AS (SELECT u, v FROM pair UNION ALL SELECT v, u FROM pair),
+    walk(node, dist) AS (
+      SELECT u, 0 FROM pair WHERE u = (SELECT MIN(u) FROM pair)
+      UNION ALL
+      SELECT s.v, walk.dist + 1
+      FROM sym s JOIN walk ON s.u = walk.node
+      WHERE walk.dist < 4),
+    best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM best GROUP BY dist
+"""
+
+
+@query("sql_recursive_cte_bfs", oracle=_RECURSIVE_BFS_SQL)
+def sql_recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's RECURSIVE CTE (SPARK-24497, new in 4.0) driven
+    through the SQL surface: depth-bounded breadth-first reachability
+    from the lexicographically-first customer over the strong-tie
+    trading graph (ties ≥ {STRONG_TIE_MIN} line items — the
+    thresholding that keeps the bipartite graph sparse), min-dist
+    dedup after the walk. ONE engine-neutral SQL string is both the
+    Spark plan and the DuckDB oracle, so the new iterative execution
+    path must agree with a mature recursive-CTE implementation
+    row-for-row. UNION ALL + depth guard is the Spark-supported
+    recursion form (UNION-distinct fixpoints are not yet in 4.1);
+    walk count is bounded by Σ deg^4 over the thresholded graph —
+    sparse by construction, and the per-level frontier join shuffles
+    only (node, dist) pairs."""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_RECURSIVE_BFS_SQL)
