@@ -256,6 +256,8 @@ ROTATION_BACKLOG = [
     "streaming_workbook_landing",
     "sql_recursive_cte_bfs",
     "dq_observe_single_scan",
+    "streaming_state_introspection",
+    "dsir_importance_select",
 ]
 
 

@@ -949,3 +949,121 @@ def mixture_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_share"),
         )
     )
+
+
+DSIR_BUCKETS = 64  #: hashed feature space size
+DSIR_TOPK = 15
+DSIR_TARGET_MOD = 7  #: doc_id % 7 == 0 stands in for the target-domain sample
+
+
+def _dsir_oracle() -> str:
+    from epe_data_wrangling_spark.functions.hashing import MINHASH_P
+
+    b = f"({D.hex_int('md5(word)', 1, 8)} % {MINHASH_P}) % {DSIR_BUCKETS}"
+    return f"""
+    WITH w AS (SELECT doc_id, unnest({D.words('lower(text)')}) AS word
+               FROM documents),
+    wb AS (SELECT doc_id, {b} AS b FROM w),
+    db AS (SELECT doc_id, b, COUNT(*) AS c FROM wb GROUP BY doc_id, b),
+    srcb AS (SELECT b, COUNT(*) AS cs FROM wb GROUP BY b),
+    tgtb AS (SELECT b, COUNT(*) AS ct FROM wb
+             WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY b),
+    tot AS (SELECT COUNT(*) AS s_tot,
+                   COUNT(CASE WHEN doc_id % {DSIR_TARGET_MOD} = 0 THEN 1 END) AS t_tot
+            FROM wb),
+    spine AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS b),
+    lr AS (SELECT spine.b,
+                  CAST(round((ln((COALESCE(tgtb.ct, 0) + 1)
+                                 / CAST(tot.t_tot + {DSIR_BUCKETS} AS DOUBLE))
+                            - ln((COALESCE(srcb.cs, 0) + 1)
+                                 / CAST(tot.s_tot + {DSIR_BUCKETS} AS DOUBLE)))
+                             * 1000000000.0) AS BIGINT) AS lr9
+           FROM spine
+           LEFT JOIN srcb ON spine.b = srcb.b
+           LEFT JOIN tgtb ON spine.b = tgtb.b
+           CROSS JOIN tot),
+    doc AS (SELECT db.doc_id,
+                   CAST(SUM(db.c) AS BIGINT) AS n_words,
+                   SUM(db.c * lr.lr9) AS s9
+            FROM db JOIN lr ON db.b = lr.b GROUP BY db.doc_id)
+    SELECT doc_id, n_words,
+           round(CAST(s9 AS DOUBLE) / 1000000000.0, 6) AS log_weight,
+           CAST(doc_id % {DSIR_TARGET_MOD} = 0 AS BOOLEAN) AS is_target
+    FROM doc
+    ORDER BY log_weight DESC, doc_id
+    LIMIT {DSIR_TOPK}
+    """
+
+
+@query("dsir_importance_select", oracle=_dsir_oracle())
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169), the pretraining data-selection method:
+    documents are featurized as hashed word-bucket counts
+    ({DSIR_BUCKETS} buckets via the repo's base md5 hash), a target-
+    domain sample (doc_id % {DSIR_TARGET_MOD} == 0 stands in for
+    'looks like Wikipedia') and the raw corpus each get a smoothed
+    bucket distribution, and every document scores the importance
+    log-weight Σ_b count_doc[b]·(ln p_target[b] − ln p_source[b]) —
+    the top-{DSIR_TOPK} selected. Per-bucket log-ratios are staged as
+    round(lr·1e9) BIGINT ({DSIR_BUCKETS} rows, broadcast) so per-doc
+    sums are integer-exact and order-free on both engines (the
+    lm_bigram_perplexity idiom). 100 TB shape: one explode-shuffle of
+    (doc, bucket) pairs, two bucket-sized aggregates, a broadcast
+    join — no corpus-sized state anywhere."""
+    from epe_data_wrangling_spark.functions.hashing import base_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    wb = docs.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    ).select("doc_id", (base_hash(F.col("word")) % DSIR_BUCKETS).alias("b"))
+    db = wb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    is_t = F.col("doc_id") % DSIR_TARGET_MOD == 0
+    srcb = wb.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
+    tgtb = wb.filter(is_t).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tot = wb.agg(
+        F.count(F.lit(1)).alias("s_tot"),
+        F.count(F.when(is_t, 1)).alias("t_tot"),
+    )
+    spine = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
+    lr = (
+        spine.join(srcb, "b", "left")
+        .join(tgtb, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("t_tot") + DSIR_BUCKETS).cast("double")
+                    )
+                    - F.log(
+                        (F.coalesce(F.col("cs"), F.lit(0)) + 1)
+                        / (F.col("s_tot") + DSIR_BUCKETS).cast("double")
+                    )
+                )
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("lr9"),
+        )
+    )
+    doc = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("lr9")).alias("s9"),
+        )
+    )
+    return (
+        doc.select(
+            "doc_id",
+            "n_words",
+            F.round(F.col("s9").cast("double") / F.lit(1e9), 6).alias("log_weight"),
+            is_t.alias("is_target"),
+        )
+        .orderBy(F.col("log_weight").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

@@ -457,3 +457,57 @@ def streaming_workbook_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, agg.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "streaming_state_introspection",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The State Data Source (Spark 4, SPARK-45511): after draining
+    the event stream through a per-user streaming COUNT (availableNow
+    → noop sink), the operator's internal state store is read BACK
+    from the checkpoint with ``spark.read.format("statestore")`` and
+    flattened to (user_id, n_events). The oracle is the plain BATCH
+    aggregate over the same events — for a fully-drained stream the
+    keyed state must equal the batch answer exactly, certifying the
+    streaming aggregation, checkpoint commit, and the state reader
+    in one differential. This is the debugging/ops surface a 100 TB
+    streaming deployment needs: state inspected offline, no query
+    restart, no state dump code."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.sources import stream_events
+
+    work = tempfile.mkdtemp(prefix="state_introspect_")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        src = stream_events(spark, sf_dir)
+        agg = src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("value.count").alias("n_events"),
+            )
+        )
+        rows = state.collect()
+        return spark.createDataFrame(rows, state.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
