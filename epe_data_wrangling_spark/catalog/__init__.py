@@ -258,6 +258,7 @@ ROTATION_BACKLOG = [
     "dq_observe_single_scan",
     "streaming_state_introspection",
     "dsir_importance_select",
+    "logreg_train_quality",
 ]
 
 

