@@ -259,6 +259,8 @@ ROTATION_BACKLOG = [
     "streaming_state_introspection",
     "dsir_importance_select",
     "logreg_train_quality",
+    "sketch_theta_audience_overlap",
+    "sketch_kll_quantiles_daily",
 ]
 
 

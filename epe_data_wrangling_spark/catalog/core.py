@@ -2085,3 +2085,150 @@ def sketch_hll_mergeable_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_within_tol"),
         )
     )
+
+
+@query(
+    "sketch_theta_audience_overlap",
+    oracle="""
+    WITH s AS (SELECT event_type, user_id
+               FROM events WHERE event_type IN ('view', 'purchase')),
+    v AS (SELECT DISTINCT user_id FROM s WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM s WHERE event_type = 'purchase')
+    SELECT
+      CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v
+            UNION SELECT user_id FROM p) u) AS BIGINT) AS n_union,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v
+            INTERSECT SELECT user_id FROM p) i) AS BIGINT) AS n_both,
+      CAST((SELECT COUNT(*) FROM (SELECT user_id FROM v
+            EXCEPT SELECT user_id FROM p) d) AS BIGINT) AS n_view_only
+    """,
+)
+def sketch_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Apache DataSketches via Spark 4's
+    theta_sketch_agg / theta_union / theta_intersection /
+    theta_difference) — the SET-OPERATION sketch the HLL family
+    can't do: audience overlap between viewers and purchasers from
+    two per-segment sketches, no re-scan, no exact distinct shuffle.
+    At 100 TB the per-segment sketches are stored KB-sized artifacts
+    and any overlap/union/difference question is answered from them
+    alone — the audience-intersection pattern of every analytics
+    store. The test corpus's cardinality sits below the sketch's
+    nominal k, where theta estimates are EXACT, so the oracle pins
+    the true set-algebra counts (a sketch regression turns the row
+    red rather than drifting silently)."""
+    e = load_table(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    v = sk.filter(F.col("event_type") == "view").select(F.col("sk").alias("sv"))
+    p = sk.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("sp"))
+    return v.crossJoin(p).selectExpr(
+        "CAST(theta_sketch_estimate(sv) AS BIGINT) AS n_view",
+        "CAST(theta_sketch_estimate(sp) AS BIGINT) AS n_purchase",
+        "CAST(theta_sketch_estimate(theta_union(sv, sp)) AS BIGINT) AS n_union",
+        "CAST(theta_sketch_estimate(theta_intersection(sv, sp)) AS BIGINT) AS n_both",
+        "CAST(theta_sketch_estimate(theta_difference(sv, sp)) AS BIGINT) AS n_view_only",
+    )
+
+
+KLL_RANK_TOL = 0.05  #: KLL k=200 normalized rank error ≈ 1.65%; 3σ margin
+
+
+@query(
+    "sketch_kll_quantiles_daily",
+    oracle=f"""
+    WITH day AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             CAST(o_orderdate AS DATE) AS d, o_totalprice
+      FROM orders),
+    m AS (
+      SELECT month,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             quantile_disc(o_totalprice, 0.5) AS p50_exact,
+             quantile_disc(o_totalprice, 0.9) AS p90_exact
+      FROM day GROUP BY month)
+    SELECT month, n_days, n_orders,
+           round(p50_exact, 2) AS p50_exact, round(p90_exact, 2) AS p90_exact,
+           TRUE AS p50_within_tol, TRUE AS p90_within_tol
+    FROM m
+    """,
+)
+def sketch_kll_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (DataSketches KLL via Spark 4's
+    kll_sketch_agg_double / kll_merge_agg_double): one compact sketch
+    per DAY of order totals, merged per month — the quantile twin of
+    sketch_hll_mergeable_daily: stored daily sketches answer any
+    date-range percentile without rescanning raw orders. KLL
+    compaction is RANDOMIZED (estimates vary run to run), so the
+    hashed contract follows the repo's sketch idiom: exact columns
+    value-checked, plus in-query assertions that each merged
+    estimate's true RANK lands within {KLL_RANK_TOL:.0%} (+ the 1/n
+    discreteness allowance) of its target (the sketch's guarantee is on rank, not value — asserting
+    value closeness would be wrong on heavy-tailed data). Oracle
+    pins TRUE; a broken merge turns the row red."""
+    o = load_table(spark, sf_dir, "orders")
+    day = o.select(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("double").alias("v"),
+    )
+    daily = day.groupBy("month", "d").agg(
+        F.expr("kll_sketch_agg_double(v)").alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    monthly = daily.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("n_orders"),
+        F.expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)").alias("_p50"),
+        F.expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)").alias("_p90"),
+    )
+    exact = day.groupBy("month").agg(
+        F.expr("percentile(v, 0.5)").alias("_p50x"),
+        F.expr("percentile(v, 0.9)").alias("_p90x"),
+        # true rank of a value v0 among the month's orders: fraction ≤ v0
+        F.count(F.lit(1)).alias("_n"),
+    )
+    j = monthly.join(exact, "month").join(
+        day.alias("dd"), "month"
+    )
+    # true rank of each estimate = share of the month's values ≤ estimate
+    ranks = (
+        j.groupBy("month", "n_days", "n_orders", "_p50", "_p90", "_p50x", "_p90x")
+        .agg(
+            (F.sum(F.when(F.col("v") <= F.col("_p50"), 1).otherwise(0))
+             / F.count(F.lit(1)).cast("double")).alias("r50"),
+            (F.sum(F.when(F.col("v") <= F.col("_p90"), 1).otherwise(0))
+             / F.count(F.lit(1)).cast("double")).alias("r90"),
+        )
+    )
+    # exact percentile columns rendered like the oracle's quantile_disc:
+    # use the discrete percentile (exact value from the data) for output
+    exact_disc = day.groupBy("month").agg(
+        F.expr("percentile_approx(v, 0.5, 2147483647)").alias("p50d"),
+        F.expr("percentile_approx(v, 0.9, 2147483647)").alias("p90d"),
+    )
+    return (
+        ranks.join(exact_disc, "month")
+        .select(
+            "month",
+            "n_days",
+            "n_orders",
+            F.round("p50d", 2).alias("p50_exact"),
+            F.round("p90d", 2).alias("p90_exact"),
+            # + 1/n: with n values the achievable ranks are i/n, so a
+            # month of 2 orders can only realize rank 0.5 or 1.0
+            (
+                F.abs(F.col("r50") - 0.5)
+                <= KLL_RANK_TOL + 1.0 / F.col("n_orders").cast("double")
+            ).alias("p50_within_tol"),
+            (
+                F.abs(F.col("r90") - 0.9)
+                <= KLL_RANK_TOL + 1.0 / F.col("n_orders").cast("double")
+            ).alias("p90_within_tol"),
+        )
+    )
