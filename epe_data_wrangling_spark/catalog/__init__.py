@@ -261,6 +261,7 @@ ROTATION_BACKLOG = [
     "logreg_train_quality",
     "sketch_theta_audience_overlap",
     "sketch_kll_quantiles_daily",
+    "multimodal_jpeg420_pixel_stats",
 ]
 
 

@@ -403,3 +403,48 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(make_jpeg(i))) for i in range(N_REAL_ASSETS)]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.jpeg_pixel_stats(assets)
+
+
+def _jpeg420_expected_sql() -> str:
+    """Lazy golden for the 4:2:0 fixtures (same provenance contract as
+    ``_jpeg_expected_sql`` — codec correctness is anchored by the
+    encoder/decoder-independence roundtrip tests)."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    rows = []
+    for aid in range(N_REAL_ASSETS):
+        w, h, px = decode_jpeg_pixels(make_jpeg(aid, subsample=True))
+        rows.append(
+            f"({aid}, {w}, {h}, {sum(px[0::3])}, {sum(px[1::3])}, {sum(px[2::3])})"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT asset_id, CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b,
+           round(sum_r / CAST(width * height AS DOUBLE), 6) AS mean_r,
+           round(sum_g / CAST(width * height AS DOUBLE), 6) AS mean_g,
+           round(sum_b / CAST(width * height AS DOUBLE), 6) AS mean_b
+    FROM (VALUES
+      {values}
+    ) t(asset_id, width, height, sum_r, sum_g, sum_b)
+    """
+
+
+@query("multimodal_jpeg420_pixel_stats", oracle=_jpeg420_expected_sql)
+def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED JPEG decode (4:2:0 — the layout virtually
+    every camera/web JPEG uses): {N_REAL_ASSETS} fixtures where Y
+    carries 2×2 sampling (four blocks per 16×16 MCU) and Cb/Cr are
+    box-averaged to quarter resolution; the decoder's generalized MCU
+    walk places each component's blocks under its own sampling
+    factors and box-upsamples chroma at reconstruction. Same lazy-
+    golden contract and mapInPandas shape as the 4:4:4 twin."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+
+    rows = [(i, bytearray(make_jpeg(i, subsample=True))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.jpeg_pixel_stats(assets)

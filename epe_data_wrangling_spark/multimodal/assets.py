@@ -443,15 +443,21 @@ def _amp_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
-def make_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
-    """A real baseline JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI): YCbCr
-    4:4:4, quality-90 Annex-K quant tables, Annex-K Huffman tables,
+def make_jpeg(
+    asset_id: int, w: int = JPG_W, h: int = JPG_H, *, subsample: bool = False
+) -> bytes:
+    """A real baseline JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI): YCbCr,
+    quality-90 Annex-K quant tables, Annex-K Huffman tables,
     interleaved MCU scan, 0xFF byte stuffing, edge-replicated MCU
-    padding for the non-multiple-of-8 dimensions."""
+    padding for the non-multiple-of-8 dimensions. ``subsample=False``
+    writes 4:4:4 (one block per component per MCU);
+    ``subsample=True`` writes 4:2:0 — the layout virtually every
+    real-world JPEG uses: Y at 2×2 sampling (four blocks per 16×16
+    MCU), chroma box-averaged 2×2 to quarter resolution."""
     ql, qc = _scaled_qtable(_QL), _scaled_qtable(_QC)
 
-    # formula RGB → 3 YCbCr planes (JFIF full-range, rounded)
-    planes = [[0] * (w * h) for _ in range(3)]
+    # formula RGB → 3 full-resolution YCbCr planes (JFIF, rounded)
+    full = [[0] * (w * h) for _ in range(3)]
     for y in range(h):
         for x in range(w):
             r, g, b = jpeg_pixel(x, y, asset_id)
@@ -459,17 +465,49 @@ def make_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
             cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
             cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
             for ci, v in enumerate((yy, cb, cr)):
-                planes[ci][y * w + x] = min(255, max(0, round(v)))
+                full[ci][y * w + x] = min(255, max(0, round(v)))
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    factors = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    def block_of(plane: list[int], bx: int, by: int) -> list[float]:
+    # per-component sample planes at their own resolution; subsampled
+    # chroma is the rounded 2×2 box mean (edge pixels replicate)
+    planes: list[list[int]] = []
+    dims: list[tuple[int, int]] = []
+    for ci, (hc, vc) in enumerate(factors):
+        cw = (w * hc + hmax - 1) // hmax
+        ch = (h * vc + vmax - 1) // vmax
+        if (hc, vc) == (hmax, vmax):
+            planes.append(full[ci])
+            dims.append((w, h))
+            continue
+        sx, sy = hmax // hc, vmax // vc
+        plane = [0] * (cw * ch)
+        for cy in range(ch):
+            for cx in range(cw):
+                acc = n = 0
+                for dy in range(sy):
+                    for dx in range(sx):
+                        px = min(cx * sx + dx, w - 1)
+                        py = min(cy * sy + dy, h - 1)
+                        acc += full[ci][py * w + px]
+                        n += 1
+                plane[cy * cw + cx] = (acc + n // 2) // n
+        planes.append(plane)
+        dims.append((cw, ch))
+
+    def block_of(ci: int, bx: int, by: int) -> list[float]:
+        cw, ch = dims[ci]
+        plane = planes[ci]
         out = []
         for yy in range(8):
-            sy = min(by * 8 + yy, h - 1)
+            sy = min(by * 8 + yy, ch - 1)
             for xx in range(8):
-                sx = min(bx * 8 + xx, w - 1)
-                out.append(float(plane[sy * w + sx]) - 128.0)
+                sx = min(bx * 8 + xx, cw - 1)
+                out.append(float(plane[sy * cw + sx]) - 128.0)
         return out
 
     dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
@@ -477,39 +515,42 @@ def make_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
 
     out = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci in range(3):
+                hc, vc = factors[ci]
                 q = ql if ci == 0 else qc
                 dc_t, ac_t = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                coef = _fdct8(block_of(planes[ci], bx, by))
-                zz = [round(coef[_ZZ[k]] / q[k]) for k in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                size = _category(diff)
-                code, ln = dc_t[size]
-                out.put(code, ln)
-                if size:
-                    out.put(_amp_bits(diff, size), size)
-                run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, 64):
-                    if k > last_nz:
-                        code, ln = ac_t[0x00]  # EOB
+                for byy in range(vc):
+                    for bxx in range(hc):
+                        coef = _fdct8(block_of(ci, mx * hc + bxx, my * vc + byy))
+                        zz = [round(coef[_ZZ[k]] / q[k]) for k in range(64)]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        size = _category(diff)
+                        code, ln = dc_t[size]
                         out.put(code, ln)
-                        break
-                    if zz[k] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_t[0xF0]  # ZRL
-                        out.put(code, ln)
-                        run -= 16
-                    size = _category(zz[k])
-                    code, ln = ac_t[(run << 4) | size]
-                    out.put(code, ln)
-                    out.put(_amp_bits(zz[k], size), size)
-                    run = 0
+                        if size:
+                            out.put(_amp_bits(diff, size), size)
+                        run = 0
+                        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+                        for k in range(1, 64):
+                            if k > last_nz:
+                                code, ln = ac_t[0x00]  # EOB
+                                out.put(code, ln)
+                                break
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_t[0xF0]  # ZRL
+                                out.put(code, ln)
+                                run -= 16
+                            size = _category(zz[k])
+                            code, ln = ac_t[(run << 4) | size]
+                            out.put(code, ln)
+                            out.put(_amp_bits(zz[k], size), size)
+                            run = 0
     scan = out.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -519,6 +560,7 @@ def make_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
         bits, vals = spec
         return bytes([(tc << 4) | th] + bits + vals)
 
+    hv = [(hc << 4) | vc for hc, vc in factors]
     jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xDB, bytes([0]) + bytes(ql[k] for k in range(64))) + seg(
         0xDB, bytes([1]) + bytes(qc[k] for k in range(64))
@@ -527,7 +569,7 @@ def make_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
         0xC0,
         bytes([8])
         + _struct.pack(">HH", h, w)
-        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([3, 1, hv[0], 0, 2, hv[1], 1, 3, hv[2], 1]),
     )
     dhts = seg(0xC4, dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))

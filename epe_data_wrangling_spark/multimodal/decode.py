@@ -828,8 +828,8 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    return None  # subsampling: out of envelope
+                if (hv >> 4) not in (1, 2) or (hv & 0x0F) not in (1, 2):
+                    return None  # sampling factors beyond 2: out of envelope
                 comps.append((cid, tq, hv))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -850,60 +850,75 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     if scan_at is None or w is None or not comps or len(scan_comps) != len(comps):
         return None
 
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [[0] * (bw * 8 * bh * 8) for _ in comps]
+    # sampling geometry: MCU = (8·hmax)×(8·vmax) pixels; component c
+    # contributes h_c×v_c blocks per MCU. 1×1-everywhere (4:4:4) and
+    # Y=2×2 with 1×1 chroma (4:2:0) both fall out of the same walk.
+    hs = [(hv >> 4) for _, _, hv in comps]
+    vs = [(hv & 0x0F) for _, _, hv in comps]
+    hmax, vmax = max(hs), max(vs)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    strides = [mcux * 8 * hs[ci] for ci in range(len(comps))]
+    planes = [[0] * (strides[ci] * mcuy * 8 * vs[ci]) for ci in range(len(comps))]
     pred = [0] * len(comps)
     br = _JpegBitReader(b, scan_at)
-    comp_by_id = {cid: (qtab) for cid, qtab, _ in comps}
+    comp_by_id = {cid: qtab for cid, qtab, _ in comps}
     try:
-        for by in range(bh):
-            for bx in range(bw):
+        for my in range(mcuy):
+            for mx in range(mcux):
                 for ci, (cid, dct, act) in enumerate(scan_comps):
                     q = qt.get(comp_by_id.get(cid))
                     dc_h, ac_h = huff.get((0, dct)), huff.get((1, act))
                     if q is None or dc_h is None or ac_h is None:
                         return None
-                    zz = [0] * 64
-                    size = dc_h.decode(br)
-                    diff = _extend(br.bits(size), size) if size else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        sym = ac_h.decode(br)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += sym >> 4
-                        if k > 63:
-                            return None
-                        sz = sym & 0x0F
-                        zz[k] = _extend(br.bits(sz), sz)
-                        k += 1
-                    coef = [0.0] * 64
-                    for k in range(64):
-                        coef[_JPEG_ZZ[k]] = zz[k] * q[k]
-                    px = _idct8(coef)
-                    plane = planes[ci]
-                    stride = bw * 8
-                    for yy in range(8):
-                        row = (by * 8 + yy) * stride + bx * 8
-                        for xx in range(8):
-                            v = round(px[yy * 8 + xx]) + 128
-                            plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
+                    for byy in range(vs[ci]):
+                        for bxx in range(hs[ci]):
+                            zz = [0] * 64
+                            size = dc_h.decode(br)
+                            diff = _extend(br.bits(size), size) if size else 0
+                            pred[ci] += diff
+                            zz[0] = pred[ci]
+                            k = 1
+                            while k < 64:
+                                sym = ac_h.decode(br)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                k += sym >> 4
+                                if k > 63:
+                                    return None
+                                sz = sym & 0x0F
+                                zz[k] = _extend(br.bits(sz), sz)
+                                k += 1
+                            coef = [0.0] * 64
+                            for k in range(64):
+                                coef[_JPEG_ZZ[k]] = zz[k] * q[k]
+                            px = _idct8(coef)
+                            plane = planes[ci]
+                            stride = strides[ci]
+                            bx0 = (mx * hs[ci] + bxx) * 8
+                            by0 = (my * vs[ci] + byy) * 8
+                            for yy in range(8):
+                                row = (by0 + yy) * stride + bx0
+                                for xx in range(8):
+                                    v = round(px[yy * 8 + xx]) + 128
+                                    plane[row + xx] = (
+                                        0 if v < 0 else (255 if v > 255 else v)
+                                    )
     except (EOFError, ValueError):
         return None
 
     rgb = bytearray(w * h * 3)
-    stride = bw * 8
     if len(comps) == 3:
         for y in range(h):
             for x in range(w):
-                yy = planes[0][y * stride + x]
-                cb = planes[1][y * stride + x] - 128
-                cr = planes[2][y * stride + x] - 128
+                # per-component sample position under its sampling
+                # factors (box upsampling for subsampled chroma)
+                yy = planes[0][(y * vs[0] // vmax) * strides[0] + (x * hs[0] // hmax)]
+                cb = planes[1][(y * vs[1] // vmax) * strides[1] + (x * hs[1] // hmax)] - 128
+                cr = planes[2][(y * vs[2] // vmax) * strides[2] + (x * hs[2] // hmax)] - 128
                 r = round(yy + 1.402 * cr)
                 g = round(yy - 0.344136 * cb - 0.714136 * cr)
                 bl = round(yy + 1.772 * cb)
@@ -914,7 +929,7 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     elif len(comps) == 1:
         for y in range(h):
             for x in range(w):
-                v = planes[0][y * stride + x]
+                v = planes[0][y * strides[0] + x]
                 o = (y * w + x) * 3
                 rgb[o] = rgb[o + 1] = rgb[o + 2] = v
     else:

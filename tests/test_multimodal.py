@@ -385,3 +385,38 @@ def test_jpeg_byte_stuffing_present_and_unstuffed():
         scan = b[sos:-2]
         stuffed += scan.count(bytes([0xFF, 0x00]))
     assert stuffed > 0
+
+
+def test_jpeg420_roundtrip_bounded_error_smooth():
+    """4:2:0: four Y blocks per MCU + quarter-res chroma must still
+    reconstruct smooth content tightly (chroma of a smooth gradient
+    survives box down/up-sampling to within a few code values)."""
+    from epe_data_wrangling_spark.multimodal import assets as A
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    orig = A.jpeg_pixel
+    A.jpeg_pixel = lambda x, y, aid: (30 + x * 2 + y, 60 + x + y * 2, 90 + x + y)
+    try:
+        b = A.make_jpeg(0, subsample=True)
+    finally:
+        A.jpeg_pixel = orig
+    w, h, rgb = decode_jpeg_pixels(b)
+    assert (w, h) == (A.JPG_W, A.JPG_H)
+    for y in range(h):
+        for x in range(w):
+            o = (y * w + x) * 3
+            exp = (30 + x * 2 + y, 60 + x + y * 2, 90 + x + y)
+            for c in range(3):
+                assert abs(rgb[o + c] - exp[c]) <= 6, (x, y, c)
+
+
+def test_jpeg420_sof_declares_subsampling():
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+
+    b = make_jpeg(0, subsample=True)
+    i = b.find(bytes([0xFF, 0xC0]))
+    # SOF0 component spec: id=1 gets h=2,v=2; chroma 1,1
+    assert b[i + 11] == 0x22 and b[i + 14] == 0x11 and b[i + 17] == 0x11
+    b444 = make_jpeg(0)
+    i = b444.find(bytes([0xFF, 0xC0]))
+    assert b444[i + 11] == 0x11
