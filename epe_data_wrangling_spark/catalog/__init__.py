@@ -262,6 +262,7 @@ ROTATION_BACKLOG = [
     "sketch_theta_audience_overlap",
     "sketch_kll_quantiles_daily",
     "multimodal_jpeg420_pixel_stats",
+    "layout_compaction_lossless",
 ]
 
 

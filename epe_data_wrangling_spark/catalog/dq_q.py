@@ -486,3 +486,75 @@ def dq_observe_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("qc.max_date", qc["max_date"].strftime("%Y-%m-%d %H:%M:%S")),
     ]
     return spark.createDataFrame(rows, "metric string, value string")
+
+
+COMPACT_FRAGMENTS = 64  #: how badly the fixture table is fragmented
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "layout_compaction_lossless",
+    oracle=f"""
+    SELECT CAST({COMPACT_FRAGMENTS} AS BIGINT) AS n_files_before,
+           CAST({COMPACT_TARGET_FILES} AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+    FROM orders
+    """,
+)
+def layout_compaction_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators.layout.compact_small_files) —
+    the maintenance pass for the 'small files problem': the orders
+    table is deliberately fragmented into {COMPACT_FRAGMENTS} files
+    (the shape a per-batch streaming sink leaves behind), compacted
+    by measured bytes into {COMPACT_TARGET_FILES}, and the audit row
+    proves the rewrite is LOSSLESS against an oracle that only ever
+    reads the ORIGINAL table: row count, distinct keys and the exact
+    decimal-staged total must all survive, and the file counts are
+    pinned. At scale this is the compaction job an object-store
+    table runs nightly; scan cost tracks file count, not bytes."""
+    import os
+    import shutil
+    import tempfile
+
+    from epe_data_wrangling_spark.catalog.core import dec
+    from epe_data_wrangling_spark.operators.layout import compact_small_files
+
+    o = load_table(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="compact_")
+    frag, dest = os.path.join(work, "frag"), os.path.join(work, "compacted")
+    try:
+        o.repartition(COMPACT_FRAGMENTS).write.parquet(frag)
+        size = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        audit = compact_small_files(
+            spark, frag, dest,
+            target_file_bytes=(size + COMPACT_TARGET_FILES - 1) // COMPACT_TARGET_FILES,
+        )
+        stats = (
+            spark.read.parquet(dest)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+            )
+            .collect()[0]
+        )
+        row = (
+            audit["n_files_before"],
+            audit["n_files_after"],
+            stats.n_rows,
+            stats.n_keys,
+            stats.total_price,
+        )
+        return spark.createDataFrame(
+            [row],
+            "n_files_before long, n_files_after long, n_rows long, "
+            "n_keys long, total_price double",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

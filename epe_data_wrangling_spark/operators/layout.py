@@ -69,3 +69,43 @@ def zorder_frame(
         .sortWithinPartitions("_z")
         .drop("_z", *[f"_mn_{c}" for c in cols], *[f"_mx_{c}" for c in cols])
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    dest: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB table needs (streaming sinks and per-batch
+    writes fragment tables into thousands of KB-sized files, and scan
+    cost then scales with FILE COUNT — open/footer/seek per file —
+    not bytes; the 'small files problem').
+
+    Sizes the output by MEASURED bytes: target file count =
+    ceil(on-disk size / target_file_bytes), then one round-robin
+    repartition and a single rewrite to ``dest`` (write-then-swap is
+    the caller's concern; this operator never touches ``path``).
+    Returns an audit dict (files/bytes before and after) the caller
+    can assert on — compaction must be row-lossless, which the
+    catalog query proves against an oracle over the ORIGINAL files.
+    """
+    import glob
+    import math
+    import os
+
+    files_before = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    bytes_before = sum(os.path.getsize(f) for f in files_before)
+    n_target = max(1, math.ceil(bytes_before / target_file_bytes))
+    df = spark.read.parquet(path)
+    df.repartition(n_target).write.mode("overwrite").parquet(dest)
+    files_after = sorted(glob.glob(os.path.join(dest, "*.parquet")))
+    return {
+        "n_files_before": len(files_before),
+        "n_files_after": len(files_after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(os.path.getsize(f) for f in files_after),
+        "n_target": n_target,
+    }
