@@ -429,6 +429,13 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
+    def restart_marker(self, idx: int) -> None:
+        """Byte-align with 1-fill bits, then emit RST(idx mod 8) RAW
+        (markers are never byte-stuffed)."""
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+        self.buf += bytes([0xFF, 0xD0 + (idx % 8)])
+
     def flush(self) -> bytes:
         if self.n:
             self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
@@ -444,7 +451,12 @@ def _amp_bits(v: int, size: int) -> int:
 
 
 def make_jpeg(
-    asset_id: int, w: int = JPG_W, h: int = JPG_H, *, subsample: bool = False
+    asset_id: int,
+    w: int = JPG_W,
+    h: int = JPG_H,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """A real baseline JPEG (SOI/APP0/DQT/SOF0/DHT/SOS/EOI): YCbCr,
     quality-90 Annex-K quant tables, Annex-K Huffman tables,
@@ -453,7 +465,10 @@ def make_jpeg(
     writes 4:4:4 (one block per component per MCU);
     ``subsample=True`` writes 4:2:0 — the layout virtually every
     real-world JPEG uses: Y at 2×2 sampling (four blocks per 16×16
-    MCU), chroma box-averaged 2×2 to quarter resolution."""
+    MCU), chroma box-averaged 2×2 to quarter resolution.
+    ``restart_interval=N`` emits a DRI segment and RSTn markers every
+    N MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature most camera JPEGs carry."""
     ql, qc = _scaled_qtable(_QL), _scaled_qtable(_QC)
 
     # formula RGB → 3 full-resolution YCbCr planes (JFIF, rounded)
@@ -515,8 +530,13 @@ def make_jpeg(
 
     out = _BitWriter()
     pred = [0, 0, 0]
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                out.restart_marker(mcu_idx // restart_interval - 1)
+                pred = [0, 0, 0]
+            mcu_idx += 1
             for ci in range(3):
                 hc, vc = factors[ci]
                 q = ql if ci == 0 else qc
@@ -561,6 +581,9 @@ def make_jpeg(
         return bytes([(tc << 4) | th] + bits + vals)
 
     hv = [(hc << 4) | vc for hc, vc in factors]
+    dri = (
+        seg(0xDD, _struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xDB, bytes([0]) + bytes(ql[k] for k in range(64))) + seg(
         0xDB, bytes([1]) + bytes(qc[k] for k in range(64))
@@ -573,4 +596,4 @@ def make_jpeg(
     )
     dhts = seg(0xC4, dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    return b"\xff\xd8" + jfif + dqt + sof + dhts + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + jfif + dqt + sof + dhts + dri + sos + scan + b"\xff\xd9"

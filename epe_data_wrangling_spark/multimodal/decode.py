@@ -8,10 +8,13 @@ samples wherever stdlib suffices: ``png_pixel_stats`` (zlib inflate +
 full five-filter scanline unfiltering — a COMPRESSED format),
 ``bmp_pixel_stats`` (struct-parsed 24-bit BMP pixel rows),
 ``wav_meta_energy`` (stdlib ``wave`` PCM) and ``y4m_frame_stats``,
-all hash-checked against closed-form oracles. Only codec-dependent
-decoding (JPEG pixels, lossy audio/video) needs Pillow / soundfile /
-av, none of which exist in this container — so that decode step is
-STUBBED: ``require_real_decoders()``
+all hash-checked against closed-form oracles, plus the fully
+hand-built COMPRESSED decoders: ``gif_pixel_stats`` (variable-width
+LZW + palette) and ``jpeg_pixel_stats`` (baseline DCT incl. 4:2:0
+subsampling and restart markers, DQT/DHT parsed from the bitstream).
+Only codec-dependent decoding (progressive JPEG, lossy audio/video)
+needs Pillow / soundfile / av, none of which exist in this container
+— so that decode step is STUBBED: ``require_real_decoders()``
 raises ``NotImplementedError`` describing what the production body
 would do, and the default ``fake`` mode substitutes a deterministic
 md5-derived stand-in for the decoded values (also the fallback for
@@ -59,7 +62,7 @@ def require_real_decoders() -> None:
         "dependency-free: PNG (decode_png_pixels: zlib + unfilter), "
         "GIF (decode_gif_pixels: LZW + palette), baseline JPEG "
         "(decode_jpeg_pixels: Huffman + IDCT), plus BMP/WAV/Y4M. "
-        "What remains stubbed: progressive/subsampled JPEG, lossy "
+        "What remains stubbed: progressive/arithmetic JPEG, lossy "
         "audio (soundfile.read), codec video (av.open → keyframes). "
         "The mapInPandas plumbing, schemas and routing in this module "
         "are the real, tested code path either way."
@@ -747,6 +750,16 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self) -> bool:
+        """Discard pad bits, consume the expected RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if self.pos + 2 <= len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
 
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
@@ -783,13 +796,14 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     (byte unstuffing, DC prediction, EOB/ZRL), dequantize, float
     IDCT, level shift, YCbCr→RGB. Returns (width, height, rgb) or
     None outside the supported envelope (progressive/arithmetic,
-    subsampled chroma, restart markers, 12-bit) and for non-JPEG
+    sampling factors beyond 2, 12-bit) and for non-JPEG
     payloads."""
     if b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     w = h = None
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, qtab, hv)
     scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
     i = 2
@@ -835,7 +849,7 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                         0xCD, 0xCE, 0xCF):
             return None  # non-baseline SOF
         elif marker == 0xDD:
-            return None  # restart intervals: out of envelope
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
             ns = body[0]
             scan_comps = []
@@ -864,8 +878,14 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     br = _JpegBitReader(b, scan_at)
     comp_by_id = {cid: qtab for cid, qtab, _ in comps}
     try:
+        mcu_idx = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                    if not br.sync_restart():
+                        return None
+                    pred = [0] * len(comps)  # DC prediction resets per interval
+                mcu_idx += 1
                 for ci, (cid, dct, act) in enumerate(scan_comps):
                     q = qt.get(comp_by_id.get(cid))
                     dc_h, ac_h = huff.get((0, dct)), huff.get((1, act))

@@ -420,3 +420,22 @@ def test_jpeg420_sof_declares_subsampling():
     b444 = make_jpeg(0)
     i = b444.find(bytes([0xFF, 0xC0]))
     assert b444[i + 11] == 0x11
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn (error-resilience intervals most camera JPEGs carry):
+    byte-aligned restart markers with DC-prediction resets must decode
+    to EXACTLY the pixels of the marker-free stream — the quantized
+    coefficients are identical, only the entropy framing differs."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    for sub in (False, True):
+        base = decode_jpeg_pixels(make_jpeg(5, subsample=sub))
+        n_mcus = 6 if not sub else 2  # 20×14: 3×2 (8px) vs 2×1 (16px)
+        for ri in (1, 2, 3):
+            b = make_jpeg(5, subsample=sub, restart_interval=ri)
+            assert b"\xff\xdd" in b
+            has_rst = any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
+            assert has_rst == (n_mcus > ri)
+            assert decode_jpeg_pixels(b) == base, (sub, ri)
