@@ -263,6 +263,7 @@ ROTATION_BACKLOG = [
     "sketch_kll_quantiles_daily",
     "multimodal_jpeg420_pixel_stats",
     "layout_compaction_lossless",
+    "multimodal_adpcm_energy",
 ]
 
 

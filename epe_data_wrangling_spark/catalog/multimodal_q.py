@@ -448,3 +448,47 @@ def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFram
     rows = [(i, bytearray(make_jpeg(i, subsample=True))) for i in range(N_REAL_ASSETS)]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.jpeg_pixel_stats(assets)
+
+
+def _adpcm_expected_sql() -> str:
+    """Lazy golden (ADPCM is stateful — no closed-form oracle exists;
+    codec correctness is anchored by the near-lossless roundtrip
+    bound in tests/test_multimodal.py: worst abs error 1 over the
+    triangle fixtures, encoder and decoder sharing only the public
+    IMA tables)."""
+    from epe_data_wrangling_spark.multimodal.assets import make_adpcm_wav
+    from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav
+
+    rows = []
+    for aid in range(N_REAL_ASSETS):
+        rate, samples = decode_adpcm_wav(make_adpcm_wav(aid))
+        rows.append(
+            f"({aid}, {rate}, {len(samples)}, "
+            f"{sum(s * s for s in samples)}, {max(abs(s) for s in samples)})"
+        )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT asset_id, CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(n_samples AS INTEGER) AS n_samples,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           CAST(peak_abs AS INTEGER) AS peak_abs
+    FROM (VALUES
+      {values}
+    ) t(asset_id, sample_rate, n_samples, sum_sq, peak_abs)
+    """
+
+
+@query("multimodal_adpcm_energy", oracle=_adpcm_expected_sql)
+def multimodal_adpcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-audio decode, hash-checked: {N_REAL_ASSETS}
+    actual IMA-ADPCM RIFF/WAVE files (4-bit differential nibbles,
+    format tag 0x0011 — the compressed twin of the PCM
+    multimodal_wav_energy) decoded by decode.adpcm_energy: chunk
+    walk, block header, per-nibble IMA expansion with adaptive step
+    index. With PNG/GIF/JPEG this extends 'compressed formats decoded
+    for real with zero codec dependencies' to audio."""
+    from epe_data_wrangling_spark.multimodal.assets import make_adpcm_wav
+
+    rows = [(i, bytearray(make_adpcm_wav(i))) for i in range(N_REAL_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.adpcm_energy(assets)

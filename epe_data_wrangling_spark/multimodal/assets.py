@@ -597,3 +597,89 @@ def make_jpeg(
     dhts = seg(0xC4, dht(0, 0, _DC_L) + dht(1, 0, _AC_L) + dht(0, 1, _DC_C) + dht(1, 1, _AC_C))
     sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     return b"\xff\xd8" + jfif + dqt + sof + dhts + dri + sos + scan + b"\xff\xd9"
+
+
+# ---- IMA ADPCM audio fixtures ----------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+ADPCM_RATE, ADPCM_N = 8000, 256
+
+
+def adpcm_sample(i: int, asset_id: int) -> int:
+    """Smooth deterministic source signal — a phase-shifted triangle
+    wave with bounded slope (ADPCM is a differential codec: smooth
+    signals reconstruct near-losslessly once the step size adapts,
+    which keeps the roundtrip-error bound meaningful; a wrapping
+    sawtooth would slope-overload every period)."""
+    ph = (i + asset_id * 11) % 128
+    tri = ph if ph < 64 else 128 - ph  # 0..64..0, slope ±1
+    return (tri - 32) * 8 + (asset_id % 5)
+
+
+def _ima_encode_nibble(sample: int, pred: int, index: int) -> tuple[int, int, int]:
+    """One IMA ADPCM quantization step (IMA ADPCM reference algorithm,
+    as specified in the IMA Digital Audio Focus Group recommendation):
+    returns (nibble, new_pred, new_index)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = sample - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    delta = step >> 3
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+        delta += step
+    step >>= 1
+    if diff >= step:
+        nibble |= 2
+        diff -= step
+        delta += step
+    step >>= 1
+    if diff >= step:
+        nibble |= 1
+        delta += step
+    pred = pred - delta if nibble & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nibble & 7]))
+    return nibble, pred, index
+
+
+def make_adpcm_wav(asset_id: int, rate: int = ADPCM_RATE, n: int = ADPCM_N) -> bytes:
+    """A real RIFF/WAVE file with format tag 0x0011 (IMA ADPCM), mono,
+    ONE data block: 4-byte block header (predictor, index, reserved)
+    followed by packed 4-bit nibbles (low nibble first). The
+    COMPRESSED audio twin of make_wav's PCM fixtures."""
+    samples = [adpcm_sample(i, asset_id) for i in range(n)]
+    pred, index = samples[0], 0
+    data = bytearray()
+    data += _struct.pack("<hBB", pred, index, 0)
+    nibbles = []
+    for s in samples[1:]:
+        nib, pred, index = _ima_encode_nibble(s, pred, index)
+        nibbles.append(nib)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+        data.append(lo | (hi << 4))
+    block_align = len(data)
+    fmt = _struct.pack(
+        "<HHIIHHH H",
+        0x0011, 1, rate, rate * block_align // n, block_align, 4, 2, n,
+    )  # wSamplesPerBlock in the cbSize extension
+    out = bytearray()
+    out += b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + _struct.pack("<I", len(data)) + bytes(data)
+    return bytes(out)

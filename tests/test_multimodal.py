@@ -439,3 +439,30 @@ def test_jpeg_restart_markers_roundtrip():
             has_rst = any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))
             assert has_rst == (n_mcus > ri)
             assert decode_jpeg_pixels(b) == base, (sub, ri)
+
+
+def test_adpcm_roundtrip_near_lossless():
+    """IMA ADPCM on the bounded-slope triangle fixtures must
+    reconstruct within ±1 code value once the step adapts (the
+    quantizer's floor); encoder and decoder share only the public
+    IMA step/index tables."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        ADPCM_N,
+        adpcm_sample,
+        make_adpcm_wav,
+    )
+    from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav
+
+    for aid in (0, 7, 23):
+        rate, samples = decode_adpcm_wav(make_adpcm_wav(aid))
+        assert rate == 8000 and len(samples) in (ADPCM_N, ADPCM_N + 1)
+        for i in range(ADPCM_N):
+            assert abs(samples[i] - adpcm_sample(i, aid)) <= 1, (aid, i)
+
+
+def test_adpcm_rejects_foreign_and_pcm():
+    from epe_data_wrangling_spark.multimodal.assets import make_wav
+    from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav
+
+    assert decode_adpcm_wav(b"not riff") is None
+    assert decode_adpcm_wav(make_wav(0)) is None  # PCM tag 0x0001
