@@ -264,6 +264,7 @@ ROTATION_BACKLOG = [
     "multimodal_jpeg420_pixel_stats",
     "layout_compaction_lossless",
     "multimodal_adpcm_energy",
+    "multimodal_mjpeg_frame_stats",
 ]
 
 

@@ -492,3 +492,51 @@ def multimodal_adpcm_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(i, bytearray(make_adpcm_wav(i))) for i in range(N_REAL_ASSETS)]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.adpcm_energy(assets)
+
+
+from epe_data_wrangling_spark.multimodal.assets import MJPEG_FRAMES  # noqa: E402
+
+MJPEG_ASSETS = 12  #: 12 clips × 4 frames — keeps the lazy golden quick
+
+
+def _mjpeg_expected_sql() -> str:
+    """Lazy golden (per-frame JPEG stats; the container walk and the
+    frame == direct-JPEG-decode identity are pinned in pytest)."""
+    from epe_data_wrangling_spark.multimodal.assets import make_mjpeg_avi
+    from epe_data_wrangling_spark.multimodal.decode import decode_mjpeg_avi
+
+    rows = []
+    for aid in range(MJPEG_ASSETS):
+        for fidx, w, h, rgb in decode_mjpeg_avi(make_mjpeg_avi(aid)):
+            rows.append(
+                f"({aid}, {fidx}, {w}, {h}, "
+                f"{sum(rgb[0::3])}, {sum(rgb[1::3])}, {sum(rgb[2::3])})"
+            )
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           CAST(sum_r AS BIGINT) AS sum_r,
+           CAST(sum_g AS BIGINT) AS sum_g,
+           CAST(sum_b AS BIGINT) AS sum_b
+    FROM (VALUES
+      {values}
+    ) t(asset_id, frame_idx, width, height, sum_r, sum_g, sum_b)
+    """
+
+
+@query("multimodal_mjpeg_frame_stats", oracle=_mjpeg_expected_sql)
+def multimodal_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL COMPRESSED-video decode, hash-checked: {MJPEG_ASSETS}
+    actual RIFF/AVI Motion-JPEG clips ({MJPEG_FRAMES}-frame movi
+    lists whose '00dc' chunks are complete 4:2:0 restart-marker
+    JPEGs) decoded by decode.mjpeg_frame_stats — recursive LIST walk
+    to movi, per-frame JPEG decode. Compressed formats now decode
+    for real across ALL THREE media classes with zero codec
+    dependencies: images (PNG/GIF/JPEG), audio (IMA ADPCM), video
+    (MJPEG-AVI)."""
+    from epe_data_wrangling_spark.multimodal.assets import make_mjpeg_avi
+
+    rows = [(i, bytearray(make_mjpeg_avi(i))) for i in range(MJPEG_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    return decode.mjpeg_frame_stats(assets)

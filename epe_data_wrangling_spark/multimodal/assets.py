@@ -683,3 +683,63 @@ def make_adpcm_wav(asset_id: int, rate: int = ADPCM_RATE, n: int = ADPCM_N) -> b
     out += b"fmt " + _struct.pack("<I", len(fmt)) + fmt
     out += b"data" + _struct.pack("<I", len(data)) + bytes(data)
     return bytes(out)
+
+
+# ---- MJPEG-in-AVI video fixtures -------------------------------------
+
+MJPEG_FRAMES = 4
+
+
+def make_mjpeg_avi(asset_id: int, frames: int = MJPEG_FRAMES) -> bytes:
+    """A real RIFF/AVI container whose video stream is Motion-JPEG:
+    avih + strl (strh 'vids'/'MJPG', strf BITMAPINFOHEADER with
+    biCompression 'MJPG') headers, a movi LIST of '00dc' chunks each
+    holding a COMPLETE baseline JPEG (frame f uses the pixel formula
+    seeded with asset_id·101+f, 4:2:0 + a restart interval so the
+    video path exercises the full codec envelope), and an idx1
+    index. The compressed VIDEO twin of make_y4m."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + _struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    jpegs = [
+        make_jpeg(asset_id * 101 + f, subsample=True, restart_interval=1)
+        for f in range(frames)
+    ]
+    w, h = JPG_W, JPG_H
+    avih = _struct.pack(
+        "<14I",
+        33333, 0, 0, 0x10, frames, 0, 1, max(len(j) for j in jpegs), w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        # dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale,
+        # dwRate, dwStart, dwLength, dwSuggestedBufferSize,
+        # dwQuality, dwSampleSize
+        + _struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, 30, 0, frames, 0, 0xFFFFFFFF, 0
+        )
+        + _struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = _struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                        w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    idx = bytearray()
+    off = 4
+    for j in jpegs:
+        idx += b"00dc" + _struct.pack("<III", 0x10, off, len(j))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = chunk(b"idx1", bytes(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body

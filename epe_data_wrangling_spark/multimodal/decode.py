@@ -1078,3 +1078,76 @@ def adpcm_energy(assets: DataFrame) -> DataFrame:
         fn,
         "asset_id BIGINT, sample_rate INT, n_samples INT, sum_sq BIGINT, peak_abs INT",
     )
+
+
+def decode_mjpeg_avi(b: bytes) -> list[tuple[int, int, int, bytes]] | None:
+    """REAL compressed-VIDEO decode: RIFF/AVI container walk (LIST
+    recursion to the movi chunk) + per-frame Motion-JPEG decode via
+    ``decode_jpeg_pixels`` — every '00dc'/'00db' chunk is a complete
+    JPEG. Returns [(frame_idx, width, height, rgb), ...] or None for
+    non-AVI payloads / no decodable frames."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def find_movi(pos: int, end: int) -> tuple[int, int] | None:
+        while pos + 8 <= end:
+            tag = b[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", b, pos + 4)
+            if tag == b"LIST" and pos + 12 <= end:
+                kind = b[pos + 8 : pos + 12]
+                if kind == b"movi":
+                    return pos + 12, pos + 8 + ln
+                inner = find_movi(pos + 12, pos + 8 + ln)
+                if inner:
+                    return inner
+            pos += 8 + ln + (ln & 1)
+        return None
+
+    movi = find_movi(12, len(b))
+    if movi is None:
+        return None
+    pos, end = movi
+    frames = []
+    fidx = 0
+    while pos + 8 <= end:
+        tag = b[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", b, pos + 4)
+        body = b[pos + 8 : pos + 8 + ln]
+        if tag[2:4] in (b"dc", b"db"):
+            decoded = decode_jpeg_pixels(body)
+            if decoded is not None:
+                w, h, rgb = decoded
+                frames.append((fidx, w, h, rgb))
+            fidx += 1
+        pos += 8 + ln + (ln & 1)
+    return frames or None
+
+
+def mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
+    """MJPEG-AVI decode → per-frame exact integer channel sums (the
+    compressed twin of y4m_frame_stats; same narrow mapInPandas
+    shape)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in
+                ("asset_id", "frame_idx", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_mjpeg_avi(bytes(payload))
+                if frames is None:
+                    continue
+                for fidx, w, h, rgb in frames:
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(fidx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sum_r"].append(sum(rgb[0::3]))
+                    out["sum_g"].append(sum(rgb[1::3]))
+                    out["sum_b"].append(sum(rgb[2::3]))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        fn,
+        "asset_id BIGINT, frame_idx INT, width INT, height INT, "
+        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
+    )

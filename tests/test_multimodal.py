@@ -466,3 +466,29 @@ def test_adpcm_rejects_foreign_and_pcm():
 
     assert decode_adpcm_wav(b"not riff") is None
     assert decode_adpcm_wav(make_wav(0)) is None  # PCM tag 0x0001
+
+
+def test_mjpeg_avi_frames_equal_direct_jpeg_decode():
+    """The container must be transparent: each movi '00dc' frame
+    decodes to exactly the same pixels as decoding its JPEG
+    directly."""
+    from epe_data_wrangling_spark.multimodal.assets import make_jpeg, make_mjpeg_avi
+    from epe_data_wrangling_spark.multimodal.decode import (
+        decode_jpeg_pixels,
+        decode_mjpeg_avi,
+    )
+
+    frames = decode_mjpeg_avi(make_mjpeg_avi(3))
+    assert len(frames) == 4
+    for f, w, h, rgb in frames:
+        exp = decode_jpeg_pixels(
+            make_jpeg(3 * 101 + f, subsample=True, restart_interval=1)
+        )
+        assert (w, h, rgb) == exp
+
+
+def test_mjpeg_avi_rejects_foreign():
+    from epe_data_wrangling_spark.multimodal.decode import decode_mjpeg_avi
+
+    assert decode_mjpeg_avi(b"RIFFxxxxWAVE") is None
+    assert decode_mjpeg_avi(b"nope") is None
