@@ -62,8 +62,9 @@ def require_real_decoders() -> None:
         "dependency-free: PNG (decode_png_pixels: zlib + unfilter), "
         "GIF (decode_gif_pixels: LZW + palette), baseline JPEG "
         "(decode_jpeg_pixels: Huffman + IDCT), plus BMP/WAV/Y4M. "
-        "What remains stubbed: progressive/arithmetic JPEG, lossy "
-        "audio (soundfile.read), codec video (av.open → keyframes). "
+        "Compressed audio (IMA ADPCM) and video (MJPEG-AVI) decode "
+        "for real too. What remains stubbed: progressive/arithmetic "
+        "JPEG and perceptual codecs (MP3/AAC, H.264+). "
         "The mapInPandas plumbing, schemas and routing in this module "
         "are the real, tested code path either way."
     )
