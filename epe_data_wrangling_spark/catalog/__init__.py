@@ -265,6 +265,7 @@ ROTATION_BACKLOG = [
     "layout_compaction_lossless",
     "multimodal_adpcm_energy",
     "multimodal_mjpeg_frame_stats",
+    "multimodal_jpeg_progressive_stats",
 ]
 
 

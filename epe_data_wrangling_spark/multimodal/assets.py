@@ -743,3 +743,137 @@ def make_mjpeg_avi(asset_id: int, frames: int = MJPEG_FRAMES) -> bytes:
     idx1 = chunk(b"idx1", bytes(idx))
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body
+
+
+def make_progressive_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
+    """A real PROGRESSIVE JPEG (SOF2) — the multi-scan form most web
+    images ship: four scans over the same quantized coefficients as
+    the baseline encoder would produce —
+
+      1. interleaved DC scan at successive-approximation Al=1
+         (coarse DC for the instant low-res preview),
+      2..4. one spectral-selection AC band scan per component
+         (Ss=1..Se=63, Al=0) with EOB0 block termination,
+      5. DC refinement scan (Ah=1, Al=0) delivering the final DC bit.
+
+    A decoder must therefore handle multi-scan coefficient
+    accumulation, non-interleaved block geometry, EOBn codes and DC
+    successive approximation to reconstruct — and must land on
+    EXACTLY the baseline decode of ``make_jpeg`` (same coefficients,
+    different transmission order), which is what the pytest pins."""
+    ql, qc = _scaled_qtable(_QL), _scaled_qtable(_QC)
+
+    full = [[0] * (w * h) for _ in range(3)]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = jpeg_pixel(x, y, asset_id)
+            yy = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+            for ci, v in enumerate((yy, cb, cr)):
+                full[ci][y * w + x] = min(255, max(0, round(v)))
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+
+    def block_of(ci: int, bx: int, by: int) -> list[float]:
+        out = []
+        for yy in range(8):
+            sy = min(by * 8 + yy, h - 1)
+            for xx in range(8):
+                sx = min(bx * 8 + xx, w - 1)
+                out.append(float(full[ci][sy * w + sx]) - 128.0)
+        return out
+
+    # quantized zigzag coefficients per component/block (once)
+    qzz: list[list[list[int]]] = [[], [], []]
+    for ci in range(3):
+        q = ql if ci == 0 else qc
+        for by in range(bh):
+            for bx in range(bw):
+                coef = _fdct8(block_of(ci, bx, by))
+                qzz[ci].append([round(coef[_ZZ[k]] / q[k]) for k in range(64)])
+
+    dc_l, dc_c = _huff_codes(*_DC_L), _huff_codes(*_DC_C)
+    ac_l, ac_c = _huff_codes(*_AC_L), _huff_codes(*_AC_C)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss: int, se: int,
+            ah: int, al: int) -> bytes:
+        body = bytes([len(comp_specs)])
+        for cid, dct, act in comp_specs:
+            body += bytes([cid, (dct << 4) | act])
+        return seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: interleaved DC, Al=1
+    out = _BitWriter()
+    pred = [0, 0, 0]
+    for bi in range(bw * bh):
+        for ci in range(3):
+            dc_t = dc_l if ci == 0 else dc_c
+            v = qzz[ci][bi][0] >> 1  # point transform
+            diff = v - pred[ci]
+            pred[ci] = v
+            size = _category(diff)
+            code, ln = dc_t[size]
+            out.put(code, ln)
+            if size:
+                out.put(_amp_bits(diff, size), size)
+    scan_dc = sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + out.flush()
+
+    # scans 2-4: per-component AC 1..63 at Al=0, EOB0 per block
+    ac_scans = b""
+    for ci in range(3):
+        ac_t = ac_l if ci == 0 else ac_c
+        out = _BitWriter()
+        for bi in range(bw * bh):
+            zz = qzz[ci][bi]
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            emitted = False
+            for k in range(1, 64):
+                if k > last_nz:
+                    break
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_t[0xF0]
+                    out.put(code, ln)
+                    run -= 16
+                size = _category(zz[k])
+                code, ln = ac_t[(run << 4) | size]
+                out.put(code, ln)
+                out.put(_amp_bits(zz[k], size), size)
+                run = 0
+                emitted = k == 63
+            if not emitted:
+                code, ln = ac_t[0x00]  # EOB0
+                out.put(code, ln)
+        cid = ci + 1
+        tab = 0 if ci == 0 else 1
+        ac_scans += sos([(cid, 0, tab)], 1, 63, 0, 0) + out.flush()
+
+    # scan 5: DC refinement (Ah=1 → one bit per block, interleaved)
+    out = _BitWriter()
+    for bi in range(bw * bh):
+        for ci in range(3):
+            out.put(qzz[ci][bi][0] & 1, 1)
+    scan_dc2 = sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + out.flush()
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([(tc << 4) | th] + bits + vals)
+
+    jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, bytes([0]) + bytes(ql)) + seg(0xDB, bytes([1]) + bytes(qc))
+    sof = seg(
+        0xC2,
+        bytes([8]) + _struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    dhts = seg(0xC4, dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
+               + dht(0, 1, _DC_C) + dht(1, 1, _AC_C))
+    return (b"\xff\xd8" + jfif + dqt + sof + dhts
+            + scan_dc + ac_scans + scan_dc2 + b"\xff\xd9")

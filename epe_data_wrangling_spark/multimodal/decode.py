@@ -791,28 +791,190 @@ class _HuffDecoder:
 
 
 def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
-    """REAL baseline JPEG decode with zero dependencies: marker walk,
-    DQT/DHT parsed FROM THE FILE (nothing shared with the fixture
-    encoder's constant tables), SOF0, interleaved-MCU entropy decode
-    (byte unstuffing, DC prediction, EOB/ZRL), dequantize, float
-    IDCT, level shift, YCbCr→RGB. Returns (width, height, rgb) or
-    None outside the supported envelope (progressive/arithmetic,
-    sampling factors beyond 2, 12-bit) and for non-JPEG
-    payloads."""
+    """REAL JPEG decode with zero dependencies — baseline (SOF0) AND
+    progressive (SOF2): marker walk, DQT/DHT parsed FROM THE FILE
+    (nothing shared with the fixture encoder's constant tables),
+    multi-scan entropy decode into a per-component COEFFICIENT store
+    (spectral-selection bands, EOBn run codes, DC successive-
+    approximation refinement, restart markers, byte unstuffing, DC
+    prediction), then one dequantize + float IDCT + YCbCr→RGB pass
+    over the finished coefficients. Returns (width, height, rgb) or
+    None outside the supported envelope (arithmetic coding, AC
+    successive-approximation refinement scans, sampling factors
+    beyond 2, 12-bit) and for non-JPEG payloads."""
     if b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     w = h = None
+    progressive = False
     restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, qtab, hv)
-    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tab, ac_tab)
+    hs: list[int] = []
+    vs: list[int] = []
+    strides: list[int] = []  # blocks per row in the coefficient store
+    coefs: list[list[list[int]]] = []  # [comp][block_index][64]
+    mcux = mcuy = hmax = vmax = 0
+
+    def alloc() -> None:
+        nonlocal hs, vs, strides, coefs, mcux, mcuy, hmax, vmax
+        hs = [(hv >> 4) for _, _, hv in comps]
+        vs = [(hv & 0x0F) for _, _, hv in comps]
+        hmax, vmax = max(hs), max(vs)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        strides = [mcux * hs[ci] for ci in range(len(comps))]
+        coefs = [
+            [[0] * 64 for _ in range(strides[ci] * mcuy * vs[ci])]
+            for ci in range(len(comps))
+        ]
+
+    def decode_scan(body: bytes, data_at: int) -> int | None:
+        """Entropy-decode one scan; returns the position of the next
+        marker, or None on a malformed stream."""
+        ns = body[0]
+        scan = []  # (comp_index, dc_tab, ac_tab)
+        ids = [cid for cid, _, _ in comps]
+        for c in range(ns):
+            cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+            if cid not in ids:
+                return None
+            scan.append((ids.index(cid), tabs >> 4, tabs & 0x0F))
+        ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+        a = body[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        if not progressive:
+            ss, se, ah, al = 0, 63, 0, 0
+        if ss > 0 and ns != 1:
+            return None  # progressive AC scans are single-component
+        if ss > 0 and ah > 0:
+            return None  # AC refinement: out of envelope
+        br = _JpegBitReader(b, data_at)
+        pred = [0] * len(comps)
+        eobrun = 0
+        try:
+            if ns > 1 or not progressive:
+                # interleaved geometry (MCU walk); baseline also lands
+                # here and additionally codes AC 0..63 inline
+                unit = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            if not br.sync_restart():
+                                return None
+                            pred = [0] * len(comps)
+                        unit += 1
+                        for ci, dct, act in scan:
+                            for byy in range(vs[ci]):
+                                for bxx in range(hs[ci]):
+                                    bi = (my * vs[ci] + byy) * strides[ci] + (
+                                        mx * hs[ci] + bxx
+                                    )
+                                    zz = coefs[ci][bi]
+                                    if ah == 0:
+                                        dc_h = huff.get((0, dct))
+                                        if dc_h is None:
+                                            return None
+                                        size = dc_h.decode(br)
+                                        diff = (
+                                            _extend(br.bits(size), size) if size else 0
+                                        )
+                                        pred[ci] += diff
+                                        zz[0] = pred[ci] << al
+                                    else:  # DC refinement: one bit
+                                        if br.bit():
+                                            zz[0] |= 1 << al
+                                    if se > 0:  # baseline: AC inline
+                                        ac_h = huff.get((1, act))
+                                        if ac_h is None:
+                                            return None
+                                        k = 1
+                                        while k <= se:
+                                            sym = ac_h.decode(br)
+                                            if sym == 0x00:
+                                                break
+                                            if sym == 0xF0:
+                                                k += 16
+                                                continue
+                                            k += sym >> 4
+                                            if k > se:
+                                                return None
+                                            sz = sym & 0x0F
+                                            zz[k] = _extend(br.bits(sz), sz)
+                                            k += 1
+            else:
+                # non-interleaved single-component scan (progressive
+                # DC-only ns==1, or an AC band): raster over the
+                # component's OWN block grid
+                ci, dct, act = scan[0]
+                cw = (w * hs[ci] + hmax - 1) // hmax
+                ch = (h * vs[ci] + vmax - 1) // vmax
+                nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+                unit = 0
+                for by in range(nby):
+                    for bx in range(nbx):
+                        if restart_interval and unit and unit % restart_interval == 0:
+                            if not br.sync_restart():
+                                return None
+                            pred = [0] * len(comps)
+                            eobrun = 0
+                        unit += 1
+                        zz = coefs[ci][by * strides[ci] + bx]
+                        if ss == 0:
+                            if ah == 0:
+                                dc_h = huff.get((0, dct))
+                                if dc_h is None:
+                                    return None
+                                size = dc_h.decode(br)
+                                diff = _extend(br.bits(size), size) if size else 0
+                                pred[ci] += diff
+                                zz[0] = pred[ci] << al
+                            else:
+                                if br.bit():
+                                    zz[0] |= 1 << al
+                            continue
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        ac_h = huff.get((1, act))
+                        if ac_h is None:
+                            return None
+                        k = ss
+                        while k <= se:
+                            sym = ac_h.decode(br)
+                            r, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                                break  # EOBn: this block done
+                            k += r
+                            if k > se:
+                                return None
+                            zz[k] = _extend(br.bits(sz), sz) << al
+                            k += 1
+        except (EOFError, ValueError):
+            return None
+        # resynchronize on the terminating marker (skip pad bits and
+        # any RSTn the loop didn't consume)
+        pos = br.pos
+        while pos + 1 < len(b):
+            if b[pos] == 0xFF and b[pos + 1] not in (0x00,) and not (
+                0xD0 <= b[pos + 1] <= 0xD7
+            ):
+                return pos
+            pos += 1
+        return len(b)
+
     i = 2
-    scan_at = None
+    saw_scan = False
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
+        if marker == 0xD9:
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -835,7 +997,8 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
                 vals = list(body[p + 17 : p + 17 + nv])
                 huff[(tc, th)] = _HuffDecoder(bits, vals)
                 p += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if body[0] != 8:
                 return None
             h, w = struct.unpack_from(">HH", body, 1)
@@ -844,102 +1007,59 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 if (hv >> 4) not in (1, 2) or (hv & 0x0F) not in (1, 2):
-                    return None  # sampling factors beyond 2: out of envelope
+                    return None  # sampling factors beyond 2
                 comps.append((cid, tq, hv))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            alloc()
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF
+            return None  # non-baseline/non-progressive SOF
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:
-            ns = body[0]
-            scan_comps = []
-            for c in range(ns):
-                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
-                scan_comps.append((cid, tabs >> 4, tabs & 0x0F))
-            scan_at = i + 2 + ln
-            break
-        elif marker == 0xD9:
-            return None
+            if not comps:
+                return None
+            nxt = decode_scan(body, i + 2 + ln)
+            if nxt is None:
+                return None
+            saw_scan = True
+            i = nxt
+            continue
         i += 2 + ln
-    if scan_at is None or w is None or not comps or len(scan_comps) != len(comps):
+    if not saw_scan or w is None:
         return None
 
-    # sampling geometry: MCU = (8·hmax)×(8·vmax) pixels; component c
-    # contributes h_c×v_c blocks per MCU. 1×1-everywhere (4:4:4) and
-    # Y=2×2 with 1×1 chroma (4:2:0) both fall out of the same walk.
-    hs = [(hv >> 4) for _, _, hv in comps]
-    vs = [(hv & 0x0F) for _, _, hv in comps]
-    hmax, vmax = max(hs), max(vs)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    strides = [mcux * 8 * hs[ci] for ci in range(len(comps))]
-    planes = [[0] * (strides[ci] * mcuy * 8 * vs[ci]) for ci in range(len(comps))]
-    pred = [0] * len(comps)
-    br = _JpegBitReader(b, scan_at)
-    comp_by_id = {cid: qtab for cid, qtab, _ in comps}
-    try:
-        mcu_idx = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
-                    if not br.sync_restart():
-                        return None
-                    pred = [0] * len(comps)  # DC prediction resets per interval
-                mcu_idx += 1
-                for ci, (cid, dct, act) in enumerate(scan_comps):
-                    q = qt.get(comp_by_id.get(cid))
-                    dc_h, ac_h = huff.get((0, dct)), huff.get((1, act))
-                    if q is None or dc_h is None or ac_h is None:
-                        return None
-                    for byy in range(vs[ci]):
-                        for bxx in range(hs[ci]):
-                            zz = [0] * 64
-                            size = dc_h.decode(br)
-                            diff = _extend(br.bits(size), size) if size else 0
-                            pred[ci] += diff
-                            zz[0] = pred[ci]
-                            k = 1
-                            while k < 64:
-                                sym = ac_h.decode(br)
-                                if sym == 0x00:  # EOB
-                                    break
-                                if sym == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                k += sym >> 4
-                                if k > 63:
-                                    return None
-                                sz = sym & 0x0F
-                                zz[k] = _extend(br.bits(sz), sz)
-                                k += 1
-                            coef = [0.0] * 64
-                            for k in range(64):
-                                coef[_JPEG_ZZ[k]] = zz[k] * q[k]
-                            px = _idct8(coef)
-                            plane = planes[ci]
-                            stride = strides[ci]
-                            bx0 = (mx * hs[ci] + bxx) * 8
-                            by0 = (my * vs[ci] + byy) * 8
-                            for yy in range(8):
-                                row = (by0 + yy) * stride + bx0
-                                for xx in range(8):
-                                    v = round(px[yy * 8 + xx]) + 128
-                                    plane[row + xx] = (
-                                        0 if v < 0 else (255 if v > 255 else v)
-                                    )
-    except (EOFError, ValueError):
-        return None
+    # dequantize + IDCT + assemble from the finished coefficients
+    comp_by_idx = [qt.get(tq) for _, tq, _ in comps]
+    planes = [[0] * (strides[ci] * 8 * mcuy * 8 * vs[ci]) for ci in range(len(comps))]
+    for ci in range(len(comps)):
+        q = comp_by_idx[ci]
+        if q is None:
+            return None
+        stride_px = strides[ci] * 8
+        nby = mcuy * vs[ci]
+        for bi, zz in enumerate(coefs[ci]):
+            coef = [0.0] * 64
+            for k in range(64):
+                coef[_JPEG_ZZ[k]] = zz[k] * q[k]
+            px = _idct8(coef)
+            by, bx = divmod(bi, strides[ci])
+            if by >= nby:
+                return None
+            plane = planes[ci]
+            for yy in range(8):
+                row = (by * 8 + yy) * stride_px + bx * 8
+                for xx in range(8):
+                    v = round(px[yy * 8 + xx]) + 128
+                    plane[row + xx] = 0 if v < 0 else (255 if v > 255 else v)
 
     rgb = bytearray(w * h * 3)
+    pxstrides = [s8 * 8 for s8 in strides]
     if len(comps) == 3:
         for y in range(h):
             for x in range(w):
-                # per-component sample position under its sampling
-                # factors (box upsampling for subsampled chroma)
-                yy = planes[0][(y * vs[0] // vmax) * strides[0] + (x * hs[0] // hmax)]
-                cb = planes[1][(y * vs[1] // vmax) * strides[1] + (x * hs[1] // hmax)] - 128
-                cr = planes[2][(y * vs[2] // vmax) * strides[2] + (x * hs[2] // hmax)] - 128
+                yy = planes[0][(y * vs[0] // vmax) * pxstrides[0] + (x * hs[0] // hmax)]
+                cb = planes[1][(y * vs[1] // vmax) * pxstrides[1] + (x * hs[1] // hmax)] - 128
+                cr = planes[2][(y * vs[2] // vmax) * pxstrides[2] + (x * hs[2] // hmax)] - 128
                 r = round(yy + 1.402 * cr)
                 g = round(yy - 0.344136 * cb - 0.714136 * cr)
                 bl = round(yy + 1.772 * cb)
@@ -950,7 +1070,7 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     elif len(comps) == 1:
         for y in range(h):
             for x in range(w):
-                v = planes[0][y * strides[0] + x]
+                v = planes[0][y * pxstrides[0] + x]
                 o = (y * w + x) * 3
                 rgb[o] = rgb[o + 1] = rgb[o + 2] = v
     else:

@@ -369,7 +369,9 @@ def test_jpeg_rejects_out_of_envelope_and_foreign():
     assert decode_jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     b = bytearray(make_jpeg(0))
     i = b.find(bytes([0xFF, 0xC0]))
-    b[i + 1] = 0xC2  # progressive SOF: out of envelope
+    b[i + 1] = 0xC3  # lossless-sequential SOF: out of envelope
+    assert decode_jpeg_pixels(bytes(b)) is None
+    b[i + 1] = 0xC9  # arithmetic-coded SOF: out of envelope
     assert decode_jpeg_pixels(bytes(b)) is None
 
 
@@ -492,3 +494,28 @@ def test_mjpeg_avi_rejects_foreign():
 
     assert decode_mjpeg_avi(b"RIFFxxxxWAVE") is None
     assert decode_mjpeg_avi(b"nope") is None
+
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Five-scan progressive transmission (DC at Al=1, per-component
+    AC bands, DC refinement) must reconstruct the exact pixels of the
+    single-scan baseline — same coefficients, different order."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        make_jpeg,
+        make_progressive_jpeg,
+    )
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    for aid in (0, 7, 23):
+        assert decode_jpeg_pixels(make_progressive_jpeg(aid)) == decode_jpeg_pixels(
+            make_jpeg(aid)
+        )
+
+
+def test_progressive_jpeg_is_multiscan_sof2():
+    from epe_data_wrangling_spark.multimodal.assets import make_progressive_jpeg
+
+    b = make_progressive_jpeg(0)
+    assert b.count(bytes([0xFF, 0xC2])) == 1  # SOF2
+    assert b.count(bytes([0xFF, 0xDA])) == 5  # five scans
+    assert bytes([0xFF, 0xC0]) not in b
