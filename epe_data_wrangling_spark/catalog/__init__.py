@@ -52,20 +52,21 @@ def resolve_oracle(q: CatalogQuery) -> str | None:
 #: registration from the function's own module globals, so docs (and
 #: CATALOG.md, generated from them) always show the live values without
 #: each module needing a manual ``fn.__doc__.format(...)`` call.
-_DOC_PLACEHOLDER = re.compile(r"\{([A-Z][A-Z_0-9]*)\}")
+_DOC_PLACEHOLDER = re.compile(r"\{([A-Z][A-Z_0-9]*)(:[^}]+)?\}")
 
 
-def _render_const(v) -> str:
+def _render_const(v, spec: str | None = None) -> str:
     if isinstance(v, (list, tuple, set, frozenset)):
         return ", ".join(str(x) for x in v)
-    return str(v)
+    return format(v, spec[1:]) if spec else str(v)
 
 
 def _resolve_doc(fn) -> str:
     doc = fn.__doc__ or ""
     g = getattr(fn, "__globals__", {})
     return _DOC_PLACEHOLDER.sub(
-        lambda m: _render_const(g[m.group(1)]) if m.group(1) in g else m.group(0), doc
+        lambda m: _render_const(g[m.group(1)], m.group(2)) if m.group(1) in g else m.group(0),
+        doc,
     )
 
 

@@ -2187,18 +2187,10 @@ def sketch_kll_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)").alias("_p50"),
         F.expr("kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.9)").alias("_p90"),
     )
-    exact = day.groupBy("month").agg(
-        F.expr("percentile(v, 0.5)").alias("_p50x"),
-        F.expr("percentile(v, 0.9)").alias("_p90x"),
-        # true rank of a value v0 among the month's orders: fraction ≤ v0
-        F.count(F.lit(1)).alias("_n"),
-    )
-    j = monthly.join(exact, "month").join(
-        day.alias("dd"), "month"
-    )
+    j = monthly.join(day.alias("dd"), "month")
     # true rank of each estimate = share of the month's values ≤ estimate
     ranks = (
-        j.groupBy("month", "n_days", "n_orders", "_p50", "_p90", "_p50x", "_p90x")
+        j.groupBy("month", "n_days", "n_orders", "_p50", "_p90")
         .agg(
             (F.sum(F.when(F.col("v") <= F.col("_p50"), 1).otherwise(0))
              / F.count(F.lit(1)).cast("double")).alias("r50"),

@@ -291,7 +291,7 @@ _RECURSIVE_BFS_SQL = f"""
       GROUP BY o_custkey, l_suppkey HAVING COUNT(*) >= {STRONG_TIE_MIN}),
     sym AS (SELECT u, v FROM pair UNION ALL SELECT v, u FROM pair),
     walk(node, dist) AS (
-      SELECT u, 0 FROM pair WHERE u = (SELECT MIN(u) FROM pair)
+      SELECT DISTINCT u, 0 FROM pair WHERE u = (SELECT MIN(u) FROM pair)
       UNION ALL
       SELECT s.v, walk.dist + 1
       FROM sym s JOIN walk ON s.u = walk.node

@@ -10,6 +10,8 @@ hex-digit from md5/hex/octet_length.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
@@ -349,6 +351,7 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.gif_pixel_stats(assets)
 
 
+@lru_cache(maxsize=1)
 def _jpeg_expected_sql() -> str:
     """LAZY golden oracle (resolved only when the comparison runs, not
     at import): decode the 40 JPEG fixtures with decode_jpeg_pixels in
@@ -405,6 +408,7 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode.jpeg_pixel_stats(assets)
 
 
+@lru_cache(maxsize=1)
 def _jpeg420_expected_sql() -> str:
     """Lazy golden for the 4:2:0 fixtures (same provenance contract as
     ``_jpeg_expected_sql`` — codec correctness is anchored by the
@@ -450,6 +454,7 @@ def multimodal_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return decode.jpeg_pixel_stats(assets)
 
 
+@lru_cache(maxsize=1)
 def _adpcm_expected_sql() -> str:
     """Lazy golden (ADPCM is stateful — no closed-form oracle exists;
     codec correctness is anchored by the near-lossless roundtrip
@@ -499,6 +504,7 @@ from epe_data_wrangling_spark.multimodal.assets import MJPEG_FRAMES  # noqa: E40
 MJPEG_ASSETS = 12  #: 12 clips × 4 frames — keeps the lazy golden quick
 
 
+@lru_cache(maxsize=1)
 def _mjpeg_expected_sql() -> str:
     """Lazy golden (per-frame JPEG stats; the container walk and the
     frame == direct-JPEG-decode identity are pinned in pytest)."""

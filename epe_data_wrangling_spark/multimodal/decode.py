@@ -391,29 +391,30 @@ def decode_png_pixels(b: bytes) -> tuple[int, int, int, bytes] | None:
     return w, h, channels, bytes(recon)
 
 
-def png_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL PNG decode → per-image channel statistics, the compressed
-    twin of ``bmp_pixel_stats``: (asset_id, width, height, sum_r,
-    sum_g, sum_b, mean_r/g/b). Grayscale maps to r=g=b; alpha is
-    ignored for the sums. Exact integer channel sums (no float
-    accumulation hazard); narrow mapInPandas, payloads never
-    shuffle."""
+def _rgb_pixel_stats(assets: DataFrame, decode_fn) -> DataFrame:
+    """Shared decode→exact-integer-channel-sums builder for the image
+    formats (PNG/GIF/JPEG): narrow mapInPandas, payloads never
+    shuffle; undecodable payloads are skipped, not errored. PNG's
+    decoder returns (w, h, channels, samples); the RGB decoders
+    return (w, h, rgb)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in
                 ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = decode_png_pixels(bytes(payload))
+                decoded = decode_fn(bytes(payload))
                 if decoded is None:
                     continue
-                w, h, ch, px = decoded
-                if ch >= 3:
-                    sr = sum(px[0::ch])
-                    sg = sum(px[1::ch])
-                    sb = sum(px[2::ch])
-                else:  # gray / gray+alpha
-                    sr = sg = sb = sum(px[0::ch])
+                if len(decoded) == 4:
+                    w, h, ch, px = decoded
+                    if ch >= 3:
+                        sr, sg, sb = sum(px[0::ch]), sum(px[1::ch]), sum(px[2::ch])
+                    else:  # gray / gray+alpha
+                        sr = sg = sb = sum(px[0::ch])
+                else:
+                    w, h, px = decoded
+                    sr, sg, sb = sum(px[0::3]), sum(px[1::3]), sum(px[2::3])
                 out["asset_id"].append(aid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -436,6 +437,13 @@ def png_pixel_stats(assets: DataFrame) -> DataFrame:
         F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
         F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
     )
+
+
+def png_pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL PNG decode → per-image channel statistics, the compressed
+    twin of ``bmp_pixel_stats``. Grayscale maps to r=g=b; alpha is
+    ignored for the sums (shared ``_rgb_pixel_stats`` shape)."""
+    return _rgb_pixel_stats(assets, decode_png_pixels)
 
 
 def wav_meta_energy(assets: DataFrame) -> DataFrame:
@@ -601,7 +609,15 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     descriptor, sub-block reassembly, LZW decompress, palette
     mapping. Returns (width, height, rgb) — interleaved 8-bit RGB of
     the FIRST image — or None outside the supported envelope (local
-    color tables, interlace) or for non-GIF payloads."""
+    color tables, interlace) and for non-GIF or TRUNCATED payloads
+    (any structural read past the buffer rejects, never raises)."""
+    try:
+        return _decode_gif_pixels_inner(b)
+    except (struct.error, IndexError):
+        return None
+
+
+def _decode_gif_pixels_inner(b: bytes) -> tuple[int, int, bytes] | None:
     if b[:6] not in (b"GIF89a", b"GIF87a"):
         return None
     if len(b) < 13:
@@ -644,6 +660,8 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     indices = gif_lzw_decompress(bytes(lzw), min_code_size)
     if indices is None or len(indices) < w * h or not palette:
         return None
+    if max(indices[: w * h], default=0) * 3 + 3 > len(palette):
+        return None  # index beyond the color table: corrupt, reject
     rgb = bytearray()
     for i in indices[: w * h]:
         rgb += palette[3 * i : 3 * i + 3]
@@ -651,45 +669,12 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def gif_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL GIF decode → per-image exact integer channel sums — the
-    palette-format sibling of ``png_pixel_stats`` (same output
-    contract, same narrow mapInPandas shape: payloads never
-    shuffle)."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k: [] for k in
-                ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = decode_gif_pixels(bytes(payload))
-                if decoded is None:
-                    continue
-                w, h, px = decoded
-                out["asset_id"].append(aid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sum_r"].append(sum(px[0::3]))
-                out["sum_g"].append(sum(px[1::3]))
-                out["sum_b"].append(sum(px[2::3]))
-            yield pd.DataFrame(out)
-
-    decoded = assets.select("asset_id", "payload").mapInPandas(
-        fn,
-        "asset_id BIGINT, width INT, height INT, "
-        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
-    )
-    from pyspark.sql import functions as F
-
-    npx = (F.col("width") * F.col("height")).cast("double")
-    return decoded.select(
-        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
-        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
-        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
-        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
-    )
+    """REAL GIF decode → per-image exact integer channel sums (shared
+    ``_rgb_pixel_stats`` shape)."""
+    return _rgb_pixel_stats(assets, decode_gif_pixels)
 
 
-# ---- baseline JPEG decoder -------------------------------------------
+# ---- baseline/progressive JPEG decoder -------------------------------
 
 _JPEG_ZZ = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -801,7 +786,15 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     over the finished coefficients. Returns (width, height, rgb) or
     None outside the supported envelope (arithmetic coding, AC
     successive-approximation refinement scans, sampling factors
-    beyond 2, 12-bit) and for non-JPEG payloads."""
+    beyond 2, 12-bit) and for non-JPEG or TRUNCATED payloads (any
+    structural read past the buffer rejects, never raises)."""
+    try:
+        return _decode_jpeg_pixels_inner(b)
+    except (struct.error, IndexError):
+        return None
+
+
+def _decode_jpeg_pixels_inner(b: bytes) -> tuple[int, int, bytes] | None:
     if b[:2] != b"\xff\xd8":
         return None
     qt: dict[int, list[int]] = {}
@@ -1079,40 +1072,9 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
 
 
 def jpeg_pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL baseline-JPEG decode → per-image exact integer channel
-    sums (same contract and mapInPandas shape as png/gif stats)."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: dict[str, list] = {k: [] for k in
-                ("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")}
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                decoded = decode_jpeg_pixels(bytes(payload))
-                if decoded is None:
-                    continue
-                w, h, px = decoded
-                out["asset_id"].append(aid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["sum_r"].append(sum(px[0::3]))
-                out["sum_g"].append(sum(px[1::3]))
-                out["sum_b"].append(sum(px[2::3]))
-            yield pd.DataFrame(out)
-
-    decoded = assets.select("asset_id", "payload").mapInPandas(
-        fn,
-        "asset_id BIGINT, width INT, height INT, "
-        "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT",
-    )
-    from pyspark.sql import functions as F
-
-    npx = (F.col("width") * F.col("height")).cast("double")
-    return decoded.select(
-        "asset_id", "width", "height", "sum_r", "sum_g", "sum_b",
-        F.round(F.col("sum_r") / npx, 6).alias("mean_r"),
-        F.round(F.col("sum_g") / npx, 6).alias("mean_g"),
-        F.round(F.col("sum_b") / npx, 6).alias("mean_b"),
-    )
+    """REAL JPEG decode (baseline + progressive) → per-image exact
+    integer channel sums (shared ``_rgb_pixel_stats`` shape)."""
+    return _rgb_pixel_stats(assets, decode_jpeg_pixels)
 
 
 # ---- IMA ADPCM audio decoder -----------------------------------------
@@ -1155,6 +1117,13 @@ def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]] | None:
     tag_, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     if tag_ != 0x0011 or channels != 1 or len(data) < 4:
         return None
+    # the fmt extension carries wSamplesPerBlock; honoring it keeps
+    # the odd-count pad nibble from decoding as a phantom sample
+    samples_per_block = None
+    if len(fmt) >= 20:
+        (cb,) = struct.unpack_from("<H", fmt, 16)
+        if cb >= 2:
+            (samples_per_block,) = struct.unpack_from("<H", fmt, 18)
     pred, index = struct.unpack_from("<hB", data, 0)
     index = max(0, min(88, index))
     samples = [pred]
@@ -1172,6 +1141,8 @@ def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]] | None:
             pred = max(-32768, min(32767, pred))
             index = max(0, min(88, index + _IMA_INDEXES[nib & 7]))
             samples.append(pred)
+    if samples_per_block:
+        samples = samples[:samples_per_block]
     return rate, samples
 
 

@@ -457,7 +457,7 @@ def test_adpcm_roundtrip_near_lossless():
 
     for aid in (0, 7, 23):
         rate, samples = decode_adpcm_wav(make_adpcm_wav(aid))
-        assert rate == 8000 and len(samples) in (ADPCM_N, ADPCM_N + 1)
+        assert rate == 8000 and len(samples) == ADPCM_N
         for i in range(ADPCM_N):
             assert abs(samples[i] - adpcm_sample(i, aid)) <= 1, (aid, i)
 
