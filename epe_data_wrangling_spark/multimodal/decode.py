@@ -10,11 +10,14 @@ full five-filter scanline unfiltering — a COMPRESSED format),
 ``wav_meta_energy`` (stdlib ``wave`` PCM) and ``y4m_frame_stats``,
 all hash-checked against closed-form oracles, plus the fully
 hand-built COMPRESSED decoders: ``gif_pixel_stats`` (variable-width
-LZW + palette) and ``jpeg_pixel_stats`` (baseline DCT incl. 4:2:0
-subsampling and restart markers, DQT/DHT parsed from the bitstream).
-Only codec-dependent decoding (progressive JPEG, lossy audio/video)
-needs Pillow / soundfile / av, none of which exist in this container
-— so that decode step is STUBBED: ``require_real_decoders()``
+LZW + palette), ``jpeg_pixel_stats`` (baseline SOF0 AND progressive
+SOF2, incl. 4:2:0 subsampling and restart markers, DQT/DHT parsed
+from the bitstream), ``decode_adpcm_wav`` (IMA ADPCM audio) and
+``decode_mjpeg_avi`` (Motion-JPEG video in RIFF/AVI). Only
+perceptual-codec decoding (MP3/AAC, H.264+) and arithmetic-coded /
+AC-refinement JPEG would need Pillow / soundfile / av, none of which
+exist in this container — so that decode step is STUBBED:
+``require_real_decoders()``
 raises ``NotImplementedError`` describing what the production body
 would do, and the default ``fake`` mode substitutes a deterministic
 md5-derived stand-in for the decoded values (also the fallback for
