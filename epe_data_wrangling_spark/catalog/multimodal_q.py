@@ -551,20 +551,22 @@ def multimodal_mjpeg_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_jpeg_progressive_stats", oracle=_jpeg_expected_sql)
 def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PROGRESSIVE JPEG decode (SOF2 — the multi-scan form most web
-    images ship): {N_REAL_ASSETS} five-scan fixtures (coarse DC at
-    successive-approximation Al=1, three spectral-selection AC band
-    scans with EOBn termination, then the DC refinement scan) carry
-    the SAME quantized coefficients as the baseline fixtures in a
-    different transmission order — so this query's oracle IS the
-    baseline query's golden: the multi-scan coefficient accumulation
-    must land bit-for-bit on the sequential decode. Retires the
-    progressive half of the JPEG stub; what remains out of envelope
-    is arithmetic coding and AC-refinement scans (documented in
-    decode_jpeg_pixels)."""
+    images ship), FULL successive-approximation scheme:
+    {N_REAL_ASSETS} eight-scan fixtures (coarse DC at Al=1, three
+    spectral-selection AC band scans at Al=1, the DC refinement scan,
+    then three AC refinement scans with zero-history run lengths,
+    buffered correction bits and EOBn block coverage — T.81 G.1.2.3,
+    what libjpeg emits) carry the SAME quantized coefficients as the
+    baseline fixtures in a different transmission order — so this
+    query's oracle IS the baseline query's golden: the multi-scan
+    accumulation must land bit-for-bit on the sequential decode.
+    Only arithmetic-coded JPEG remains out of the decoder's
+    envelope."""
     from epe_data_wrangling_spark.multimodal.assets import make_progressive_jpeg
 
     rows = [
-        (i, bytearray(make_progressive_jpeg(i))) for i in range(N_REAL_ASSETS)
+        (i, bytearray(make_progressive_jpeg(i, ac_refine=True)))
+        for i in range(N_REAL_ASSETS)
     ]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.jpeg_pixel_stats(assets)

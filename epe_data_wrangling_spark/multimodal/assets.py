@@ -745,22 +745,50 @@ def make_mjpeg_avi(asset_id: int, frames: int = MJPEG_FRAMES) -> bytes:
     return b"RIFF" + _struct.pack("<I", len(riff_body)) + riff_body
 
 
-def make_progressive_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> bytes:
+class _RefBitWriter(_BitWriter):
+    """_BitWriter plus the refinement-scan discipline of T.81
+    G.1.2.3: correction bits for already-nonzero coefficients are
+    BUFFERED and flushed immediately after the next emitted Huffman
+    symbol (+ its sign bit)."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.pending: list[int] = []
+
+    def buffer_bit(self, bit: int) -> None:
+        self.pending.append(bit)
+
+    def flush_pending(self) -> None:
+        for bit in self.pending:
+            self.put(bit, 1)
+        self.pending = []
+
+
+def make_progressive_jpeg(
+    asset_id: int, w: int = JPG_W, h: int = JPG_H, *, ac_refine: bool = False
+) -> bytes:
     """A real PROGRESSIVE JPEG (SOF2) — the multi-scan form most web
-    images ship: four scans over the same quantized coefficients as
-    the baseline encoder would produce —
+    images ship, over the same quantized coefficients as the baseline
+    encoder would produce:
 
       1. interleaved DC scan at successive-approximation Al=1
          (coarse DC for the instant low-res preview),
       2..4. one spectral-selection AC band scan per component
-         (Ss=1..Se=63, Al=0) with EOB0 block termination,
-      5. DC refinement scan (Ah=1, Al=0) delivering the final DC bit.
+         (Ss=1..Se=63) — at Al=0 by default, or Al=1 when
+         ``ac_refine`` is set,
+      5. DC refinement scan (Ah=1, Al=0) delivering the final DC bit,
+      6..8. (``ac_refine`` only) AC successive-approximation
+         refinement scans per component (Ah=1, Al=0): newly
+         significant ±1 coefficients coded by zero-history run
+         lengths, correction bits for already-nonzero coefficients
+         buffered and flushed after the next symbol (T.81 G.1.2.3 —
+         the full scheme libjpeg emits).
 
-    A decoder must therefore handle multi-scan coefficient
-    accumulation, non-interleaved block geometry, EOBn codes and DC
-    successive approximation to reconstruct — and must land on
-    EXACTLY the baseline decode of ``make_jpeg`` (same coefficients,
-    different transmission order), which is what the pytest pins."""
+    A decoder must handle multi-scan coefficient accumulation,
+    non-interleaved block geometry, EOBn codes and successive
+    approximation to reconstruct — and must land on EXACTLY the
+    baseline decode of ``make_jpeg`` (same coefficients, different
+    transmission order), which is what the pytest pins."""
     ql, qc = _scaled_qtable(_QL), _scaled_qtable(_QC)
 
     full = [[0] * (w * h) for _ in range(3)]
@@ -822,30 +850,34 @@ def make_progressive_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> byte
                 out.put(_amp_bits(diff, size), size)
     scan_dc = sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 0, 1) + out.flush()
 
-    # scans 2-4: per-component AC 1..63 at Al=0, EOB0 per block
+    # scans 2-4: per-component AC 1..63 (point transform ac_al)
+    ac_al = 1 if ac_refine else 0
     ac_scans = b""
     for ci in range(3):
         ac_t = ac_l if ci == 0 else ac_c
         out = _BitWriter()
         for bi in range(bw * bh):
             zz = qzz[ci][bi]
+            vals = [
+                (abs(v) >> ac_al) * (1 if v > 0 else -1) for v in zz
+            ]  # AC point transform truncates magnitude
             run = 0
-            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            last_nz = max((k for k in range(1, 64) if vals[k]), default=0)
             emitted = False
             for k in range(1, 64):
                 if k > last_nz:
                     break
-                if zz[k] == 0:
+                if vals[k] == 0:
                     run += 1
                     continue
                 while run > 15:
                     code, ln = ac_t[0xF0]
                     out.put(code, ln)
                     run -= 16
-                size = _category(zz[k])
+                size = _category(vals[k])
                 code, ln = ac_t[(run << 4) | size]
                 out.put(code, ln)
-                out.put(_amp_bits(zz[k], size), size)
+                out.put(_amp_bits(vals[k], size), size)
                 run = 0
                 emitted = k == 63
             if not emitted:
@@ -853,7 +885,7 @@ def make_progressive_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> byte
                 out.put(code, ln)
         cid = ci + 1
         tab = 0 if ci == 0 else 1
-        ac_scans += sos([(cid, 0, tab)], 1, 63, 0, 0) + out.flush()
+        ac_scans += sos([(cid, 0, tab)], 1, 63, 0, ac_al) + out.flush()
 
     # scan 5: DC refinement (Ah=1 → one bit per block, interleaved)
     out = _BitWriter()
@@ -861,6 +893,50 @@ def make_progressive_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> byte
         for ci in range(3):
             out.put(qzz[ci][bi][0] & 1, 1)
     scan_dc2 = sos([(1, 0, 0), (2, 1, 0), (3, 1, 0)], 0, 0, 1, 0) + out.flush()
+
+    # scans 6-8 (ac_refine): AC refinement per component (Ah=1, Al=0)
+    ac_ref_scans = b""
+    if ac_refine:
+        for ci in range(3):
+            ac_t = ac_l if ci == 0 else ac_c
+            out = _RefBitWriter()
+            for bi in range(bw * bh):
+                zz = qzz[ci][bi]
+                run = 0
+                last_new = max(
+                    (k for k in range(1, 64) if abs(zz[k]) == 1), default=0
+                )
+                for k in range(1, 64):
+                    if k > last_new:
+                        break
+                    t = abs(zz[k])
+                    if t >> 1:  # already significant: buffered correction
+                        out.buffer_bit(t & 1)
+                        continue
+                    if t == 0:
+                        run += 1
+                        continue
+                    # newly significant (±1)
+                    while run > 15:
+                        code, ln = ac_t[0xF0]
+                        out.put(code, ln)
+                        out.flush_pending()
+                        run -= 16
+                    code, ln = ac_t[(run << 4) | 1]
+                    out.put(code, ln)
+                    out.put(1 if zz[k] > 0 else 0, 1)
+                    out.flush_pending()
+                    run = 0
+                if last_new < 63 or out.pending:
+                    for k in range(max(last_new + 1, 1), 64):
+                        if abs(zz[k]) >> 1:
+                            out.buffer_bit(abs(zz[k]) & 1)
+                    code, ln = ac_t[0x00]  # EOB0
+                    out.put(code, ln)
+                    out.flush_pending()
+            cid = ci + 1
+            tab = 0 if ci == 0 else 1
+            ac_ref_scans += sos([(cid, 0, tab)], 1, 63, 1, 0) + out.flush()
 
     def dht(tc: int, th: int, spec) -> bytes:
         bits, vals = spec
@@ -876,4 +952,4 @@ def make_progressive_jpeg(asset_id: int, w: int = JPG_W, h: int = JPG_H) -> byte
     dhts = seg(0xC4, dht(0, 0, _DC_L) + dht(1, 0, _AC_L)
                + dht(0, 1, _DC_C) + dht(1, 1, _AC_C))
     return (b"\xff\xd8" + jfif + dqt + sof + dhts
-            + scan_dc + ac_scans + scan_dc2 + b"\xff\xd9")
+            + scan_dc + ac_scans + scan_dc2 + ac_ref_scans + b"\xff\xd9")

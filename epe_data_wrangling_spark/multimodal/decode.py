@@ -66,8 +66,8 @@ def require_real_decoders() -> None:
         "GIF (decode_gif_pixels: LZW + palette), baseline JPEG "
         "(decode_jpeg_pixels: Huffman + IDCT), plus BMP/WAV/Y4M. "
         "Compressed audio (IMA ADPCM) and video (MJPEG-AVI) decode "
-        "for real too. What remains stubbed: progressive/arithmetic "
-        "JPEG and perceptual codecs (MP3/AAC, H.264+). "
+        "for real too. What remains stubbed: arithmetic-coded JPEG "
+        "and perceptual codecs (MP3/AAC, H.264+). "
         "The mapInPandas plumbing, schemas and routing in this module "
         "are the real, tested code path either way."
     )
@@ -787,9 +787,8 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     approximation refinement, restart markers, byte unstuffing, DC
     prediction), then one dequantize + float IDCT + YCbCr→RGB pass
     over the finished coefficients. Returns (width, height, rgb) or
-    None outside the supported envelope (arithmetic coding, AC
-    successive-approximation refinement scans, sampling factors
-    beyond 2, 12-bit) and for non-JPEG or TRUNCATED payloads (any
+    None outside the supported envelope (arithmetic coding, sampling
+    factors beyond 2, 12-bit) and for non-JPEG or TRUNCATED payloads (any
     structural read past the buffer rejects, never raises)."""
     try:
         return _decode_jpeg_pixels_inner(b)
@@ -843,8 +842,6 @@ def _decode_jpeg_pixels_inner(b: bytes) -> tuple[int, int, bytes] | None:
             ss, se, ah, al = 0, 63, 0, 0
         if ss > 0 and ns != 1:
             return None  # progressive AC scans are single-component
-        if ss > 0 and ah > 0:
-            return None  # AC refinement: out of envelope
         br = _JpegBitReader(b, data_at)
         pred = [0] * len(comps)
         eobrun = 0
@@ -929,27 +926,85 @@ def _decode_jpeg_pixels_inner(b: bytes) -> tuple[int, int, bytes] | None:
                                 if br.bit():
                                     zz[0] |= 1 << al
                             continue
-                        if eobrun > 0:
-                            eobrun -= 1
-                            continue
                         ac_h = huff.get((1, act))
                         if ac_h is None:
                             return None
-                        k = ss
-                        while k <= se:
-                            sym = ac_h.decode(br)
-                            r, sz = sym >> 4, sym & 0x0F
-                            if sz == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
-                                break  # EOBn: this block done
-                            k += r
-                            if k > se:
-                                return None
-                            zz[k] = _extend(br.bits(sz), sz) << al
-                            k += 1
+                        if ah == 0:
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                sym = ac_h.decode(br)
+                                r, sz = sym >> 4, sym & 0x0F
+                                if sz == 0:
+                                    if r == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                                    break  # EOBn: this block done
+                                k += r
+                                if k > se:
+                                    return None
+                                zz[k] = _extend(br.bits(sz), sz) << al
+                                k += 1
+                        else:
+                            # AC successive-approximation refinement
+                            # (T.81 G.1.2.3 / the jdphuff algorithm):
+                            # newly significant ±2^Al coefficients by
+                            # zero-history run length; one correction
+                            # bit per already-nonzero coefficient
+                            # passed; EOBn covers whole blocks whose
+                            # remaining coefficients get correction
+                            # bits only
+                            p1 = 1 << al
+
+                            def correct(kk: int) -> None:
+                                if br.bit():
+                                    if zz[kk] > 0 and not (zz[kk] & p1):
+                                        zz[kk] += p1
+                                    elif zz[kk] < 0 and not (-zz[kk] & p1):
+                                        zz[kk] -= p1
+
+                            k = ss
+                            if eobrun > 0:
+                                eobrun -= 1
+                                for kk in range(k, se + 1):
+                                    if zz[kk]:
+                                        correct(kk)
+                                continue
+                            while k <= se:
+                                sym = ac_h.decode(br)
+                                r, sz = sym >> 4, sym & 0x0F
+                                val = 0
+                                if sz == 0:
+                                    if r != 15:
+                                        eobrun = (1 << r) - 1 + (
+                                            br.bits(r) if r else 0
+                                        )
+                                        break
+                                    # ZRL: skip 16 zero-history slots
+                                elif sz == 1:
+                                    val = p1 if br.bit() else -p1
+                                else:
+                                    return None
+                                while k <= se:
+                                    if zz[k]:
+                                        correct(k)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if val and k <= se:
+                                    zz[k] = val
+                                k += 1
+                            # EOB signaled mid-block: correction bits
+                            # for the block's remaining nonzero coeffs
+                            if k <= se:
+                                for kk in range(k, se + 1):
+                                    if zz[kk]:
+                                        correct(kk)
         except (EOFError, ValueError):
             return None
         # resynchronize on the terminating marker (skip pad bits and

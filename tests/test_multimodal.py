@@ -519,3 +519,19 @@ def test_progressive_jpeg_is_multiscan_sof2():
     assert b.count(bytes([0xFF, 0xC2])) == 1  # SOF2
     assert b.count(bytes([0xFF, 0xDA])) == 5  # five scans
     assert bytes([0xFF, 0xC0]) not in b
+
+
+def test_progressive_ac_refinement_equals_baseline():
+    """FULL successive approximation (eight scans: AC bands at Al=1
+    plus AC refinement with buffered correction bits and EOBn) must
+    still land on the baseline pixels exactly."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        make_jpeg,
+        make_progressive_jpeg,
+    )
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    for aid in (0, 7, 23):
+        b = make_progressive_jpeg(aid, ac_refine=True)
+        assert b.count(bytes([0xFF, 0xDA])) == 8  # eight scans
+        assert decode_jpeg_pixels(b) == decode_jpeg_pixels(make_jpeg(aid))
