@@ -267,6 +267,7 @@ ROTATION_BACKLOG = [
     "multimodal_adpcm_energy",
     "multimodal_mjpeg_frame_stats",
     "multimodal_jpeg_progressive_stats",
+    "retrieval_rrf_hybrid",
 ]
 
 

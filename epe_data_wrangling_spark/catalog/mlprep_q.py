@@ -1196,3 +1196,84 @@ def logreg_train_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'n_docs', CAST(n_docs AS DOUBLE)) AS (term, value)"
     )
     return weights.unionAll(metrics)
+
+
+RRF_K = 20  #: fused-list depth for the vector side
+RRF_C = 60  #: the standard RRF damping constant
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH bm AS ({_bm25_oracle()}),
+    lexr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS BIGINT) AS r
+             FROM bm),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+    vs AS (SELECT e.vec_id AS doc_id, {D.cosine('e.v', 'qv.q')} AS cs
+           FROM e CROSS JOIN qv
+           ORDER BY cs DESC, e.vec_id LIMIT {RRF_K}),
+    vecr AS (SELECT doc_id,
+                    CAST(row_number() OVER (ORDER BY cs DESC, doc_id)
+                         AS BIGINT) AS r
+             FROM vs),
+    ids AS (SELECT doc_id FROM lexr UNION SELECT doc_id FROM vecr)
+    SELECT i.doc_id,
+           COALESCE(l.r, 0) AS lex_rank,
+           COALESCE(v.r, 0) AS vec_rank,
+           round(COALESCE(1.0 / ({RRF_C} + l.r), 0.0)
+                 + COALESCE(1.0 / ({RRF_C} + v.r), 0.0), 8) AS rrf
+    FROM ids i
+    LEFT JOIN lexr l ON i.doc_id = l.doc_id
+    LEFT JOIN vecr v ON i.doc_id = v.doc_id
+    ORDER BY rrf DESC, i.doc_id LIMIT {RRF_TOPK}
+    """
+
+
+@query("retrieval_rrf_hybrid", oracle=_rrf_oracle())
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (Cormack et al.
+    2009) — the standard way production search fuses a lexical and a
+    vector ranker without score calibration: BM25's top-{BM25_TOPK}
+    (bm25_doc_scores, reused verbatim) and the cosine top-{RRF_K}
+    against the query vector (vec_id 0's embedding, broadcast) each
+    contribute 1/({RRF_C}+rank); missing from a list contributes 0
+    (truncated-list RRF). Ranks are integers on both engines, so the
+    fused score's double tree is identical. Scale shape: each
+    ranker's list arrives via TakeOrdered (orderBy+limit — no global
+    sort); rank assignment windows run over the BOUNDED fused lists
+    only (≤ {RRF_K} rows), never the corpus."""
+    lex = bm25_doc_scores(spark, sf_dir)
+    wlex = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wlex).cast("long").alias("lex_r")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    vs = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"), V.cosine(F.col("v"), F.col("q")).alias("cs")
+        )
+        .orderBy(F.desc("cs"), "doc_id")
+        .limit(RRF_K)
+    )
+    wvec = Window.partitionBy(F.lit(1)).orderBy(F.desc("cs"), "doc_id")
+    vecr = vs.select(
+        "doc_id", F.row_number().over(wvec).cast("long").alias("vec_r")
+    )
+    fused = lexr.join(vecr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_r", F.lit(0)).alias("lex_rank"),
+        F.coalesce("vec_r", F.lit(0)).alias("vec_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("vec_r")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
