@@ -1244,12 +1244,27 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused score's double tree is identical. Scale shape: each
     ranker's list arrives via TakeOrdered (orderBy+limit — no global
     sort); rank assignment windows run over the BOUNDED fused lists
-    only (≤ {RRF_K} rows), never the corpus."""
+    only (≤ {RRF_K} rows, via a windowless rank-by-count self-join),
+    never the corpus."""
+    def bounded_rank(df: DataFrame, score_col: str, out: str) -> DataFrame:
+        """Rank a BOUNDED (≤ {RRF_K}-row) list without any window: a
+        rank is 1 + the count of rows strictly ahead — an O(K²)
+        self-join that stays trivially small and keeps the full
+        sweep free of unpartitioned-window plans."""
+        a = df.select(F.col("doc_id").alias("d"), F.col(score_col).alias("s"))
+        b = df.select(F.col("doc_id").alias("d2"), F.col(score_col).alias("s2"))
+        ahead = (F.col("s2") > F.col("s")) | (
+            (F.col("s2") == F.col("s")) & (F.col("d2") < F.col("d"))
+        )
+        return (
+            a.join(b, ahead, "left")
+            .groupBy("d", "s")
+            .agg((F.count("d2") + 1).alias(out))
+            .select(F.col("d").alias("doc_id"), out)
+        )
+
     lex = bm25_doc_scores(spark, sf_dir)
-    wlex = Window.partitionBy(F.lit(1)).orderBy(F.desc("score"), "doc_id")
-    lexr = lex.select(
-        "doc_id", F.row_number().over(wlex).cast("long").alias("lex_r")
-    )
+    lexr = bounded_rank(lex, "score", "lex_r")
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -1262,10 +1277,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cs"), "doc_id")
         .limit(RRF_K)
     )
-    wvec = Window.partitionBy(F.lit(1)).orderBy(F.desc("cs"), "doc_id")
-    vecr = vs.select(
-        "doc_id", F.row_number().over(wvec).cast("long").alias("vec_r")
-    )
+    vecr = bounded_rank(vs, "cs", "vec_r")
     fused = lexr.join(vecr, "doc_id", "full_outer").select(
         "doc_id",
         F.coalesce("lex_r", F.lit(0)).alias("lex_rank"),
