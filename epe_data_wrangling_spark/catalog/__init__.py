@@ -268,6 +268,7 @@ ROTATION_BACKLOG = [
     "multimodal_mjpeg_frame_stats",
     "multimodal_jpeg_progressive_stats",
     "retrieval_rrf_hybrid",
+    "pandas_api_groupby_orders",
 ]
 
 

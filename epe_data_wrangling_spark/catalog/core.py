@@ -2224,3 +2224,43 @@ def sketch_kll_quantiles_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p90_within_tol"),
         )
     )
+
+
+@query(
+    "pandas_api_groupby_orders",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS total_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pandas_api_groupby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (``pyspark.pandas``) as certified
+    MIGRATION surface: a pandas-shaped groupby/agg over the orders
+    table compiles to the same Catalyst plan a DataFrame aggregate
+    would (distributed partial+final hash agg — no driver
+    materialization), converted back via ``to_spark()`` and
+    hash-checked like any other query. The measure is staged to an
+    integer column BEFORE the sum (×1e6, exactly representable for
+    2-dp money) so the aggregate is order-free on both engines —
+    the repo's decimal-staging rule expressed pandas-style."""
+    import pyspark.pandas as pso
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderkey", "o_totalprice"
+    )
+    pdf = o.pandas_api()
+    pdf["staged"] = (pdf["o_totalprice"] * 1_000_000).round(0).astype("int64")
+    g = (
+        pdf.groupby("o_orderstatus")
+        .agg(n_orders=("o_orderkey", "count"), staged_sum=("staged", "sum"))
+        .reset_index()
+    )
+    out = g.to_spark()
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("staged_sum").cast("double") / F.lit(1e6)).alias("total_price"),
+    )
