@@ -172,6 +172,24 @@ ROTATION_BACKLOG = [
     "rolling_median_value",
     "revenue_pareto_contribution",
     "seasonality_monthly_revenue",
+    # --- round-4 continuation additions: certify these first in r5
+    "dedup_semantic_clusters",
+    "xml_source_nations",
+    "streaming_workbook_landing",
+    "sql_recursive_cte_bfs",
+    "dq_observe_single_scan",
+    "streaming_state_introspection",
+    "dsir_importance_select",
+    "logreg_train_quality",
+    "sketch_theta_audience_overlap",
+    "sketch_kll_quantiles_daily",
+    "multimodal_jpeg420_pixel_stats",
+    "layout_compaction_lossless",
+    "multimodal_adpcm_energy",
+    "multimodal_mjpeg_frame_stats",
+    "multimodal_jpeg_progressive_stats",
+    "retrieval_rrf_hybrid",
+    "pandas_api_groupby_orders",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",
@@ -252,23 +270,6 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
-    "dedup_semantic_clusters",
-    "xml_source_nations",
-    "streaming_workbook_landing",
-    "sql_recursive_cte_bfs",
-    "dq_observe_single_scan",
-    "streaming_state_introspection",
-    "dsir_importance_select",
-    "logreg_train_quality",
-    "sketch_theta_audience_overlap",
-    "sketch_kll_quantiles_daily",
-    "multimodal_jpeg420_pixel_stats",
-    "layout_compaction_lossless",
-    "multimodal_adpcm_energy",
-    "multimodal_mjpeg_frame_stats",
-    "multimodal_jpeg_progressive_stats",
-    "retrieval_rrf_hybrid",
-    "pandas_api_groupby_orders",
 ]
 
 
