@@ -115,6 +115,14 @@ def main() -> None:
         ("bpe_train_merges", "bpe_3merges_sf01"),
         ("pq_adc_topk", "pq_adc_sf01"),
         ("mmr_diverse_topk", "mmr_4picks_sf01"),
+        # r4-continuation additions: semantic dedup, importance
+        # selection, relational LR training, hybrid fusion, the
+        # progressive-JPEG Arrow decode path
+        ("dedup_semantic_clusters", "semdedup_sf01"),
+        ("dsir_importance_select", "dsir_sf01"),
+        ("logreg_train_quality", "logreg_16steps_sf01"),
+        ("retrieval_rrf_hybrid", "rrf_hybrid_sf01"),
+        ("multimodal_jpeg_progressive_stats", "jpeg_progressive_40assets"),
     ]:
         run(label, lambda q=cat[qname]: q.fn(spark, base))
 
