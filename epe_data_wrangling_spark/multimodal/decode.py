@@ -14,8 +14,8 @@ LZW + palette), ``jpeg_pixel_stats`` (baseline SOF0 AND progressive
 SOF2, incl. 4:2:0 subsampling and restart markers, DQT/DHT parsed
 from the bitstream), ``decode_adpcm_wav`` (IMA ADPCM audio) and
 ``decode_mjpeg_avi`` (Motion-JPEG video in RIFF/AVI). Only
-perceptual-codec decoding (MP3/AAC, H.264+) and arithmetic-coded /
-AC-refinement JPEG would need Pillow / soundfile / av, none of which
+perceptual-codec decoding (MP3/AAC, H.264+) and arithmetic-coded
+JPEG would need Pillow / soundfile / av, none of which
 exist in this container — so that decode step is STUBBED:
 ``require_real_decoders()``
 raises ``NotImplementedError`` describing what the production body
@@ -616,7 +616,7 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     (any structural read past the buffer rejects, never raises)."""
     try:
         return _decode_gif_pixels_inner(b)
-    except (struct.error, IndexError):
+    except (struct.error, IndexError, ValueError):
         return None
 
 
@@ -792,7 +792,7 @@ def decode_jpeg_pixels(b: bytes) -> tuple[int, int, bytes] | None:
     structural read past the buffer rejects, never raises)."""
     try:
         return _decode_jpeg_pixels_inner(b)
-    except (struct.error, IndexError):
+    except (struct.error, IndexError, ValueError):
         return None
 
 
@@ -1235,7 +1235,15 @@ def decode_mjpeg_avi(b: bytes) -> list[tuple[int, int, int, bytes]] | None:
     recursion to the movi chunk) + per-frame Motion-JPEG decode via
     ``decode_jpeg_pixels`` — every '00dc'/'00db' chunk is a complete
     JPEG. Returns [(frame_idx, width, height, rgb), ...] or None for
-    non-AVI payloads / no decodable frames."""
+    non-AVI or TRUNCATED payloads / no decodable frames (structural
+    reads past the buffer reject, never raise)."""
+    try:
+        return _decode_mjpeg_avi_inner(b)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_mjpeg_avi_inner(b: bytes) -> list[tuple[int, int, int, bytes]] | None:
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         return None
 

@@ -397,3 +397,93 @@ def test_rds_roundtrip_property(tmp_path_factory, spark, svals, xvals, ivals):
     want_i = [r[2] for r in rows]
     # all-int columns (no float upcast in the column chooser)
     assert [None if v is None else int(v) for v in got_i] == want_i
+
+
+# ---- codec fuzz (round-4 continuation decoders) ----------------------
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_any_bytes(data):
+    """GIF-flavor LZW is lossless on arbitrary byte strings (code
+    width growth, CLEAR/EOI, KwKwK all exercised by random data)."""
+    from epe_data_wrangling_spark.multimodal.assets import _gif_lzw_compress
+    from epe_data_wrangling_spark.multimodal.decode import gif_lzw_decompress
+
+    assert gif_lzw_decompress(_gif_lzw_compress(data, 8), 8) == data
+
+
+@given(st.integers(0, 10_000), st.integers(2, 200))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_decoders_never_raise_on_truncation(aid, cut):
+    """ANY prefix of a valid stream must decode to None or a valid
+    result — never raise (the task-killing failure mode the
+    self-review found)."""
+    from epe_data_wrangling_spark.multimodal import assets as A
+    from epe_data_wrangling_spark.multimodal import decode as D
+
+    for payload in (
+        A.make_jpeg(aid % 50),
+        A.make_progressive_jpeg(aid % 50, ac_refine=True),
+        A.make_gif(aid % 50),
+        A.make_adpcm_wav(aid % 50),
+        A.make_mjpeg_avi(aid % 10, frames=2),
+    ):
+        cut_at = min(cut * len(payload) // 200, len(payload))
+        for fn in (
+            D.decode_jpeg_pixels,
+            D.decode_gif_pixels,
+            D.decode_adpcm_wav,
+            D.decode_mjpeg_avi,
+            D.decode_png_pixels,
+        ):
+            fn(payload[:cut_at])  # must not raise; value unconstrained
+
+
+@given(st.integers(0, 1_000_000))
+@settings(max_examples=15, deadline=None)
+def test_jpeg_smooth_gradient_roundtrip_bound(seed):
+    """Randomized smooth gradients (bounded slope) reconstruct within
+    a few code values through every encoder mode — baseline, 4:2:0,
+    restart markers, and the eight-scan progressive form."""
+    from epe_data_wrangling_spark.multimodal import assets as A
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    a = seed % 97
+    b = (seed // 97) % 89
+    base_r, base_g, base_b = 30 + a % 60, 40 + b % 60, 50 + (a + b) % 60
+    orig = A.jpeg_pixel
+    A.jpeg_pixel = lambda x, y, aid: (
+        base_r + x + y, base_g + 2 * x, base_b + 2 * y
+    )
+    try:
+        payloads = [
+            A.make_jpeg(0),
+            A.make_jpeg(0, subsample=True),
+            A.make_jpeg(0, restart_interval=2),
+            A.make_progressive_jpeg(0, ac_refine=True),
+        ]
+    finally:
+        A.jpeg_pixel = orig
+    for payload in payloads:
+        w, h, rgb = decode_jpeg_pixels(payload)
+        for y in range(h):
+            for x in range(w):
+                exp = (base_r + x + y, base_g + 2 * x, base_b + 2 * y)
+                o = (y * w + x) * 3
+                for c in range(3):
+                    assert abs(rgb[o + c] - exp[c]) <= 6, (x, y, c)
+
+
+@given(st.integers(0, 500), st.integers(16, 300))
+@settings(max_examples=25, deadline=None)
+def test_adpcm_roundtrip_bound_random_lengths(aid, n)  :
+    """IMA ADPCM near-losslessness holds for arbitrary sample counts
+    (odd/even nibble padding, wSamplesPerBlock honored)."""
+    from epe_data_wrangling_spark.multimodal.assets import adpcm_sample, make_adpcm_wav
+    from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav
+
+    rate, samples = decode_adpcm_wav(make_adpcm_wav(aid, n=n))
+    assert len(samples) == n
+    for i in range(n):
+        assert abs(samples[i] - adpcm_sample(i, aid)) <= 1
