@@ -190,6 +190,7 @@ ROTATION_BACKLOG = [
     "multimodal_jpeg_progressive_stats",
     "retrieval_rrf_hybrid",
     "pandas_api_groupby_orders",
+    "udtf_month_spine_revenue",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",

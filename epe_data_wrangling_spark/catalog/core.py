@@ -2264,3 +2264,85 @@ def pandas_api_groupby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         (F.col("staged_sum").cast("double") / F.lit(1e6)).alias("total_price"),
     )
+
+
+@query(
+    "udtf_month_spine_revenue",
+    oracle="""
+    WITH spine AS (
+      SELECT r.r_name, CAST(gs.ms AS DATE) AS month_start
+      FROM region r,
+           LATERAL (SELECT unnest(generate_series(DATE '1997-01-01',
+                                                  DATE '1997-12-01',
+                                                  INTERVAL 1 MONTH)) AS ms) gs),
+    rev AS (
+      SELECT n.n_regionkey,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS ms,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= DATE '1997-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+      GROUP BY n.n_regionkey, date_trunc('month', o.o_orderdate))
+    SELECT s.r_name, s.month_start,
+           COALESCE(v.n_orders, 0) AS n_orders,
+           COALESCE(v.revenue, 0.0) AS revenue
+    FROM spine s
+    LEFT JOIN region r2 ON s.r_name = r2.r_name
+    LEFT JOIN rev v ON v.n_regionkey = r2.r_regionkey
+                   AND v.ms = s.month_start
+    """,
+)
+def udtf_month_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python USER-DEFINED TABLE FUNCTION (Spark 4's @udtf API) driven
+    through SQL LATERAL: a month-spine generator UDTF expands each
+    region row into twelve 1997 month rows (the gap-filling spine
+    idiom — zero-revenue months must exist in the report), left-joined
+    to per-region monthly revenue. The UDTF runs ONLY against the
+    5-row region dimension — generators and dimension expanders are
+    the legitimate UDTF lane under the repo's no-Python-on-data-path
+    rule (the fact-table side is pure Catalyst); the oracle replaces
+    the UDTF with generate_series and must agree exactly."""
+    from pyspark.sql.functions import udtf
+
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    @udtf(returnType="month_start date")
+    class MonthSpine:
+        def eval(self, start: str, n: int):
+            import datetime
+
+            d = datetime.date.fromisoformat(start)
+            for i in range(n):
+                y = d.year + (d.month - 1 + i) // 12
+                m = (d.month - 1 + i) % 12 + 1
+                yield (datetime.date(y, m, 1),)
+
+    spark.udtf.register("month_spine", MonthSpine)
+    register_views(spark, sf_dir, "region", "nation", "customer", "orders")
+    return spark.sql("""
+      WITH spine AS (
+        SELECT r.r_name, r.r_regionkey, s.month_start
+        FROM region r, LATERAL month_spine('1997-01-01', 12) s),
+      rev AS (
+        SELECT n.n_regionkey,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS ms,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= DATE '1997-01-01'
+          AND o.o_orderdate < DATE '1998-01-01'
+        GROUP BY n.n_regionkey, date_trunc('month', o.o_orderdate))
+      SELECT s.r_name, s.month_start,
+             COALESCE(v.n_orders, 0) AS n_orders,
+             COALESCE(v.revenue, 0.0) AS revenue
+      FROM spine s
+      LEFT JOIN rev v ON v.n_regionkey = s.r_regionkey
+                     AND v.ms = s.month_start
+    """)
