@@ -248,3 +248,26 @@ def test_bpe_matches_reference_python_on_random_corpora(spark, tmp_path):
             freqs[w] = freqs.get(w, 0) + 1
         want = _bpe_python(freqs, BPE_MERGES)
         assert got == want, (trial, text)
+
+
+def test_staged_sum_queries_invariant_to_shuffle_partitioning(spark):
+    """The session's order-free claims, exercised: DSIR, the LR
+    trainer and RRF must produce IDENTICAL results when the shuffle
+    partition count (and so the order partial aggregates merge in)
+    changes — the integer-staging idiom is what makes this hold."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("dsir_importance_select", "logreg_train_quality",
+                 "retrieval_rrf_hybrid"):
+        results = []
+        for parts in ("3", "17"):
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            try:
+                rows = sorted(map(tuple, qs[name].fn(spark, sf).collect()))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+            results.append(rows)
+        assert results[0] == results[1], name
