@@ -191,6 +191,7 @@ ROTATION_BACKLOG = [
     "retrieval_rrf_hybrid",
     "pandas_api_groupby_orders",
     "udtf_month_spine_revenue",
+    "epe_pipeline_via_datasource",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",

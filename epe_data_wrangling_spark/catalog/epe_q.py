@@ -284,3 +284,37 @@ def workbook_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt", "sheet_idx")
     )
+
+
+@query("epe_pipeline_via_datasource", oracle=_expected_values_sql())
+def epe_pipeline_via_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference pipeline fed from the DISTRIBUTED ingest
+    path: demo workbook → .xlsx file → ``spark.read.format(
+    "workbook")`` cell relation (executor-side parse) →
+    ``grids_from_cells`` bridge → the same normalize/semantic plans —
+    checked against the SAME frozen golden as ``epe_pipeline_demo``.
+    Certifies end-to-end that the Python Data Source's cell relation
+    is a lossless carrier for the real workload, not just for cell
+    counts."""
+    import os
+    import tempfile
+
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+    from epe_data_wrangling_spark.plans.epe_pipeline import run_pipeline
+    from epe_data_wrangling_spark.sources.spark_datasource import (
+        grids_from_cells,
+        register,
+    )
+    from epe_data_wrangling_spark.sources.workbook import grid_to_df
+    from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+
+    drop = os.path.join(tempfile.gettempdir(), "epe_wb_pipeline_demo")
+    os.makedirs(drop, exist_ok=True)
+    path = os.path.join(drop, "demo.xlsx")
+    write_xlsx(path, workbook_grids())
+
+    register(spark)
+    cells = spark.read.format("workbook").load(path)
+    grids = grids_from_cells(cells)
+    frames = {s: grid_to_df(spark, g, s) for s, g in grids.items()}
+    return run_pipeline(spark, frames)

@@ -172,3 +172,31 @@ class WorkbookStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
         return list(self._cells(new))
+
+
+def grids_from_cells(cells_df) -> dict[str, list]:
+    """Reassemble the grid contract from the CELL relation — the
+    bridge from the distributed source back into the EPE pipeline
+    (whose normalize stage is entitled to plan-time cell access by
+    the workbook-small contract, SURVEY §4.3.1): collects the cells
+    of ONE workbook (small by that same contract) and rebuilds the
+    ordered {sheet: grid} dict exactly as the driver-side readers
+    produce it."""
+    rows = cells_df.select(
+        "sheet", "sheet_idx", "row_idx", "col_idx", "value"
+    ).collect()
+    sheets: dict[int, str] = {}
+    cells: dict[str, dict[tuple[int, int], str]] = {}
+    for r in rows:
+        sheets[r.sheet_idx] = r.sheet
+        cells.setdefault(r.sheet, {})[(r.row_idx, r.col_idx)] = r.value
+    grids: dict[str, list] = {}
+    for idx in sorted(sheets):
+        name = sheets[idx]
+        cs = cells[name]
+        max_r = max(k[0] for k in cs)
+        max_c = max(k[1] for k in cs)
+        grids[name] = [
+            [cs.get((r, c)) for c in range(max_c + 1)] for r in range(max_r + 1)
+        ]
+    return grids
