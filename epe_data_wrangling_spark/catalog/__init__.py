@@ -192,6 +192,7 @@ ROTATION_BACKLOG = [
     "pandas_api_groupby_orders",
     "udtf_month_spine_revenue",
     "epe_pipeline_via_datasource",
+    "sql_parameterized_revenue",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",

@@ -2346,3 +2346,40 @@ def udtf_month_spine_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN rev v ON v.n_regionkey = s.r_regionkey
                      AND v.ms = s.month_start
     """)
+
+
+@query(
+    "sql_parameterized_revenue",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (Spark 3.4+ named parameter markers): the
+    plan is built from a SQL template plus a typed args dict — the
+    injection-safe binding surface an application layer needs (values
+    are bound as literals by the parser, never string-spliced). The
+    oracle inlines the same constants; results must match exactly."""
+    import datetime
+
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= :cutoff AND l_quantity >= :min_qty
+        GROUP BY l_returnflag
+        """,
+        args={"cutoff": datetime.date(1996, 3, 1), "min_qty": 25},
+    )
