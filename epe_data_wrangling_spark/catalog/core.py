@@ -2246,8 +2246,6 @@ def pandas_api_groupby_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer column BEFORE the sum (×1e6, exactly representable for
     2-dp money) so the aggregate is order-free on both engines —
     the repo's decimal-staging rule expressed pandas-style."""
-    import pyspark.pandas as pso
-
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_orderkey", "o_totalprice"
     )

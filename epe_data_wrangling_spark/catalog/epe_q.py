@@ -272,7 +272,9 @@ def workbook_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_xls(os.path.join(drop, "demo.xls"), grids)
 
     register(spark)
-    cells = spark.read.format("workbook").load(drop)
+    cells = spark.read.format("workbook").load(drop).where(
+        F.col("row_idx") >= 0  # drop the geometry marker rows
+    )
     return (
         cells.withColumn("fmt", F.element_at(F.split(F.col("file"), r"\."), -1))
         .groupBy("fmt", "sheet_idx", "sheet")

@@ -1247,7 +1247,7 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (≤ {RRF_K} rows, via a windowless rank-by-count self-join),
     never the corpus."""
     def bounded_rank(df: DataFrame, score_col: str, out: str) -> DataFrame:
-        """Rank a BOUNDED (≤ {RRF_K}-row) list without any window: a
+        """Rank a BOUNDED (≤ 20-row) list without any window: a
         rank is 1 + the count of rows strictly ahead — an O(K²)
         self-join that stays trivially small and keeps the full
         sweep free of unpartitioned-window plans."""

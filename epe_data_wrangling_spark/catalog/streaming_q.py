@@ -447,6 +447,7 @@ def streaming_workbook_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         agg = (
             spark.read.parquet(out)
+            .where(F.col("row_idx") >= 0)  # drop geometry marker rows
             .groupBy(
                 F.element_at(F.split(F.col("file"), "/"), -1).alias("fname"),
                 "sheet",

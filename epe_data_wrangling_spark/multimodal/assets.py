@@ -910,18 +910,25 @@ def make_progressive_jpeg(
                     if k > last_new:
                         break
                     t = abs(zz[k])
-                    if t >> 1:  # already significant: buffered correction
-                        out.buffer_bit(t & 1)
-                        continue
                     if t == 0:
                         run += 1
                         continue
-                    # newly significant (±1)
+                    # pending ZRLs are emitted at ANY nonzero
+                    # coefficient (jcphuff's encode_mcu_AC_refine) —
+                    # deferring them past an already-significant
+                    # coefficient would flush that coefficient's
+                    # correction bit into the ZRL position and desync
+                    # the decoder; the k > last_new break above is the
+                    # fold-into-EOB condition
                     while run > 15:
                         code, ln = ac_t[0xF0]
                         out.put(code, ln)
                         out.flush_pending()
                         run -= 16
+                    if t >> 1:  # already significant: buffered correction
+                        out.buffer_bit(t & 1)
+                        continue
+                    # newly significant (±1)
                     code, ln = ac_t[(run << 4) | 1]
                     out.put(code, ln)
                     out.put(1 if zz[k] > 0 else 0, 1)

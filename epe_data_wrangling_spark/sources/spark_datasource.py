@@ -40,7 +40,8 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 #: sheet_idx preserves workbook sheet ORDER, which is semantic for the
 #: reference (Shape-A/Shape-B dispatch happens by sheet, SURVEY C1).
 CELLS_SCHEMA = (
-    "file string, sheet string, sheet_idx int, row_idx long, col_idx int, value string"
+    "file string, sheet string, sheet_idx int, row_idx long, col_idx int, "
+    "value string, sheet_rows int, sheet_cols int"
 )
 
 _EXTS = (".xls", ".xlsx")
@@ -62,6 +63,27 @@ def _expand_paths(path: str) -> list[str]:
     if not files:
         raise FileNotFoundError(f"workbook source: no workbook files at {path!r}")
     return sorted(files)
+
+
+def _emit_sheet_cells(file: str, sheet_idx: int, sheet: str, grid) -> "list":
+    """One sheet → cell rows + a geometry MARKER row (row_idx = -1).
+    The marker carries the sheet into the relation even when every
+    cell is blank, and (sheet_rows, sheet_cols) ride every row, so
+    trailing all-empty rows/columns survive the sparse encoding —
+    the losslessness ``grids_from_cells`` depends on (a Shape-A
+    sheet's EMPTY 13th column still must drive the 13-column
+    dispatch)."""
+    n_rows = len(grid)
+    n_cols = max((len(r) for r in grid), default=0)
+    out = [(file, sheet, sheet_idx, -1, -1, None, n_rows, n_cols)]
+    for row_idx, row in enumerate(grid):
+        for col_idx, value in enumerate(row):
+            if value is not None:
+                out.append(
+                    (file, sheet, sheet_idx, row_idx, col_idx, str(value),
+                     n_rows, n_cols)
+                )
+    return out
 
 
 class _FilePartition(InputPartition):
@@ -88,10 +110,7 @@ class WorkbookCellReader(DataSourceReader):
 
         file = partition.file
         for sheet_idx, (sheet, grid) in enumerate(read_workbook_grids(file).items()):
-            for row_idx, row in enumerate(grid):
-                for col_idx, value in enumerate(row):
-                    if value is not None:
-                        yield (file, sheet, sheet_idx, row_idx, col_idx, str(value))
+            yield from _emit_sheet_cells(file, sheet_idx, sheet, grid)
 
 
 class WorkbookDataSource(DataSource):
@@ -153,10 +172,7 @@ class WorkbookStreamReader(SimpleDataSourceStreamReader):
 
         for file in files:
             for sheet_idx, (sheet, grid) in enumerate(read_workbook_grids(file).items()):
-                for row_idx, row in enumerate(grid):
-                    for col_idx, value in enumerate(row):
-                        if value is not None:
-                            yield (file, sheet, sheet_idx, row_idx, col_idx, str(value))
+                yield from _emit_sheet_cells(file, sheet_idx, sheet, grid)
 
     def initialOffset(self) -> dict:
         return {"seen": []}
@@ -181,22 +197,26 @@ def grids_from_cells(cells_df) -> dict[str, list]:
     the workbook-small contract, SURVEY §4.3.1): collects the cells
     of ONE workbook (small by that same contract) and rebuilds the
     ordered {sheet: grid} dict exactly as the driver-side readers
-    produce it."""
+    produce it — empty sheets and trailing all-blank rows/columns
+    included, via the geometry marker rows the source emits."""
     rows = cells_df.select(
-        "sheet", "sheet_idx", "row_idx", "col_idx", "value"
+        "sheet", "sheet_idx", "row_idx", "col_idx", "value",
+        "sheet_rows", "sheet_cols",
     ).collect()
     sheets: dict[int, str] = {}
+    dims: dict[str, tuple[int, int]] = {}
     cells: dict[str, dict[tuple[int, int], str]] = {}
     for r in rows:
         sheets[r.sheet_idx] = r.sheet
-        cells.setdefault(r.sheet, {})[(r.row_idx, r.col_idx)] = r.value
+        dims[r.sheet] = (r.sheet_rows, r.sheet_cols)
+        if r.row_idx >= 0:
+            cells.setdefault(r.sheet, {})[(r.row_idx, r.col_idx)] = r.value
     grids: dict[str, list] = {}
     for idx in sorted(sheets):
         name = sheets[idx]
-        cs = cells[name]
-        max_r = max(k[0] for k in cs)
-        max_c = max(k[1] for k in cs)
+        n_rows, n_cols = dims[name]
+        cs = cells.get(name, {})
         grids[name] = [
-            [cs.get((r, c)) for c in range(max_c + 1)] for r in range(max_r + 1)
+            [cs.get((r, c)) for c in range(n_cols)] for r in range(n_rows)
         ]
     return grids

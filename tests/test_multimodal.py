@@ -535,3 +535,31 @@ def test_progressive_ac_refinement_equals_baseline():
         b = make_progressive_jpeg(aid, ac_refine=True)
         assert b.count(bytes([0xFF, 0xDA])) == 8  # eight scans
         assert decode_jpeg_pixels(b) == decode_jpeg_pixels(make_jpeg(aid))
+
+
+def test_progressive_ac_refine_sparse_detail_content():
+    """Regression for the ZRL/correction-bit ordering defect: sparse
+    high-frequency content (flat field + isolated dots) produces
+    blocks with ≥16 zero-history zeros, then an already-significant
+    coefficient, then a later newly-significant one — the pattern
+    where a deferred ZRL desynced the decoder. Must still equal the
+    baseline decode exactly."""
+    import random
+
+    from epe_data_wrangling_spark.multimodal import assets as A
+    from epe_data_wrangling_spark.multimodal.decode import decode_jpeg_pixels
+
+    rng = random.Random(7)
+    orig = A.jpeg_pixel
+    for _ in range(8):
+        dots = {
+            (rng.randrange(A.JPG_W), rng.randrange(A.JPG_H)): rng.randrange(256)
+            for _ in range(6)
+        }
+        A.jpeg_pixel = lambda x, y, aid, d=dots: (d.get((x, y), 90),) * 3
+        try:
+            base = decode_jpeg_pixels(A.make_jpeg(0))
+            prog = decode_jpeg_pixels(A.make_progressive_jpeg(0, ac_refine=True))
+        finally:
+            A.jpeg_pixel = orig
+        assert prog == base

@@ -14,13 +14,21 @@ from epe_data_wrangling_spark.sources.xls_biff import write_xls
 from epe_data_wrangling_spark.sources.xlsx import write_xlsx
 
 
-def _expected_cells(file: str, grids) -> set:
+def _expected_cells(file: str, grids=None) -> set:
+    """Truth = the stdlib reader's view of the FILE (the container
+    writers legitimately trim trailing all-blank rows, so the raw
+    in-memory grids are not the contract — the file is)."""
+    from epe_data_wrangling_spark.sources.workbook import read_workbook_grids
+
     out = set()
-    for sheet_idx, (sheet, grid) in enumerate(grids.items()):
+    for sheet_idx, (sheet, grid) in enumerate(read_workbook_grids(file).items()):
+        n_rows = len(grid)
+        n_cols = max((len(r) for r in grid), default=0)
+        out.add((file, sheet, sheet_idx, -1, -1, None, n_rows, n_cols))
         for r, row in enumerate(grid):
             for c, v in enumerate(row):
                 if v is not None:
-                    out.add((file, sheet, sheet_idx, r, c, str(v)))
+                    out.add((file, sheet, sheet_idx, r, c, str(v), n_rows, n_cols))
     return out
 
 
@@ -108,9 +116,7 @@ def test_streaming_landing_zone_exactly_once(spark, tmp_path):
 
     register(spark)
     df = spark.readStream.format("workbook").load(str(land))
-    n_cells = sum(
-        1 for g in grids.values() for row in g for v in row if v is not None
-    )
+    n_cells = len(_expected_cells(str(land / "drop1.xlsx")))  # incl. markers
 
     def run() -> int:
         q = (
@@ -131,3 +137,28 @@ def test_streaming_landing_zone_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(out).select("file").distinct().collect()
     }
     assert files == {"drop1.xlsx", "drop2.xls"}
+
+
+def test_geometry_survives_sparse_encoding(spark, tmp_path):
+    """Empty sheets and trailing all-blank rows/columns must survive
+    the sparse cell encoding (the 13-column dispatch depends on an
+    EMPTY 13th column still being 13th): the marker rows + carried
+    dims make grids_from_cells an exact inverse."""
+    from epe_data_wrangling_spark.sources.spark_datasource import grids_from_cells
+
+    grids = {
+        "S1": [["h1", "h2", None], ["a", None, None], [None, None, None]],
+        "EMPTY": [[None, None]],
+        "S3": [["x"]],
+    }
+    path = str(tmp_path / "geo.xlsx")
+    write_xlsx(path, grids)
+    register(spark)
+    cells = spark.read.format("workbook").load(path)
+    rebuilt = grids_from_cells(cells)
+    # xlsx write/read round-trip itself trims nothing: compare to the
+    # driver-side reader's view of the same file
+    from epe_data_wrangling_spark.sources.workbook import read_workbook_grids
+
+    assert rebuilt == read_workbook_grids(path)
+    assert list(rebuilt) == ["S1", "EMPTY", "S3"]
