@@ -193,6 +193,7 @@ ROTATION_BACKLOG = [
     "udtf_month_spine_revenue",
     "epe_pipeline_via_datasource",
     "sql_parameterized_revenue",
+    "agg_newer_builtins",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",

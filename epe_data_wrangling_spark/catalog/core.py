@@ -2381,3 +2381,34 @@ def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"cutoff": datetime.date(1996, 3, 1), "min_qty": 25},
     )
+
+
+@query(
+    "agg_newer_builtins",
+    oracle="""
+    SELECT o_orderstatus,
+           median(o_totalprice) AS med_price,
+           mode(o_orderpriority) AS mode_priority,
+           max_by(o_orderkey, o_totalprice) AS max_price_order,
+           min_by(o_orderkey, o_totalprice) AS min_price_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_newer_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The newer SQL-standard aggregate surface (Spark 3.4+): median
+    (exact — interpolated middle), mode (most frequent value), and
+    the argmax/argmin pair max_by/min_by, all per order status. The
+    synthetic totals are distinct within each group (verified by the
+    hash check itself: ties would make max_by/min_by and mode
+    nondeterministic across engines), so every column is uniquely
+    determined. These subsume the window-based argmax idiom
+    (row_number-over-sort) with a plain partial-aggregatable
+    one-pass form — the preferred shape at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.median("o_totalprice").alias("med_price"),
+        F.mode("o_orderpriority").alias("mode_priority"),
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("max_price_order"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("min_price_order"),
+    )
