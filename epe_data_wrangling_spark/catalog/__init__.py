@@ -194,6 +194,7 @@ ROTATION_BACKLOG = [
     "epe_pipeline_via_datasource",
     "sql_parameterized_revenue",
     "agg_newer_builtins",
+    "multimodal_mjpeg_keyframes",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",

@@ -570,3 +570,81 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
     ]
     assets = spark.createDataFrame(rows, "asset_id long, payload binary")
     return decode.jpeg_pixel_stats(assets)
+
+
+MJPEG_KEY_DELTA = 2.0  #: mean-RGB-luma delta threshold for a keyframe
+
+
+def _mjpeg_keyframes_sql() -> str:
+    """Lazy golden: frame mean-luma (0.299R+0.587G+0.114B over the
+    DECODED pixels) and the lag-delta selection computed driver-side
+    from the same decode the pytest identity suite anchors."""
+    from epe_data_wrangling_spark.multimodal.assets import make_mjpeg_avi
+    from epe_data_wrangling_spark.multimodal.decode import decode_mjpeg_avi
+
+    rows = []
+    for aid in range(MJPEG_ASSETS):
+        prev = None
+        for fidx, w, h, rgb in decode_mjpeg_avi(make_mjpeg_avi(aid)):
+            n = w * h
+            luma = round(
+                sum(
+                    0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1] + 0.114 * rgb[3 * i + 2]
+                    for i in range(n)
+                )
+                / n,
+                6,
+            )
+            delta = None if prev is None else round(abs(luma - prev), 6)
+            if prev is None or delta > MJPEG_KEY_DELTA:
+                d = "NULL" if delta is None else repr(delta)
+                rows.append(f"({aid}, {fidx}, {luma!r}, {d})")
+            prev = luma
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           mean_luma, luma_delta
+    FROM (VALUES
+      {values}
+    ) t(asset_id, frame_idx, mean_luma, luma_delta)
+    """
+
+
+@query("multimodal_mjpeg_keyframes", oracle=_mjpeg_keyframes_sql)
+def multimodal_mjpeg_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change keyframe selection over the REAL compressed video
+    path: MJPEG-AVI clips are decoded frame-by-frame (container walk
+    + per-frame JPEG), each frame reduced to a mean luma, and frame 0
+    plus any frame whose luma delta vs the previous frame exceeds
+    {MJPEG_KEY_DELTA} survives — the decode → feature → select
+    composition running on an actual codec rather than raw Y4M
+    planes. The lag window partitions per asset over the tiny
+    frame-stats table; payload bytes never leave the narrow decode
+    pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.multimodal.assets import make_mjpeg_avi
+
+    rows = [(i, bytearray(make_mjpeg_avi(i))) for i in range(MJPEG_ASSETS)]
+    assets = spark.createDataFrame(rows, "asset_id long, payload binary")
+    stats = decode.mjpeg_frame_stats(assets)
+    npx = (F.col("width") * F.col("height")).cast("double")
+    luma = F.round(
+        (
+            F.lit(0.299) * F.col("sum_r")
+            + F.lit(0.587) * F.col("sum_g")
+            + F.lit(0.114) * F.col("sum_b")
+        )
+        / npx,
+        6,
+    )
+    w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    d = (
+        stats.select("asset_id", "frame_idx", luma.alias("mean_luma"))
+        .withColumn("prev_y", F.lag("mean_luma").over(w))
+        .withColumn("luma_delta", F.round(F.abs(F.col("mean_luma") - F.col("prev_y")), 6))
+    )
+    return d.filter(
+        F.col("prev_y").isNull() | (F.col("luma_delta") > MJPEG_KEY_DELTA)
+    ).select("asset_id", "frame_idx", "mean_luma", "luma_delta")
