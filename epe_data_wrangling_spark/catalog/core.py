@@ -2386,29 +2386,36 @@ def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_newer_builtins",
     oracle="""
-    SELECT o_orderstatus,
-           median(o_totalprice) AS med_price,
-           mode(o_orderpriority) AS mode_priority,
-           max_by(o_orderkey, o_totalprice) AS max_price_order,
-           min_by(o_orderkey, o_totalprice) AS min_price_order
-    FROM orders
-    GROUP BY o_orderstatus
+    WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+               FROM orders GROUP BY 1, 2),
+    mx AS (SELECT c.o_orderstatus, MIN(c.o_orderpriority) AS mode_priority
+           FROM c JOIN (SELECT o_orderstatus, MAX(n) AS m FROM c GROUP BY 1) t
+             ON c.o_orderstatus = t.o_orderstatus AND c.n = t.m
+           GROUP BY c.o_orderstatus),
+    base AS (SELECT o_orderstatus,
+                    median(o_totalprice) AS med_price,
+                    max_by(o_orderkey, o_totalprice) AS max_price_order,
+                    min_by(o_orderkey, o_totalprice) AS min_price_order
+             FROM orders GROUP BY o_orderstatus)
+    SELECT base.o_orderstatus, base.med_price, mx.mode_priority,
+           base.max_price_order, base.min_price_order
+    FROM base JOIN mx ON base.o_orderstatus = mx.o_orderstatus
     """,
 )
 def agg_newer_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The newer SQL-standard aggregate surface (Spark 3.4+): median
-    (exact — interpolated middle), mode (most frequent value), and
-    the argmax/argmin pair max_by/min_by, all per order status. The
-    synthetic totals are distinct within each group (verified by the
-    hash check itself: ties would make max_by/min_by and mode
-    nondeterministic across engines), so every column is uniquely
-    determined. These subsume the window-based argmax idiom
-    (row_number-over-sort) with a plain partial-aggregatable
-    one-pass form — the preferred shape at scale."""
+    """The newer SQL-standard aggregate surface (Spark 3.4+): exact
+    median, DETERMINISTIC mode (the Spark 4 two-arg form
+    ``mode(col, true)`` — lowest value wins frequency ties, which the
+    oracle mirrors relationally; plain mode() is tie-nondeterministic
+    and DID diverge across engines at sf0.001), and the argmax/argmin
+    pair max_by/min_by (extreme totals verified unique per group at
+    every shipped SF). Subsumes the window-based argmax idiom with a
+    plain partial-aggregatable one-pass form — the preferred shape
+    at scale."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.median("o_totalprice").alias("med_price"),
-        F.mode("o_orderpriority").alias("mode_priority"),
+        F.expr("mode(o_orderpriority, true)").alias("mode_priority"),
         F.expr("max_by(o_orderkey, o_totalprice)").alias("max_price_order"),
         F.expr("min_by(o_orderkey, o_totalprice)").alias("min_price_order"),
     )

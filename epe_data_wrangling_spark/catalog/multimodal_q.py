@@ -575,6 +575,7 @@ def multimodal_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataF
 MJPEG_KEY_DELTA = 2.0  #: mean-RGB-luma delta threshold for a keyframe
 
 
+@lru_cache(maxsize=1)
 def _mjpeg_keyframes_sql() -> str:
     """Lazy golden: frame mean-luma (0.299R+0.587G+0.114B over the
     DECODED pixels) and the lag-delta selection computed driver-side
@@ -587,12 +588,11 @@ def _mjpeg_keyframes_sql() -> str:
         prev = None
         for fidx, w, h, rgb in decode_mjpeg_avi(make_mjpeg_avi(aid)):
             n = w * h
+            # exact mirror of the Spark expression's association:
+            # weighted CHANNEL SUMS (integer-exact), one division
             luma = round(
-                sum(
-                    0.299 * rgb[3 * i] + 0.587 * rgb[3 * i + 1] + 0.114 * rgb[3 * i + 2]
-                    for i in range(n)
-                )
-                / n,
+                (0.299 * sum(rgb[0::3]) + 0.587 * sum(rgb[1::3])
+                 + 0.114 * sum(rgb[2::3])) / n,
                 6,
             )
             delta = None if prev is None else round(abs(luma - prev), 6)
