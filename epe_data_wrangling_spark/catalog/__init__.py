@@ -195,6 +195,7 @@ ROTATION_BACKLOG = [
     "sql_parameterized_revenue",
     "agg_newer_builtins",
     "multimodal_mjpeg_keyframes",
+    "collation_case_insensitive_groups",
     "bpe_train_merges",
     "mmr_diverse_topk",
     "agg_exact_median_distributed",

@@ -2419,3 +2419,49 @@ def agg_newer_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(o_orderkey, o_totalprice)").alias("max_price_order"),
         F.expr("min_by(o_orderkey, o_totalprice)").alias("min_price_order"),
     )
+
+
+@query(
+    "collation_case_insensitive_groups",
+    oracle="""
+    WITH v AS (
+      SELECT upper(c_mktsegment) AS seg FROM customer
+      UNION ALL
+      SELECT lower(c_mktsegment) FROM customer
+      UNION ALL
+      SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+      FROM customer)
+    SELECT MIN(seg) AS rep,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_case_forms
+    FROM v GROUP BY lower(seg)
+    """,
+)
+def collation_case_insensitive_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATIONS (SPARK-46830) as engine surface: grouping
+    and DISTINCT under ``COLLATE UTF8_LCASE`` — the engine-level
+    case-insensitive semantics that replace the lower()-everywhere
+    workaround (and, at scale, let the optimizer keep pushing
+    filters/aggregations instead of wrapping every reference in an
+    expression). Three case variants of each market segment are
+    generated; the collated GROUP BY must fold them into one group
+    per segment while COUNT(DISTINCT seg) (binary collation) still
+    sees all variants; MIN(seg) is the deterministic representative.
+    The oracle expresses the same semantics via lower() — the
+    collation IS the thing under test on the Spark side."""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "customer")
+    return spark.sql("""
+      WITH v AS (
+        SELECT upper(c_mktsegment) AS seg FROM customer
+        UNION ALL
+        SELECT lower(c_mktsegment) FROM customer
+        UNION ALL
+        SELECT upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+        FROM customer)
+      SELECT MIN(seg) AS rep,
+             COUNT(*) AS n_rows,
+             COUNT(DISTINCT seg) AS n_case_forms
+      FROM v GROUP BY seg COLLATE UTF8_LCASE
+    """)
