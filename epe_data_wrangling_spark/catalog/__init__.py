@@ -85,18 +85,21 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 
 
 #: Explicit catalog order. The external driver hash-checks the FIRST
-#: 50 entries only (observed rounds 1-3), so the head of this list is
+#: 50 entries only (observed rounds 1-4), so the head of this list is
 #: the externally-validated surface for the round. The window ROTATES
-#: each round (round-3 verdict, "Next round" item 1): ~10 anchors stay
-#: pinned (one per operator family, regression canaries), and the other
-#: ~40 slots go to queries that have never earned a driver CORRECTNESS
-#: row. Rounds 1-3 certified 77 distinct queries; this round-4 window
-#: is disjoint from round 3's except the anchors. Remaining
-#: never-certified queries are queued in ROTATION_BACKLOG for round 5+.
-#: Queries outside the window remain locally verified every round by
-#: tools/verify_local.py (full 184-query DuckDB-differential sweep).
+#: each round: ~10 anchors stay pinned (one per operator family,
+#: regression canaries), and the other ~40 slots go to queries that
+#: have never earned a driver CORRECTNESS row. Rounds 1-4 certified
+#: 116 distinct queries; this round-5 window re-runs
+#: variant_shred_events (its r4 red row was an oracle-portability
+#: bug, fixed — structural round-trip now) and splices the backlog
+#: front plus the four remaining TPC-H classics (q7/q8/q15/q19, the
+#: r4 verdict's item 4). Remaining never-certified queries stay in
+#: ROTATION_BACKLOG for round 6+. Queries outside the window remain
+#: locally verified every round by tools/verify_local.py (the full
+#: DuckDB-differential sweep).
 PRIORITY_ORDER = [
-    # --- anchors (10): one per family, certified r3, kept as canaries
+    # --- anchors (10): one per family, certified r2-r4, kept as canaries
     "epe_pipeline_demo",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -107,72 +110,19 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- never-driver-certified (40), rotated in this round ---
-    # TPC-H additions (round-3 partsupp derivations + never-windowed)
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier_cnt",
-    "q20_promotion_suppliers",
-    "q21_sole_supplier",
-    # core / set ops
-    "agg_approx_percentiles",
-    "setop_intersectall_multiset",
-    # windows
-    "window_ewma_user_value",
-    # Spark-4 API surface added this round: Python Data Source,
-    # VARIANT, and the two new real compressed-image decoders
-    "workbook_source_cells",
+    # --- re-certification: r4's one red row, oracle made
+    # environment-proof (structural VARIANT round-trip)
     "variant_shred_events",
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_pixel_stats",
-    # text / sketches
-    "sketch_cms_heavy_hitters",
-    "text_readability_proxy",
-    "bm25_doc_scores",
-    # dedup
-    "dedup_shared_spans",
-    "scrub_shared_spans",
-    "dedup_incremental_new_docs",
-    # streaming
-    "streaming_record_highs",
-    "streaming_stream_join",
-    "streaming_upsert_latest",
-    # multimodal (png = new round-4 real compressed-pixel decode)
-    "multimodal_png_pixel_stats",
-    "multimodal_wav_energy",
-    "multimodal_y4m_frame_stats",
-    # LLM pipeline
-    "lm_bigram_perplexity",
-    "pack_sequences_greedy",
-    "sample_weighted_systematic",
-    "mixture_rebalance",
-    # data quality
-    "dq_orders_constraint_audit",
-    "dq_lineitem_null_profile",
-    "benford_first_digit_audit",
-    # ML prep
-    "pq_adc_topk",
-    "ann_ivf_trained_topk",
-    "pca_projection_extremes",
-    # evolve / journey / graph / linkage
-    "feature_quantile_bins",
-    "customer_rfm_segments",
-    "funnel_conversion",
-    "pagerank_trading_graph",
-    "linkage_deletion_neighborhood",
-]  # == 50 entries; assert below
-
-#: Never-driver-certified queries queued for the round-5+ windows, in
-#: intended rotation order. Kept here (not just in docs) so the next
-#: round's rotation is a mechanical splice, and so tooling can report
-#: certification breadth (tools/verify_local.py --coverage).
-ROTATION_BACKLOG = [
+    # --- never-driver-certified (39), rotated in this round ---
+    # pre-r4 leftovers
     "pivot_multi_measure",
     "rolling_median_value",
     "revenue_pareto_contribution",
     "seasonality_monthly_revenue",
-    # --- round-4 continuation additions: certify these first in r5
+    # round-4 continuation surface (workbook streaming source,
+    # recursive CTE, observe(), state-store reader, SemDeDup, DSIR,
+    # RRF, KLL/theta, jpeg420/progressive/adpcm/mjpeg decoders,
+    # datasource-driven EPE pipeline, parameterized SQL, collations…)
     "dedup_semantic_clusters",
     "xml_source_nations",
     "streaming_workbook_landing",
@@ -204,15 +154,24 @@ ROTATION_BACKLOG = [
     "streaming_incremental_dedup",
     "graph_strong_tie_components",
     "sketch_hll_mergeable_daily",
+    # TPC-H classics, implemented since r3 but never windowed
+    # (r4 verdict "Next round" item 4)
+    "q7_nation_volume",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+]  # == 50 entries; assert below
+
+#: Never-driver-certified queries queued for the round-6+ windows, in
+#: intended rotation order. Kept here (not just in docs) so the next
+#: round's rotation is a mechanical splice, and so tooling can report
+#: certification breadth (tools/verify_local.py --coverage).
+ROTATION_BACKLOG = [
     "graph_cotrade_clustering",
     "linkage_blocking_quality",
     "journey_conversion_hazard",
     "epe_consumption_growth",
     "dq_schema_profile",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
     "monthly_value_percentile_bands",
     "tumbling_distinct_users",
     "window_first_last_nth",

@@ -645,7 +645,9 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS kb,
            COUNT(*) AS n,
            SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-           SUM(length(CAST(json(props) AS VARCHAR))) AS rt_chars,
+           SUM(CASE WHEN json_extract_string(CAST(json(props) AS VARCHAR), '$.k')
+                         IS NOT DISTINCT FROM json_extract_string(props, '$.k')
+                    THEN 1 ELSE 0 END) AS rt_ok,
            COUNT(json_extract_string(props, '$.missing')) AS n_missing
     FROM events
     GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 7
@@ -659,20 +661,25 @@ def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB — re-parsing JSON text per path access is the classic
     scan bottleneck). Exercises parse_json, typed variant_get,
     try_variant_get on an absent path (NULL, not error), and the
-    to_json round trip (canonical form must agree with DuckDB's
-    json() canonicalization byte-for-byte for the length sum to
-    match)."""
+    to_json → parse_json round trip checked STRUCTURALLY: ``rt_ok``
+    counts rows where ``$.k`` survives re-serialization, compared
+    null-safely. (An earlier form summed ``length(to_json(v))``,
+    which required Spark's and DuckDB's JSON canonicalization to
+    agree byte-for-byte — engine-version-dependent and the r4
+    driver failure; the structural check is serialization-
+    independent by construction.)"""
     e = load_table(spark, sf_dir, "events")
     v = F.parse_json("props")
+    rt = F.parse_json(F.to_json(v))  # serialize, re-parse: structural round trip
     shredded = e.select(
         F.variant_get(v, "$.k", "int").alias("k"),
-        F.length(F.to_json(v)).alias("rt_len"),
+        F.variant_get(rt, "$.k", "int").eqNullSafe(F.variant_get(v, "$.k", "int")).alias("rt_same"),
         F.try_variant_get(v, "$.missing", "int").alias("missing"),
     )
     return shredded.groupBy((F.col("k") % 7).alias("kb")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("k").alias("sum_k"),
-        F.sum("rt_len").alias("rt_chars"),
+        F.sum(F.col("rt_same").cast("long")).alias("rt_ok"),
         F.count("missing").alias("n_missing"),
     )
 

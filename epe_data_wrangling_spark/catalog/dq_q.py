@@ -431,13 +431,9 @@ def dq_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_cust,
              MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
       FROM orders)
-    SELECT 'result.n_orders' AS metric, CAST(n_orders AS VARCHAR) AS value FROM main
-    UNION ALL SELECT 'result.revenue', CAST(revenue AS VARCHAR) FROM main
-    UNION ALL SELECT 'qc.scanned_rows', CAST(scanned_rows AS VARCHAR) FROM qc
-    UNION ALL SELECT 'qc.bad_price', CAST(bad_price AS VARCHAR) FROM qc
-    UNION ALL SELECT 'qc.null_cust', CAST(null_cust AS VARCHAR) FROM qc
-    UNION ALL SELECT 'qc.min_date', CAST(min_date AS VARCHAR) FROM qc
-    UNION ALL SELECT 'qc.max_date', CAST(max_date AS VARCHAR) FROM qc
+    SELECT n_orders, revenue, scanned_rows, bad_price, null_cust,
+           min_date, max_date
+    FROM main, qc
     """,
 )
 def dq_observe_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -448,10 +444,20 @@ def dq_observe_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed metrics. At 100 TB this is the difference between
     auditing for free and paying a second full pass; the pushed
     filter on the production branch cannot corrupt the audit because
-    observe() sits UPSTREAM of the filter in the plan. Output
-    unifies the production result and the observed metrics as
-    (metric, value) rows, both oracle-checked."""
+    observe() sits UPSTREAM of the filter in the plan. Output is ONE
+    TYPED row (bigints, a double, timestamps) — an earlier form
+    rendered everything to (metric, value) strings via Python
+    ``repr``/``strftime``, the same engine-rendering-parity hazard
+    class that broke variant_shred_events in r4; typed columns are
+    compared as values, never as engine-formatted text."""
     from pyspark.sql import Observation
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
 
     from epe_data_wrangling_spark.catalog.core import dec
 
@@ -474,18 +480,27 @@ def dq_observe_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     [mrow] = main.collect()  # one action: fills both result and metrics
     qc = obs.get
-    rows = [
-        ("result.n_orders", str(mrow.n_orders)),
-        ("result.revenue", repr(mrow.revenue)),
-        ("qc.scanned_rows", str(qc["scanned_rows"])),
-        ("qc.bad_price", str(qc["bad_price"])),
-        ("qc.null_cust", str(qc["null_cust"])),
-        # the column is a parquet TIMESTAMP; render like DuckDB's
-        # CAST(ts AS VARCHAR) (dates here are day-granular)
-        ("qc.min_date", qc["min_date"].strftime("%Y-%m-%d %H:%M:%S")),
-        ("qc.max_date", qc["max_date"].strftime("%Y-%m-%d %H:%M:%S")),
-    ]
-    return spark.createDataFrame(rows, "metric string, value string")
+    schema = StructType(
+        [
+            StructField("n_orders", LongType()),
+            StructField("revenue", DoubleType()),
+            StructField("scanned_rows", LongType()),
+            StructField("bad_price", LongType()),
+            StructField("null_cust", LongType()),
+            StructField("min_date", TimestampType()),
+            StructField("max_date", TimestampType()),
+        ]
+    )
+    row = (
+        mrow.n_orders,
+        mrow.revenue,
+        qc["scanned_rows"],
+        qc["bad_price"],
+        qc["null_cust"],
+        qc["min_date"],
+        qc["max_date"],
+    )
+    return spark.createDataFrame([row], schema)
 
 
 COMPACT_FRAGMENTS = 64  #: how badly the fixture table is fragmented

@@ -656,31 +656,53 @@ def _ima_encode_nibble(sample: int, pred: int, index: int) -> tuple[int, int, in
     return nibble, pred, index
 
 
-def make_adpcm_wav(asset_id: int, rate: int = ADPCM_RATE, n: int = ADPCM_N) -> bytes:
-    """A real RIFF/WAVE file with format tag 0x0011 (IMA ADPCM), mono,
-    ONE data block: 4-byte block header (predictor, index, reserved)
-    followed by packed 4-bit nibbles (low nibble first). The
-    COMPRESSED audio twin of make_wav's PCM fixtures."""
+def make_adpcm_wav(
+    asset_id: int,
+    rate: int = ADPCM_RATE,
+    n: int = ADPCM_N,
+    samples_per_block: int | None = None,
+) -> bytes:
+    """A real RIFF/WAVE file with format tag 0x0011 (IMA ADPCM), mono:
+    the data chunk is a sequence of independent nBlockAlign-sized
+    blocks, each a 4-byte header (that block's initial predictor +
+    step index, reserved byte) followed by packed 4-bit nibbles (low
+    nibble first). Default is ONE block holding all ``n`` samples;
+    pass ``samples_per_block`` to emit a standard multi-block stream
+    (the adapted step index carries forward into each block header,
+    the predictor restarts from the block's first raw sample — the
+    layout every multi-block IMA encoder emits). The COMPRESSED
+    audio twin of make_wav's PCM fixtures."""
     samples = [adpcm_sample(i, asset_id) for i in range(n)]
-    pred, index = samples[0], 0
+    spb = n if samples_per_block is None else samples_per_block
+    nibble_slots = spb - 1 + ((spb - 1) & 1)  # pad odd counts
+    block_align = 4 + nibble_slots // 2
     data = bytearray()
-    data += _struct.pack("<hBB", pred, index, 0)
-    nibbles = []
-    for s in samples[1:]:
-        nib, pred, index = _ima_encode_nibble(s, pred, index)
-        nibbles.append(nib)
-    if len(nibbles) % 2:
-        nibbles.append(0)
-    for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-        data.append(lo | (hi << 4))
-    block_align = len(data)
+    index = 0
+    for start in range(0, n, spb):
+        blk = samples[start : start + spb]
+        pred = blk[0]
+        data += _struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in blk[1:]:
+            nib, pred, index = _ima_encode_nibble(s, pred, index)
+            nibbles.append(nib)
+        while len(nibbles) < nibble_slots:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
     fmt = _struct.pack(
         "<HHIIHHH H",
-        0x0011, 1, rate, rate * block_align // n, block_align, 4, 2, n,
+        0x0011, 1, rate, rate * block_align // spb,
+        block_align, 4, 2, spb,
     )  # wSamplesPerBlock in the cbSize extension
+    # multi-block streams carry the spec's fact chunk (dwSampleLength)
+    # so decoders can trim the final block's pad samples; omitted in
+    # the single-block default to keep those fixture bytes frozen
+    fact = b"" if samples_per_block is None else b"fact" + _struct.pack("<II", 4, n)
     out = bytearray()
-    out += b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    out += b"RIFF" + _struct.pack("<I", 4 + 8 + len(fmt) + len(fact) + 8 + len(data)) + b"WAVE"
     out += b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    out += fact
     out += b"data" + _struct.pack("<I", len(data)) + bytes(data)
     return bytes(out)
 

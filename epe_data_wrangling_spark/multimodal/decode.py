@@ -1151,16 +1151,21 @@ _IMA_INDEXES = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]] | None:
     """REAL compressed-AUDIO decode: RIFF/WAVE with wFormatTag 0x0011
-    (IMA ADPCM), mono — chunk walk, block header (initial predictor +
-    step index), then the standard IMA expansion per 4-bit nibble
-    (delta = (step·mantissa)/8 via the shift-add identity, sign bit,
-    clamped predictor, table-walked step index). Returns (sample_rate,
-    samples) or None for non-ADPCM payloads."""
+    (IMA ADPCM), mono — chunk walk, then the data chunk iterated in
+    ``nBlockAlign`` strides (IMA blocks are independent: each carries
+    its own 4-byte header with the block's initial predictor + step
+    index), the standard IMA expansion per 4-bit nibble (delta =
+    (step·mantissa)/8 via the shift-add identity, sign bit, clamped
+    predictor, table-walked step index), and ``wSamplesPerBlock``
+    honored PER BLOCK (drops each block's pad-nibble phantom sample,
+    not the whole tail of the file). Returns (sample_rate, samples)
+    or None for non-ADPCM payloads."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     pos = 12
     fmt = None
     data = None
+    fact_samples = None
     while pos + 8 <= len(b):
         tag = b[pos : pos + 4]
         (ln,) = struct.unpack_from("<I", b, pos + 4)
@@ -1169,38 +1174,57 @@ def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]] | None:
             fmt = body
         elif tag == b"data":
             data = body
+        elif tag == b"fact" and ln >= 4:
+            # dwSampleLength — total REAL samples; required for
+            # compressed WAVE formats, trims the final block's pad
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + ln + (ln & 1)
     if fmt is None or data is None or len(fmt) < 16:
         return None
     tag_, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     if tag_ != 0x0011 or channels != 1 or len(data) < 4:
         return None
-    # the fmt extension carries wSamplesPerBlock; honoring it keeps
-    # the odd-count pad nibble from decoding as a phantom sample
+    # the fmt extension carries wSamplesPerBlock; honoring it PER
+    # BLOCK keeps each block's odd-count pad nibble from decoding as
+    # a phantom sample (an earlier form applied it to the whole file,
+    # silently dropping every block after the first)
+    (block_align,) = struct.unpack_from("<H", fmt, 12)
     samples_per_block = None
     if len(fmt) >= 20:
         (cb,) = struct.unpack_from("<H", fmt, 16)
         if cb >= 2:
             (samples_per_block,) = struct.unpack_from("<H", fmt, 18)
-    pred, index = struct.unpack_from("<hB", data, 0)
-    index = max(0, min(88, index))
-    samples = [pred]
-    for byte in data[4:]:
-        for nib in (byte & 0x0F, byte >> 4):
-            step = _IMA_STEPS[index]
-            delta = step >> 3
-            if nib & 1:
-                delta += step >> 2
-            if nib & 2:
-                delta += step >> 1
-            if nib & 4:
-                delta += step
-            pred = pred - delta if nib & 8 else pred + delta
-            pred = max(-32768, min(32767, pred))
-            index = max(0, min(88, index + _IMA_INDEXES[nib & 7]))
-            samples.append(pred)
-    if samples_per_block:
-        samples = samples[:samples_per_block]
+    if block_align < 5:
+        block_align = len(data)  # degenerate header: treat as one block
+    samples: list[int] = []
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < 4:
+            break  # trailing runt — no decodable header
+        pred, index = struct.unpack_from("<hB", block, 0)
+        index = max(0, min(88, index))
+        blk = [pred]
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = _IMA_STEPS[index]
+                delta = step >> 3
+                if nib & 1:
+                    delta += step >> 2
+                if nib & 2:
+                    delta += step >> 1
+                if nib & 4:
+                    delta += step
+                pred = pred - delta if nib & 8 else pred + delta
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + _IMA_INDEXES[nib & 7]))
+                blk.append(pred)
+        if samples_per_block:
+            blk = blk[:samples_per_block]
+        samples.extend(blk)
+    if not samples:
+        return None
+    if fact_samples is not None:
+        samples = samples[:fact_samples]
     return rate, samples
 
 

@@ -72,9 +72,26 @@ def _emit_sheet_cells(file: str, sheet_idx: int, sheet: str, grid) -> "list":
     trailing all-empty rows/columns survive the sparse encoding —
     the losslessness ``grids_from_cells`` depends on (a Shape-A
     sheet's EMPTY 13th column still must drive the 13-column
-    dispatch)."""
+    dispatch).
+
+    The encoding assumes RECTANGULAR grids (every engine of
+    ``read_workbook_grids`` emits them: the stdlib readers build
+    dense max_r×max_c grids, pandas parses rectangular frames). A
+    ragged grid would round-trip with short rows padded to the max
+    length — and a single overlong junk row could then flip the
+    header-width Shape-A/B dispatch for the whole sheet — so a
+    future reader that emits ragged rows must fail HERE, loudly,
+    not silently downstream."""
     n_rows = len(grid)
     n_cols = max((len(r) for r in grid), default=0)
+    ragged = [i for i, r in enumerate(grid) if len(r) != n_cols]
+    if ragged:
+        raise ValueError(
+            f"workbook source: ragged grid in {file!r} sheet {sheet!r} "
+            f"(rows {ragged[:5]} shorter than width {n_cols}); the cell "
+            "relation requires rectangular grids — rectangularize in the "
+            "reader (as read_workbook_grids engines do) before emitting"
+        )
     out = [(file, sheet, sheet_idx, -1, -1, None, n_rows, n_cols)]
     for row_idx, row in enumerate(grid):
         for col_idx, value in enumerate(row):

@@ -462,6 +462,29 @@ def test_adpcm_roundtrip_near_lossless():
             assert abs(samples[i] - adpcm_sample(i, aid)) <= 1, (aid, i)
 
 
+def test_adpcm_multiblock_decodes_all_blocks():
+    """A standard multi-block IMA stream (len(data) > nBlockAlign, each
+    block with its own predictor/index header, fact chunk trimming the
+    tail pad) must decode EVERY block — the r4-advice failure mode was
+    treating the whole data chunk as one block, so mid-stream headers
+    decoded as audio and/or later blocks were dropped."""
+    from epe_data_wrangling_spark.multimodal.assets import (
+        adpcm_sample,
+        make_adpcm_wav,
+    )
+    from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav
+
+    for aid in (0, 7, 23):
+        for spb in (64, 100, 33):  # exact-fit, padded tail, odd spb
+            rate, samples = decode_adpcm_wav(
+                make_adpcm_wav(aid, n=256, samples_per_block=spb)
+            )
+            assert rate == 8000
+            assert len(samples) == 256, (aid, spb, len(samples))  # fact-trimmed
+            for i in range(256):
+                assert abs(samples[i] - adpcm_sample(i, aid)) <= 1, (aid, spb, i)
+
+
 def test_adpcm_rejects_foreign_and_pcm():
     from epe_data_wrangling_spark.multimodal.assets import make_wav
     from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav

@@ -162,3 +162,20 @@ def test_geometry_survives_sparse_encoding(spark, tmp_path):
 
     assert rebuilt == read_workbook_grids(path)
     assert list(rebuilt) == ["S1", "EMPTY", "S3"]
+
+
+def test_ragged_grid_rejected_at_emission():
+    """The cell relation's sparse encoding is only lossless for
+    rectangular grids (every read_workbook_grids engine emits them);
+    a ragged grid must fail loudly at the emission boundary — padded
+    short rows could otherwise flip the header-width Shape-A/B
+    dispatch downstream (r4 advice)."""
+    import pytest
+
+    from epe_data_wrangling_spark.sources.spark_datasource import _emit_sheet_cells
+
+    with pytest.raises(ValueError, match="ragged grid"):
+        _emit_sheet_cells("f.xlsx", 0, "S1", [["h1", "h2"], ["a", "b", "JUNK"]])
+    # rectangular grids (incl. all-None rows) still emit fine
+    rows = _emit_sheet_cells("f.xlsx", 0, "S1", [["h1", "h2"], [None, None]])
+    assert rows[0][3] == -1 and rows[0][6:] == (2, 2)

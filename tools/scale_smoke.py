@@ -184,6 +184,49 @@ def main() -> None:
     )
     run("cumsum_sharded_500k_docs", lambda: sharded_cumsum(bd_w, "doc_id", "wt", out="cum"))
 
+    # r5: TRUE-10× runs of the two r4 headline heavies (they were
+    # previously smoked only at base sf0.1 — VERDICT r4 item 6).
+    # shared spans on the replicated corpus: every replica shares its
+    # whole text with 9 siblings, so this is max-density span overlap;
+    # the max_gram_freq=10 suppression is what keeps the self-join
+    # fan-out bounded (grams non-unique in the BASE corpus exceed the
+    # cap after 10× replication and are dropped as boilerplate).
+    run(
+        "shared_spans_500k_docs",
+        lambda: X.shared_span_pairs(bd, "text", "doc_id"),
+    )
+    # pagerank on a 10×-node/10×-edge graph: disjoint key-shifted
+    # copies of orders+lineitem (keys shifted by rep·10^9 so the 10
+    # subgraphs never merge under distinct()); same catalog plan.
+    pr_dir = f"{WORK}/pr"
+    shift = F.col("rep") * F.lit(10**9)
+    (
+        orders.select("o_orderkey", "o_custkey")
+        .crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") + shift).alias("o_orderkey"),
+            (F.col("o_custkey") + shift).alias("o_custkey"),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{pr_dir}/orders.parquet")
+    )
+    (
+        li.select("l_orderkey", "l_suppkey")
+        .crossJoin(rep)
+        .select(
+            (F.col("l_orderkey") + shift).alias("l_orderkey"),
+            (F.col("l_suppkey") + shift).alias("l_suppkey"),
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{pr_dir}/lineitem.parquet")
+    )
+    run(
+        "pagerank_3iter_10x_graph",
+        lambda: cat["pagerank_trading_graph"].fn(spark, pr_dir),
+    )
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
