@@ -127,7 +127,7 @@ def main() -> None:
         run(label, lambda q=cat[qname]: q.fn(spark, base))
 
     # r4: distributed-ordering primitives vs the single-task global
-    # window they replaced, at 10× (600k orders / 500k docs). The
+    # window they replaced, at 10× (1.5M orders / 50k docs). The
     # sharded form pays 2 extra small jobs (percentile cut points +
     # shard totals) to keep EVERY data-sized stage partitioned — at
     # this modest scale the two should be comparable; the global form
@@ -175,14 +175,14 @@ def main() -> None:
     # sharded forms passed as THUNKS: their construction runs driver
     # jobs (percentile cut points + shard counts) that must land
     # inside the timer for an unbiased comparison
-    run("ntile_global_600k_orders", ntile_global())
-    run("ntile_sharded_600k_orders", ntile_sharded)
+    run("ntile_global_1m5_orders", ntile_global())
+    run("ntile_sharded_1m5_orders", ntile_sharded)
     bd_w = bd.select("doc_id", F.length("text").alias("wt"))
     run(
-        "cumsum_global_500k_docs",
+        "cumsum_global_50k_docs",
         bd_w.withColumn("cum", F.sum("wt").over(Window.orderBy("doc_id"))),
     )
-    run("cumsum_sharded_500k_docs", lambda: sharded_cumsum(bd_w, "doc_id", "wt", out="cum"))
+    run("cumsum_sharded_50k_docs", lambda: sharded_cumsum(bd_w, "doc_id", "wt", out="cum"))
 
     # r5: TRUE-10× runs of the two r4 headline heavies (they were
     # previously smoked only at base sf0.1 — VERDICT r4 item 6).
@@ -192,7 +192,7 @@ def main() -> None:
     # fan-out bounded (grams non-unique in the BASE corpus exceed the
     # cap after 10× replication and are dropped as boilerplate).
     run(
-        "shared_spans_500k_docs",
+        "shared_spans_50k_docs_10xdup",
         lambda: X.shared_span_pairs(bd, "text", "doc_id"),
     )
     # pagerank on a 10×-node/10×-edge graph: disjoint key-shifted
