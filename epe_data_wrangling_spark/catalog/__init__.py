@@ -235,6 +235,9 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
+    # --- r5 additions (never-certified; window candidates for r6+)
+    "join_bloom_prefilter",
+    "layout_zorder_skipping",
 ]
 
 

@@ -2472,3 +2472,104 @@ def collation_case_insensitive_groups(spark: SparkSession, sf_dir: str) -> DataF
              COUNT(DISTINCT seg) AS n_case_forms
       FROM v GROUP BY seg COLLATE UTF8_LCASE
     """)
+
+
+# ---- Bloom-filter join pre-filtering ----------------------------------
+
+BLOOM_DIM_BRAND = "Brand#12"  #: selective dim predicate (~4% of parts)
+JOIN_BLOOM_M = 2048  #: filter bits (32 × 64-bit words)
+JOIN_BLOOM_K = 3  #: hash functions
+
+
+def _bloom_oracle() -> str:
+    from epe_data_wrangling_spark.catalog import ducksql as D
+
+    m, k = JOIN_BLOOM_M, JOIN_BLOOM_K
+
+    def h(j: int, key: str) -> str:
+        md5 = "md5('bloom" + str(j) + "|' || CAST(" + key + " AS VARCHAR))"
+        return f"({D.hex_int(md5, 1, 8)} % {m})"
+
+    # 63-bit words (see operators.joins._bloom_word_mask_sql: bit 63
+    # of a signed BIGINT is a checked overflow under DuckDB's <<)
+    ent = "\n      UNION ALL ".join(
+        f"SELECT ({h(j, 'p_partkey')} // 63) AS w, "
+        f"(CAST(1 AS BIGINT) << ({h(j, 'p_partkey')} % 63)) AS m FROM dim"
+        for j in range(k)
+    )
+    fcols = ", ".join(
+        f"({h(j, 'l_partkey')} // 63) AS w{j}, "
+        f"(CAST(1 AS BIGINT) << ({h(j, 'l_partkey')} % 63)) AS m{j}"
+        for j in range(k)
+    )
+    joins = " ".join(f"LEFT JOIN bits b{j} ON b{j}.w = f.w{j}" for j in range(k))
+    passes = " AND ".join(f"(COALESCE(b{j}.m, 0) & f.m{j}) <> 0" for j in range(k))
+    return f"""
+    WITH dim AS (SELECT p_partkey FROM part WHERE p_brand = '{BLOOM_DIM_BRAND}'),
+    ent AS ({ent}),
+    bits AS (SELECT w, bit_or(m) AS m FROM ent GROUP BY w),
+    f AS (SELECT l_partkey, l_extendedprice, l_discount, {fcols} FROM lineitem),
+    fb AS (SELECT f.l_partkey, f.l_extendedprice, f.l_discount,
+                  ({passes}) AS bp
+           FROM f {joins}),
+    j AS (SELECT fb.*, d.p_partkey AS pk
+          FROM fb LEFT JOIN dim d ON fb.l_partkey = d.p_partkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(COUNT(pk) AS BIGINT) AS n_true_match,
+           CAST(SUM(CASE WHEN bp THEN 1 ELSE 0 END) - COUNT(pk) AS BIGINT)
+             AS n_false_pass,
+           CAST(SUM(CASE WHEN pk IS NOT NULL
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                    END) AS DOUBLE) AS revenue_matched
+    FROM j
+    """
+
+
+@query("join_bloom_prefilter", oracle=_bloom_oracle(), headline=True)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pre-filtering (the RUNTIME FILTER pattern,
+    operators.joins.bloom_build/bloom_flag_fact): the keys of a
+    selective dimension subset (p_brand = '{BLOOM_DIM_BRAND}') are
+    fingerprinted into a {JOIN_BLOOM_M}-bit / {JOIN_BLOOM_K}-hash
+    Bloom filter — built by a bit_or aggregate that shuffles ≤ 32
+    words no matter how large the dim is — then broadcast as ONE map
+    value and evaluated as a pure map-side expression over the fact
+    scan. At 100 TB this prunes fact rows BEFORE the join shuffle
+    when the dim is too big to broadcast as rows but its key
+    fingerprint fits in kilobytes (what Spark's InjectRuntimeFilter
+    does when stats allow; this is the explicit, stats-independent
+    form). Correctness never depends on the filter: no false
+    negatives by construction, false positives re-checked by the
+    real join. The query certifies the whole mechanism CROSS-ENGINE:
+    the md5-derived bit pattern, the no-false-negative invariant
+    (n_bloom_pass ≥ n_true_match with equality of matched revenue),
+    and the measured false-positive count, all hash-checked against
+    DuckDB building the identical filter."""
+    from epe_data_wrangling_spark.operators.joins import bloom_flag_fact
+
+    part = load_table(spark, sf_dir, "part")
+    dim = part.filter(F.col("p_brand") == BLOOM_DIM_BRAND).select("p_partkey")
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    flagged = bloom_flag_fact(
+        fact, dim, dim_key="p_partkey", fact_key="l_partkey",
+        m_bits=JOIN_BLOOM_M, k=JOIN_BLOOM_K,
+    )
+    joined = flagged.join(
+        F.broadcast(dim), flagged.l_partkey == dim.p_partkey, "left"
+    )
+    n_pass = F.sum(F.col("_bloom_pass").cast("bigint"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        n_pass.alias("n_bloom_pass"),
+        F.count("p_partkey").alias("n_true_match"),
+        (n_pass - F.count("p_partkey")).alias("n_false_pass"),
+        F.sum(
+            F.when(
+                F.col("p_partkey").isNotNull(),
+                dec(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))),
+            )
+        ).cast("double").alias("revenue_matched"),
+    )

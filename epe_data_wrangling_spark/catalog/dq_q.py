@@ -573,3 +573,112 @@ def layout_compaction_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---- Z-order layout skipping audit -----------------------------------
+
+ZQ_BITS = 8  #: bits per column code (256 cells/dim; 16-bit Morton key)
+ZQ_FILES = 16  #: logical file ranges per layout
+#: probe rectangles in CODE space (closed ranges)
+ZQ_PROBE_P = (64, 95)  #: l_partkey codes — an eighth of the key space
+ZQ_PROBE_S = (128, 191)  #: l_suppkey codes — a quarter of the key space
+
+
+def _zq_oracle() -> str:
+    b, m = ZQ_BITS, (1 << ZQ_BITS) - 1
+
+    def code(col: str, mn: str, mx: str) -> str:
+        return (
+            f"LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - CAST({mn} AS DOUBLE)) "
+            f"/ CAST(({mx} - {mn}) AS DOUBLE) * {m}) AS BIGINT), 0), {m})"
+        )
+
+    z = " + ".join(
+        f"(((c1 >> {j}) & 1) << {2 * j + 1}) + (((c2 >> {j}) & 1) << {2 * j})"
+        for j in range(b)
+    )
+    pl, ph = ZQ_PROBE_P
+    sl, sh = ZQ_PROBE_S
+    return f"""
+    WITH bounds AS (SELECT MIN(l_partkey) AS p0, MAX(l_partkey) AS p1,
+                           MIN(l_suppkey) AS s0, MAX(l_suppkey) AS s1
+                    FROM lineitem),
+    coded AS (SELECT {code('l_partkey', 'p0', 'p1')} AS c1,
+                     {code('l_suppkey', 's0', 's1')} AS c2
+              FROM lineitem, bounds),
+    keyed AS (SELECT c1, c2, ({z}) AS z FROM coded),
+    lay AS (
+      SELECT 'zorder' AS layout, CAST(z >> {16 - 4} AS INT) AS file_id, c1, c2 FROM keyed
+      UNION ALL
+      SELECT 'linear', CAST(c1 >> {ZQ_BITS - 4} AS INT), c1, c2 FROM keyed)
+    SELECT layout, file_id, COUNT(*) AS n_rows,
+           MIN(c1) AS min_p, MAX(c1) AS max_p,
+           MIN(c2) AS min_s, MAX(c2) AS max_s,
+           CAST(CASE WHEN MIN(c1) <= {ph} AND MAX(c1) >= {pl} THEN 1 ELSE 0 END AS INT)
+             AS hit_probe_p,
+           CAST(CASE WHEN MIN(c2) <= {sh} AND MAX(c2) >= {sl} THEN 1 ELSE 0 END AS INT)
+             AS hit_probe_s
+    FROM lay GROUP BY layout, file_id
+    """
+
+
+@query("layout_zorder_skipping", oracle=_zq_oracle())
+def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering's data-skipping payoff, quantified and
+    oracle-checked (operators.layout.zorder_key — the Morton-curve
+    layout Delta/Iceberg OPTIMIZE ZORDER produces, re-expressed as
+    plain expressions): lineitem keys are quantized to {ZQ_BITS}-bit
+    codes from one broadcast min/max row (rank-free — no global
+    window/sort anywhere), bit-interleaved into the Morton index, and
+    bucketed into {ZQ_FILES} logical file ranges two ways — along the
+    z-curve and along a single-column sort. Each file's min-max cube
+    is then probed with two rectangles, exactly as a parquet reader
+    prunes row groups. The certified numbers show the trade: the
+    single-column layout prunes perfectly on ITS column and not at
+    all on the other (sf0.01: partkey probe touches 2/16 files,
+    supplier probe 16/16); the z-layout bounds BOTH dimensions
+    (4/16 files for EITHER probe). The physical twin
+    (repartitionByRange on z → parquet footer stats) is asserted in
+    tests/test_layout.py; this query certifies the curve math
+    cross-engine."""
+    from epe_data_wrangling_spark.operators.layout import _column_code, zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bounds = li.agg(
+        F.min("l_partkey").alias("p0"), F.max("l_partkey").alias("p1"),
+        F.min("l_suppkey").alias("s0"), F.max("l_suppkey").alias("s1"),
+    )
+    wb = li.crossJoin(F.broadcast(bounds))
+    c1 = _column_code("l_partkey", F.col("p0"), F.col("p1"), ZQ_BITS)
+    c2 = _column_code("l_suppkey", F.col("s0"), F.col("s1"), ZQ_BITS)
+    keyed = wb.select(
+        c1.alias("c1"), c2.alias("c2"),
+        zorder_key([c1, c2], ZQ_BITS).alias("z"),
+    )
+    both = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.shiftright(F.col("z"), 16 - 4).cast("int").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.shiftright(F.col("c1"), ZQ_BITS - 4).cast("int").alias("file_id"),
+                ),
+            )
+        ).alias("e"),
+        "c1",
+        "c2",
+    ).select("e.layout", "e.file_id", "c1", "c2")
+    pl, ph = ZQ_PROBE_P
+    sl, sh = ZQ_PROBE_S
+    return both.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c1").alias("min_p"), F.max("c1").alias("max_p"),
+        F.min("c2").alias("min_s"), F.max("c2").alias("max_s"),
+        F.when((F.min("c1") <= ph) & (F.max("c1") >= pl), 1).otherwise(0)
+        .cast("int").alias("hit_probe_p"),
+        F.when((F.min("c2") <= sh) & (F.max("c2") >= sl), 1).otherwise(0)
+        .cast("int").alias("hit_probe_s"),
+    )

@@ -232,3 +232,91 @@ def binned_interval_join(
         )
         .drop("_bin")
     )
+
+
+# ---- Bloom-filter join pre-filtering (runtime-filter pattern) --------
+
+BLOOM_M_BITS = 2048  #: default filter size (32 × 64-bit words)
+BLOOM_K = 3  #: hash functions
+
+
+def _bloom_pos_sql(key_col: str, m_bits: int, k: int) -> list[str]:
+    """k independent bit positions for a key, as SQL expression text:
+    first 8 md5 hex digits of 'bloom{j}|<key>' as an integer, mod
+    m_bits — the same md5-prefix integer hash family the MinHash/LSH
+    operators use (portable: any engine with md5 computes identical
+    bits). SQL text rather than Column objects because the shift
+    amount below is data-dependent and the Python ``shiftleft``
+    wrapper only takes literal shift counts."""
+    return [
+        f"(CAST(conv(substring(md5(CAST(concat('bloom{j}|', "
+        f"CAST({key_col} AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) "
+        f"% {m_bits})"
+        for j in range(k)
+    ]
+
+
+def _bloom_word_mask_sql(p: str) -> tuple[str, str]:
+    """(word index, word bitmask) SQL for a bit-position expression.
+    Words hold 63 bits, not 64: bit 63 of a signed BIGINT is the sign
+    bit and ``1 << 63`` is a checked overflow in DuckDB — the oracle
+    side must build the identical filter, so both engines stay on
+    shift counts 0..62."""
+    w = f"CAST(({p} DIV 63) AS INT)"
+    m = f"shiftleft(CAST(1 AS BIGINT), CAST(({p} % 63) AS INT))"
+    return w, m
+
+
+def bloom_build(
+    dim: DataFrame, key_col: str, *, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K
+) -> DataFrame:
+    """Build a Bloom filter over ``dim[key_col]`` as a (w, m) word
+    relation: each key sets ``k`` bits; words are OR-merged with a
+    ``bit_or`` aggregate. The build is one shuffle of ≤ m_bits/64
+    groups regardless of dim size — at 100 TB the filter is built by
+    partial aggregation (every executor ORs its local bits first),
+    which is exactly how engines build runtime filters."""
+    structs = []
+    for p in _bloom_pos_sql(key_col, m_bits, k):
+        w, m = _bloom_word_mask_sql(p)
+        structs.append(f"struct({w} AS w, {m} AS m)")
+    entries = dim.selectExpr(
+        f"explode(array({', '.join(structs)})) AS e"
+    ).select("e.w", "e.m")
+    return entries.groupBy("w").agg(F.bit_or("m").alias("m"))
+
+
+def bloom_flag_fact(
+    fact: DataFrame,
+    dim: DataFrame,
+    *,
+    dim_key: str,
+    fact_key: str,
+    m_bits: int = BLOOM_M_BITS,
+    k: int = BLOOM_K,
+    flag: str = "_bloom_pass",
+) -> DataFrame:
+    """Tag every fact row with Bloom membership of ``fact_key`` in the
+    dim-side key set — the runtime-filter pattern: the ≤ m_bits/64-word
+    filter is broadcast as ONE map value, membership is a pure
+    map-side expression, and ``.filter(flag)`` prunes fact rows
+    BEFORE any join shuffle. No false negatives by construction
+    (every true key's bits are set); false positives are re-checked
+    by the real join that follows, so correctness never depends on
+    the filter. Worth it at 100 TB whenever the dim side is too big
+    to broadcast as ROWS (forcing a sort-merge join) but its key
+    FINGERPRINT still fits in kilobytes — the fact rows that survive
+    are the only ones that pay the shuffle. Spark's own
+    InjectRuntimeFilter does this automatically when stats allow;
+    this operator is the explicit, stats-independent form."""
+    bm = bloom_build(dim, dim_key, m_bits=m_bits, k=k).agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("w", "m")))).alias("_bm")
+    )
+    checks = []
+    for p in _bloom_pos_sql(fact_key, m_bits, k):
+        w, m = _bloom_word_mask_sql(p)
+        checks.append(
+            f"((coalesce(element_at(_bm, {w}), CAST(0 AS BIGINT)) & {m}) != 0)"
+        )
+    cond = F.expr(" AND ".join(checks))
+    return fact.crossJoin(F.broadcast(bm)).withColumn(flag, cond).drop("_bm")

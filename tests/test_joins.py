@@ -117,3 +117,76 @@ def test_asof_forward_semantics(spark):
     assert out[4] == (_ts("2020-01-01 00:30:00"), 21, 21.0)
     assert out[5] == (None, None, None)
     assert len(out) == 5
+
+
+def test_bloom_prefilter_no_false_negatives_and_mapside(spark):
+    """bloom_flag_fact: (1) every true-matching fact row passes the
+    filter (no false negatives — the invariant that lets the real
+    join re-check false positives without ever losing rows); (2) the
+    flagged fact plan has NO shuffle on the fact side — the filter
+    must be a map-side expression over a 1-row broadcast, or it
+    wouldn't be a pre-SHUFFLE prune at scale."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.operators.joins import bloom_flag_fact
+
+    dim = spark.range(0, 500, 7).select(F.col("id").alias("k"))  # 72 keys
+    fact = spark.range(0, 5000).select((F.col("id") % 500).alias("fk"))
+    flagged = bloom_flag_fact(fact, dim, dim_key="k", fact_key="fk")
+    rows = flagged.collect()
+    true_keys = {r.k for r in dim.collect()}
+    false_neg = [r for r in rows if r.fk in true_keys and not r._bloom_pass]
+    assert not false_neg
+    # false positives exist in principle but must be rare (2048 bits,
+    # 72 keys, k=3 → fp ≈ (1-e^(-216/2048))^3 ≈ 0.1%)
+    n_fp = sum(1 for r in rows if r.fk not in true_keys and r._bloom_pass)
+    assert n_fp <= len(rows) * 0.05
+    # plan: fact side reaches the bloom check without an Exchange
+    # (the only broadcast is the 1-row filter map)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    fact_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange" not in fact_side, fact_side
+
+
+def test_native_runtime_bloom_filter_injects(spark):
+    """Spark's own InjectRuntimeFilter produces the same pattern
+    automatically when thresholds allow — pin that the engine-native
+    path is available (bloomFilter enabled) and injects a
+    might_contain probe for a selective dim join once the size
+    thresholds are lowered to test scale. If a Spark upgrade changes
+    these conf names or the plan shape, this fails loudly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ so the filter matters
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    tmp = f"/tmp/bloom_native_{uuid.uuid4().hex}"
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(0, 100_000).select(
+            F.col("id").alias("fk"), (F.col("id") % 97).alias("pay")
+        ).write.parquet(f"{tmp}/fact")
+        spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("attr")
+        ).write.parquet(f"{tmp}/dim")
+        fact = spark.read.parquet(f"{tmp}/fact")
+        dim = spark.read.parquet(f"{tmp}/dim").filter(F.col("attr") == 3)
+        joined = fact.join(dim, fact.fk == dim.k)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
