@@ -98,13 +98,17 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Valid while the rank vector fits an executor (~16k nodes
         # here; fine to ~10^8); past that, pre-partition edges and
         # rank on src once and reuse the co-location instead.
-        contrib = (
-            edges.join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
-            .join(F.broadcast(outdeg), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.round(F.col("r") / F.col("deg"), 12).cast("decimal(28,12)").alias("c"),
-            )
+        # rank÷degree is a per-NODE quantity: join the two node-sized
+        # vectors first and divide once per node, so the edge scan
+        # pays ONE broadcast join and no per-edge division (was two
+        # broadcasts + m divisions; same doubles, same hash)
+        share = (
+            r.withColumnRenamed("node", "src")
+            .join(outdeg, "src")
+            .select("src", F.round(F.col("r") / F.col("deg"), 12).cast("decimal(28,12)").alias("c"))
+        )
+        contrib = edges.join(F.broadcast(share), "src").select(
+            F.col("dst").alias("node"), "c"
         )
         s = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("s"))
         r = (

@@ -487,3 +487,24 @@ def test_adpcm_roundtrip_bound_random_lengths(aid, n)  :
     assert len(samples) == n
     for i in range(n):
         assert abs(samples[i] - adpcm_sample(i, aid)) <= 1
+
+
+@given(st.integers(0, 500), st.integers(16, 300), st.integers(5, 80))
+@settings(max_examples=25, deadline=None)
+def test_adpcm_multiblock_roundtrip_and_truncation(aid, n, spb):
+    """Multi-block IMA streams (random block sizes, incl. spb > n and
+    non-dividing spb with padded tails): every real sample decodes
+    within ±1 and the fact chunk trims the tail pad exactly; any
+    byte-prefix truncation must degrade gracefully (None or fewer
+    samples), never raise — the mapInPandas decode contract."""
+    from epe_data_wrangling_spark.multimodal.assets import adpcm_sample, make_adpcm_wav
+    from epe_data_wrangling_spark.multimodal.decode import decode_adpcm_wav
+
+    b = make_adpcm_wav(aid, n=n, samples_per_block=spb)
+    rate, samples = decode_adpcm_wav(b)
+    assert rate == 8000 and len(samples) == n
+    for i in range(n):
+        assert abs(samples[i] - adpcm_sample(i, aid)) <= 1, (i, spb)
+    for cut in (0, 11, 12, 20, len(b) // 2, len(b) - 1):
+        out = decode_adpcm_wav(b[:cut])
+        assert out is None or len(out[1]) <= n
