@@ -2477,7 +2477,7 @@ def collation_case_insensitive_groups(spark: SparkSession, sf_dir: str) -> DataF
 # ---- Bloom-filter join pre-filtering ----------------------------------
 
 BLOOM_DIM_BRAND = "Brand#12"  #: selective dim predicate (~4% of parts)
-JOIN_BLOOM_M = 2048  #: filter bits (32 × 64-bit words)
+JOIN_BLOOM_M = 2048  #: filter bits (33 × 63-bit words)
 JOIN_BLOOM_K = 3  #: hash functions
 
 
@@ -2532,7 +2532,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators.joins.bloom_build/bloom_flag_fact): the keys of a
     selective dimension subset (p_brand = '{BLOOM_DIM_BRAND}') are
     fingerprinted into a {JOIN_BLOOM_M}-bit / {JOIN_BLOOM_K}-hash
-    Bloom filter — built by a bit_or aggregate that shuffles ≤ 32
+    Bloom filter — built by a bit_or aggregate that shuffles ≤ 33
     words no matter how large the dim is — then broadcast as ONE map
     value and evaluated as a pure map-side expression over the fact
     scan. At 100 TB this prunes fact rows BEFORE the join shuffle

@@ -578,7 +578,12 @@ def layout_compaction_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- Z-order layout skipping audit -----------------------------------
 
 ZQ_BITS = 8  #: bits per column code (256 cells/dim; 16-bit Morton key)
-ZQ_FILES = 16  #: logical file ranges per layout
+ZQ_FILES = 16  #: logical file ranges per layout (power of two)
+ZQ_FILE_BITS = ZQ_FILES.bit_length() - 1  #: log2(ZQ_FILES)
+#: bucket shifts, derived so constants can't desync from behavior:
+#: Morton key has 2·ZQ_BITS bits, a single-column code ZQ_BITS
+ZQ_Z_SHIFT = 2 * ZQ_BITS - ZQ_FILE_BITS
+ZQ_C_SHIFT = ZQ_BITS - ZQ_FILE_BITS
 #: probe rectangles in CODE space (closed ranges)
 ZQ_PROBE_P = (64, 95)  #: l_partkey codes — an eighth of the key space
 ZQ_PROBE_S = (128, 191)  #: l_suppkey codes — a quarter of the key space
@@ -608,9 +613,9 @@ def _zq_oracle() -> str:
               FROM lineitem, bounds),
     keyed AS (SELECT c1, c2, ({z}) AS z FROM coded),
     lay AS (
-      SELECT 'zorder' AS layout, CAST(z >> {16 - 4} AS INT) AS file_id, c1, c2 FROM keyed
+      SELECT 'zorder' AS layout, CAST(z >> {ZQ_Z_SHIFT} AS INT) AS file_id, c1, c2 FROM keyed
       UNION ALL
-      SELECT 'linear', CAST(c1 >> {ZQ_BITS - 4} AS INT), c1, c2 FROM keyed)
+      SELECT 'linear', CAST(c1 >> {ZQ_C_SHIFT} AS INT), c1, c2 FROM keyed)
     SELECT layout, file_id, COUNT(*) AS n_rows,
            MIN(c1) AS min_p, MAX(c1) AS max_p,
            MIN(c2) AS min_s, MAX(c2) AS max_s,
@@ -660,11 +665,11 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 F.struct(
                     F.lit("zorder").alias("layout"),
-                    F.shiftright(F.col("z"), 16 - 4).cast("int").alias("file_id"),
+                    F.shiftright(F.col("z"), ZQ_Z_SHIFT).cast("int").alias("file_id"),
                 ),
                 F.struct(
                     F.lit("linear").alias("layout"),
-                    F.shiftright(F.col("c1"), ZQ_BITS - 4).cast("int").alias("file_id"),
+                    F.shiftright(F.col("c1"), ZQ_C_SHIFT).cast("int").alias("file_id"),
                 ),
             )
         ).alias("e"),

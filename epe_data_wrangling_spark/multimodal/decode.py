@@ -1174,9 +1174,12 @@ def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]] | None:
             fmt = body
         elif tag == b"data":
             data = body
-        elif tag == b"fact" and ln >= 4:
+        elif tag == b"fact" and len(body) >= 4:
             # dwSampleLength — total REAL samples; required for
-            # compressed WAVE formats, trims the final block's pad
+            # compressed WAVE formats, trims the final block's pad.
+            # Guard on the CLAMPED body, not the declared ln: a
+            # truncated buffer may end mid-chunk and this decoder
+            # never raises on truncation.
             (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + ln + (ln & 1)
     if fmt is None or data is None or len(fmt) < 16:
@@ -1194,8 +1197,9 @@ def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]] | None:
         (cb,) = struct.unpack_from("<H", fmt, 16)
         if cb >= 2:
             (samples_per_block,) = struct.unpack_from("<H", fmt, 18)
-    if block_align < 5:
+    if block_align < 4:
         block_align = len(data)  # degenerate header: treat as one block
+        # (4 is valid — header-only blocks, one sample each)
     samples: list[int] = []
     for start in range(0, len(data), block_align):
         block = data[start : start + block_align]

@@ -236,7 +236,7 @@ def binned_interval_join(
 
 # ---- Bloom-filter join pre-filtering (runtime-filter pattern) --------
 
-BLOOM_M_BITS = 2048  #: default filter size (32 × 64-bit words)
+BLOOM_M_BITS = 2048  #: default filter size (33 × 63-bit words — see _bloom_word_mask_sql)
 BLOOM_K = 3  #: hash functions
 
 
@@ -272,17 +272,23 @@ def bloom_build(
 ) -> DataFrame:
     """Build a Bloom filter over ``dim[key_col]`` as a (w, m) word
     relation: each key sets ``k`` bits; words are OR-merged with a
-    ``bit_or`` aggregate. The build is one shuffle of ≤ m_bits/64
+    ``bit_or`` aggregate. The build is one shuffle of ≤ ⌈m_bits/63⌉
     groups regardless of dim size — at 100 TB the filter is built by
     partial aggregation (every executor ORs its local bits first),
-    which is exactly how engines build runtime filters."""
+    which is exactly how engines build runtime filters.
+
+    NULL dim keys are dropped before hashing: a NULL never matches an
+    equi-join, and a NULL word index would poison the broadcast map
+    (map keys cannot be null)."""
     structs = []
     for p in _bloom_pos_sql(key_col, m_bits, k):
         w, m = _bloom_word_mask_sql(p)
         structs.append(f"struct({w} AS w, {m} AS m)")
-    entries = dim.selectExpr(
-        f"explode(array({', '.join(structs)})) AS e"
-    ).select("e.w", "e.m")
+    entries = (
+        dim.filter(F.col(key_col).isNotNull())
+        .selectExpr(f"explode(array({', '.join(structs)})) AS e")
+        .select("e.w", "e.m")
+    )
     return entries.groupBy("w").agg(F.bit_or("m").alias("m"))
 
 
@@ -297,7 +303,7 @@ def bloom_flag_fact(
     flag: str = "_bloom_pass",
 ) -> DataFrame:
     """Tag every fact row with Bloom membership of ``fact_key`` in the
-    dim-side key set — the runtime-filter pattern: the ≤ m_bits/64-word
+    dim-side key set — the runtime-filter pattern: the ≤ ⌈m_bits/63⌉-word
     filter is broadcast as ONE map value, membership is a pure
     map-side expression, and ``.filter(flag)`` prunes fact rows
     BEFORE any join shuffle. No false negatives by construction
@@ -318,5 +324,7 @@ def bloom_flag_fact(
         checks.append(
             f"((coalesce(element_at(_bm, {w}), CAST(0 AS BIGINT)) & {m}) != 0)"
         )
-    cond = F.expr(" AND ".join(checks))
+    # NULL fact keys hash to NULL positions → NULL conjunction; pin
+    # them to false (a NULL key can't equi-match, so don't pass it)
+    cond = F.coalesce(F.expr(" AND ".join(checks)), F.lit(False))
     return fact.crossJoin(F.broadcast(bm)).withColumn(flag, cond).drop("_bm")

@@ -47,20 +47,41 @@ def test_catalog_is_reasonably_large_and_named():
     assert all(q.doc for q in qs.values()), "every query needs a docstring"
 
 
-def test_rotation_window_disjoint_from_r3_except_anchors():
-    """The round-3 verdict's rotation contract: ~10 anchors persist,
-    every other window slot goes to a query with no prior driver
-    CORRECTNESS row. Guard the non-anchor slots against accidentally
-    re-certifying already-certified queries (which would waste the
-    round's certification breadth)."""
+#: window slots that intentionally repeat a certified query — only a
+#: query whose prior driver row was RED (hash_match false) may appear
+#: here, to earn a green row after its oracle fix
+RECERTIFY = {"variant_shred_events"}  # r4 red: canonical-JSON oracle
+
+
+def test_rotation_window_disjoint_from_all_certified_except_anchors():
+    """The rotation contract: ~10 anchors persist, every other window
+    slot goes to a query with no prior driver CORRECTNESS row — from
+    ANY round (the r4 guard only checked r3, so an r1/r2/r4 repeat
+    would have slipped through and wasted a certification slot).
+    Red rows are exempt via RECERTIFY: a failed check earns a re-run
+    once its oracle is fixed, and each such entry must actually be
+    red in some round's record."""
+    import glob
     import json
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r03.json")
-    r3 = set(json.load(open(path)))
+    root = os.path.join(os.path.dirname(__file__), "..")
+    certified: set[str] = set()
+    red: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            certified.add(name)
+            if not (
+                row.get("hash_match", True)
+                and row.get("rows_match", True)
+                and row.get("schema_match", True)
+            ) or row.get("err"):
+                red.add(name)
     rotated = set(PRIORITY_ORDER[10:])
-    overlap = rotated & r3
-    assert not overlap, f"non-anchor window slots repeat r3-certified queries: {overlap}"
+    overlap = rotated & certified - RECERTIFY
+    assert not overlap, f"non-anchor window slots repeat certified queries: {overlap}"
+    not_red = RECERTIFY - red
+    assert not not_red, f"RECERTIFY entries were never red: {not_red}"
 
 
 def test_rotation_backlog_is_registered_and_disjoint():

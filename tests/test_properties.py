@@ -489,7 +489,7 @@ def test_adpcm_roundtrip_bound_random_lengths(aid, n)  :
         assert abs(samples[i] - adpcm_sample(i, aid)) <= 1
 
 
-@given(st.integers(0, 500), st.integers(16, 300), st.integers(5, 80))
+@given(st.integers(0, 500), st.integers(16, 300), st.integers(1, 80))
 @settings(max_examples=25, deadline=None)
 def test_adpcm_multiblock_roundtrip_and_truncation(aid, n, spb):
     """Multi-block IMA streams (random block sizes, incl. spb > n and
