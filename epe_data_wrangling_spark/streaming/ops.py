@@ -190,29 +190,55 @@ def run_to_memory(
     *,
     output_mode: str = "complete",
     timeout_sec: int = 300,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Execute a streaming plan to completion with availableNow and
     return the materialized result as a batch DataFrame.
 
     This is the bridge that lets streaming queries participate in the
     driver's collect-and-compare contract: process everything
-    available, one final state flush, read the memory sink back."""
+    available, one final state flush, read the memory sink back.
+
+    ``state_partitions`` sizes the stateful shuffle for THIS query
+    (applied to ``spark.sql.shuffle.partitions`` around start and
+    restored): streaming has no AQE, the state-store partition count
+    is frozen into the first checkpoint, and every partition pays
+    per-micro-batch store/commit overhead — so a production job sizes
+    it to expected KEY CARDINALITY at submission, exactly what this
+    parameter models. The harness corpora carry thousands of state
+    keys at most, where 8 right-sizes; pass None to inherit the
+    session setting (measured at sf0.1: 32 partitions cost ~2× the
+    wall-time of 8 on the tumbling query, all of it fixed per-
+    partition state overhead). Results are partition-count-invariant
+    either way."""
+    spark = result.sparkSession
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            # never hand back a partially-filled sink as if complete
-            raise TimeoutError(f"streaming query {name!r} still running after {timeout_sec}s")
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                # never hand back a partially-filled sink as if complete
+                raise TimeoutError(
+                    f"streaming query {name!r} still running after {timeout_sec}s"
+                )
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        # restore only after the query is fully done: micro-batch
+        # planning reads the conf asynchronously after start()
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return result.sparkSession.table(name)
 
 

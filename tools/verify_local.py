@@ -63,8 +63,18 @@ def table_digest(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    window_only = "--window" in args
+    if window_only:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if window_only:
+        # exactly what the external driver checks: the first 50
+        # catalog entries (catalog.PRIORITY_ORDER)
+        from epe_data_wrangling_spark.catalog import PRIORITY_ORDER
+
+        only |= set(PRIORITY_ORDER)
 
     con = duckdb.connect()
     for t in TABLES:
