@@ -132,11 +132,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           {D.cosine('a.v', 'b.v')} AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {D.cosine('a.v', 'b.v')} >= 0.45
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                 {D.cosine('a.v', 'b.v')} AS cos_sim
+          FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    SELECT a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.45
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
