@@ -305,9 +305,11 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reduction ratio (fraction of the n(n−1)/2 all-pairs space the
     blocker never touches). The exact all-pairs truth set is the
     VERIFICATION twin — O(n²) Levenshtein, bounded to the first
-    {LINKAGE_AUDIT_MAX_KEY} keys (whole table at sf0.01; a fixed
-    labeled sample at larger SFs, where the unbounded twin cost the
-    r5 sf0.1 sweep ~30 min of single-query DuckDB time), same
+    {LINKAGE_AUDIT_MAX_KEY} keys — c_custkey starts at 0, so the
+    bound is exactly {LINKAGE_AUDIT_MAX_KEY} rows — (whole table at
+    sf0.01; a fixed labeled sample at larger SFs, where the
+    unbounded twin cost the r5 sf0.1 sweep ~13 min of single-query
+    DuckDB time), same
     demotion pattern as dedup's brute-force twins; the blocked
     candidate join is the scale path. Mirrors ann_recall_report's
     approximate-vs-exact accounting into the linkage family."""

@@ -210,7 +210,10 @@ def run_to_memory(
     session setting (measured at sf0.1: 32 partitions cost ~2× the
     wall-time of 8 on the tumbling query, all of it fixed per-
     partition state overhead). Results are partition-count-invariant
-    either way."""
+    either way. The set/restore mutates the SHARED session conf:
+    safe for the sequential harness/driver, but callers running
+    queries concurrently on one session should pass None and size
+    the session conf themselves."""
     spark = result.sparkSession
     checkpoint = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")

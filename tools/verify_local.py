@@ -8,7 +8,9 @@ unknown; this is intentionally strict (string-exact after canonical
 formatting) so anything passing here should pass any reasonable
 driver comparison.
 
-Usage: python tools/verify_local.py [sf_dir] [query ...]
+Usage: python tools/verify_local.py [--window] [sf_dir] [query ...]
+  --window  also include the driver's 50-query certification window
+            (catalog.PRIORITY_ORDER) in the selection
 """
 
 from __future__ import annotations
@@ -67,7 +69,15 @@ def main() -> int:
     window_only = "--window" in args
     if window_only:
         args.remove("--window")
+    import os
+
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    if args and not os.path.isdir(sf_dir):
+        print(
+            f"error: first positional arg must be an sf dir, got {sf_dir!r}\n"
+            "usage: verify_local.py [--window] [sf_dir] [query ...]"
+        )
+        return 2
     only = set(args[1:])
     if window_only:
         # exactly what the external driver checks: the first 50
@@ -82,6 +92,12 @@ def main() -> int:
 
     spark = get_spark(app_name="verify_local")
     qs = all_queries()
+    unknown = only - qs.keys()
+    if unknown:
+        # a typo'd name must never yield a green '0 failures' run
+        # that verified nothing
+        print(f"error: unknown queries: {sorted(unknown)}")
+        return 2
     failures = []
     for name, q in sorted(qs.items()):
         if only and name not in only:
