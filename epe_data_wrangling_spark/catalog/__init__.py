@@ -238,6 +238,7 @@ ROTATION_BACKLOG = [
     # --- r5 additions (never-certified; window candidates for r6+)
     "join_bloom_prefilter",
     "layout_zorder_skipping",
+    "sql_scripting_bisect_threshold",
 ]
 
 

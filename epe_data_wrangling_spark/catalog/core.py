@@ -2573,3 +2573,98 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("double").alias("revenue_matched"),
     )
+
+
+# ---- SQL scripting (procedural SQL) -----------------------------------
+
+BISECT_ITERS = 24  #: halvings of the 2^20 bracket → ~0.06 currency units
+BISECT_HI = 1048576.0  #: 2^20, above any o_totalprice; exact-binary bracket
+BISECT_SHARE = 0.1  #: find the threshold with this share of orders above
+
+
+def _bisect_oracle() -> str:
+    steps = [
+        "tgt AS (SELECT CAST(FLOOR(COUNT(*) * {s}) AS BIGINT) AS t FROM orders)".format(
+            s=BISECT_SHARE
+        ),
+        f"s0 AS (SELECT CAST(0.0 AS DOUBLE) AS lo, CAST({BISECT_HI} AS DOUBLE) AS hi)",
+    ]
+    for i in range(BISECT_ITERS):
+        steps.append(
+            f"""s{i + 1} AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM orders
+                        WHERE o_totalprice > (s{i}.lo + s{i}.hi) / 2) > tgt.t
+                  THEN (s{i}.lo + s{i}.hi) / 2 ELSE s{i}.lo END AS lo,
+             CASE WHEN (SELECT COUNT(*) FROM orders
+                        WHERE o_totalprice > (s{i}.lo + s{i}.hi) / 2) > tgt.t
+                  THEN s{i}.hi ELSE (s{i}.lo + s{i}.hi) / 2 END AS hi
+      FROM s{i} CROSS JOIN tgt)"""
+        )
+    chain = ",\n    ".join(steps)
+    last = f"s{BISECT_ITERS}"
+    return f"""
+    WITH {chain}
+    SELECT round({last}.hi, 6) AS threshold,
+           tgt.t AS target_count,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice > {last}.hi) AS n_above,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders
+    FROM {last} CROSS JOIN tgt
+    """
+
+
+@query("sql_scripting_bisect_threshold", oracle=_bisect_oracle())
+def sql_scripting_bisect_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (SPARK-48338: BEGIN…END compound
+    statements, DECLAREd session variables, WHILE/IF control flow) as
+    engine surface — a procedural convergence loop written entirely
+    in SQL: bisect the order-value threshold whose exceedance share
+    is {BISECT_SHARE} ({BISECT_ITERS} halvings of an exact-binary
+    [0, 2^20] bracket, so every midpoint is exactly representable
+    and both engines walk bit-identical brackets). Each iteration's
+    probe is a FULL Catalyst query (count over a pushed-down
+    predicate scan) and the loop state is O(1) scalars in SQL
+    variables — the driver-free shape of backfill/convergence jobs
+    at 100 TB, where per-iteration work is a distributed scan and
+    the only driver traffic is the loop scalar. The oracle unrolls
+    the same {BISECT_ITERS} steps as chained CTEs. (Exact quantiles
+    do this in one pass — see agg_exact_median_distributed; the
+    subject here is the scripting control flow, certified by the
+    bracket landing on the same value cross-engine.)"""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "orders")
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(f"""
+        BEGIN
+          DECLARE lo DOUBLE = 0.0;
+          DECLARE hi DOUBLE = {BISECT_HI};
+          DECLARE mid DOUBLE = 0.0;
+          DECLARE cnt BIGINT = 0;
+          DECLARE tgt BIGINT = 0;
+          DECLARE i INT = 0;
+          SET tgt = (SELECT CAST(FLOOR(COUNT(*) * {BISECT_SHARE}) AS BIGINT)
+                     FROM orders);
+          WHILE i < {BISECT_ITERS} DO
+            SET mid = (lo + hi) / 2;
+            SET cnt = (SELECT COUNT(*) FROM orders WHERE o_totalprice > mid);
+            IF cnt > tgt THEN
+              SET lo = mid;
+            ELSE
+              SET hi = mid;
+            END IF;
+            SET i = i + 1;
+          END WHILE;
+          SELECT round(hi, 6) AS threshold,
+                 tgt AS target_count,
+                 (SELECT COUNT(*) FROM orders WHERE o_totalprice > hi) AS n_above,
+                 (SELECT COUNT(*) FROM orders) AS n_orders;
+        END
+        """)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
