@@ -131,7 +131,9 @@ class WorkbookCellReader(DataSourceReader):
 
 
 class WorkbookDataSource(DataSource):
-    """``spark.read.format("workbook").load(path)`` → cell relation."""
+    """``spark.read.format("workbook").load(path)`` → cell relation;
+    ``df.write.format("workbook").save(path)`` → sharded .xlsx export
+    (one workbook per non-empty partition, two-phase commit)."""
 
     @classmethod
     def name(cls) -> str:
@@ -145,6 +147,9 @@ class WorkbookDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "WorkbookStreamReader":
         return WorkbookStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WorkbookShardWriter":
+        return WorkbookShardWriter(self.options, schema, overwrite)
 
 
 def register(spark) -> None:
@@ -237,3 +242,94 @@ def grids_from_cells(cells_df) -> dict[str, list]:
             [cs.get((r, c)) for c in range(n_cols)] for r in range(n_rows)
         ]
     return grids
+
+
+# ---- batch write: sharded .xlsx export (two-phase commit) ------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    tmp_name: str | None  #: file in _temporary/, None for empty partitions
+    n_rows: int
+
+
+class WorkbookShardWriter(DataSourceWriter):
+    """``df.write.format("workbook").save(dir)`` — the WRITE twin of
+    the cell-relation reader (Python Data Source API): every
+    non-empty partition serializes its rows to ONE real .xlsx shard
+    (header row = schema field names, cells as text — the same
+    all-text grid contract the readers emit), executor-side via the
+    stdlib OOXML writer. Correctness story is the standard
+    TWO-PHASE COMMIT of distributed sinks: tasks write to
+    ``_temporary/`` under task-unique names, and only the driver's
+    ``commit`` — which runs once, after every task succeeded —
+    publishes shards as ``part-NNNN.xlsx`` plus a ``_SUCCESS``
+    manifest (shard → row count). A failed/retried/speculative task
+    leaves at most an orphan temp file that ``abort`` (or the next
+    overwrite) clears; readers never observe partial output. At
+    100 TB the same protocol ships petabytes to object storage —
+    here it ships workbooks to the analysts the reference's RDS
+    artifact was for."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("workbook writer requires a path: .save('<dir>')")
+        self.path = path
+        self.field_names = list(schema.fieldNames())
+        self.overwrite = overwrite
+        self.sheet = options.get("sheet", "data")
+        os.makedirs(os.path.join(path, "_temporary"), exist_ok=True)
+
+    def write(self, iterator) -> _ShardCommit:
+        import uuid
+
+        from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+
+        rows = list(iterator)
+        if not rows:
+            return _ShardCommit(tmp_name=None, n_rows=0)
+        grid = [list(self.field_names)] + [
+            ["" if v is None else str(v) for v in row] for row in rows
+        ]
+        # executors may not share the driver's mkdir (shared-FS/local
+        # mode they do; keep the write self-sufficient regardless)
+        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+        tmp_name = f"{uuid.uuid4().hex}.xlsx"
+        write_xlsx(
+            os.path.join(self.path, "_temporary", tmp_name), {self.sheet: grid}
+        )
+        return _ShardCommit(tmp_name=tmp_name, n_rows=len(rows))
+
+    def commit(self, messages) -> None:
+        import json
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.lower().endswith(_EXTS):
+                    os.remove(os.path.join(self.path, f))
+        manifest = {}
+        shard = 0
+        for m in messages:
+            if m.tmp_name is None:
+                continue
+            final = f"part-{shard:04d}.xlsx"
+            os.replace(
+                os.path.join(self.path, "_temporary", m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            manifest[final] = m.n_rows
+            shard += 1
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"shards": manifest, "n_rows": sum(manifest.values())}, f)
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)

@@ -179,3 +179,54 @@ def test_ragged_grid_rejected_at_emission():
     # rectangular grids (incl. all-None rows) still emit fine
     rows = _emit_sheet_cells("f.xlsx", 0, "S1", [["h1", "h2"], [None, None]])
     assert rows[0][3] == -1 and rows[0][6:] == (2, 2)
+
+
+def test_workbook_writer_round_trip_and_commit_protocol(spark, tmp_path):
+    """The write twin: df.write.format('workbook') must (1) publish
+    one real .xlsx shard per non-empty partition with a _SUCCESS
+    manifest and no _temporary leftovers (two-phase commit), and
+    (2) round-trip content through the workbook READER under the
+    all-text contract."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.spark_datasource import grids_from_cells
+
+    register(spark)
+    out = str(tmp_path / "export")
+    df = (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        )
+        .repartition(3)
+    )
+    df.write.format("workbook").mode("overwrite").save(out)
+
+    files = sorted(os.listdir(out))
+    shards = [f for f in files if f.startswith("part-") and f.endswith(".xlsx")]
+    assert shards and "_SUCCESS" in files and "_temporary" not in files
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == 20
+    assert set(manifest["shards"]) == set(shards)
+
+    # grids_from_cells reassembles ONE workbook (keyed by sheet name),
+    # so read each shard separately — every shard carries the same
+    # 'data' sheet by design
+    rows = []
+    for shard in shards:
+        cells = spark.read.format("workbook").load(os.path.join(out, shard))
+        [grid] = grids_from_cells(cells).values()
+        assert grid[0] == ["k", "s"]  # header row = schema names
+        rows += grid[1:]
+    assert sorted(rows) == sorted([[str(i), f"v{i}"] for i in range(20)])
+
+    # overwrite replaces prior shards, never appends to them
+    df.limit(5).repartition(1).write.format("workbook").mode("overwrite").save(out)
+    manifest2 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest2["n_rows"] == 5
+    shards2 = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".xlsx")]
+    assert set(manifest2["shards"]) == set(shards2)
