@@ -227,6 +227,26 @@ def main() -> None:
         lambda: cat["pagerank_trading_graph"].fn(spark, pr_dir),
     )
 
+    # r5 new operators at 10×: a mixed dir (10×-replicated fact
+    # tables + base dims, symlinked — zero copy) lets the catalog
+    # plans run unmodified against the enlarged inputs.
+    mix = f"{WORK}/mix"
+    os.makedirs(mix, exist_ok=True)
+    for name, src in (
+        ("lineitem.parquet", f"{WORK}/lineitem.parquet"),
+        ("orders.parquet", f"{WORK}/orders.parquet"),
+        ("part.parquet", os.path.join(base, "part.parquet")),
+    ):
+        dst = os.path.join(mix, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+    run("bloom_prefilter_6m_fact", lambda: cat["join_bloom_prefilter"].fn(spark, mix))
+    run("zorder_skipping_6m_rows", lambda: cat["layout_zorder_skipping"].fn(spark, mix))
+    run(
+        "sql_scripting_bisect_1m5_orders",
+        lambda: cat["sql_scripting_bisect_threshold"].fn(spark, mix),
+    )
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
