@@ -2590,15 +2590,17 @@ def _bisect_oracle() -> str:
         f"s0 AS (SELECT CAST(0.0 AS DOUBLE) AS lo, CAST({BISECT_HI} AS DOUBLE) AS hi)",
     ]
     for i in range(BISECT_ITERS):
+        # the probe count computes ONCE per step in the inner select;
+        # both CASE branches read it
         steps.append(
             f"""s{i + 1} AS (
-      SELECT CASE WHEN (SELECT COUNT(*) FROM orders
-                        WHERE o_totalprice > (s{i}.lo + s{i}.hi) / 2) > tgt.t
-                  THEN (s{i}.lo + s{i}.hi) / 2 ELSE s{i}.lo END AS lo,
-             CASE WHEN (SELECT COUNT(*) FROM orders
-                        WHERE o_totalprice > (s{i}.lo + s{i}.hi) / 2) > tgt.t
-                  THEN s{i}.hi ELSE (s{i}.lo + s{i}.hi) / 2 END AS hi
-      FROM s{i} CROSS JOIN tgt)"""
+      SELECT CASE WHEN cnt > t THEN mid ELSE lo END AS lo,
+             CASE WHEN cnt > t THEN hi ELSE mid END AS hi
+      FROM (SELECT s{i}.lo, s{i}.hi, (s{i}.lo + s{i}.hi) / 2 AS mid,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_totalprice > (s{i}.lo + s{i}.hi) / 2) AS cnt,
+                   tgt.t
+            FROM s{i} CROSS JOIN tgt))"""
         )
     chain = ",\n    ".join(steps)
     last = f"s{BISECT_ITERS}"

@@ -261,21 +261,34 @@ class WorkbookShardWriter(DataSourceWriter):
     """``df.write.format("workbook").save(dir)`` — the WRITE twin of
     the cell-relation reader (Python Data Source API): every
     non-empty partition serializes its rows to ONE real .xlsx shard
-    (header row = schema field names, cells as text — the same
-    all-text grid contract the readers emit), executor-side via the
-    stdlib OOXML writer. Correctness story is the standard
-    TWO-PHASE COMMIT of distributed sinks: tasks write to
-    ``_temporary/`` under task-unique names, and only the driver's
-    ``commit`` — which runs once, after every task succeeded —
-    publishes shards as ``part-NNNN.xlsx`` plus a ``_SUCCESS``
-    manifest (shard → row count). A failed/retried/speculative task
-    leaves at most an orphan temp file that ``abort`` (or the next
-    overwrite) clears; readers never observe partial output. At
-    100 TB the same protocol ships petabytes to object storage —
-    here it ships workbooks to the analysts the reference's RDS
-    artifact was for."""
+    (header row = schema field names, cells as text; NULLs pass
+    through as blank cells — the reader's None, not "" — so cell
+    content round-trips exactly; the header row pins the grid WIDTH
+    even when a whole column is null, though a fully-null TRAILING
+    data row has no cells to anchor it and does not survive a sparse
+    spreadsheet round trip), executor-side via the stdlib OOXML
+    writer. Correctness story is the standard TWO-PHASE COMMIT of
+    distributed sinks, with the Hadoop committer's job-scoped
+    staging: tasks write task-unique files under
+    ``_temporary/<job-uuid>/`` (concurrent jobs on one directory
+    cannot see or delete each other's staging), and only the
+    driver's ``commit`` — which runs once, after every task
+    succeeded — publishes shards as ``part-NNNN.xlsx`` plus a
+    ``_SUCCESS`` manifest (shard → row count). Commit ordering keeps
+    the manifest honest across crashes: the old ``_SUCCESS`` is
+    removed FIRST, so a crash mid-commit leaves a directory with no
+    manifest ("no committed output") rather than a manifest
+    describing deleted files. Append mode numbers new shards after
+    the existing maximum and merges the prior manifest; overwrite
+    replaces both. A failed/retried/speculative task leaves at most
+    an orphan staging file that ``abort`` clears. At 100 TB the same
+    protocol ships petabytes to object storage — here it ships
+    workbooks to the analysts the reference's RDS artifact was
+    for."""
 
     def __init__(self, options: dict, schema, overwrite: bool):
+        import uuid
+
         path = options.get("path")
         if not path:
             raise ValueError("workbook writer requires a path: .save('<dir>')")
@@ -283,7 +296,8 @@ class WorkbookShardWriter(DataSourceWriter):
         self.field_names = list(schema.fieldNames())
         self.overwrite = overwrite
         self.sheet = options.get("sheet", "data")
-        os.makedirs(os.path.join(path, "_temporary"), exist_ok=True)
+        self.staging = os.path.join(path, "_temporary", uuid.uuid4().hex)
+        os.makedirs(self.staging, exist_ok=True)
 
     def write(self, iterator) -> _ShardCommit:
         import uuid
@@ -294,42 +308,71 @@ class WorkbookShardWriter(DataSourceWriter):
         if not rows:
             return _ShardCommit(tmp_name=None, n_rows=0)
         grid = [list(self.field_names)] + [
-            ["" if v is None else str(v) for v in row] for row in rows
+            [None if v is None else str(v) for v in row] for row in rows
         ]
         # executors may not share the driver's mkdir (shared-FS/local
         # mode they do; keep the write self-sufficient regardless)
-        os.makedirs(os.path.join(self.path, "_temporary"), exist_ok=True)
+        os.makedirs(self.staging, exist_ok=True)
         tmp_name = f"{uuid.uuid4().hex}.xlsx"
-        write_xlsx(
-            os.path.join(self.path, "_temporary", tmp_name), {self.sheet: grid}
-        )
+        write_xlsx(os.path.join(self.staging, tmp_name), {self.sheet: grid})
         return _ShardCommit(tmp_name=tmp_name, n_rows=len(rows))
+
+    def _read_manifest(self) -> dict:
+        import json
+
+        p = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f).get("shards", {})
+        return {}
 
     def commit(self, messages) -> None:
         import json
-        import shutil
+        import re as _re
 
-        if self.overwrite:
-            for f in os.listdir(self.path):
-                if f.startswith("part-") and f.lower().endswith(_EXTS):
-                    os.remove(os.path.join(self.path, f))
-        manifest = {}
-        shard = 0
+        prior = {} if self.overwrite else self._read_manifest()
+        # 1. invalidate: no manifest may describe a directory in flux
+        try:
+            os.remove(os.path.join(self.path, "_SUCCESS"))
+        except FileNotFoundError:
+            pass
+        # 2. overwrite: clear previous shards (a crash here leaves a
+        #    manifest-less directory = "no committed output")
+        existing_idx = [-1]
+        for f in os.listdir(self.path):
+            m = _re.match(r"part-(\d+)\.xlsx$", f)
+            if not m:
+                continue
+            if self.overwrite:
+                os.remove(os.path.join(self.path, f))
+            else:
+                existing_idx.append(int(m.group(1)))
+        # 3. publish new shards (append: numbered after the max)
+        manifest = dict(prior)
+        shard = 0 if self.overwrite else max(existing_idx) + 1
         for m in messages:
             if m.tmp_name is None:
                 continue
             final = f"part-{shard:04d}.xlsx"
             os.replace(
-                os.path.join(self.path, "_temporary", m.tmp_name),
+                os.path.join(self.staging, m.tmp_name),
                 os.path.join(self.path, final),
             )
             manifest[final] = m.n_rows
             shard += 1
+        # 4. re-establish the manifest as the LAST step
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             json.dump({"shards": manifest, "n_rows": sum(manifest.values())}, f)
-        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+        self._clean_staging()
 
     def abort(self, messages) -> None:
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
         import shutil
 
-        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+        shutil.rmtree(self.staging, ignore_errors=True)
+        try:  # drop _temporary itself only when no other job is staging
+            os.rmdir(os.path.join(self.path, "_temporary"))
+        except OSError:
+            pass

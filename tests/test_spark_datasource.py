@@ -230,3 +230,39 @@ def test_workbook_writer_round_trip_and_commit_protocol(spark, tmp_path):
     assert manifest2["n_rows"] == 5
     shards2 = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".xlsx")]
     assert set(manifest2["shards"]) == set(shards2)
+
+    # append numbers new shards AFTER the existing max and merges the
+    # manifest — never clobbers published shards (r5 review finding)
+    df.limit(3).repartition(1).write.format("workbook").mode("append").save(out)
+    manifest3 = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest3["n_rows"] == 8
+    shards3 = [f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".xlsx")]
+    assert set(manifest3["shards"]) == set(shards3) and len(shards3) == 2
+    assert set(manifest2["shards"]) < set(manifest3["shards"])
+
+
+def test_workbook_writer_null_cells_round_trip(spark, tmp_path):
+    """NULLs must come back as the reader's None (blank cell), not ''
+    — and the header row pins the grid width even when an entire
+    column is null."""
+    import os
+
+    from epe_data_wrangling_spark.sources.spark_datasource import grids_from_cells
+
+    register(spark)
+    out = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [("a", None, None), (None, "b", None), ("c", "d", None)],
+        "x string, y string, all_null string",
+    ).coalesce(1)
+    df.write.format("workbook").mode("overwrite").save(out)
+    [shard] = [f for f in os.listdir(out) if f.endswith(".xlsx")]
+    cells = spark.read.format("workbook").load(os.path.join(out, shard))
+    [grid] = grids_from_cells(cells).values()
+    assert grid[0] == ["x", "y", "all_null"]
+    key = lambda r: [("" if v is None else "\x01" + v) for v in r]  # noqa: E731
+    assert sorted(grid[1:], key=key) == [
+        [None, "b", None],
+        ["a", None, None],
+        ["c", "d", None],
+    ]

@@ -229,7 +229,10 @@ def main() -> None:
 
     # r5 new operators at 10×: a mixed dir (10×-replicated fact
     # tables + base dims, symlinked — zero copy) lets the catalog
-    # plans run unmodified against the enlarged inputs.
+    # plans run unmodified against the enlarged inputs. NOTE: the
+    # orders replica is the ntile benchmark's 2-column projection
+    # (o_orderkey, o_totalprice) — enough for the bisect probe; a
+    # query touching other orders columns needs a full replica.
     mix = f"{WORK}/mix"
     os.makedirs(mix, exist_ok=True)
     for name, src in (
