@@ -153,3 +153,44 @@ def test_scd2_reuses_one_user_partitioning(spark):
     # must serve the chain (Spark reuses the partitioning; extra
     # exchanges would mean the windows re-shuffle per step)
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session enables spark.sql.adaptive.skewJoin — prove it
+    actually fires: a sort-merge join whose left side is dominated by
+    one hot key must show SortMergeJoin(skew=true) in the FINAL
+    adaptive plan (the hot partition split across tasks at runtime —
+    the AQE complement to the manual salted_join, which handles skew
+    the optimizer can't see in advance)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200_000).select(
+            F.lit(0).alias("k"), F.col("id").alias("payload")
+        )
+        uniform = spark.range(50_000).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("payload")
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = hot.unionAll(uniform).join(right.hint("merge"), "k")
+        assert len(j.collect()) == 250_000  # executes THIS df's query
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
