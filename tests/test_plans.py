@@ -194,3 +194,30 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning — the other star-schema essential at
+    100 TB (a date/region-partitioned fact scan must read only the
+    partitions the FILTERED dim selects, discovered at runtime via a
+    subquery on the dim): a partitioned-fact ⋈ filtered-dim join must
+    carry a dynamicpruning#NNN expression into the fact scan in both
+    the optimized and physical plans, and the pruned scan must read
+    only the matching partitions' rows."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path)
+    spark.range(100_000).select(
+        F.col("id"), (F.col("id") % 20).alias("pk")
+    ).write.partitionBy("pk").parquet(d + "/fact")
+    spark.range(20).select(
+        F.col("id").alias("pk"), (F.col("id") % 4).alias("grp")
+    ).write.parquet(d + "/dim")
+    fact = spark.read.parquet(d + "/fact")
+    dim = spark.read.parquet(d + "/dim").filter(F.col("grp") == 1)
+    j = fact.join(dim, "pk")
+    qe = j._jdf.queryExecution()
+    assert "dynamicpruning" in qe.optimizedPlan().toString().lower()
+    assert "dynamicpruning" in qe.executedPlan().toString().lower()
+    # 5 of 20 pk partitions survive grp==1 → exactly 1/4 of the rows
+    assert j.count() == 25_000
