@@ -205,8 +205,23 @@ def normalize_sheet_b(df: DataFrame, sheet: str) -> DataFrame:
         var_name="ano_mes",
         value_name="valor",
     )
-    parts = F.split("ano_mes", "_")
-    t = t.withColumn("data", make_month_date(parts.getItem(0), parts.getItem(1)))
+    # split ONCE into its own projection (R3, `R:188` separate):
+    # repeating split(ano_mes)[i] inside the date expression makes
+    # Catalyst's subexpression elimination emit a helper function
+    # whose parameter is the Expand operator's mutable-state slot —
+    # invalid Java ("UTF8String x[0]" as a parameter), so the whole
+    # fused stage fell back to interpreted execution (Janino
+    # CompileException; Spark codegen bug, Expand + CSE). A non-cheap
+    # alias in a separate projection survives CollapseProject, the
+    # downstream getItem accesses are plain attribute reads, and the
+    # stage compiles.
+    t = t.withColumn("_ano_mes_parts", F.split("ano_mes", "_"))
+    t = t.withColumn(
+        "data",
+        make_month_date(
+            F.col("_ano_mes_parts").getItem(0), F.col("_ano_mes_parts").getItem(1)
+        ),
+    ).drop("_ano_mes_parts")
     t = t.withColumn("atributo_4", typed_null("string"))
     return t.select(*NORMALIZED_COLS)
 
