@@ -15,6 +15,8 @@ python tools/verify_local.py /root/testdata/sf0.01
 if [ "$1" = "--full" ]; then
   echo "== oracle sweep sf0.1 =="
   python tools/verify_local.py /root/testdata/sf0.1
+  echo "== vanilla-ANSI drive (Spark 4 defaults) =="
+  python tools/vanilla_drive.py /root/testdata/sf0.01
 fi
 echo "== bench =="
 python bench.py
