@@ -5,7 +5,7 @@
 # headline bench.
 #
 #   sh tools/check_all.sh            # tests + sf0.01 sweep + bench
-#   sh tools/check_all.sh --full     # also sweep at sf0.1
+#   sh tools/check_all.sh --full     # also sweep at sf0.1 + vanilla-ANSI drive
 set -e
 cd "$(dirname "$0")/.."
 echo "== pytest =="

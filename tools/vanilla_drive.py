@@ -25,8 +25,19 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[24]")
         .config("spark.sql.shuffle.partitions", "24")
+        # the tuned session needs 8g for localCheckpoint-heavy
+        # trainers; keep parity so an OOM is never mistaken for an
+        # ANSI failure (conf must precede JVM launch — this tool runs
+        # standalone)
+        .config("spark.driver.memory", "8g")
         .appName("vanilla_drive")
         .getOrCreate()
+    )
+    # the whole point is Spark 4 DEFAULTS (ANSI on): a reused tuned
+    # session or a spark-defaults.conf flipping ANSI off would make
+    # every pass vacuous — fail loudly instead
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
+        "vanilla_drive requires ANSI mode; got a non-default session"
     )
     qs = all_queries()
     unknown = only - qs.keys()
