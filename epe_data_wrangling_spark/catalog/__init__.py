@@ -85,21 +85,22 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 
 
 #: Explicit catalog order. The external driver hash-checks the FIRST
-#: 50 entries only (observed rounds 1-4), so the head of this list is
+#: 50 entries only (observed rounds 1-5), so the head of this list is
 #: the externally-validated surface for the round. The window ROTATES
 #: each round: ~10 anchors stay pinned (one per operator family,
 #: regression canaries), and the other ~40 slots go to queries that
-#: have never earned a driver CORRECTNESS row. Rounds 1-4 certified
-#: 116 distinct queries; this round-5 window re-runs
-#: variant_shred_events (its r4 red row was an oracle-portability
-#: bug, fixed — structural round-trip now) and splices the backlog
-#: front plus the four remaining TPC-H classics (q7/q8/q15/q19, the
-#: r4 verdict's item 4). Remaining never-certified queries stay in
-#: ROTATION_BACKLOG for round 6+. Queries outside the window remain
+#: have never earned a driver CORRECTNESS row. Rounds 1-5 certified
+#: 154 distinct queries; this round-6 window re-runs the two r5 reds
+#: (variant_shred_events, xml_source_nations — both failed on the
+#: DuckDB-HUGEINT-final driver-canonicalization hazard, now fixed
+#: with CAST(... AS BIGINT) and guarded by the execute-and-type
+#: oracle lint in tests/test_render_canary.py) and splices
+#: ROTATION_BACKLOG[0:38]. Remaining never-certified queries stay in
+#: ROTATION_BACKLOG for round 7. Queries outside the window remain
 #: locally verified every round by tools/verify_local.py (the full
 #: DuckDB-differential sweep).
 PRIORITY_ORDER = [
-    # --- anchors (10): one per family, certified r2-r4, kept as canaries
+    # --- anchors (10): one per family, certified r2-r5, kept as canaries
     "epe_pipeline_demo",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -110,63 +111,10 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- re-certification: r4's one red row, oracle made
-    # environment-proof (structural VARIANT round-trip)
+    # --- re-certification (2): the r5 HUGEINT-final reds, oracles fixed
     "variant_shred_events",
-    # --- never-driver-certified (39), rotated in this round ---
-    # pre-r4 leftovers
-    "pivot_multi_measure",
-    "rolling_median_value",
-    "revenue_pareto_contribution",
-    "seasonality_monthly_revenue",
-    # round-4 continuation surface (workbook streaming source,
-    # recursive CTE, observe(), state-store reader, SemDeDup, DSIR,
-    # RRF, KLL/theta, jpeg420/progressive/adpcm/mjpeg decoders,
-    # datasource-driven EPE pipeline, parameterized SQL, collations…)
-    "dedup_semantic_clusters",
     "xml_source_nations",
-    "streaming_workbook_landing",
-    "sql_recursive_cte_bfs",
-    "dq_observe_single_scan",
-    "streaming_state_introspection",
-    "dsir_importance_select",
-    "logreg_train_quality",
-    "sketch_theta_audience_overlap",
-    "sketch_kll_quantiles_daily",
-    "multimodal_jpeg420_pixel_stats",
-    "layout_compaction_lossless",
-    "multimodal_adpcm_energy",
-    "multimodal_mjpeg_frame_stats",
-    "multimodal_jpeg_progressive_stats",
-    "retrieval_rrf_hybrid",
-    "pandas_api_groupby_orders",
-    "udtf_month_spine_revenue",
-    "epe_pipeline_via_datasource",
-    "sql_parameterized_revenue",
-    "agg_newer_builtins",
-    "multimodal_mjpeg_keyframes",
-    "collation_case_insensitive_groups",
-    "bpe_train_merges",
-    "mmr_diverse_topk",
-    "agg_exact_median_distributed",
-    "anomaly_mad_events",
-    "mixture_temperature_sampling",
-    "streaming_incremental_dedup",
-    "graph_strong_tie_components",
-    "sketch_hll_mergeable_daily",
-    # TPC-H classics, implemented since r3 but never windowed
-    # (r4 verdict "Next round" item 4)
-    "q7_nation_volume",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-]  # == 50 entries; assert below
-
-#: Never-driver-certified queries queued for the round-6+ windows, in
-#: intended rotation order. Kept here (not just in docs) so the next
-#: round's rotation is a mechanical splice, and so tooling can report
-#: certification breadth (tools/verify_local.py --coverage).
-ROTATION_BACKLOG = [
+    # --- never-driver-certified (38): ROTATION_BACKLOG[0:38] ---
     "graph_cotrade_clustering",
     "linkage_blocking_quality",
     "journey_conversion_hazard",
@@ -205,6 +153,13 @@ ROTATION_BACKLOG = [
     "text_tfidf_topk",
     "inverted_index_postings",
     "kmeans_lloyd_centroids",
+]  # == 50 entries; assert below
+
+#: Never-driver-certified queries queued for the round-7 window, in
+#: intended rotation order. Kept here (not just in docs) so the next
+#: round's rotation is a mechanical splice, and so tooling can report
+#: certification breadth (tools/verify_local.py --coverage).
+ROTATION_BACKLOG = [
     "embedding_quantize_int8",
     "embedding_dim_stats",
     "split_manifest",
@@ -235,7 +190,7 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
-    # --- r5 additions (never-certified; window candidates for r6+)
+    # --- r5 additions (never-certified; window candidates for r7)
     "join_bloom_prefilter",
     "layout_zorder_skipping",
     "sql_scripting_bisect_threshold",

@@ -644,10 +644,13 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS kb,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
-           SUM(CASE WHEN json_extract_string(CAST(json(props) AS VARCHAR), '$.k')
+           -- CAST AS BIGINT: DuckDB types SUM(INTEGER) as HUGEINT
+           -- (int128) and the driver canonicalizes int128 differently
+           -- than Python ints — the r5 hash-red hazard class.
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(CAST(json(props) AS VARCHAR), '$.k')
                          IS NOT DISTINCT FROM json_extract_string(props, '$.k')
-                    THEN 1 ELSE 0 END) AS rt_ok,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS rt_ok,
            COUNT(json_extract_string(props, '$.missing')) AS n_missing
     FROM events
     GROUP BY CAST(json_extract_string(props, '$.k') AS INTEGER) % 7
@@ -688,7 +691,9 @@ def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "xml_source_nations",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations,
-           SUM(n.n_nationkey) AS key_sum
+           -- BIGINT cast: SUM(INTEGER) is HUGEINT in DuckDB (driver
+           -- canonicalization hazard — the r5 hash-red class)
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
@@ -716,8 +721,9 @@ def xml_source_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"<n_regionkey>{r.n_regionkey}</n_regionkey></nation>"
         )
     doc.append("</nations>")
-    xml_dir = os.path.join(tempfile.gettempdir(), "epe_xml_source_demo")
-    os.makedirs(xml_dir, exist_ok=True)
+    # Per-run private dir: a fixed shared path would silently union
+    # stale/concurrent files from previous runs into the read.
+    xml_dir = tempfile.mkdtemp(prefix="epe_xml_source_")
     with open(os.path.join(xml_dir, "nation.xml"), "w") as f:
         f.write("".join(doc))
 

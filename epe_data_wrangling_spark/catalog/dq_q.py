@@ -181,9 +181,10 @@ def chisq_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT SUM(cnt) AS n FROM c)
     SELECT 'event_type' AS column_name,
            CAST(COUNT(*) AS INTEGER) AS n_distinct,
-           round(1.0 - SUM(CAST((CAST(cnt AS DOUBLE) / n.n)
-                                * (CAST(cnt AS DOUBLE) / n.n)
-                                AS DECIMAL(18,12))), 6) AS gini
+           CAST(round(1.0 - SUM(CAST((CAST(cnt AS DOUBLE) / n.n)
+                                     * (CAST(cnt AS DOUBLE) / n.n)
+                                     AS DECIMAL(18,12))), 6)
+                AS DOUBLE) AS gini
     FROM c CROSS JOIN n GROUP BY n.n
     """,
 )

@@ -280,7 +280,10 @@ HAZARD_HORIZON = 14  #: day offsets reported (0..H)
             FROM days)
     SELECT c.day,
            COALESCE(e.n_events, 0) AS n_converting,
-           n.total - c.converted_before AS n_at_risk,
+           -- BIGINT cast: converted_before is a SUM → HUGEINT in
+           -- DuckDB, and int128 finals hit the driver-canonicalization
+           -- hazard (the r5 red class)
+           CAST(n.total - c.converted_before AS BIGINT) AS n_at_risk,
            round(CAST(COALESCE(e.n_events, 0) AS DOUBLE)
                  / (n.total - c.converted_before), 6) AS hazard
     FROM cum c LEFT JOIN ev e USING (day) CROSS JOIN n

@@ -603,7 +603,8 @@ def _mjpeg_keyframes_sql() -> str:
     values = ",\n      ".join(rows)
     return f"""
     SELECT asset_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-           mean_luma, luma_delta
+           CAST(mean_luma AS DOUBLE) AS mean_luma,
+           CAST(luma_delta AS DOUBLE) AS luma_delta
     FROM (VALUES
       {values}
     ) t(asset_id, frame_idx, mean_luma, luma_delta)

@@ -50,7 +50,12 @@ def test_catalog_is_reasonably_large_and_named():
 #: window slots that intentionally repeat a certified query — only a
 #: query whose prior driver row was RED (hash_match false) may appear
 #: here, to earn a green row after its oracle fix
-RECERTIFY = {"variant_shred_events"}  # r4 red: canonical-JSON oracle
+RECERTIFY = {
+    # r4 red (canonical-JSON oracle) + r5 red (HUGEINT final): both
+    # oracle-portability fixes, re-windowed in r6 to earn green rows
+    "variant_shred_events",
+    "xml_source_nations",  # r5 red: bare SUM(int) → DuckDB HUGEINT final
+}
 
 
 def test_rotation_window_disjoint_from_all_certified_except_anchors():
@@ -60,17 +65,28 @@ def test_rotation_window_disjoint_from_all_certified_except_anchors():
     would have slipped through and wasted a certification slot).
     Red rows are exempt via RECERTIFY: a failed check earns a re-run
     once its oracle is fixed, and each such entry must actually be
-    red in some round's record."""
+    red in some round's record.
+
+    Time-consistency (the r5 judge's finding): a record whose row
+    names are exactly the CURRENT window is the driver's own
+    certification OF this window — counting it would make every green
+    slot a "repeat" the moment the round's results land, tripping the
+    suite with zero code change. Such records are excluded from the
+    repeat check (but still feed the RECERTIFY red-row evidence)."""
     import glob
     import json
     import os
 
     root = os.path.join(os.path.dirname(__file__), "..")
+    window = set(PRIORITY_ORDER)
     certified: set[str] = set()
     red: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        for name, row in json.load(open(path)).items():
-            certified.add(name)
+        rows = json.load(open(path))
+        is_current_window_record = set(rows) == window
+        for name, row in rows.items():
+            if not is_current_window_record:
+                certified.add(name)
             if not (
                 row.get("hash_match", True)
                 and row.get("rows_match", True)

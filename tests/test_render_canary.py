@@ -136,3 +136,60 @@ def test_oracles_free_of_rendering_hazards():
             if pat.search(sql):
                 bad.append(f"{name}: {why}")
     assert not bad, "oracle rendering hazards:\n" + "\n".join(bad)
+
+
+#: DuckDB result types no oracle may emit in its FINAL projection.
+#: HUGEINT (int128, from any bare SUM over integers) and DECIMAL are
+#: canonicalized by the external driver differently than Python
+#: int/float — CORRECTNESS_r01 (decimals) and _r05 (HUGEINT: the
+#: variant_shred_events / xml_source_nations reds) both manifested as
+#: rows+schema green / hash red while the strict local sweep passed.
+#: JSON-typed finals are the r4 text-canonicalization hazard in type
+#: form. The r5 static regex lint above could not see these — only
+#: binding the query through DuckDB's planner types the result.
+_FORBIDDEN_RESULT_TYPES = ("HUGEINT", "DECIMAL", "JSON")
+
+SF_LINT_DIR = "/root/testdata/sf0.001"
+
+
+def test_oracle_final_types_are_driver_safe():
+    """Bind EVERY registered oracle through DuckDB and assert its
+    final projection carries no driver-canonicalization-hazard type.
+    This is the dynamic companion to the static pattern lint: a bare
+    ``SUM(int_col)`` final reads innocently in SQL text but types as
+    HUGEINT, and the next engine-typing divergence won't match any
+    regex we thought of in advance. Relation binding (not execution)
+    is enough — the planner resolves result types without running the
+    query, so the whole 227-oracle catalog lints in seconds."""
+    import duckdb as _duckdb
+
+    con = _duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_LINT_DIR}/{t}.parquet')"
+        )
+    bad = []
+    for name, q in all_queries().items():
+        sql = resolve_oracle(q)
+        if not sql:
+            continue
+        try:
+            rel = con.sql(sql)
+        except Exception as e:  # an unbindable oracle is itself a failure
+            bad.append(f"{name}: oracle failed to bind: {type(e).__name__}: {e}")
+            continue
+        for col, ty in zip(rel.columns, rel.types):
+            s = str(ty).upper()
+            if any(k in s for k in _FORBIDDEN_RESULT_TYPES):
+                bad.append(
+                    f"{name}.{col}: {ty} — wrap in CAST(... AS BIGINT/DOUBLE)"
+                )
+    assert not bad, (
+        "oracle final-projection type hazards (driver canonicalizes these "
+        "differently than Python int/float — see r1/r5 postmortems):\n"
+        + "\n".join(bad)
+    )

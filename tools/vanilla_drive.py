@@ -35,10 +35,14 @@ def main() -> int:
     )
     # the whole point is Spark 4 DEFAULTS (ANSI on): a reused tuned
     # session or a spark-defaults.conf flipping ANSI off would make
-    # every pass vacuous — fail loudly instead
-    assert spark.conf.get("spark.sql.ansi.enabled") == "true", (
-        "vanilla_drive requires ANSI mode; got a non-default session"
-    )
+    # every pass vacuous — fail loudly instead (an explicit check,
+    # not `assert`, which `python -O` strips)
+    if spark.conf.get("spark.sql.ansi.enabled") != "true":
+        print(
+            "error: vanilla_drive requires ANSI mode "
+            "(spark.sql.ansi.enabled=true); got a non-default session"
+        )
+        return 2
     qs = all_queries()
     unknown = only - qs.keys()
     if unknown:
