@@ -194,6 +194,8 @@ ROTATION_BACKLOG = [
     "join_bloom_prefilter",
     "layout_zorder_skipping",
     "sql_scripting_bisect_threshold",
+    # --- r6 additions
+    "pagerank_partitioned_edges",
 ]
 
 

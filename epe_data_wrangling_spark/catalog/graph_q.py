@@ -54,17 +54,10 @@ def _pagerank_oracle() -> str:
     return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 
-@query("pagerank_trading_graph", headline=True, oracle=_pagerank_oracle())
-def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, {PR_ITERS} full iterations (damping {PR_DAMPING}),
-    over the undirected customer↔supplier graph induced by line items
-    — 'which parties anchor the trading network'. Per iteration: one
-    shuffle of per-edge contributions grouped by destination; rank
-    and degree vectors are node-sized side tables. Contributions are
-    12-dp-decimal-staged so both engines sum exactly; isolated
-    parties (no line items) are outside the walk by construction.
-    The matching DuckDB oracle unrolls the same {PR_ITERS}
-    iterations."""
+def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer↔supplier edge list induced by line items
+    (both directions, so the walk is well-defined on the bipartite
+    structure)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     base = (
@@ -75,54 +68,48 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # materialization barriers: edges/nodes/outdeg are referenced in
-    # every iteration and Spark does not CSE across DataFrame branches
-    # — without these the orders⋈lineitem edge derivation re-executes
-    # ~2× per iteration (same idiom as the dedup sketch barriers; a
-    # production run would persist the edge list once regardless)
-    edges = edges.localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    return base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
-    r = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
-    for _ in range(PR_ITERS):
-        # rank/degree are node-sized: BROADCAST them into the edge
-        # scan so each iteration is map-side contribution + ONE
-        # shuffle (the groupBy on dst) — without the hints Spark
-        # plans SortMergeJoins that re-shuffle the full edge list
-        # every iteration (measured 9 SMJs in the 3-iteration plan).
-        # Valid while the rank vector fits an executor (~16k nodes
-        # here; fine to ~10^8); past that, pre-partition edges and
-        # rank on src once and reuse the co-location instead.
-        # rank÷degree is a per-NODE quantity: join the two node-sized
-        # vectors first and divide once per node, so the edge scan
-        # pays ONE broadcast join and no per-edge division (was two
-        # broadcasts + m divisions; same doubles, same hash)
-        share = (
-            r.withColumnRenamed("node", "src")
-            .join(outdeg, "src")
-            .select("src", F.round(F.col("r") / F.col("deg"), 12).cast("decimal(28,12)").alias("c"))
-        )
-        contrib = edges.join(F.broadcast(share), "src").select(
-            F.col("dst").alias("node"), "c"
-        )
-        s = contrib.groupBy("node").agg(F.sum("c").cast("double").alias("s"))
-        r = (
-            nodes.crossJoin(F.broadcast(nn))
-            .join(F.broadcast(s), "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(1 - PR_DAMPING) / F.col("n")
-                    + F.lit(PR_DAMPING) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("r"),
-            )
-        )
-    return r.select("node", F.round(F.col("r"), 10).alias("pagerank"))
+
+@query("pagerank_trading_graph", headline=True, oracle=_pagerank_oracle())
+def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, {PR_ITERS} full iterations (damping {PR_DAMPING}),
+    over the undirected customer↔supplier graph induced by line items
+    — 'which parties anchor the trading network'. Runs
+    operators.graph.pagerank in BROADCAST mode (rank÷degree share
+    vector broadcast into the edge scan → map-side contribution + ONE
+    shuffle per iteration, the groupBy on dst) — the fast path while
+    the rank vector fits an executor (~16k nodes here; valid to
+    ~10^8). Contributions are 12-dp-decimal-staged so both engines
+    sum exactly; isolated parties (no line items) are outside the
+    walk by construction. The matching DuckDB oracle unrolls the same
+    {PR_ITERS} iterations; the beyond-broadcast twin
+    (`pagerank_partitioned_edges`) shares it verbatim."""
+    from epe_data_wrangling_spark.operators.graph import pagerank
+
+    edges = _trading_edges(spark, sf_dir)
+    return pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, mode="broadcast")
+
+
+@query("pagerank_partitioned_edges", oracle=_pagerank_oracle())
+def pagerank_partitioned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME PageRank (identical oracle, bit-identical result) in
+    the beyond-broadcast physical form for >10^8-node graphs where
+    the rank vector no longer fits an executor: edges are
+    hash-partitioned on src ONCE and the co-location is reused every
+    iteration — rank is produced keyed by node (= next iteration's
+    src, alias-aware partitioning carries hash(node) through the
+    rename), so the share⋈edges join is a zero-exchange
+    ShuffledHashJoin and NO broadcast of any node-sized structure
+    appears anywhere in the plan (asserted in tests/test_plans.py).
+    Per iteration exactly ONE exchange: the contribution
+    groupBy(dst). The decimal contribution staging makes the result
+    invariant to the partitioning change, which is what lets both
+    physical forms share one oracle."""
+    from epe_data_wrangling_spark.operators.graph import pagerank
+
+    edges = _trading_edges(spark, sf_dir)
+    return pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, mode="partitioned")
 
 
 STRONG_TIE_MIN = 4  #: (customer, supplier) interactions for an edge

@@ -242,3 +242,55 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     [fact_scan] = [m for m in scans if "numPartitions" in m]
     assert fact_scan["numPartitions"] == 5, fact_scan
     assert fact_scan["numFiles"] < fact_scan["staticFilesNum"], fact_scan
+
+
+def test_pagerank_partitioned_no_rank_broadcast(spark):
+    """The beyond-broadcast PageRank (operators.graph.pagerank
+    mode="partitioned") must survive the regime its broadcast twin
+    cannot: a rank vector too big for any executor. Proof by plan
+    shape with broadcasts forcibly disabled and AQE off (emulating
+    the >10^8-node regime where no side qualifies): the 3-iteration
+    plan must contain ZERO BroadcastHashJoins, the share⋈edges joins
+    must be zero-exchange ShuffledHashJoins on the co-located src
+    partitioning, and there must be EXACTLY ONE hash exchange per
+    iteration (the contribution groupBy(dst)) plus the single
+    up-front edge repartition — co-location is paid once and reused,
+    not re-shuffled per iteration. The result is asserted
+    bit-identical to the broadcast form (the decimal contribution
+    staging makes it partitioning-invariant), which is what lets both
+    physical forms share one DuckDB oracle in the catalog."""
+    import re
+
+    from epe_data_wrangling_spark.operators.graph import pagerank
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = spark.range(2000).select(
+            (F.col("id") % 97).cast("string").alias("src"),
+            ((F.col("id") * 7) % 101).cast("string").alias("dst"),
+        )
+        iters = 3
+        part = pagerank(df, iters=iters, mode="partitioned")
+        plan = _plan(part)
+        assert "BroadcastHashJoin" not in plan, "rank vector was broadcast"
+        assert plan.count("ShuffledHashJoin") == iters, plan
+        # one exchange per iteration (groupBy dst→node); the up-front
+        # edge/node repartitions happen BEFORE the localCheckpoint so
+        # they never appear in this plan at all
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_exchanges == iters, f"{n_exchanges} exchanges for {iters} iterations:\n{plan}"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same doubles out of both physical forms
+    bcast = pagerank(df, iters=iters, mode="broadcast")
+    assert sorted(map(tuple, part.collect())) == sorted(map(tuple, bcast.collect()))

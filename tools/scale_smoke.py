@@ -109,6 +109,9 @@ def main() -> None:
         ("corpus_dup_ngram_fraction", "dup_ngram_fraction_sf01"),
         ("join_interval_episodes", "interval_join_sf01"),
         ("pagerank_trading_graph", "pagerank_3iter_sf01"),
+        # r6: the beyond-broadcast twin (same oracle, same result) —
+        # co-partitioned edges, no rank broadcast anywhere
+        ("pagerank_partitioned_edges", "pagerank_partitioned_sf01"),
         ("dedup_shared_spans", "shared_spans_sf01"),
         # r4 additions: tokenizer training (vocabulary-sized
         # iterations) and PQ-ADC serving at sf0.1
@@ -225,6 +228,10 @@ def main() -> None:
     run(
         "pagerank_3iter_10x_graph",
         lambda: cat["pagerank_trading_graph"].fn(spark, pr_dir),
+    )
+    run(
+        "pagerank_partitioned_10x_graph",
+        lambda: cat["pagerank_partitioned_edges"].fn(spark, pr_dir),
     )
 
     # r5 new operators at 10×: a mixed dir (10×-replicated fact
