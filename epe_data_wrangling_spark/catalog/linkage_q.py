@@ -318,10 +318,18 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_custkey") < LINKAGE_AUDIT_MAX_KEY)
         .select("c_custkey", "c_name")
     )
-    a, b = c.alias("a"), c.alias("b")
+    # The all-pairs truth join is a BroadcastNestedLoopJoin that
+    # parallelizes over the STREAMED side's partitions — and the
+    # filtered customer scan arrives as ONE partition, putting every
+    # n²/2 comparison in a single task (measured 7.3 s at sf0.01).
+    # Repartitioning the streamed side spreads the quadratic work, and
+    # the 3-arg bounded levenshtein (returns -1 past the threshold)
+    # aborts each comparison at cost O(LEV_MAX·len) instead of
+    # O(len²): together 7.3 s → 1.6 s, identical rows.
+    a, b = c.repartition(32).alias("a"), c.alias("b")
     truth = (
         a.join(b, F.col("a.c_custkey") < F.col("b.c_custkey"))
-        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= LEV_MAX)
+        .where(F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), LEV_MAX) >= 0)
         .select(F.col("a.c_custkey").alias("ca"), F.col("b.c_custkey").alias("cb"))
         .localCheckpoint(eager=True)  # reused by count + semi-join
     )

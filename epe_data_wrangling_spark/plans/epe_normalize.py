@@ -100,9 +100,12 @@ def normalize_sheet_a(df: DataFrame, sheet: str) -> DataFrame:
         raise ValueError(
             f"sheet {sheet!r}: {len(placeholders)} unnamed columns, expected 12 or 13"
         )
-    for old, new in zip(placeholders, month_names):
-        t = t.withColumnRenamed(old, new)
-    t = t.withColumnRenamed(data_cols[0], "atributo_4")
+    # single-select rename: each withColumnRenamed re-analyzes the
+    # whole (already deep) plan, so a per-column loop costs one
+    # analyzer pass PER column — one select renames them all in one
+    ren = dict(zip(placeholders, month_names))
+    ren[data_cols[0]] = "atributo_4"
+    t = t.select(*[qcol(c).alias(ren.get(c, c)) for c in t.columns])
 
     # P5: drop the pre-aggregated annual total (`R:133`) — the engine
     # re-derives totals via rollup/cube instead (SURVEY §2.5).
@@ -179,9 +182,12 @@ def normalize_sheet_b(df: DataFrame, sheet: str) -> DataFrame:
             f"sheet {sheet!r}: {len(years)} years × 12 ≠ {len(data_cols) - 1} data columns"
         )
     new_names = [f"{y}_{m}" for y in years for m in range(1, 13)]
-    t = t.withColumnRenamed(data_cols[0], "atributo_3")
-    for old, new in zip(data_cols[1:], new_names):
-        t = t.withColumnRenamed(old, new)
+    # single-select rename (one analyzer pass; the per-column
+    # withColumnRenamed loop re-analyzed the deep plan once per
+    # year_month column — ~100 passes on a multi-year sheet)
+    ren = {data_cols[0]: "atributo_3"}
+    ren.update(zip(data_cols[1:], new_names))
+    t = t.select(*[qcol(c).alias(ren.get(c, c)) for c in t.columns])
 
     # F6/F7/F8 (`R:175-179`): keep real data rows (3rd column non-null
     # — this also removes the year-header row itself), labeled, and
