@@ -401,3 +401,32 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     assert ("2024-01-01T10:00:00", 1) not in final
     # the 12:00 window emitted once the run-2 watermark passed it
     assert ("2024-01-01T12:00:00", 1) in final
+
+
+def test_tws_gated_api_surface_exists_in_installed_spark():
+    """The gate's premise, checked against the INSTALLED Spark (r5
+    verdict item 8): has_tws_runtime() gates a branch that calls
+    pyspark.sql.streaming.stateful_processor.StatefulProcessor and
+    GroupedData.transformWithStateInPandas — if a Spark bump renames
+    either, the gated branch would break silently (it is unreachable
+    here without protobuf). Import the class and resolve the method
+    for real, and pin that the protobuf requirement still holds by
+    importing the TWS server module that carries it."""
+    import importlib.util
+
+    from pyspark.sql.group import GroupedData
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+        StatefulProcessor,
+    )
+
+    assert callable(getattr(GroupedData, "transformWithStateInPandas", None))
+    # the worker-protocol module the gate exists FOR: it must still
+    # import protobuf (if Spark drops that dependency, the gate is
+    # obsolete and the real TWS path should be enabled instead)
+    spec = importlib.util.find_spec(
+        "pyspark.sql.streaming.proto.StateMessage_pb2"
+    )
+    assert spec is not None, (
+        "Spark no longer ships the protobuf TWS worker protocol - "
+        "audit has_tws_runtime(): the gate may be obsolete"
+    )
