@@ -196,6 +196,12 @@ ROTATION_BACKLOG = [
     "sql_scripting_bisect_threshold",
     # --- r6 additions
     "pagerank_partitioned_edges",
+    "sketch_countmin_heavy_hitters",
+    "sample_weighted_reservoir",
+    "pack_sequences_contiguous",
+    "feature_winsorize_robust",
+    "split_kfold_assignment",
+    "skew_key_profile",
 ]
 
 

@@ -688,3 +688,63 @@ def layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.min("c2") <= sh) & (F.max("c2") >= sl), 1).otherwise(0)
         .cast("int").alias("hit_probe_s"),
     )
+
+
+# --- r6 addition: key-skew profiler (the salting-decision input) ---
+
+SKEW_TOPK = 15  #: heaviest keys reported
+
+
+@query(
+    "skew_key_profile",
+    oracle=f"""
+    WITH k AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n
+               FROM lineitem GROUP BY l_suppkey),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(MAX(n) AS BIGINT) AS max_n
+          FROM k)
+    SELECT k.l_suppkey, k.n,
+           round(CAST(k.n AS DOUBLE) / s.total, 8) AS share,
+           round(CAST(k.n AS DOUBLE) * s.n_keys / s.total, 6) AS skew_factor,
+           round(CAST(s.max_n AS DOUBLE) * s.n_keys / s.total, 6)
+             AS max_skew_factor
+    FROM k CROSS JOIN s
+    ORDER BY k.n DESC, k.l_suppkey LIMIT {SKEW_TOPK}
+    """,
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the measurement that DECIDES the
+    skew treatment (operators.joins.salted_join's salt factor, or
+    trusting AQE's runtime skew split): top-{SKEW_TOPK} heaviest
+    lineitem supplier keys with each key's share of the table and its
+    skew factor (count ÷ mean-per-key; a factor ≫ 1 on a key that
+    lands in one shuffle partition is exactly the straggler that
+    salting spreads). At 100 TB this is ONE partial-agg shuffle of
+    (key, count) — the per-key table is keys-sized, its global stats
+    a one-row broadcast, and the report a distributed top-k; profiling
+    cost is a rounding error next to the join it tunes. Integer
+    counts end-to-end; the two ratios are one shared double tree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    s = k.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        k.crossJoin(F.broadcast(s))
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 8).alias("share"),
+            F.round(
+                F.col("n").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("skew_factor"),
+            F.round(
+                F.col("max_n").cast("double") * F.col("n_keys") / F.col("total"), 6
+            ).alias("max_skew_factor"),
+        )
+        .orderBy(F.desc("n"), "l_suppkey")
+        .limit(SKEW_TOPK)
+    )

@@ -1308,3 +1308,151 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(RRF_TOPK)
+
+
+# --- r6 additions: robust feature prep + fold assignment ---
+
+WINSOR_LO = 1  #: numerator of the low quantile (1/20 = p05)
+WINSOR_HI = 19  #: numerator of the high quantile (19/20 = p95)
+WINSOR_DEN = 20
+
+
+@query(
+    "feature_winsorize_robust",
+    oracle=f"""
+    WITH n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    r AS (SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn
+          FROM events),
+    cuts AS (SELECT r.event_type,
+                    MIN(CASE WHEN r.rn = (n.n + {WINSOR_DEN - 1}) // {WINSOR_DEN}
+                             THEN r.value END) AS p05,
+                    MIN(CASE WHEN r.rn = ({WINSOR_HI} * n.n + {WINSOR_DEN - 1}) // {WINSOR_DEN}
+                             THEN r.value END) AS p95
+             FROM r JOIN n USING (event_type) GROUP BY r.event_type)
+    SELECT e.event_type, n.n, c.p05, c.p95,
+           round(CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / n.n, 6)
+             AS mean_raw,
+           round(CAST(SUM(CAST(least(greatest(e.value, c.p05), c.p95)
+                               AS DECIMAL(18,6))) AS DOUBLE) / n.n, 6)
+             AS mean_wins
+    FROM events e JOIN cuts c USING (event_type) JOIN n USING (event_type)
+    GROUP BY e.event_type, n.n, c.p05, c.p95
+    """,
+)
+def feature_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-at-percentile) feature statistics — the
+    robust-scaling prep that keeps heavy-tailed numeric features from
+    letting a handful of outliers dominate normalization at corpus
+    scale. Percentiles are DISCRETE (the value at rank
+    ceil(q·n) in (value, event_id) order — a row's actual value, so
+    both engines select the identical double with no interpolation
+    arithmetic) via a per-type PARTITIONED window; rank indices use
+    pure integer arithmetic (``(n+{WINSOR_DEN - 1}) div {WINSOR_DEN}``,
+    never ``ceil(0.05·n)`` whose double product can cross an integer
+    boundary differently than intended). Raw and winsorized means are
+    decimal-staged so the sums are exact and order-free. 100 TB: one
+    shuffle keyed by event_type for the rank window (skew-prone types
+    would swap in the sharded global-rank primitive), cuts are a
+    type-count-sized broadcast back onto the fact scan."""
+    e = load_table(spark, sf_dir, "events")
+    n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = e.select("event_type", "value", F.row_number().over(w).alias("rn"))
+    cuts = (
+        r.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"(n + {WINSOR_DEN - 1}) div {WINSOR_DEN}"),
+                    F.col("value"),
+                )
+            ).alias("p05"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    == F.expr(f"({WINSOR_HI} * n + {WINSOR_DEN - 1}) div {WINSOR_DEN}"),
+                    F.col("value"),
+                )
+            ).alias("p95"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731 — local staging cast
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n", "p05", "p95")
+        .agg(
+            F.round(
+                F.sum(dec(F.col("value"))).cast("double") / F.col("n"), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(dec(clipped)).cast("double") / F.col("n"), 6
+            ).alias("mean_wins"),
+        )
+    )
+
+
+KFOLD = 5  #: cross-validation folds
+
+
+@query(
+    "split_kfold_assignment",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang,
+             {D.hex_int("md5('fold|' || CAST(doc_id AS VARCHAR))", 1, 8)} % {KFOLD}
+               AS fold
+      FROM documents),
+    per AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM f GROUP BY fold, lang),
+    tot AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_total
+            FROM per GROUP BY fold)
+    SELECT per.fold, per.lang, per.n_docs, tot.fold_total,
+           round(CAST(per.n_docs AS DOUBLE) / tot.fold_total, 6) AS lang_frac
+    FROM per JOIN tot USING (fold)
+    """,
+)
+def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (md5(doc_id) mod {KFOLD}) with
+    a per-fold language-balance report — the split manifest an
+    evaluation harness consumes, plus the check that hash assignment
+    kept strata balanced (each fold's language fractions should track
+    the corpus marginals; gross drift means the id space is
+    structured, not hash-mixed). Stateless assignment is the
+    100 TB property: ANY executor recomputes a doc's fold from its id
+    alone — no assignment table to join, no shuffle beyond the one
+    stats aggregate, and train/serve skew is impossible. Extends
+    `split_manifest`'s single split to the cross-validation shape."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLD
+    )
+    per = d.select(fold.alias("fold"), "lang").groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = per.groupBy("fold").agg(F.sum("n_docs").alias("fold_total"))
+    return (
+        per.join(F.broadcast(tot), "fold")
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            "fold_total",
+            F.round(F.col("n_docs").cast("double") / F.col("fold_total"), 6).alias("lang_frac"),
+        )
+    )

@@ -1071,3 +1071,194 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_weight").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+# --- r6 additions: sketch / sampling / packing for the LLM pipeline ---
+
+CMS_DEPTH = 4  #: count-min rows (independent seeded hashes)
+CMS_WIDTH = 512  #: buckets per row
+CMS_TOPK = 20  #: heavy hitters reported
+
+
+def _cms_buckets(term: F.Column) -> F.Column:
+    """array<long> of the {CMS_DEPTH} bucket indices for a term — one
+    seeded md5 per row (functions.hashing.seeded_md5 form), first 8
+    hex digits as int64 mod {CMS_WIDTH}; exact on both engines."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}|"), term).cast("binary")), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+            for i in range(CMS_DEPTH)
+        ]
+    )
+
+
+def _cms_bucket_sql(i: str, term: str) -> str:
+    return (
+        D.hex_int(f"md5(CAST({i} AS VARCHAR) || '|' || {term})", 1, 8)
+        + f" % {CMS_WIDTH}"
+    )
+
+
+@query(
+    "sketch_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_W}) AS term FROM documents),
+    exact AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM tok GROUP BY term),
+    top AS (SELECT term, exact_n FROM exact
+            ORDER BY exact_n DESC, term LIMIT {CMS_TOPK}),
+    r AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS row_i),
+    sketch AS (
+      SELECT r.row_i, {_cms_bucket_sql("r.row_i", "tok.term")} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cell_n
+      FROM tok CROSS JOIN r GROUP BY 1, 2)
+    SELECT t.term, t.exact_n, CAST(MIN(s.cell_n) AS BIGINT) AS cms_n
+    FROM top t CROSS JOIN r
+    JOIN sketch s
+      ON s.row_i = r.row_i
+     AND s.bucket = {_cms_bucket_sql("r.row_i", "t.term")}
+    GROUP BY t.term, t.exact_n
+    """,
+)
+def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus term stream — the mergeable
+    fixed-size frequency summary for heavy-hitter detection when the
+    exact per-term table itself is too hot to keep (trending-term /
+    boilerplate-phrase monitoring over a streaming crawl). {CMS_DEPTH}
+    seeded hash rows × {CMS_WIDTH} buckets: the sketch is
+    {CMS_DEPTH}·{CMS_WIDTH} cells REGARDLESS of corpus size, built
+    with one (row, bucket) shuffle carrying partial counts (map-side
+    combine) — at 100 TB the cells stream in from every partition and
+    merge by addition, the CM property. Estimates (min over rows of
+    the term's cells) are compared against exact counts for the true
+    top-{CMS_TOPK} terms; CM guarantees estimate ≥ exact, with
+    overshoot bounded by collisions (E[err] ≤ N/{CMS_WIDTH} per row).
+    The tiny sketch is broadcast to the candidate probe — the corpus
+    is never re-joined. Cross-engine: every bucket is seeded-md5 →
+    int64 → mod, the repo's exact shared-hash idiom."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.words("text")).alias("term"))
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "term").limit(CMS_TOPK)
+    cells = tok.select(F.posexplode(_cms_buckets(F.col("term"))).alias("row_i", "bucket"))
+    sketch = cells.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("cell_n"))
+    probe = top.select(
+        "term", "exact_n", F.posexplode(_cms_buckets(F.col("term"))).alias("row_i", "bucket")
+    )
+    return (
+        probe.join(F.broadcast(sketch), ["row_i", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+
+
+WRS_K = 50  #: weighted sample size
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderkey, o_totalprice,
+             ln(({D.hex_int("md5('wrs|' || CAST(o_orderkey AS VARCHAR))", 1, 8)} + 1)
+                / 4294967297.0) / o_totalprice AS k
+      FROM orders)
+    SELECT o_orderkey, o_totalprice
+    FROM w ORDER BY k DESC, o_orderkey LIMIT {WRS_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirtsis
+    A-ES), the standard for quality-weighted corpus subsampling:
+    each row draws u ~ U(0,1) and ranks by key u^(1/w) — here by the
+    monotone-equivalent ln(u)/w — and the top-{WRS_K} keys are the
+    sample; inclusion probability is proportional-to-weight without
+    ever materializing a cumulative distribution. u is md5-derived
+    (deterministic, reproducible across engines and runs — the repo's
+    no-RAND policy), and selection is a distributed TakeOrdered
+    (per-partition top-k, merge on the driver): ONE pass, no shuffle
+    of the full table, no window. At 100 TB this is the
+    one-scan-and-k-heap shape — the reservoir form of the same
+    estimator. Orders weighted by o_totalprice; output is the
+    selected id/weight set (the key itself is excluded from the
+    hashed result so cross-engine libm ln() ulp differences cannot
+    flip a rounded digit; they cannot realistically flip the RANKING
+    — key gaps are ~10 orders of magnitude above 1 ulp)."""
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wrs|"), F.col("o_orderkey").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = F.log(u) / F.col("o_totalprice")
+    return (
+        o.select("o_orderkey", "o_totalprice", key.alias("k"))
+        .orderBy(F.desc("k"), "o_orderkey")
+        .limit(WRS_K)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+PACK_BUDGET = 2048  #: tokens per packed sequence bin
+
+
+@query(
+    "pack_sequences_contiguous",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, CAST(len({_W}) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM d)
+    SELECT CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c GROUP BY 1
+    """,
+)
+def pack_sequences_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining batches: documents are
+    packed in deterministic corpus order into contiguous
+    {PACK_BUDGET}-token bins (bin = exclusive-prefix-tokens div
+    budget) — the distributed-friendly packing form: first-fit
+    bin packing is inherently sequential, but contiguous fill needs
+    only a global running sum, which runs here as
+    operators.windows.sharded_cumsum (range-shard → per-shard
+    partitioned window + broadcast shard offsets — NO unpartitioned
+    window, the repo-wide rule). A doc straddling a boundary starts
+    the next bin's count (its bin is decided by its STARTING offset),
+    so bins can overshoot by at most one doc — the padding/truncation
+    tradeoff is downstream policy. Per-bin stats (doc count, token
+    fill, id range) are the packing manifest a loader consumes.
+    100 TB: one narrow scan + the sharded cumsum's two tiny
+    shuffles; bins never materialize text."""
+    from epe_data_wrangling_spark.operators.windows import sharded_cumsum
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(T.words("text")).cast("bigint").alias("n_tokens")
+    )
+    c = sharded_cumsum(d, "doc_id", "n_tokens", out="cum")
+    return (
+        c.withColumn("bin_id", F.expr(f"(cum - n_tokens) div {PACK_BUDGET}"))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

