@@ -687,6 +687,10 @@ def variant_shred_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-(process, sf_dir) XML drop dirs — see xml_source_nations
+_XML_SOURCE_DIRS: dict[str, str] = {}
+
+
 @query(
     "xml_source_nations",
     oracle="""
@@ -721,9 +725,14 @@ def xml_source_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"<n_regionkey>{r.n_regionkey}</n_regionkey></nation>"
         )
     doc.append("</nations>")
-    # Per-run private dir: a fixed shared path would silently union
-    # stale/concurrent files from previous runs into the read.
-    xml_dir = tempfile.mkdtemp(prefix="epe_xml_source_")
+    # Per-process private dir, memoized per sf_dir: a fixed shared
+    # path would silently union stale/concurrent files from other
+    # runs into the read; a fresh mkdtemp per CALL would leak one
+    # directory per sweep pass on a long-lived VM. One dir per
+    # (process, sf_dir), its single file overwritten in place.
+    xml_dir = _XML_SOURCE_DIRS.get(sf_dir)
+    if xml_dir is None:
+        xml_dir = _XML_SOURCE_DIRS[sf_dir] = tempfile.mkdtemp(prefix="epe_xml_source_")
     with open(os.path.join(xml_dir, "nation.xml"), "w") as f:
         f.write("".join(doc))
 

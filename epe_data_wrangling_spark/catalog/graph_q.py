@@ -100,10 +100,14 @@ def pagerank_partitioned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration — rank is produced keyed by node (= next iteration's
     src, alias-aware partitioning carries hash(node) through the
     rename), so the share⋈edges join is a zero-exchange
-    ShuffledHashJoin and NO broadcast of any node-sized structure
-    appears anywhere in the plan (asserted in tests/test_plans.py).
-    Per iteration exactly ONE exchange: the contribution
-    groupBy(dst). The decimal contribution staging makes the result
+    ShuffledHashJoin and no join REQUIRES a node-sized broadcast:
+    with broadcasts disabled and AQE off (the >10⁸-node regime,
+    pinned in tests/test_plans.py) the plan has zero
+    BroadcastHashJoins and exactly ONE exchange per iteration — the
+    contribution groupBy(dst). (Under the default session AQE may
+    still elect to broadcast a node-sized side it measures as small
+    at runtime — a correct choice exactly when the side is in fact
+    small.) The decimal contribution staging makes the result
     invariant to the partitioning change, which is what lets both
     physical forms share one oracle."""
     from epe_data_wrangling_spark.operators.graph import pagerank

@@ -1429,19 +1429,10 @@ def split_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     alone — no assignment table to join, no shuffle beyond the one
     stats aggregate, and train/serve skew is impossible. Extends
     `split_manifest`'s single split to the cross-validation shape."""
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
     d = load_table(spark, sf_dir, "documents")
-    fold = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("fold|"), F.col("doc_id").cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % KFOLD
-    )
+    fold = hash_u32("doc_id", "fold") % KFOLD
     per = d.select(fold.alias("fold"), "lang").groupBy("fold", "lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )

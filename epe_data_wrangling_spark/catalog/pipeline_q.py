@@ -1082,19 +1082,11 @@ CMS_TOPK = 20  #: heavy hitters reported
 
 def _cms_buckets(term: F.Column) -> F.Column:
     """array<long> of the {CMS_DEPTH} bucket indices for a term — one
-    seeded md5 per row (functions.hashing.seeded_md5 form), first 8
-    hex digits as int64 mod {CMS_WIDTH}; exact on both engines."""
-    return F.array(
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{i}|"), term).cast("binary")), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % CMS_WIDTH
-            for i in range(CMS_DEPTH)
-        ]
-    )
+    seeded md5 per row (functions.hashing.hash_u32), mod {CMS_WIDTH};
+    exact on both engines."""
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
+    return F.array(*[hash_u32(term, str(i)) % CMS_WIDTH for i in range(CMS_DEPTH)])
 
 
 def _cms_bucket_sql(i: str, term: str) -> str:
@@ -1142,7 +1134,10 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     is never re-joined. Cross-engine: every bucket is seeded-md5 →
     int64 → mod, the repo's exact shared-hash idiom."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select(F.explode(T.words("text")).alias("term"))
+    # barrier: the exploded token stream feeds BOTH the exact counts
+    # and the sketch cells, and Spark does not CSE across DataFrame
+    # branches — without it the corpus is tokenized twice
+    tok = d.select(F.explode(T.words("text")).alias("term")).localCheckpoint(eager=True)
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
     top = exact.orderBy(F.desc("exact_n"), "term").limit(CMS_TOPK)
     cells = tok.select(F.posexplode(_cms_buckets(F.col("term"))).alias("row_i", "bucket"))
@@ -1173,7 +1168,7 @@ WRS_K = 50  #: weighted sample size
     """,
 )
 def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement (Efraimidis-Spirtsis
+    """Weighted sampling without replacement (Efraimidis–Spirakis
     A-ES), the standard for quality-weighted corpus subsampling:
     each row draws u ~ U(0,1) and ranks by key u^(1/w) — here by the
     monotone-equivalent ln(u)/w — and the top-{WRS_K} keys are the
@@ -1189,19 +1184,10 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed result so cross-engine libm ln() ulp differences cannot
     flip a rounded digit; they cannot realistically flip the RANKING
     — key gaps are ~10 orders of magnitude above 1 ulp)."""
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
     o = load_table(spark, sf_dir, "orders")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("wrs|"), F.col("o_orderkey").cast("string")).cast("binary")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        + 1
-    ) / F.lit(4294967297.0)
+    u = (hash_u32("o_orderkey", "wrs") + 1) / F.lit(4294967297.0)
     key = F.log(u) / F.col("o_totalprice")
     return (
         o.select("o_orderkey", "o_totalprice", key.alias("k"))

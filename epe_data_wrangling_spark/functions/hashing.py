@@ -184,3 +184,21 @@ def simhash(tokens: Column, num_bits: int = 16) -> Column:
         F.lit(0).cast("long"),
         lambda acc, tally: acc * 2 + F.when(tally >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
     )
+
+
+def hash_u32(col: Column | str, prefix: str) -> Column:
+    """Deterministic 32-bit hash as int64 in [0, 2³²): the first 8 md5
+    hex digits of ``"<prefix>|" + value``. This is the Spark twin of
+    the oracle-side ``ducksql.hex_int(md5('<prefix>|' || CAST(col AS
+    VARCHAR)), 1, 8)`` — the engine-parity-critical expression every
+    md5-derived assignment (fold ids, sketch buckets, uniform draws)
+    must share, so it lives HERE once instead of being re-derived
+    inline at each use site (r6 code-review finding)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{prefix}|"), c.cast("string")).cast("binary")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")

@@ -88,7 +88,18 @@ def pagerank(
         # re-executes ~2× per iteration
         edges = edges.localCheckpoint(eager=True)
 
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # node set = src ∪ dst: on a plain directed graph a pure-sink
+    # node (appears only as dst) must still receive rank; deriving
+    # nodes from src alone would silently drop it AND discard its
+    # received mass at the update join. (Dangling mass — rank held by
+    # nodes with no out-edges — is NOT redistributed; that matches
+    # the unrolled oracle, and symmetric inputs have no dangling
+    # nodes.)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     if mode == "partitioned":
         # distinct() leaves hash(node, p) — keep it via checkpoint so
         # the per-iteration rank update joins exchange-free too

@@ -83,7 +83,12 @@ def test_rotation_window_disjoint_from_all_certified_except_anchors():
     red: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rows = json.load(open(path))
-        is_current_window_record = set(rows) == window
+        # ≥40-slot overlap (not exact equality, which a partial or
+        # superset driver record would defeat): an old round's record
+        # can overlap the current window only on anchors + RECERTIFY
+        # (≤ ~12 names), so 40 cleanly identifies THIS window's record
+        # even if the driver drops crashed rows or adds diagnostics.
+        is_current_window_record = len(set(rows) & window) >= 40
         for name, row in rows.items():
             if not is_current_window_record:
                 certified.add(name)

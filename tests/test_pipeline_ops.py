@@ -303,5 +303,25 @@ def test_countmin_overestimates_and_packing_conserves(spark):
     ).first()
     assert sum(r[1] for r in bins) == truth.n
     assert sum(r[2] for r in bins) == truth.tok
-    bin_ids = [r[0] for r in bins]
-    assert bin_ids == sorted(set(bin_ids))  # one row per bin, ordered
+    # golden twin: recompute the packing in pure Python from the same
+    # (doc_id, n_tokens) stream and require the EXACT per-bin manifest
+    # — catches a sharded_cumsum regression (mis-ordered shard
+    # offsets) that total-conservation alone cannot see
+    per_doc = sorted(
+        (r.doc_id, r.n_tokens)
+        for r in docs.select(
+            "doc_id", F.size(T.words("text")).alias("n_tokens")
+        ).collect()
+    )
+    expect: dict[int, list] = {}
+    cum = 0
+    for doc_id, n_tokens in per_doc:
+        b = cum // PACK_BUDGET
+        cum += n_tokens
+        e = expect.setdefault(b, [0, 0, doc_id, doc_id])
+        e[0] += 1
+        e[1] += n_tokens
+        e[3] = doc_id
+    assert bins == sorted(
+        (b, e[0], e[1], e[2], e[3]) for b, e in expect.items()
+    )
