@@ -57,18 +57,34 @@ def _pagerank_oracle() -> str:
 def _trading_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected customer↔supplier edge list induced by line items
     (both directions, so the walk is well-defined on the bipartite
-    structure)."""
+    structure). Node ids are PACKED BIGINTS (customer k → 2k,
+    supplier k → 2k+1): every per-iteration shuffle and join then
+    carries 8-byte longs instead of ~8-char strings (smaller shuffle
+    rows, cheaper hashing/compares); the public 'c{{k}}'/'s{{k}}'
+    labels are reconstructed only in the final projection
+    (`_node_label`), so the oracle's string ids — and the result
+    hash — are untouched. Rank values are id-representation-
+    independent by construction (the decimal contribution staging
+    depends only on graph structure)."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     base = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     return base.unionAll(base.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _node_label(node: F.Column) -> F.Column:
+    """Packed bigint node id back to the oracle's 'c{{k}}'/'s{{k}}'
+    (shiftright = exact integer halving, no double round trip)."""
+    return F.when(
+        node % 2 == 0, F.concat(F.lit("c"), F.shiftright(node, 1).cast("string"))
+    ).otherwise(F.concat(F.lit("s"), F.shiftright(node, 1).cast("string")))
 
 
 @query("pagerank_trading_graph", headline=True, oracle=_pagerank_oracle())
@@ -88,7 +104,8 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from epe_data_wrangling_spark.operators.graph import pagerank
 
     edges = _trading_edges(spark, sf_dir)
-    return pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, mode="broadcast")
+    r = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, mode="broadcast")
+    return r.select(_node_label(F.col("node")).alias("node"), "pagerank")
 
 
 @query("pagerank_partitioned_edges", oracle=_pagerank_oracle())
@@ -113,7 +130,8 @@ def pagerank_partitioned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from epe_data_wrangling_spark.operators.graph import pagerank
 
     edges = _trading_edges(spark, sf_dir)
-    return pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, mode="partitioned")
+    r = pagerank(edges, iters=PR_ITERS, damping=PR_DAMPING, mode="partitioned")
+    return r.select(_node_label(F.col("node")).alias("node"), "pagerank")
 
 
 STRONG_TIE_MIN = 4  #: (customer, supplier) interactions for an edge
