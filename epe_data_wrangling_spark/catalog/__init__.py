@@ -202,6 +202,8 @@ ROTATION_BACKLOG = [
     "feature_winsorize_robust",
     "split_kfold_assignment",
     "skew_key_profile",
+    "sql_pipe_syntax_revenue",
+    "sketch_approx_topk_events",
 ]
 
 

@@ -2685,3 +2685,74 @@ def sql_scripting_bisect_threshold(spark: SparkSession, sf_dir: str) -> DataFram
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+# --- r6 additions: Spark-4 SQL pipe syntax + approx_top_k sketch ---
+
+_PIPE_REVENUE_SQL = """
+    FROM orders
+    |> WHERE o_orderdate >= DATE '1995-01-01'
+    |> AGGREGATE CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+                 COUNT(*) AS n_orders
+       GROUP BY o_orderpriority
+    |> WHERE n_orders > 100
+"""
+
+
+@query(
+    "sql_pipe_syntax_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 100
+    """,
+)
+def sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (SPARK-49555, `|>` operators): the
+    filter → AGGREGATE...GROUP BY → post-aggregation filter chain
+    written as a linear pipeline instead of nested SELECT/HAVING —
+    the readability surface SQL-first pipeline users migrate onto.
+    The pipe form must compile to EXACTLY the classic plan: the
+    DuckDB oracle is the same query in standard GROUP BY/HAVING form,
+    and the decimal-staged revenue must hash-match, proving pipe
+    operators are sugar over the identical Catalyst aggregate (one
+    partial+final pass, pushdown intact), not a second execution
+    path."""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_PIPE_REVENUE_SQL)
+
+
+APPROX_TOPK_K = 64  #: tracked slots — above event_type cardinality
+
+
+@query(
+    "sketch_approx_topk_events",
+    oracle=f"""
+    SELECT event_type AS item, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def sketch_approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``approx_top_k`` frequency sketch (SPARK-52515) over
+    the event-type stream, exploded back to (item, n) rows. k
+    ({APPROX_TOPK_K}) and the default tracking capacity both exceed
+    the column's cardinality, so the sketch's documented exactness
+    regime applies and the DuckDB oracle is the plain exact
+    group-count — certifying the sketch API end-to-end without
+    betting the hash on approximation internals (the boundary-tie
+    hazard when k < cardinality: which equal-count item survives slot
+    k is engine-internal). The at-scale story is the same as the CM
+    sketch: fixed-size state, partial-aggregatable, one shuffle of
+    sketch buffers instead of the full key set."""
+    e = load_table(spark, sf_dir, "events")
+    topk = e.agg(F.expr(f"approx_top_k(event_type, {APPROX_TOPK_K})").alias("tk"))
+    return topk.select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("item"), F.col("s.count").alias("n")
+    )

@@ -508,3 +508,46 @@ def test_adpcm_multiblock_roundtrip_and_truncation(aid, n, spb):
     for cut in (0, 11, 12, 20, len(b) // 2, len(b) - 1):
         out = decode_adpcm_wav(b[:cut])
         assert out is None or len(out[1]) <= n
+
+
+def test_hash_u32_matches_duckdb_hex_int(spark):
+    """Cross-engine pin of the md5→int64 parity idiom now centralized
+    as functions.hashing.hash_u32 (r6): for a diverse value sample
+    (ids, unicode, quotes, whitespace, empties), Spark's hash_u32 and
+    the oracle-side ducksql.hex_int(md5('<prefix>|' || v), 1, 8) must
+    agree EXACTLY — every sketch bucket, fold id, and uniform draw in
+    the catalog rides on this equality, so a divergence (e.g. a md5
+    input-cast change on either engine) should fail here first, not
+    in a driver hash-red."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog import ducksql as D
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
+    values = [
+        "42", "0", "-7", "", " ", "  padded  ", "naïve café", "日本語",
+        "O'Brien", 'quote"d', "tab\tsep", "a|b", "fold|x", "1e30",
+        "3.14159", "TOTAL BRASIL", "🙂emoji", "\\backslash",
+    ] + [f"key_{i * 7919 % 104729}" for i in range(50)]
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = {
+        r.v: (r.a, r.b)
+        for r in df.select(
+            "v",
+            hash_u32("v", "wrs").alias("a"),
+            hash_u32("v", "0").alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    # hex_int expands its md5 argument once per hex digit, so bind the
+    # value through a 1-row CTE instead of repeating placeholders
+    expr_a = D.hex_int("md5('wrs|' || t.v)", 1, 8)
+    expr_b = D.hex_int("md5('0|' || t.v)", 1, 8)
+    for v in values:
+        (ea, eb) = con.execute(
+            f"WITH t(v) AS (SELECT ?) SELECT {expr_a}, {expr_b} FROM t", [v]
+        ).fetchone()
+        assert got[v] == (ea, eb), f"hash_u32 diverged for {v!r}"
+        assert 0 <= ea < 2**32
