@@ -40,7 +40,14 @@ def brute_topk(
     """Exact cosine top-k neighbors per query (self excluded).
     Returns (query_id, neighbor_id, rank, cos_sim); rank ties broken
     by neighbor id for a deterministic total order."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # repartition the STREAMED (query) side: the non-equi join is a
+    # BroadcastNestedLoopJoin whose parallelism equals the streamed
+    # side's partition count — a 1-partition small-file query scan
+    # would run every query×candidate cosine in one task
+    n = 2 * queries.sparkSession.sparkContext.defaultParallelism
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).repartition(
+        n, "query_id"
+    )
     c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
