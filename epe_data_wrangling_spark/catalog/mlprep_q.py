@@ -84,10 +84,16 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (SELECT DISTINCT doc_id, unnest({_LW}) AS term FROM documents),
     p AS (SELECT term, COUNT(*) AS doc_freq,
-                 (list(doc_id ORDER BY doc_id))[1:{POSTINGS_HEAD}] AS postings_head
+                 (list(doc_id ORDER BY doc_id))[1:{POSTINGS_HEAD}] AS ph
           FROM t GROUP BY term)
-    SELECT term, doc_freq, postings_head FROM p
-    WHERE doc_freq >= {POSTINGS_DF_MIN}
+    -- comma-joined integer string, not a raw array final: how the
+    -- external driver canonicalizes LIST results is unobserved (no
+    -- array-final query has ever been driver-certified), and integer
+    -- text is the one universally-rendered form (r6 hazard audit)
+    SELECT term, doc_freq,
+           array_to_string(list_transform(ph, x -> CAST(x AS VARCHAR)), ',')
+             AS postings_head
+    FROM p WHERE doc_freq >= {POSTINGS_DF_MIN}
     """,
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,9 +112,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD).alias(
-                "postings_head"
-            ),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_list("doc_id")), 1, POSTINGS_HEAD),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings_head"),
         )
         .filter(F.col("doc_freq") >= POSTINGS_DF_MIN)
     )
@@ -228,9 +238,13 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT vec_id, v,
                  list_max(list_transform(v, x -> abs(x))) AS max_abs
           FROM e)
+    -- comma-joined integer codes, not a raw INTEGER[] final: array
+    -- driver-canonicalization is unobserved (r6 hazard audit);
+    -- integer text is universal
     SELECT vec_id, max_abs,
-           list_transform(v, x -> CAST(round(x * (127.0 / max_abs))
-                                       AS INTEGER)) AS q
+           array_to_string(list_transform(v,
+             x -> CAST(CAST(round(x * (127.0 / max_abs)) AS INTEGER)
+                       AS VARCHAR)), ',') AS q
     FROM m
     """,
 )
@@ -252,9 +266,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "vec_id",
         "max_abs",
-        F.transform(
-            F.col("v"),
-            lambda x: F.round(x * (F.lit(127.0) / F.col("max_abs"))).cast("int"),
+        F.array_join(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x * (F.lit(127.0) / F.col("max_abs")))
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("q"),
     )
 
