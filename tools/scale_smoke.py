@@ -257,6 +257,23 @@ def main() -> None:
         lambda: cat["sql_scripting_bisect_threshold"].fn(spark, mix),
     )
 
+    # r6 operators at base then 10×: CM sketch, sequence packing,
+    # weighted reservoir, skew profile. (The documents replica is
+    # (doc_id, text) — enough for the token-stream shapes;
+    # winsorize/kfold need unreplicated lang/event columns and are
+    # covered by the sf0.1 sweep instead.)
+    docs_link = os.path.join(mix, "documents.parquet")
+    if not os.path.exists(docs_link):
+        os.symlink(os.path.abspath(f"{WORK}/documents.parquet"), docs_link)
+    for qname, lbl in (
+        ("sketch_countmin_heavy_hitters", "countmin"),
+        ("pack_sequences_contiguous", "pack_sequences"),
+        ("sample_weighted_reservoir", "weighted_reservoir"),
+        ("skew_key_profile", "skew_profile"),
+    ):
+        run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
+        run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix))
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
