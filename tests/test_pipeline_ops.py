@@ -259,8 +259,14 @@ def test_staged_sum_queries_invariant_to_shuffle_partitioning(spark):
 
     qs = all_queries()
     sf = "/root/testdata/sf0.001"
+    # r6 additions: pack_sequences rides sharded_cumsum, whose
+    # approx-percentile shard CUTS can move with partitioning — the
+    # global cumsum (and so the bin manifest) must not; the CM sketch
+    # and winsorize are pure integer/rank pipelines that must not
+    # notice partition count either.
     for name in ("dsir_importance_select", "logreg_train_quality",
-                 "retrieval_rrf_hybrid"):
+                 "retrieval_rrf_hybrid", "pack_sequences_contiguous",
+                 "sketch_countmin_heavy_hitters", "feature_winsorize_robust"):
         results = []
         for parts in ("3", "17"):
             old = spark.conf.get("spark.sql.shuffle.partitions")
