@@ -85,22 +85,25 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 
 
 #: Explicit catalog order. The external driver hash-checks the FIRST
-#: 50 entries only (observed rounds 1-5), so the head of this list is
+#: 50 entries only (observed rounds 1-6), so the head of this list is
 #: the externally-validated surface for the round. The window ROTATES
-#: each round: ~10 anchors stay pinned (one per operator family,
-#: regression canaries), and the other ~40 slots go to queries that
-#: have never earned a driver CORRECTNESS row. Rounds 1-5 certified
-#: 154 distinct queries; this round-6 window re-runs the two r5 reds
-#: (variant_shred_events, xml_source_nations — both failed on the
-#: DuckDB-HUGEINT-final driver-canonicalization hazard, now fixed
-#: with CAST(... AS BIGINT) and guarded by the execute-and-type
-#: oracle lint in tests/test_render_canary.py) and splices
-#: ROTATION_BACKLOG[0:38]. Remaining never-certified queries stay in
-#: ROTATION_BACKLOG for round 7. Queries outside the window remain
-#: locally verified every round by tools/verify_local.py (the full
+#: each round: a handful of anchors stay pinned (regression canaries),
+#: and every other slot goes to queries that have never earned a
+#: driver CORRECTNESS row. Rounds 1-6 certified 194 distinct queries
+#: (every ever-windowed query is green as of r6). This round-7 window
+#: trims the anchors to 7 for ONE round (the three dropped —
+#: pivot_event_type_counts, window_running_spend, q1_pricing_summary —
+#: each hold 6 green driver rows; their families are still exercised
+#: in-window, see tests/test_catalog.py) so that ALL 42 remaining
+#: oracle-backed never-certified queries PLUS the one rows-only query
+#: (ann_cosine_topk_arrow, no oracle by design: float summation
+#: order) fit: 7 + 42 + 1 = 50. A green r7 record completes
+#: certification at 237/237 — every catalog query windowed, every
+#: windowed query green. Queries outside the window remain locally
+#: verified every round by tools/verify_local.py (the full
 #: DuckDB-differential sweep).
 PRIORITY_ORDER = [
-    # --- anchors (10): one per family, certified r2-r5, kept as canaries
+    # --- anchors (7): certified r2-r6, kept as canaries
     "epe_pipeline_demo",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -108,58 +111,7 @@ PRIORITY_ORDER = [
     "multimodal_bmp_pixel_stats",
     "streaming_tumbling_window",
     "curate_corpus",
-    "pivot_event_type_counts",
-    "window_running_spend",
-    "q1_pricing_summary",
-    # --- re-certification (2): the r5 HUGEINT-final reds, oracles fixed
-    "variant_shred_events",
-    "xml_source_nations",
-    # --- never-driver-certified (38): ROTATION_BACKLOG[0:38] ---
-    "graph_cotrade_clustering",
-    "linkage_blocking_quality",
-    "journey_conversion_hazard",
-    "epe_consumption_growth",
-    "dq_schema_profile",
-    "monthly_value_percentile_bands",
-    "tumbling_distinct_users",
-    "window_first_last_nth",
-    "zipf_term_constants",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "embedding_label_centroids",
-    "ann_recall_report",
-    "streaming_sliding_window",
-    "streaming_static_enrich",
-    "streaming_stream_join_outer",
-    "multimodal_resize_fingerprint",
-    "multimodal_audio_energy",
-    "multimodal_keyframes",
-    "dedup_keep_best",
-    "dedup_rate_by_source",
-    "text_chunking",
-    "contamination_ngram_overlap",
-    "text_pii_scrub",
-    "sample_stratified",
-    "doc_repetition_scores",
-    "corpus_source_stats",
-    "corpus_dup_ngram_fraction",
-    "curation_decisions",
-    "dq_orphan_orders_fk",
-    "chisq_source_lang",
-    "gini_impurity_profile",
-    "dq_referential_summary",
-    "entropy_lang_by_source",
-    "text_tfidf_topk",
-    "inverted_index_postings",
-    "kmeans_lloyd_centroids",
-]  # == 50 entries; assert below
-
-#: Never-driver-certified queries queued for the round-7 window, in
-#: intended rotation order. Kept here (not just in docs) so the next
-#: round's rotation is a mechanical splice, and so tooling can report
-#: certification breadth (tools/verify_local.py --coverage).
-ROTATION_BACKLOG = [
+    # --- never-driver-certified (42): the entire r6 ROTATION_BACKLOG ---
     "embedding_quantize_int8",
     "embedding_dim_stats",
     "split_manifest",
@@ -190,11 +142,9 @@ ROTATION_BACKLOG = [
     "asof_forward_error_purchase",
     "skyline_suppliers",
     "basket_part_pairs_lift",
-    # --- r5 additions (never-certified; window candidates for r7)
     "join_bloom_prefilter",
     "layout_zorder_skipping",
     "sql_scripting_bisect_threshold",
-    # --- r6 additions
     "pagerank_partitioned_edges",
     "sketch_countmin_heavy_hitters",
     "sample_weighted_reservoir",
@@ -204,7 +154,16 @@ ROTATION_BACKLOG = [
     "skew_key_profile",
     "sql_pipe_syntax_revenue",
     "sketch_approx_topk_events",
-]
+    # --- rows-only (1): first-ever driver slot; no oracle BY DESIGN
+    # (Arrow/BLAS float summation order), driver records rows+schema
+    "ann_cosine_topk_arrow",
+]  # == 50 entries; assert below
+
+#: Never-driver-certified queries queued for future windows. EMPTY as
+#: of round 7: the r7 window takes the entire r6 backlog, so a green
+#: CORRECTNESS_r07 completes certification of the whole catalog. New
+#: queries added after r7 go here until they earn a window slot.
+ROTATION_BACKLOG: list[str] = []
 
 
 def all_queries() -> dict[str, CatalogQuery]:

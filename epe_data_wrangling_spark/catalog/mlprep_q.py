@@ -1343,7 +1343,7 @@ WINSOR_DEN = 20
                FROM events GROUP BY event_type),
     r AS (SELECT event_type, value,
                  row_number() OVER (PARTITION BY event_type
-                                    ORDER BY value, event_id) AS rn
+                                    ORDER BY value NULLS LAST, event_id) AS rn
           FROM events),
     cuts AS (SELECT r.event_type,
                     MIN(CASE WHEN r.rn = (n.n + {WINSOR_DEN - 1}) // {WINSOR_DEN}
@@ -1371,14 +1371,20 @@ def feature_winsorize_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic) via a per-type PARTITIONED window; rank indices use
     pure integer arithmetic (``(n+{WINSOR_DEN - 1}) div {WINSOR_DEN}``,
     never ``ceil(0.05·n)`` whose double product can cross an integer
-    boundary differently than intended). Raw and winsorized means are
+    boundary differently than intended). NULL placement in the rank
+    order is EXPLICIT on both sides (``asc_nulls_last`` / ``NULLS
+    LAST``): Spark defaults ASC to NULLS FIRST while DuckDB defaults
+    to NULLS LAST, so a bare ``ORDER BY value`` would silently
+    diverge the moment events.value acquires a NULL. Raw and winsorized means are
     decimal-staged so the sums are exact and order-free. 100 TB: one
     shuffle keyed by event_type for the rank window (skew-prone types
     would swap in the sharded global-rank primitive), cuts are a
     type-count-sized broadcast back onto the fact scan."""
     e = load_table(spark, sf_dir, "events")
     n = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_last("value"), F.asc_nulls_last("event_id")
+    )
     r = e.select("event_type", "value", F.row_number().over(w).alias("rn"))
     cuts = (
         r.join(F.broadcast(n), "event_type")

@@ -1153,6 +1153,12 @@ def sketch_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 WRS_K = 50  #: weighted sample size
+#: A-ES key quantization (decimal places). Selection ranks on the
+#: QUANTIZED key: two rows either share a grid cell (deterministic
+#: o_orderkey tie-break) or differ by ≥1e-12, which no cross-engine
+#: libm ln() ulp (~1e-21 at key magnitude) can bridge — restoring the
+#: catalog-wide no-raw-floats-in-the-selection-path invariant.
+WRS_KEY_DP = 12
 
 
 @query(
@@ -1160,8 +1166,8 @@ WRS_K = 50  #: weighted sample size
     oracle=f"""
     WITH w AS (
       SELECT o_orderkey, o_totalprice,
-             ln(({D.hex_int("md5('wrs|' || CAST(o_orderkey AS VARCHAR))", 1, 8)} + 1)
-                / 4294967297.0) / o_totalprice AS k
+             round(ln(({D.hex_int("md5('wrs|' || CAST(o_orderkey AS VARCHAR))", 1, 8)} + 1)
+                      / 4294967297.0) / o_totalprice, {WRS_KEY_DP}) AS k
       FROM orders)
     SELECT o_orderkey, o_totalprice
     FROM w ORDER BY k DESC, o_orderkey LIMIT {WRS_K}
@@ -1180,15 +1186,16 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the full table, no window. At 100 TB this is the
     one-scan-and-k-heap shape — the reservoir form of the same
     estimator. Orders weighted by o_totalprice; output is the
-    selected id/weight set (the key itself is excluded from the
-    hashed result so cross-engine libm ln() ulp differences cannot
-    flip a rounded digit; they cannot realistically flip the RANKING
-    — key gaps are ~10 orders of magnitude above 1 ulp)."""
+    selected id/weight set. Cross-engine determinism: the ranking key
+    is QUANTIZED to a {WRS_KEY_DP}-dp grid on both engines (see
+    WRS_KEY_DP) before the sort, with o_orderkey breaking grid-cell
+    ties — so selection never compares raw libm doubles, the same
+    invariant the rest of the catalog keeps via decimal staging."""
     from epe_data_wrangling_spark.functions.hashing import hash_u32
 
     o = load_table(spark, sf_dir, "orders")
     u = (hash_u32("o_orderkey", "wrs") + 1) / F.lit(4294967297.0)
-    key = F.log(u) / F.col("o_totalprice")
+    key = F.round(F.log(u) / F.col("o_totalprice"), WRS_KEY_DP)
     return (
         o.select("o_orderkey", "o_totalprice", key.alias("k"))
         .orderBy(F.desc("k"), "o_orderkey")

@@ -24,6 +24,9 @@ def test_every_query_has_oracle_unless_documented():
 
 
 def test_priority_window_covers_every_family():
+    """r7 trims anchors to 7 for one round so the whole backlog fits;
+    the three dropped anchors' families stay covered by in-window
+    backlog entries (asserted below)."""
     head = set(PRIORITY_ORDER)
     for probe in (
         "epe_pipeline_demo",      # reference-pipeline port
@@ -33,9 +36,10 @@ def test_priority_window_covers_every_family():
         "multimodal_bmp_pixel_stats",  # multimodal (real pixel decode)
         "streaming_tumbling_window",  # streaming
         "curate_corpus",          # curation composition
-        "pivot_event_type_counts",  # reshape
-        "q1_pricing_summary",     # core TPC-H shapes
-        "window_running_spend",   # windows
+        # family stand-ins for the three anchors dropped this round:
+        "categorical_encode_dense",    # reshape/pivot shape
+        "supplier_concentration_hhi",  # core TPC-H agg shapes
+        "time_weighted_avg_value",     # windows
     ):
         assert probe in head, f"{probe} fell out of the driver's check window"
 
@@ -50,16 +54,18 @@ def test_catalog_is_reasonably_large_and_named():
 #: window slots that intentionally repeat a certified query — only a
 #: query whose prior driver row was RED (hash_match false) may appear
 #: here, to earn a green row after its oracle fix
-RECERTIFY = {
-    # r4 red (canonical-JSON oracle) + r5 red (HUGEINT final): both
-    # oracle-portability fixes, re-windowed in r6 to earn green rows
-    "variant_shred_events",
-    "xml_source_nations",  # r5 red: bare SUM(int) → DuckDB HUGEINT final
-}
+RECERTIFY: set[str] = set()  # r7: no recerts — all r6 window rows green
+#: Historical recerts (kept for the red-row evidence check below):
+#: variant_shred_events (r4 canonical-JSON red), xml_source_nations
+#: (r5 HUGEINT-final red) — both re-certified green in r6.
+HISTORICAL_RECERTIFY = {"variant_shred_events", "xml_source_nations"}
+
+
+ANCHOR_COUNT = 7  # r7: trimmed from 10 for one round (see catalog docstring)
 
 
 def test_rotation_window_disjoint_from_all_certified_except_anchors():
-    """The rotation contract: ~10 anchors persist, every other window
+    """The rotation contract: the anchors persist, every other window
     slot goes to a query with no prior driver CORRECTNESS row — from
     ANY round (the r4 guard only checked r3, so an r1/r2/r4 repeat
     would have slipped through and wasted a certification slot).
@@ -98,10 +104,10 @@ def test_rotation_window_disjoint_from_all_certified_except_anchors():
                 and row.get("schema_match", True)
             ) or row.get("err"):
                 red.add(name)
-    rotated = set(PRIORITY_ORDER[10:])
+    rotated = set(PRIORITY_ORDER[ANCHOR_COUNT:])
     overlap = rotated & certified - RECERTIFY
     assert not overlap, f"non-anchor window slots repeat certified queries: {overlap}"
-    not_red = RECERTIFY - red
+    not_red = (RECERTIFY | HISTORICAL_RECERTIFY) - red
     assert not not_red, f"RECERTIFY entries were never red: {not_red}"
 
 

@@ -197,3 +197,34 @@ def test_oracle_final_types_are_driver_safe():
         "differently than Python int/float — see r1/r5 postmortems):\n"
         + "\n".join(bad)
     )
+
+
+def test_data_shape_assumptions_hold():
+    """Pin the data-shape preconditions individual catalog queries
+    rely on, so a driver data-generator change fails HERE with a
+    named assumption instead of as an inscrutable hash-red:
+
+    - ``sketch_approx_topk_events`` is exact only while event_type
+      cardinality stays ≤ APPROX_TOPK_K (and the sketch's default
+      maxItemsTracked); past that, approx_top_k silently returns a
+      subset while the exact-count oracle returns all groups.
+    - ``feature_winsorize_robust`` (and the other rank windows over
+      events.value) now pin NULLS LAST explicitly on both engines,
+      but record the current no-NULLs state so a generator change is
+      at least visible.
+    """
+    import duckdb as _duckdb
+
+    from epe_data_wrangling_spark.catalog.core import APPROX_TOPK_K
+
+    con = _duckdb.connect()
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        (card,) = con.execute(
+            f"SELECT COUNT(DISTINCT event_type) FROM "
+            f"read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()
+        assert card <= APPROX_TOPK_K, (
+            f"{sf_dir}: event_type cardinality {card} > APPROX_TOPK_K "
+            f"{APPROX_TOPK_K} — sketch_approx_topk_events leaves its exactness "
+            "regime; raise k or switch the oracle to a top-k form"
+        )

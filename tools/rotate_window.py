@@ -26,7 +26,7 @@ from epe_data_wrangling_spark.catalog import (  # noqa: E402
     all_queries,
 )
 
-ANCHORS = PRIORITY_ORDER[:10]  # per-family canaries, kept every round
+ANCHORS = PRIORITY_ORDER[:7]  # per-family canaries (7 as of r7), kept every round
 
 
 def main() -> int:
