@@ -159,11 +159,13 @@ PRIORITY_ORDER = [
     "ann_cosine_topk_arrow",
 ]  # == 50 entries; assert below
 
-#: Never-driver-certified queries queued for future windows. EMPTY as
-#: of round 7: the r7 window takes the entire r6 backlog, so a green
-#: CORRECTNESS_r07 completes certification of the whole catalog. New
-#: queries added after r7 go here until they earn a window slot.
-ROTATION_BACKLOG: list[str] = []
+#: Never-driver-certified queries queued for future windows. The r7
+#: window takes the entire r6 backlog, so a green CORRECTNESS_r07
+#: completes certification of everything above; queries added DURING
+#: r7 queue here for the r8 window.
+ROTATION_BACKLOG = [
+    "streaming_ivm_agg_merge",  # r7: true streaming IVM refresh loop
+]
 
 
 def all_queries() -> dict[str, CatalogQuery]:

@@ -512,3 +512,74 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(rows, state.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "streaming_ivm_agg_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def streaming_ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE incremental view maintenance, streamed: orders arrive as
+    FOUR micro-batches (the table staged as four files,
+    maxFilesPerTrigger=1) and a foreachBatch sink maintains one
+    additive partial-state row per o_orderpriority — each refresh
+    aggregates ONLY its delta and merges via a |groups|-row
+    full-outer add, with the applied batch_id committed inside the
+    same atomic swap as the state so crash replay can never
+    double-count (``streaming.ops.ivm_agg_foreach_batch``). The
+    oracle recomputes the aggregate directly over everything, so the
+    hash check certifies four-refresh-incremental ≡ recompute(full) —
+    closing the loop that the batch ``ivm_incremental_agg_merge``
+    query opens (it proves one merge step; this proves the standing
+    refresh loop). Count + decimal(18,2)-staged sum are exact
+    associative-commutative states, so the result is independent of
+    how rows land in batches. 100 TB: per refresh the work is one
+    partial agg over the delta and a groups-sized join; the base is
+    never rescanned."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="ivm_stream_")
+    src = os.path.join(work, "orders_landing")
+    target = os.path.join(work, "state")
+    try:
+        o.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def partial(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderpriority").agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice"), 2).cast("decimal(18,2)")
+                ).alias("s"),
+            )
+
+        state = ops.ivm_agg_foreach_batch(
+            stream, target, group_cols=["o_orderpriority"], partial_agg=partial
+        )
+        rows = state.select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("s").cast("double").alias("total_price"),
+        ).collect()
+        return spark.createDataFrame(rows, "o_orderpriority STRING, n_orders BIGINT, total_price DOUBLE")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -19,7 +19,7 @@ latency-oriented choice.
 from __future__ import annotations
 
 import tempfile
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
@@ -291,17 +291,34 @@ def upsert_latest_foreach_batch(
         )
         stage = f"{target_dir}.stage-{batch_id}"
         latest.write.mode("overwrite").parquet(stage)  # full materialize first
-        if exists:
-            old = f"{target_dir}.old-{batch_id}"
-            os.rename(target_dir, old)
-            os.rename(stage, target_dir)
-            shutil.rmtree(old)
-        else:
-            os.rename(stage, target_dir)
+        _atomic_swap(stage, target_dir, batch_id)
 
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_upsert_")
+    _run_foreach_batch(events, _apply, checkpoint_dir, "upsert", timeout_sec)
+    return events.sparkSession.read.parquet(target_dir)
+
+
+def _atomic_swap(stage: str, target_dir: str, batch_id: int) -> None:
+    """Promote a fully-materialized staging dir to the target via
+    directory rename — the copy-on-write commit both foreachBatch
+    sinks share. On object storage this step is what a table format's
+    transaction log replaces; everything before it is restartable."""
+    import os
+    import shutil
+
+    if os.path.isdir(target_dir):
+        old = f"{target_dir}.old-{batch_id}"
+        os.rename(target_dir, old)
+        os.rename(stage, target_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(stage, target_dir)
+
+
+def _run_foreach_batch(stream, apply_fn, checkpoint_dir, tag: str, timeout_sec: int) -> None:
+    """Drive a foreachBatch sink to completion under availableNow."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{tag}_")
     q = (
-        events.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(apply_fn)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -309,10 +326,87 @@ def upsert_latest_foreach_batch(
     try:
         finished = q.awaitTermination(timeout_sec)
         if not finished:
-            raise TimeoutError(f"upsert stream still running after {timeout_sec}s")
+            raise TimeoutError(f"{tag} stream still running after {timeout_sec}s")
     finally:
         q.stop()
-    return events.sparkSession.read.parquet(target_dir)
+
+
+def ivm_agg_foreach_batch(
+    stream: DataFrame,
+    target_dir: str,
+    *,
+    group_cols: list[str],
+    partial_agg: Callable[[DataFrame], DataFrame],
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TRUE incremental view maintenance over a stream: the target
+    parquet dir holds one row of ADDITIVE partial state per group
+    (every non-group column of ``partial_agg``'s output must merge by
+    ``+`` — count, decimal-staged sum, sum-of-squares …), and each
+    micro-batch contributes ``partial_agg(batch)`` via a full-outer
+    join + coalesced add. The base data is NEVER re-aggregated: per
+    refresh the work is one partial agg over the delta plus a
+    |groups|-row merge — the streaming twin of the batch
+    ``ivm_incremental_agg_merge`` query, which certifies the same
+    contract (merge(partial, delta) ≡ recompute(full)) against the
+    DuckDB oracle.
+
+    Unlike the latest-per-key upsert (a set operation, naturally
+    idempotent), ``+=`` state double-counts on re-application, so the
+    sink is exactly-once by construction: the applied ``batch_id`` is
+    committed INSIDE the target in the same atomic swap as the data
+    (``_ivm_meta.json``), and ``_apply`` skips any batch_id already
+    recorded — the documented foreachBatch discipline for
+    non-idempotent sinks. Crash replay (same checkpoint, same
+    batch_id) therefore merges exactly once; a from-scratch re-run on
+    a fresh checkpoint is also skipped rather than double-applied.
+
+    Returns the final state table as a batch DataFrame; callers
+    finalize (e.g. cast decimal sums to double) downstream.
+    """
+    import json
+    import os
+
+    def _applied_batch(spark) -> int:
+        meta = os.path.join(target_dir, "_ivm_meta.json")
+        if not os.path.isfile(meta):
+            return -1
+        with open(meta) as f:
+            return json.load(f)["last_batch_id"]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_id <= _applied_batch(spark):
+            return  # replay of a committed batch: merging again would double-count
+        delta = partial_agg(batch_df)
+        state_cols = [c for c in delta.columns if c not in group_cols]
+        if os.path.isdir(target_dir):
+            base = spark.read.parquet(target_dir)
+            types = dict(base.dtypes)
+            b, d = base.alias("b"), delta.alias("d")
+            merged = b.join(d, group_cols, "full_outer").select(
+                *group_cols,
+                *[
+                    (
+                        F.coalesce(F.col(f"b.{c}"), F.lit(0).cast(types[c]))
+                        + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(types[c]))
+                    )
+                    .cast(types[c])
+                    .alias(c)
+                    for c in state_cols
+                ],
+            )
+        else:
+            merged = delta
+        stage = f"{target_dir}.stage-{batch_id}"
+        merged.write.mode("overwrite").parquet(stage)
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(stream, _apply, checkpoint_dir, "ivm", timeout_sec)
+    return stream.sparkSession.read.parquet(target_dir)
 
 
 def purchase_click_attribution_outer(

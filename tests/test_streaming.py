@@ -430,3 +430,76 @@ def test_tws_gated_api_surface_exists_in_installed_spark():
         "Spark no longer ships the protobuf TWS worker protocol - "
         "audit has_tws_runtime(): the gate may be obsolete"
     )
+
+
+def test_foreach_batch_ivm_matches_full_recompute(spark, tmp_path):
+    """Multi-batch additive IVM must equal the direct aggregate over
+    the whole table, and the maintained state must be groups-sized
+    (one partial-state row per group — the structural evidence the
+    sink merges states instead of re-aggregating rows)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import ivm_agg_foreach_batch
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderpriority", "o_totalprice")
+    src = tmp_path / "landing"
+    o.repartition(3).write.parquet(str(src))
+    target = str(tmp_path / "state")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("s"),
+        )
+
+    stream = (
+        spark.readStream.schema(o.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = ivm_agg_foreach_batch(
+        stream, target, group_cols=["o_orderpriority"], partial_agg=partial
+    )
+    got = {r["o_orderpriority"]: (r["n"], r["s"]) for r in state.collect()}
+    expect = {r["o_orderpriority"]: (r["n"], r["s"]) for r in partial(o).collect()}
+    assert got == expect
+    assert len(got) == o.select("o_orderpriority").distinct().count()
+
+
+def test_foreach_batch_ivm_replay_does_not_double_count(spark, tmp_path):
+    """+= state is NOT naturally idempotent, so the sink's batch-id
+    commit (inside the same atomic swap as the state) must make both
+    replay shapes no-ops: (a) a fresh-checkpoint re-run over already
+    applied files, and (b) a same-checkpoint restart with no new
+    data."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import ivm_agg_foreach_batch
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderpriority", "o_totalprice")
+    src = tmp_path / "landing"
+    o.coalesce(1).write.parquet(str(src))
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+    def run_once(checkpoint):
+        stream = spark.readStream.schema(o.schema).parquet(str(src))
+        return ivm_agg_foreach_batch(
+            stream, target, group_cols=["o_orderpriority"], partial_agg=partial,
+            checkpoint_dir=checkpoint,
+        )
+
+    first = {r["o_orderpriority"]: r["n"] for r in run_once(ckpt).collect()}
+    # (a) fresh checkpoint: source replays everything as batch 0, but
+    # the target has already committed batch 0 — must be skipped
+    replayed = {r["o_orderpriority"]: r["n"] for r in run_once(None).collect()}
+    # (b) same checkpoint, no new files: zero batches fire
+    restarted = {r["o_orderpriority"]: r["n"] for r in run_once(ckpt).collect()}
+    assert first == replayed == restarted
+    expect = {r["o_orderpriority"]: r["n"] for r in partial(o).collect()}
+    assert first == expect
