@@ -165,6 +165,7 @@ PRIORITY_ORDER = [
 #: r7 queue here for the r8 window.
 ROTATION_BACKLOG = [
     "streaming_ivm_agg_merge",  # r7: true streaming IVM refresh loop
+    "snapshot_diff_keyed",  # r7: CDC changeset between parquet snapshots
 ]
 
 

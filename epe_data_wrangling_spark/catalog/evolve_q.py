@@ -1188,3 +1188,107 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", F.round(rz, 6).alias("robust_z")
         )
     )
+
+
+@query(
+    "snapshot_diff_keyed",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus, o_orderpriority
+      FROM orders),
+    h1 AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', CAST(cents AS VARCHAR),
+                           o_orderstatus, o_orderpriority)) AS rh
+      FROM base WHERE o_orderkey % 7 != 3),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority
+      FROM base WHERE o_orderkey % 11 != 5),
+    h2 AS (
+      SELECT o_orderkey,
+             md5(concat_ws('|', CAST(cents AS VARCHAR),
+                           o_orderstatus, o_orderpriority)) AS rh,
+             o_orderstatus
+      FROM v2)
+    SELECT COALESCE(h1.o_orderkey, h2.o_orderkey) AS o_orderkey,
+           CASE WHEN h1.o_orderkey IS NULL THEN 'added'
+                WHEN h2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           h2.o_orderstatus AS new_status
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+    WHERE h1.o_orderkey IS NULL OR h2.o_orderkey IS NULL
+       OR h1.rh != h2.rh
+    """,
+)
+def snapshot_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff — derive a CDC changeset (added / removed /
+    changed + the new image) between two versions of a table by
+    full-outer-joining on the key and comparing a per-row md5 over
+    the business columns. This is the operator that turns two plain
+    parquet snapshots into the delta a downstream IVM refresh
+    (``ivm_incremental_agg_merge`` / ``streaming_ivm_agg_merge``) or
+    audit consumes, without any table-format change log. Versions are
+    carved deterministically from orders (v2 adds keys ≡3 mod 7,
+    drops keys ≡5 mod 11, flips status on keys ≡0 mod 13). Hash
+    discipline: doubles never render to text (money goes through
+    integer cents; bigint→varchar renders identically on both
+    engines), and md5 is the shared cross-engine digest. Scale: one
+    shuffle per side on the key — zero exchanges when both snapshots
+    are bucketed on it — and the row-hash comparison reduces the
+    change detection to one narrow column regardless of table width;
+    unchanged keys (the overwhelming majority at 100 TB) are
+    filtered before anything leaves the join."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+    def row_hash(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("cents").cast("string"),
+                    "o_orderstatus",
+                    "o_orderpriority",
+                )
+            ).alias("rh"),
+            "o_orderstatus",
+        )
+
+    h1 = row_hash(base.filter(F.col("o_orderkey") % 7 != 3))
+    v2 = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 11 != 5)
+    h2 = row_hash(v2)
+    a, b = h1.alias("a"), h2.alias("b")
+    return (
+        a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+        .filter(
+            F.col("a.o_orderkey").isNull()
+            | F.col("b.o_orderkey").isNull()
+            | (F.col("a.rh") != F.col("b.rh"))
+        )
+        .select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("a.o_orderkey").isNull(), "added")
+            .when(F.col("b.o_orderkey").isNull(), "removed")
+            .otherwise("changed")
+            .alias("change_type"),
+            F.col("b.o_orderstatus").alias("new_status"),
+        )
+    )

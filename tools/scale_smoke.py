@@ -46,6 +46,8 @@ def main() -> None:
         .select(
             (F.col("doc_id") + F.col("rep") * n_docs).alias("doc_id"),
             F.concat("text", F.lit(" replicatag"), F.col("rep").cast("string")).alias("text"),
+            "lang",  # kept so stratified shapes (kfold) run on the replica
+            "source",
         )
         .repartition(64)
     )
@@ -258,18 +260,38 @@ def main() -> None:
     )
 
     # r6 operators at base then 10×: CM sketch, sequence packing,
-    # weighted reservoir, skew profile. (The documents replica is
-    # (doc_id, text) — enough for the token-stream shapes;
-    # winsorize/kfold need unreplicated lang/event columns and are
-    # covered by the sf0.1 sweep instead.)
+    # weighted reservoir, skew profile, winsorize, kfold. The
+    # documents replica carries (doc_id, text, lang, source); events
+    # are replicated with offset event_ids (same users — per-user
+    # density grows 10×, the harder shape for the rank windows).
     docs_link = os.path.join(mix, "documents.parquet")
     if not os.path.exists(docs_link):
         os.symlink(os.path.abspath(f"{WORK}/documents.parquet"), docs_link)
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    ev = load_table(spark, base, "events")
+    n_ev = ev.count()
+    (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") + F.col("rep") * n_ev).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(os.path.join(mix, "events.parquet"))
+    )
     for qname, lbl in (
         ("sketch_countmin_heavy_hitters", "countmin"),
         ("pack_sequences_contiguous", "pack_sequences"),
         ("sample_weighted_reservoir", "weighted_reservoir"),
         ("skew_key_profile", "skew_profile"),
+        ("feature_winsorize_robust", "winsorize"),
+        ("split_kfold_assignment", "kfold"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix))
