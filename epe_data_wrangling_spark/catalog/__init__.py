@@ -166,6 +166,7 @@ PRIORITY_ORDER = [
 ROTATION_BACKLOG = [
     "streaming_ivm_agg_merge",  # r7: true streaming IVM refresh loop
     "snapshot_diff_keyed",  # r7: CDC changeset between parquet snapshots
+    "ivm_apply_changeset",  # r7: IVM with retractions (±signed delta apply)
 ]
 
 

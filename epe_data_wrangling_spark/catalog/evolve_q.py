@@ -1190,6 +1190,46 @@ def anomaly_mad_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_versions(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic versions of orders for the snapshot-diff /
+    changeset-apply pair (one carving, shared so the queries cannot
+    drift): v2 adds keys ≡3 mod 7, drops keys ≡5 mod 11, flips
+    o_orderstatus to 'X' on keys ≡0 mod 13. Money is staged to
+    integer cents here so no double ever renders to text."""
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    v1 = base.filter(F.col("o_orderkey") % 7 != 3)
+    v2 = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 0, "X").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 11 != 5)
+    return v1, v2
+
+
+def _with_row_hash(df: DataFrame) -> DataFrame:
+    """Key + md5 row digest over the business columns + the columns
+    the changeset consumers read (status, cents)."""
+    return df.select(
+        "o_orderkey",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("cents").cast("string"),
+                "o_orderstatus",
+                "o_orderpriority",
+            )
+        ).alias("rh"),
+        "o_orderstatus",
+        "cents",
+    )
+
+
 @query(
     "snapshot_diff_keyed",
     oracle="""
@@ -1243,36 +1283,8 @@ def snapshot_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     change detection to one narrow column regardless of table width;
     unchanged keys (the overwhelming majority at 100 TB) are
     filtered before anything leaves the join."""
-    o = load_table(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        "o_orderstatus",
-        "o_orderpriority",
-    )
-
-    def row_hash(df: DataFrame) -> DataFrame:
-        return df.select(
-            "o_orderkey",
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("cents").cast("string"),
-                    "o_orderstatus",
-                    "o_orderpriority",
-                )
-            ).alias("rh"),
-            "o_orderstatus",
-        )
-
-    h1 = row_hash(base.filter(F.col("o_orderkey") % 7 != 3))
-    v2 = base.withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") % 13 == 0, "X").otherwise(
-            F.col("o_orderstatus")
-        ),
-    ).filter(F.col("o_orderkey") % 11 != 5)
-    h2 = row_hash(v2)
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    h1, h2 = _with_row_hash(v1), _with_row_hash(v2)
     a, b = h1.alias("a"), h2.alias("b")
     return (
         a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
@@ -1291,4 +1303,89 @@ def snapshot_diff_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_type"),
             F.col("b.o_orderstatus").alias("new_status"),
         )
+    )
+
+
+@query(
+    "ivm_apply_changeset",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def ivm_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM with RETRACTIONS — the missing half of the incremental
+    story: ``ivm_incremental_agg_merge`` / ``streaming_ivm_agg_merge``
+    prove insert-only merges; this query proves delta application
+    with DELETES and UPDATES, by feeding ``snapshot_diff_keyed``'s
+    changeset into the additive state as signed rows (old image −1,
+    new image +1 — an update is a retraction plus an insertion). The
+    aggregate groups by o_orderstatus, which the v1→v2 carving
+    MOVES rows across (status flips on keys ≡0 mod 13), so a wrong
+    sign or a missed retraction cannot cancel out. Certified
+    identity: merge(state(v1), Σ±changeset) ≡ recompute(v2) — the
+    oracle computes v2's aggregate directly; groups whose count
+    reaches zero are dropped from the view. Integer cents
+    end-to-end: counts and sums are exact, order-free, and
+    driver-safe as BIGINT. Scale: state(v1) is |groups| rows; the
+    changeset is change-sized, not table-sized (unchanged keys are
+    filtered by row-hash inside the diff join); the apply is a
+    groups-sized outer join — per refresh, work tracks the delta."""
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    state1 = v1.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    a, b = _with_row_hash(v1).alias("a"), _with_row_hash(v2).alias("b")
+    j = a.join(
+        b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    retract = j.filter(
+        F.col("a.o_orderkey").isNotNull()
+        & (F.col("b.o_orderkey").isNull() | (F.col("a.rh") != F.col("b.rh")))
+    ).select(
+        F.lit(-1).alias("sign"),
+        F.col("a.o_orderstatus").alias("o_orderstatus"),
+        F.col("a.cents").alias("cents"),
+    )
+    insert = j.filter(
+        F.col("b.o_orderkey").isNotNull()
+        & (F.col("a.o_orderkey").isNull() | (F.col("a.rh") != F.col("b.rh")))
+    ).select(
+        F.lit(1).alias("sign"),
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.col("b.cents").alias("cents"),
+    )
+    delta = (
+        retract.unionByName(insert)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("cents")).alias("ds"),
+        )
+    )
+    st, d = state1.alias("st"), delta.alias("d")
+    return (
+        st.join(d, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("st.n"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("st.s"), F.lit(0)) + F.coalesce(F.col("d.ds"), F.lit(0))
+            ).alias("total_cents"),
+        )
+        .filter(F.col("n_orders") > 0)
     )
