@@ -294,3 +294,20 @@ def test_pagerank_partitioned_no_rank_broadcast(spark):
     # same doubles out of both physical forms
     bcast = pagerank(df, iters=iters, mode="broadcast")
     assert sorted(map(tuple, part.collect())) == sorted(map(tuple, bcast.collect()))
+
+
+def test_snapshot_diff_joins_on_key_no_nested_loop(spark):
+    """The snapshot-diff / changeset-apply pair must diff via a keyed
+    shuffle join (SMJ or shuffled-hash on o_orderkey) — never a
+    BroadcastNestedLoopJoin (both sides are table-sized at scale) and
+    never a broadcast of a snapshot side. Scans must prune to the
+    diffed columns, not the full orders width."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    qs = all_queries()
+    for name in ("snapshot_diff_keyed", "ivm_apply_changeset"):
+        plan = _plan(qs[name].fn(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        read_schema = plan.split("ReadSchema")[1][:300]
+        assert "o_comment" not in read_schema and "o_clerk" not in read_schema, name

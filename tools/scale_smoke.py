@@ -296,6 +296,32 @@ def main() -> None:
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix))
 
+    # r7: the snapshot-diff / IVM family needs full-width orders
+    # (status, priority); keys shifted per replica so the carving
+    # mods stay deterministic and keys unique
+    of = f"{WORK}/orders_full_dir"
+    os.makedirs(of, exist_ok=True)
+    orders_full = spark.read.parquet(os.path.join(base, "orders.parquet"))
+    (
+        orders_full.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * F.lit(10_000_000)).alias(
+                "o_orderkey"
+            ),
+            *[c for c in orders_full.columns if c != "o_orderkey"],
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{of}/orders.parquet")
+    )
+    for qname, lbl in (
+        ("snapshot_diff_keyed", "snapshot_diff"),
+        ("ivm_apply_changeset", "ivm_apply"),
+        ("streaming_ivm_agg_merge", "streaming_ivm_4refresh"),
+    ):
+        run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
+        run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, of))
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
