@@ -167,6 +167,8 @@ ROTATION_BACKLOG = [
     "streaming_ivm_agg_merge",  # r7: true streaming IVM refresh loop
     "snapshot_diff_keyed",  # r7: CDC changeset between parquet snapshots
     "ivm_apply_changeset",  # r7: IVM with retractions (±signed delta apply)
+    "sql_udf_pricing_chain",  # r7: SQL UDFs inline to pure Catalyst exprs
+    "sql_udf_table_month_spine",  # r7: SQL table function via LATERAL
 ]
 
 

@@ -2756,3 +2756,133 @@ def sketch_approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("item"), F.col("s.count").alias("n")
     )
+
+
+@query(
+    "sql_udf_pricing_chain",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000.0)
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+           CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                               * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+             AS sum_charge,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_pricing_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (SPARK-46246: ``CREATE FUNCTION … RETURN
+    <expr>``) — reusable business logic declared IN SQL and inlined
+    by the analyzer into pure Catalyst expressions: ``disc_price``,
+    ``with_tax`` (composed one inside the other) and the repo's
+    ``stage6`` integer-staging idiom itself as a third UDF. The
+    oracle computes the hand-inlined expressions, so the hash match
+    proves the UDF chain compiles to the IDENTICAL arithmetic tree
+    (same IEEE results) — and the plan keeps whole-stage codegen,
+    pushdown, and partial+final aggregation with zero Python workers
+    (no BatchEvalPython — asserted in tests/test_plans.py). This is
+    the declarative answer to 'users need custom functions without
+    leaving the JVM fast path'; at 100 TB it behaves exactly like
+    q1_pricing_summary because it IS that plan after inlining."""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION with_tax(p DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION stage6_udf(x DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(round(x * 1000000.0) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(stage6_udf(disc_price(l_extendedprice, l_discount)))
+                    AS DOUBLE) / 1000000.0 AS sum_disc_price,
+               CAST(SUM(stage6_udf(with_tax(disc_price(l_extendedprice,
+                                                       l_discount), l_tax)))
+                    AS DOUBLE) / 1000000.0 AS sum_charge,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "sql_udf_table_month_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT r.r_name, r.r_regionkey, CAST(gs.ms AS DATE) AS month_start
+      FROM region r,
+           LATERAL (SELECT unnest(generate_series(DATE '1997-01-01',
+                                                  DATE '1997-12-01',
+                                                  INTERVAL 1 MONTH)) AS ms) gs),
+    rev AS (
+      SELECT n.n_regionkey,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS ms,
+             COUNT(*) AS n_orders
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= DATE '1997-01-01'
+        AND o.o_orderdate < DATE '1998-01-01'
+      GROUP BY n.n_regionkey, date_trunc('month', o.o_orderdate))
+    SELECT s.r_name, s.month_start,
+           COALESCE(v.n_orders, 0) AS n_orders
+    FROM spine s
+    LEFT JOIN rev v ON v.n_regionkey = s.r_regionkey
+                   AND v.ms = s.month_start
+    """,
+)
+def sql_udf_table_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function (``CREATE FUNCTION … RETURNS TABLE(…)
+    RETURN SELECT …``) — the declarative twin of the Python UDTF in
+    ``udtf_month_spine_revenue``: the month-spine generator is pure
+    SQL, expanded per region row via LATERAL, so the gap-filling
+    spine needs NO Python worker at all (the UDTF lane's remaining
+    process cost drops to zero). Left-joined to per-region monthly
+    order counts; zero-activity months must surface with 0. The
+    oracle swaps the TVF for generate_series and must agree exactly.
+    Scale: the TVF touches only the 5-row region dim; the fact-side
+    aggregate is the usual pushdown + partial/final shape."""
+    from epe_data_wrangling_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, "region", "nation", "customer", "orders")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION month_spine_sql(start DATE, n INT) "
+        "RETURNS TABLE(month_start DATE) "
+        "RETURN SELECT explode(sequence(start, add_months(start, n - 1), "
+        "interval 1 month))"
+    )
+    return spark.sql(
+        """
+        WITH spine AS (
+          SELECT r.r_name, r.r_regionkey, ms.month_start
+          FROM region r, LATERAL month_spine_sql(DATE '1997-01-01', 12) ms),
+        rev AS (
+          SELECT n.n_regionkey,
+                 CAST(date_trunc('month', o.o_orderdate) AS DATE) AS ms,
+                 COUNT(*) AS n_orders
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE o.o_orderdate >= DATE '1997-01-01'
+            AND o.o_orderdate < DATE '1998-01-01'
+          GROUP BY n.n_regionkey, date_trunc('month', o.o_orderdate))
+        SELECT s.r_name, s.month_start,
+               COALESCE(v.n_orders, CAST(0 AS BIGINT)) AS n_orders
+        FROM spine s
+        LEFT JOIN rev v ON v.n_regionkey = s.r_regionkey
+                       AND v.ms = s.month_start
+        """
+    )

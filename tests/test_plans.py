@@ -311,3 +311,22 @@ def test_snapshot_diff_joins_on_key_no_nested_loop(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
         read_schema = plan.split("ReadSchema")[1][:300]
         assert "o_comment" not in read_schema and "o_clerk" not in read_schema, name
+
+
+def test_sql_udfs_inline_no_python_workers(spark):
+    """SQL UDFs (scalar chain and table function) must inline into
+    pure Catalyst plans: no BatchEvalPython / ArrowEvalPython / UDTF
+    python node anywhere, partial+final aggregation intact, and the
+    scalar chain's filter/scan shape identical to the hand-written
+    q1 idiom (pushdown reaches the parquet scan)."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    qs = all_queries()
+    p1 = _plan(qs["sql_udf_pricing_chain"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in p1 and "ArrowEvalPython" not in p1
+    assert "PythonUDTF" not in p1
+    assert p1.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters" in p1
+    p2 = _plan(qs["sql_udf_table_month_spine"].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in p2 and "PythonUDTF" not in p2
+    assert "Generate explode" in p2 or "Generate" in p2  # TVF became a generator
