@@ -169,6 +169,8 @@ ROTATION_BACKLOG = [
     "ivm_apply_changeset",  # r7: IVM with retractions (±signed delta apply)
     "sql_udf_pricing_chain",  # r7: SQL UDFs inline to pure Catalyst exprs
     "sql_udf_table_month_spine",  # r7: SQL table function via LATERAL
+    "dp_noisy_group_counts",  # r7: seeded-Laplace noisy release twin
+    "kanon_quasi_identifier_audit",  # r7: k-anonymity suppression gate
 ]
 
 

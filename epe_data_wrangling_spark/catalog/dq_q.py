@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.catalog import ducksql as D
 from epe_data_wrangling_spark.sources.tables import load_table
 
 QUERIES: dict[str, CatalogQuery] = {}
@@ -747,4 +748,93 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "l_suppkey")
         .limit(SKEW_TOPK)
+    )
+
+
+DP_EPSILON = 1.0  #: Laplace scale b = sensitivity/epsilon = 1/1.0
+DP_NOISE_DP = 6  #: noise quantization (same cross-engine-libm rule as WRS_KEY_DP)
+K_ANON = 10  #: minimum group size a quasi-identifier release tolerates
+
+
+@query(
+    "dp_noisy_group_counts",
+    oracle=f"""
+    WITH g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    u AS (SELECT event_type, n,
+                 ({D.hex_int("md5('dp|' || CAST(event_type AS VARCHAR))", 1, 8)}
+                  + 1) / 4294967297.0 AS u
+          FROM g)
+    SELECT event_type,
+           round(n + round(-{DP_EPSILON} * sign(u - 0.5)
+                           * ln(1 - 2 * abs(u - 0.5)), {DP_NOISE_DP}),
+                 {DP_NOISE_DP}) AS n_noisy
+    FROM u
+    """,
+)
+def dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-SHAPED count release: per-group counts
+    plus Laplace(b = 1/{DP_EPSILON}) noise via inverse-CDF
+    (−b·sign(u−½)·ln(1−2|u−½|)). HONESTY NOTE, stated plainly: real
+    DP requires fresh randomness; here u is the repo's seeded md5
+    uniform (``hash_u32``) so the release is REPRODUCIBLE and
+    oracle-checkable — this certifies the noise ARITHMETIC and the
+    one-pass release plan (swap the uniform source for true
+    randomness in production and the plan is unchanged). The noise
+    term is quantized to {DP_NOISE_DP} dp before addition (the
+    WRS_KEY_DP rule) so no raw libm double reaches the hashed
+    result. Scale: one partial-agg shuffle; noise is per-GROUP, so
+    the noisy release costs nothing beyond the exact one."""
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
+    e = load_table(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = (hash_u32("event_type", "dp") + 1) / F.lit(4294967297.0)
+    noise = F.round(
+        -F.lit(DP_EPSILON)
+        * F.signum(u - 0.5)
+        * F.log(1 - 2 * F.abs(u - 0.5)),
+        DP_NOISE_DP,
+    )
+    return g.select(
+        "event_type", F.round(F.col("n") + noise, DP_NOISE_DP).alias("n_noisy")
+    )
+
+
+@query(
+    "kanon_quasi_identifier_audit",
+    oracle=f"""
+    WITH g AS (SELECT c_nationkey, c_mktsegment,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, n,
+           n < {K_ANON} AS below_k,
+           CASE WHEN n < {K_ANON} THEN '<suppressed>'
+                ELSE CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+           END AS release_key
+    FROM g
+    """,
+)
+def kanon_quasi_identifier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination
+    (nation × market segment): any group smaller than k={K_ANON} is
+    re-identification-risky and its release key is suppressed — the
+    gate a privacy review runs before publishing per-segment stats
+    (and the training-data analogue: rare attribute combinations
+    that memorization could expose). One partial-agg pass; the audit
+    table is |quasi-id-combinations|-sized regardless of corpus."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (F.col("n") < K_ANON).alias("below_k"),
+        F.when(F.col("n") < K_ANON, "<suppressed>")
+        .otherwise(
+            F.concat_ws("|", F.col("c_nationkey").cast("string"), "c_mktsegment")
+        )
+        .alias("release_key"),
     )
