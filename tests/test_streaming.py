@@ -503,3 +503,40 @@ def test_foreach_batch_ivm_replay_does_not_double_count(spark, tmp_path):
     assert first == replayed == restarted
     expect = {r["o_orderpriority"]: r["n"] for r in partial(o).collect()}
     assert first == expect
+
+
+def test_foreach_batch_ivm_state_invariant_to_batch_split(spark, tmp_path):
+    """The additive-state contract: the final state table must be
+    IDENTICAL whether the log arrives as 1, 3, or 5 micro-batches
+    (count + decimal sums are associative-commutative, and the
+    first-batch-creates-target edge must not special-case results)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import ivm_agg_foreach_batch
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderpriority", "o_totalprice")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("o_totalprice", 2).cast("decimal(18,2)")).alias("s"),
+        )
+
+    results = []
+    for i, n_files in enumerate((1, 3, 5)):
+        src = tmp_path / f"landing{i}"
+        o.repartition(n_files).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        state = ivm_agg_foreach_batch(
+            stream,
+            str(tmp_path / f"state{i}"),
+            group_cols=["o_orderpriority"],
+            partial_agg=partial,
+        )
+        results.append({r["o_orderpriority"]: (r["n"], r["s"]) for r in state.collect()})
+    assert results[0] == results[1] == results[2]
