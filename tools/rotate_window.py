@@ -51,6 +51,28 @@ def main() -> int:
     window = ANCHORS + pool[: 50 - len(ANCHORS)]
     leftover = pool[50 - len(ANCHORS):]
 
+    if len(window) < 50:
+        # Certification is (nearly) complete: refill the spare slots
+        # with RE-certifications, oldest green row first, so driver
+        # evidence stays fresh across the whole catalog instead of
+        # pinning the same anchors forever.
+        last_green: dict[str, int] = {}
+        for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+            rnd = int(path.split("_r")[1].split(".")[0])
+            for name, row in json.load(open(path)).items():
+                if row.get("hash_match") or (
+                    row.get("rows_match") and row.get("err") is None
+                ):
+                    last_green[name] = rnd
+        stale = sorted(
+            (n for n in qs if n not in window),
+            key=lambda n: (last_green.get(n, -1), n),
+        )
+        refill = stale[: 50 - len(window)]
+        window += refill
+        print(f"refill ({len(refill)} re-certification slots, oldest green "
+              "row first):", ", ".join(refill[:10]), "...")
+
     print("\nPRIORITY_ORDER = [  # proposed next window")
     for n in window:
         print(f'    "{n}",')
@@ -58,10 +80,6 @@ def main() -> int:
     for n in leftover:
         print(f'    "{n}",')
     print("]")
-    if len(window) < 50:
-        refill = [n for n in qs if n not in window][: 50 - len(window)]
-        print(f"\nNOTE: only {len(window)} entries — certification is "
-              f"nearly complete; refill with re-certifications: {refill}")
     return 0
 
 
