@@ -171,6 +171,8 @@ ROTATION_BACKLOG = [
     "sql_udf_table_month_spine",  # r7: SQL table function via LATERAL
     "dp_noisy_group_counts",  # r7: seeded-Laplace noisy release twin
     "kanon_quasi_identifier_audit",  # r7: k-anonymity suppression gate
+    "attribution_position_weighted",  # r7: U-shaped multi-touch attribution
+    "split_leakage_near_dups",  # r7: near-dups crossing k-fold boundaries
 ]
 
 

@@ -404,3 +404,50 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         k=8, threshold=0.45,
     )
+
+
+def _leakage_sql() -> str:
+    from epe_data_wrangling_spark.catalog.mlprep_q import KFOLD
+
+    fa = D.hex_int("md5('fold|' || CAST(a_id AS VARCHAR))", 1, 8)
+    fb = D.hex_int("md5('fold|' || CAST(b_id AS VARCHAR))", 1, 8)
+    return f"""
+    SELECT a_id, b_id, fold_a, fold_b, jaccard
+    FROM (SELECT a_id, b_id, jaccard,
+                 {fa} % {KFOLD} AS fold_a,
+                 {fb} % {KFOLD} AS fold_b
+          FROM ({_minhash_sql()}) pairs) q
+    WHERE fold_a != fold_b
+    """
+
+
+@query("split_leakage_near_dups", oracle=_leakage_sql)
+def split_leakage_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval SPLIT LEAKAGE check — the audit every LLM data
+    pipeline needs between dedup and split: near-duplicate document
+    pairs (the certified MinHash-LSH path, Jaccard ≥ 0.8) whose
+    endpoints hash into DIFFERENT k-folds under the
+    ``split_kfold_assignment`` rule. Any row here means a test fold
+    contains a near-copy of a training document — metric inflation
+    that per-fold dedup cannot see because the duplicates live in
+    different folds by construction of hash splitting. Composes two
+    certified components (LSH pairs × stateless md5 fold rule), so
+    the fold of each endpoint is recomputed from its id alone — no
+    assignment join. Scale: exactly the LSH pair cost (one band-key
+    shuffle, no all-pairs) plus a pair-sized projection; the fix it
+    drives is cluster-level splitting (assign the dedup CLUSTER id,
+    ``dedup_minhash_clusters``, to a fold — not the doc id)."""
+    from epe_data_wrangling_spark.catalog.mlprep_q import KFOLD
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
+    pairs = X.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), "text", "doc_id",
+        shingle_n=5, num_hashes=16, bands=8, threshold=0.8,
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        (hash_u32("a_id", "fold") % KFOLD).alias("fold_a"),
+        (hash_u32("b_id", "fold") % KFOLD).alias("fold_b"),
+        "jaccard",
+    ).filter(F.col("fold_a") != F.col("fold_b"))

@@ -354,3 +354,96 @@ def journey_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hazard"),
         )
     )
+
+
+ATTR_LOOKBACK_MIN = 30  #: touch window before each purchase
+
+
+@query(
+    "attribution_position_weighted",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value
+               FROM events WHERE event_type = 'purchase'),
+    t AS (SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+          FROM events WHERE event_type IN ('view', 'click', 'signup')),
+    touch AS (
+      SELECT p.p_id, p.value, t.event_type, t.t_ts, t.t_id
+      FROM p JOIN t ON p.user_id = t.user_id
+        AND t.t_ts >= p.p_ts - INTERVAL {ATTR_LOOKBACK_MIN} MINUTE
+        AND t.t_ts < p.p_ts),
+    ranked AS (
+      SELECT p_id, value, event_type,
+             row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS pos,
+             COUNT(*) OVER (PARTITION BY p_id) AS n
+      FROM touch),
+    w AS (
+      SELECT event_type, value,
+             CASE WHEN n = 1 THEN 1.0
+                  WHEN n = 2 THEN 0.5
+                  WHEN pos = 1 OR pos = n THEN 0.4
+                  ELSE 0.2 / (n - 2) END AS wt
+      FROM ranked)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST(round(value * wt, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_value
+    FROM w GROUP BY event_type
+    """,
+)
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each
+    purchase's value is split across the view/click/signup touches in
+    its {ATTR_LOOKBACK_MIN}-minute lookback — 40% to first touch, 40%
+    to last, 20% shared by the middles (1.0 / 0.5-0.5 for 1- and
+    2-touch paths) — and attributed value rolls up per touch type.
+    The standard marketing-attribution shape between last-touch
+    (``join_asof_last_error``) and Markov (``markov_event_transitions``).
+    Parity: weights are CASE rationals with the identical operand
+    tree on both engines; per-touch contributions are rounded to 6 dp
+    then decimal-summed (order-free). Scale: ONE shuffle on user_id
+    for the touch join (equi-key + time-range predicate — never a
+    cartesian), per-purchase windows partition by purchase id; the
+    report is |touch types| rows."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    t = e.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    touch = p.join(t, "user_id").filter(
+        (F.col("t_ts") >= F.col("p_ts") - F.expr(f"interval {ATTR_LOOKBACK_MIN} minutes"))
+        & (F.col("t_ts") < F.col("p_ts"))
+    )
+    wpos = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    ranked = touch.select(
+        "p_id",
+        "value",
+        "event_type",
+        F.row_number().over(wpos).alias("pos"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("n"),
+    )
+    wt = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return (
+        ranked.select("event_type", "value", wt.alias("wt"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(
+                F.round(F.col("value") * F.col("wt"), 6).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
