@@ -173,6 +173,7 @@ ROTATION_BACKLOG = [
     "kanon_quasi_identifier_audit",  # r7: k-anonymity suppression gate
     "attribution_position_weighted",  # r7: U-shaped multi-touch attribution
     "split_leakage_near_dups",  # r7: near-dups crossing k-fold boundaries
+    "split_by_dedup_cluster",  # r7: cluster-aware folds, leakage -> 0
 ]
 
 

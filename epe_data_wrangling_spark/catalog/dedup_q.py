@@ -451,3 +451,97 @@ def split_leakage_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hash_u32("b_id", "fold") % KFOLD).alias("fold_b"),
         "jaccard",
     ).filter(F.col("fold_a") != F.col("fold_b"))
+
+
+def _cluster_split_sql() -> str:
+    from epe_data_wrangling_spark.catalog.mlprep_q import KFOLD
+
+    def fold_of(c: str) -> str:
+        h = D.hex_int("md5('fold|' || CAST(" + c + " AS VARCHAR))", 1, 8)
+        return f"{h} % {KFOLD}"
+    return f"""
+    WITH pairs AS ({_minhash_sql()}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    comp AS (
+      SELECT node, MIN(r) AS rep FROM (
+        WITH RECURSIVE reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.u, rc.r FROM reach rc JOIN edges e ON e.v = rc.node
+        )
+        SELECT node, r FROM reach) t
+      GROUP BY node),
+    assign AS (
+      SELECT d.doc_id,
+             {fold_of('COALESCE(c.rep, d.doc_id)')} AS fold,
+             c.rep IS NOT NULL AS clustered
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaking_pairs
+      FROM pairs p
+      JOIN assign a ON p.a_id = a.doc_id
+      JOIN assign b ON p.b_id = b.doc_id
+      WHERE a.fold != b.fold)
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered,
+           leak.n_leaking_pairs
+    FROM assign CROSS JOIN leak
+    GROUP BY fold, leak.n_leaking_pairs
+    """
+
+
+@query("split_by_dedup_cluster", oracle=_cluster_split_sql)
+def split_by_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware k-fold split — the FIX for
+    ``split_leakage_near_dups``: every document is assigned the fold
+    of its near-dup CLUSTER representative (connected-component min
+    doc; singletons hash their own id), so near-duplicates land in
+    the SAME fold by construction. The per-fold report carries
+    ``n_leaking_pairs`` — LSH pairs whose endpoints differ in fold —
+    which this assignment drives to ZERO structurally (every pair is
+    an edge of some component, and a component has one rep, hence one
+    fold); the column certifies the property rather than asserting
+    it. Scale: LSH pair cost + the component fixpoint (both certified
+    paths) + a stateless fold hash on the rep id; the standing-corpus
+    form memoizes (doc → rep) and only re-clusters components touched
+    by new arrivals (``dedup_incremental_new_docs``)."""
+    from epe_data_wrangling_spark.catalog.mlprep_q import KFOLD
+    from epe_data_wrangling_spark.functions.hashing import hash_u32
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = X.minhash_lsh_pairs(
+        d, "text", "doc_id",
+        shingle_n=5, num_hashes=16, bands=8, threshold=0.8,
+    ).localCheckpoint(eager=True)  # barrier: clusters AND leak check reuse
+    comp = X.connected_components(pairs, "a_id", "b_id")
+    assign = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            (hash_u32(F.coalesce(F.col("rep"), F.col("doc_id")), "fold") % KFOLD).alias(
+                "fold"
+            ),
+            F.col("rep").isNotNull().alias("clustered"),
+        )
+        .localCheckpoint(eager=True)  # reused by the leak self-join
+    )
+    a = assign.select(F.col("doc_id").alias("a_id"), F.col("fold").alias("fold_a"))
+    b = assign.select(F.col("doc_id").alias("b_id"), F.col("fold").alias("fold_b"))
+    leak = (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(F.col("fold_a") != F.col("fold_b"))
+        .agg(F.count(F.lit(1)).alias("n_leaking_pairs"))
+    )
+    return (
+        assign.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("clustered"), 1).otherwise(0)).alias("n_clustered"),
+        )
+        .crossJoin(F.broadcast(leak))
+    )
