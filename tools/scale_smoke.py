@@ -322,6 +322,17 @@ def main() -> None:
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, of))
 
+    # r7 cont.: attribution over 10× events; the split-leakage pair at
+    # 10× duplicate density (every doc has 9 near-dup replicas →
+    # ~10-doc clusters, the component fixpoint's stress shape)
+    for qname, lbl in (
+        ("attribution_position_weighted", "attribution_uweighted"),
+        ("split_leakage_near_dups", "split_leakage"),
+        ("split_by_dedup_cluster", "cluster_aware_split"),
+    ):
+        run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
+        run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix))
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
