@@ -174,6 +174,7 @@ ROTATION_BACKLOG = [
     "attribution_position_weighted",  # r7: U-shaped multi-touch attribution
     "split_leakage_near_dups",  # r7: near-dups crossing k-fold boundaries
     "split_by_dedup_cluster",  # r7: cluster-aware folds, leakage -> 0
+    "fixed_width_source_suppliers",  # r7: mainframe fixed-width ingest
 ]
 
 

@@ -2886,3 +2886,80 @@ def sql_udf_table_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND v.ms = s.month_start
         """
     )
+
+
+_FIXED_WIDTH_DIRS: dict[str, str] = {}
+
+#: Fixed-width layout for the supplier extract: (column, start, width)
+#: — 1-based start offsets, blank-padded, the mainframe-extract shape.
+FW_LAYOUT = (
+    ("s_suppkey", 1, 8),
+    ("s_name", 9, 28),
+    ("s_nationkey", 37, 4),
+    ("s_acctbal_cents", 41, 12),
+)
+
+
+@query(
+    "fixed_width_source_suppliers",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents_sum
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def fixed_width_source_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingest — the mainframe/legacy-extract format
+    every enterprise landing zone still receives: the supplier
+    dimension is rendered to blank-padded fixed-offset records
+    driver-side (dimension-sized; at scale the extract lands in
+    object storage and ``spark.read.text`` is already a distributed
+    splittable scan), parsed back by pure ``substring``/``trim``/
+    ``cast`` column expressions (whole-stage codegen — the layout
+    table FW_LAYOUT is the only schema), then joined to the
+    broadcast nation parquet table. Money crosses the text format as
+    integer CENTS (no double ever renders to or parses from text —
+    the repo's rendering-hazard rule applied to a SOURCE). The
+    oracle computes from the original parquet alone, so render →
+    parse must be lossless. Staging dir is per-(process, sf_dir),
+    overwritten in place — the r6 stale-shared-dir lesson."""
+    import os
+    import tempfile
+
+    s = load_table(spark, sf_dir, "supplier")
+    rows = s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").collect()
+    lines = []
+    for r in sorted(rows, key=lambda r: r.s_suppkey):
+        cents = round(r.s_acctbal * 100)
+        lines.append(
+            f"{r.s_suppkey:<8d}{r.s_name:<28s}{r.s_nationkey:<4d}{cents:<12d}"
+        )
+    fw_dir = _FIXED_WIDTH_DIRS.get(sf_dir)
+    if fw_dir is None:
+        fw_dir = _FIXED_WIDTH_DIRS[sf_dir] = tempfile.mkdtemp(prefix="epe_fw_source_")
+    with open(os.path.join(fw_dir, "supplier.fw"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    raw = spark.read.text(fw_dir)
+    cols = [
+        F.trim(F.substring("value", start, width)).alias(name)
+        for name, start, width in FW_LAYOUT
+    ]
+    parsed = raw.select(*cols).select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+        F.col("s_acctbal_cents").cast("bigint").alias("s_acctbal_cents"),
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        parsed.join(F.broadcast(n), parsed.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("s_acctbal_cents").alias("acctbal_cents_sum"),
+        )
+    )
