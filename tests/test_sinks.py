@@ -224,3 +224,69 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     # pushdown still reaches the scan on the original column
     plan = merged.filter(F.col("a") > 300).select("id", "a")._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(a), GreaterThan(a,300)" in plan, plan
+
+
+def test_fixed_width_round_trip_edge_cases(spark, tmp_path):
+    """The fixed-width layout must survive the awkward rows a real
+    extract contains: names with INTERNAL spaces (trim may only strip
+    edges), a name at exactly its full column width (columns abut,
+    parsing is offset-only), and negative balances (sign crosses the
+    text boundary in the integer-cents field)."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.core import FW_LAYOUT
+
+    rows = [
+        (1, "Supplier  double  space", 3, -12345),       # internal runs of spaces
+        (22, "x" * 28, 0, 0),                            # exactly full-width name
+        (333, "trailing-number 99", 24, 999999999),      # digits inside the name
+    ]
+    lines = [
+        f"{k:<8d}{name:<28s}{nk:<4d}{cents:<12d}" for k, name, nk, cents in rows
+    ]
+    src = tmp_path / "fw"
+    src.mkdir()
+    (src / "s.fw").write_text("\n".join(lines) + "\n")
+
+    raw = spark.read.text(str(src))
+    cols = [
+        F.trim(F.substring("value", start, width)).alias(name)
+        for name, start, width in FW_LAYOUT
+    ]
+    got = sorted(
+        raw.select(*cols)
+        .select(
+            F.col("s_suppkey").cast("bigint"),
+            "s_name",
+            F.col("s_nationkey").cast("bigint"),
+            F.col("s_acctbal_cents").cast("bigint"),
+        )
+        .collect()
+    )
+    assert [tuple(r) for r in got] == sorted(rows)
+
+
+def test_fixed_width_layout_fits_the_data(spark):
+    """Every supplier row must FIT the declared layout (a too-long
+    name or too-wide cents field would silently corrupt neighboring
+    columns at render time) — the guard that turns a data-shape
+    change into a named failure instead of a parse-time hash red."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.core import FW_LAYOUT
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    widths = {name: w for name, _, w in FW_LAYOUT}
+    s = load_table(spark, "/root/testdata/sf0.01", "supplier")
+    bad = s.select(
+        F.max(F.length(F.col("s_suppkey").cast("string"))).alias("k"),
+        F.max(F.length("s_name")).alias("n"),
+        F.max(F.length(F.col("s_nationkey").cast("string"))).alias("nk"),
+        F.max(
+            F.length(F.round(F.col("s_acctbal") * 100).cast("bigint").cast("string"))
+        ).alias("c"),
+    ).collect()[0]
+    assert bad["k"] <= widths["s_suppkey"]
+    assert bad["n"] <= widths["s_name"]
+    assert bad["nk"] <= widths["s_nationkey"]
+    assert bad["c"] <= widths["s_acctbal_cents"]
