@@ -85,25 +85,23 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 
 
 #: Explicit catalog order. The external driver hash-checks the FIRST
-#: 50 entries only (observed rounds 1-6), so the head of this list is
+#: 50 entries only (observed rounds 1-7), so the head of this list is
 #: the externally-validated surface for the round. The window ROTATES
-#: each round: a handful of anchors stay pinned (regression canaries),
-#: and every other slot goes to queries that have never earned a
-#: driver CORRECTNESS row. Rounds 1-6 certified 194 distinct queries
-#: (every ever-windowed query is green as of r6). This round-7 window
-#: trims the anchors to 7 for ONE round (the three dropped —
-#: pivot_event_type_counts, window_running_spend, q1_pricing_summary —
-#: each hold 6 green driver rows; their families are still exercised
-#: in-window, see tests/test_catalog.py) so that ALL 42 remaining
-#: oracle-backed never-certified queries PLUS the one rows-only query
-#: (ann_cosine_topk_arrow, no oracle by design: float summation
-#: order) fit: 7 + 42 + 1 = 50. A green r7 record completes
-#: certification at 237/237 — every catalog query windowed, every
-#: windowed query green. Queries outside the window remain locally
-#: verified every round by tools/verify_local.py (the full
-#: DuckDB-differential sweep).
+#: each round; as of r7 every query that existed at the r7 freeze is
+#: driver-validated (237/237), so from r8 on the window carries
+#: (a) the 10 anchors (7 kept through r7 + the 3 restored this round:
+#: pivot_event_type_counts, window_running_spend, q1_pricing_summary,
+#: each holding 6 green rows), (b) every never-certified query (the
+#: 11 r7 additions), (c) ann_cosine_topk_arrow (rows-only BY DESIGN:
+#: Arrow/BLAS float summation order — its slot keeps driver row+schema
+#: evidence fresh), and (d) stalest-certified re-certs (oldest green
+#: driver row first, per tools/rotate_window.py) filling the rest, so
+#: driver evidence ages out nowhere. A green r8 record certifies
+#: 248/248. Queries outside the window remain locally verified every
+#: round by tools/verify_local.py (the full DuckDB-differential
+#: sweep).
 PRIORITY_ORDER = [
-    # --- anchors (7): certified r2-r6, kept as canaries
+    # --- anchors (7): certified r2-r7, kept as canaries
     "epe_pipeline_demo",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
@@ -111,70 +109,62 @@ PRIORITY_ORDER = [
     "multimodal_bmp_pixel_stats",
     "streaming_tumbling_window",
     "curate_corpus",
-    # --- never-driver-certified (42): the entire r6 ROTATION_BACKLOG ---
-    "embedding_quantize_int8",
-    "embedding_dim_stats",
-    "split_manifest",
-    "pca_top_component",
-    "label_separation_metrics",
-    "quantization_error_report",
-    "scd2_user_history",
-    "merge_upsert_orders",
-    "anomaly_zscore_events",
-    "histogram_order_totals",
-    "join_interval_episodes",
-    "event_type_cooccurrence",
-    "scd2_dimension_lookup",
-    "period_over_period_revenue",
-    "regression_trend_per_type",
-    "cohort_retention",
-    "categorical_encode_dense",
-    "impute_value_by_type_mean",
-    "ivm_incremental_agg_merge",
-    "cascade_delete_audit",
-    "funnel_conversion_rates",
-    "interarrival_stats_per_user",
-    "order_lines_histogram",
-    "supplier_concentration_hhi",
-    "markov_event_transitions",
-    "session_path_signatures",
-    "time_weighted_avg_value",
-    "asof_forward_error_purchase",
-    "skyline_suppliers",
-    "basket_part_pairs_lift",
-    "join_bloom_prefilter",
-    "layout_zorder_skipping",
-    "sql_scripting_bisect_threshold",
-    "pagerank_partitioned_edges",
-    "sketch_countmin_heavy_hitters",
-    "sample_weighted_reservoir",
-    "pack_sequences_contiguous",
-    "feature_winsorize_robust",
-    "split_kfold_assignment",
-    "skew_key_profile",
-    "sql_pipe_syntax_revenue",
-    "sketch_approx_topk_events",
-    # --- rows-only (1): first-ever driver slot; no oracle BY DESIGN
-    # (Arrow/BLAS float summation order), driver records rows+schema
+    # --- restored anchors (3): benched for r7 only, 6 green rows each
+    "pivot_event_type_counts",
+    "window_running_spend",
+    "q1_pricing_summary",
+    # --- never-driver-certified: the 11-query r7 backlog ---
+    "streaming_ivm_agg_merge",
+    "snapshot_diff_keyed",
+    "ivm_apply_changeset",
+    "sql_udf_pricing_chain",
+    "sql_udf_table_month_spine",
+    "dp_noisy_group_counts",
+    "kanon_quasi_identifier_audit",
+    "attribution_position_weighted",
+    "split_leakage_near_dups",
+    "split_by_dedup_cluster",
+    "fixed_width_source_suppliers",
+    # --- added during r8 (displacing the newest re-cert slots) ---
+    "streaming_cdc_retraction_pipeline",
+    # --- rows-only (1): no oracle BY DESIGN (Arrow/BLAS float
+    # summation order); driver records rows+schema each round
     "ann_cosine_topk_arrow",
+    # --- stalest-certified re-certs (28): oldest green row first ---
+    "agg_count_distinct_exact",
+    "agg_percentiles_priority",
+    "agg_stat_moments",
+    "case_bucket_acctbal",
+    "date_series_calendar",
+    "distinct_flags",
+    "filter_regex_routing",
+    "fuzzy_name_levenshtein",
+    "join_anti_lapsed_customers",
+    "join_asof_last_error",
+    "join_outer_nation_parties",
+    "join_semi_active_customers",
+    "q13_custdist",
+    "q14_promo_share",
+    "q17_small_qty_revenue",
+    "q4_order_priority",
+    "sessionize_events",
+    "setop_except_no_order_custkeys",
+    "setop_exceptall_multiset",
+    "setop_intersect_custkeys",
+    "sort_limit_top15",
+    "string_funcs_customer",
+    "union_by_name_parties",
+    "window_distribution_funcs",
+    "window_lag_gap_seconds",
+    "window_locf_events",
+    "window_topk_per_group",
 ]  # == 50 entries; assert below
 
-#: Never-driver-certified queries queued for future windows. The r7
-#: window takes the entire r6 backlog, so a green CORRECTNESS_r07
-#: completes certification of everything above; queries added DURING
-#: r7 queue here for the r8 window.
+#: Never-driver-certified queries queued for future windows. The r8
+#: window absorbs the entire r7 backlog plus spare re-cert slots;
+#: queries added DURING r8 go straight into the window tail while
+#: slots remain (displacing the newest re-certs) and overflow here.
 ROTATION_BACKLOG = [
-    "streaming_ivm_agg_merge",  # r7: true streaming IVM refresh loop
-    "snapshot_diff_keyed",  # r7: CDC changeset between parquet snapshots
-    "ivm_apply_changeset",  # r7: IVM with retractions (±signed delta apply)
-    "sql_udf_pricing_chain",  # r7: SQL UDFs inline to pure Catalyst exprs
-    "sql_udf_table_month_spine",  # r7: SQL table function via LATERAL
-    "dp_noisy_group_counts",  # r7: seeded-Laplace noisy release twin
-    "kanon_quasi_identifier_audit",  # r7: k-anonymity suppression gate
-    "attribution_position_weighted",  # r7: U-shaped multi-touch attribution
-    "split_leakage_near_dups",  # r7: near-dups crossing k-fold boundaries
-    "split_by_dedup_cluster",  # r7: cluster-aware folds, leakage -> 0
-    "fixed_width_source_suppliers",  # r7: mainframe fixed-width ingest
 ]
 
 

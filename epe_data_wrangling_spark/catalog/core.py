@@ -2928,12 +2928,18 @@ def fixed_width_source_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     overwritten in place — the r6 stale-shared-dir lesson."""
     import os
     import tempfile
+    from decimal import ROUND_HALF_UP, Decimal
 
     s = load_table(spark, sf_dir, "supplier")
     rows = s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").collect()
     lines = []
     for r in sorted(rows, key=lambda r: r.s_suppkey):
-        cents = round(r.s_acctbal * 100)
+        # half-AWAY-FROM-ZERO on the exact binary double, matching the
+        # oracle's DuckDB round(); Python round() is banker's and would
+        # be a third rounding engine in the parity chain
+        cents = int(
+            Decimal(r.s_acctbal * 100).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
         lines.append(
             f"{r.s_suppkey:<8d}{r.s_name:<28s}{r.s_nationkey:<4d}{cents:<12d}"
         )

@@ -751,7 +751,8 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DP_EPSILON = 1.0  #: Laplace scale b = sensitivity/epsilon = 1/1.0
+DP_EPSILON = 1.0  #: privacy budget epsilon; Laplace scale b = sensitivity/epsilon
+DP_SCALE_B = 1.0 / DP_EPSILON  #: the b actually multiplied into the noise term
 DP_NOISE_DP = 6  #: noise quantization (same cross-engine-libm rule as WRS_KEY_DP)
 K_ANON = 10  #: minimum group size a quasi-identifier release tolerates
 
@@ -766,7 +767,7 @@ K_ANON = 10  #: minimum group size a quasi-identifier release tolerates
                   + 1) / 4294967297.0 AS u
           FROM g)
     SELECT event_type,
-           round(n + round(-{DP_EPSILON} * sign(u - 0.5)
+           round(n + round(-{DP_SCALE_B} * sign(u - 0.5)
                            * ln(1 - 2 * abs(u - 0.5)), {DP_NOISE_DP}),
                  {DP_NOISE_DP}) AS n_noisy
     FROM u
@@ -791,7 +792,7 @@ def dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     u = (hash_u32("event_type", "dp") + 1) / F.lit(4294967297.0)
     noise = F.round(
-        -F.lit(DP_EPSILON)
+        -F.lit(DP_SCALE_B)
         * F.signum(u - 0.5)
         * F.log(1 - 2 * F.abs(u - 0.5)),
         DP_NOISE_DP,

@@ -1212,6 +1212,30 @@ def _snapshot_versions(o: DataFrame) -> tuple[DataFrame, DataFrame]:
     return v1, v2
 
 
+def _snapshot_version3(v2: DataFrame) -> DataFrame:
+    """Third deterministic version for the end-to-end CDC pipeline
+    (``streaming_cdc_retraction_pipeline``): from v2, drop keys ≡1
+    mod 17, flip o_orderstatus to 'Y' on keys ≡0 mod 19 (moves rows
+    ACROSS groups — a wrong retraction sign cannot cancel), and bump
+    cents by 500 on keys ≡0 mod 23 (a value-only update: the group's
+    count nets to zero while its sum must not)."""
+    return (
+        v2.withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 23 == 0, F.col("cents") + 500
+            ).otherwise(F.col("cents")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .filter(F.col("o_orderkey") % 17 != 1)
+    )
+
+
 def _with_row_hash(df: DataFrame) -> DataFrame:
     """Key + md5 row digest over the business columns + the columns
     the changeset consumers read (status, cents)."""

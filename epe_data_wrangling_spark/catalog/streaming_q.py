@@ -583,3 +583,117 @@ def streaming_ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "o_orderpriority STRING, n_orders BIGINT, total_price DOUBLE")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "streaming_cdc_retraction_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_cdc_retraction_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC END-TO-END, no table format: THREE full snapshot versions
+    of orders (the shared deterministic carving — v1 drops keys ≡3
+    mod 7; v2 restores them, drops ≡5 mod 11, flips status to 'X' on
+    ≡0 mod 13; v3 further drops ≡1 mod 17, flips to 'Y' on ≡0 mod 19,
+    bumps cents on ≡0 mod 23) land as a file stream, one version per
+    micro-batch, and ``streaming.ops.cdc_retraction_foreach_batch``
+    diffs each inside its batch against the last-applied image and
+    applies SIGNED deltas (−1 old image / +1 new) to an additive
+    per-status view — composing the separately-certified
+    ``snapshot_diff_keyed`` + ``ivm_apply_changeset`` +
+    ``ivm_agg_foreach_batch`` pieces into one standing pipeline.
+    Image and view commit together in one atomic swap (a crash can
+    never apply a version to only one), with batch-id + source-file
+    provenance inside the swap for exactly-once. The oracle
+    recomputes v3's aggregate DIRECTLY, so the hash certifies
+    diff→signed-apply→merge over three generations ≡ recompute(final)
+    — deletes, cross-group updates, and value-only updates all in
+    play. Integer cents end-to-end; landing files get strictly
+    increasing mtimes so file-source discovery order is version
+    order. Scale: per version one narrow keyed diff join (unchanged
+    keys die in the join) + a |groups|-row merge; the view is never
+    recomputed from scratch."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    work = tempfile.mkdtemp(prefix="cdc_retraction_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        for i, vdf in ((1, v1), (2, v2), (3, v3)):
+            before = set(globmod.glob(os.path.join(landing, "*.parquet")))
+            (
+                vdf.select("o_orderkey", "o_orderstatus", "cents")
+                .withColumn("snapshot_version", F.lit(i))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(landing)
+            )
+            new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
+            assert len(new) == 1
+            path = os.path.join(landing, f"v{i}.parquet")
+            os.rename(new.pop(), path)
+            t = os.path.getmtime(path)
+            os.utime(path, (t + i, t + i))  # discovery order := version order
+        schema = (
+            "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT, "
+            "snapshot_version INT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.cdc_retraction_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            version_col="snapshot_version",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+        )
+        out = view.filter(F.col("n") > 0).select(
+            "o_orderstatus",
+            F.col("n").alias("n_orders"),
+            F.col("sum_cents").alias("total_cents"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n_orders BIGINT, total_cents BIGINT"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -278,6 +278,7 @@ def upsert_latest_foreach_batch(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover_swap(target_dir)
         exists = os.path.isdir(target_dir)
         merged = (
             spark.read.parquet(target_dir).unionByName(batch_df)
@@ -297,14 +298,96 @@ def upsert_latest_foreach_batch(
     return events.sparkSession.read.parquet(target_dir)
 
 
-def _atomic_swap(stage: str, target_dir: str, batch_id: int) -> None:
-    """Promote a fully-materialized staging dir to the target via
-    directory rename — the copy-on-write commit both foreachBatch
-    sinks share. On object storage this step is what a table format's
-    transaction log replaces; everything before it is restartable."""
+def _recover_swap(target_dir: str) -> None:
+    """Crash recovery for `_atomic_swap`'s two-rename window: a crash
+    between rename(target→old) and rename(stage→target) leaves no
+    target but a committed ``<target>.old-<id>`` dir — restore the
+    newest one so prior state is never silently lost (without this,
+    the IVM sink's `_applied_batch` would read -1 and a replayed
+    batch would merge against an empty base). A crash AFTER promotion
+    leaves a superseded old dir; delete it. MUST run before any read
+    of the target and before the next swap."""
+    import glob as _glob
     import os
     import shutil
 
+    olds = sorted(
+        _glob.glob(f"{_glob.escape(target_dir)}.old-*"),
+        key=lambda p: int(p.rsplit("-", 1)[1]),
+    )
+    if not olds:
+        return
+    if not os.path.isdir(target_dir):
+        os.rename(olds[-1], target_dir)  # mid-swap crash: restore committed state
+        olds = olds[:-1]
+    for p in olds:
+        shutil.rmtree(p)  # post-promotion crash: finish the deferred cleanup
+
+
+def _read_sink_meta(target_dir: str) -> dict:
+    """Read the exactly-once commit record a stateful foreachBatch
+    sink stores INSIDE its target (written in the same atomic swap as
+    the data). Absent target → a virgin sink."""
+    import json
+    import os
+
+    meta = os.path.join(target_dir, "_ivm_meta.json")
+    if not os.path.isfile(meta):
+        return {"last_batch_id": -1, "applied_files": []}
+    with open(meta) as f:
+        return json.load(f)
+
+
+def _batch_provenance(batch_df: DataFrame) -> set[str]:
+    """Source files backing a micro-batch, via a distributed
+    ``input_file_name()`` distinct (``DataFrame.inputFiles()`` is
+    empty on micro-batch plans) — one delta-scan-sized metadata job,
+    file-count rows collected. Non-file sources yield no paths."""
+    return {
+        r["f"]
+        for r in batch_df.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+        if r["f"]
+    }
+
+
+def _is_committed_replay(
+    meta: dict, batch_files: set[str], batch_id: int, tag: str
+) -> bool:
+    """The skip-vs-raise rule for non-idempotent (+=) sinks. Same
+    checkpoint + already-committed batch_id → replay, skip. A FRESH
+    checkpoint restarts batch ids at 0, so a low batch_id carrying
+    ANY never-applied source file is genuinely new data — raise
+    instead of silently dropping it."""
+    if batch_id > meta["last_batch_id"]:
+        return False
+    fresh = batch_files - set(meta.get("applied_files", []))
+    if fresh:
+        raise RuntimeError(
+            f"{tag} sink: batch_id {batch_id} <= committed "
+            f"{meta['last_batch_id']} but the batch contains {len(fresh)} "
+            "never-applied source files (fresh checkpoint over new data?) — "
+            "refusing to silently drop them; resume with the original "
+            "checkpoint or use a new target dir"
+        )
+    return True
+
+
+def _atomic_swap(stage: str, target_dir: str, batch_id: int) -> None:
+    """Promote a fully-materialized staging dir to the target via
+    directory rename — the copy-on-write commit both foreachBatch
+    sinks share. NOT a single atomic step: it is rename(target→old),
+    rename(stage→target), rmtree(old), and a crash between the two
+    renames is repaired by `_recover_swap` (run here and before every
+    target read). Requires stage/target/old on ONE filesystem —
+    os.rename cannot cross devices. On object storage this pair is
+    what a table format's transaction log replaces; everything before
+    it is restartable."""
+    import os
+    import shutil
+
+    _recover_swap(target_dir)
     if os.path.isdir(target_dir):
         old = f"{target_dir}.old-{batch_id}"
         os.rename(target_dir, old)
@@ -359,8 +442,22 @@ def ivm_agg_foreach_batch(
     (``_ivm_meta.json``), and ``_apply`` skips any batch_id already
     recorded — the documented foreachBatch discipline for
     non-idempotent sinks. Crash replay (same checkpoint, same
-    batch_id) therefore merges exactly once; a from-scratch re-run on
-    a fresh checkpoint is also skipped rather than double-applied.
+    batch_id) therefore merges exactly once.
+
+    A FRESH checkpoint restarts batch ids at 0, so ``batch_id <=
+    committed`` alone cannot distinguish "replay of applied data"
+    from "genuinely new data under a new checkpoint" — silently
+    skipping the latter would lose data. The meta therefore records
+    source-FILE provenance (``batch_df.inputFiles()``): a
+    low-batch-id batch whose files were all applied before is a
+    replay and skips; one carrying ANY unseen file raises instead of
+    discarding it (resume with the original checkpoint, or point at a
+    fresh target). Provenance comes from a distributed
+    ``input_file_name()`` distinct (``DataFrame.inputFiles()`` is
+    empty on micro-batch plans) — one delta-scan-sized metadata job
+    per batch, file-count rows collected, file-path-sized on disk; a
+    production deployment over unbounded landing history would
+    compact it into a table-format transaction log.
 
     Returns the final state table as a batch DataFrame; callers
     finalize (e.g. cast decimal sums to double) downstream.
@@ -368,17 +465,14 @@ def ivm_agg_foreach_batch(
     import json
     import os
 
-    def _applied_batch(spark) -> int:
-        meta = os.path.join(target_dir, "_ivm_meta.json")
-        if not os.path.isfile(meta):
-            return -1
-        with open(meta) as f:
-            return json.load(f)["last_batch_id"]
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if batch_id <= _applied_batch(spark):
-            return  # replay of a committed batch: merging again would double-count
+        _recover_swap(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "ivm"):
+            return  # replay of committed data: merging again would double-count
         delta = partial_agg(batch_df)
         state_cols = [c for c in delta.columns if c not in group_cols]
         if os.path.isdir(target_dir):
@@ -402,11 +496,181 @@ def ivm_agg_foreach_batch(
         stage = f"{target_dir}.stage-{batch_id}"
         merged.write.mode("overwrite").parquet(stage)
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                },
+                f,
+            )
         _atomic_swap(stage, target_dir, batch_id)
 
     _run_foreach_batch(stream, _apply, checkpoint_dir, "ivm", timeout_sec)
     return stream.sparkSession.read.parquet(target_dir)
+
+
+def cdc_retraction_foreach_batch(
+    snapshots: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    version_col: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """END-TO-END CDC with RETRACTIONS, no table format: the stream
+    carries FULL snapshot images of a keyed table (each tagged with a
+    monotonically increasing ``version_col``; a batch may hold one or
+    several versions), and each version is diffed INSIDE the batch
+    against the last-applied image, its changeset applied to an
+    additive aggregate view as signed rows (old image −1, new image
+    +1 — an update is a retraction plus an insertion). This composes
+    the three separately-certified pieces — ``snapshot_diff_keyed``
+    (diff), ``ivm_apply_changeset`` (signed apply), and this module's
+    ``ivm_agg_foreach_batch`` (standing refresh loop) — into ONE
+    standing pipeline.
+
+    The target holds TWO tables committed together in one atomic
+    swap: ``snapshot/`` (last applied image: keys + business columns
+    + md5 row-hash) and ``view/`` (one additive row per group:
+    ``n`` + ``sum_<c>`` per ``sum_cols`` entry). Because image and
+    view move in the same commit, a crash can never apply a version
+    to one but not the other. Exactly-once follows the module's
+    non-idempotent-sink discipline: batch_id + source-file provenance
+    in ``_ivm_meta.json`` inside the swap; replays skip, a fresh
+    checkpoint over genuinely new files raises.
+
+    Contracts: ``key_cols`` are non-null and unique per version;
+    business columns (``group_cols`` + ``sum_cols``) render
+    deterministically to text for the row-hash (stage money as
+    integer cents — the repo's rendering-hazard rule); ``sum_cols``
+    are integer-typed so signed sums are exact and order-free.
+    Groups whose count reaches zero REMAIN in the view as n=0 rows
+    (additive state never forgets a group); finalize with
+    ``n > 0`` downstream.
+
+    Scale: per version the diff is one keyed shuffle per side (zero
+    when both sides are bucketed on the key) comparing ONE narrow
+    hash column, so unchanged keys — the overwhelming majority at
+    100 TB — die in the join; the view merge is |groups|-sized. The
+    snapshot rewrite is image-sized: that is the floor for
+    CDC-from-snapshots (no changelog exists to be cheaper than the
+    snapshot itself); with a real changelog upstream, use
+    ``ivm_agg_foreach_batch`` instead.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    business = list(group_cols) + list(sum_cols)
+
+    def _hashed(img: DataFrame) -> DataFrame:
+        rh = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in business])
+        )
+        return img.select(*key_cols, *business, rh.alias("rh"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "cdc"):
+            return
+        if batch_df.isEmpty():
+            return  # no versions to apply; committing nothing keeps replay trivial
+        have = os.path.isdir(target_dir)
+        snap = (
+            spark.read.parquet(os.path.join(target_dir, "snapshot"))
+            if have
+            else None
+        )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
+        )
+        versions = sorted(
+            r["v"]
+            for r in batch_df.select(F.col(version_col).alias("v"))
+            .distinct()
+            .collect()
+        )
+        for v in versions:  # in-version order; a batch holds few versions
+            img = _hashed(
+                batch_df.filter(F.col(version_col) == v).select(
+                    *key_cols, *business
+                )
+            )
+            if snap is None:
+                signed = img.select(
+                    F.lit(1).alias("_sign"), *business
+                )  # first version: every row is an insertion
+            else:
+                a, b = snap.alias("a"), img.alias("b")
+                cond = F.lit(True)
+                for k in key_cols:
+                    cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+                j = a.join(b, cond, "full_outer")
+                a_absent = F.col(f"a.{key_cols[0]}").isNull()
+                b_absent = F.col(f"b.{key_cols[0]}").isNull()
+                changed = F.col("a.rh") != F.col("b.rh")
+                retract = j.filter(~a_absent & (b_absent | changed)).select(
+                    F.lit(-1).alias("_sign"),
+                    *[F.col(f"a.{c}").alias(c) for c in business],
+                )
+                insert = j.filter(~b_absent & (a_absent | changed)).select(
+                    F.lit(1).alias("_sign"),
+                    *[F.col(f"b.{c}").alias(c) for c in business],
+                )
+                signed = retract.unionByName(insert)
+            dview = signed.groupBy(*group_cols).agg(
+                F.sum("_sign").cast("bigint").alias("n"),
+                *[
+                    F.sum(F.col("_sign") * F.col(c))
+                    .cast("bigint")
+                    .alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+            if view is None:
+                view = dview
+            else:
+                state_cols = ["n"] + [f"sum_{c}" for c in sum_cols]
+                vw, d = view.alias("vw"), dview.alias("d")
+                view = vw.join(d, list(group_cols), "full_outer").select(
+                    *group_cols,
+                    *[
+                        (
+                            F.coalesce(F.col(f"vw.{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                        )
+                        .cast("bigint")
+                        .alias(c)
+                        for c in state_cols
+                    ],
+                )
+            snap = img
+        # materialize BOTH tables into the stage (plans still read the
+        # pre-swap target), then promote image+view+meta in one swap
+        stage = f"{target_dir}.stage-{batch_id}"
+        snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_version": versions[-1] if versions else None,
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(snapshots, _apply, checkpoint_dir, "cdc", timeout_sec)
+    return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
 def purchase_click_attribution_outer(

@@ -24,9 +24,9 @@ def test_every_query_has_oracle_unless_documented():
 
 
 def test_priority_window_covers_every_family():
-    """r7 trims anchors to 7 for one round so the whole backlog fits;
-    the three dropped anchors' families stay covered by in-window
-    backlog entries (asserted below)."""
+    """r8 restores the full 10-anchor set (the three benched for r7 —
+    pivot, running-spend, q1 — return with 6 green rows each); every
+    family has a permanent canary in the driver's check window."""
     head = set(PRIORITY_ORDER)
     for probe in (
         "epe_pipeline_demo",      # reference-pipeline port
@@ -36,10 +36,9 @@ def test_priority_window_covers_every_family():
         "multimodal_bmp_pixel_stats",  # multimodal (real pixel decode)
         "streaming_tumbling_window",  # streaming
         "curate_corpus",          # curation composition
-        # family stand-ins for the three anchors dropped this round:
-        "categorical_encode_dense",    # reshape/pivot shape
-        "supplier_concentration_hhi",  # core TPC-H agg shapes
-        "time_weighted_avg_value",     # windows
+        "pivot_event_type_counts",    # reshape/pivot
+        "window_running_spend",       # windows
+        "q1_pricing_summary",         # core TPC-H agg shapes
     ):
         assert probe in head, f"{probe} fell out of the driver's check window"
 
@@ -61,52 +60,50 @@ RECERTIFY: set[str] = set()  # r7: no recerts — all r6 window rows green
 HISTORICAL_RECERTIFY = {"variant_shred_events", "xml_source_nations"}
 
 
-ANCHOR_COUNT = 7  # r7: trimmed from 10 for one round (see catalog docstring)
+ANCHOR_COUNT = 10  # r8: the three anchors benched for r7 are restored
 
 
-def test_rotation_window_disjoint_from_all_certified_except_anchors():
-    """The rotation contract: the anchors persist, every other window
-    slot goes to a query with no prior driver CORRECTNESS row — from
-    ANY round (the r4 guard only checked r3, so an r1/r2/r4 repeat
-    would have slipped through and wasted a certification slot).
-    Red rows are exempt via RECERTIFY: a failed check earns a re-run
-    once its oracle is fixed, and each such entry must actually be
-    red in some round's record.
-
-    Time-consistency (the r5 judge's finding): a record whose row
-    names are exactly the CURRENT window is the driver's own
-    certification OF this window — counting it would make every green
-    slot a "repeat" the moment the round's results land, tripping the
-    suite with zero code change. Such records are excluded from the
-    repeat check (but still feed the RECERTIFY red-row evidence)."""
+def test_rotation_window_certifies_everything_uncertified_first():
+    """The r8+ rotation contract (certification of the r7-freeze
+    catalog completed at 237/237, so the window's job changed): every
+    query that has NEVER earned a green driver row — and has an
+    oracle — must hold a window slot while slots remain; only after
+    all of those are seated may slots go to re-certifications, and a
+    re-cert slot may only repeat a query that is already green (a red
+    repeat needs an explicit RECERTIFY entry recording the oracle
+    fix). Every RECERTIFY entry must actually be red in some round's
+    record."""
     import glob
     import json
     import os
 
     root = os.path.join(os.path.dirname(__file__), "..")
     window = set(PRIORITY_ORDER)
-    certified: set[str] = set()
+    qs = all_queries()
+    green: set[str] = set()
     red: set[str] = set()
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rows = json.load(open(path))
-        # ≥40-slot overlap (not exact equality, which a partial or
-        # superset driver record would defeat): an old round's record
-        # can overlap the current window only on anchors + RECERTIFY
-        # (≤ ~12 names), so 40 cleanly identifies THIS window's record
-        # even if the driver drops crashed rows or adds diagnostics.
-        is_current_window_record = len(set(rows) & window) >= 40
         for name, row in rows.items():
-            if not is_current_window_record:
-                certified.add(name)
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            ):
+                green.add(name)
             if not (
                 row.get("hash_match", True)
                 and row.get("rows_match", True)
                 and row.get("schema_match", True)
             ) or row.get("err"):
                 red.add(name)
-    rotated = set(PRIORITY_ORDER[ANCHOR_COUNT:])
-    overlap = rotated & certified - RECERTIFY
-    assert not overlap, f"non-anchor window slots repeat certified queries: {overlap}"
+    uncertified = {n for n in qs if n not in green and qs[n].oracle is not None}
+    stranded = uncertified - window
+    assert len(stranded) == 0 or len(window - green) >= 50 - ANCHOR_COUNT, (
+        f"never-certified queries left out of a window with spare slots: {stranded}"
+    )
+    bad_recert = {n for n in window if n in red and n not in green} - RECERTIFY
+    # rows-only-by-design queries can never be green; they are allowed
+    bad_recert -= ROWS_ONLY
+    assert not bad_recert, f"red, unfixed queries re-windowed without RECERTIFY: {bad_recert}"
     not_red = (RECERTIFY | HISTORICAL_RECERTIFY) - red
     assert not not_red, f"RECERTIFY entries were never red: {not_red}"
 

@@ -540,3 +540,188 @@ def test_foreach_batch_ivm_state_invariant_to_batch_split(spark, tmp_path):
         )
         results.append({r["o_orderpriority"]: (r["n"], r["s"]) for r in state.collect()})
     assert results[0] == results[1] == results[2]
+
+
+def test_foreach_batch_ivm_mid_swap_crash_recovers_committed_state(spark, tmp_path):
+    """_atomic_swap is two renames; a crash between them leaves no
+    target dir but a committed `<target>.old-<id>` dir. _recover_swap
+    must restore it before the next merge — otherwise the replayed
+    batch would merge against an EMPTY base and silently lose all
+    prior state (the r7 ADVICE finding)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import ivm_agg_foreach_batch
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderpriority", "o_totalprice")
+    half1 = o.filter(F.col("o_totalprice") < 100000)
+    half2 = o.filter(F.col("o_totalprice") >= 100000)
+    src = tmp_path / "landing"
+    half1.coalesce(1).write.parquet(str(src))
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+    def run_once():
+        stream = spark.readStream.schema(o.schema).parquet(str(src))
+        return ivm_agg_foreach_batch(
+            stream, target, group_cols=["o_orderpriority"], partial_agg=partial,
+            checkpoint_dir=ckpt,
+        )
+
+    run_once()
+    # simulate the mid-swap crash window: target renamed away, stage
+    # never promoted — exactly the state os.rename leaves behind
+    os.rename(target, f"{target}.old-0")
+    half2.coalesce(1).write.parquet(str(src), mode="append")
+    state = run_once()  # new file => batch 1 merges onto RECOVERED base
+    got = {r["o_orderpriority"]: r["n"] for r in state.collect()}
+    expect = {r["o_orderpriority"]: r["n"] for r in partial(o).collect()}
+    assert got == expect
+    assert not os.path.isdir(f"{target}.old-0")  # recovery also cleans up
+
+
+def test_foreach_batch_ivm_fresh_checkpoint_new_data_raises(spark, tmp_path):
+    """Fresh checkpoint => batch ids restart at 0 <= committed; if the
+    replayed batch carries a NEVER-applied source file the sink must
+    raise, not silently drop the new data (the r7 ADVICE finding).
+    Pure replays of applied files still skip (pinned by
+    test_foreach_batch_ivm_replay_does_not_double_count)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import ivm_agg_foreach_batch
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderpriority", "o_totalprice")
+    src = tmp_path / "landing"
+    o.coalesce(1).write.parquet(str(src))
+    target = str(tmp_path / "state")
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+    def run_once():
+        stream = spark.readStream.schema(o.schema).parquet(str(src))
+        return ivm_agg_foreach_batch(
+            stream, target, group_cols=["o_orderpriority"], partial_agg=partial,
+        )
+
+    run_once()  # fresh checkpoint each call (checkpoint_dir=None)
+    o.limit(100).coalesce(1).write.parquet(str(src), mode="append")
+    # the sink's RuntimeError surfaces wrapped in StreamingQueryException
+    with pytest.raises(Exception, match="never-applied source files"):
+        run_once()  # batch 0 <= committed 0 but contains a new file
+
+
+def _cdc_fixture(spark, tmp_path, n_files_per_version=1):
+    """Landing dir holding three snapshot versions of orders (the
+    shared deterministic carving), mtime-ordered so file-source
+    discovery order is version order."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    landing = tmp_path / "landing"
+    for i, vdf in ((1, v1), (2, v2), (3, v3)):
+        sub = str(landing / f"v{i}")
+        (
+            vdf.select("o_orderkey", "o_orderstatus", "cents")
+            .withColumn("snapshot_version", F.lit(i))
+            .repartition(n_files_per_version)
+            .write.parquet(sub)
+        )
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                p = os.path.join(sub, f)
+                t = os.path.getmtime(p)
+                os.utime(p, (t + i, t + i))
+    return str(landing), v3
+
+
+def _cdc_run(spark, landing, target, ckpt, max_files):
+    from epe_data_wrangling_spark.streaming.ops import cdc_retraction_foreach_batch
+
+    schema = (
+        "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT, "
+        "snapshot_version INT"
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return cdc_retraction_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        version_col="snapshot_version",
+        group_cols=["o_orderstatus"],
+        sum_cols=["cents"],
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_cdc_retraction_view_invariant_to_batch_split(spark, tmp_path):
+    """The composed CDC sink's contract: final view identical whether
+    the three snapshot versions arrive as one batch (all diffs applied
+    in-version-order inside it) or one version per batch — and both
+    must equal a direct recompute of the final version."""
+    from pyspark.sql import functions as F
+
+    landing, v3 = _cdc_fixture(spark, tmp_path)
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _cdc_run(
+            spark, landing, str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ckpt{i}"), max_files,
+        )
+        results.append(
+            {r["o_orderstatus"]: (r["n"], r["sum_cents"])
+             for r in view.filter(F.col("n") > 0).collect()}
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["s"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+
+
+def test_cdc_retraction_replay_and_new_data_guard(spark, tmp_path):
+    """The composed sink inherits the module's exactly-once rules:
+    a fresh-checkpoint replay over already-applied files is a no-op,
+    and previously-unseen files under a low batch id raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    landing, _ = _cdc_fixture(spark, tmp_path)
+    target = str(tmp_path / "state")
+    first = {
+        r["o_orderstatus"]: (r["n"], r["sum_cents"])
+        for r in _cdc_run(spark, landing, target, str(tmp_path / "ck1"), 1).collect()
+    }
+    replay = {
+        r["o_orderstatus"]: (r["n"], r["sum_cents"])
+        for r in _cdc_run(spark, landing, target, str(tmp_path / "ck2"), None).collect()
+    }
+    assert first == replay
+    # a 4th, never-applied version under a fresh checkpoint must raise
+    spark.createDataFrame(
+        [(999999999, "Z", 1, 4)],
+        "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT, snapshot_version INT",
+    ).coalesce(1).write.parquet(str(tmp_path / "landing" / "v4"))
+    with pytest.raises(Exception, match="never-applied source files"):
+        _cdc_run(spark, landing, target, str(tmp_path / "ck3"), None)

@@ -63,7 +63,9 @@ def main() -> int:
                 if row.get("hash_match") or (
                     row.get("rows_match") and row.get("err") is None
                 ):
-                    last_green[name] = rnd
+                    # max, not last-write-wins: glob sort order is only
+                    # round order while filenames stay zero-padded
+                    last_green[name] = max(last_green.get(name, -1), rnd)
         stale = sorted(
             (n for n in qs if n not in window),
             key=lambda n: (last_green.get(n, -1), n),
