@@ -127,6 +127,7 @@ PRIORITY_ORDER = [
     "fixed_width_source_suppliers",
     # --- added during r8 (displacing the newest re-cert slots) ---
     "streaming_cdc_retraction_pipeline",
+    "fixed_width_zoned_order_ledger",
     # --- rows-only (1): no oracle BY DESIGN (Arrow/BLAS float
     # summation order); driver records rows+schema each round
     "ann_cosine_topk_arrow",
@@ -157,7 +158,6 @@ PRIORITY_ORDER = [
     "window_distribution_funcs",
     "window_lag_gap_seconds",
     "window_locf_events",
-    "window_topk_per_group",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. The r8

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.sources import fixed_width as _fw
 from epe_data_wrangling_spark.sources.tables import load_table
 
 QUERIES: dict[str, CatalogQuery] = {}
@@ -2890,14 +2891,16 @@ def sql_udf_table_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FIXED_WIDTH_DIRS: dict[str, str] = {}
 
-#: Fixed-width layout for the supplier extract: (column, start, width)
-#: — 1-based start offsets, blank-padded, the mainframe-extract shape.
-FW_LAYOUT = (
-    ("s_suppkey", 1, 8),
-    ("s_name", 9, 28),
-    ("s_nationkey", 37, 4),
-    ("s_acctbal_cents", 41, 12),
+#: Typed fixed-width layout for the supplier extract (the declarative
+#: copybook shape; see sources/fixed_width.py for the kind semantics).
+FW_SUPPLIER_LAYOUT = (
+    _fw.FwField("s_suppkey", 1, 8, "int"),
+    _fw.FwField("s_name", 9, 28, "text"),
+    _fw.FwField("s_nationkey", 37, 4, "int"),
+    _fw.FwField("s_acctbal_cents", 41, 12, "int"),
 )
+#: Back-compat positional view (column, start, width) used by tests.
+FW_LAYOUT = tuple((f.name, f.start, f.width) for f in FW_SUPPLIER_LAYOUT)
 
 
 @query(
@@ -2917,10 +2920,10 @@ def fixed_width_source_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension is rendered to blank-padded fixed-offset records
     driver-side (dimension-sized; at scale the extract lands in
     object storage and ``spark.read.text`` is already a distributed
-    splittable scan), parsed back by pure ``substring``/``trim``/
-    ``cast`` column expressions (whole-stage codegen — the layout
-    table FW_LAYOUT is the only schema), then joined to the
-    broadcast nation parquet table. Money crosses the text format as
+    splittable scan), parsed back by the typed declarative layout
+    engine (``sources/fixed_width.py`` — generated substring/trim/
+    cast expressions, whole-stage codegen; FW_SUPPLIER_LAYOUT is the
+    only schema), then joined to the broadcast nation parquet table. Money crosses the text format as
     integer CENTS (no double ever renders to or parses from text —
     the repo's rendering-hazard rule applied to a SOURCE). The
     oracle computes from the original parquet alone, so render →
@@ -2950,16 +2953,7 @@ def fixed_width_source_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("\n".join(lines) + "\n")
 
     raw = spark.read.text(fw_dir)
-    cols = [
-        F.trim(F.substring("value", start, width)).alias(name)
-        for name, start, width in FW_LAYOUT
-    ]
-    parsed = raw.select(*cols).select(
-        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
-        "s_name",
-        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
-        F.col("s_acctbal_cents").cast("bigint").alias("s_acctbal_cents"),
-    )
+    parsed = _fw.fw_parse(raw, FW_SUPPLIER_LAYOUT)
     n = load_table(spark, sf_dir, "nation")
     return (
         parsed.join(F.broadcast(n), parsed.s_nationkey == n.n_nationkey)
@@ -2967,5 +2961,87 @@ def fixed_width_source_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
             F.sum("s_acctbal_cents").alias("acctbal_cents_sum"),
+        )
+    )
+
+
+#: Typed layout for the order-ledger extract: right-justified
+#: zero-padded key, yyyyMMdd date, and a SIGNED-OVERPUNCH zoned
+#: decimal (PIC S9(9)V99 — 12 bytes, last byte carries digit+sign).
+FW_LEDGER_LAYOUT = (
+    _fw.FwField("o_orderkey", 1, 12, "int"),
+    _fw.FwField("o_orderdate", 13, 8, "date"),
+    _fw.FwField("balance_cents", 21, 12, "zoned", scale=2),
+    _fw.FwField("o_orderstatus", 33, 1, "text"),
+)
+
+_FW_LEDGER_DIRS: dict[str, str] = {}
+
+
+@query(
+    "fixed_width_zoned_order_ledger",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_orderdate, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               * (CASE WHEN o_orderkey % 5 = 0 THEN -1 ELSE 1 END) AS cents
+      FROM orders)
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS balance_cents_sum
+    FROM src GROUP BY 1, 2
+    """,
+)
+def fixed_width_zoned_order_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width ingest BEYOND the happy path — the copybook shapes
+    that make mainframe extracts hostile: a right-justified
+    zero-padded key, a yyyyMMdd display date, and a zoned decimal
+    whose last byte is a SIGNED OVERPUNCH ('{'/'A'-'I' positive,
+    '}'/'J'-'R' negative — EBCDIC zone nibbles surviving ASCII
+    transliteration), declared once in FW_LEDGER_LAYOUT and both
+    RENDERED and PARSED by generated Catalyst expressions
+    (``sources/fixed_width.py``): the extract is written by a
+    distributed ``write.text`` (lpad/date_format/translate — no
+    driver-side row loop, unlike the dimension-sized supplier
+    fixture) and read back via splittable ``spark.read.text`` +
+    substring/translate/cast, all whole-stage codegen. Keys ≡0 mod 5
+    carry NEGATIVE balances (credits), so overpunch sign decode is
+    load-bearing in the sum; the year is extracted from the PARSED
+    date, making the date round-trip load-bearing in the grouping.
+    The oracle computes from the original parquet alone — render →
+    parse must be lossless for every digit, sign, and date. Scale:
+    text render and parse are both embarrassingly parallel; the only
+    shuffle is the final |years × statuses|-group aggregate."""
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    signed = cents * F.when(F.col("o_orderkey") % 5 == 0, -1).otherwise(1)
+    ledger = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        signed.cast("bigint").alias("balance_cents"),
+        "o_orderstatus",
+    )
+    fw_dir = _FW_LEDGER_DIRS.get(sf_dir)
+    if fw_dir is None:
+        fw_dir = _FW_LEDGER_DIRS[sf_dir] = tempfile.mkdtemp(prefix="epe_fw_ledger_")
+    (
+        ledger.select(_fw.fw_render_expr(FW_LEDGER_LAYOUT).alias("value"))
+        .write.mode("overwrite")
+        .text(fw_dir)
+    )
+
+    parsed = _fw.fw_parse(spark.read.text(fw_dir), FW_LEDGER_LAYOUT)
+    return (
+        parsed.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("balance_cents").alias("balance_cents_sum"),
         )
     )
