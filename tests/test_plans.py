@@ -330,3 +330,41 @@ def test_sql_udfs_inline_no_python_workers(spark):
     p2 = _plan(qs["sql_udf_table_month_spine"].fn(spark, SF_DIR))
     assert "BatchEvalPython" not in p2 and "PythonUDTF" not in p2
     assert "Generate explode" in p2 or "Generate" in p2  # TVF became a generator
+
+
+def test_attribution_touch_join_is_equi_on_user_id(spark):
+    """The attribution touch join must be an EQUI join on user_id with
+    the lookback time-range riding as a post-join predicate — never a
+    CartesianProduct / BroadcastNestedLoopJoin (both sides are
+    events-table-sized at scale, so a range-only join would be an
+    all-pairs explosion). Per-purchase windows must partition by the
+    purchase id, and the purchase/touch filters must reach the scan."""
+    import re
+
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    plan = _plan(all_queries()["attribution_position_weighted"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[user_id", plan
+    ), plan[:500]
+    assert "windowspecdefinition(p_id" in plan
+    assert "EqualTo(event_type,purchase)" in plan  # pushdown reached the scan
+
+
+def test_split_by_dedup_cluster_reuses_checkpointed_pairs(spark):
+    """split_by_dedup_cluster must compute the LSH pair set and the
+    fold assignment ONCE each (localCheckpoint barriers) and reuse
+    them for both the per-fold report and the leak self-join: the
+    final plan may contain NO parquet scan (everything reads the
+    checkpointed RDDs — a rebuilt LSH subtree would re-shingle the
+    corpus) and exactly one BNLJ, the 1-row broadcast leak-scalar
+    cross join."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    plan = _plan(all_queries()["split_by_dedup_cluster"].fn(spark, SF_DIR))
+    assert "FileScan parquet" not in plan  # no LSH/assignment recompute
+    assert plan.count("Scan ExistingRDD") >= 3  # pairs + assign reused
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # only the 1-row leak join
+    assert "IdentityBroadcastMode" in plan
