@@ -97,7 +97,8 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: evidence fresh), and (d) stalest-certified re-certs (oldest green
 #: driver row first, per tools/rotate_window.py) filling the rest, so
 #: driver evidence ages out nowhere. A green r8 record certifies
-#: 248/248. Queries outside the window remain locally verified every
+#: 251/251 (the 11-query r7 backlog + the 3 queries added during r8).
+#: Queries outside the window remain locally verified every
 #: round by tools/verify_local.py (the full DuckDB-differential
 #: sweep).
 PRIORITY_ORDER = [
@@ -128,10 +129,11 @@ PRIORITY_ORDER = [
     # --- added during r8 (displacing the newest re-cert slots) ---
     "streaming_cdc_retraction_pipeline",
     "fixed_width_zoned_order_ledger",
+    "ivm_join_delta_maintenance",
     # --- rows-only (1): no oracle BY DESIGN (Arrow/BLAS float
     # summation order); driver records rows+schema each round
     "ann_cosine_topk_arrow",
-    # --- stalest-certified re-certs (28): oldest green row first ---
+    # --- stalest-certified re-certs (25): oldest green row first ---
     "agg_count_distinct_exact",
     "agg_percentiles_priority",
     "agg_stat_moments",
@@ -157,7 +159,6 @@ PRIORITY_ORDER = [
     "union_by_name_parties",
     "window_distribution_funcs",
     "window_lag_gap_seconds",
-    "window_locf_events",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. The r8

@@ -1198,6 +1198,7 @@ def _snapshot_versions(o: DataFrame) -> tuple[DataFrame, DataFrame]:
     integer cents here so no double ever renders to text."""
     base = o.select(
         "o_orderkey",
+        "o_custkey",  # carried for the delta-JOIN view; hash/projection-invariant
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderstatus",
         "o_orderpriority",
@@ -1412,4 +1413,159 @@ def ivm_apply_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
         .filter(F.col("n_orders") > 0)
+    )
+
+
+def _dim_versions(c: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic versions of the customer dim for the
+    delta-JOIN maintenance query (one carving, shared with its test):
+    s1 drops keys ≡2 mod 9; s2 restores them, drops keys ≡5 mod 9,
+    and moves keys ≡0 mod 8 into segment 'MACHINERY' — the dim side
+    gets adds, deletes, AND cross-group attribute updates, so a
+    missed dim retraction cannot cancel out."""
+    base = c.select("c_custkey", "c_mktsegment")
+    s1 = base.filter(F.col("c_custkey") % 9 != 2)
+    s2 = base.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 8 == 0, "MACHINERY").otherwise(
+            F.col("c_mktsegment")
+        ),
+    ).filter(F.col("c_custkey") % 9 != 5)
+    return s1, s2
+
+
+def _signed_delta(old: DataFrame, new: DataFrame, key: str, cols: list[str]) -> DataFrame:
+    """Signed multiset delta new − old over ``key``: removed/changed
+    rows emit their OLD image with sign −1, added/changed rows their
+    NEW image with sign +1; unchanged keys (the overwhelming majority
+    at scale) die inside the join before anything is emitted. One
+    keyed shuffle per side — the same shape as snapshot_diff_keyed."""
+    a, b = old.alias("a"), new.alias("b")
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | (F.col(f"a.{c}") != F.col(f"b.{c}"))
+    j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer").filter(
+        F.col(f"a.{key}").isNull() | F.col(f"b.{key}").isNull() | changed
+    )
+    minus = j.filter(F.col(f"a.{key}").isNotNull()).select(
+        F.col(f"a.{key}").alias(key),
+        *[F.col(f"a.{c}").alias(c) for c in cols],
+        F.lit(-1).alias("sign"),
+    )
+    plus = j.filter(F.col(f"b.{key}").isNotNull()).select(
+        F.col(f"b.{key}").alias(key),
+        *[F.col(f"b.{c}").alias(c) for c in cols],
+        F.lit(1).alias("sign"),
+    )
+    return minus.unionByName(plus)
+
+
+@query(
+    "ivm_join_delta_maintenance",
+    oracle="""
+    WITH r2 AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 != 5),
+    s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 8 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 9 != 5)
+    SELECT s2.c_mktsegment, r2.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(r2.cents) AS BIGINT) AS cents_sum
+    FROM r2 JOIN s2 ON r2.o_custkey = s2.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the step beyond the
+    aggregate-only IVM family (``ivm_apply_changeset`` /
+    ``streaming_ivm_agg_merge`` maintain Σ over ONE evolving input;
+    real materialized views join first): the view is
+    γ(orders ⋈ customer) grouped by (c_mktsegment, o_orderstatus),
+    and BOTH sides evolve — orders via the shared v1→v2 carving
+    (adds ≡3 mod 7, deletes ≡5 mod 11, status flips ≡0 mod 13) and
+    the customer dim via ``_dim_versions`` (adds, deletes, segment
+    moves). The refresh applies the bilinear delta-join expansion
+    (DBToaster / differential-dataflow textbook form)
+
+        Δ(R ⋈ S) = ΔR ⋈ S₁  +  R₁ ⋈ ΔS  +  ΔR ⋈ ΔS
+
+    with SIGNED multiset deltas (update = retraction + insertion;
+    join terms multiply signs), then merges the signed group deltas
+    into the v1 state — ΔR ⋈ S₁ against the OLD dim image, the
+    classic off-by-one-version trap. Certified identity:
+    merge(γ(R₁⋈S₁), Σ± Δ-terms) ≡ recompute(γ(R₂⋈S₂)) — the oracle
+    computes the v2 join directly from parquet; zero-count groups
+    must vanish. Integer cents end-to-end (counts and sums exact and
+    order-free). Scale: the three Δ-terms each join a DELTA (tracking
+    the day's change volume, not the table) against one base scan or
+    another delta — broadcast-eligible; base sides are scanned once
+    each; every join and the final merge are keyed shuffles; state
+    merge is |groups|-sized."""
+    r1, r2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    r1 = r1.select("o_custkey", "cents", "o_orderstatus", F.col("o_orderkey"))
+    r2 = r2.select("o_custkey", "cents", "o_orderstatus", F.col("o_orderkey"))
+    s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
+
+    dR = _signed_delta(r1, r2, "o_orderkey", ["o_custkey", "cents", "o_orderstatus"])
+    dS = _signed_delta(s1, s2, "c_custkey", ["c_mktsegment"])
+
+    # v1 state: γ over the old join image (at steady state this is the
+    # standing materialized view, never recomputed)
+    state1 = (
+        r1.join(s1, r1.o_custkey == s1.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+        )
+    )
+
+    sgn = lambda df, s: df.select(  # noqa: E731
+        "c_mktsegment", "o_orderstatus", "cents", s.alias("sign")
+    )
+    term1 = sgn(
+        dR.join(s1, dR.o_custkey == s1.c_custkey), F.col("sign")
+    )
+    term2 = sgn(
+        r1.join(dS, r1.o_custkey == dS.c_custkey), F.col("sign")
+    )
+    dr, ds_ = dR.alias("dr"), dS.alias("ds")
+    term3 = dr.join(ds_, F.col("dr.o_custkey") == F.col("ds.c_custkey")).select(
+        F.col("ds.c_mktsegment").alias("c_mktsegment"),
+        F.col("dr.o_orderstatus").alias("o_orderstatus"),
+        F.col("dr.cents").alias("cents"),
+        (F.col("dr.sign") * F.col("ds.sign")).alias("sign"),
+    )
+
+    delta = (
+        term1.unionByName(term2)
+        .unionByName(term3)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("cents")).alias("ds_"),
+        )
+    )
+    st, d = state1.alias("st"), delta.alias("d")
+    return (
+        st.join(d, ["c_mktsegment", "o_orderstatus"], "full_outer")
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("st.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("st.s"), F.lit(0))
+                + F.coalesce(F.col("d.ds_"), F.lit(0))
+            ).alias("cents_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
     )

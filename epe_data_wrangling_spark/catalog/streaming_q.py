@@ -523,6 +523,7 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
                 AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderpriority
     """,
+    headline=True,  # r8: IVM refresh cost tracked round-over-round
 )
 def streaming_ivm_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE incremental view maintenance, streamed: orders arrive as

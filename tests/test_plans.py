@@ -368,3 +368,36 @@ def test_split_by_dedup_cluster_reuses_checkpointed_pairs(spark):
     assert plan.count("Scan ExistingRDD") >= 3  # pairs + assign reused
     assert plan.count("BroadcastNestedLoopJoin") == 1  # only the 1-row leak join
     assert "IdentityBroadcastMode" in plan
+
+
+def test_ivm_join_delta_equals_direct_recompute(spark):
+    """The delta-join maintenance identity, checked in-engine:
+    merge(γ(R₁⋈S₁), Σ± [ΔR⋈S₁ + R₁⋈ΔS + ΔR⋈ΔS]) must equal the
+    direct recompute γ(R₂⋈S₂) exactly (integer cents), and the plan
+    must contain no cartesian/nested-loop node — every Δ-term is an
+    equi-join on the customer key."""
+    from epe_data_wrangling_spark.catalog import all_queries
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_versions,
+    )
+
+    q = all_queries()["ivm_join_delta_maintenance"]
+    df = q.fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    _, r2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    _, s2 = _dim_versions(load_table(spark, SF_DIR, "customer"))
+    direct = (
+        r2.join(s2, r2.o_custkey == s2.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want

@@ -333,6 +333,71 @@ def main() -> None:
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix))
 
+    # r8: the remaining r7 queries without 10× rows (SQL UDF pair,
+    # privacy pair, fixed-width supplier) plus the two r8 additions
+    # (zoned ledger, CDC retraction pipeline). These need full-width
+    # orders with CONSISTENTLY shifted o_custkey (the spine joins
+    # orders→customer), a shifted customer replica, and a shifted
+    # supplier replica — mix2 assembles that, reusing the lineitem
+    # and events replicas via symlink.
+    mix2 = f"{WORK}/mix2"
+    os.makedirs(mix2, exist_ok=True)
+    for name, src in (
+        ("region.parquet", os.path.join(base, "region.parquet")),
+        ("nation.parquet", os.path.join(base, "nation.parquet")),
+        ("lineitem.parquet", f"{WORK}/lineitem.parquet"),
+        ("events.parquet", os.path.join(mix, "events.parquet")),
+    ):
+        dst = os.path.join(mix2, name)
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(src), dst)
+    kshift = F.col("rep") * F.lit(10_000_000)
+    (
+        orders_full.crossJoin(rep)
+        .select(
+            (F.col("o_orderkey") + kshift).alias("o_orderkey"),
+            (F.col("o_custkey") + kshift).alias("o_custkey"),
+            *[c for c in orders_full.columns if c not in ("o_orderkey", "o_custkey")],
+        )
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(f"{mix2}/orders.parquet")
+    )
+    cust = spark.read.parquet(os.path.join(base, "customer.parquet"))
+    (
+        cust.crossJoin(rep)
+        .select(
+            (F.col("c_custkey") + kshift).alias("c_custkey"),
+            *[c for c in cust.columns if c != "c_custkey"],
+        )
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{mix2}/customer.parquet")
+    )
+    supp = spark.read.parquet(os.path.join(base, "supplier.parquet"))
+    (
+        supp.crossJoin(rep)
+        .select(
+            (F.col("s_suppkey") + F.col("rep") * F.lit(1_000_000)).alias("s_suppkey"),
+            *[c for c in supp.columns if c != "s_suppkey"],
+        )
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{mix2}/supplier.parquet")
+    )
+    for qname, lbl in (
+        ("sql_udf_pricing_chain", "sql_udf_chain"),
+        ("sql_udf_table_month_spine", "sql_udf_spine"),
+        ("dp_noisy_group_counts", "dp_noisy_counts"),
+        ("kanon_quasi_identifier_audit", "kanon_audit"),
+        ("fixed_width_source_suppliers", "fixed_width_suppliers"),
+        ("fixed_width_zoned_order_ledger", "fixed_width_ledger"),
+        ("streaming_cdc_retraction_pipeline", "cdc_retraction_3gen"),
+        ("ivm_join_delta_maintenance", "ivm_join_delta"),
+    ):
+        run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
+        run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
