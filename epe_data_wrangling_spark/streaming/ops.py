@@ -673,6 +673,236 @@ def cdc_retraction_foreach_batch(
     return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def join_view_foreach_batch(
+    snapshots: DataFrame,
+    target_dir: str,
+    *,
+    rel_col: str,
+    version_col: str,
+    r_tag: str,
+    s_tag: str,
+    r_key: list[str],
+    s_key: list[str],
+    r_join: str,
+    s_join: str,
+    r_cols: list[str],
+    s_cols: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of a JOIN view — ``cdc_retraction_foreach_batch``
+    generalized from γ(R) to γ(R ⋈ S): the stream carries full
+    snapshot images of TWO keyed relations (rows tagged ``rel_col`` ∈
+    {r_tag, s_tag}, versions via ``version_col``), and each version is
+    diffed in-batch against the last-applied images, the view updated
+    through the bilinear delta-join expansion with SIGNED multiset
+    deltas (join terms multiply signs):
+
+        Δγ(R ⋈ S) = γ±( ΔR ⋈ S_old  +  R_old ⋈ ΔS  +  ΔR ⋈ ΔS )
+
+    — ΔR against the OLD dim image and ΔS against the OLD fact image,
+    the off-by-one-version trap the batch twin
+    (``catalog.evolve_q.ivm_join_delta_maintenance``) documents. The
+    first version bootstraps through the same algebra: with empty old
+    images only the ΔR ⋈ ΔS term survives and equals R₁ ⋈ S₁.
+
+    A version MAY omit one relation entirely — absent means
+    UNCHANGED (the slowly-changing-dim shape: dim generations land
+    rarely; fact generations every batch). A relation that genuinely
+    becomes empty cannot be expressed in row-stream form; land a
+    tombstone-only changelog upstream if that state is reachable.
+
+    The target holds THREE tables committed in one atomic swap —
+    ``snap_r/``, ``snap_s/`` (last applied images: keys + business
+    columns + md5 row-hash) and ``view/`` (one additive row per group:
+    ``n`` + ``sum_<c>``) — plus batch_id + source-file provenance in
+    ``_ivm_meta.json``, so crash replay and fresh-checkpoint runs
+    follow the module's non-idempotent-sink discipline (replays skip,
+    new data under a fresh checkpoint raises). Contracts as the CDC
+    sink: unique non-null keys per version, text-deterministic
+    business columns (money as integer cents), integer ``sum_cols``;
+    zero-count groups remain as n=0 rows, finalize with ``n > 0``.
+
+    Scale: per version, each diff is one keyed shuffle per side
+    comparing one narrow hash column; the three Δ-terms each join a
+    DELTA (change-volume-sized, broadcast-eligible) against one
+    stored image scan or another delta — the standing images are
+    never re-joined wholesale; the view merge is |groups|-sized.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    def _hashed(img: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+        rh = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        extra = [c for c in cols if c not in keys]  # a key may be business too
+        return img.select(*keys, *extra, rh.alias("rh"))
+
+    def _signed_diff(
+        snap: DataFrame | None, img: DataFrame, keys: list[str], cols: list[str]
+    ) -> DataFrame:
+        """new − old as signed rows (cols + _sign); bootstrap = all +1."""
+        if snap is None:
+            return img.select(*cols, F.lit(1).alias("_sign"))
+        a, b = snap.alias("a"), img.alias("b")
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        j = a.join(b, cond, "full_outer")
+        a_absent = F.col(f"a.{keys[0]}").isNull()
+        b_absent = F.col(f"b.{keys[0]}").isNull()
+        changed = F.col("a.rh") != F.col("b.rh")
+        retract = j.filter(~a_absent & (b_absent | changed)).select(
+            *[F.col(f"a.{c}").alias(c) for c in cols], F.lit(-1).alias("_sign")
+        )
+        insert = j.filter(~b_absent & (a_absent | changed)).select(
+            *[F.col(f"b.{c}").alias(c) for c in cols], F.lit(1).alias("_sign")
+        )
+        return retract.unionByName(insert)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "join_view"):
+            return
+        if batch_df.isEmpty():
+            return
+        have = os.path.isdir(target_dir)
+        snap_r = (
+            spark.read.parquet(os.path.join(target_dir, "snap_r")) if have else None
+        )
+        snap_s = (
+            spark.read.parquet(os.path.join(target_dir, "snap_s")) if have else None
+        )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
+        )
+        versions = sorted(
+            r["v"]
+            for r in batch_df.select(F.col(version_col).alias("v"))
+            .distinct()
+            .collect()
+        )
+        for v in versions:
+            vdf = batch_df.filter(F.col(version_col) == v)
+            img_r_src = vdf.filter(F.col(rel_col) == r_tag)
+            img_s_src = vdf.filter(F.col(rel_col) == s_tag)
+            has_r = not img_r_src.isEmpty()
+            has_s = not img_s_src.isEmpty()
+            img_r = _hashed(img_r_src, r_key, r_cols) if has_r else None
+            img_s = _hashed(img_s_src, s_key, s_cols) if has_s else None
+            # old images as empty-but-typed frames on bootstrap, so the
+            # Δ-term algebra needs no special cases
+            r_old = (
+                snap_r.select(*r_cols)
+                if snap_r is not None
+                else spark.createDataFrame([], vdf.select(*r_cols).schema)
+            )
+            s_old = (
+                snap_s.select(*s_cols)
+                if snap_s is not None
+                else spark.createDataFrame([], vdf.select(*s_cols).schema)
+            )
+            d_r = (
+                _signed_diff(snap_r, img_r, r_key, r_cols)
+                if has_r
+                else spark.createDataFrame(
+                    [], vdf.select(*r_cols, F.lit(1).alias("_sign")).schema
+                )
+            )
+            d_s = (
+                _signed_diff(snap_s, img_s, s_key, s_cols)
+                if has_s
+                else spark.createDataFrame(
+                    [], vdf.select(*s_cols, F.lit(1).alias("_sign")).schema
+                )
+            )
+            out_cols = list(group_cols) + list(sum_cols)
+            dr, ds = d_r.alias("dr"), d_s.alias("ds")
+            ro, so = r_old.alias("ro"), s_old.alias("so")
+
+            def _pick(side_a: str, side_b: str, c: str) -> F.Column:
+                src = side_a if c in r_cols else side_b
+                return F.col(f"{src}.{c}").alias(c)
+
+            t1 = dr.join(so, F.col(f"dr.{r_join}") == F.col(f"so.{s_join}")).select(
+                *[_pick("dr", "so", c) for c in out_cols],
+                F.col("dr._sign").alias("_sign"),
+            )
+            t2 = ro.join(ds, F.col(f"ro.{r_join}") == F.col(f"ds.{s_join}")).select(
+                *[_pick("ro", "ds", c) for c in out_cols],
+                F.col("ds._sign").alias("_sign"),
+            )
+            t3 = dr.join(ds, F.col(f"dr.{r_join}") == F.col(f"ds.{s_join}")).select(
+                *[_pick("dr", "ds", c) for c in out_cols],
+                (F.col("dr._sign") * F.col("ds._sign")).alias("_sign"),
+            )
+            dview = (
+                t1.unionByName(t2)
+                .unionByName(t3)
+                .groupBy(*group_cols)
+                .agg(
+                    F.sum("_sign").cast("bigint").alias("n"),
+                    *[
+                        F.sum(F.col("_sign") * F.col(c))
+                        .cast("bigint")
+                        .alias(f"sum_{c}")
+                        for c in sum_cols
+                    ],
+                )
+            )
+            if view is None:
+                view = dview
+            else:
+                state_cols = ["n"] + [f"sum_{c}" for c in sum_cols]
+                vw, d = view.alias("vw"), dview.alias("d")
+                view = vw.join(d, list(group_cols), "full_outer").select(
+                    *group_cols,
+                    *[
+                        (
+                            F.coalesce(F.col(f"vw.{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                        )
+                        .cast("bigint")
+                        .alias(c)
+                        for c in state_cols
+                    ],
+                )
+            if img_r is not None:
+                snap_r = img_r
+            if img_s is not None:
+                snap_s = img_s
+        if snap_r is None or snap_s is None:
+            raise RuntimeError(
+                "join_view sink: first applied version must carry BOTH "
+                f"relations (got {r_tag}: {snap_r is not None}, "
+                f"{s_tag}: {snap_s is not None})"
+            )
+        stage = f"{target_dir}.stage-{batch_id}"
+        snap_r.write.mode("overwrite").parquet(os.path.join(stage, "snap_r"))
+        snap_s.write.mode("overwrite").parquet(os.path.join(stage, "snap_s"))
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_version": versions[-1] if versions else None,
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(snapshots, _apply, checkpoint_dir, "join_view", timeout_sec)
+    return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
 def purchase_click_attribution_outer(
     purchases: DataFrame, clicks: DataFrame, *, lookback: str = "30 minutes",
     watermark: str = "2 hours",

@@ -725,3 +725,173 @@ def test_cdc_retraction_replay_and_new_data_guard(spark, tmp_path):
     ).coalesce(1).write.parquet(str(tmp_path / "landing" / "v4"))
     with pytest.raises(Exception, match="never-applied source files"):
         _cdc_run(spark, landing, target, str(tmp_path / "ck3"), None)
+
+
+def _join_view_fixture(spark, tmp_path):
+    """Landing dir with three mtime-ordered generations for the
+    join-view sink: g1 = orders v1 + dim s1, g2 = orders v2 ONLY
+    (absent dim = unchanged), g3 = orders v3 + dim s2. Returns the
+    landing path and the final (v3, s2) images for direct recompute."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    s1, s2 = _dim_versions(load_table(spark, SF_DIR, "customer"))
+
+    def tag_r(vdf, i):
+        return vdf.select(
+            F.lit("R").alias("rel"), F.lit(i).alias("snapshot_version"),
+            "o_orderkey", "o_custkey", "cents", "o_orderstatus",
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+
+    def tag_s(sdf, i):
+        return sdf.select(
+            F.lit("S").alias("rel"), F.lit(i).alias("snapshot_version"),
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            F.lit(None).cast("bigint").alias("o_custkey"),
+            F.lit(None).cast("bigint").alias("cents"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "c_custkey", "c_mktsegment",
+        )
+
+    landing = tmp_path / "landing"
+    gens = (
+        tag_r(v1, 1).unionByName(tag_s(s1, 1)),
+        tag_r(v2, 2),
+        tag_r(v3, 3).unionByName(tag_s(s2, 3)),
+    )
+    for i, gdf in enumerate(gens, start=1):
+        sub = str(landing / f"g{i}")
+        gdf.coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                p = os.path.join(sub, f)
+                t = os.path.getmtime(p)
+                os.utime(p, (t + i, t + i))
+    return str(landing), v3, s2
+
+
+_JOIN_VIEW_SCHEMA = (
+    "rel STRING, snapshot_version INT, o_orderkey BIGINT, o_custkey BIGINT, "
+    "cents BIGINT, o_orderstatus STRING, c_custkey BIGINT, c_mktsegment STRING"
+)
+
+
+def _join_view_run(spark, landing, target, ckpt, max_files):
+    from epe_data_wrangling_spark.streaming.ops import join_view_foreach_batch
+
+    reader = spark.readStream.schema(_JOIN_VIEW_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return join_view_foreach_batch(
+        stream,
+        target,
+        rel_col="rel",
+        version_col="snapshot_version",
+        r_tag="R",
+        s_tag="S",
+        r_key=["o_orderkey"],
+        s_key=["c_custkey"],
+        r_join="o_custkey",
+        s_join="c_custkey",
+        r_cols=["o_custkey", "cents", "o_orderstatus"],
+        s_cols=["c_custkey", "c_mktsegment"],
+        group_cols=["c_mktsegment", "o_orderstatus"],
+        sum_cols=["cents"],
+        checkpoint_dir=ckpt,
+    )
+
+
+def _join_view_direct(v3, s2):
+    from pyspark.sql import functions as F
+
+    return {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["s"])
+        for r in v3.join(s2, v3.o_custkey == s2.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+
+
+def test_join_view_invariant_to_batch_split(spark, tmp_path):
+    """The join-view sink's contract: the final view must be identical
+    whether the three generations arrive as ONE batch (all versions
+    applied in-order inside it) or one generation per batch — and both
+    must equal a direct recompute of γ(v3 ⋈ s2). Exercises the
+    absent-dim generation (g2 carries no S rows) on both paths."""
+    from pyspark.sql import functions as F
+
+    landing, v3, s2 = _join_view_fixture(spark, tmp_path)
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _join_view_run(
+            spark, landing, str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ckpt{i}"), max_files,
+        )
+        results.append(
+            {(r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+             for r in view.filter(F.col("n") > 0).collect()}
+        )
+    expect = _join_view_direct(v3, s2)
+    assert results[0] == results[1] == expect
+
+
+def test_join_view_replay_is_noop(spark, tmp_path):
+    """Non-idempotent-sink discipline carried over: a fresh-checkpoint
+    re-run over already-applied generation files must change nothing
+    (every signed delta would otherwise double-apply)."""
+    from pyspark.sql import functions as F
+
+    landing, v3, s2 = _join_view_fixture(spark, tmp_path)
+    target = str(tmp_path / "state")
+
+    def collect(view):
+        return {(r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+                for r in view.filter(F.col("n") > 0).collect()}
+
+    first = collect(_join_view_run(spark, landing, target, None, 1))
+    replayed = collect(_join_view_run(spark, landing, target, None, 1))
+    assert first == replayed == _join_view_direct(v3, s2)
+
+
+def test_join_view_first_version_must_carry_both_relations(spark, tmp_path):
+    """A bootstrap generation missing one relation is a contract
+    violation (the view cannot be seeded from half a join) — the sink
+    must raise, not commit a half-seeded state."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, _ = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    landing = tmp_path / "landing"
+    sub = str(landing / "g1")
+    (
+        v1.select(
+            F.lit("R").alias("rel"), F.lit(1).alias("snapshot_version"),
+            "o_orderkey", "o_custkey", "cents", "o_orderstatus",
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+        .coalesce(1)
+        .write.parquet(sub)
+    )
+    with _pytest.raises(Exception, match="must carry BOTH"):
+        _join_view_run(spark, str(landing), str(tmp_path / "state"), None, None)
+    assert not os.path.isdir(str(tmp_path / "state"))  # nothing half-committed
