@@ -1512,8 +1512,16 @@ def ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = r2.select("o_custkey", "cents", "o_orderstatus", F.col("o_orderkey"))
     s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
 
-    dR = _signed_delta(r1, r2, "o_orderkey", ["o_custkey", "cents", "o_orderstatus"])
-    dS = _signed_delta(s1, s2, "c_custkey", ["c_mktsegment"])
+    # materialize each delta ONCE (change-volume-sized): ΔR feeds the
+    # t1 and t3 terms, ΔS feeds t2 and t3 — without the barrier the
+    # diff full-outer join (the dominant cost at scale) runs twice per
+    # delta; same localCheckpoint idiom as split_by_dedup_cluster
+    dR = _signed_delta(
+        r1, r2, "o_orderkey", ["o_custkey", "cents", "o_orderstatus"]
+    ).localCheckpoint(eager=True)
+    dS = _signed_delta(s1, s2, "c_custkey", ["c_mktsegment"]).localCheckpoint(
+        eager=True
+    )
 
     # v1 state: γ over the old join image (at steady state this is the
     # standing materialized view, never recomputed)

@@ -809,15 +809,22 @@ def join_view_foreach_batch(
                 if snap_s is not None
                 else spark.createDataFrame([], vdf.select(*s_cols).schema)
             )
+            # each delta feeds TWO Δ-terms — materialize it once
+            # (change-volume-sized) so the diff full-outer join, the
+            # dominant per-version cost at scale, never runs twice
             d_r = (
-                _signed_diff(snap_r, img_r, r_key, r_cols)
+                _signed_diff(snap_r, img_r, r_key, r_cols).localCheckpoint(
+                    eager=True
+                )
                 if has_r
                 else spark.createDataFrame(
                     [], vdf.select(*r_cols, F.lit(1).alias("_sign")).schema
                 )
             )
             d_s = (
-                _signed_diff(snap_s, img_s, s_key, s_cols)
+                _signed_diff(snap_s, img_s, s_key, s_cols).localCheckpoint(
+                    eager=True
+                )
                 if has_s
                 else spark.createDataFrame(
                     [], vdf.select(*s_cols, F.lit(1).alias("_sign")).schema

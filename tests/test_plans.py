@@ -387,6 +387,10 @@ def test_ivm_join_delta_equals_direct_recompute(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # ΔR feeds t1+t3 and ΔS feeds t2+t3 from ONE materialization each:
+    # the diff full-outer joins must appear as checkpointed-RDD scans
+    # (4 consumers), never be recomputed per term
+    assert plan.count("Scan ExistingRDD") >= 4
 
     _, r2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
     _, s2 = _dim_versions(load_table(spark, SF_DIR, "customer"))
