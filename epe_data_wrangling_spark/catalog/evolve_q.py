@@ -1577,3 +1577,159 @@ def ivm_join_delta_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+@query(
+    "ivm_outer_join_maintenance",
+    oracle="""
+    WITH r2 AS (
+      SELECT o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 != 5),
+    s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 8 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 9 != 5)
+    SELECT COALESCE(s2.c_mktsegment, '(none)') AS c_mktsegment,
+           r2.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(r2.cents) AS BIGINT) AS cents_sum
+    FROM r2 LEFT JOIN s2 ON r2.o_custkey = s2.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def ivm_outer_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an OUTER-join view — the classic
+    'counting problem' (Gupta–Mumick) that makes materialized views
+    with outer joins harder than inner ones: in γ(R ⟕ S), an R row
+    MIGRATES between the null-padded group and a matched group
+    whenever its dim key appears in or disappears from S — a plain
+    bilinear refresh misses those migrations. With S's join key
+    unique (an FK dim), support counting degenerates to key-set
+    membership and the delta decomposes exactly:
+
+        Δγ(R ⟕ S) = γ±( Δ(R ⋈ S)                      [bilinear, as
+                                        ivm_join_delta_maintenance]
+                       + ΔR ∖ₖ K₂                     [delta rows that
+                                         land unmatched, sign kept]
+                       + R₁ ⋈ (K₁∖K₂) as +1           [keys leaving S:
+                                      their R rows ENTER the ∅-group]
+                       + R₁ ⋈ (K₂∖K₁) as −1 )         [keys entering S:
+                                          their R rows LEAVE it]
+
+    where K₁/K₂ are S's key sets and the key transitions fall out of
+    ΔS's net sign per key (removed ≡ Σsign = −1, added ≡ +1; an
+    attribute-only change nets 0 and is fully handled by the bilinear
+    part). Certified identity: merge(γ(R₁⟕S₁), Σ±) ≡ recompute
+    (γ(R₂⟕S₂)) — the oracle computes the final LEFT JOIN directly;
+    the carvings make every migration direction non-empty (dim keys
+    ≡2 mod 9 ENTER S and ≡5 mod 9 LEAVE it between versions).
+    Scale: everything the inner query shuffles plus two
+    key-transition joins whose build side is the dim CHANGE
+    (broadcast-eligible); the ∅-filter on ΔR is one anti-join against
+    the dim key set."""
+    r1, r2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    r1 = r1.select("o_custkey", "cents", "o_orderstatus", "o_orderkey")
+    r2 = r2.select("o_custkey", "cents", "o_orderstatus", "o_orderkey")
+    s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
+    NONE = "(none)"
+
+    dR = _signed_delta(
+        r1, r2, "o_orderkey", ["o_custkey", "cents", "o_orderstatus"]
+    ).localCheckpoint(eager=True)
+    dS = _signed_delta(s1, s2, "c_custkey", ["c_mktsegment"]).localCheckpoint(
+        eager=True
+    )
+
+    # v1 state: γ over the old LEFT join
+    state1 = (
+        r1.join(s1, r1.o_custkey == s1.c_custkey, "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit(NONE)).alias("c_mktsegment"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+
+    # --- matched part: the inner-join bilinear terms ---
+    out = lambda df, seg, sgn: df.select(  # noqa: E731
+        seg.alias("c_mktsegment"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.col("cents").alias("cents"),
+        sgn.alias("sign"),
+    )
+    t1 = out(
+        dR.join(s1, dR.o_custkey == s1.c_custkey),
+        F.col("c_mktsegment"),
+        F.col("sign"),
+    )
+    dr, ds_ = dR.alias("dr"), dS.alias("ds")
+    t2 = r1.alias("ro").join(
+        ds_, F.col("ro.o_custkey") == F.col("ds.c_custkey")
+    ).select(
+        F.col("ds.c_mktsegment").alias("c_mktsegment"),
+        F.col("ro.o_orderstatus").alias("o_orderstatus"),
+        F.col("ro.cents").alias("cents"),
+        F.col("ds.sign").alias("sign"),
+    )
+    t3 = dr.join(ds_, F.col("dr.o_custkey") == F.col("ds.c_custkey")).select(
+        F.col("ds.c_mktsegment").alias("c_mktsegment"),
+        F.col("dr.o_orderstatus").alias("o_orderstatus"),
+        F.col("dr.cents").alias("cents"),
+        (F.col("dr.sign") * F.col("ds.sign")).alias("sign"),
+    )
+
+    # --- unmatched part: ΔR landing outside K₂, plus the migrations
+    # driven by key transitions (net dim sign per key) ---
+    k2 = s2.select("c_custkey")
+    t4 = out(
+        dR.join(k2, dR.o_custkey == k2.c_custkey, "left_anti"),
+        F.lit(NONE),
+        F.col("sign"),
+    )
+    net = dS.groupBy("c_custkey").agg(F.sum("sign").alias("net"))
+    removed = net.filter(F.col("net") == -1).select("c_custkey")
+    added = net.filter(F.col("net") == 1).select("c_custkey")
+    t5 = out(
+        r1.join(removed, r1.o_custkey == removed.c_custkey),
+        F.lit(NONE),
+        F.lit(1),
+    )
+    t6 = out(
+        r1.join(added, r1.o_custkey == added.c_custkey),
+        F.lit(NONE),
+        F.lit(-1),
+    )
+
+    delta = (
+        t1.unionByName(t2)
+        .unionByName(t3)
+        .unionByName(t4)
+        .unionByName(t5)
+        .unionByName(t6)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.sum("sign").alias("dn"),
+            F.sum(F.col("sign") * F.col("cents")).alias("ds_"),
+        )
+    )
+    st, d = state1.alias("st"), delta.alias("d")
+    return (
+        st.join(d, ["c_mktsegment", "o_orderstatus"], "full_outer")
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("st.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("st.s"), F.lit(0))
+                + F.coalesce(F.col("d.ds_"), F.lit(0))
+            ).alias("cents_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

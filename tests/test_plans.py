@@ -405,3 +405,44 @@ def test_ivm_join_delta_equals_direct_recompute(spark):
     got = sorted(map(tuple, df.collect()))
     want = sorted(map(tuple, direct.collect()))
     assert got == want
+
+
+def test_ivm_outer_join_delta_equals_direct_recompute(spark):
+    """The outer-join maintenance identity (the counting problem,
+    unique-dim-key regime): the incrementally refreshed γ(R₂ ⟕ S₂)
+    must equal a direct recompute exactly — including the ∅-group
+    migrations in BOTH directions (the carving removes and adds dim
+    keys) — with no cartesian/nested-loop node beyond none (the
+    key-transition joins are equi on the custkey)."""
+    from epe_data_wrangling_spark.catalog import all_queries
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_versions,
+    )
+
+    q = all_queries()["ivm_outer_join_maintenance"]
+    df = q.fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    _, r2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    _, s2 = _dim_versions(load_table(spark, SF_DIR, "customer"))
+    direct = (
+        r2.join(s2, r2.o_custkey == s2.c_custkey, "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(none)")).alias(
+                "c_mktsegment"
+            ),
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(map(tuple, direct.collect()))
+    assert got == want
+    # the ∅-group must exist and must have moved vs a v1-state-only view
+    assert any(t[0] == "(none)" for t in got)

@@ -394,6 +394,7 @@ def main() -> None:
         ("fixed_width_zoned_order_ledger", "fixed_width_ledger"),
         ("streaming_cdc_retraction_pipeline", "cdc_retraction_3gen"),
         ("ivm_join_delta_maintenance", "ivm_join_delta"),
+        ("ivm_outer_join_maintenance", "ivm_outer_join"),
         ("streaming_join_view_maintenance", "streaming_join_view_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
