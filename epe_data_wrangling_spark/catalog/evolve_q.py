@@ -1733,3 +1733,92 @@ def ivm_outer_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+def _sparse_version(o: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Sparse second version for the non-distributive IVM query: v2
+    bumps cents on keys ≡0 mod 97 (an update that can INSERT a row
+    into a group's top-k) and drops keys ≡1 mod 197 (a delete that
+    can EVICT one) — ~1.5% of keys change, so the affected-group set
+    is a small fraction of all groups, the regime where
+    affected-group recompute beats full recompute."""
+    base = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    v2 = base.withColumn(
+        "cents",
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.col("cents") + 100000
+        ).otherwise(F.col("cents")),
+    ).filter(F.col("o_orderkey") % 197 != 1)
+    return base, v2
+
+
+@query(
+    "ivm_topk_affected_groups",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 97 = 0 THEN 100000 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 197 != 1)
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, cents
+    FROM (
+      SELECT o_custkey, o_orderkey, cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC, o_orderkey) AS rnk
+      FROM v2) t
+    WHERE rnk <= 3
+    """,
+)
+def ivm_topk_affected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for a NON-DISTRIBUTIVE aggregate — the case the additive
+    family (counts/sums, ``ivm_apply_changeset``) cannot express: a
+    per-customer top-3-orders-by-cents view. Deletes are not
+    subtractable from a top-k (evicting the current #1 needs the #4
+    the view no longer holds), so the standard practical refresh is
+    AFFECTED-GROUP RECOMPUTE: diff the versions, mark only the groups
+    the changeset touches (old AND new group of every changed row),
+    keep the stored view's rows for every untouched group
+    (anti-join), and recompute just the touched groups from the new
+    base (semi-join → rank window). The sparse carving changes ~1.5%
+    of keys, so ~97% of the output flows through the KEPT path — the
+    oracle recomputes the whole view directly, so a wrong keep/
+    recompute split cannot hash green. Updates that push a row INTO
+    the top-3 and deletes that EVICT from it are both present by
+    construction. Scale: refresh cost is |affected groups| × group
+    size + one changeset diff — not corpus-sized; the rank window
+    partitions by customer (no global sort), and at 100 TB the
+    stored view is read, not rebuilt (the demo materializes state1
+    once via localCheckpoint to stand in for the stored table)."""
+    v1, v2 = _sparse_version(load_table(spark, sf_dir, "orders"))
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "o_custkey",
+                F.row_number().over(w).cast("bigint").alias("rnk"),
+                "o_orderkey",
+                "cents",
+            )
+            .filter(F.col("rnk") <= 3)
+        )
+
+    # the standing view (at scale: a stored table, scanned not rebuilt)
+    state1 = topk(v1).localCheckpoint(eager=True)
+
+    # changeset diff → the affected-group set (old + new group of every
+    # changed key; here the group key never changes, but the union form
+    # is the general contract)
+    delta = _signed_delta(v1, v2, "o_orderkey", ["o_custkey", "cents"])
+    affected = delta.select("o_custkey").distinct().localCheckpoint(eager=True)
+
+    kept = state1.join(affected, "o_custkey", "left_anti")
+    recomputed = topk(v2.join(affected, "o_custkey", "left_semi"))
+    return kept.unionByName(recomputed)

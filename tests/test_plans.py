@@ -446,3 +446,45 @@ def test_ivm_outer_join_delta_equals_direct_recompute(spark):
     assert got == want
     # the ∅-group must exist and must have moved vs a v1-state-only view
     assert any(t[0] == "(none)" for t in got)
+
+
+def test_ivm_topk_affected_group_split_is_sparse_and_correct(spark):
+    """The non-distributive IVM contract: the kept/recomputed split
+    must (a) equal a direct recompute of the v2 top-3 view exactly,
+    (b) route through an anti-join (kept) + semi-join (recompute
+    scope) with no nested-loop node, and (c) be SPARSE — the affected
+    groups are a small fraction of all groups, otherwise
+    affected-group recompute is just full recompute with extra
+    steps."""
+    from epe_data_wrangling_spark.catalog import all_queries
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _signed_delta,
+        _sparse_version,
+    )
+    from pyspark.sql import Window
+
+    q = all_queries()["ivm_topk_affected_groups"]
+    df = q.fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+    v1, v2 = _sparse_version(load_table(spark, SF_DIR, "orders"))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    direct = (
+        v2.select(
+            "o_custkey",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "o_orderkey",
+            "cents",
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect()))
+
+    delta = _signed_delta(v1, v2, "o_orderkey", ["o_custkey", "cents"])
+    n_affected = delta.select("o_custkey").distinct().count()
+    n_groups = v1.select("o_custkey").distinct().count()
+    assert 0 < n_affected < 0.2 * n_groups, (n_affected, n_groups)

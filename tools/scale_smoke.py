@@ -395,6 +395,7 @@ def main() -> None:
         ("streaming_cdc_retraction_pipeline", "cdc_retraction_3gen"),
         ("ivm_join_delta_maintenance", "ivm_join_delta"),
         ("ivm_outer_join_maintenance", "ivm_outer_join"),
+        ("ivm_topk_affected_groups", "ivm_topk_affected"),
         ("streaming_join_view_maintenance", "streaming_join_view_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
