@@ -1822,3 +1822,98 @@ def ivm_topk_affected_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = state1.join(affected, "o_custkey", "left_anti")
     recomputed = topk(v2.join(affected, "o_custkey", "left_semi"))
     return kept.unionByName(recomputed)
+
+
+@query(
+    "ivm_distinct_count_support",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 != 5)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def ivm_distinct_count_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for a DUPLICATE-SENSITIVE aggregate — COUNT(DISTINCT) is
+    not additive (a retraction only lowers the distinct count when it
+    removes the LAST supporting row), so the textbook refresh keeps
+    TWO levels of state: a support table γ(group, value → n), which
+    IS additive and absorbs signed deltas like any count, and the
+    view, whose distinct-count moves only on support 0↔positive
+    TRANSITIONS. Per refresh: the changeset aggregates to signed
+    support deltas (delta-sized), each touched support joins its old
+    count, and the view delta per group is Σ(+1 for 0→>0, −1 for
+    >0→0) with the row count moving additively — work tracks the
+    CHANGE, never the corpus; the v1→v2 carving moves rows across
+    groups (status flips) so both transition directions and the
+    group migrations are load-bearing. Certified identity:
+    merge(view(v1), Σ± transitions) ≡ recompute(v2) — the oracle
+    computes v2's COUNT(DISTINCT) directly. Scale: one keyed diff +
+    one (group,value) partial-agg shuffle over the delta + a
+    touched-support-sized join against the stored support table
+    (index-friendly: equi on (group, value)); the view merge is
+    |groups|-row."""
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v1 = v1.select("o_orderkey", "o_custkey", "o_orderstatus")
+    v2 = v2.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+    delta = _signed_delta(
+        v1, v2, "o_orderkey", ["o_custkey", "o_orderstatus"]
+    ).localCheckpoint(eager=True)
+
+    # level-1 state: additive supports; level-2 state: the view
+    # (each support row is ≥1 distinct customer by construction)
+    sup1 = v1.groupBy("o_orderstatus", "o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=True)
+    view1 = sup1.groupBy("o_orderstatus").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+    )
+
+    dsup = (
+        delta.groupBy("o_orderstatus", "o_custkey")
+        .agg(F.sum("sign").alias("dc"))
+        .filter(F.col("dc") != 0)
+    )
+    ds_, sp = dsup.alias("ds"), sup1.alias("sp")
+    trans = ds_.join(
+        sp,
+        (F.col("ds.o_orderstatus") == F.col("sp.o_orderstatus"))
+        & (F.col("ds.o_custkey") == F.col("sp.o_custkey")),
+        "left",
+    ).select(
+        F.col("ds.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce(F.col("sp.cnt"), F.lit(0)).alias("old"),
+        (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.dc")).alias("new"),
+        F.col("ds.dc").alias("dc"),
+    )
+    ddelta = trans.groupBy("o_orderstatus").agg(
+        F.sum("dc").alias("dn"),
+        F.sum(
+            F.when((F.col("new") > 0) & (F.col("old") == 0), 1)
+            .when((F.col("new") == 0) & (F.col("old") > 0), -1)
+            .otherwise(0)
+        ).alias("dd"),
+    )
+    vw, d = view1.alias("vw"), ddelta.alias("d")
+    return (
+        vw.join(d, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("vw.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("vw.d"), F.lit(0))
+                + F.coalesce(F.col("d.dd"), F.lit(0))
+            ).alias("n_distinct_cust"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -488,3 +488,57 @@ def test_ivm_topk_affected_group_split_is_sparse_and_correct(spark):
     n_affected = delta.select("o_custkey").distinct().count()
     n_groups = v1.select("o_custkey").distinct().count()
     assert 0 < n_affected < 0.2 * n_groups, (n_affected, n_groups)
+
+
+def test_ivm_distinct_count_support_transitions(spark):
+    """The duplicate-sensitive IVM contract: the support-table refresh
+    must equal a direct COUNT(DISTINCT) recompute exactly, with no
+    nested-loop node; and the carving must exercise all three support
+    regimes (0→pos raises the distinct count, pos→0 lowers it,
+    pos→pos must NOT move it)."""
+    from epe_data_wrangling_spark.catalog import all_queries
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _signed_delta,
+        _snapshot_versions,
+    )
+
+    q = all_queries()["ivm_distinct_count_support"]
+    df = q.fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    _, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    direct = v2.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_distinct_cust"),
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, direct.collect()))
+
+    v1, v2b = (
+        x.select("o_orderkey", "o_custkey", "o_orderstatus")
+        for x in _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    )
+    delta = _signed_delta(v1, v2b, "o_orderkey", ["o_custkey", "o_orderstatus"])
+    sup1 = v1.groupBy("o_orderstatus", "o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dsup = (
+        delta.groupBy("o_orderstatus", "o_custkey")
+        .agg(F.sum("sign").alias("dc"))
+        .filter(F.col("dc") != 0)
+    )
+    ds_, sp = dsup.alias("ds"), sup1.alias("sp")
+    trans = ds_.join(
+        sp,
+        (F.col("ds.o_orderstatus") == F.col("sp.o_orderstatus"))
+        & (F.col("ds.o_custkey") == F.col("sp.o_custkey")),
+        "left",
+    ).select(
+        F.coalesce(F.col("sp.cnt"), F.lit(0)).alias("old"),
+        (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.dc")).alias("new"),
+    )
+    up = trans.filter((F.col("new") > 0) & (F.col("old") == 0)).count()
+    down = trans.filter((F.col("new") == 0) & (F.col("old") > 0)).count()
+    stay = trans.filter((F.col("new") > 0) & (F.col("old") > 0)).count()
+    assert up > 0 and down > 0 and stay > 0, (up, down, stay)

@@ -396,6 +396,7 @@ def main() -> None:
         ("ivm_join_delta_maintenance", "ivm_join_delta"),
         ("ivm_outer_join_maintenance", "ivm_outer_join"),
         ("ivm_topk_affected_groups", "ivm_topk_affected"),
+        ("ivm_distinct_count_support", "ivm_distinct_support"),
         ("streaming_join_view_maintenance", "streaming_join_view_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
