@@ -1443,7 +1443,11 @@ def _signed_delta(old: DataFrame, new: DataFrame, key: str, cols: list[str]) -> 
     a, b = old.alias("a"), new.alias("b")
     changed = F.lit(False)
     for c in cols:
-        changed = changed | (F.col(f"a.{c}") != F.col(f"b.{c}"))
+        # null-SAFE inequality: a plain != yields NULL against a NULL
+        # operand and the filter would silently drop a NULL↔value
+        # change (no current carving carries NULLs, but the helper
+        # must not depend on that)
+        changed = changed | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer").filter(
         F.col(f"a.{key}").isNull() | F.col(f"b.{key}").isNull() | changed
     )

@@ -542,3 +542,19 @@ def test_ivm_distinct_count_support_transitions(spark):
     down = trans.filter((F.col("new") == 0) & (F.col("old") > 0)).count()
     stay = trans.filter((F.col("new") > 0) & (F.col("old") > 0)).count()
     assert up > 0 and down > 0 and stay > 0, (up, down, stay)
+
+
+def test_signed_delta_catches_null_transitions(spark):
+    """_signed_delta's change predicate must be null-SAFE: a column
+    moving NULL→value (or back) is a change, not a silently-equal
+    row (a plain != yields NULL and the filter would drop it)."""
+    from epe_data_wrangling_spark.catalog.evolve_q import _signed_delta
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, "c")], "k INT, v STRING"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "k INT, v STRING"
+    )
+    d = {(r["k"], r["v"], r["sign"]) for r in _signed_delta(old, new, "k", ["v"]).collect()}
+    assert d == {(1, None, -1), (1, "a", 1), (2, "b", -1), (2, None, 1)}
