@@ -558,3 +558,129 @@ def test_signed_delta_catches_null_transitions(spark):
     )
     d = {(r["k"], r["v"], r["sign"]) for r in _signed_delta(old, new, "k", ["v"]).collect()}
     assert d == {(1, None, -1), (1, "a", 1), (2, "b", -1), (2, None, 1)}
+
+
+def test_ivm_algebra_on_randomized_evolutions(spark):
+    """The bilinear (inner) and counting (outer) delta algebra,
+    checked beyond the one catalog carving: three seeded
+    pseudo-random evolutions of tiny relations (md5-driven mutation
+    masks, so adds/deletes/updates and dim key transitions all vary
+    by seed), each refreshed incrementally and compared against a
+    direct recompute. Catches sign errors, off-by-one-version terms,
+    and missed migrations that a single fixed carving might not."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _signed_delta
+
+    def h(col, seed, mod):
+        return F.abs(F.hash(col.cast("string"), F.lit(seed))) % mod
+
+    for seed in (7, 23, 61):
+        r_base = spark.range(400).select(
+            F.col("id").alias("rk"),
+            (h(F.col("id"), seed, 20)).alias("jk"),
+            (h(F.col("id"), seed + 1, 1000)).cast("bigint").alias("val"),
+        )
+        s_base = spark.range(20).select(
+            F.col("id").alias("jk2"),
+            F.concat(F.lit("g"), (h(F.col("id"), seed + 2, 4)).cast("string")).alias(
+                "grp"
+            ),
+        )
+        # evolution masks: ~25% of fact rows deleted, ~25% value-bumped;
+        # ~25% of dim keys deleted, ~25% relabeled
+        r1 = r_base.filter(h(F.col("rk"), seed + 3, 4) != 0)
+        r2 = (
+            r_base.withColumn(
+                "val",
+                F.when(h(F.col("rk"), seed + 4, 4) == 0, F.col("val") + 10000)
+                .otherwise(F.col("val")),
+            )
+            .filter(h(F.col("rk"), seed + 5, 4) != 0)
+        )
+        s1 = s_base.filter(h(F.col("jk2"), seed + 6, 4) != 0)
+        s2 = (
+            s_base.withColumn(
+                "grp",
+                F.when(h(F.col("jk2"), seed + 7, 4) == 0, F.lit("gX")).otherwise(
+                    F.col("grp")
+                ),
+            )
+            .filter(h(F.col("jk2"), seed + 8, 4) != 0)
+        )
+
+        dR = _signed_delta(r1, r2, "rk", ["jk", "val"])
+        dS = _signed_delta(s1, s2, "jk2", ["grp"])
+
+        # inner: merge(γ(R1⋈S1), Σ± bilinear) == γ(R2⋈S2)
+        def gamma(r, s):
+            return (
+                r.join(s, r.jk == s.jk2)
+                .groupBy("grp")
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sv"))
+            )
+
+        state1 = gamma(r1, s1)
+        t1 = dR.join(s1, dR.jk == s1.jk2).select("grp", "val", "sign")
+        t2 = r1.alias("ro").join(dS.alias("ds"), F.col("ro.jk") == F.col("ds.jk2")).select(
+            F.col("ds.grp").alias("grp"), F.col("ro.val").alias("val"),
+            F.col("ds.sign").alias("sign"),
+        )
+        t3 = dR.alias("dr").join(dS.alias("ds"), F.col("dr.jk") == F.col("ds.jk2")).select(
+            F.col("ds.grp").alias("grp"), F.col("dr.val").alias("val"),
+            (F.col("dr.sign") * F.col("ds.sign")).alias("sign"),
+        )
+        delta = (
+            t1.unionByName(t2).unionByName(t3)
+            .groupBy("grp")
+            .agg(F.sum("sign").alias("dn"), F.sum(F.col("sign") * F.col("val")).alias("dsv"))
+        )
+        merged = (
+            state1.alias("st").join(delta.alias("d"), "grp", "full_outer")
+            .select(
+                "grp",
+                (F.coalesce(F.col("st.n"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0))).alias("n"),
+                (F.coalesce(F.col("st.sv"), F.lit(0)) + F.coalesce(F.col("d.dsv"), F.lit(0))).alias("sv"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        got = sorted(map(tuple, merged.collect()))
+        want = sorted(map(tuple, gamma(r2, s2).collect()))
+        assert got == want, f"inner algebra diverged at seed {seed}"
+
+        # outer: add the ∅-terms (ΔR∖K2 + R1⋈key-transitions)
+        def gamma_outer(r, s):
+            return (
+                r.join(s, r.jk == s.jk2, "left")
+                .groupBy(F.coalesce(F.col("grp"), F.lit("(none)")).alias("grp"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("sv"))
+            )
+
+        state1o = gamma_outer(r1, s1)
+        t4 = dR.join(s2.select("jk2"), dR.jk == F.col("jk2"), "left_anti").select(
+            F.lit("(none)").alias("grp"), "val", "sign"
+        )
+        net = dS.groupBy("jk2").agg(F.sum("sign").alias("net"))
+        t5 = r1.join(net.filter(F.col("net") == -1).select("jk2"), r1.jk == F.col("jk2")).select(
+            F.lit("(none)").alias("grp"), "val", F.lit(1).alias("sign")
+        )
+        t6 = r1.join(net.filter(F.col("net") == 1).select("jk2"), r1.jk == F.col("jk2")).select(
+            F.lit("(none)").alias("grp"), "val", F.lit(-1).alias("sign")
+        )
+        delta_o = (
+            t1.unionByName(t2).unionByName(t3).unionByName(t4).unionByName(t5).unionByName(t6)
+            .groupBy("grp")
+            .agg(F.sum("sign").alias("dn"), F.sum(F.col("sign") * F.col("val")).alias("dsv"))
+        )
+        merged_o = (
+            state1o.alias("st").join(delta_o.alias("d"), "grp", "full_outer")
+            .select(
+                "grp",
+                (F.coalesce(F.col("st.n"), F.lit(0)) + F.coalesce(F.col("d.dn"), F.lit(0))).alias("n"),
+                (F.coalesce(F.col("st.sv"), F.lit(0)) + F.coalesce(F.col("d.dsv"), F.lit(0))).alias("sv"),
+            )
+            .filter(F.col("n") > 0)
+        )
+        got_o = sorted(map(tuple, merged_o.collect()))
+        want_o = sorted(map(tuple, gamma_outer(r2, s2).collect()))
+        assert got_o == want_o, f"outer algebra diverged at seed {seed}"
