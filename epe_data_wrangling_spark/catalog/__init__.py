@@ -97,7 +97,7 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: evidence fresh), and (d) stalest-certified re-certs (oldest green
 #: driver row first, per tools/rotate_window.py) filling the rest, so
 #: driver evidence ages out nowhere. A green r8 record certifies
-#: 255/255 (the 11-query r7 backlog + the 7 queries added during r8).
+#: 256/256 (the 11-query r7 backlog + the 8 queries added during r8).
 #: Queries outside the window remain locally verified every
 #: round by tools/verify_local.py (the full DuckDB-differential
 #: sweep).
@@ -134,10 +134,11 @@ PRIORITY_ORDER = [
     "ivm_outer_join_maintenance",
     "ivm_topk_affected_groups",
     "ivm_distinct_count_support",
+    "streaming_outer_join_view_maintenance",
     # --- rows-only (1): no oracle BY DESIGN (Arrow/BLAS float
     # summation order); driver records rows+schema each round
     "ann_cosine_topk_arrow",
-    # --- stalest-certified re-certs (21): oldest green row first ---
+    # --- stalest-certified re-certs (20): oldest green row first ---
     "agg_count_distinct_exact",
     "agg_percentiles_priority",
     "agg_stat_moments",
@@ -158,7 +159,6 @@ PRIORITY_ORDER = [
     "setop_except_no_order_custkeys",
     "setop_exceptall_multiset",
     "setop_intersect_custkeys",
-    "sort_limit_top15",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. The r8

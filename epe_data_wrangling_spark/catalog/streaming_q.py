@@ -854,3 +854,158 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "streaming_outer_join_view_maintenance",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS st
+      FROM orders WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE st END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1),
+    s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 8 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 9 != 5)
+    SELECT COALESCE(s2.c_mktsegment, '(none)') AS c_mktsegment,
+           v3.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v3.cents) AS BIGINT) AS cents_sum
+    FROM v3 LEFT JOIN s2 ON v3.o_custkey = s2.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_outer_join_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming maintenance of an OUTER-join view — the counting
+    problem (``ivm_outer_join_maintenance``) composed into the
+    standing sink (``join_view_foreach_batch`` with
+    ``how="left_outer"``): the same three generations as the inner
+    twin — orders v1+dim s1, orders v2 only (dim absent = unchanged),
+    orders v3+dim s2 — but every unmatched fact row lives in the
+    '(none)' group, and each generation's refresh must move rows
+    between the ∅-group and matched groups exactly as dim keys
+    appear/disappear (keys ≡2 mod 9 ENTER the dim between s1 and s2;
+    ≡5 mod 9 LEAVE it — both migration directions load-bearing, and
+    the dim-absent generation must produce NO spurious migrations).
+    The oracle recomputes γ(v3 ⟕ s2) directly; the hash certifies
+    three generations of incremental outer-join maintenance ≡
+    recompute(final). Scale: the inner sink's per-generation cost
+    plus two key-transition joins built from the dim CHANGE and one
+    anti-join of ΔR against the dim key set."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
+
+    def tag_r(vdf: DataFrame, i: int) -> DataFrame:
+        return vdf.select(
+            F.lit("R").alias("rel"),
+            F.lit(i).alias("snapshot_version"),
+            "o_orderkey",
+            "o_custkey",
+            "cents",
+            "o_orderstatus",
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+
+    def tag_s(sdf: DataFrame, i: int) -> DataFrame:
+        return sdf.select(
+            F.lit("S").alias("rel"),
+            F.lit(i).alias("snapshot_version"),
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            F.lit(None).cast("bigint").alias("o_custkey"),
+            F.lit(None).cast("bigint").alias("cents"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "c_custkey",
+            "c_mktsegment",
+        )
+
+    gens = (
+        tag_r(v1, 1).unionByName(tag_s(s1, 1)),
+        tag_r(v2, 2),  # dim absent: unchanged this generation
+        tag_r(v3, 3).unionByName(tag_s(s2, 3)),
+    )
+    work = tempfile.mkdtemp(prefix="outer_join_view_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        for i, gdf in enumerate(gens, start=1):
+            before = set(globmod.glob(os.path.join(landing, "*.parquet")))
+            gdf.coalesce(1).write.mode("append").parquet(landing)
+            new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
+            assert len(new) == 1
+            path = os.path.join(landing, f"g{i}.parquet")
+            os.rename(new.pop(), path)
+            t = os.path.getmtime(path)
+            os.utime(path, (t + i, t + i))  # discovery order := version order
+        schema = (
+            "rel STRING, snapshot_version INT, o_orderkey BIGINT, "
+            "o_custkey BIGINT, cents BIGINT, o_orderstatus STRING, "
+            "c_custkey BIGINT, c_mktsegment STRING"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.join_view_foreach_batch(
+            stream,
+            target,
+            rel_col="rel",
+            version_col="snapshot_version",
+            r_tag="R",
+            s_tag="S",
+            r_key=["o_orderkey"],
+            s_key=["c_custkey"],
+            r_join="o_custkey",
+            s_join="c_custkey",
+            r_cols=["o_custkey", "cents", "o_orderstatus"],
+            s_cols=["c_custkey", "c_mktsegment"],
+            group_cols=["c_mktsegment", "o_orderstatus"],
+            sum_cols=["cents"],
+            how="left_outer",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "c_mktsegment",
+                "o_orderstatus",
+                F.col("n").alias("n_rows"),
+                F.col("sum_cents").alias("cents_sum"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "c_mktsegment STRING, o_orderstatus STRING, n_rows BIGINT, "
+            "cents_sum BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

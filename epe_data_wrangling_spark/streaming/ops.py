@@ -689,6 +689,8 @@ def join_view_foreach_batch(
     s_cols: list[str],
     group_cols: list[str],
     sum_cols: list[str],
+    how: str = "inner",
+    null_group: str = "(none)",
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -713,6 +715,17 @@ def join_view_foreach_batch(
     rarely; fact generations every batch). A relation that genuinely
     becomes empty cannot be expressed in row-stream form; land a
     tombstone-only changelog upstream if that state is reachable.
+
+    ``how="left_outer"`` maintains γ(R ⟕ S) instead (requires
+    ``s_join`` unique in S — the FK-dim regime): S-sourced group
+    columns take ``null_group`` for unmatched R rows, and each
+    version's delta gains the counting-problem terms (matching the
+    batch twin ``catalog.evolve_q.ivm_outer_join_maintenance``):
+    ΔR rows landing outside the NEW dim key set (sign kept, ∅-group),
+    plus the MIGRATIONS — R_old rows of net-removed dim keys enter
+    the ∅-group (+1) and of net-added keys leave it (−1). Bootstrap
+    falls out of the same algebra (every unmatched R₁ row is a ΔR
+    row outside K₁).
 
     The target holds THREE tables committed in one atomic swap —
     ``snap_r/``, ``snap_s/`` (last applied images: keys + business
@@ -850,9 +863,41 @@ def join_view_foreach_batch(
                 *[_pick("dr", "ds", c) for c in out_cols],
                 (F.col("dr._sign") * F.col("ds._sign")).alias("_sign"),
             )
+            terms = t1.unionByName(t2).unionByName(t3)
+            if how == "left_outer":
+                # the counting-problem ∅-terms (see docstring): select
+                # against the R side, S-sourced group cols → null_group
+                def _null_pick(side: str, c: str) -> F.Column:
+                    if c in r_cols:
+                        return F.col(f"{side}.{c}").alias(c)
+                    return F.lit(null_group).alias(c)
+
+                new_s = img_s if img_s is not None else snap_s
+                k2 = new_s.select(F.col(s_join)).alias("k2")
+                t4 = dr.join(
+                    k2, F.col(f"dr.{r_join}") == F.col(f"k2.{s_join}"), "left_anti"
+                ).select(
+                    *[_null_pick("dr", c) for c in out_cols],
+                    F.col("dr._sign").alias("_sign"),
+                )
+                net = d_s.groupBy(s_join).agg(F.sum("_sign").alias("_net"))
+                removed = net.filter(F.col("_net") == -1).select(s_join).alias("kt")
+                added = net.filter(F.col("_net") == 1).select(s_join).alias("kt")
+                t5 = ro.join(
+                    removed, F.col(f"ro.{r_join}") == F.col(f"kt.{s_join}")
+                ).select(
+                    *[_null_pick("ro", c) for c in out_cols],
+                    F.lit(1).alias("_sign"),
+                )
+                t6 = ro.join(
+                    added, F.col(f"ro.{r_join}") == F.col(f"kt.{s_join}")
+                ).select(
+                    *[_null_pick("ro", c) for c in out_cols],
+                    F.lit(-1).alias("_sign"),
+                )
+                terms = terms.unionByName(t4).unionByName(t5).unionByName(t6)
             dview = (
-                t1.unionByName(t2)
-                .unionByName(t3)
+                terms
                 .groupBy(*group_cols)
                 .agg(
                     F.sum("_sign").cast("bigint").alias("n"),

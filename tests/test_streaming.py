@@ -895,3 +895,55 @@ def test_join_view_first_version_must_carry_both_relations(spark, tmp_path):
     with _pytest.raises(Exception, match="must carry BOTH"):
         _join_view_run(spark, str(landing), str(tmp_path / "state"), None, None)
     assert not os.path.isdir(str(tmp_path / "state"))  # nothing half-committed
+
+
+def test_outer_join_view_invariant_to_batch_split(spark, tmp_path):
+    """The outer-mode sink: final view identical whether generations
+    arrive as one batch or one per batch, equal to a direct
+    γ(v3 ⟕ s2) recompute — ∅-group migrations included (dim keys
+    enter AND leave between s1 and s2), and the dim-absent generation
+    must produce no spurious migrations."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.ops import join_view_foreach_batch
+
+    landing, v3, s2 = _join_view_fixture(spark, tmp_path)
+
+    def run(target, ckpt, max_files):
+        reader = spark.readStream.schema(_JOIN_VIEW_SCHEMA)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+        return join_view_foreach_batch(
+            stream, target,
+            rel_col="rel", version_col="snapshot_version",
+            r_tag="R", s_tag="S",
+            r_key=["o_orderkey"], s_key=["c_custkey"],
+            r_join="o_custkey", s_join="c_custkey",
+            r_cols=["o_custkey", "cents", "o_orderstatus"],
+            s_cols=["c_custkey", "c_mktsegment"],
+            group_cols=["c_mktsegment", "o_orderstatus"],
+            sum_cols=["cents"],
+            how="left_outer",
+            checkpoint_dir=ckpt,
+        )
+
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = run(str(tmp_path / f"ostate{i}"), str(tmp_path / f"ockpt{i}"), max_files)
+        results.append(
+            {(r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+             for r in view.filter(F.col("n") > 0).collect()}
+        )
+    expect = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["s"])
+        for r in v3.join(s2, v3.o_custkey == s2.c_custkey, "left")
+        .groupBy(
+            F.coalesce(F.col("c_mktsegment"), F.lit("(none)")).alias("c_mktsegment"),
+            "o_orderstatus",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+    assert any(k[0] == "(none)" for k in expect)  # ∅-group load-bearing

@@ -398,6 +398,7 @@ def main() -> None:
         ("ivm_topk_affected_groups", "ivm_topk_affected"),
         ("ivm_distinct_count_support", "ivm_distinct_support"),
         ("streaming_join_view_maintenance", "streaming_join_view_3gen"),
+        ("streaming_outer_join_view_maintenance", "streaming_outer_view_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
