@@ -873,6 +873,12 @@ def join_view_foreach_batch(
                     return F.lit(null_group).alias(c)
 
                 new_s = img_s if img_s is not None else snap_s
+                if new_s is None:  # bootstrap version without the dim
+                    raise RuntimeError(
+                        "join_view sink: first applied version must carry "
+                        f"BOTH relations (outer mode needs the {s_tag} key "
+                        "set to place unmatched rows)"
+                    )
                 k2 = new_s.select(F.col(s_join)).alias("k2")
                 t4 = dr.join(
                     k2, F.col(f"dr.{r_join}") == F.col(f"k2.{s_join}"), "left_anti"
