@@ -684,3 +684,23 @@ def test_ivm_algebra_on_randomized_evolutions(spark):
         got_o = sorted(map(tuple, merged_o.collect()))
         want_o = sorted(map(tuple, gamma_outer(r2, s2).collect()))
         assert got_o == want_o, f"outer algebra diverged at seed {seed}"
+
+
+def test_bench_heavies_keep_their_join_strategies(spark):
+    """Insurance on the two un-pinned bench heavies: pq_adc_topk must
+    keep every join broadcast-hash (codebook/centroid sides are
+    dimension-sized; a sort-merge would mean the corpus shuffles for
+    the assignment), and bm25_doc_scores's only nested-loop node must
+    be the single 1-row corpus-stats scalar join (avgdl/N) — a second
+    one would mean a data-sized cross product crept in."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    qs = all_queries()
+    p1 = _plan(qs["pq_adc_topk"].fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in p1
+    assert "BroadcastNestedLoopJoin" not in p1
+    assert p1.count("BroadcastHashJoin") >= 2
+    p2 = _plan(qs["bm25_doc_scores"].fn(spark, SF_DIR))
+    assert "CartesianProduct" not in p2
+    assert "SortMergeJoin" not in p2
+    assert p2.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats join
