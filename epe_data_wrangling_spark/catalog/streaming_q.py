@@ -22,6 +22,28 @@ QUERIES: dict[str, CatalogQuery] = {}
 query = make_registrar(QUERIES)
 
 
+def _land_generations(landing: str, gens, prefix: str = "g") -> None:
+    """Write each generation DataFrame as ONE parquet file into the
+    landing dir with strictly increasing mtimes, so file-source
+    discovery order equals generation order — the ordering contract
+    the snapshot sinks enforce. Shared by every snapshot-stream
+    query (the before/after glob diff + rename + utime trick is
+    subtle enough to exist exactly once)."""
+    import glob as globmod
+    import os
+
+    for i, gdf in enumerate(gens, start=1):
+        before = set(globmod.glob(os.path.join(landing, "*.parquet")))
+        gdf.coalesce(1).write.mode("append").parquet(landing)
+        new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
+        assert len(new) == 1
+        path = os.path.join(landing, f"{prefix}{i}.parquet")
+        os.rename(new.pop(), path)
+        t = os.path.getmtime(path)
+        os.utime(path, (t + i, t + i))  # discovery order := generation order
+
+
+
 @query(
     "streaming_tumbling_window",
     headline=True,
@@ -635,7 +657,6 @@ def streaming_cdc_retraction_pipeline(spark: SparkSession, sf_dir: str) -> DataF
     order. Scale: per version one narrow keyed diff join (unchanged
     keys die in the join) + a |groups|-row merge; the view is never
     recomputed from scratch."""
-    import glob as globmod
     import os
     import shutil
     import tempfile
@@ -655,21 +676,16 @@ def streaming_cdc_retraction_pipeline(spark: SparkSession, sf_dir: str) -> DataF
     target = os.path.join(work, "state")
     os.makedirs(landing)
     try:
-        for i, vdf in ((1, v1), (2, v2), (3, v3)):
-            before = set(globmod.glob(os.path.join(landing, "*.parquet")))
-            (
-                vdf.select("o_orderkey", "o_orderstatus", "cents")
-                .withColumn("snapshot_version", F.lit(i))
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(landing)
-            )
-            new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
-            assert len(new) == 1
-            path = os.path.join(landing, f"v{i}.parquet")
-            os.rename(new.pop(), path)
-            t = os.path.getmtime(path)
-            os.utime(path, (t + i, t + i))  # discovery order := version order
+        _land_generations(
+            landing,
+            [
+                vdf.select("o_orderkey", "o_orderstatus", "cents").withColumn(
+                    "snapshot_version", F.lit(i)
+                )
+                for i, vdf in ((1, v1), (2, v2), (3, v3))
+            ],
+            prefix="v",
+        )
         schema = (
             "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT, "
             "snapshot_version INT"
@@ -750,7 +766,6 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     recompute(final). Scale: per generation, keyed diffs + three
     delta-sized equi-joins + a |groups|-row merge; neither standing
     image is ever re-joined wholesale."""
-    import glob as globmod
     import os
     import shutil
     import tempfile
@@ -802,15 +817,7 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     target = os.path.join(work, "state")
     os.makedirs(landing)
     try:
-        for i, gdf in enumerate(gens, start=1):
-            before = set(globmod.glob(os.path.join(landing, "*.parquet")))
-            gdf.coalesce(1).write.mode("append").parquet(landing)
-            new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
-            assert len(new) == 1
-            path = os.path.join(landing, f"g{i}.parquet")
-            os.rename(new.pop(), path)
-            t = os.path.getmtime(path)
-            os.utime(path, (t + i, t + i))  # discovery order := version order
+        _land_generations(landing, gens)
         schema = (
             "rel STRING, snapshot_version INT, o_orderkey BIGINT, "
             "o_custkey BIGINT, cents BIGINT, o_orderstatus STRING, "
@@ -904,7 +911,6 @@ def streaming_outer_join_view_maintenance(
     recompute(final). Scale: the inner sink's per-generation cost
     plus two key-transition joins built from the dim CHANGE and one
     anti-join of ΔR against the dim key set."""
-    import glob as globmod
     import os
     import shutil
     import tempfile
@@ -956,15 +962,7 @@ def streaming_outer_join_view_maintenance(
     target = os.path.join(work, "state")
     os.makedirs(landing)
     try:
-        for i, gdf in enumerate(gens, start=1):
-            before = set(globmod.glob(os.path.join(landing, "*.parquet")))
-            gdf.coalesce(1).write.mode("append").parquet(landing)
-            new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
-            assert len(new) == 1
-            path = os.path.join(landing, f"g{i}.parquet")
-            os.rename(new.pop(), path)
-            t = os.path.getmtime(path)
-            os.utime(path, (t + i, t + i))  # discovery order := version order
+        _land_generations(landing, gens)
         schema = (
             "rel STRING, snapshot_version INT, o_orderkey BIGINT, "
             "o_custkey BIGINT, cents BIGINT, o_orderstatus STRING, "

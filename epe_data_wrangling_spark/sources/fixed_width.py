@@ -106,22 +106,49 @@ def fw_parse(raw: DataFrame, layout: Sequence[FwField], value_col: str = "value"
     return raw.select(*fw_parse_exprs(layout, value_col))
 
 
+def _guarded(f: FwField, raw: Column, rendered: Column) -> Column:
+    """Fail LOUDLY on field overflow: lpad/rpad silently TRUNCATE a
+    value wider than the field, which would corrupt the extract and
+    round-trip to a wrong value — an runtime raise_error turns that
+    into a job failure for every layout, not just the ones a bespoke
+    fit-test covers. NULLs pass through (null-propagating render)."""
+    fits = raw.isNull() | (F.length(raw) <= f.width)
+    return F.when(
+        ~fits,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"fixed-width overflow in field {f.name!r} "
+                    f"(width {f.width}): value "
+                ),
+                raw,
+            )
+        ).cast("string"),
+    ).otherwise(rendered)
+
+
 def _render_one(f: FwField) -> Column:
     c = F.col(f.name)
     if f.kind == "text":
-        return F.rpad(c, f.width, " ")
+        return _guarded(f, c, F.rpad(c, f.width, " "))
     if f.kind == "int":
-        return F.lpad(c.cast("string"), f.width, "0")
+        s = c.cast("string")
+        return _guarded(f, s, F.lpad(s, f.width, "0"))
     if f.kind == "date":
+        if f.width != 8:
+            raise ValueError(
+                f"date field {f.name!r} must have width 8 (yyyyMMdd), got {f.width}"
+            )
         return F.date_format(c, "yyyyMMdd")
     if f.kind == "zoned":
-        mag = F.lpad(F.abs(c).cast("string"), f.width, "0")
+        raw = F.abs(c).cast("string")
+        mag = F.lpad(raw, f.width, "0")
         body = F.substring(mag, 1, f.width - 1)
         d = F.substring(mag, f.width, 1)
         last = F.when(
             c < 0, F.translate(d, _DIGITS, OVERPUNCH_NEG)
         ).otherwise(F.translate(d, _DIGITS, OVERPUNCH_POS))
-        return F.concat(body, last)
+        return _guarded(f, raw, F.concat(body, last))
     raise ValueError(f"unknown fixed-width field kind: {f.kind!r}")
 
 

@@ -279,6 +279,7 @@ def upsert_latest_foreach_batch(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
         exists = os.path.isdir(target_dir)
         merged = (
             spark.read.parquet(target_dir).unionByName(batch_df)
@@ -324,6 +325,93 @@ def _recover_swap(target_dir: str) -> None:
         shutil.rmtree(p)  # post-promotion crash: finish the deferred cleanup
 
 
+def _clean_stale_stages(target_dir: str) -> None:
+    """Delete orphaned ``<target>.stage-*`` dirs: a crash between the
+    stage write and the swap leaves a full state copy that is never
+    reused if the batch is later skipped as a committed replay.
+    Called at apply START — before this batch creates its own stage,
+    and foreachBatch applies serially, so anything matching is
+    superseded by definition."""
+    import glob as _glob
+    import shutil
+
+    for p in _glob.glob(f"{_glob.escape(target_dir)}.stage-*"):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _row_digest(cols: list[str]) -> F.Column:
+    """Field- and NULL-safe md5 row digest for snapshot diffing: each
+    column is digested individually (NULL gets a sentinel digest),
+    then the fixed-width digests concatenate. A ``concat_ws`` digest
+    would be wrong twice over — it SKIPS null columns (so a value
+    sliding between adjacent nullable columns hashes identically) and
+    a delimiter character inside a value shifts field boundaries."""
+    parts = [
+        F.coalesce(F.md5(F.col(c).cast("string")), F.lit("0" * 32))
+        for c in cols
+    ]
+    return F.md5(F.concat(*parts))
+
+
+def _additive_merge(
+    view: DataFrame | None,
+    dview: DataFrame,
+    group_cols: list[str],
+    state_cols: list[str],
+) -> DataFrame:
+    """The |groups|-row full-outer coalesced add every additive-state
+    sink shares (typed zero literals so decimal state keeps its
+    precision). ``view is None`` = bootstrap: the delta IS the state."""
+    if view is None:
+        return dview
+    types = dict(view.dtypes)
+    vw, d = view.alias("vw"), dview.alias("d")
+    return vw.join(d, list(group_cols), "full_outer").select(
+        *group_cols,
+        *[
+            (
+                F.coalesce(F.col(f"vw.{c}"), F.lit(0).cast(types[c]))
+                + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(types[c]))
+            )
+            .cast(types[c])
+            .alias(c)
+            for c in state_cols
+        ],
+    )
+
+
+def _signed_image_diff(
+    snap: DataFrame | None, img: DataFrame, keys: list[str], cols: list[str]
+) -> DataFrame:
+    """new − old as signed rows (``cols`` + ``_sign``) over hashed
+    images (keys + business columns + ``rh`` from `_row_digest`):
+    removed/changed rows emit the OLD image with −1, added/changed
+    the NEW image with +1; unchanged keys die inside the join. One
+    keyed shuffle per side, change detection via the one narrow hash
+    column. Bootstrap (``snap is None``) = every row an insertion."""
+    if snap is None:
+        return img.select(*cols, F.lit(1).alias("_sign"))
+    a, b = snap.alias("a"), img.alias("b")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    j = a.join(b, cond, "full_outer").filter(
+        F.col(f"a.{keys[0]}").isNull()
+        | F.col(f"b.{keys[0]}").isNull()
+        | (F.col("a.rh") != F.col("b.rh"))
+    )
+    a_absent = F.col(f"a.{keys[0]}").isNull()
+    b_absent = F.col(f"b.{keys[0]}").isNull()
+    changed = F.col("a.rh") != F.col("b.rh")
+    retract = j.filter(~a_absent & (b_absent | changed)).select(
+        *[F.col(f"a.{c}").alias(c) for c in cols], F.lit(-1).alias("_sign")
+    )
+    insert = j.filter(~b_absent & (a_absent | changed)).select(
+        *[F.col(f"b.{c}").alias(c) for c in cols], F.lit(1).alias("_sign")
+    )
+    return retract.unionByName(insert)
+
+
 def _read_sink_meta(target_dir: str) -> dict:
     """Read the exactly-once commit record a stateful foreachBatch
     sink stores INSIDE its target (written in the same atomic swap as
@@ -359,9 +447,24 @@ def _is_committed_replay(
     checkpoint + already-committed batch_id → replay, skip. A FRESH
     checkpoint restarts batch ids at 0, so a low batch_id carrying
     ANY never-applied source file is genuinely new data — raise
-    instead of silently dropping it."""
+    instead of silently dropping it. A NON-file source yields no
+    provenance at all: there the only distinguishable replay is the
+    same-checkpoint crash redelivery of the LAST committed batch_id;
+    an OLDER batch_id without provenance is indistinguishable from
+    fresh-checkpoint new data and must raise, never skip."""
     if batch_id > meta["last_batch_id"]:
         return False
+    if not batch_files:
+        if batch_id == meta["last_batch_id"]:
+            return True  # crash redelivery of the just-committed batch
+        raise RuntimeError(
+            f"{tag} sink: batch_id {batch_id} < committed "
+            f"{meta['last_batch_id']} and the source reports no file "
+            "provenance — cannot distinguish a replay from new data "
+            "under a fresh checkpoint; resume with the original "
+            "checkpoint, use a file-based source, or point at a new "
+            "target dir"
+        )
     fresh = batch_files - set(meta.get("applied_files", []))
     if fresh:
         raise RuntimeError(
@@ -468,6 +571,7 @@ def ivm_agg_foreach_batch(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
@@ -475,24 +579,10 @@ def ivm_agg_foreach_batch(
             return  # replay of committed data: merging again would double-count
         delta = partial_agg(batch_df)
         state_cols = [c for c in delta.columns if c not in group_cols]
-        if os.path.isdir(target_dir):
-            base = spark.read.parquet(target_dir)
-            types = dict(base.dtypes)
-            b, d = base.alias("b"), delta.alias("d")
-            merged = b.join(d, group_cols, "full_outer").select(
-                *group_cols,
-                *[
-                    (
-                        F.coalesce(F.col(f"b.{c}"), F.lit(0).cast(types[c]))
-                        + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(types[c]))
-                    )
-                    .cast(types[c])
-                    .alias(c)
-                    for c in state_cols
-                ],
-            )
-        else:
-            merged = delta
+        base = (
+            spark.read.parquet(target_dir) if os.path.isdir(target_dir) else None
+        )
+        merged = _additive_merge(base, delta, list(group_cols), state_cols)
         stage = f"{target_dir}.stage-{batch_id}"
         merged.write.mode("overwrite").parquet(stage)
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
@@ -568,14 +658,12 @@ def cdc_retraction_foreach_batch(
     business = list(group_cols) + list(sum_cols)
 
     def _hashed(img: DataFrame) -> DataFrame:
-        rh = F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in business])
-        )
-        return img.select(*key_cols, *business, rh.alias("rh"))
+        return img.select(*key_cols, *business, _row_digest(business).alias("rh"))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
@@ -598,34 +686,21 @@ def cdc_retraction_foreach_batch(
             .distinct()
             .collect()
         )
+        last_v = meta.get("last_version")
+        if last_v is not None and versions and min(versions) <= last_v:
+            raise RuntimeError(
+                f"sink: version {min(versions)} arrived after version "
+                f"{last_v} was applied — the landing violated the "
+                "monotonic version contract (equal/inverted file mtimes?); "
+                "refusing to apply a diff backwards"
+            )
         for v in versions:  # in-version order; a batch holds few versions
             img = _hashed(
                 batch_df.filter(F.col(version_col) == v).select(
                     *key_cols, *business
                 )
             )
-            if snap is None:
-                signed = img.select(
-                    F.lit(1).alias("_sign"), *business
-                )  # first version: every row is an insertion
-            else:
-                a, b = snap.alias("a"), img.alias("b")
-                cond = F.lit(True)
-                for k in key_cols:
-                    cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-                j = a.join(b, cond, "full_outer")
-                a_absent = F.col(f"a.{key_cols[0]}").isNull()
-                b_absent = F.col(f"b.{key_cols[0]}").isNull()
-                changed = F.col("a.rh") != F.col("b.rh")
-                retract = j.filter(~a_absent & (b_absent | changed)).select(
-                    F.lit(-1).alias("_sign"),
-                    *[F.col(f"a.{c}").alias(c) for c in business],
-                )
-                insert = j.filter(~b_absent & (a_absent | changed)).select(
-                    F.lit(1).alias("_sign"),
-                    *[F.col(f"b.{c}").alias(c) for c in business],
-                )
-                signed = retract.unionByName(insert)
+            signed = _signed_image_diff(snap, img, key_cols, business)
             dview = signed.groupBy(*group_cols).agg(
                 F.sum("_sign").cast("bigint").alias("n"),
                 *[
@@ -635,23 +710,9 @@ def cdc_retraction_foreach_batch(
                     for c in sum_cols
                 ],
             )
-            if view is None:
-                view = dview
-            else:
-                state_cols = ["n"] + [f"sum_{c}" for c in sum_cols]
-                vw, d = view.alias("vw"), dview.alias("d")
-                view = vw.join(d, list(group_cols), "full_outer").select(
-                    *group_cols,
-                    *[
-                        (
-                            F.coalesce(F.col(f"vw.{c}"), F.lit(0))
-                            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
-                        )
-                        .cast("bigint")
-                        .alias(c)
-                        for c in state_cols
-                    ],
-                )
+            view = _additive_merge(
+                view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
+            )
             snap = img
         # materialize BOTH tables into the stage (plans still read the
         # pre-swap target), then promote image+view+meta in one swap
@@ -749,36 +810,24 @@ def join_view_foreach_batch(
     import json
     import os
 
-    def _hashed(img: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
-        rh = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
-        extra = [c for c in cols if c not in keys]  # a key may be business too
-        return img.select(*keys, *extra, rh.alias("rh"))
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join_view sink: unsupported how={how!r}")
+    if how == "left_outer" and not set(sum_cols) <= set(r_cols):
+        raise ValueError(
+            "join_view sink: left_outer maintenance requires sum_cols ⊆ "
+            "r_cols — an S-sourced measure has no value on unmatched rows "
+            "(the ∅-terms would coerce it to a string sentinel and silently "
+            "drop its contributions)"
+        )
 
-    def _signed_diff(
-        snap: DataFrame | None, img: DataFrame, keys: list[str], cols: list[str]
-    ) -> DataFrame:
-        """new − old as signed rows (cols + _sign); bootstrap = all +1."""
-        if snap is None:
-            return img.select(*cols, F.lit(1).alias("_sign"))
-        a, b = snap.alias("a"), img.alias("b")
-        cond = F.lit(True)
-        for k in keys:
-            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
-        j = a.join(b, cond, "full_outer")
-        a_absent = F.col(f"a.{keys[0]}").isNull()
-        b_absent = F.col(f"b.{keys[0]}").isNull()
-        changed = F.col("a.rh") != F.col("b.rh")
-        retract = j.filter(~a_absent & (b_absent | changed)).select(
-            *[F.col(f"a.{c}").alias(c) for c in cols], F.lit(-1).alias("_sign")
-        )
-        insert = j.filter(~b_absent & (a_absent | changed)).select(
-            *[F.col(f"b.{c}").alias(c) for c in cols], F.lit(1).alias("_sign")
-        )
-        return retract.unionByName(insert)
+    def _hashed(img: DataFrame, keys: list[str], cols: list[str]) -> DataFrame:
+        extra = [c for c in cols if c not in keys]  # a key may be business too
+        return img.select(*keys, *extra, _row_digest(cols).alias("rh"))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
@@ -802,6 +851,14 @@ def join_view_foreach_batch(
             .distinct()
             .collect()
         )
+        last_v = meta.get("last_version")
+        if last_v is not None and versions and min(versions) <= last_v:
+            raise RuntimeError(
+                f"sink: version {min(versions)} arrived after version "
+                f"{last_v} was applied — the landing violated the "
+                "monotonic version contract (equal/inverted file mtimes?); "
+                "refusing to apply a diff backwards"
+            )
         for v in versions:
             vdf = batch_df.filter(F.col(version_col) == v)
             img_r_src = vdf.filter(F.col(rel_col) == r_tag)
@@ -826,7 +883,7 @@ def join_view_foreach_batch(
             # (change-volume-sized) so the diff full-outer join, the
             # dominant per-version cost at scale, never runs twice
             d_r = (
-                _signed_diff(snap_r, img_r, r_key, r_cols).localCheckpoint(
+                _signed_image_diff(snap_r, img_r, r_key, r_cols).localCheckpoint(
                     eager=True
                 )
                 if has_r
@@ -835,7 +892,7 @@ def join_view_foreach_batch(
                 )
             )
             d_s = (
-                _signed_diff(snap_s, img_s, s_key, s_cols).localCheckpoint(
+                _signed_image_diff(snap_s, img_s, s_key, s_cols).localCheckpoint(
                     eager=True
                 )
                 if has_s
@@ -915,23 +972,9 @@ def join_view_foreach_batch(
                     ],
                 )
             )
-            if view is None:
-                view = dview
-            else:
-                state_cols = ["n"] + [f"sum_{c}" for c in sum_cols]
-                vw, d = view.alias("vw"), dview.alias("d")
-                view = vw.join(d, list(group_cols), "full_outer").select(
-                    *group_cols,
-                    *[
-                        (
-                            F.coalesce(F.col(f"vw.{c}"), F.lit(0))
-                            + F.coalesce(F.col(f"d.{c}"), F.lit(0))
-                        )
-                        .cast("bigint")
-                        .alias(c)
-                        for c in state_cols
-                    ],
-                )
+            view = _additive_merge(
+                view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
+            )
             if img_r is not None:
                 snap_r = img_r
             if img_s is not None:

@@ -111,3 +111,38 @@ def test_ledger_layout_fits_the_data(spark):
     assert m["k"] <= widths["o_orderkey"]
     assert m["c"] <= widths["balance_cents"]  # digits incl. overpunch byte
     assert m["s"] <= widths["o_orderstatus"]
+
+
+def test_render_raises_on_field_overflow(spark):
+    """lpad/rpad silently truncate — the render must instead FAIL on a
+    value wider than its field, for every kind, so a bad layout can
+    never corrupt an extract."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.fixed_width import (
+        FwField,
+        fw_render_expr,
+    )
+
+    layout = (
+        FwField("k", 1, 3, "int"),
+        FwField("t", 4, 2, "text"),
+        FwField("z", 6, 4, "zoned", scale=2),
+    )
+    ok = spark.createDataFrame([(123, "ab", -999)], "k INT, t STRING, z BIGINT")
+    assert ok.select(fw_render_expr(layout).alias("v")).collect()[0]["v"] == "123ab099R"
+    for bad in (
+        spark.createDataFrame([(1234, "ab", 0)], "k INT, t STRING, z BIGINT"),
+        spark.createDataFrame([(1, "abc", 0)], "k INT, t STRING, z BIGINT"),
+        spark.createDataFrame([(1, "ab", -99999)], "k INT, t STRING, z BIGINT"),
+    ):
+        with pytest.raises(Exception, match="fixed-width overflow"):
+            bad.select(fw_render_expr(layout).alias("v")).collect()
+
+    # a NULL field null-propagates (no spurious overflow raise)
+    withnull = spark.createDataFrame([(None, "ab", 7)], "k INT, t STRING, z BIGINT")
+    assert withnull.select(fw_render_expr(layout).alias("v")).collect()[0]["v"] is None
+
+    with pytest.raises(ValueError, match="width 8"):
+        fw_render_expr((FwField("d", 1, 6, "date"),))

@@ -947,3 +947,89 @@ def test_outer_join_view_invariant_to_batch_split(spark, tmp_path):
     }
     assert results[0] == results[1] == expect
     assert any(k[0] == "(none)" for k in expect)  # ∅-group load-bearing
+
+
+def test_replay_rule_without_provenance(spark):
+    """Non-file sources yield no provenance; the only distinguishable
+    replay there is the crash redelivery of the LAST committed
+    batch_id — an older id must raise, never silently skip (it is
+    indistinguishable from fresh-checkpoint new data)."""
+    import pytest
+
+    from epe_data_wrangling_spark.streaming.ops import _is_committed_replay
+
+    meta = {"last_batch_id": 2, "applied_files": ["f1"]}
+    assert _is_committed_replay(meta, set(), 2, "t") is True
+    assert _is_committed_replay(meta, set(), 3, "t") is False
+    with pytest.raises(RuntimeError, match="no file\\s+provenance"):
+        _is_committed_replay(meta, set(), 1, "t")
+
+
+def test_cdc_sink_rejects_out_of_order_versions(spark, tmp_path):
+    """A later batch carrying an OLDER snapshot version than the one
+    already applied (equal/inverted landing mtimes) must raise — the
+    sink would otherwise diff backwards and silently regress the
+    view."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ops import cdc_retraction_foreach_batch
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    landing = tmp_path / "landing"
+    # land version 2 FIRST (earlier mtime), version 1 second
+    for order, v in ((1, 2), (2, 1)):
+        sub = str(landing / f"v{v}")
+        o.withColumn("snapshot_version", F.lit(v)).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                pth = os.path.join(sub, f)
+                t = os.path.getmtime(pth)
+                os.utime(pth, (t + order, t + order))
+    schema = (
+        "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT, "
+        "snapshot_version INT"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(landing) + "/*")
+    )
+    with pytest.raises(Exception, match="monotonic version contract"):
+        cdc_retraction_foreach_batch(
+            stream,
+            str(tmp_path / "state"),
+            key_cols=["o_orderkey"],
+            version_col="snapshot_version",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+        )
+
+
+def test_outer_join_view_rejects_s_sourced_sum_cols(spark):
+    """left_outer maintenance with an S-sourced measure would coerce
+    the sum column to a string sentinel on the ∅-terms and silently
+    drop contributions — the sink must reject the configuration."""
+    import pytest
+
+    from epe_data_wrangling_spark.streaming.ops import join_view_foreach_batch
+
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="sum_cols"):
+        join_view_foreach_batch(
+            stream,
+            "/tmp/never-used",
+            rel_col="rel", version_col="v", r_tag="R", s_tag="S",
+            r_key=["rk"], s_key=["sk"], r_join="jk", s_join="sk",
+            r_cols=["jk", "val"], s_cols=["sk", "weight"],
+            group_cols=["grp"], sum_cols=["weight"],
+            how="left_outer",
+        )
