@@ -1239,7 +1239,14 @@ def _snapshot_version3(v2: DataFrame) -> DataFrame:
 
 def _with_row_hash(df: DataFrame) -> DataFrame:
     """Key + md5 row digest over the business columns + the columns
-    the changeset consumers read (status, cents)."""
+    the changeset consumers read (status, cents).
+
+    DO NOT swap the concat_ws digest for the sinks' field-safe
+    ``_row_digest``: snapshot_diff_keyed's DuckDB oracle mirrors THIS
+    exact formula, so both engines must keep it. The concat_ws
+    hazards (NULL-skip, delimiter shift) are inert here because the
+    carved columns are provably non-null integers/strings with no
+    '|' in any rendering."""
     return df.select(
         "o_orderkey",
         F.md5(
