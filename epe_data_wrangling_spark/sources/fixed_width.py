@@ -17,8 +17,10 @@ Field kinds (``FwField.kind``):
     Blank-padded character data; parse trims edges only (internal
     spaces survive).
 ``int``
-    Right-justified zero-padded display numeric (PIC 9(n)); parses
-    with a plain cast, which tolerates blank- or zero-padding.
+    Right-justified zero-padded display numeric (PIC 9(n)) — UNSIGNED
+    by definition; rendering a negative value raises at runtime
+    (signed values belong in ``zoned``). Parses with a plain cast,
+    which tolerates blank- or zero-padding.
 ``zoned``
     Zoned decimal with a SIGNED OVERPUNCH trailing byte — the
     EBCDIC-heritage convention that survives ASCII transliteration:
@@ -132,14 +134,36 @@ def _render_one(f: FwField) -> Column:
     if f.kind == "text":
         return _guarded(f, c, F.rpad(c, f.width, " "))
     if f.kind == "int":
+        # PIC 9(n) is UNSIGNED display numeric: lpad("-5", w, "0")
+        # would yield "0…0-5", pass the width guard, and round-trip
+        # through fw_parse's cast to NULL — silent corruption. Signed
+        # values must use kind="zoned" (signed overpunch); a negative
+        # here fails the job loudly instead.
         s = c.cast("string")
-        return _guarded(f, s, F.lpad(s, f.width, "0"))
+        neg_guarded = F.when(
+            c < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fixed-width field {f.name!r} is PIC 9(n) "
+                        "(unsigned); negative value "
+                    ),
+                    s,
+                    F.lit(" requires kind='zoned'"),
+                )
+            ).cast("string"),
+        ).otherwise(s)
+        return _guarded(f, neg_guarded, F.lpad(neg_guarded, f.width, "0"))
     if f.kind == "date":
         if f.width != 8:
             raise ValueError(
                 f"date field {f.name!r} must have width 8 (yyyyMMdd), got {f.width}"
             )
-        return F.date_format(c, "yyyyMMdd")
+        # yyyyMMdd is 8 chars only for years 1..9999; a year beyond
+        # that renders 9+ chars and would silently shift every later
+        # field — run it through the same overflow guard as text/int.
+        s = F.date_format(c, "yyyyMMdd")
+        return _guarded(f, s, s)
     if f.kind == "zoned":
         raw = F.abs(c).cast("string")
         mag = F.lpad(raw, f.width, "0")

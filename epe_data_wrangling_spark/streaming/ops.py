@@ -656,9 +656,13 @@ def cdc_retraction_foreach_batch(
     import os
 
     business = list(group_cols) + list(sum_cols)
+    # A key column may legitimately also be a group/sum column (e.g.
+    # grouping by the key); selecting it twice would raise an
+    # ambiguous-reference error downstream, so carry each name once.
+    extra = [c for c in business if c not in key_cols]
 
     def _hashed(img: DataFrame) -> DataFrame:
-        return img.select(*key_cols, *business, _row_digest(business).alias("rh"))
+        return img.select(*key_cols, *extra, _row_digest(business).alias("rh"))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -697,7 +701,7 @@ def cdc_retraction_foreach_batch(
         for v in versions:  # in-version order; a batch holds few versions
             img = _hashed(
                 batch_df.filter(F.col(version_col) == v).select(
-                    *key_cols, *business
+                    *key_cols, *extra
                 )
             )
             signed = _signed_image_diff(snap, img, key_cols, business)

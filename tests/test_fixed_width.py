@@ -146,3 +146,47 @@ def test_render_raises_on_field_overflow(spark):
 
     with pytest.raises(ValueError, match="width 8"):
         fw_render_expr((FwField("d", 1, 6, "date"),))
+
+
+def test_int_render_rejects_negative(spark):
+    """PIC 9(n) is unsigned: lpad('-5', w, '0') would yield '0…0-5',
+    pass the width guard, and fw_parse's cast would round-trip it to
+    NULL — silent corruption. The render must raise instead and point
+    at 'zoned' (the signed kind)."""
+    one = (FwField("k", 1, 6, "int"),)
+    bad = spark.createDataFrame([(-5,)], "k BIGINT")
+    with pytest.raises(Exception, match="unsigned"):
+        bad.select(fw_render_expr(one).alias("v")).collect()
+    # boundary: zero is fine and still zero-pads
+    zero = spark.createDataFrame([(0,)], "k BIGINT")
+    assert zero.select(fw_render_expr(one).alias("v")).collect()[0]["v"] == "000000"
+
+
+def test_date_render_rejects_out_of_range_year(spark):
+    """yyyyMMdd is 8 bytes only for years 1..9999; a year 10000+
+    renders 9 chars and would silently shift every later field — the
+    date kind must fail the job through the same overflow guard as
+    text/int/zoned."""
+    import datetime
+
+    layout = (FwField("d", 1, 8, "date"), FwField("t", 9, 2, "text"))
+    ok = spark.createDataFrame(
+        [(datetime.date(9999, 12, 31), "ab")], "d DATE, t STRING"
+    )
+    assert (
+        ok.select(fw_render_expr(layout).alias("v")).collect()[0]["v"]
+        == "99991231ab"
+    )
+    # python's datetime caps at year 9999; build the year-10000 date
+    # engine-side (Spark dates are plain days-since-epoch ints)
+    bad = spark.sql("SELECT date_add(DATE'9999-12-31', 1) AS d, 'ab' AS t")
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        bad.select(fw_render_expr(layout).alias("v")).collect()
+    # NULL date still null-propagates through the guard
+    withnull = spark.createDataFrame(
+        [(None, "ab")], "d DATE, t STRING"
+    )
+    assert (
+        withnull.select(fw_render_expr(layout).alias("v")).collect()[0]["v"]
+        is None
+    )

@@ -1033,3 +1033,52 @@ def test_outer_join_view_rejects_s_sourced_sum_cols(spark):
             group_cols=["grp"], sum_cols=["weight"],
             how="left_outer",
         )
+
+
+def test_cdc_retraction_key_also_group_col(spark, tmp_path):
+    """Grouping the view BY the key itself (a common shape: per-key
+    latest-state view) puts the key column in both key_cols and
+    group_cols — the sink must carry the name once, not select it
+    twice and die on an ambiguous reference. Certify against a direct
+    recompute of the final version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.ops import cdc_retraction_foreach_batch
+
+    v1 = [(1, 100), (2, 200), (3, 300)]
+    v2 = [(1, 150), (3, 300), (4, 400)]  # update 1, delete 2, insert 4
+    landing = tmp_path / "landing"
+    for i, rows in ((1, v1), (2, v2)):
+        sub = str(landing / f"v{i}")
+        (
+            spark.createDataFrame(rows, "k BIGINT, cents BIGINT")
+            .withColumn("snapshot_version", F.lit(i))
+            .coalesce(1)
+            .write.parquet(sub)
+        )
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                p = os.path.join(sub, f)
+                t = os.path.getmtime(p)
+                os.utime(p, (t + i, t + i))
+    stream = (
+        spark.readStream.schema("k BIGINT, cents BIGINT, snapshot_version INT")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(landing) + "/*")
+    )
+    view = cdc_retraction_foreach_batch(
+        stream,
+        str(tmp_path / "state"),
+        key_cols=["k"],
+        version_col="snapshot_version",
+        group_cols=["k"],  # key IS the group column
+        sum_cols=["cents"],
+    )
+    live = {
+        r["k"]: (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert live == {1: (1, 150), 3: (1, 300), 4: (1, 400)}
