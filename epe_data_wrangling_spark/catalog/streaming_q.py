@@ -716,6 +716,167 @@ def streaming_cdc_retraction_pipeline(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _oplog_from_versions(old, new, seq_base: int):
+    """Fixture-side op-log emitter — simulates the upstream database
+    producing a Debezium-style changelog between two snapshot versions
+    of the carved orders table: full-outer join on the key, classify
+    I/U/D, carry after-images on I/U and before-images (``prev_*``)
+    on U/D, sequence = ``seq_base`` + key (unique, strictly increasing
+    across generations). ``old is None`` = bootstrap (all rows 'I').
+    This join is snapshot-sized, but it runs in the FIXTURE (the log
+    producer's side of the contract); the sink under test only ever
+    touches the delta-sized log rows it emits."""
+    from pyspark.sql import functions as F
+
+    if old is None:
+        return new.select(
+            "o_orderkey",
+            (F.lit(seq_base) + F.col("o_orderkey")).alias("seq"),
+            F.lit("I").alias("op"),
+            "o_orderstatus",
+            "cents",
+            F.lit(None).cast("string").alias("prev_o_orderstatus"),
+            F.lit(None).cast("bigint").alias("prev_cents"),
+        )
+    a, b = old.alias("a"), new.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    a_abs = F.col("a.o_orderkey").isNull()
+    b_abs = F.col("b.o_orderkey").isNull()
+    changed = (F.col("a.cents") != F.col("b.cents")) | (
+        F.col("a.o_orderstatus") != F.col("b.o_orderstatus")
+    )
+    return j.filter(a_abs | b_abs | changed).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        (
+            F.lit(seq_base)
+            + F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+        ).alias("seq"),
+        F.when(a_abs, "I").when(b_abs, "D").otherwise("U").alias("op"),
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.col("b.cents").alias("cents"),
+        F.col("a.o_orderstatus").alias("prev_o_orderstatus"),
+        F.col("a.cents").alias("prev_cents"),
+    )
+
+
+@query(
+    "streaming_cdc_oplog_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_cdc_oplog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-DELTA CDC over an OPERATION LOG — the scale shape the
+    full-snapshot pipeline (``streaming_cdc_retraction_pipeline``,
+    same carving, SAME oracle) admits it cannot reach: there, landing
+    I/O and the per-batch diff track snapshot size; here the upstream
+    emits a Debezium-style changelog (rows tagged I/U/D, before-images
+    on U/D, after-images on I/U, strictly increasing ``seq``), so
+    every per-batch cost tracks the CHANGE volume. Three generations
+    land as a file stream — gen 1 the v1 bootstrap (all inserts),
+    gen 2 the v1→v2 log (inserts ≡3 mod 7 restored, deletes ≡5 mod
+    11, status flips ≡0 mod 13), gen 3 the v2→v3 log (deletes ≡1 mod
+    17, flips ≡0 mod 19, cents bumps ≡0 mod 23) — and
+    ``streaming.ops.cdc_oplog_foreach_batch`` applies the signed
+    expansion (I → +after, D → −before, U → both) straight to the
+    additive per-status view. NO standing image exists anywhere: the
+    before-images replace the diff-against-snapshot, the target holds
+    only the view, and the signed math is commutative, so batch-split
+    invariance holds algebraically (pytest-pinned along with the
+    seq-regression, duplicate-seq, and unknown-op guards). The oracle
+    recomputes v3's aggregate directly — the hash certifies three
+    generations of pure-delta application ≡ recompute(final), with
+    deletes, cross-group updates, and value-only updates all in play.
+    Scale: per batch one delta-sized validation agg + one delta
+    partial agg + a |groups|-row merge and view rewrite — nothing is
+    ever snapshot-sized (SCALE.md carries the 10× row vs the snapshot
+    pipeline's honest 2.3× floor)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    work = tempfile.mkdtemp(prefix="cdc_oplog_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing,
+            [
+                _oplog_from_versions(None, v1, 1_0000000000),
+                _oplog_from_versions(v1, v2, 2_0000000000),
+                _oplog_from_versions(v2, v3, 3_0000000000),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_orderstatus STRING, cents BIGINT, "
+            "prev_o_orderstatus STRING, prev_cents BIGINT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.cdc_oplog_foreach_batch(
+            stream,
+            target,
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("sum_cents").alias("total_cents"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n_orders BIGINT, total_cents BIGINT"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "streaming_join_view_maintenance",
     oracle="""

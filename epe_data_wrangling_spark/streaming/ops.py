@@ -738,6 +738,147 @@ def cdc_retraction_foreach_batch(
     return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def cdc_oplog_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    op_col: str,
+    seq_col: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    prev_prefix: str = "prev_",
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TRUE-DELTA CDC: the stream carries an OPERATION LOG (the
+    Debezium-envelope shape flattened — one row per change, tagged
+    ``op_col`` ∈ {'I','U','D'} with a strictly increasing ``seq_col``,
+    AFTER-image business columns for I/U and BEFORE-image columns
+    (``prev_<c>``) for U/D), and each micro-batch applies the signed
+    expansion directly to the additive view:
+
+        I → after image, +1;   D → before image, −1;
+        U → before image −1  AND  after image +1
+
+    This is the scale shape ``cdc_retraction_foreach_batch`` cannot
+    reach: the snapshot sink's landing I/O and per-batch diff both
+    track SNAPSHOT size (the honest floor when no changelog exists),
+    while here every per-batch cost — landing I/O, the validation
+    pass, the signed partial agg — tracks the CHANGE volume, plus the
+    |groups|-row merge and view rewrite. No standing image is kept at
+    all: the before-images in the log replace the diff-against-
+    snapshot entirely, so the target holds ONLY the view.
+
+    Because the view is additive, signed application is COMMUTATIVE —
+    a batch may carry any number of transactions in any file order,
+    and batch-split invariance holds algebraically (pytest-pinned).
+    Order therefore matters only for exactly-once, which follows the
+    module's non-idempotent-sink discipline: batch_id + source-file
+    provenance + the high-water ``last_seq`` commit atomically with
+    the view; replays skip; a batch whose minimum sequence is ≤ the
+    committed high-water mark raises (duplicate delivery outside the
+    replay protocol would double-apply), as does a duplicate sequence
+    number within the batch or an unknown op tag.
+
+    Contracts (the upstream log producer's side of the deal): U rows
+    carry BOTH images and never change the key — a key change must be
+    emitted as D(old)+I(new); before-images are exact (the usual
+    Debezium guarantee); business columns render deterministically
+    (money as integer cents) and ``sum_cols`` are integer-typed so
+    signed sums are exact and order-free. Groups that reach zero stay
+    as n=0 rows; finalize with ``n > 0`` downstream.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    business = list(group_cols) + list(sum_cols)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "cdc_oplog"):
+            return
+        op = F.col(op_col)
+        # one delta-sized validation pass: op tags, seq monotonicity
+        # vs the committed high-water mark, in-batch seq uniqueness
+        v = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~op.isin("I", "U", "D"), 1).otherwise(0)).alias("bad"),
+            F.min(seq_col).alias("lo"),
+            F.max(seq_col).alias("hi"),
+            F.count_distinct(F.col(seq_col)).alias("nseq"),
+        ).collect()[0]
+        if v["n"] == 0:
+            return  # nothing to apply; committing nothing keeps replay trivial
+        if v["bad"]:
+            raise RuntimeError(
+                f"cdc_oplog sink: {v['bad']} rows carry an op tag outside "
+                "{'I','U','D'} — refusing to guess their sign"
+            )
+        if v["nseq"] != v["n"]:
+            raise RuntimeError(
+                f"cdc_oplog sink: batch carries {v['n']} ops but only "
+                f"{v['nseq']} distinct {seq_col!r} values — a duplicated "
+                "op would double-apply"
+            )
+        last_seq = meta.get("last_seq")
+        if last_seq is not None and v["lo"] <= last_seq:
+            raise RuntimeError(
+                f"cdc_oplog sink: op sequence {v['lo']} arrived after "
+                f"{last_seq} was applied — duplicate delivery outside the "
+                "replay protocol (same ops under a new checkpoint?) would "
+                "double-apply; resume with the original checkpoint or point "
+                "at a new target dir"
+            )
+        retract = batch_df.filter(op.isin("U", "D")).select(
+            *[F.col(f"{prev_prefix}{c}").alias(c) for c in business],
+            F.lit(-1).alias("_sign"),
+        )
+        insert = batch_df.filter(op.isin("I", "U")).select(
+            *business, F.lit(1).alias("_sign")
+        )
+        dview = (
+            retract.unionByName(insert)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("_sign").cast("bigint").alias("n"),
+                *[
+                    F.sum(F.col("_sign") * F.col(c)).cast("bigint").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+        )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view"))
+            if os.path.isdir(target_dir)
+            else None
+        )
+        view = _additive_merge(
+            view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
+        )
+        stage = f"{target_dir}.stage-{batch_id}"
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(oplog, _apply, checkpoint_dir, "cdc_oplog", timeout_sec)
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
 def join_view_foreach_batch(
     snapshots: DataFrame,
     target_dir: str,

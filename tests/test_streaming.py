@@ -1082,3 +1082,165 @@ def test_cdc_retraction_key_also_group_col(spark, tmp_path):
         for r in view.filter(F.col("n") > 0).collect()
     }
     assert live == {1: (1, 150), 3: (1, 300), 4: (1, 400)}
+
+
+def _oplog_fixture(spark, tmp_path):
+    """Three op-log generations over the shared orders carving, landed
+    with mtime-ordered files (discovery order = generation order)."""
+    import os
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.catalog.streaming_q import _oplog_from_versions
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    gens = (
+        _oplog_from_versions(None, v1, 1_0000000000),
+        _oplog_from_versions(v1, v2, 2_0000000000),
+        _oplog_from_versions(v2, v3, 3_0000000000),
+    )
+    for i, g in enumerate(gens, start=1):
+        p = str(landing / f"log{i}")
+        g.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    return str(landing), v3
+
+
+_OPLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, o_orderstatus STRING, "
+    "cents BIGINT, prev_o_orderstatus STRING, prev_cents BIGINT"
+)
+
+
+def _oplog_run(spark, landing, target, ckpt, max_files):
+    from epe_data_wrangling_spark.streaming.ops import cdc_oplog_foreach_batch
+
+    reader = spark.readStream.schema(_OPLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return cdc_oplog_foreach_batch(
+        stream,
+        target,
+        op_col="op",
+        seq_col="seq",
+        group_cols=["o_orderstatus"],
+        sum_cols=["cents"],
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_oplog_view_invariant_to_batch_split(spark, tmp_path):
+    """Signed op application is commutative, so the final view must be
+    identical whether the three log generations arrive as one batch or
+    one per batch — and both must equal a direct recompute of the
+    final version (the same identity the snapshot CDC sink certifies,
+    reached here with zero standing images)."""
+    from pyspark.sql import functions as F
+
+    landing, v3 = _oplog_fixture(spark, tmp_path)
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _oplog_run(
+            spark, landing, str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ckpt{i}"), max_files,
+        )
+        results.append(
+            {r["o_orderstatus"]: (r["n"], r["sum_cents"])
+             for r in view.filter(F.col("n") > 0).collect()}
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["s"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+
+
+def test_oplog_replay_skips_and_seq_regression_raises(spark, tmp_path):
+    """Exactly-once discipline: a fresh-checkpoint replay over
+    already-applied files is a no-op; re-delivering the SAME ops as
+    new files (new provenance, regressed sequence numbers) must raise
+    instead of double-applying."""
+    import os
+    import shutil
+
+    import pytest
+
+    landing, _ = _oplog_fixture(spark, tmp_path)
+    target = str(tmp_path / "state")
+    first = {
+        r["o_orderstatus"]: (r["n"], r["sum_cents"])
+        for r in _oplog_run(spark, landing, target, str(tmp_path / "ck1"), 1).collect()
+    }
+    replay = {
+        r["o_orderstatus"]: (r["n"], r["sum_cents"])
+        for r in _oplog_run(spark, landing, target, str(tmp_path / "ck2"), None).collect()
+    }
+    assert replay == first
+    # copy gen-3's file under a new name: a resumed run discovers it
+    # as a genuinely NEW batch (provenance passes), so the sequence
+    # high-water guard is what must stop the double-apply
+    src = [f for f in os.listdir(landing + "/log3") if f.endswith(".parquet")][0]
+    shutil.copy(
+        os.path.join(landing, "log3", src),
+        os.path.join(landing, "log3", "redelivered.parquet"),
+    )
+    with pytest.raises(Exception, match="duplicate delivery"):
+        _oplog_run(spark, landing, target, str(tmp_path / "ck1"), None)
+    # under a FRESH checkpoint the same redelivery is caught one layer
+    # earlier, by file provenance — either way nothing double-applies
+    with pytest.raises(Exception, match="never-applied source files"):
+        _oplog_run(spark, landing, target, str(tmp_path / "ck3"), None)
+
+
+def test_oplog_rejects_bad_ops_and_duplicate_seq(spark, tmp_path):
+    """An op tag outside {I,U,D} and a duplicated sequence number must
+    both fail the batch loudly — a guessed sign or a double-applied op
+    corrupts the view silently otherwise."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 10, "I", "O", 100, None, None),
+        (2, 11, "Z", "O", 200, None, None),  # unknown op
+    ]
+    df = spark.createDataFrame(rows, _OPLOG_SCHEMA)
+    bad_dir = tmp_path / "bad"
+    df.coalesce(1).write.parquet(str(bad_dir))
+    stream = spark.readStream.schema(_OPLOG_SCHEMA).parquet(str(bad_dir))
+    from epe_data_wrangling_spark.streaming.ops import cdc_oplog_foreach_batch
+
+    with pytest.raises(Exception, match="op tag"):
+        cdc_oplog_foreach_batch(
+            stream, str(tmp_path / "s1"),
+            op_col="op", seq_col="seq",
+            group_cols=["o_orderstatus"], sum_cols=["cents"],
+        )
+    rows = [
+        (1, 10, "I", "O", 100, None, None),
+        (2, 10, "I", "O", 200, None, None),  # duplicate seq
+    ]
+    dup_dir = tmp_path / "dup"
+    spark.createDataFrame(rows, _OPLOG_SCHEMA).coalesce(1).write.parquet(str(dup_dir))
+    stream = spark.readStream.schema(_OPLOG_SCHEMA).parquet(str(dup_dir))
+    with pytest.raises(Exception, match="distinct"):
+        cdc_oplog_foreach_batch(
+            stream, str(tmp_path / "s2"),
+            op_col="op", seq_col="seq",
+            group_cols=["o_orderstatus"], sum_cols=["cents"],
+        )
