@@ -704,3 +704,132 @@ def test_bench_heavies_keep_their_join_strategies(spark):
     assert "CartesianProduct" not in p2
     assert "SortMergeJoin" not in p2
     assert p2.count("BroadcastNestedLoopJoin") == 1  # the 1-row stats join
+
+
+def _scan_metrics(spark, df, out):
+    """Runtime FileSourceScan metrics for every scan in df's executed
+    plan (shared shape with the DPP test's inline helper)."""
+    jconv = spark._jvm.scala.collection.JavaConverters
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "FileSourceScan" in name:
+            jmap = jconv.mapAsJavaMapConverter(node.metrics()).asJava()
+            out.append({str(k): jmap.get(k).value() for k in jmap.keySet().toArray()})
+        for c in jconv.seqAsJavaListConverter(node.children()).asJava():
+            walk(c)
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        if "QueryStage" in name:
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+
+
+def test_ivm_pruned_refresh_reads_only_touched_buckets(spark, tmp_path):
+    """The pruned IVM refresh's scale contract: with the fact base
+    stored partitioned on the join key's bucket, a SPARSE dim delta
+    must make the R₁⋈ΔS term read ONLY the touched buckets — proven
+    by runtime scan metrics (numPartitions == |touched| ≪ total,
+    numFiles < staticFilesNum), not just a filter node in the plan —
+    while the refreshed view stays exactly equal to a direct
+    recompute. ΔS is broadcast, so the pruned term shuffles nothing."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _signed_delta,
+        ivm_pruned_join_refresh,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    N_BUCKETS = 64
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    r1 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderstatus",
+    )
+    s1 = c.select("c_custkey", "c_mktsegment")
+    # SPARSE dim delta: only keys ≡0 mod 397 move segment — a handful
+    # of keys, so the touched-bucket set is a small fraction of 64
+    s2 = s1.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 397 == 0, "MACHINERY").otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    base_dir = str(tmp_path / "base")
+    r1.withColumn(
+        "_kb", F.pmod(F.col("o_custkey"), F.lit(N_BUCKETS))
+    ).write.partitionBy("_kb").parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+
+    dR = spark.createDataFrame(
+        [], "o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, "
+        "o_orderstatus STRING, sign INT",
+    )  # fact unchanged this refresh: isolates the pruned term
+    dS = _signed_delta(s1, s2, "c_custkey", ["c_mktsegment"]).localCheckpoint(
+        eager=True
+    )
+    touched = {
+        r["b"]
+        for r in dS.select(
+            F.pmod(F.col("c_custkey"), F.lit(N_BUCKETS)).alias("b")
+        ).distinct().collect()
+    }
+    assert 0 < len(touched) < N_BUCKETS // 2, touched  # sparsity is load-bearing
+
+    delta, term2 = ivm_pruned_join_refresh(
+        spark, base, dR, s1, dS, n_buckets=N_BUCKETS
+    )
+    term2.collect()  # execute so runtime metrics exist
+    scans = []
+    _scan_metrics(spark, term2, scans)
+    [fact_scan] = [m for m in scans if "numPartitions" in m]
+    assert fact_scan["numPartitions"] == len(touched), (fact_scan, touched)
+    # the scan read strictly fewer files than the store holds
+    # (staticFilesNum exists only for DPP scans; static pruning is
+    # proven against the on-disk file count)
+    import glob
+
+    total_files = len(glob.glob(base_dir + "/_kb=*/*.parquet"))
+    assert 0 < fact_scan["numFiles"] < total_files, (fact_scan, total_files)
+    # no exchange under the pruned term: the delta side broadcasts
+    assert "BroadcastHashJoin" in _plan(term2)
+
+    # correctness of the whole refresh under the sparse delta:
+    # merge(γ(r1⋈s1), delta) ≡ recompute(γ(r1⋈s2))
+    state1 = (
+        base.join(s1, base.o_custkey == s1.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    st, d = state1.alias("st"), delta.alias("d")
+    merged = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n_rows"], r["cents_sum"])
+        for r in st.join(d, ["c_mktsegment", "o_orderstatus"], "full_outer")
+        .select(
+            "c_mktsegment",
+            "o_orderstatus",
+            (
+                F.coalesce(F.col("st.n"), F.lit(0))
+                + F.coalesce(F.col("d.dn"), F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce(F.col("st.s"), F.lit(0))
+                + F.coalesce(F.col("d.ds_"), F.lit(0))
+            ).alias("cents_sum"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .collect()
+    }
+    expect = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["s"])
+        for r in r1.join(s2, r1.o_custkey == s2.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert merged == expect
