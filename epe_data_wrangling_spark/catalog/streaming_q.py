@@ -716,6 +716,123 @@ def streaming_cdc_retraction_pipeline(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "streaming_distinct_count_view_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_distinct_count_view_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING COUNT(DISTINCT) maintenance — the duplicate-sensitive
+    aggregate composed into the standing-sink family: the batch form
+    (``ivm_distinct_count_support``) certifies one refresh of the
+    support-table algebra; here THREE full snapshot generations of the
+    shared orders carving land as a file stream (one per micro-batch)
+    and ``streaming.ops.distinct_count_view_foreach_batch`` maintains
+    a per-status (COUNT(*), COUNT(DISTINCT o_custkey)) view through a
+    two-level state — the additive (status, custkey → cnt) support
+    table absorbing signed diffs, the view's distinct count moving
+    only on support 0↔positive transitions — with snapshot + support
+    + view committed in ONE atomic swap per batch (a crash can never
+    leave the levels inconsistent). The carving's deletes and
+    cross-group status flips make both transition directions
+    load-bearing: a customer's last order leaving a status must drop
+    that group's distinct count, a first order arriving must raise
+    it, and surviving duplicates must move nothing. The oracle
+    recomputes v3's COUNT(DISTINCT) directly — the hash certifies
+    three generations of two-level maintenance ≡ recompute(final).
+    Batch-split invariance and a 0↔positive round-trip are
+    pytest-pinned. Scale: per version one keyed diff + a delta-sized
+    support-delta agg + a touched-support join + |groups|-row merges;
+    the corpus is never re-aggregated."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    # v3 reuses the shared third-generation carving MINUS the cents
+    # bump (cents is irrelevant to a distinct-count view; the status
+    # flip and delete are what move support counts)
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    work = tempfile.mkdtemp(prefix="distinct_view_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing,
+            [
+                vdf.select("o_orderkey", "o_custkey", "o_orderstatus").withColumn(
+                    "snapshot_version", F.lit(i)
+                )
+                for i, vdf in ((1, v1), (2, v2), (3, v3))
+            ],
+            prefix="v",
+        )
+        schema = (
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "snapshot_version INT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.distinct_count_view_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            version_col="snapshot_version",
+            group_col="o_orderstatus",
+            value_col="o_custkey",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("d").alias("n_distinct_cust"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n_orders BIGINT, n_distinct_cust BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _oplog_from_versions(old, new, seq_base: int):
     """Fixture-side op-log emitter — simulates the upstream database
     producing a Debezium-style changelog between two snapshot versions

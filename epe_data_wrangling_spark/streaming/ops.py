@@ -879,6 +879,155 @@ def cdc_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def distinct_count_view_foreach_batch(
+    snapshots: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    version_col: str,
+    group_col: str,
+    value_col: str,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming maintenance of a COUNT(DISTINCT) view — the
+    DUPLICATE-SENSITIVE aggregate composed into the standing sink
+    (the streaming twin of ``catalog.evolve_q.ivm_distinct_count_support``):
+    COUNT(DISTINCT value) is not additive (a retraction only lowers
+    the count when it removes the LAST supporting row), so the sink
+    keeps TWO levels of state — a support table γ(group, value → cnt),
+    which IS additive and absorbs signed deltas like any count, and
+    the view (group → n rows, d distinct values), whose ``d`` moves
+    only on support 0↔positive TRANSITIONS.
+
+    The stream carries full snapshot versions of a keyed table (the
+    CDC sink's input shape); per version: diff against the
+    last-applied image (one keyed hash-compare shuffle per side),
+    aggregate the signed rows to support deltas (delta-sized), join
+    each touched support's OLD count (equi on (group, value) — at
+    scale an index-friendly, touched-support-sized probe), emit the
+    view delta as Σ(+1 for 0→>0, −1 for >0→0) on ``d`` with ``n``
+    moving additively, and merge both state levels. The target holds
+    THREE tables committed in ONE atomic swap — ``snapshot/``,
+    ``support/``, ``view/`` — so a crash can never apply a version to
+    one state level but not the other; batch-id + file provenance +
+    the monotonic-version guard follow the module's non-idempotent-
+    sink discipline. Support rows that reach zero REMAIN (additive
+    state never forgets; a 0-count row and an absent row behave
+    identically in the transition rule), as do n=0 view groups;
+    finalize with ``n > 0`` downstream.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    business = [group_col, value_col]
+    extra = [c for c in business if c not in key_cols]
+
+    def _hashed(img: DataFrame) -> DataFrame:
+        return img.select(*key_cols, *extra, _row_digest(business).alias("rh"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "distinct_count"):
+            return
+        if batch_df.isEmpty():
+            return
+        have = os.path.isdir(target_dir)
+        snap = (
+            spark.read.parquet(os.path.join(target_dir, "snapshot"))
+            if have
+            else None
+        )
+        support = (
+            spark.read.parquet(os.path.join(target_dir, "support")) if have else None
+        )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
+        )
+        versions = sorted(
+            r["v"]
+            for r in batch_df.select(F.col(version_col).alias("v"))
+            .distinct()
+            .collect()
+        )
+        last_v = meta.get("last_version")
+        if last_v is not None and versions and min(versions) <= last_v:
+            raise RuntimeError(
+                f"sink: version {min(versions)} arrived after version "
+                f"{last_v} was applied — the landing violated the "
+                "monotonic version contract (equal/inverted file mtimes?); "
+                "refusing to apply a diff backwards"
+            )
+        for v in versions:
+            img = _hashed(
+                batch_df.filter(F.col(version_col) == v).select(*key_cols, *extra)
+            )
+            signed = _signed_image_diff(snap, img, key_cols, business)
+            dsup = (
+                signed.groupBy(group_col, value_col)
+                .agg(F.sum("_sign").cast("bigint").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            )
+            ds_ = dsup.alias("ds")
+            sp = (
+                support.alias("sp")
+                if support is not None
+                else spark.createDataFrame([], dsup.schema).alias("sp")
+            )
+            trans = ds_.join(
+                sp,
+                (F.col(f"ds.{group_col}") == F.col(f"sp.{group_col}"))
+                & (F.col(f"ds.{value_col}") == F.col(f"sp.{value_col}")),
+                "left",
+            ).select(
+                F.col(f"ds.{group_col}").alias(group_col),
+                F.coalesce(F.col("sp.cnt"), F.lit(0)).alias("old"),
+                (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.cnt")).alias(
+                    "new"
+                ),
+                F.col("ds.cnt").alias("dc"),
+            )
+            dview = trans.groupBy(group_col).agg(
+                F.sum("dc").cast("bigint").alias("n"),
+                F.sum(
+                    F.when((F.col("new") > 0) & (F.col("old") == 0), 1)
+                    .when((F.col("new") == 0) & (F.col("old") > 0), -1)
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias("d"),
+            )
+            view = _additive_merge(view, dview, [group_col], ["n", "d"])
+            support = _additive_merge(
+                support, dsup, [group_col, value_col], ["cnt"]
+            )
+            snap = img
+        stage = f"{target_dir}.stage-{batch_id}"
+        snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
+        support.write.mode("overwrite").parquet(os.path.join(stage, "support"))
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_version": versions[-1] if versions else None,
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(snapshots, _apply, checkpoint_dir, "distinct_count", timeout_sec)
+    return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
 def join_view_foreach_batch(
     snapshots: DataFrame,
     target_dir: str,

@@ -1244,3 +1244,155 @@ def test_oplog_rejects_bad_ops_and_duplicate_seq(spark, tmp_path):
             op_col="op", seq_col="seq",
             group_cols=["o_orderstatus"], sum_cols=["cents"],
         )
+
+
+def _distinct_view_run(spark, landing, target, ckpt, max_files, schema):
+    from epe_data_wrangling_spark.streaming.ops import (
+        distinct_count_view_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return distinct_count_view_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        version_col="snapshot_version",
+        group_col="o_orderstatus",
+        value_col="o_custkey",
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_distinct_count_view_invariant_to_batch_split(spark, tmp_path):
+    """Two-level COUNT(DISTINCT) maintenance must yield the same view
+    whether the three snapshot generations arrive in one batch (the
+    in-batch version loop threads support state forward) or one per
+    batch (support state round-trips through parquet) — and both must
+    equal a direct recompute of the final version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, vdf in ((1, v1), (2, v2), (3, v3)):
+        p = str(landing / f"v{i}")
+        (
+            vdf.select("o_orderkey", "o_custkey", "o_orderstatus")
+            .withColumn("snapshot_version", F.lit(i))
+            .coalesce(1)
+            .write.parquet(p)
+        )
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "snapshot_version INT"
+    )
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _distinct_view_run(
+            spark, str(landing), str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ckpt{i}"), max_files, schema,
+        )
+        results.append(
+            {r["o_orderstatus"]: (r["n"], r["d"])
+             for r in view.filter(F.col("n") > 0).collect()}
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col("o_custkey")).alias("d"),
+        )
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+
+
+def test_distinct_count_zero_positive_round_trip(spark, tmp_path):
+    """The transition rule's both directions on one (group, value):
+    customer 7's LAST row in group 'A' is deleted in v2 (support 1→0,
+    d must drop) and a row returns in v3 (support 0→1, d must rise) —
+    while customer 8's duplicate rows shed one copy (2→1, d must NOT
+    move). A sink that conflated 'support fell' with 'support hit
+    zero' fails here."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "snapshot_version INT"
+    )
+    v1 = [(1, 7, "A"), (2, 8, "A"), (3, 8, "A")]
+    v2 = [(2, 8, "A"), (3, 8, "A")]            # cust 7: 1→0
+    v3 = [(2, 8, "A"), (5, 7, "A")]            # cust 7: 0→1; cust 8: 2→1
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, rows in ((1, v1), (2, v2), (3, v3)):
+        p = str(landing / f"v{i}")
+        (
+            spark.createDataFrame(
+                rows, "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING"
+            )
+            .withColumn("snapshot_version", F.lit(i))
+            .coalesce(1)
+            .write.parquet(p)
+        )
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    # generations ARRIVE one at a time (same checkpoint throughout —
+    # each new file is a genuinely new batch), checking d after each
+    import shutil
+
+    from epe_data_wrangling_spark.streaming.ops import (
+        distinct_count_view_foreach_batch,
+    )
+
+    live = tmp_path / "live"
+    os.makedirs(live)
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+    for gen in (1, 2, 3):
+        src_dir = str(landing / f"v{gen}")
+        [f] = [x for x in os.listdir(src_dir) if x.endswith(".parquet")]
+        shutil.copy(os.path.join(src_dir, f), str(live / f"g{gen}.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(live))
+        )
+        view = distinct_count_view_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            version_col="snapshot_version",
+            group_col="o_orderstatus",
+            value_col="o_custkey",
+            checkpoint_dir=ckpt,
+        )
+        [row] = view.filter(F.col("n") > 0).collect()
+        seen.append((row["n"], row["d"]))
+    assert seen == [(3, 2), (2, 1), (2, 2)]
