@@ -10,6 +10,11 @@ Runs every catalog query flagged ``headline=True`` against
 Each query is forced end-to-end with the no-op sink (full plan
 execution, no driver collect overhead). A tiny warm-up query runs
 first so JVM/codegen startup is not billed to the first headline.
+
+The JSON also carries ``calibration_probe_sec`` — two readings of a
+frozen probe plan, one immediately before each timed pass — so
+round-over-round ratios can be normalized for the shared VM's ambient
+noise (rule in BASELINE.md "Calibration").
 """
 
 from __future__ import annotations
@@ -29,6 +34,37 @@ from epe_data_wrangling_spark.session import get_spark
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def calibration_probe(spark, sf_dir: str) -> float:
+    """FROZEN ambient-noise probe — run immediately before each timed
+    pass and reported alongside it. The shared VM's noisy neighbors
+    inflate identical code 1.1-4x for minutes at a time (BASELINE.md
+    methodology note), so round-over-round ratios need a fixed
+    yardstick measured under the SAME ambient load as the pass it
+    precedes: a plan that never changes (lineitem scan -> partial+
+    final agg on l_returnflag, ~0.3 s quiet at sf0.1). Normalization
+    rule (documented in BASELINE.md): compare rounds on
+    time x (probe_ref / probe_this_round). DO NOT EDIT this plan —
+    its round-over-round comparability is the entire point."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    t0 = time.perf_counter()
+    (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("q"),
+            F.sum("l_extendedprice").alias("p"),
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     return time.perf_counter() - t0
 
 
@@ -85,8 +121,11 @@ def main() -> None:
     # would both land inside one spike; separating the passes by a full
     # sweep decorrelates them so the min measures the plan, not the
     # neighbor.
+    calibration_probe(spark, sf_dir)  # compile the probe's codegen once
     passes: list[dict[str, float]] = []
+    probes: list[float] = []
     for _ in range(2):
+        probes.append(round(calibration_probe(spark, sf_dir), 3))
         sweep = {}
         for name, q in sorted(queries.items()):
             sweep[name] = round(run_query(q.fn, spark, sf_dir), 3)
@@ -107,6 +146,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "passes": passes,
+                # frozen ambient-noise yardstick, one reading per pass
+                # (min = the quietest ambient seen; see BASELINE.md
+                # "Calibration" for the normalization rule)
+                "calibration_probe_sec": probes,
                 "sf": sf,
             }
         )

@@ -87,7 +87,7 @@ def _node_label(node: F.Column) -> F.Column:
     ).otherwise(F.concat(F.lit("s"), F.shiftright(node, 1).cast("string")))
 
 
-@query("pagerank_trading_graph", headline=True, oracle=_pagerank_oracle())
+@query("pagerank_trading_graph", oracle=_pagerank_oracle())
 def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, {PR_ITERS} full iterations (damping {PR_DAMPING}),
     over the undirected customer↔supplier graph induced by line items
@@ -108,7 +108,7 @@ def pagerank_trading_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(_node_label(F.col("node")).alias("node"), "pagerank")
 
 
-@query("pagerank_partitioned_edges", oracle=_pagerank_oracle())
+@query("pagerank_partitioned_edges", headline=True, oracle=_pagerank_oracle())
 def pagerank_partitioned_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME PageRank (identical oracle, bit-identical result) in
     the beyond-broadcast physical form for >10^8-node graphs where
