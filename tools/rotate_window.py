@@ -26,7 +26,22 @@ from epe_data_wrangling_spark.catalog import (  # noqa: E402
     all_queries,
 )
 
-ANCHORS = PRIORITY_ORDER[:7]  # per-family canaries (7 as of r7), kept every round
+# Per-family canaries kept in EVERY window (one per operator family;
+# pinned by tests/test_catalog.py::test_priority_window_covers_every_family).
+# Explicit, not positional: the window head also carries each round's
+# new queries, so slicing PRIORITY_ORDER would capture those instead.
+ANCHORS = [
+    "epe_pipeline_demo",           # reference-pipeline port
+    "dedup_minhash_lsh",           # dedup
+    "ann_cosine_topk",             # similarity
+    "text_token_stats",            # text analysis
+    "multimodal_bmp_pixel_stats",  # multimodal
+    "streaming_tumbling_window",   # streaming
+    "curate_corpus",               # curation composition
+    "pivot_event_type_counts",     # reshape/pivot
+    "window_running_spend",        # windows
+    "q1_pricing_summary",          # core TPC-H agg shapes
+]
 
 
 def main() -> int:
