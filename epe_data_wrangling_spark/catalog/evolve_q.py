@@ -1919,6 +1919,109 @@ def ivm_outer_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivm_minmax_support",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 != 5)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v2 GROUP BY o_orderstatus
+    """,
+)
+def ivm_minmax_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for MIN/MAX — the remaining textbook non-distributive case
+    (completing the family: additive sums, top-k affected-group,
+    COUNT(DISTINCT) support-transition, outer-join counting): a
+    deletion only moves a group's MIN/MAX when it evicts the CURRENT
+    extremum, and the replacement is whatever survives — information
+    the view itself no longer holds. The standard refresh keeps a
+    SUPPORT MULTISET γ(group, value → cnt), additive like any count,
+    and re-derives extrema from it: per refresh the changeset
+    aggregates to signed support deltas (delta-sized), only the
+    TOUCHED groups' support rows merge them (semi-join — untouched
+    groups' support is unchanged and unread), untouched groups keep
+    their stored view rows (anti-join), and touched groups recompute
+    MIN/MAX/COUNT from their merged support — |touched groups| ×
+    |distinct values per group| work, never corpus-sized, and far
+    smaller than the affected-group-recompute fallback
+    (``ivm_topk_affected_groups``) which must re-read base rows. The
+    shared v1→v2 carving makes both hazards load-bearing: deletes
+    (keys ≡5 mod 11) evict extrema and status flips (≡0 mod 13)
+    migrate rows across groups; the oracle recomputes v2's MIN/MAX
+    directly, so a refresh that kept a stale extremum cannot hash
+    green. Certified identity: refresh(view(v1), Δ) ≡ recompute(v2)."""
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v1 = v1.select("o_orderkey", "cents", "o_orderstatus")
+    v2 = v2.select("o_orderkey", "cents", "o_orderstatus")
+
+    delta = _signed_delta(
+        v1, v2, "o_orderkey", ["cents", "o_orderstatus"]
+    ).localCheckpoint(eager=True)
+
+    # level-1 state: the support multiset; level-2: the stored view
+    # (both standing tables at steady state — built once here)
+    sup1 = (
+        v1.groupBy("o_orderstatus", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    view1 = sup1.groupBy("o_orderstatus").agg(
+        F.sum("cnt").alias("n"),
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+    )
+
+    dsup = (
+        delta.groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sign").alias("dc"))
+        .filter(F.col("dc") != 0)
+        .localCheckpoint(eager=True)  # feeds the touched set AND the merge
+    )
+    touched = dsup.select("o_orderstatus").distinct()
+
+    kept = view1.join(touched, "o_orderstatus", "left_anti").select(
+        "o_orderstatus",
+        F.col("n").alias("n_rows"),
+        F.col("mn").alias("min_cents"),
+        F.col("mx").alias("max_cents"),
+    )
+    sup_t, d = (
+        sup1.join(touched, "o_orderstatus", "left_semi").alias("sp"),
+        dsup.alias("d"),
+    )
+    merged_sup = sup_t.join(
+        d,
+        (F.col("sp.o_orderstatus") == F.col("d.o_orderstatus"))
+        & (F.col("sp.cents") == F.col("d.cents")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("sp.o_orderstatus"), F.col("d.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("sp.cents"), F.col("d.cents")).alias("cents"),
+        (
+            F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.coalesce(F.col("d.dc"), F.lit(0))
+        ).alias("cnt"),
+    )
+    recomputed = (
+        merged_sup.filter(F.col("cnt") > 0)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("cnt").alias("n_rows"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    return kept.unionByName(recomputed).filter(F.col("n_rows") > 0)
+
+
 def _sparse_version(o: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Sparse second version for the non-distributive IVM query: v2
     bumps cents on keys ≡0 mod 97 (an update that can INSERT a row

@@ -833,3 +833,49 @@ def test_ivm_pruned_refresh_reads_only_touched_buckets(spark, tmp_path):
         .collect()
     }
     assert merged == expect
+
+
+def test_ivm_minmax_support_eviction_is_load_bearing(spark):
+    """The MIN/MAX IVM contract: the kept/recomputed refresh must
+    equal a direct recompute of v2's MIN/MAX exactly, with no
+    nested-loop node and the anti/semi split in the plan; and the
+    carving must actually EVICT at least one group's current extremum
+    (a delete or migration removing the min or max row), otherwise
+    the hard case — re-deriving the replacement from the support
+    multiset — is never exercised."""
+    from epe_data_wrangling_spark.catalog import all_queries
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+
+    q = all_queries()["ivm_minmax_support"]
+    df = q.fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+    v1, v2 = (
+        x.select("o_orderkey", "cents", "o_orderstatus")
+        for x in _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    )
+    agg = lambda v: {  # noqa: E731
+        r["o_orderstatus"]: (r["n"], r["mn"], r["mx"])
+        for r in v.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    g1, g2 = agg(v1), agg(v2)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        (k, *v) for k, v in g2.items()
+    )
+    # eviction evidence: some group present in both versions changed
+    # its min or max — the refresh could not have kept the stored row
+    moved = [
+        k
+        for k in g1.keys() & g2.keys()
+        if (g1[k][1], g1[k][2]) != (g2[k][1], g2[k][2])
+    ]
+    assert moved, (g1, g2)
