@@ -994,6 +994,155 @@ def streaming_cdc_oplog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _tombstone_log_from_versions(old, new, seq_base: int):
+    """Fixture-side compacted-changelog emitter: upserts carry ONLY
+    the after-image ('U' — the producer does not distinguish insert
+    from update), deletes are key-only tombstones ('D'). ``old is
+    None`` = bootstrap (all rows 'U')."""
+    from pyspark.sql import functions as F
+
+    if old is None:
+        return new.select(
+            "o_orderkey",
+            (F.lit(seq_base) + F.col("o_orderkey")).alias("seq"),
+            F.lit("U").alias("op"),
+            "o_orderstatus",
+            "cents",
+        )
+    a, b = old.alias("a"), new.alias("b")
+    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
+    a_abs = F.col("a.o_orderkey").isNull()
+    b_abs = F.col("b.o_orderkey").isNull()
+    changed = (F.col("a.cents") != F.col("b.cents")) | (
+        F.col("a.o_orderstatus") != F.col("b.o_orderstatus")
+    )
+    return j.filter(a_abs | b_abs | changed).select(
+        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        (
+            F.lit(seq_base)
+            + F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+        ).alias("seq"),
+        F.when(b_abs, "D").otherwise("U").alias("op"),
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.col("b.cents").alias("cents"),
+    )
+
+
+@query(
+    "streaming_cdc_tombstone_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_cdc_tombstone_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC from a changelog WITHOUT before-images — the compacted-
+    topic shape, completing the trilogy of real-world CDC inputs over
+    ONE carving and ONE oracle (full snapshots →
+    ``streaming_cdc_retraction_pipeline``; before-image op log →
+    ``streaming_cdc_oplog_pipeline``; this): upserts carry only the
+    after-image, deletes only the key, so
+    ``streaming.ops.cdc_tombstone_foreach_batch`` must manufacture
+    every retraction from the standing keyed image it maintains —
+    stored partitioned by key-hash bucket, looked up with a
+    ``_kb IN (touched)`` partition filter, and REWRITTEN only where
+    touched (untouched buckets hardlink into the commit, the local-FS
+    analogue of a manifest re-pointing unchanged files). Three log
+    generations (bootstrap upserts; the v1→v2 and v2→v3 changelogs
+    with deletes, cross-group updates, and value-only updates) land
+    as a file stream; the oracle recomputes v3's aggregate directly,
+    so the hash certifies image-lookup → signed apply → partial
+    rewrite over three generations ≡ recompute(final). Batch-split
+    invariance, delete-then-reinsert, tombstones for absent keys, and
+    the untouched-bucket-inode identity are pytest-pinned. Scale: per
+    batch, delta-sized dedup/validation + touched-bucket image I/O +
+    a |groups|-row merge + O(#untouched files) hardlinks — image cost
+    tracks the keys the batch actually touches."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    work = tempfile.mkdtemp(prefix="cdc_tombstone_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing,
+            [
+                _tombstone_log_from_versions(None, v1, 1_0000000000),
+                _tombstone_log_from_versions(v1, v2, 2_0000000000),
+                _tombstone_log_from_versions(v2, v3, 3_0000000000),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_orderstatus STRING, cents BIGINT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.cdc_tombstone_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("sum_cents").alias("total_cents"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows, "o_orderstatus STRING, n_orders BIGINT, total_cents BIGINT"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "streaming_join_view_maintenance",
     oracle="""

@@ -879,6 +879,213 @@ def cdc_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def cdc_tombstone_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    op_col: str,
+    seq_col: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """CDC from a changelog WITHOUT before-images — the Kafka
+    compacted-topic shape, the third real-world input after full
+    snapshots (``cdc_retraction_foreach_batch``) and before-image op
+    logs (``cdc_oplog_foreach_batch``): rows are 'U' upserts carrying
+    only the AFTER image (the producer does not know insert from
+    update) or 'D' tombstones carrying only the KEY. Retractions must
+    therefore be manufactured from a STANDING KEYED IMAGE the sink
+    itself maintains — and at 100 TB that image is the cost center,
+    so it is stored partitioned by ``_kb = pmod(hash(key), n_buckets)``
+    and each batch touches ONLY the buckets its keys hash to:
+
+    - the old-image lookup scans the image with a ``_kb IN (touched)``
+      partition filter (touched = distinct batch-key buckets, a
+      ≤ n_buckets collect);
+    - the image REWRITE materializes only the touched buckets
+      (survivors ⊎ upserts); every untouched bucket's files are
+      HARDLINKED into the staging dir (one metadata op per file — the
+      local-FS analogue of a table format re-pointing unchanged data
+      files in its manifest) before the usual atomic swap of
+      image + view + meta.
+
+    Per-batch cost: delta-sized validation + last-op dedup, touched-
+    bucket I/O on both the lookup and the rewrite, a |groups|-row view
+    merge, and O(#untouched files) metadata — never full-image-sized
+    unless the batch's keys genuinely touch every bucket.
+
+    Within a batch, a key may carry several ops; signed algebra makes
+    intermediate states cancel, so the sink applies the NET effect:
+    retract the stored image (if the key has one), insert the LAST op
+    by ``seq_col`` if it is an upsert. A tombstone for an absent key
+    retracts nothing (deletes are idempotent — compaction semantics).
+    Exactly-once follows the module's discipline: batch-id + file
+    provenance + the ``last_seq`` high-water mark commit with the
+    swap; seq regression, in-batch duplicate seq, and unknown op tags
+    raise. Contracts otherwise as the op-log sink (deterministic
+    business rendering, integer ``sum_cols``; n=0 groups persist).
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+    import shutil
+
+    business = list(group_cols) + list(sum_cols)
+    extra = [c for c in business if c not in key_cols]
+    kb = F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "cdc_tombstone"):
+            return
+        op = F.col(op_col)
+        v = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~op.isin("U", "D"), 1).otherwise(0)).alias("bad"),
+            F.min(seq_col).alias("lo"),
+            F.max(seq_col).alias("hi"),
+            F.count_distinct(F.col(seq_col)).alias("nseq"),
+        ).collect()[0]
+        if v["n"] == 0:
+            return
+        if v["bad"]:
+            raise RuntimeError(
+                f"cdc_tombstone sink: {v['bad']} rows carry an op tag outside "
+                "{'U','D'}"
+            )
+        if v["nseq"] != v["n"]:
+            raise RuntimeError(
+                f"cdc_tombstone sink: batch carries {v['n']} ops but only "
+                f"{v['nseq']} distinct {seq_col!r} values — a duplicated op "
+                "would double-apply"
+            )
+        last_seq = meta.get("last_seq")
+        if last_seq is not None and v["lo"] <= last_seq:
+            raise RuntimeError(
+                f"cdc_tombstone sink: op sequence {v['lo']} arrived after "
+                f"{last_seq} was applied — duplicate delivery outside the "
+                "replay protocol would double-apply"
+            )
+        # net effect per key: the LAST op wins (intermediate signed
+        # states cancel); materialize once — it feeds the retraction
+        # join, the insert set, and the image rewrite
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        last_ops = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*key_cols, op_col, *extra)
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            r["b"] for r in last_ops.select(kb.alias("b")).distinct().collect()
+        )
+        import glob as globmod
+
+        image_dir = os.path.join(target_dir, "image")
+        # a committed image may hold ZERO data files (every key
+        # deleted) — schema inference would fail on it, and an empty
+        # image behaves exactly like no image
+        have_image = os.path.isdir(image_dir) and bool(
+            globmod.glob(os.path.join(globmod.escape(image_dir), "_kb=*", "*.parquet"))
+        )
+        old_touched = (
+            spark.read.parquet(image_dir).filter(
+                F.col("_kb").isin([int(b) for b in touched])
+            )
+            if have_image
+            else None
+        )
+        keyset = last_ops.select(*key_cols)
+        if old_touched is not None:
+            retract = old_touched.join(F.broadcast(keyset), key_cols).select(
+                *business, F.lit(-1).alias("_sign")
+            )
+            survivors = old_touched.join(
+                F.broadcast(keyset), key_cols, "left_anti"
+            ).select(*key_cols, *extra, "_kb")
+        else:
+            retract = None
+            survivors = None
+        upserts = last_ops.filter(op == "U").select(
+            *key_cols, *extra, kb.alias("_kb")
+        )
+        inserts = upserts.select(*business, F.lit(1).alias("_sign"))
+        signed = retract.unionByName(inserts) if retract is not None else inserts
+        dview = signed.groupBy(*group_cols).agg(
+            F.sum("_sign").cast("bigint").alias("n"),
+            *[
+                F.sum(F.col("_sign") * F.col(c)).cast("bigint").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view"))
+            if os.path.isdir(target_dir)
+            else None
+        )
+        view = _additive_merge(
+            view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
+        )
+        stage = f"{target_dir}.stage-{batch_id}"
+        new_touched = (
+            survivors.unionByName(upserts) if survivors is not None else upserts
+        )
+        # touched buckets only: partitionBy writes dirs for present
+        # values, and only touched-bucket rows are present
+        new_touched.write.partitionBy("_kb").mode("overwrite").parquet(
+            os.path.join(stage, "image")
+        )
+        if have_image:
+            # untouched buckets: hardlink every data file into the stage
+            # (metadata-only; falls back to copy on filesystems without
+            # link support) so the swap commits a complete image without
+            # rewriting unchanged data
+            touched_dirs = {f"_kb={int(b)}" for b in touched}
+            for d in os.listdir(image_dir):
+                if not d.startswith("_kb=") or d in touched_dirs:
+                    continue
+                src_dir = os.path.join(image_dir, d)
+                dst_dir = os.path.join(stage, "image", d)
+                os.makedirs(dst_dir, exist_ok=True)
+                for fname in os.listdir(src_dir):
+                    if not fname.endswith(".parquet"):
+                        continue
+                    try:
+                        os.link(
+                            os.path.join(src_dir, fname),
+                            os.path.join(dst_dir, fname),
+                        )
+                    except OSError:
+                        shutil.copy2(
+                            os.path.join(src_dir, fname),
+                            os.path.join(dst_dir, fname),
+                        )
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(oplog, _apply, checkpoint_dir, "cdc_tombstone", timeout_sec)
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
 def distinct_count_view_foreach_batch(
     snapshots: DataFrame,
     target_dir: str,

@@ -1396,3 +1396,186 @@ def test_distinct_count_zero_positive_round_trip(spark, tmp_path):
         [row] = view.filter(F.col("n") > 0).collect()
         seen.append((row["n"], row["d"]))
     assert seen == [(3, 2), (2, 1), (2, 2)]
+
+
+_TOMB_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, o_orderstatus STRING, "
+    "cents BIGINT"
+)
+
+
+def _tombstone_fixture(spark, tmp_path):
+    import os
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _tombstone_log_from_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    gens = (
+        _tombstone_log_from_versions(None, v1, 1_0000000000),
+        _tombstone_log_from_versions(v1, v2, 2_0000000000),
+        _tombstone_log_from_versions(v2, v3, 3_0000000000),
+    )
+    for i, g in enumerate(gens, start=1):
+        p = str(landing / f"log{i}")
+        g.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    return str(landing), v3
+
+
+def _tombstone_run(spark, landing, target, ckpt, max_files, n_buckets=16):
+    from epe_data_wrangling_spark.streaming.ops import cdc_tombstone_foreach_batch
+
+    reader = spark.readStream.schema(_TOMB_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return cdc_tombstone_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+        group_cols=["o_orderstatus"],
+        sum_cols=["cents"],
+        n_buckets=n_buckets,
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_tombstone_view_invariant_to_batch_split(spark, tmp_path):
+    """No-before-image CDC: the final view must be identical whether
+    the three changelog generations arrive as one batch (last-op-per-
+    key dedup collapses cross-generation op chains) or one per batch
+    (retractions manufactured from the committed image) — and equal a
+    direct recompute of the final version."""
+    from pyspark.sql import functions as F
+
+    landing, v3 = _tombstone_fixture(spark, tmp_path)
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _tombstone_run(
+            spark, landing, str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ckpt{i}"), max_files,
+        )
+        results.append(
+            {r["o_orderstatus"]: (r["n"], r["sum_cents"])
+             for r in view.filter(F.col("n") > 0).collect()}
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["s"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+
+
+def test_tombstone_partial_rewrite_and_semantics(spark, tmp_path):
+    """The bucketed-image contract, on a hand-built log: (a) a second
+    batch touching ONE bucket leaves every other bucket's image file
+    untouched on disk (same inode — hardlinked through the commit, not
+    rewritten); (b) delete-then-reinsert lands the reinserted value;
+    (c) a tombstone for a key that never existed retracts nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.ops import cdc_tombstone_foreach_batch
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+
+    def land(gen, rows):
+        p = str(landing / f"g{gen}")
+        spark.createDataFrame(rows, _TOMB_SCHEMA).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + gen, t + gen))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(_TOMB_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(landing) + "/*")
+        )
+        return cdc_tombstone_foreach_batch(
+            stream,
+            str(tmp_path / "state"),
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+            n_buckets=8,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    # gen1: 64 keys spread over all 8 buckets
+    land(1, [(k, 100 + k, "U", "A", 10) for k in range(64)])
+    view = run("ckpt")
+    assert {(r["o_orderstatus"], r["n"], r["sum_cents"]) for r in view.collect()} == {
+        ("A", 64, 640)
+    }
+    image_dir = str(tmp_path / "state" / "image")
+    inodes_before = {}
+    for d in os.listdir(image_dir):
+        if d.startswith("_kb="):
+            for f in os.listdir(os.path.join(image_dir, d)):
+                if f.endswith(".parquet"):
+                    inodes_before[(d, f)] = os.stat(
+                        os.path.join(image_dir, d, f)
+                    ).st_ino
+    # gen2: delete key 3, reinsert it at a new value, update key 3's
+    # bucket only; plus a tombstone for a key that never existed —
+    # all four ops hash into a small set of buckets
+    land(
+        2,
+        [
+            (3, 1000, "D", None, None),
+            (3, 1001, "U", "B", 99),       # delete-then-reinsert, new group
+            (999_999, 1002, "D", None, None),  # never existed: no-op
+        ],
+    )
+    view = run("ckpt")
+    got = {
+        r["o_orderstatus"]: (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {"A": (63, 630), "B": (1, 99)}
+    # untouched buckets: same inode through the commit
+    from pyspark.sql import functions as FF
+
+    touched_buckets = {
+        r["b"]
+        for r in spark.createDataFrame(
+            [(3,), (999_999,)], "o_orderkey BIGINT"
+        )
+        .select(FF.pmod(FF.hash("o_orderkey"), FF.lit(8)).alias("b"))
+        .collect()
+    }
+    untouched_checked = 0
+    for (d, f), ino in inodes_before.items():
+        b = int(d.split("=")[1])
+        path = os.path.join(image_dir, d, f)
+        if b not in touched_buckets:
+            assert os.stat(path).st_ino == ino, (d, f)
+            untouched_checked += 1
+    assert untouched_checked > 0  # the partial-rewrite claim was exercised

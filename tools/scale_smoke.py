@@ -403,6 +403,235 @@ def main() -> None:
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
 
+    # ---- r9: the r9 additions end-to-end, plus the REFRESH-COST
+    # isolation experiment: hold the CHANGE fixed in absolute size
+    # while the corpus grows 10×. End-to-end catalog runs include the
+    # fixture build (itself snapshot-sized), so the isolation rows are
+    # what separate the claims: the snapshot-CDC sink's second refresh
+    # must track the snapshot (diff + image rewrite), the op-log
+    # sink's must track the delta (flat), and the pruned IVM refresh
+    # must read only the touched buckets of the 10× base.
+    for qname, lbl in (
+        ("streaming_cdc_oplog_pipeline", "cdc_oplog_3gen"),
+        ("streaming_cdc_tombstone_pipeline", "cdc_tombstone_3gen"),
+        ("ivm_join_delta_pruned_base", "ivm_join_delta_pruned"),
+        ("ivm_minmax_support", "ivm_minmax"),
+        (
+            "streaming_distinct_count_view_maintenance",
+            "streaming_distinct_view_3gen",
+        ),
+    ):
+        run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
+        run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _signed_delta,
+        ivm_pruned_join_refresh,
+    )
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _land_generations,
+        _oplog_from_versions,
+    )
+    from epe_data_wrangling_spark.streaming.ops import (
+        cdc_oplog_foreach_batch,
+        cdc_retraction_foreach_batch,
+    )
+
+    def _carve_fixed_delta(sfdir):
+        """v1 → v2 with a FIXED-absolute-size change: status flips on
+        keys ≡0 mod 9973 below the replica shift (10M), so the base
+        corpus and the 10× replica carry the SAME ~600-row delta."""
+        o = spark.read.parquet(os.path.join(sfdir, "orders.parquet"))
+        v1 = o.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderstatus",
+        )
+        v2 = v1.withColumn(
+            "o_orderstatus",
+            F.when(
+                (F.col("o_orderkey") % 9973 == 0)
+                & (F.col("o_orderkey") < 10_000_000),
+                F.lit("X"),
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        return v1, v2
+
+    snap_schema = (
+        "o_orderkey BIGINT, cents BIGINT, o_orderstatus STRING, "
+        "snapshot_version INT"
+    )
+    oplog_schema = (
+        "o_orderkey BIGINT, seq BIGINT, op STRING, o_orderstatus STRING, "
+        "cents BIGINT, prev_o_orderstatus STRING, prev_cents BIGINT"
+    )
+
+    for tag, sfdir in (("sf01", base), ("10x", mix2)):
+        v1, v2 = _carve_fixed_delta(sfdir)
+        # snapshot-fed sink: bootstrap untimed, SECOND refresh timed —
+        # its cost is the full-image diff + image rewrite
+        root = f"{WORK}/cdcsnap_{tag}"
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+
+        def go_snap(root=root, landing=landing):
+            stream = spark.readStream.schema(snap_schema).parquet(landing)
+            return cdc_retraction_foreach_batch(
+                stream,
+                os.path.join(root, "state"),
+                key_cols=["o_orderkey"],
+                version_col="snapshot_version",
+                group_cols=["o_orderstatus"],
+                sum_cols=["cents"],
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+        _land_generations(
+            landing, [v1.withColumn("snapshot_version", F.lit(1))], prefix="a"
+        )
+        go_snap()  # bootstrap (corpus-sized by definition) — untimed
+        _land_generations(
+            landing, [v2.withColumn("snapshot_version", F.lit(2))], prefix="b"
+        )
+        run(f"cdc_snapshot_2nd_refresh_{tag}", go_snap)
+
+        # op-log sink: same change, delivered as ~600 U-ops (built
+        # pre-timer — the log producer's job); the timed refresh is
+        # delta + |groups| only, no image anywhere
+        root = f"{WORK}/cdclog_{tag}"
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+
+        def go_log(root=root, landing=landing):
+            stream = spark.readStream.schema(oplog_schema).parquet(landing)
+            return cdc_oplog_foreach_batch(
+                stream,
+                os.path.join(root, "state"),
+                op_col="op",
+                seq_col="seq",
+                group_cols=["o_orderstatus"],
+                sum_cols=["cents"],
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+        _land_generations(
+            landing, [_oplog_from_versions(None, v1, 10**10)], prefix="a"
+        )
+        go_log()  # bootstrap load — untimed
+        _land_generations(
+            landing, [_oplog_from_versions(v1, v2, 2 * 10**10)], prefix="b"
+        )
+        run(f"cdc_oplog_2nd_refresh_{tag}", go_log)
+
+        # tombstone sink: same fixed-delta experiment but the change
+        # is ~60 keys (mod 99731) over 256 buckets, so the timed
+        # second refresh rewrites only the touched slice of the 10×
+        # image (the rest hardlinks) — cost must grow far slower than
+        # the snapshot sink's
+        from epe_data_wrangling_spark.catalog.streaming_q import (
+            _tombstone_log_from_versions,
+        )
+        from epe_data_wrangling_spark.streaming.ops import (
+            cdc_tombstone_foreach_batch,
+        )
+
+        o_ = spark.read.parquet(os.path.join(sfdir, "orders.parquet"))
+        t1 = o_.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderstatus",
+        )
+        t2 = t1.withColumn(
+            "o_orderstatus",
+            F.when(
+                (F.col("o_orderkey") % 99731 == 0)
+                & (F.col("o_orderkey") < 10_000_000),
+                F.lit("X"),
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        tomb_schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_orderstatus STRING, cents BIGINT"
+        )
+        root = f"{WORK}/cdctomb_{tag}"
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+
+        def go_tomb(root=root, landing=landing):
+            stream = spark.readStream.schema(tomb_schema).parquet(landing)
+            return cdc_tombstone_foreach_batch(
+                stream,
+                os.path.join(root, "state"),
+                key_cols=["o_orderkey"],
+                op_col="op",
+                seq_col="seq",
+                group_cols=["o_orderstatus"],
+                sum_cols=["cents"],
+                n_buckets=256,
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+        _land_generations(
+            landing, [_tombstone_log_from_versions(None, t1, 10**10)], prefix="a"
+        )
+        go_tomb()  # bootstrap image build — untimed
+        _land_generations(
+            landing, [_tombstone_log_from_versions(t1, t2, 2 * 10**10)], prefix="b"
+        )
+        run(f"cdc_tombstone_2nd_refresh_{tag}", go_tomb)
+
+        # pruned vs full-scan IVM join refresh on a sparse dim delta
+        # (10 customer keys flip segment at every scale → ≤10 of 64
+        # buckets touched); base partitioned write is the standing
+        # store, built untimed
+        cdf = spark.read.parquet(os.path.join(sfdir, "customer.parquet"))
+        s1 = cdf.select("c_custkey", "c_mktsegment")
+        s2 = s1.withColumn(
+            "c_mktsegment",
+            F.when(
+                (F.col("c_custkey") % 1499 == 0)
+                & (F.col("c_custkey") < 10_000_000),
+                F.lit("MACHINERY"),
+            ).otherwise(F.col("c_mktsegment")),
+        )
+        r1 = spark.read.parquet(os.path.join(sfdir, "orders.parquet")).select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            "o_orderstatus",
+        )
+        base_dir = f"{WORK}/ivm_base_{tag}"
+        r1.withColumn("_kb", F.pmod(F.col("o_custkey"), F.lit(64))).write.partitionBy(
+            "_kb"
+        ).parquet(base_dir)
+        stored = spark.read.parquet(base_dir)
+        dR = spark.createDataFrame(
+            [],
+            "o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, "
+            "o_orderstatus STRING, sign INT",
+        )
+        dS = _signed_delta(s1, s2, "c_custkey", ["c_mktsegment"]).localCheckpoint(
+            eager=True
+        )
+        sfull, sd = stored.alias("sf"), dS.alias("ds")
+        run(
+            f"ivm_refresh_fullscan_{tag}",
+            sfull.join(
+                F.broadcast(sd), F.col("sf.o_custkey") == F.col("ds.c_custkey")
+            )
+            .groupBy("c_mktsegment", "o_orderstatus")
+            .agg(
+                F.sum("sign").alias("dn"),
+                F.sum(F.col("sign") * F.col("cents")).alias("ds_"),
+            ),
+        )
+        run(
+            f"ivm_refresh_pruned_{tag}",
+            lambda stored=stored, dR=dR, s1=s1, dS=dS: ivm_pruned_join_refresh(
+                spark, stored, dR, s1, dS
+            )[0],
+        )
+
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
     print(
