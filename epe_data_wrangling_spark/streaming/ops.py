@@ -879,6 +879,49 @@ def cdc_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def _link_untouched_buckets(image_dir: str, stage_image_dir: str, touched) -> None:
+    """Complete a partially-rewritten bucketed image in the staging
+    dir: every ``_kb=<b>`` bucket dir NOT in ``touched`` has its data
+    files HARDLINKED from the committed image (one metadata op per
+    file — the local-FS analogue of a table format re-pointing
+    unchanged data files in its manifest; falls back to a copy on
+    filesystems without link support). Shared by every sink that
+    maintains a bucket-partitioned standing image."""
+    import os
+    import shutil
+
+    touched_dirs = {f"_kb={int(b)}" for b in touched}
+    for d in os.listdir(image_dir):
+        if not d.startswith("_kb=") or d in touched_dirs:
+            continue
+        src_dir = os.path.join(image_dir, d)
+        dst_dir = os.path.join(stage_image_dir, d)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in os.listdir(src_dir):
+            if not fname.endswith(".parquet"):
+                continue
+            try:
+                os.link(
+                    os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+                )
+            except OSError:
+                shutil.copy2(
+                    os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
+                )
+
+
+def _has_bucket_files(image_dir: str) -> bool:
+    """True iff a bucketed image dir holds at least one data file — a
+    committed image may hold ZERO (every key deleted), and schema
+    inference would fail on it; an empty image behaves like none."""
+    import glob as globmod
+    import os
+
+    return os.path.isdir(image_dir) and bool(
+        globmod.glob(os.path.join(globmod.escape(image_dir), "_kb=*", "*.parquet"))
+    )
+
+
 def cdc_tombstone_foreach_batch(
     oplog: DataFrame,
     target_dir: str,
@@ -933,7 +976,6 @@ def cdc_tombstone_foreach_batch(
     """
     import json
     import os
-    import shutil
 
     business = list(group_cols) + list(sum_cols)
     extra = [c for c in business if c not in key_cols]
@@ -989,15 +1031,8 @@ def cdc_tombstone_foreach_batch(
         touched = sorted(
             r["b"] for r in last_ops.select(kb.alias("b")).distinct().collect()
         )
-        import glob as globmod
-
         image_dir = os.path.join(target_dir, "image")
-        # a committed image may hold ZERO data files (every key
-        # deleted) — schema inference would fail on it, and an empty
-        # image behaves exactly like no image
-        have_image = os.path.isdir(image_dir) and bool(
-            globmod.glob(os.path.join(globmod.escape(image_dir), "_kb=*", "*.parquet"))
-        )
+        have_image = _has_bucket_files(image_dir)
         old_touched = (
             spark.read.parquet(image_dir).filter(
                 F.col("_kb").isin([int(b) for b in touched])
@@ -1046,30 +1081,9 @@ def cdc_tombstone_foreach_batch(
             os.path.join(stage, "image")
         )
         if have_image:
-            # untouched buckets: hardlink every data file into the stage
-            # (metadata-only; falls back to copy on filesystems without
-            # link support) so the swap commits a complete image without
-            # rewriting unchanged data
-            touched_dirs = {f"_kb={int(b)}" for b in touched}
-            for d in os.listdir(image_dir):
-                if not d.startswith("_kb=") or d in touched_dirs:
-                    continue
-                src_dir = os.path.join(image_dir, d)
-                dst_dir = os.path.join(stage, "image", d)
-                os.makedirs(dst_dir, exist_ok=True)
-                for fname in os.listdir(src_dir):
-                    if not fname.endswith(".parquet"):
-                        continue
-                    try:
-                        os.link(
-                            os.path.join(src_dir, fname),
-                            os.path.join(dst_dir, fname),
-                        )
-                    except OSError:
-                        shutil.copy2(
-                            os.path.join(src_dir, fname),
-                            os.path.join(dst_dir, fname),
-                        )
+            # untouched buckets: hardlink into the stage so the swap
+            # commits a complete image without rewriting unchanged data
+            _link_untouched_buckets(image_dir, os.path.join(stage, "image"), touched)
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
@@ -1503,6 +1517,393 @@ def join_view_foreach_batch(
 
     _run_foreach_batch(snapshots, _apply, checkpoint_dir, "join_view", timeout_sec)
     return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
+def join_view_oplog_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    rel_col: str,
+    r_tag: str,
+    s_tag: str,
+    op_col: str,
+    seq_col: str,
+    r_key: list[str],
+    s_key: list[str],
+    r_join: str,
+    s_join: str,
+    r_cols: list[str],
+    s_cols: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    prev_prefix: str = "prev_",
+    n_buckets: int = 64,
+    verify_before_images: bool = True,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TRUE-DELTA maintenance of a JOIN view — the composition of this
+    module's r9 pieces into the 100 TB materialized-view shape: the
+    stream carries ONE operation log over TWO relations (rows tagged
+    ``rel_col`` ∈ {r_tag, s_tag} and ``op_col`` ∈ {'I','U','D'}, with
+    after-images on I/U, before-images (``prev_<c>``) on U/D, and one
+    strictly increasing ``seq`` across both relations — the database's
+    LSN), and each batch refreshes γ(R ⋈ S) through the signed
+    bilinear expansion ΔR⋈S_old + R_old⋈ΔS + ΔR⋈ΔS where the deltas
+    come STRAIGHT from the log (no snapshot diff anywhere) and the
+    standing images exist only because the bilinear terms need the
+    counterpart relation.
+
+    What makes this the at-scale shape:
+
+    - Both standing images are stored partitioned by their JOIN key's
+      bucket (``_kb = pmod(hash(join_col), n_buckets)``), so each
+      Δ-term's counterpart scan is PRUNED to the delta's touched
+      buckets (``_kb IN (...)`` partition filter + the delta broadcast)
+      — the streaming twin of ``catalog.evolve_q.ivm_pruned_join_refresh``.
+    - Image rewrites touch only the buckets the batch's keys occupy
+      (old bucket from the before-image's join value — an update may
+      MOVE a row between buckets — new bucket from the after-image's);
+      untouched buckets hardlink through the commit
+      (`_link_untouched_buckets`). Within a batch the LAST op per
+      primary key decides the final image; for the VIEW no dedup is
+      needed at all — signed multiset algebra cancels intermediate
+      states, and every downstream use is linear, so batch-split
+      invariance holds algebraically.
+    - No bootstrap special case: with an empty counterpart image the
+      ΔR⋈S_old and R_old⋈ΔS terms vanish and ΔR⋈ΔS carries the whole
+      contribution — a relation the log has not yet introduced simply
+      contributes nothing yet.
+    - ``verify_before_images`` (default on) is the log-divergence
+      guard the standing image makes possible: per primary key, the
+      EARLIEST op in the batch must agree with the committed image —
+      a U/D over a key the image does not hold, an I over a key it
+      does, or a before-image whose digest differs from the stored
+      row all RAISE instead of silently corrupting the view. The
+      check is delta + touched-bucket sized.
+
+    Exactly-once and validation follow the op-log sink's discipline
+    (batch-id + file provenance + ``last_seq`` high-water committed in
+    the swap; unknown op tags and duplicate seq raise). ``how`` is
+    inner-join only; the outer counting-problem terms remain on the
+    snapshot sink. Contracts: primary keys immutable within U (a key
+    change is D+I), deterministic business rendering, integer
+    ``sum_cols``; n=0 groups persist — finalize with ``n > 0``.
+
+    Target layout (one atomic swap): ``image_r/``, ``image_s/``
+    (bucketed), ``view/``, ``_ivm_meta.json``.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    if set(r_cols) & set(r_key) or set(s_cols) & set(s_key):
+        raise ValueError(
+            "join_view_oplog sink: r_cols/s_cols must not repeat key "
+            "columns — keys are stored alongside, and their before-image "
+            "is the key itself (keys are immutable within U; a key change "
+            "is D+I)"
+        )
+    out_cols = list(group_cols) + list(sum_cols)
+
+    def _kb_of(col: str):
+        return F.pmod(F.hash(F.col(col)), F.lit(n_buckets))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "join_view_oplog"):
+            return
+        op = F.col(op_col)
+        v = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(~op.isin("I", "U", "D"), 1).otherwise(0)).alias("bad"),
+            F.min(seq_col).alias("lo"),
+            F.max(seq_col).alias("hi"),
+            F.count_distinct(F.col(seq_col)).alias("nseq"),
+        ).collect()[0]
+        if v["n"] == 0:
+            return
+        if v["bad"]:
+            raise RuntimeError(
+                f"join_view_oplog sink: {v['bad']} rows carry an op tag "
+                "outside {'I','U','D'}"
+            )
+        if v["nseq"] != v["n"]:
+            raise RuntimeError(
+                f"join_view_oplog sink: batch carries {v['n']} ops but only "
+                f"{v['nseq']} distinct {seq_col!r} values"
+            )
+        last_seq = meta.get("last_seq")
+        if last_seq is not None and v["lo"] <= last_seq:
+            raise RuntimeError(
+                f"join_view_oplog sink: op sequence {v['lo']} arrived after "
+                f"{last_seq} was applied — duplicate delivery outside the "
+                "replay protocol would double-apply"
+            )
+
+        def _load_side(tag, keys, cols, join_col):
+            """Everything one relation contributes this batch:
+            (signed delta | None, per-relation state for the image
+            rewrite)."""
+            ops_df = batch_df.filter(F.col(rel_col) == tag)
+            if ops_df.isEmpty():
+                return None, None
+            ops_df = ops_df.localCheckpoint(eager=True)  # feeds 4+ consumers
+            retract = ops_df.filter(op.isin("U", "D")).select(
+                *keys,
+                *[F.col(f"{prev_prefix}{c}").alias(c) for c in cols],
+                F.lit(-1).alias("sign"),
+            )
+            insert = ops_df.filter(op.isin("I", "U")).select(
+                *keys, *cols, F.lit(1).alias("sign")
+            )
+            delta = retract.unionByName(insert).localCheckpoint(eager=True)
+            return delta, ops_df
+
+        dR, r_ops = _load_side(r_tag, r_key, r_cols, r_join)
+        dS, s_ops = _load_side(s_tag, s_key, s_cols, s_join)
+
+        def _read_image(sub, keys, cols):
+            d = os.path.join(target_dir, sub)
+            return spark.read.parquet(d) if _has_bucket_files(d) else None
+
+        img_r = _read_image("image_r", r_key, r_cols)
+        img_s = _read_image("image_s", s_key, s_cols)
+
+        def _empty(keys, cols, like):
+            schema = like.select(
+                *keys, *cols, F.lit(0).alias("_kb")
+            ).schema
+            return spark.createDataFrame([], schema)
+
+        def _pruned(image, delta, join_col):
+            """Counterpart image restricted to the delta's touched
+            join-key buckets — a static partition filter planned from
+            a ≤ n_buckets collect of the (broadcast-sized) delta."""
+            buckets = [
+                int(r["b"])
+                for r in delta.select(_kb_of(join_col).alias("b"))
+                .distinct()
+                .collect()
+            ]
+            return image.filter(F.col("_kb").isin(buckets))
+
+        def _pick(a_alias, b_alias, c):
+            src = a_alias if c in r_cols else b_alias
+            return F.col(f"{src}.{c}").alias(c)
+
+        terms = []
+        if dR is not None and img_s is not None:
+            so = _pruned(img_s, dR, r_join).alias("so")
+            dr = dR.alias("dr")
+            terms.append(
+                so.join(
+                    F.broadcast(dr), F.col(f"dr.{r_join}") == F.col(f"so.{s_join}")
+                ).select(
+                    *[_pick("dr", "so", c) for c in out_cols],
+                    F.col("dr.sign").alias("sign"),
+                )
+            )
+        if dS is not None and img_r is not None:
+            ro = _pruned(img_r, dS, s_join).alias("ro")
+            ds_ = dS.alias("ds")
+            terms.append(
+                ro.join(
+                    F.broadcast(ds_), F.col(f"ro.{r_join}") == F.col(f"ds.{s_join}")
+                ).select(
+                    *[_pick("ro", "ds", c) for c in out_cols],
+                    F.col("ds.sign").alias("sign"),
+                )
+            )
+        if dR is not None and dS is not None:
+            dr, ds_ = dR.alias("dr"), dS.alias("ds")
+            terms.append(
+                dr.join(ds_, F.col(f"dr.{r_join}") == F.col(f"ds.{s_join}")).select(
+                    *[_pick("dr", "ds", c) for c in out_cols],
+                    (F.col("dr.sign") * F.col("ds.sign")).alias("sign"),
+                )
+            )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view"))
+            if os.path.isdir(os.path.join(target_dir, "view"))
+            else None
+        )
+        if terms:
+            all_terms = terms[0]
+            for t in terms[1:]:
+                all_terms = all_terms.unionByName(t)
+            dview = all_terms.groupBy(*group_cols).agg(
+                F.sum("sign").cast("bigint").alias("n"),
+                *[
+                    F.sum(F.col("sign") * F.col(c)).cast("bigint").alias(f"sum_{c}")
+                    for c in sum_cols
+                ],
+            )
+            view = _additive_merge(
+                view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
+            )
+        if view is None:
+            # first batch introduced only one relation: the view is
+            # legitimately empty, but it must still commit (typed)
+            view = spark.createDataFrame(
+                [],
+                ", ".join(
+                    [f"{c} string" for c in group_cols]
+                    + ["n bigint"]
+                    + [f"sum_{c} bigint" for c in sum_cols]
+                ),
+            )
+
+        stage = f"{target_dir}.stage-{batch_id}"
+
+        def _rewrite_image(sub, image, ops_df, keys, cols, join_col):
+            """Touched-bucket rewrite of one relation's standing image
+            (+ the before-image divergence guard)."""
+            if ops_df is None:  # relation absent this batch: image unchanged
+                if os.path.isdir(os.path.join(target_dir, sub)):
+                    _link_untouched_buckets(
+                        os.path.join(target_dir, sub),
+                        os.path.join(stage, sub),
+                        set(),
+                    )
+                return
+            w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+            last_ops = (
+                ops_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .localCheckpoint(eager=True)
+            )
+            # a KEY join column has no prev_ twin (keys are immutable
+            # within U — a key change is D+I), so it is its own
+            # before-image
+            prev_join = (
+                F.col(join_col)
+                if join_col in keys
+                else F.col(f"{prev_prefix}{join_col}")
+            )
+            # F.hash(NULL) is 42, not NULL — guard each side so an I op
+            # (no before-image) or a D op (no after-image) does not
+            # spuriously touch bucket 42 % n_buckets
+            touched = {
+                int(r["b"])
+                for r in ops_df.select(
+                    F.explode(
+                        F.array(
+                            F.when(
+                                prev_join.isNotNull(),
+                                F.pmod(F.hash(prev_join), F.lit(n_buckets)),
+                            ),
+                            F.when(F.col(join_col).isNotNull(), _kb_of(join_col)),
+                        )
+                    ).alias("b")
+                )
+                .filter(F.col("b").isNotNull())
+                .distinct()
+                .collect()
+            }
+            old_touched = (
+                image.filter(F.col("_kb").isin(sorted(touched)))
+                if image is not None
+                else _empty(keys, cols, ops_df)
+            )
+            if verify_before_images:
+                # the earliest op per key must agree with the image:
+                # U/D carry a before-image that must exist and match;
+                # I must land on an absent key
+                w_asc = Window.partitionBy(*keys).orderBy(F.col(seq_col).asc())
+                first_ops = (
+                    ops_df.withColumn("_rn", F.row_number().over(w_asc))
+                    .filter(F.col("_rn") == 1)
+                    .select(
+                        *keys,
+                        op,
+                        _row_digest(
+                            [f"{prev_prefix}{c}" for c in cols]
+                        ).alias("_prev_rh"),
+                    )
+                    .alias("fo")
+                )
+                stored = old_touched.select(
+                    *keys, _row_digest(cols).alias("_rh"), F.lit(True).alias("_in")
+                ).alias("st")
+                cond = F.lit(True)
+                for k in keys:
+                    cond = cond & (F.col(f"fo.{k}") == F.col(f"st.{k}"))
+                chk = first_ops.join(stored, cond, "left").agg(
+                    F.sum(
+                        F.when(
+                            (F.col(f"fo.{op_col}").isin("U", "D"))
+                            & F.col("st._in").isNull(),
+                            1,
+                        ).otherwise(0)
+                    ).alias("ud_missing"),
+                    F.sum(
+                        F.when(
+                            (F.col(f"fo.{op_col}") == "I")
+                            & F.col("st._in").isNotNull(),
+                            1,
+                        ).otherwise(0)
+                    ).alias("i_existing"),
+                    F.sum(
+                        F.when(
+                            (F.col(f"fo.{op_col}").isin("U", "D"))
+                            & F.col("st._in").isNotNull()
+                            & (F.col("fo._prev_rh") != F.col("st._rh")),
+                            1,
+                        ).otherwise(0)
+                    ).alias("prev_mismatch"),
+                ).collect()[0]
+                problems = {
+                    k: chk[k]
+                    for k in ("ud_missing", "i_existing", "prev_mismatch")
+                    if chk[k]
+                }
+                if problems:
+                    raise RuntimeError(
+                        f"join_view_oplog sink: {sub} log DIVERGES from the "
+                        f"standing image: {problems} (update/delete of an "
+                        "absent key, insert over a present key, or a "
+                        "before-image that does not match the stored row) — "
+                        "refusing to apply; re-snapshot the source or fix "
+                        "the log"
+                    )
+            keyset = last_ops.select(*keys)
+            survivors = old_touched.join(
+                F.broadcast(keyset), keys, "left_anti"
+            ).select(*keys, *cols, "_kb")
+            upserts = last_ops.filter(op == "U").unionByName(
+                last_ops.filter(op == "I")
+            ).select(*keys, *cols, _kb_of(join_col).alias("_kb"))
+            survivors.unionByName(upserts).write.partitionBy("_kb").mode(
+                "overwrite"
+            ).parquet(os.path.join(stage, sub))
+            if image is not None:
+                _link_untouched_buckets(
+                    os.path.join(target_dir, sub), os.path.join(stage, sub), touched
+                )
+
+        _rewrite_image("image_r", img_r, r_ops, r_key, r_cols, r_join)
+        _rewrite_image("image_s", img_s, s_ops, s_key, s_cols, s_join)
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(oplog, _apply, checkpoint_dir, "join_view_oplog", timeout_sec)
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
 def purchase_click_attribution_outer(

@@ -1579,3 +1579,254 @@ def test_tombstone_partial_rewrite_and_semantics(spark, tmp_path):
             assert os.stat(path).st_ino == ino, (d, f)
             untouched_checked += 1
     assert untouched_checked > 0  # the partial-rewrite claim was exercised
+
+
+_JVLOG_SCHEMA = (
+    "rel STRING, seq BIGINT, op STRING, o_orderkey BIGINT, "
+    "o_custkey BIGINT, cents BIGINT, o_orderstatus STRING, "
+    "prev_o_custkey BIGINT, prev_cents BIGINT, prev_o_orderstatus STRING, "
+    "c_custkey BIGINT, c_mktsegment STRING, prev_c_mktsegment STRING"
+)
+
+
+def _jvlog_run(spark, landing, target, ckpt, max_files, verify=True):
+    from epe_data_wrangling_spark.streaming.ops import (
+        join_view_oplog_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_JVLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return join_view_oplog_foreach_batch(
+        stream,
+        target,
+        rel_col="rel",
+        r_tag="R",
+        s_tag="S",
+        op_col="op",
+        seq_col="seq",
+        r_key=["o_orderkey"],
+        s_key=["c_custkey"],
+        r_join="o_custkey",
+        s_join="c_custkey",
+        r_cols=["o_custkey", "cents", "o_orderstatus"],
+        s_cols=["c_mktsegment"],
+        group_cols=["c_mktsegment", "o_orderstatus"],
+        sum_cols=["cents"],
+        n_buckets=8,
+        verify_before_images=verify,
+        checkpoint_dir=ckpt,
+    )
+
+
+def _land_jvlog(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen}")
+    spark.createDataFrame(rows, _JVLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _r_op(seq, op, key, cust, cents, st, pcust=None, pcents=None, pst=None):
+    return ("R", seq, op, key, cust, cents, st, pcust, pcents, pst, None, None, None)
+
+
+def _s_op(seq, op, key, seg, pseg=None):
+    return ("S", seq, op, None, None, None, None, None, None, None, key, seg, pseg)
+
+
+def test_join_view_oplog_bucket_moves_and_semantics(spark, tmp_path):
+    """Hand-built log exercising the cases the big carving cannot
+    isolate: an UPDATE that moves a fact row between join-key buckets
+    (custkey change — the image row must relocate and the view must
+    migrate the contribution between dim groups), a dim attribute
+    update, a delete, and a late-arriving dim key that picks up facts
+    inserted before it existed (the no-bootstrap-special-case
+    algebra)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    # gen1: dims c1=SEG_A, c2=SEG_B; facts o1->c1 (10), o2->c1 (20)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", 1, "SEG_A"),
+        _s_op(2, "I", 2, "SEG_B"),
+        _r_op(3, "I", 101, 1, 10, "O"),
+        _r_op(4, "I", 102, 1, 20, "O"),
+        _r_op(5, "I", 103, 7, 70, "O"),  # c7 does not exist yet
+    ])
+    target = str(tmp_path / "state")
+    view = _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {("SEG_A", "O"): (2, 30)}  # o103 unmatched: inner join
+    # gen2: move o102 to c2 (bucket + group migration), bump cents;
+    # dim c1 renames segment; late dim key c7 arrives
+    _land_jvlog(spark, landing, 2, [
+        _r_op(10, "U", 102, 2, 25, "O", 1, 20, "O"),
+        _s_op(11, "U", 1, "SEG_A2", "SEG_A"),
+        _s_op(12, "I", 7, "SEG_C"),
+    ])
+    view = _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {
+        ("SEG_A2", "O"): (1, 10),   # o101 under the renamed segment
+        ("SEG_B", "O"): (1, 25),    # o102 migrated and re-priced
+        ("SEG_C", "O"): (1, 70),    # o103 picked up by the late dim key
+    }
+    # image_r: o102 now lives in c2's bucket
+    img = spark.read.parquet(os.path.join(target, "image_r"))
+    [row] = img.filter(F.col("o_orderkey") == 102).collect()
+    assert row["o_custkey"] == 2 and row["cents"] == 25
+    # gen3: delete o101
+    _land_jvlog(spark, landing, 3, [_r_op(20, "D", 101, None, None, None, 1, 10, "O")])
+    view = _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {("SEG_B", "O"): (1, 25), ("SEG_C", "O"): (1, 70)}
+
+
+def test_join_view_oplog_divergence_guard(spark, tmp_path):
+    """A log that disagrees with the committed image must RAISE, not
+    corrupt the view: (a) a before-image whose values differ from the
+    stored row; (b) an insert over a key the image already holds;
+    (c) an update of a key the image does not hold."""
+    import os
+
+    import pytest
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", 1, "SEG_A"),
+        _r_op(2, "I", 101, 1, 10, "O"),
+    ])
+    target = str(tmp_path / "state")
+    _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    cases = [
+        _r_op(10, "U", 101, 1, 11, "O", 1, 999, "O"),  # prev cents wrong
+        _r_op(10, "I", 101, 1, 11, "O"),               # I over existing
+        _r_op(10, "U", 555, 1, 11, "O", 1, 10, "O"),   # U of absent key
+    ]
+    for i, bad in enumerate(cases):
+        bad_landing = tmp_path / f"bad{i}"
+        os.makedirs(bad_landing)
+        # copy gen1 then append the bad op as gen2
+        import shutil
+
+        shutil.copytree(str(landing / "g1"), str(bad_landing / "g1"))
+        _land_jvlog(spark, bad_landing, 2, [bad])
+        t = str(tmp_path / f"state{i}")
+        with pytest.raises(Exception, match="DIVERGES"):
+            _jvlog_run(
+                spark, str(bad_landing), t, str(tmp_path / f"ckb{i}"), 1
+            )
+
+
+def test_join_view_oplog_invariant_to_batch_split(spark, tmp_path):
+    """The within-batch algebra (no view dedup, last-op-per-key image,
+    net-delta bilinearity) must give the same view whether all three
+    log generations arrive in ONE batch or one per batch — both equal
+    to a direct recompute of γ(v3 ⋈ s2)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.catalog.streaming_q import _rel_oplog
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select(  # noqa: E731
+        "o_orderkey", "o_custkey", "cents", "o_orderstatus"
+    )
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    s1, s2 = _dim_versions(load_table(spark, SF_DIR, "customer"))
+    R_COLS = ["o_custkey", "cents", "o_orderstatus"]
+
+    def tag_r(log):
+        return log.select(
+            F.lit("R").alias("rel"), "seq", "op", "o_orderkey",
+            *R_COLS, *[f"prev_{c}" for c in R_COLS],
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.lit(None).cast("string").alias("prev_c_mktsegment"),
+        )
+
+    def tag_s(log):
+        nulls_r = [
+            F.lit(None).cast(t).alias(c)
+            for c, t in (("o_custkey", "bigint"), ("cents", "bigint"),
+                         ("o_orderstatus", "string"))
+        ]
+        nulls_pr = [
+            F.lit(None).cast(t).alias(f"prev_{c}")
+            for c, t in (("o_custkey", "bigint"), ("cents", "bigint"),
+                         ("o_orderstatus", "string"))
+        ]
+        return log.select(
+            F.lit("S").alias("rel"), "seq", "op",
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            *nulls_r, *nulls_pr,
+            "c_custkey", "c_mktsegment", "prev_c_mktsegment",
+        )
+
+    G = 10**10
+    gens = (
+        tag_r(_rel_oplog(None, v1, "o_orderkey", R_COLS, G)).unionByName(
+            tag_s(_rel_oplog(None, s1, "c_custkey", ["c_mktsegment"], G + 5 * 10**9))
+        ),
+        tag_r(_rel_oplog(v1, v2, "o_orderkey", R_COLS, 2 * G)),
+        tag_r(_rel_oplog(v2, v3, "o_orderkey", R_COLS, 3 * G)).unionByName(
+            tag_s(_rel_oplog(s1, s2, "c_custkey", ["c_mktsegment"], 3 * G + 5 * 10**9))
+        ),
+    )
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, g in enumerate(gens, start=1):
+        p = str(landing / f"g{i}")
+        g.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _jvlog_run(
+            spark, str(landing), str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ck{i}"), max_files,
+        )
+        results.append(
+            {
+                (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+                for r in view.filter(F.col("n") > 0).collect()
+            }
+        )
+    expect = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["s"])
+        for r in v3.join(s2, v3.o_custkey == s2.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert results[0] == results[1] == expect
