@@ -834,48 +834,10 @@ def streaming_distinct_count_view_maintenance(
 
 
 def _oplog_from_versions(old, new, seq_base: int):
-    """Fixture-side op-log emitter — simulates the upstream database
-    producing a Debezium-style changelog between two snapshot versions
-    of the carved orders table: full-outer join on the key, classify
-    I/U/D, carry after-images on I/U and before-images (``prev_*``)
-    on U/D, sequence = ``seq_base`` + key (unique, strictly increasing
-    across generations). ``old is None`` = bootstrap (all rows 'I').
-    This join is snapshot-sized, but it runs in the FIXTURE (the log
-    producer's side of the contract); the sink under test only ever
-    touches the delta-sized log rows it emits."""
-    from pyspark.sql import functions as F
-
-    if old is None:
-        return new.select(
-            "o_orderkey",
-            (F.lit(seq_base) + F.col("o_orderkey")).alias("seq"),
-            F.lit("I").alias("op"),
-            "o_orderstatus",
-            "cents",
-            F.lit(None).cast("string").alias("prev_o_orderstatus"),
-            F.lit(None).cast("bigint").alias("prev_cents"),
-        )
-    a, b = old.alias("a"), new.alias("b")
-    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
-    a_abs = F.col("a.o_orderkey").isNull()
-    b_abs = F.col("b.o_orderkey").isNull()
-    changed = (F.col("a.cents") != F.col("b.cents")) | (
-        F.col("a.o_orderstatus") != F.col("b.o_orderstatus")
-    )
-    return j.filter(a_abs | b_abs | changed).select(
-        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-            "o_orderkey"
-        ),
-        (
-            F.lit(seq_base)
-            + F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
-        ).alias("seq"),
-        F.when(a_abs, "I").when(b_abs, "D").otherwise("U").alias("op"),
-        F.col("b.o_orderstatus").alias("o_orderstatus"),
-        F.col("b.cents").alias("cents"),
-        F.col("a.o_orderstatus").alias("prev_o_orderstatus"),
-        F.col("a.cents").alias("prev_cents"),
-    )
+    """Orders-shaped op-log emitter — thin wrapper over the generic
+    null-safe `_rel_oplog` (one change-detection implementation; a
+    value↔NULL change must emit, which a plain != would drop)."""
+    return _rel_oplog(old, new, "o_orderkey", ["o_orderstatus", "cents"], seq_base)
 
 
 @query(
@@ -1013,9 +975,11 @@ def _tombstone_log_from_versions(old, new, seq_base: int):
     j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
     a_abs = F.col("a.o_orderkey").isNull()
     b_abs = F.col("b.o_orderkey").isNull()
-    changed = (F.col("a.cents") != F.col("b.cents")) | (
-        F.col("a.o_orderstatus") != F.col("b.o_orderstatus")
-    )
+    # null-safe change detection: a value↔NULL transition must emit
+    # an op (a plain != yields NULL and the filter would drop it)
+    changed = ~F.col("a.cents").eqNullSafe(F.col("b.cents")) | ~F.col(
+        "a.o_orderstatus"
+    ).eqNullSafe(F.col("b.o_orderstatus"))
     return j.filter(a_abs | b_abs | changed).select(
         F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
             "o_orderkey"

@@ -361,13 +361,23 @@ def _additive_merge(
 ) -> DataFrame:
     """The |groups|-row full-outer coalesced add every additive-state
     sink shares (typed zero literals so decimal state keeps its
-    precision). ``view is None`` = bootstrap: the delta IS the state."""
+    precision). The join is NULL-SAFE on the group key: a NULL group
+    value is a legitimate group (SQL GROUP BY semantics), and a plain
+    equality join would never match it against its stored row —
+    silently accumulating one duplicate state row per refresh.
+    ``view is None`` = bootstrap: the delta IS the state."""
     if view is None:
         return dview
     types = dict(view.dtypes)
     vw, d = view.alias("vw"), dview.alias("d")
-    return vw.join(d, list(group_cols), "full_outer").select(
-        *group_cols,
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & F.col(f"vw.{c}").eqNullSafe(F.col(f"d.{c}"))
+    return vw.join(d, cond, "full_outer").select(
+        *[
+            F.coalesce(F.col(f"vw.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in group_cols
+        ],
         *[
             (
                 F.coalesce(F.col(f"vw.{c}"), F.lit(0).cast(types[c]))
@@ -738,6 +748,52 @@ def cdc_retraction_foreach_batch(
     return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def _validate_oplog_batch(
+    batch_df: DataFrame,
+    op_col: str,
+    seq_col: str,
+    allowed_ops: tuple,
+    last_seq,
+    tag: str,
+):
+    """The one delta-sized validation pass every op-log sink shares:
+    op tags in the allowed set, in-batch sequence uniqueness (a
+    duplicated op would double-apply), and monotonicity against the
+    committed high-water mark. Returns the stats row, or ``None`` for
+    an empty batch; raises on any violation. Kept in one place so a
+    guard fix cannot drift between the sinks."""
+    op = F.col(op_col)
+    v = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~op.isin(*allowed_ops), 1).otherwise(0)).alias("bad"),
+        F.min(seq_col).alias("lo"),
+        F.max(seq_col).alias("hi"),
+        F.count_distinct(F.col(seq_col)).alias("nseq"),
+    ).collect()[0]
+    if v["n"] == 0:
+        return None
+    if v["bad"]:
+        raise RuntimeError(
+            f"{tag} sink: {v['bad']} rows carry an op tag outside "
+            f"{set(allowed_ops)} — refusing to guess their sign"
+        )
+    if v["nseq"] != v["n"]:
+        raise RuntimeError(
+            f"{tag} sink: batch carries {v['n']} ops but only "
+            f"{v['nseq']} distinct {seq_col!r} values — a duplicated "
+            "op would double-apply"
+        )
+    if last_seq is not None and v["lo"] <= last_seq:
+        raise RuntimeError(
+            f"{tag} sink: op sequence {v['lo']} arrived after "
+            f"{last_seq} was applied — duplicate delivery outside the "
+            "replay protocol (same ops under a new checkpoint?) would "
+            "double-apply; resume with the original checkpoint or point "
+            "at a new target dir"
+        )
+    return v
+
+
 def cdc_oplog_foreach_batch(
     oplog: DataFrame,
     target_dir: str,
@@ -805,37 +861,12 @@ def cdc_oplog_foreach_batch(
         if _is_committed_replay(meta, batch_files, batch_id, "cdc_oplog"):
             return
         op = F.col(op_col)
-        # one delta-sized validation pass: op tags, seq monotonicity
-        # vs the committed high-water mark, in-batch seq uniqueness
-        v = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(~op.isin("I", "U", "D"), 1).otherwise(0)).alias("bad"),
-            F.min(seq_col).alias("lo"),
-            F.max(seq_col).alias("hi"),
-            F.count_distinct(F.col(seq_col)).alias("nseq"),
-        ).collect()[0]
-        if v["n"] == 0:
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("I", "U", "D"),
+            meta.get("last_seq"), "cdc_oplog",
+        )
+        if v is None:
             return  # nothing to apply; committing nothing keeps replay trivial
-        if v["bad"]:
-            raise RuntimeError(
-                f"cdc_oplog sink: {v['bad']} rows carry an op tag outside "
-                "{'I','U','D'} — refusing to guess their sign"
-            )
-        if v["nseq"] != v["n"]:
-            raise RuntimeError(
-                f"cdc_oplog sink: batch carries {v['n']} ops but only "
-                f"{v['nseq']} distinct {seq_col!r} values — a duplicated "
-                "op would double-apply"
-            )
-        last_seq = meta.get("last_seq")
-        if last_seq is not None and v["lo"] <= last_seq:
-            raise RuntimeError(
-                f"cdc_oplog sink: op sequence {v['lo']} arrived after "
-                f"{last_seq} was applied — duplicate delivery outside the "
-                "replay protocol (same ops under a new checkpoint?) would "
-                "double-apply; resume with the original checkpoint or point "
-                "at a new target dir"
-            )
         retract = batch_df.filter(op.isin("U", "D")).select(
             *[F.col(f"{prev_prefix}{c}").alias(c) for c in business],
             F.lit(-1).alias("_sign"),
@@ -991,33 +1022,12 @@ def cdc_tombstone_foreach_batch(
         if _is_committed_replay(meta, batch_files, batch_id, "cdc_tombstone"):
             return
         op = F.col(op_col)
-        v = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(~op.isin("U", "D"), 1).otherwise(0)).alias("bad"),
-            F.min(seq_col).alias("lo"),
-            F.max(seq_col).alias("hi"),
-            F.count_distinct(F.col(seq_col)).alias("nseq"),
-        ).collect()[0]
-        if v["n"] == 0:
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("U", "D"),
+            meta.get("last_seq"), "cdc_tombstone",
+        )
+        if v is None:
             return
-        if v["bad"]:
-            raise RuntimeError(
-                f"cdc_tombstone sink: {v['bad']} rows carry an op tag outside "
-                "{'U','D'}"
-            )
-        if v["nseq"] != v["n"]:
-            raise RuntimeError(
-                f"cdc_tombstone sink: batch carries {v['n']} ops but only "
-                f"{v['nseq']} distinct {seq_col!r} values — a duplicated op "
-                "would double-apply"
-            )
-        last_seq = meta.get("last_seq")
-        if last_seq is not None and v["lo"] <= last_seq:
-            raise RuntimeError(
-                f"cdc_tombstone sink: op sequence {v['lo']} arrived after "
-                f"{last_seq} was applied — duplicate delivery outside the "
-                "replay protocol would double-apply"
-            )
         # net effect per key: the LAST op wins (intermediate signed
         # states cancel); materialize once — it feeds the retraction
         # join, the insert set, and the image rewrite
@@ -1190,9 +1200,20 @@ def distinct_count_view_foreach_batch(
             img = _hashed(
                 batch_df.filter(F.col(version_col) == v).select(*key_cols, *extra)
             )
-            signed = _signed_image_diff(snap, img, key_cols, business)
+            signed = _signed_image_diff(snap, img, key_cols, business).localCheckpoint(
+                eager=True
+            )  # feeds the row count AND the support delta
+            # COUNT(DISTINCT) ignores NULL values (SQL semantics), so
+            # NULL-valued rows contribute to n but never to supports —
+            # and the support lookup is NULL-SAFE on the group (a NULL
+            # group is a legitimate group; a plain equality join would
+            # re-transition it 0→1 on every delta)
+            dn = signed.groupBy(group_col).agg(
+                F.sum("_sign").cast("bigint").alias("n")
+            )
             dsup = (
-                signed.groupBy(group_col, value_col)
+                signed.filter(F.col(value_col).isNotNull())
+                .groupBy(group_col, value_col)
                 .agg(F.sum("_sign").cast("bigint").alias("cnt"))
                 .filter(F.col("cnt") != 0)
             )
@@ -1204,7 +1225,7 @@ def distinct_count_view_foreach_batch(
             )
             trans = ds_.join(
                 sp,
-                (F.col(f"ds.{group_col}") == F.col(f"sp.{group_col}"))
+                F.col(f"ds.{group_col}").eqNullSafe(F.col(f"sp.{group_col}"))
                 & (F.col(f"ds.{value_col}") == F.col(f"sp.{value_col}")),
                 "left",
             ).select(
@@ -1213,10 +1234,8 @@ def distinct_count_view_foreach_batch(
                 (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.cnt")).alias(
                     "new"
                 ),
-                F.col("ds.cnt").alias("dc"),
             )
-            dview = trans.groupBy(group_col).agg(
-                F.sum("dc").cast("bigint").alias("n"),
+            dd = trans.groupBy(group_col).agg(
                 F.sum(
                     F.when((F.col("new") > 0) & (F.col("old") == 0), 1)
                     .when((F.col("new") == 0) & (F.col("old") > 0), -1)
@@ -1224,6 +1243,18 @@ def distinct_count_view_foreach_batch(
                 )
                 .cast("bigint")
                 .alias("d"),
+            )
+            dnn, ddd = dn.alias("dn"), dd.alias("dd")
+            dview = dnn.join(
+                ddd,
+                F.col(f"dn.{group_col}").eqNullSafe(F.col(f"dd.{group_col}")),
+                "full_outer",
+            ).select(
+                F.coalesce(
+                    F.col(f"dn.{group_col}"), F.col(f"dd.{group_col}")
+                ).alias(group_col),
+                F.coalesce(F.col("dn.n"), F.lit(0)).cast("bigint").alias("n"),
+                F.coalesce(F.col("dd.d"), F.lit(0)).cast("bigint").alias("d"),
             )
             view = _additive_merge(view, dview, [group_col], ["n", "d"])
             support = _additive_merge(
@@ -1580,7 +1611,14 @@ def join_view_oplog_foreach_batch(
       a U/D over a key the image does not hold, an I over a key it
       does, or a before-image whose digest differs from the stored
       row all RAISE instead of silently corrupting the view. The
-      check is delta + touched-bucket sized.
+      check is delta + touched-bucket sized, which bounds its reach:
+      U/D divergence is always caught (the before-image's join value
+      locates the stored bucket), but an I over an EXISTING key whose
+      claimed join value hashes to a different bucket is invisible
+      without a full primary-key index — the guard trusts I claims
+      outside the touched buckets. A producer honoring the I/U
+      distinction never hits this; detecting it exactly is the
+      full-key-index (table-format) tier, stated rather than faked.
 
     Exactly-once and validation follow the op-log sink's discipline
     (batch-id + file provenance + ``last_seq`` high-water committed in
@@ -1606,6 +1644,16 @@ def join_view_oplog_foreach_batch(
             "is D+I)"
         )
     out_cols = list(group_cols) + list(sum_cols)
+    stray = set(out_cols) - (set(r_cols) | set(s_cols))
+    if stray:
+        raise ValueError(
+            f"join_view_oplog sink: group/sum columns {sorted(stray)} are in "
+            "neither r_cols nor s_cols — _pick routes unknown names to the S "
+            "side, which would either fail mid-batch or silently aggregate "
+            "the wrong relation (note keys cannot be group columns here; "
+            "carry the key as a non-key business column in the log if the "
+            "view groups by it)"
+        )
 
     def _kb_of(col: str):
         return F.pmod(F.hash(F.col(col)), F.lit(n_buckets))
@@ -1620,32 +1668,12 @@ def join_view_oplog_foreach_batch(
         if _is_committed_replay(meta, batch_files, batch_id, "join_view_oplog"):
             return
         op = F.col(op_col)
-        v = batch_df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(~op.isin("I", "U", "D"), 1).otherwise(0)).alias("bad"),
-            F.min(seq_col).alias("lo"),
-            F.max(seq_col).alias("hi"),
-            F.count_distinct(F.col(seq_col)).alias("nseq"),
-        ).collect()[0]
-        if v["n"] == 0:
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("I", "U", "D"),
+            meta.get("last_seq"), "join_view_oplog",
+        )
+        if v is None:
             return
-        if v["bad"]:
-            raise RuntimeError(
-                f"join_view_oplog sink: {v['bad']} rows carry an op tag "
-                "outside {'I','U','D'}"
-            )
-        if v["nseq"] != v["n"]:
-            raise RuntimeError(
-                f"join_view_oplog sink: batch carries {v['n']} ops but only "
-                f"{v['nseq']} distinct {seq_col!r} values"
-            )
-        last_seq = meta.get("last_seq")
-        if last_seq is not None and v["lo"] <= last_seq:
-            raise RuntimeError(
-                f"join_view_oplog sink: op sequence {v['lo']} arrived after "
-                f"{last_seq} was applied — duplicate delivery outside the "
-                "replay protocol would double-apply"
-            )
 
         def _load_side(tag, keys, cols, join_col):
             """Everything one relation contributes this batch:
@@ -1750,14 +1778,19 @@ def join_view_oplog_foreach_batch(
             )
         if view is None:
             # first batch introduced only one relation: the view is
-            # legitimately empty, but it must still commit (typed)
+            # legitimately empty, but it must still commit — typed from
+            # the BATCH's actual column types (hardcoding string group
+            # columns would poison the merge key type on batch 2)
             view = spark.createDataFrame(
                 [],
-                ", ".join(
-                    [f"{c} string" for c in group_cols]
-                    + ["n bigint"]
-                    + [f"sum_{c} bigint" for c in sum_cols]
-                ),
+                batch_df.select(
+                    *group_cols,
+                    F.lit(0).cast("bigint").alias("n"),
+                    *[
+                        F.lit(0).cast("bigint").alias(f"sum_{c}")
+                        for c in sum_cols
+                    ],
+                ).schema,
             )
 
         stage = f"{target_dir}.stage-{batch_id}"

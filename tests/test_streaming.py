@@ -1830,3 +1830,44 @@ def test_join_view_oplog_invariant_to_batch_split(spark, tmp_path):
         .collect()
     }
     assert results[0] == results[1] == expect
+
+
+def test_distinct_count_null_values_follow_sql_semantics(spark, tmp_path):
+    """COUNT(DISTINCT) ignores NULL values (SQL), and the support
+    lookup must be null-safe: NULL-valued rows contribute to n but
+    never to d, and repeated deltas over a NULL-valued group must not
+    re-transition it 0→1 each refresh."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    schema = (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "snapshot_version INT"
+    )
+    v1 = [(1, None, "A"), (2, 7, "A")]
+    v2 = [(1, None, "A"), (2, 7, "A"), (3, None, "A")]  # another NULL arrives
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, rows in ((1, v1), (2, v2)):
+        p = str(landing / f"v{i}")
+        (
+            spark.createDataFrame(
+                rows, "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING"
+            )
+            .withColumn("snapshot_version", F.lit(i))
+            .coalesce(1)
+            .write.parquet(p)
+        )
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    view = _distinct_view_run(
+        spark, str(landing), str(tmp_path / "state"),
+        str(tmp_path / "ckpt"), 1, schema,
+    )
+    [row] = view.filter(F.col("n") > 0).collect()
+    # 3 rows, but only customer 7 is a countable distinct value
+    assert (row["o_orderstatus"], row["n"], row["d"]) == ("A", 3, 1)
