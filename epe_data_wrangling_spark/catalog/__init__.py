@@ -89,14 +89,14 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: the externally-validated surface for the round. The window ROTATES
 #: each round; as of r8 every query that existed at the r8 freeze is
 #: driver-validated (256/256, judge-reverified), so the r9 window
-#: carries (a) the 10 anchors, (b) the 6 queries ADDED during r9
+#: carries (a) the 10 anchors, (b) the 7 queries ADDED during r9
 #: (never driver-certified), and (c) stalest-certified re-certs
 #: (oldest green driver row first, per tools/rotate_window.py) —
 #: mostly r1/r2-vintage greens now 7-8 rounds old — so driver
 #: evidence ages out nowhere. ann_cosine_topk_arrow is rows-only BY
 #: DESIGN (Arrow/BLAS float summation order); its slot keeps driver
 #: row+schema evidence fresh. A green r9 record certifies the full
-#: 262-query catalog. Queries outside the window remain locally
+#: 263-query catalog. Queries outside the window remain locally
 #: verified every round by tools/verify_local.py (the full
 #: DuckDB-differential sweep).
 PRIORITY_ORDER = [
@@ -111,17 +111,19 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the 6 queries added during r9 (never driver-certified):
+    # --- the 7 queries added during r9 (never driver-certified):
     # streaming COUNT(DISTINCT) sink, true-delta op-log CDC,
     # partition-pruned IVM join refresh, MIN/MAX support-multiset IVM,
     # tombstone CDC over a bucket-partitioned standing image, and the
-    # capstone: true-delta JOIN-view maintenance over a two-rel op-log
+    # capstone pair: true-delta JOIN-view maintenance over a two-rel
+    # op-log, inner and outer (counting problem from the log)
     "streaming_distinct_count_view_maintenance",
     "streaming_cdc_oplog_pipeline",
     "ivm_join_delta_pruned_base",
     "ivm_minmax_support",
     "streaming_cdc_tombstone_pipeline",
     "streaming_join_view_oplog_pipeline",
+    "streaming_outer_join_view_oplog_pipeline",
     # --- stalest re-certs (oldest green driver row first; the
     # arrow twin keeps rows-only evidence fresh by design)
     "ann_cosine_topk_arrow",
@@ -157,7 +159,6 @@ PRIORITY_ORDER = [
     "multimodal_image_meta",
     "q10_returned_revenue",
     "q12_shipmode_priority",
-    "q18_large_orders",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

@@ -1463,6 +1463,174 @@ def streaming_join_view_oplog_pipeline(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "streaming_outer_join_view_oplog_pipeline",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS st
+      FROM orders WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE st END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1),
+    s2 AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 8 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer WHERE c_custkey % 9 != 5)
+    SELECT COALESCE(s2.c_mktsegment, '(none)') AS c_mktsegment,
+           v3.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v3.cents) AS BIGINT) AS cents_sum
+    FROM v3 LEFT JOIN s2 ON v3.o_custkey = s2.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_outer_join_view_oplog_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OUTER-join view maintenance from the op-log — the counting
+    problem evaluated entirely from the changelog, with every term
+    still bucket-pruned (``join_view_oplog_foreach_batch`` with
+    ``how="left_outer"``; same carving and SAME oracle as the
+    snapshot-fed ``streaming_outer_join_view_maintenance``): ΔR rows
+    landing outside the batch-FINAL dim key set take '(none)' — K₂
+    computed only on ΔR's touched buckets (pruned old keys ∖ batch
+    deletes ∪ batch upserts), never a full dim scan — and R_old rows
+    of dim keys whose net presence changed migrate between the
+    ∅-group and matched groups, scanning the same ΔS-bucket-pruned
+    fact image as the bilinear term. The three generations put both
+    migration directions in play (dim keys ≡2 mod 9 ENTER between s1
+    and s2, ≡5 mod 9 LEAVE) and the dim-silent generation 2 must
+    cause no spurious migrations. Bootstrap needs no special case:
+    gen 1's unmatched fact inserts fall out as ΔR∖K₂. The oracle
+    recomputes γ(v3 ⟕ s2) directly — the hash certifies three
+    generations of pure-delta outer maintenance ≡ recompute(final)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select(  # noqa: E731
+        "o_orderkey", "o_custkey", "cents", "o_orderstatus"
+    )
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
+
+    R_COLS = ["o_custkey", "cents", "o_orderstatus"]
+    S_COLS = ["c_mktsegment"]
+
+    def tag_r(log):
+        return log.select(
+            F.lit("R").alias("rel"),
+            "seq",
+            "op",
+            "o_orderkey",
+            *R_COLS,
+            *[f"prev_{c}" for c in R_COLS],
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.lit(None).cast("string").alias("prev_c_mktsegment"),
+        )
+
+    def tag_s(log):
+        return log.select(
+            F.lit("S").alias("rel"),
+            "seq",
+            "op",
+            F.lit(None).cast("bigint").alias("o_orderkey"),
+            *[F.lit(None).cast(t).alias(c) for c, t in
+              (("o_custkey", "bigint"), ("cents", "bigint"),
+               ("o_orderstatus", "string"))],
+            *[F.lit(None).cast(t).alias(f"prev_{c}") for c, t in
+              (("o_custkey", "bigint"), ("cents", "bigint"),
+               ("o_orderstatus", "string"))],
+            "c_custkey",
+            *S_COLS,
+            *[f"prev_{c}" for c in S_COLS],
+        )
+
+    G = 10**10
+    gens = (
+        tag_r(_rel_oplog(None, v1, "o_orderkey", R_COLS, 1 * G)).unionByName(
+            tag_s(_rel_oplog(None, s1, "c_custkey", S_COLS, 1 * G + 5 * 10**9))
+        ),
+        tag_r(_rel_oplog(v1, v2, "o_orderkey", R_COLS, 2 * G)),
+        tag_r(_rel_oplog(v2, v3, "o_orderkey", R_COLS, 3 * G)).unionByName(
+            tag_s(_rel_oplog(s1, s2, "c_custkey", S_COLS, 3 * G + 5 * 10**9))
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="outer_join_view_oplog_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        _land_generations(landing, gens)
+        schema = (
+            "rel STRING, seq BIGINT, op STRING, o_orderkey BIGINT, "
+            "o_custkey BIGINT, cents BIGINT, o_orderstatus STRING, "
+            "prev_o_custkey BIGINT, prev_cents BIGINT, "
+            "prev_o_orderstatus STRING, c_custkey BIGINT, "
+            "c_mktsegment STRING, prev_c_mktsegment STRING"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.join_view_oplog_foreach_batch(
+            stream,
+            target,
+            rel_col="rel",
+            r_tag="R",
+            s_tag="S",
+            op_col="op",
+            seq_col="seq",
+            r_key=["o_orderkey"],
+            s_key=["c_custkey"],
+            r_join="o_custkey",
+            s_join="c_custkey",
+            r_cols=R_COLS,
+            s_cols=S_COLS,
+            group_cols=["c_mktsegment", "o_orderstatus"],
+            sum_cols=["cents"],
+            how="left_outer",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "c_mktsegment",
+                "o_orderstatus",
+                F.col("n").alias("n_rows"),
+                F.col("sum_cents").alias("cents_sum"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "c_mktsegment STRING, o_orderstatus STRING, n_rows BIGINT, "
+            "cents_sum BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "streaming_outer_join_view_maintenance",
     oracle="""
     WITH v2 AS (

@@ -1567,6 +1567,8 @@ def join_view_oplog_foreach_batch(
     s_cols: list[str],
     group_cols: list[str],
     sum_cols: list[str],
+    how: str = "inner",
+    null_group: str = "(none)",
     prev_prefix: str = "prev_",
     n_buckets: int = 64,
     verify_before_images: bool = True,
@@ -1622,9 +1624,20 @@ def join_view_oplog_foreach_batch(
 
     Exactly-once and validation follow the op-log sink's discipline
     (batch-id + file provenance + ``last_seq`` high-water committed in
-    the swap; unknown op tags and duplicate seq raise). ``how`` is
-    inner-join only; the outer counting-problem terms remain on the
-    snapshot sink. Contracts: primary keys immutable within U (a key
+    the swap; unknown op tags and duplicate seq raise).
+
+    ``how="left_outer"`` maintains γ(R ⟕ S) (requires ``s_join`` to BE
+    S's key — the FK-dim regime — and ``sum_cols ⊆ r_cols``): the
+    Gupta–Mumick counting-problem terms are evaluated from the log
+    with the same pruning discipline as everything else — ΔR rows
+    landing outside the batch-FINAL dim key set take ``null_group``
+    (K₂ computed only on ΔR's buckets: pruned old keys ∖ batch
+    deletes ∪ batch upserts), and R_old rows of dim keys whose net
+    presence changed migrate in (+1, key left S) or out (−1, key
+    joined S) of the ∅-group, scanning the same ΔS-bucket-pruned fact
+    image as the bilinear term. No term is ever relation-sized.
+
+    Contracts: primary keys immutable within U (a key
     change is D+I), deterministic business rendering, integer
     ``sum_cols``; n=0 groups persist — finalize with ``n > 0``.
 
@@ -1643,6 +1656,21 @@ def join_view_oplog_foreach_batch(
             "is the key itself (keys are immutable within U; a key change "
             "is D+I)"
         )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"join_view_oplog sink: unsupported how={how!r}")
+    if how == "left_outer":
+        if list(s_key) != [s_join]:
+            raise ValueError(
+                "join_view_oplog sink: left_outer maintenance requires "
+                "s_join to BE S's key (the FK-dim regime) — key-set "
+                "membership is what places unmatched rows"
+            )
+        if not set(sum_cols) <= set(r_cols):
+            raise ValueError(
+                "join_view_oplog sink: left_outer maintenance requires "
+                "sum_cols ⊆ r_cols — an S-sourced measure has no value on "
+                "unmatched rows"
+            )
     out_cols = list(group_cols) + list(sum_cols)
     stray = set(out_cols) - (set(r_cols) | set(s_cols))
     if stray:
@@ -1710,45 +1738,119 @@ def join_view_oplog_foreach_batch(
             ).schema
             return spark.createDataFrame([], schema)
 
-        def _pruned(image, delta, join_col):
-            """Counterpart image restricted to the delta's touched
-            join-key buckets — a static partition filter planned from
-            a ≤ n_buckets collect of the (broadcast-sized) delta."""
-            buckets = [
+        def _pick(a_alias, b_alias, c):
+            src = a_alias if c in r_cols else b_alias
+            return F.col(f"{src}.{c}").alias(c)
+
+        def _null_pick(side: str, c: str):
+            if c in r_cols:
+                return F.col(f"{side}.{c}").alias(c)
+            return F.lit(null_group).alias(c)
+
+        def _buckets(delta, join_col):
+            return [
                 int(r["b"])
                 for r in delta.select(_kb_of(join_col).alias("b"))
                 .distinct()
                 .collect()
             ]
-            return image.filter(F.col("_kb").isin(buckets))
-
-        def _pick(a_alias, b_alias, c):
-            src = a_alias if c in r_cols else b_alias
-            return F.col(f"{src}.{c}").alias(c)
 
         terms = []
-        if dR is not None and img_s is not None:
-            so = _pruned(img_s, dR, r_join).alias("so")
+        if dR is not None:
+            bR = _buckets(dR, r_join)
+            so_pruned = (
+                img_s.filter(F.col("_kb").isin(bR)) if img_s is not None else None
+            )
             dr = dR.alias("dr")
-            terms.append(
-                so.join(
-                    F.broadcast(dr), F.col(f"dr.{r_join}") == F.col(f"so.{s_join}")
-                ).select(
-                    *[_pick("dr", "so", c) for c in out_cols],
-                    F.col("dr.sign").alias("sign"),
+            if so_pruned is not None:
+                terms.append(
+                    so_pruned.alias("so")
+                    .join(
+                        F.broadcast(dr),
+                        F.col(f"dr.{r_join}") == F.col(f"so.{s_join}"),
+                    )
+                    .select(
+                        *[_pick("dr", "so", c) for c in out_cols],
+                        F.col("dr.sign").alias("sign"),
+                    )
                 )
+            if how == "left_outer":
+                # the counting-problem ∅-term: ΔR rows landing outside
+                # the batch-FINAL dim key set. K₂ is evaluated only on
+                # ΔR's buckets: old keys from the pruned image, minus
+                # keys the batch deletes, plus keys it upserts there —
+                # never a full dim scan.
+                k_old = (
+                    so_pruned.select(F.col(s_join))
+                    if so_pruned is not None
+                    else dR.select(F.col(r_join).alias(s_join)).limit(0)
+                )
+                if s_ops is not None:
+                    w_s = Window.partitionBy(*s_key).orderBy(F.col(seq_col).desc())
+                    s_last = (
+                        s_ops.withColumn("_rn", F.row_number().over(w_s))
+                        .filter(F.col("_rn") == 1)
+                    )
+                    dels = s_last.filter(op == "D").select(*s_key)
+                    ups = (
+                        s_last.filter(op != "D")
+                        .select(*s_key)
+                        .filter(_kb_of(s_join).isin(bR))
+                    )
+                    k2 = (
+                        k_old.join(dels, [s_join], "left_anti")
+                        .unionByName(ups)
+                        .distinct()
+                    )
+                else:
+                    k2 = k_old
+                terms.append(
+                    dr.join(
+                        F.broadcast(k2.alias("k2")),
+                        F.col(f"dr.{r_join}") == F.col(f"k2.{s_join}"),
+                        "left_anti",
+                    ).select(
+                        *[_null_pick("dr", c) for c in out_cols],
+                        F.col("dr.sign").alias("sign"),
+                    )
+                )
+        if dS is not None:
+            bS = _buckets(dS, s_join)
+            ro_pruned = (
+                img_r.filter(F.col("_kb").isin(bS)) if img_r is not None else None
             )
-        if dS is not None and img_r is not None:
-            ro = _pruned(img_r, dS, s_join).alias("ro")
             ds_ = dS.alias("ds")
-            terms.append(
-                ro.join(
-                    F.broadcast(ds_), F.col(f"ro.{r_join}") == F.col(f"ds.{s_join}")
-                ).select(
-                    *[_pick("ro", "ds", c) for c in out_cols],
-                    F.col("ds.sign").alias("sign"),
+            if ro_pruned is not None:
+                ro = ro_pruned.alias("ro")
+                terms.append(
+                    ro.join(
+                        F.broadcast(ds_),
+                        F.col(f"ro.{r_join}") == F.col(f"ds.{s_join}"),
+                    ).select(
+                        *[_pick("ro", "ds", c) for c in out_cols],
+                        F.col("ds.sign").alias("sign"),
+                    )
                 )
-            )
+                if how == "left_outer":
+                    # migrations: R_old rows of dim keys whose PRESENCE
+                    # changed this batch (net −1 = key left S → rows
+                    # enter the ∅-group; net +1 = key joined S → rows
+                    # leave it). Attribute-only updates net 0 and are
+                    # fully handled by the bilinear terms. The R scan is
+                    # the same ΔS-bucket-pruned image as t2.
+                    net = dS.groupBy(s_join).agg(F.sum("sign").alias("_net"))
+                    removed = net.filter(F.col("_net") == -1).select(s_join)
+                    added = net.filter(F.col("_net") == 1).select(s_join)
+                    for keyset_t, sgn in ((removed, 1), (added, -1)):
+                        terms.append(
+                            ro.join(
+                                F.broadcast(keyset_t.alias("kt")),
+                                F.col(f"ro.{r_join}") == F.col(f"kt.{s_join}"),
+                            ).select(
+                                *[_null_pick("ro", c) for c in out_cols],
+                                F.lit(sgn).alias("sign"),
+                            )
+                        )
         if dR is not None and dS is not None:
             dr, ds_ = dR.alias("dr"), dS.alias("ds")
             terms.append(

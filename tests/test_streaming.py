@@ -1589,7 +1589,7 @@ _JVLOG_SCHEMA = (
 )
 
 
-def _jvlog_run(spark, landing, target, ckpt, max_files, verify=True):
+def _jvlog_run(spark, landing, target, ckpt, max_files, verify=True, how="inner"):
     from epe_data_wrangling_spark.streaming.ops import (
         join_view_oplog_foreach_batch,
     )
@@ -1614,6 +1614,7 @@ def _jvlog_run(spark, landing, target, ckpt, max_files, verify=True):
         s_cols=["c_mktsegment"],
         group_cols=["c_mktsegment", "o_orderstatus"],
         sum_cols=["cents"],
+        how=how,
         n_buckets=8,
         verify_before_images=verify,
         checkpoint_dir=ckpt,
@@ -1737,11 +1738,17 @@ def test_join_view_oplog_divergence_guard(spark, tmp_path):
             )
 
 
-def test_join_view_oplog_invariant_to_batch_split(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("how", ["inner", "left_outer"])
+def test_join_view_oplog_invariant_to_batch_split(spark, tmp_path, how):
     """The within-batch algebra (no view dedup, last-op-per-key image,
-    net-delta bilinearity) must give the same view whether all three
-    log generations arrive in ONE batch or one per batch — both equal
-    to a direct recompute of γ(v3 ⋈ s2)."""
+    net-delta bilinearity — plus, in outer mode, the counting-problem
+    terms with K₂ evaluated per batch) must give the same view whether
+    all three log generations arrive in ONE batch or one per batch —
+    both equal to a direct recompute of γ(v3 ⋈/⟕ s2). In outer mode
+    the '(none)' group must be present and load-bearing."""
     import os
 
     from pyspark.sql import functions as F
@@ -1814,7 +1821,7 @@ def test_join_view_oplog_invariant_to_batch_split(spark, tmp_path):
     for i, max_files in enumerate((None, 1)):
         view = _jvlog_run(
             spark, str(landing), str(tmp_path / f"state{i}"),
-            str(tmp_path / f"ck{i}"), max_files,
+            str(tmp_path / f"ck{i}"), max_files, how=how,
         )
         results.append(
             {
@@ -1822,14 +1829,21 @@ def test_join_view_oplog_invariant_to_batch_split(spark, tmp_path):
                 for r in view.filter(F.col("n") > 0).collect()
             }
         )
+    if how == "inner":
+        direct = v3.join(s2, v3.o_custkey == s2.c_custkey)
+        seg = F.col("c_mktsegment")
+    else:
+        direct = v3.join(s2, v3.o_custkey == s2.c_custkey, "left")
+        seg = F.coalesce(F.col("c_mktsegment"), F.lit("(none)"))
     expect = {
         (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["s"])
-        for r in v3.join(s2, v3.o_custkey == s2.c_custkey)
-        .groupBy("c_mktsegment", "o_orderstatus")
+        for r in direct.groupBy(seg.alias("c_mktsegment"), "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
         .collect()
     }
     assert results[0] == results[1] == expect
+    if how == "left_outer":
+        assert any(k[0] == "(none)" for k in expect), "∅-group not load-bearing"
 
 
 def test_distinct_count_null_values_follow_sql_semantics(spark, tmp_path):

@@ -415,6 +415,7 @@ def main() -> None:
         ("streaming_cdc_oplog_pipeline", "cdc_oplog_3gen"),
         ("streaming_cdc_tombstone_pipeline", "cdc_tombstone_3gen"),
         ("streaming_join_view_oplog_pipeline", "join_view_oplog_3gen"),
+        ("streaming_outer_join_view_oplog_pipeline", "outer_join_view_oplog_3gen"),
         ("ivm_join_delta_pruned_base", "ivm_join_delta_pruned"),
         ("ivm_minmax_support", "ivm_minmax"),
         (
