@@ -1885,3 +1885,128 @@ def test_distinct_count_null_values_follow_sql_semantics(spark, tmp_path):
     [row] = view.filter(F.col("n") > 0).collect()
     # 3 rows, but only customer 7 is a countable distinct value
     assert (row["o_orderstatus"], row["n"], row["d"]) == ("A", 3, 1)
+
+
+def test_cdc_oplog_and_tombstone_on_randomized_op_sequences(spark, tmp_path):
+    """The log-apply algebra beyond the one catalog carving: seeded
+    pseudo-random op sequences over a small keyspace — inserts,
+    updates, deletes, delete-then-reinsert, and multi-op chains on one
+    key within a generation — emitted in BOTH changelog dialects
+    (before-image op log; after-image + tombstones) and applied one
+    generation per batch. Each sink's view must equal a direct
+    recompute of the final table state. Catches sign errors,
+    last-op-per-key mistakes, and image/retraction drift that the
+    fixed carving might not."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.ops import (
+        cdc_oplog_foreach_batch,
+        cdc_tombstone_foreach_batch,
+    )
+
+    statuses = ["A", "B", "C"]
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        truth: dict[int, tuple[str, int]] = {}
+        seq = 0
+        gens_oplog, gens_tomb = [], []
+        for gen in range(3):
+            ops_o, ops_t = [], []
+            keys = list(range(1, 40))
+            rng.shuffle(keys)
+            for k in keys:
+                # up to 2 chained ops per key per generation
+                for _ in range(1 + (rng.random() < 0.25)):
+                    seq += 1
+                    exists = k in truth
+                    if not exists:
+                        if rng.random() < 0.5:
+                            continue  # key stays absent this op
+                        img = (rng.choice(statuses), rng.randrange(100, 999))
+                        truth[k] = img
+                        ops_o.append((k, seq, "I", img[0], img[1], None, None))
+                        ops_t.append((k, seq, "U", img[0], img[1]))
+                    else:
+                        r = rng.random()
+                        if r < 0.3:
+                            prev = truth.pop(k)
+                            ops_o.append((k, seq, "D", None, None, prev[0], prev[1]))
+                            ops_t.append((k, seq, "D", None, None))
+                        elif r < 0.8:
+                            prev = truth[k]
+                            img = (rng.choice(statuses), rng.randrange(100, 999))
+                            truth[k] = img
+                            ops_o.append(
+                                (k, seq, "U", img[0], img[1], prev[0], prev[1])
+                            )
+                            ops_t.append((k, seq, "U", img[0], img[1]))
+                        # else: key untouched by this op slot
+            gens_oplog.append(ops_o)
+            gens_tomb.append(ops_t)
+
+        expect: dict[str, tuple[int, int]] = {}
+        for st, cents in truth.values():
+            n, s = expect.get(st, (0, 0))
+            expect[st] = (n + 1, s + cents)
+
+        def land(rows_per_gen, schema, sub):
+            landing = tmp_path / f"s{seed}_{sub}"
+            os.makedirs(landing)
+            for i, rows in enumerate(rows_per_gen, start=1):
+                p = str(landing / f"g{i}")
+                spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+                for f in os.listdir(p):
+                    if f.endswith(".parquet"):
+                        fp = os.path.join(p, f)
+                        t = os.path.getmtime(fp)
+                        os.utime(fp, (t + i, t + i))
+            return str(landing)
+
+        # before-image op log
+        ol = land(gens_oplog, _OPLOG_SCHEMA, "oplog")
+        stream = (
+            spark.readStream.schema(_OPLOG_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(ol + "/*")
+        )
+        view = cdc_oplog_foreach_batch(
+            stream,
+            str(tmp_path / f"s{seed}_oplog_state"),
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+        )
+        got = {
+            r["o_orderstatus"]: (r["n"], r["sum_cents"])
+            for r in view.filter(F.col("n") > 0).collect()
+        }
+        assert got == expect, (seed, "oplog", got, expect)
+
+        # tombstone log (no before-images; the sink's image supplies them)
+        tl = land(gens_tomb, _TOMB_SCHEMA, "tomb")
+        stream = (
+            spark.readStream.schema(_TOMB_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(tl + "/*")
+        )
+        view = cdc_tombstone_foreach_batch(
+            stream,
+            str(tmp_path / f"s{seed}_tomb_state"),
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+            n_buckets=8,
+        )
+        got = {
+            r["o_orderstatus"]: (r["n"], r["sum_cents"])
+            for r in view.filter(F.col("n") > 0).collect()
+        }
+        assert got == expect, (seed, "tombstone", got, expect)
