@@ -1086,10 +1086,13 @@ def cdc_tombstone_foreach_batch(
             survivors.unionByName(upserts) if survivors is not None else upserts
         )
         # touched buckets only: partitionBy writes dirs for present
-        # values, and only touched-bucket rows are present
-        new_touched.write.partitionBy("_kb").mode("overwrite").parquet(
-            os.path.join(stage, "image")
-        )
+        # values, and only touched-bucket rows are present. Repartition
+        # on the bucket first so each bucket dir gets ~ONE file instead
+        # of one per shuffle partition — over many commits the
+        # alternative is the classic small-files accumulation.
+        new_touched.repartition(max(len(touched), 1), "_kb").write.partitionBy(
+            "_kb"
+        ).mode("overwrite").parquet(os.path.join(stage, "image"))
         if have_image:
             # untouched buckets: hardlink into the stage so the swap
             # commits a complete image without rewriting unchanged data
@@ -2012,12 +2015,16 @@ def join_view_oplog_foreach_batch(
             survivors = old_touched.join(
                 F.broadcast(keyset), keys, "left_anti"
             ).select(*keys, *cols, "_kb")
-            upserts = last_ops.filter(op == "U").unionByName(
-                last_ops.filter(op == "I")
-            ).select(*keys, *cols, _kb_of(join_col).alias("_kb"))
-            survivors.unionByName(upserts).write.partitionBy("_kb").mode(
-                "overwrite"
-            ).parquet(os.path.join(stage, sub))
+            upserts = last_ops.filter(op.isin("U", "I")).select(
+                *keys, *cols, _kb_of(join_col).alias("_kb")
+            )
+            # ~one file per touched bucket dir, not one per shuffle
+            # partition (small-files control across many commits)
+            survivors.unionByName(upserts).repartition(
+                max(len(touched), 1), "_kb"
+            ).write.partitionBy("_kb").mode("overwrite").parquet(
+                os.path.join(stage, sub)
+            )
             if image is not None:
                 _link_untouched_buckets(
                     os.path.join(target_dir, sub), os.path.join(stage, sub), touched
