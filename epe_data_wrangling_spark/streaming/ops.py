@@ -708,7 +708,7 @@ def cdc_retraction_foreach_batch(
                 "monotonic version contract (equal/inverted file mtimes?); "
                 "refusing to apply a diff backwards"
             )
-        for v in versions:  # in-version order; a batch holds few versions
+        for _i, v in enumerate(versions):  # in-version order
             img = _hashed(
                 batch_df.filter(F.col(version_col) == v).select(
                     *key_cols, *extra
@@ -728,6 +728,12 @@ def cdc_retraction_foreach_batch(
                 view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
             )
             snap = img
+            # cut the VIEW's lineage every few versions — a many-version
+            # batch otherwise nests one full-outer merge per version in
+            # the PLAN even when per-version volumes are small (snap does
+            # not nest: it is reassigned from the batch each version)
+            if _i % 4 == 3:
+                view = view.localCheckpoint(eager=True)
         # materialize BOTH tables into the stage (plans still read the
         # pre-swap target), then promote image+view+meta in one swap
         stage = f"{target_dir}.stage-{batch_id}"
@@ -910,14 +916,37 @@ def cdc_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
-def _link_untouched_buckets(image_dir: str, stage_image_dir: str, touched) -> None:
+#: Compaction trigger for bucketed standing state: when an UNTOUCHED
+#: bucket carried through a commit holds more than this many data
+#: files, it is rewritten (compacted to one file) inside that commit
+#: instead of hardlinked. The sinks' own rewrites leave ~one file per
+#: touched bucket, so this fires only on externally-fragmented state
+#: (e.g. a bootstrap image written by a many-partition job) — but it
+#: BOUNDS per-bucket file counts for any input, which unbounded
+#: hardlinking cannot.
+COMPACT_FILE_THRESHOLD = 8
+
+
+def _link_untouched_buckets(
+    image_dir: str,
+    stage_image_dir: str,
+    touched,
+    *,
+    spark=None,
+    compact_threshold: int = COMPACT_FILE_THRESHOLD,
+) -> None:
     """Complete a partially-rewritten bucketed image in the staging
     dir: every ``_kb=<b>`` bucket dir NOT in ``touched`` has its data
     files HARDLINKED from the committed image (one metadata op per
     file — the local-FS analogue of a table format re-pointing
     unchanged data files in its manifest; falls back to a copy on
-    filesystems without link support). Shared by every sink that
-    maintains a bucket-partitioned standing image."""
+    filesystems without link support). When ``spark`` is given and an
+    untouched bucket's file count exceeds ``compact_threshold``, the
+    bucket is COMPACTED instead — read and rewritten as one file into
+    the stage (an executor-side job over just that bucket), so
+    per-bucket file counts stay bounded across arbitrarily many
+    commits regardless of how fragmented the state arrived. Shared by
+    every sink that maintains a bucket-partitioned standing image."""
     import os
     import shutil
 
@@ -927,10 +956,12 @@ def _link_untouched_buckets(image_dir: str, stage_image_dir: str, touched) -> No
             continue
         src_dir = os.path.join(image_dir, d)
         dst_dir = os.path.join(stage_image_dir, d)
+        fnames = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        if spark is not None and len(fnames) > compact_threshold:
+            _compact_bucket_into(spark, src_dir, dst_dir)
+            continue
         os.makedirs(dst_dir, exist_ok=True)
-        for fname in os.listdir(src_dir):
-            if not fname.endswith(".parquet"):
-                continue
+        for fname in fnames:
             try:
                 os.link(
                     os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
@@ -939,6 +970,23 @@ def _link_untouched_buckets(image_dir: str, stage_image_dir: str, touched) -> No
                 shutil.copy2(
                     os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
                 )
+
+
+def _compact_bucket_into(spark, src_dir: str, dst_dir: str) -> None:
+    """Rewrite one bucket directory's rows as a single parquet file in
+    the staging dir (executor-side; the bucket partition column lives
+    in the DIRECTORY name, so reading the dir directly yields exactly
+    the stored row schema and the output drops into place)."""
+    import os
+    import shutil
+
+    tmp = f"{dst_dir}.compact"
+    spark.read.parquet(src_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(dst_dir, exist_ok=True)
+    for fname in os.listdir(tmp):
+        if fname.endswith(".parquet"):
+            os.rename(os.path.join(tmp, fname), os.path.join(dst_dir, fname))
+    shutil.rmtree(tmp)
 
 
 def _has_bucket_files(image_dir: str) -> bool:
@@ -1096,7 +1144,9 @@ def cdc_tombstone_foreach_batch(
         if have_image:
             # untouched buckets: hardlink into the stage so the swap
             # commits a complete image without rewriting unchanged data
-            _link_untouched_buckets(image_dir, os.path.join(stage, "image"), touched)
+            _link_untouched_buckets(
+                image_dir, os.path.join(stage, "image"), touched, spark=spark
+            )
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
@@ -1199,7 +1249,7 @@ def distinct_count_view_foreach_batch(
                 "monotonic version contract (equal/inverted file mtimes?); "
                 "refusing to apply a diff backwards"
             )
-        for v in versions:
+        for _i, v in enumerate(versions):
             img = _hashed(
                 batch_df.filter(F.col(version_col) == v).select(*key_cols, *extra)
             )
@@ -1264,6 +1314,14 @@ def distinct_count_view_foreach_batch(
                 support, dsup, [group_col, value_col], ["cnt"]
             )
             snap = img
+            # a batch may carry MANY versions (no maxFilesPerTrigger
+            # upstream): the lazy merges otherwise nest one full-outer
+            # join per version and the PLAN itself blows up even when
+            # per-version volumes are small — cut the lineage every few
+            # versions (as `signed` already does per-version)
+            if _i % 4 == 3:
+                view = view.localCheckpoint(eager=True)
+                support = support.localCheckpoint(eager=True)
         stage = f"{target_dir}.stage-{batch_id}"
         snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
         support.write.mode("overwrite").parquet(os.path.join(stage, "support"))
@@ -1408,7 +1466,7 @@ def join_view_foreach_batch(
                 "monotonic version contract (equal/inverted file mtimes?); "
                 "refusing to apply a diff backwards"
             )
-        for v in versions:
+        for _vi, v in enumerate(versions):
             vdf = batch_df.filter(F.col(version_col) == v)
             img_r_src = vdf.filter(F.col(rel_col) == r_tag)
             img_s_src = vdf.filter(F.col(rel_col) == s_tag)
@@ -1528,6 +1586,10 @@ def join_view_foreach_batch(
                 snap_r = img_r
             if img_s is not None:
                 snap_s = img_s
+            # cut the view's lineage every few versions (plan-depth
+            # control for many-version batches; images do not nest)
+            if _vi % 4 == 3:
+                view = view.localCheckpoint(eager=True)
         if snap_r is None or snap_s is None:
             raise RuntimeError(
                 "join_view sink: first applied version must carry BOTH "
@@ -1611,19 +1673,22 @@ def join_view_oplog_foreach_batch(
       contribution — a relation the log has not yet introduced simply
       contributes nothing yet.
     - ``verify_before_images`` (default on) is the log-divergence
-      guard the standing image makes possible: per primary key, the
-      EARLIEST op in the batch must agree with the committed image —
+      guard the standing state makes possible: per primary key, the
+      EARLIEST op in the batch must agree with the committed state —
       a U/D over a key the image does not hold, an I over a key it
       does, or a before-image whose digest differs from the stored
-      row all RAISE instead of silently corrupting the view. The
-      check is delta + touched-bucket sized, which bounds its reach:
-      U/D divergence is always caught (the before-image's join value
-      locates the stored bucket), but an I over an EXISTING key whose
-      claimed join value hashes to a different bucket is invisible
-      without a full primary-key index — the guard trusts I claims
-      outside the touched buckets. A producer honoring the I/U
-      distinction never hits this; detecting it exactly is the
-      full-key-index (table-format) tier, stated rather than faked.
+      row all RAISE instead of silently corrupting the view. U/D
+      divergence is caught against the image (the before-image's join
+      value locates the stored bucket); insert-over-present is caught
+      EXACTLY against a primary-KEY INDEX sidecar (``keyidx_r/``,
+      ``keyidx_s/`` — every key once, bucketed by key hash, committed
+      in the same atomic swap), including the cross-bucket case where
+      the I claims a join value that hashes elsewhere. Both checks
+      are delta + touched-bucket sized; the key index is maintained
+      with the same touched-bucket rewrite + hardlink discipline as
+      the images, backfills itself once from the image if absent, and
+      is dropped by the swap while verification is off (so flipping
+      the flag back on re-backfills cleanly).
 
     Exactly-once and validation follow the op-log sink's discipline
     (batch-id + file provenance + ``last_seq`` high-water committed in
@@ -1645,7 +1710,9 @@ def join_view_oplog_foreach_batch(
     ``sum_cols``; n=0 groups persist — finalize with ``n > 0``.
 
     Target layout (one atomic swap): ``image_r/``, ``image_s/``
-    (bucketed), ``view/``, ``_ivm_meta.json``.
+    (bucketed by join value), ``keyidx_r/``, ``keyidx_s/`` (bucketed
+    by key hash; present while verifying), ``view/``,
+    ``_ivm_meta.json``.
 
     Returns the final view as a batch DataFrame.
     """
@@ -1842,6 +1909,22 @@ def join_view_oplog_foreach_batch(
                     # fully handled by the bilinear terms. The R scan is
                     # the same ΔS-bucket-pruned image as t2.
                     net = dS.groupBy(s_join).agg(F.sum("sign").alias("_net"))
+                    # s_join IS S's key in outer mode, so a key's net
+                    # presence change is −1, 0, or +1 by contract;
+                    # |net| ≥ 2 (e.g. a duplicated I with the verifier
+                    # off) means a malformed log — fail loud like the
+                    # sink's other guards instead of silently skipping
+                    # the migration (delta-sized agg).
+                    worst = net.agg(
+                        F.max(F.abs(F.col("_net"))).alias("m")
+                    ).collect()[0]["m"]
+                    if worst is not None and worst > 1:
+                        raise RuntimeError(
+                            "join_view_oplog sink: a dim key's net presence "
+                            f"changed by {worst} in one batch — the log "
+                            "violates the unique-dim-key contract (duplicate "
+                            "insert?); refusing to apply"
+                        )
                     removed = net.filter(F.col("_net") == -1).select(s_join)
                     added = net.filter(F.col("_net") == 1).select(s_join)
                     for keyset_t, sgn in ((removed, 1), (added, -1)):
@@ -1904,12 +1987,14 @@ def join_view_oplog_foreach_batch(
             """Touched-bucket rewrite of one relation's standing image
             (+ the before-image divergence guard)."""
             if ops_df is None:  # relation absent this batch: image unchanged
-                if os.path.isdir(os.path.join(target_dir, sub)):
-                    _link_untouched_buckets(
-                        os.path.join(target_dir, sub),
-                        os.path.join(stage, sub),
-                        set(),
-                    )
+                for carry in (sub, sub.replace("image", "keyidx")):
+                    if os.path.isdir(os.path.join(target_dir, carry)):
+                        _link_untouched_buckets(
+                            os.path.join(target_dir, carry),
+                            os.path.join(stage, carry),
+                            set(),
+                            spark=spark,
+                        )
                 return
             w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
             last_ops = (
@@ -1925,19 +2010,26 @@ def join_view_oplog_foreach_batch(
                 if join_col in keys
                 else F.col(f"{prev_prefix}{join_col}")
             )
-            # F.hash(NULL) is 42, not NULL — guard each side so an I op
-            # (no before-image) or a D op (no after-image) does not
-            # spuriously touch bucket 42 % n_buckets
+            # Gate each side on the OP TYPE, not value nullability: an I
+            # op has no before-image and a D op no after-image, so those
+            # sides must not touch anything — but a NULL join VALUE on a
+            # side the op genuinely carries is a real row (NULL FKs are
+            # routine in the left_outer regime) and must touch the bucket
+            # it is stored in. F.hash(NULL) is 42, so pmod(hash(...))
+            # lands NULL join values in bucket 42 % n_buckets — exactly
+            # where the upsert path's _kb_of(join_col) stores them, so
+            # the touched set, the old-image load, the divergence guard,
+            # and the rewrite all agree on where NULL-join rows live.
             touched = {
                 int(r["b"])
                 for r in ops_df.select(
                     F.explode(
                         F.array(
                             F.when(
-                                prev_join.isNotNull(),
+                                op.isin("U", "D"),
                                 F.pmod(F.hash(prev_join), F.lit(n_buckets)),
                             ),
-                            F.when(F.col(join_col).isNotNull(), _kb_of(join_col)),
+                            F.when(op.isin("I", "U"), _kb_of(join_col)),
                         )
                     ).alias("b")
                 )
@@ -1950,6 +2042,42 @@ def join_view_oplog_foreach_batch(
                 if image is not None
                 else _empty(keys, cols, ops_df)
             )
+            # ---- primary-key index (exact cross-bucket guard + its
+            # maintenance). The image is bucketed by JOIN value, so an
+            # I over an EXISTING key whose claimed join value hashes to
+            # a different bucket is invisible to the image-side checks;
+            # the sidecar stores every key once, bucketed by KEY hash
+            # (partition col reuses the `_kb` name so the hardlink/
+            # compaction helpers apply), making the insert-over-present
+            # check exact at touched-key-bucket cost. Maintained only
+            # while verify_before_images is on; the atomic swap drops
+            # it on an unverified batch, so flipping the flag back on
+            # triggers a clean one-time backfill from the image.
+            kidx_sub = sub.replace("image", "keyidx")
+            kidx_dir = os.path.join(target_dir, kidx_sub)
+            kk = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+            old_keymap = None
+            kidx_linkable = False
+            touched_kk: set[int] = set()
+            if verify_before_images:
+                touched_kk = {
+                    int(r["b"])
+                    for r in ops_df.select(kk.alias("b")).distinct().collect()
+                }
+                if _has_bucket_files(kidx_dir):
+                    old_keymap = spark.read.parquet(kidx_dir).filter(
+                        F.col("_kb").isin(sorted(touched_kk))
+                    )
+                    kidx_linkable = True
+                elif image is not None:
+                    # one-time backfill: derive the full key index from
+                    # the committed image (image-sized scan, ONCE; every
+                    # later batch is touched-bucket-sized again)
+                    old_keymap = image.select(*keys).withColumn("_kb", kk)
+                else:
+                    old_keymap = spark.createDataFrame(
+                        [], ops_df.select(*keys, F.lit(0).alias("_kb")).schema
+                    )
             if verify_before_images:
                 # the earliest op per key must agree with the image:
                 # U/D carry a before-image that must exist and match;
@@ -2011,6 +2139,24 @@ def join_view_oplog_foreach_batch(
                         "refusing to apply; re-snapshot the source or fix "
                         "the log"
                     )
+                # exact insert-over-present check via the key index —
+                # catches the cross-bucket case the image checks cannot
+                # (I claiming a join value that hashes elsewhere);
+                # both sides are delta-/touched-key-bucket-sized
+                n_cross = (
+                    first_ops.filter(F.col(f"fo.{op_col}") == "I")
+                    .select(*keys)
+                    .join(old_keymap.select(*keys), list(keys), "inner")
+                    .count()
+                )
+                if n_cross:
+                    raise RuntimeError(
+                        f"join_view_oplog sink: {sub} log DIVERGES from the "
+                        f"key index: {n_cross} insert(s) over a key the "
+                        "index already holds (possibly stored in a "
+                        "different join-value bucket) — refusing to apply; "
+                        "emit U (or D+I) for existing keys or fix the log"
+                    )
             keyset = last_ops.select(*keys)
             survivors = old_touched.join(
                 F.broadcast(keyset), keys, "left_anti"
@@ -2027,8 +2173,37 @@ def join_view_oplog_foreach_batch(
             )
             if image is not None:
                 _link_untouched_buckets(
-                    os.path.join(target_dir, sub), os.path.join(stage, sub), touched
+                    os.path.join(target_dir, sub),
+                    os.path.join(stage, sub),
+                    touched,
+                    spark=spark,
                 )
+            if verify_before_images:
+                # key-index rewrite, same discipline as the image: keys
+                # with any op this batch drop out of their key-bucket,
+                # final upserts re-enter; untouched key-buckets hardlink
+                # (on backfill there is no source dir — write everything)
+                km_survivors = old_keymap.join(
+                    F.broadcast(keyset), list(keys), "left_anti"
+                ).select(*keys, "_kb")
+                km_upserts = last_ops.filter(op.isin("U", "I")).select(
+                    *keys
+                ).withColumn("_kb", kk)
+                n_km_parts = (
+                    max(len(touched_kk), 1) if kidx_linkable else n_buckets
+                )
+                km_survivors.unionByName(km_upserts).repartition(
+                    n_km_parts, "_kb"
+                ).write.partitionBy("_kb").mode("overwrite").parquet(
+                    os.path.join(stage, kidx_sub)
+                )
+                if kidx_linkable:
+                    _link_untouched_buckets(
+                        kidx_dir,
+                        os.path.join(stage, kidx_sub),
+                        touched_kk,
+                        spark=spark,
+                    )
 
         _rewrite_image("image_r", img_r, r_ops, r_key, r_cols, r_join)
         _rewrite_image("image_s", img_s, s_ops, s_key, s_cols, s_join)

@@ -2010,3 +2010,327 @@ def test_cdc_oplog_and_tombstone_on_randomized_op_sequences(spark, tmp_path):
             for r in view.filter(F.col("n") > 0).collect()
         }
         assert got == expect, (seed, "tombstone", got, expect)
+
+
+def test_join_view_oplog_null_join_values(spark, tmp_path):
+    """NULL join VALUES are real rows (routine FKs in the left_outer
+    regime) and must round-trip the standing image: they store in
+    bucket pmod(hash(NULL)=42, n), the touched set must load that
+    bucket on a later U/D (previously the isNotNull guards skipped it,
+    so the delete spuriously tripped the divergence guard), and in
+    outer mode their contribution lives in the '(none)' group."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", 1, "SEG_A"),
+        _r_op(2, "I", 101, 1, 10, "O"),
+        _r_op(3, "I", 102, None, 20, "O"),   # NULL FK
+    ])
+    target = str(tmp_path / "state")
+    view = _jvlog_run(
+        spark, str(landing), target, str(tmp_path / "ck"), None,
+        how="left_outer",
+    )
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {("SEG_A", "O"): (1, 10), ("(none)", "O"): (1, 20)}
+    # U over the NULL-FK row: before-image join value is NULL — the
+    # touched set must include its bucket or the guard raises ud_missing
+    _land_jvlog(spark, landing, 2, [
+        _r_op(10, "U", 102, None, 25, "O", None, 20, "O"),
+    ])
+    view = _jvlog_run(
+        spark, str(landing), target, str(tmp_path / "ck"), None,
+        how="left_outer",
+    )
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {("SEG_A", "O"): (1, 10), ("(none)", "O"): (1, 25)}
+    # D removes it: image must not keep a stale NULL-FK row
+    _land_jvlog(spark, landing, 3, [
+        _r_op(20, "D", 102, None, None, None, None, 25, "O"),
+    ])
+    view = _jvlog_run(
+        spark, str(landing), target, str(tmp_path / "ck"), None,
+        how="left_outer",
+    )
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {("SEG_A", "O"): (1, 10)}
+    img = spark.read.parquet(os.path.join(target, "image_r"))
+    assert img.filter(F.col("o_orderkey") == 102).count() == 0
+
+
+def test_join_view_oplog_dim_net_violation_raises(spark, tmp_path):
+    """A contract-violating log whose dim key nets |2| in one batch
+    (duplicate I with the verifier off) must RAISE in outer mode, not
+    silently skip the ∅-group migration."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F  # noqa: F401
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", 1, "SEG_A"),
+        _r_op(2, "I", 101, 2, 10, "O"),      # unmatched fact -> (none)
+    ])
+    target = str(tmp_path / "state")
+    _jvlog_run(
+        spark, str(landing), target, str(tmp_path / "ck"), None,
+        verify=False, how="left_outer",
+    )
+    _land_jvlog(spark, landing, 2, [
+        _s_op(10, "I", 2, "SEG_B"),
+        _s_op(11, "I", 2, "SEG_B"),          # duplicate insert: net +2
+    ])
+    with pytest.raises(Exception, match="net presence"):
+        _jvlog_run(
+            spark, str(landing), target, str(tmp_path / "ck"), None,
+            verify=False, how="left_outer",
+        )
+
+
+def test_join_view_oplog_cross_bucket_insert_raises(spark, tmp_path):
+    """The key-index sidecar makes insert-over-present EXACT: an I for
+    a key the image already holds, claiming a join value that hashes
+    to a DIFFERENT bucket, is invisible to the image-side guard (the
+    stored bucket is never loaded) but must raise via keyidx_r."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    def bucket_of(v):
+        return spark.range(1).select(
+            F.pmod(F.hash(F.lit(v).cast("bigint")), F.lit(8)).alias("b")
+        ).collect()[0]["b"]
+
+    j1 = 1
+    j2 = next(v for v in range(2, 64) if bucket_of(v) != bucket_of(j1))
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", j1, "SEG_A"),
+        _r_op(2, "I", 101, j1, 10, "O"),
+    ])
+    target = str(tmp_path / "state")
+    _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    assert os.path.isdir(os.path.join(target, "keyidx_r"))
+    # same primary key 101, join value in another bucket
+    _land_jvlog(spark, landing, 2, [
+        _r_op(10, "I", 101, j2, 11, "O"),
+    ])
+    with pytest.raises(Exception, match="key index"):
+        _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+
+
+def test_join_view_oplog_reinsert_after_delete_ok(spark, tmp_path):
+    """The key index must FORGET deleted keys: I -> D -> I on one key
+    across batches is a legal log and must not trip the
+    insert-over-present check, even when the reinsert claims a join
+    value in a different bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def bucket_of(v):
+        return spark.range(1).select(
+            F.pmod(F.hash(F.lit(v).cast("bigint")), F.lit(8)).alias("b")
+        ).collect()[0]["b"]
+
+    j1 = 1
+    j2 = next(v for v in range(2, 64) if bucket_of(v) != bucket_of(j1))
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", j1, "SEG_A"),
+        _s_op(2, "I", j2, "SEG_B"),
+        _r_op(3, "I", 101, j1, 10, "O"),
+    ])
+    target = str(tmp_path / "state")
+    _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    _land_jvlog(spark, landing, 2, [
+        _r_op(10, "D", 101, None, None, None, j1, 10, "O"),
+    ])
+    _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    _land_jvlog(spark, landing, 3, [
+        _r_op(20, "I", 101, j2, 30, "O"),
+    ])
+    view = _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    got = {
+        (r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {("SEG_B", "O"): (1, 30)}
+
+
+def test_bucket_compaction_bounds_file_count(spark, tmp_path):
+    """An externally-fragmented untouched bucket (more parquet files
+    than COMPACT_FILE_THRESHOLD) is COMPACTED to one file inside the
+    next commit instead of hardlinked — with the view and the bucket's
+    rows unchanged — so per-bucket file counts are bounded no matter
+    how the state arrived."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.ops import (
+        cdc_tombstone_foreach_batch,
+    )
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+
+    def land(gen, rows):
+        p = str(landing / f"g{gen}")
+        spark.createDataFrame(rows, _TOMB_SCHEMA).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + gen, t + gen))
+
+    def run():
+        stream = (
+            spark.readStream.schema(_TOMB_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(landing) + "/*")
+        )
+        return cdc_tombstone_foreach_batch(
+            stream,
+            str(tmp_path / "state"),
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            sum_cols=["cents"],
+            n_buckets=4,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+
+    land(1, [(k, 100 + k, "U", "A", 10) for k in range(32)])
+    run()
+    image_dir = str(tmp_path / "state" / "image")
+
+    # pick a bucket and FRAGMENT it in place: same rows, many files
+    def bucket_of(k):
+        return spark.range(1).select(
+            F.pmod(F.hash(F.lit(k).cast("bigint")), F.lit(4)).alias("b")
+        ).collect()[0]["b"]
+
+    frag_b = next(b for b in range(4) if b != bucket_of(3))
+    frag_dir = os.path.join(image_dir, f"_kb={frag_b}")
+    rows = spark.read.parquet(frag_dir)
+    expected = rows.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    ).collect()[0]
+    tmp_out = str(tmp_path / "frag")
+    rows.repartition(12).write.parquet(tmp_out)
+    for f in os.listdir(frag_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(frag_dir, f))
+    i = 0
+    for f in os.listdir(tmp_out):
+        if f.endswith(".parquet"):
+            os.rename(
+                os.path.join(tmp_out, f),
+                os.path.join(frag_dir, f"frag-{i:03d}.parquet"),
+            )
+            i += 1
+    n_frag = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    assert n_frag > 8  # above COMPACT_FILE_THRESHOLD
+
+    # next commit touches ONLY key 3's bucket — the fragmented bucket
+    # is untouched and must come out compacted, not hardlinked
+    land(2, [(3, 1000, "U", "B", 99)])
+    view = run()
+    got = {
+        r["o_orderstatus"]: (r["n"], r["sum_cents"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {"A": (31, 310), "B": (1, 99)}
+    n_after = len(
+        [f for f in os.listdir(frag_dir) if f.endswith(".parquet")]
+    )
+    assert n_after == 1, n_after
+    # the compacted bucket holds exactly the same rows
+    after = spark.read.parquet(frag_dir).groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    ).collect()[0]
+    assert (after["n"], after["s"]) == (expected["n"], expected["s"])
+
+
+def test_bucketed_image_file_count_bounded_over_many_refreshes(spark, tmp_path):
+    """The small-files story end-to-end: 12 single-op refreshes against
+    a 4-bucket standing image leave every bucket dir with ~one data
+    file (touched buckets are rewritten whole, untouched ones hardlink
+    the same inode through each commit) — per-bucket file counts do
+    not grow with commit count."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from epe_data_wrangling_spark.streaming.ops import (
+        cdc_tombstone_foreach_batch,
+    )
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    rows0 = [(k, 100 + k, "U", "A", 10) for k in range(16)]
+    p = str(landing / "g000")
+    spark.createDataFrame(rows0, _TOMB_SCHEMA).coalesce(1).write.parquet(p)
+    seq = 1000
+    for gen in range(1, 13):  # 12 follow-up single-op generations
+        seq += 1
+        k = gen % 16
+        rows = [(k, seq, "U", "A", 10 + gen)]
+        p = str(landing / f"g{gen:03d}")
+        spark.createDataFrame(rows, _TOMB_SCHEMA).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + gen, t + gen))
+    stream = (
+        spark.readStream.schema(_TOMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(landing) + "/*")
+    )
+    cdc_tombstone_foreach_batch(
+        stream,
+        str(tmp_path / "state"),
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+        group_cols=["o_orderstatus"],
+        sum_cols=["cents"],
+        n_buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    image_dir = str(tmp_path / "state" / "image")
+    counts = {
+        d: len(
+            [
+                f
+                for f in os.listdir(os.path.join(image_dir, d))
+                if f.endswith(".parquet")
+            ]
+        )
+        for d in os.listdir(image_dir)
+        if d.startswith("_kb=")
+    }
+    assert counts and all(c <= 2 for c in counts.values()), counts
