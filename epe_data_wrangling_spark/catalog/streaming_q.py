@@ -841,6 +841,127 @@ def _oplog_from_versions(old, new, seq_base: int):
 
 
 @query(
+    "streaming_distinct_count_oplog_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_distinct_count_oplog_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE-DELTA COUNT(DISTINCT) maintenance — the op-log input shape
+    composed into the support-table algebra (same carving, SAME oracle
+    as the snapshot-fed ``streaming_distinct_count_view_maintenance``,
+    so the two pipelines must hash identically): the upstream emits a
+    before-image changelog (I/U/D, after-images on I/U, ``prev_<c>``
+    on U/D, strictly increasing seq) and
+    ``streaming.ops.distinct_count_oplog_foreach_batch`` applies the
+    signed rows straight to the two-level state — the additive
+    (status, custkey → cnt) support table, stored PARTITIONED by
+    hash(group, value) bucket with touched-bucket lookups/rewrites and
+    hardlinked untouched buckets, and the per-status (COUNT(*),
+    COUNT(DISTINCT)) view whose distinct count moves only on support
+    0↔positive transitions. No snapshot is ever landed and no keyed
+    diff ever runs: this removes the two snapshot-sized costs SCALE.md
+    records for the snapshot-fed twin (landing I/O + diff), leaving
+    per-batch work delta-sized + touched-bucket-sized + a |groups|-row
+    merge. Three changelog generations (bootstrap inserts; the v1→v2
+    log with deletes ≡5 mod 11 and status flips ≡0 mod 13; the v2→v3
+    log with deletes ≡1 mod 17 and flips ≡0 mod 19) land as a file
+    stream; the oracle recomputes v3's COUNT(DISTINCT) directly, so
+    the hash certifies three generations of pure-delta two-level
+    maintenance ≡ recompute(final), with both transition directions
+    and cross-group customer migrations load-bearing. Batch-split
+    invariance, the 1→0→1 round trip, and the negative-support
+    divergence guard are pytest-pinned."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "o_orderstatus"]
+    work = tempfile.mkdtemp(prefix="distinct_oplog_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        G = 10**10
+        _land_generations(
+            landing,
+            [
+                _rel_oplog(None, v1, "o_orderkey", cols, 1 * G),
+                _rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
+                _rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_custkey BIGINT, o_orderstatus STRING, "
+            "prev_o_custkey BIGINT, prev_o_orderstatus STRING"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.distinct_count_oplog_foreach_batch(
+            stream,
+            target,
+            op_col="op",
+            seq_col="seq",
+            group_col="o_orderstatus",
+            value_col="o_custkey",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("d").alias("n_distinct_cust"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n_orders BIGINT, n_distinct_cust BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "streaming_cdc_oplog_pipeline",
     oracle="""
     WITH base AS (

@@ -1163,6 +1163,64 @@ def cdc_tombstone_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def _support_transitions(
+    spark, dsup: DataFrame, support: DataFrame | None, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group COUNT(DISTINCT) delta from net signed support deltas
+    against the standing support: each touched (group, value) joins
+    its OLD count (NULL-SAFE on the group — a NULL group is a
+    legitimate group; plain equality would re-transition it 0→1 every
+    delta) and contributes +1 on a 0→positive transition, −1 on
+    positive→0, 0 otherwise. Shared by the snapshot-fed and the
+    op-log-fed distinct-count sinks so the transition rule cannot
+    drift between them. A zero-count stored row and an absent row
+    behave identically here, which is what lets the bucketed sink
+    drop zeros."""
+    ds_ = dsup.alias("ds")
+    sp = (
+        support
+        if support is not None
+        else spark.createDataFrame([], dsup.schema)
+    ).alias("sp")
+    trans = ds_.join(
+        sp,
+        F.col(f"ds.{group_col}").eqNullSafe(F.col(f"sp.{group_col}"))
+        & (F.col(f"ds.{value_col}") == F.col(f"sp.{value_col}")),
+        "left",
+    ).select(
+        F.col(f"ds.{group_col}").alias(group_col),
+        F.coalesce(F.col("sp.cnt"), F.lit(0)).alias("old"),
+        (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.cnt")).alias("new"),
+    )
+    return trans.groupBy(group_col).agg(
+        F.sum(
+            F.when((F.col("new") > 0) & (F.col("old") == 0), 1)
+            .when((F.col("new") == 0) & (F.col("old") > 0), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d"),
+    )
+
+
+def _combine_n_d(dn: DataFrame, dd: DataFrame, group_col: str) -> DataFrame:
+    """Zip the row-count delta and the distinct-count delta into one
+    view delta row per group (null-safe full outer — either side may
+    miss a group the other touched)."""
+    dnn, ddd = dn.alias("dn"), dd.alias("dd")
+    return dnn.join(
+        ddd,
+        F.col(f"dn.{group_col}").eqNullSafe(F.col(f"dd.{group_col}")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(f"dn.{group_col}"), F.col(f"dd.{group_col}")).alias(
+            group_col
+        ),
+        F.coalesce(F.col("dn.n"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.col("dd.d"), F.lit(0)).cast("bigint").alias("d"),
+    )
+
+
 def distinct_count_view_foreach_batch(
     snapshots: DataFrame,
     target_dir: str,
@@ -1270,45 +1328,8 @@ def distinct_count_view_foreach_batch(
                 .agg(F.sum("_sign").cast("bigint").alias("cnt"))
                 .filter(F.col("cnt") != 0)
             )
-            ds_ = dsup.alias("ds")
-            sp = (
-                support.alias("sp")
-                if support is not None
-                else spark.createDataFrame([], dsup.schema).alias("sp")
-            )
-            trans = ds_.join(
-                sp,
-                F.col(f"ds.{group_col}").eqNullSafe(F.col(f"sp.{group_col}"))
-                & (F.col(f"ds.{value_col}") == F.col(f"sp.{value_col}")),
-                "left",
-            ).select(
-                F.col(f"ds.{group_col}").alias(group_col),
-                F.coalesce(F.col("sp.cnt"), F.lit(0)).alias("old"),
-                (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.cnt")).alias(
-                    "new"
-                ),
-            )
-            dd = trans.groupBy(group_col).agg(
-                F.sum(
-                    F.when((F.col("new") > 0) & (F.col("old") == 0), 1)
-                    .when((F.col("new") == 0) & (F.col("old") > 0), -1)
-                    .otherwise(0)
-                )
-                .cast("bigint")
-                .alias("d"),
-            )
-            dnn, ddd = dn.alias("dn"), dd.alias("dd")
-            dview = dnn.join(
-                ddd,
-                F.col(f"dn.{group_col}").eqNullSafe(F.col(f"dd.{group_col}")),
-                "full_outer",
-            ).select(
-                F.coalesce(
-                    F.col(f"dn.{group_col}"), F.col(f"dd.{group_col}")
-                ).alias(group_col),
-                F.coalesce(F.col("dn.n"), F.lit(0)).cast("bigint").alias("n"),
-                F.coalesce(F.col("dd.d"), F.lit(0)).cast("bigint").alias("d"),
-            )
+            dd = _support_transitions(spark, dsup, support, group_col, value_col)
+            dview = _combine_n_d(dn, dd, group_col)
             view = _additive_merge(view, dview, [group_col], ["n", "d"])
             support = _additive_merge(
                 support, dsup, [group_col, value_col], ["cnt"]
@@ -1339,6 +1360,194 @@ def distinct_count_view_foreach_batch(
 
     _run_foreach_batch(snapshots, _apply, checkpoint_dir, "distinct_count", timeout_sec)
     return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
+def distinct_count_oplog_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    op_col: str,
+    seq_col: str,
+    group_col: str,
+    value_col: str,
+    prev_prefix: str = "prev_",
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TRUE-DELTA COUNT(DISTINCT) maintenance — the op-log input shape
+    composed into the support-table algebra, removing both costs that
+    keep the snapshot-fed twin (``distinct_count_view_foreach_batch``)
+    snapshot-bound: the stream carries a before-image operation log
+    (``op_col`` ∈ {'I','U','D'}, after-images on I/U, ``prev_<c>``
+    before-images on U/D, strictly increasing ``seq_col``), so there
+    is NO landed snapshot and NO keyed diff — the signed rows come
+    straight from the log (I → after +1, D → before −1, U → both) and
+    every per-batch cost tracks the CHANGE volume. No standing keyed
+    image exists either: the only standing state is the two-level
+    distinct-count state itself —
+
+    - ``support/``: the additive γ(group, value → cnt) multiset,
+      stored PARTITIONED by ``_kb = pmod(hash(group, value),
+      n_buckets)``. Each batch's support deltas touch only the buckets
+      their (group, value) pairs hash to: the old-count lookup reads
+      the support with a ``_kb IN (touched)`` partition filter, the
+      rewrite materializes only the touched buckets, and untouched
+      buckets HARDLINK through the atomic commit (with the shared
+      over-threshold compaction) — so support I/O tracks the delta,
+      not the corpus-distinct-sized support. Support rows whose count
+      reaches zero are DROPPED (a zero row and an absent row are
+      indistinguishable to the transition rule, and dropping keeps
+      buckets from accumulating dead values); a count going NEGATIVE
+      means the log retracted a value it never inserted and RAISES —
+      the support table itself is this sink's divergence witness.
+    - ``view/``: one (group → n rows, d distinct values) row per
+      group, |groups|-sized. ``n`` moves additively over ALL rows
+      (COUNT(*)); ``d`` moves only on support 0↔positive transitions
+      (COUNT(DISTINCT value) ignores NULL values per SQL, so
+      NULL-valued rows feed ``n`` but never the support). n=0 groups
+      persist; finalize with ``n > 0``.
+
+    Signed support deltas commute, so batch-split invariance holds
+    algebraically (the transition is a function of the committed old
+    count and the batch's NET delta — pytest-pinned along with the
+    1→0→1 round trip). Exactly-once follows the module's discipline:
+    batch-id + file provenance + the ``last_seq`` high-water mark
+    commit inside the same swap as both state levels; replays skip,
+    seq regression / duplicate seq / unknown ops raise. Producer
+    contracts as ``cdc_oplog_foreach_batch`` (exact before-images,
+    key changes as D+I, deterministic value rendering).
+
+    Scale: per batch — one delta-sized validation agg, one
+    (group, value) partial agg over the signed rows, a touched-
+    support-bucket join + rewrite, a |groups|-row view merge, and
+    O(#untouched files) hardlink metadata. SCALE.md carries the
+    fixed-delta isolation row: refresh cost is flat in corpus size,
+    which the snapshot-fed twin's landing + diff floor cannot be.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    kb = F.pmod(F.hash(F.col(group_col), F.col(value_col)), F.lit(n_buckets))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "distinct_oplog"):
+            return
+        op = F.col(op_col)
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("I", "U", "D"),
+            meta.get("last_seq"), "distinct_oplog",
+        )
+        if v is None:
+            return
+        business = [group_col, value_col]
+        retract = batch_df.filter(op.isin("U", "D")).select(
+            *[F.col(f"{prev_prefix}{c}").alias(c) for c in business],
+            F.lit(-1).alias("_sign"),
+        )
+        insert = batch_df.filter(op.isin("I", "U")).select(
+            *business, F.lit(1).alias("_sign")
+        )
+        # feeds the row-count delta, the support delta, and (via the
+        # support delta) the touched-bucket collect — materialize once
+        signed = retract.unionByName(insert).localCheckpoint(eager=True)
+        dn = signed.groupBy(group_col).agg(
+            F.sum("_sign").cast("bigint").alias("n")
+        )
+        dsup = (
+            signed.filter(F.col(value_col).isNotNull())
+            .groupBy(group_col, value_col)
+            .agg(F.sum("_sign").cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
+        )
+        support_dir = os.path.join(target_dir, "support")
+        have_sup = _has_bucket_files(support_dir)
+        sup_old = (
+            spark.read.parquet(support_dir).filter(F.col("_kb").isin(touched))
+            if have_sup
+            else None
+        )
+        dd = _support_transitions(
+            spark, dsup, sup_old.drop("_kb") if sup_old is not None else None,
+            group_col, value_col,
+        )
+        dview = _combine_n_d(dn, dd, group_col)
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view"))
+            if os.path.isdir(os.path.join(target_dir, "view"))
+            else None
+        )
+        view = _additive_merge(view, dview, [group_col], ["n", "d"])
+        # merge the touched buckets' support (null-safe on the group;
+        # values are non-null by construction on both sides)
+        so = (
+            sup_old
+            if sup_old is not None
+            else spark.createDataFrame(
+                [], dsup.withColumn("_kb", F.lit(0)).schema
+            )
+        ).alias("so")
+        ds_ = dsup.alias("ds")
+        merged = so.join(
+            ds_,
+            F.col(f"so.{group_col}").eqNullSafe(F.col(f"ds.{group_col}"))
+            & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col(f"so.{group_col}"), F.col(f"ds.{group_col}")).alias(
+                group_col
+            ),
+            F.coalesce(F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")).alias(
+                value_col
+            ),
+            (
+                F.coalesce(F.col("so.cnt"), F.lit(0))
+                + F.coalesce(F.col("ds.cnt"), F.lit(0))
+            ).alias("cnt"),
+        ).localCheckpoint(eager=True)  # feeds the guard agg AND the write
+        worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
+        if worst is not None and worst < 0:
+            raise RuntimeError(
+                "distinct_oplog sink: a support count went NEGATIVE "
+                f"({worst}) — the log retracted a (group, value) it never "
+                "inserted (bad before-image?); refusing to apply"
+            )
+        stage = f"{target_dir}.stage-{batch_id}"
+        merged.filter(F.col("cnt") > 0).withColumn("_kb", kb).repartition(
+            max(len(touched), 1), "_kb"
+        ).write.partitionBy("_kb").mode("overwrite").parquet(
+            os.path.join(stage, "support")
+        )
+        if have_sup:
+            _link_untouched_buckets(
+                support_dir, os.path.join(stage, "support"), touched, spark=spark
+            )
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(oplog, _apply, checkpoint_dir, "distinct_oplog", timeout_sec)
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
 def join_view_foreach_batch(

@@ -2334,3 +2334,206 @@ def test_bucketed_image_file_count_bounded_over_many_refreshes(spark, tmp_path):
         if d.startswith("_kb=")
     }
     assert counts and all(c <= 2 for c in counts.values()), counts
+
+
+_DLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, o_custkey BIGINT, "
+    "o_orderstatus STRING, prev_o_custkey BIGINT, prev_o_orderstatus STRING"
+)
+
+
+def _dlog_land(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen:03d}")
+    spark.createDataFrame(rows, _DLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _dlog_run(spark, landing, target, ckpt, max_files, n_buckets=8):
+    from epe_data_wrangling_spark.streaming.ops import (
+        distinct_count_oplog_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_DLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return distinct_count_oplog_foreach_batch(
+        stream,
+        target,
+        op_col="op",
+        seq_col="seq",
+        group_col="o_orderstatus",
+        value_col="o_custkey",
+        n_buckets=n_buckets,
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_distinct_oplog_view_invariant_to_batch_split(spark, tmp_path):
+    """The op-log distinct-count sink must give the same (n, d) view
+    whether the three changelog generations arrive in one batch or one
+    per batch — both equal to a direct recompute of the final state —
+    because transitions are a function of the COMMITTED old count and
+    the batch's NET support delta."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.catalog.streaming_q import _rel_oplog
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "o_orderstatus"]
+    G = 10**10
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, log in enumerate(
+        (
+            _rel_oplog(None, v1, "o_orderkey", cols, G),
+            _rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
+            _rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+        ),
+        start=1,
+    ):
+        p = str(landing / f"g{i:03d}")
+        log.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _dlog_run(
+            spark, str(landing), str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ck{i}"), max_files,
+        )
+        results.append(
+            {
+                r["o_orderstatus"]: (r["n"], r["d"])
+                for r in view.filter(F.col("n") > 0).collect()
+            }
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_custkey").alias("d"),
+        )
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+
+
+def test_distinct_oplog_one_zero_one_round_trip(spark, tmp_path):
+    """A value's support going 1→0→1 across commits must move d down
+    then back up — the dropped-zero-row convention must behave exactly
+    like an absent row — and NULL values must feed n but never d."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _dlog_land(spark, landing, 1, [
+        (1, 101, "I", 7, "A", None, None),
+        (2, 102, "I", None, "A", None, None),   # NULL value: n only
+    ])
+    view = _dlog_run(spark, str(landing), target, ck, None)
+    [row] = view.filter(F.col("n") > 0).collect()
+    assert (row["o_orderstatus"], row["n"], row["d"]) == ("A", 2, 1)
+    _dlog_land(spark, landing, 2, [
+        (1, 201, "D", None, None, 7, "A"),      # last support of 7 leaves
+    ])
+    view = _dlog_run(spark, str(landing), target, ck, None)
+    [row] = view.filter(F.col("n") > 0).collect()
+    assert (row["o_orderstatus"], row["n"], row["d"]) == ("A", 1, 0)
+    _dlog_land(spark, landing, 3, [
+        (1, 301, "I", 7, "A", None, None),      # 7 returns: 0 -> 1 again
+    ])
+    view = _dlog_run(spark, str(landing), target, ck, None)
+    [row] = view.filter(F.col("n") > 0).collect()
+    assert (row["o_orderstatus"], row["n"], row["d"]) == ("A", 2, 1)
+    # support hygiene: no zero-count rows are stored
+    sup = spark.read.parquet(os.path.join(target, "support"))
+    assert sup.filter(F.col("cnt") <= 0).count() == 0
+
+
+def test_distinct_oplog_negative_support_raises(spark, tmp_path):
+    """Retracting a (group, value) the support never held means the
+    log diverged — the sink must RAISE, not store a negative count."""
+    import pytest
+
+    landing = tmp_path / "landing"
+    import os
+
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    _dlog_land(spark, landing, 1, [(1, 101, "I", 7, "A", None, None)])
+    _dlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    _dlog_land(spark, landing, 2, [
+        (9, 201, "D", None, None, 8, "A"),      # value 8 never inserted
+    ])
+    with pytest.raises(Exception, match="NEGATIVE"):
+        _dlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+
+
+def test_distinct_oplog_support_partial_rewrite(spark, tmp_path):
+    """The bucketed support table is a standing image like any other:
+    a commit touching one (group, value) bucket must HARDLINK every
+    untouched bucket (same inode through the commit) rather than
+    rewrite it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    # 64 distinct values spread over the 8 (group, value) buckets
+    _dlog_land(spark, landing, 1, [
+        (k, 100 + k, "I", k, "A", None, None) for k in range(64)
+    ])
+    _dlog_run(spark, str(landing), target, ck, None)
+    sup_dir = os.path.join(target, "support")
+    inodes = {}
+    for d in os.listdir(sup_dir):
+        if d.startswith("_kb="):
+            for f in os.listdir(os.path.join(sup_dir, d)):
+                if f.endswith(".parquet"):
+                    inodes[(d, f)] = os.stat(os.path.join(sup_dir, d, f)).st_ino
+    # touch exactly one value
+    _dlog_land(spark, landing, 2, [(3, 1000, "D", None, None, 3, "A")])
+    view = _dlog_run(spark, str(landing), target, ck, None)
+    [row] = view.filter(F.col("n") > 0).collect()
+    assert (row["n"], row["d"]) == (63, 63)
+    [tb] = spark.range(1).select(
+        F.pmod(
+            F.hash(F.lit("A"), F.lit(3).cast("bigint")), F.lit(8)
+        ).alias("b")
+    ).collect()
+    untouched_checked = 0
+    for (d, f), ino in inodes.items():
+        if int(d.split("=")[1]) != tb["b"]:
+            assert os.stat(os.path.join(sup_dir, d, f)).st_ino == ino, (d, f)
+            untouched_checked += 1
+    assert untouched_checked > 0
