@@ -1077,6 +1077,126 @@ def streaming_cdc_oplog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "streaming_minmax_view_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_minmax_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MIN/MAX maintenance from the op log — the last
+    aggregate class composed into the standing-sink family (batch twin
+    ``ivm_minmax_support`` certifies one refresh; this certifies the
+    standing loop over the op-log input): deletions can EVICT a
+    group's current extremum, and the replacement must be re-derived
+    from the support multiset γ(status, cents → cnt) that
+    ``streaming.ops.minmax_view_oplog_foreach_batch`` maintains
+    PARTITIONED by group-hash bucket — each batch merges its net
+    support deltas into only the touched buckets (untouched buckets
+    hardlink through the atomic commit) and recomputes MIN/MAX for
+    exactly the touched groups, whose support is complete in those
+    buckets by construction. Three before-image changelog generations
+    of the shared orders carving land as a file stream (the same
+    carving and measure as the CDC trilogy — deletes ≡5 mod 11 and
+    ≡1 mod 17 evict extrema, status flips ≡0 mod 13 / ≡0 mod 19
+    migrate rows across groups, cents bumps ≡0 mod 23 move values);
+    the oracle recomputes v3's MIN/MAX directly, so the hash
+    certifies three generations of support-multiset maintenance ≡
+    recompute(final) — a refresh that kept one stale extremum cannot
+    hash green. Extremum eviction, batch-split invariance, the
+    empty-group round trip, and the negative-support divergence guard
+    are pytest-pinned. Scale: per batch, delta-sized partial aggs +
+    touched-group-bucket support I/O + a |groups|-row view merge —
+    the corpus is never re-aggregated and untouched groups' extrema
+    are never even read."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    work = tempfile.mkdtemp(prefix="minmax_oplog_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing,
+            [
+                _oplog_from_versions(None, v1, 1_0000000000),
+                _oplog_from_versions(v1, v2, 2_0000000000),
+                _oplog_from_versions(v2, v3, 3_0000000000),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_orderstatus STRING, cents BIGINT, "
+            "prev_o_orderstatus STRING, prev_cents BIGINT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.minmax_view_oplog_foreach_batch(
+            stream,
+            target,
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            value_col="cents",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("mn").alias("min_cents"),
+                F.col("mx").alias("max_cents"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n_orders BIGINT, min_cents BIGINT, "
+            "max_cents BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _tombstone_log_from_versions(old, new, seq_base: int):
     """Fixture-side compacted-changelog emitter: upserts carry ONLY
     the after-image ('U' — the producer does not distinguish insert

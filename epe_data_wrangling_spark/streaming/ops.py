@@ -1550,6 +1550,241 @@ def distinct_count_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def minmax_view_oplog_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    op_col: str,
+    seq_col: str,
+    group_cols: list[str],
+    value_col: str,
+    prev_prefix: str = "prev_",
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming MIN/MAX maintenance from a before-image op log — the
+    last textbook aggregate class composed into the standing-sink
+    family (the streaming twin of the batch
+    ``catalog.evolve_q.ivm_minmax_support``): a deletion only moves a
+    group's MIN/MAX when it EVICTS the current extremum, and the
+    replacement is whatever survives — information the view itself no
+    longer holds — so the sink keeps a SUPPORT MULTISET γ(group,
+    value → cnt), additive like any count, and re-derives extrema
+    from it for exactly the groups each batch touches.
+
+    The support is stored PARTITIONED by ``_kb = pmod(hash(group),
+    n_buckets)`` — by GROUP hash, not (group, value), so a touched
+    group's ENTIRE support colocates in one bucket and the extremum
+    re-derivation reads complete groups by construction. Per batch:
+    the signed rows come straight from the log (I → after +1, D →
+    before −1, U → both; NULL values feed the row count but never the
+    support — SQL MIN/MAX ignore NULLs), aggregate to net support
+    deltas (delta-sized), the touched buckets merge them (untouched
+    buckets HARDLINK through the atomic commit, with the shared
+    over-threshold compaction), and the view updates in two parts:
+    ``n`` moves additively for every delta group, while ``mn``/``mx``
+    are RECOMPUTED from merged support for support-touched groups
+    only — untouched groups keep their stored extrema unread. Support
+    counts reaching zero are dropped; a NEGATIVE count means the log
+    retracted a value it never inserted and RAISES (the support table
+    is the divergence witness). Groups whose row count reaches zero
+    persist as (n=0, NULL, NULL) rows — additive state never forgets;
+    finalize with ``n > 0``.
+
+    Exactly-once follows the module's discipline (batch-id + file
+    provenance + ``last_seq`` inside the swap; replays skip; seq
+    regression / duplicate seq / unknown ops raise). Producer
+    contracts as ``cdc_oplog_foreach_batch``. Batch-split invariance
+    holds because support deltas commute and extremum re-derivation
+    depends only on the committed support plus the batch's net delta
+    (pytest-pinned along with extremum eviction and the
+    empty-group round trip).
+
+    Scale: per batch — delta-sized validation + partial agg, a
+    touched-GROUP-bucket support merge + rewrite, an extremum
+    re-aggregation over touched groups' support (|touched groups| ×
+    |distinct values per group|, never corpus-sized), a |groups|-row
+    view merge, and O(#untouched files) hardlinks. Target layout (one
+    atomic swap): ``support/`` (bucketed), ``view/``,
+    ``_ivm_meta.json``.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    kb = F.pmod(F.hash(*[F.col(g) for g in group_cols]), F.lit(n_buckets))
+
+    def _ns(a: str, b: str, cols: list[str]):
+        cond = F.lit(True)
+        for k in cols:
+            cond = cond & F.col(f"{a}.{k}").eqNullSafe(F.col(f"{b}.{k}"))
+        return cond
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "minmax_oplog"):
+            return
+        op = F.col(op_col)
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("I", "U", "D"),
+            meta.get("last_seq"), "minmax_oplog",
+        )
+        if v is None:
+            return
+        business = list(group_cols) + [value_col]
+        retract = batch_df.filter(op.isin("U", "D")).select(
+            *[F.col(f"{prev_prefix}{c}").alias(c) for c in business],
+            F.lit(-1).alias("_sign"),
+        )
+        insert = batch_df.filter(op.isin("I", "U")).select(
+            *business, F.lit(1).alias("_sign")
+        )
+        signed = retract.unionByName(insert).localCheckpoint(eager=True)
+        dn = signed.groupBy(*group_cols).agg(
+            F.sum("_sign").cast("bigint").alias("n")
+        )
+        dsup = (
+            signed.filter(F.col(value_col).isNotNull())
+            .groupBy(*group_cols, value_col)
+            .agg(F.sum("_sign").cast("bigint").alias("cnt"))
+            .filter(F.col("cnt") != 0)
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
+        )
+        support_dir = os.path.join(target_dir, "support")
+        have_sup = _has_bucket_files(support_dir)
+        sup_old = (
+            spark.read.parquet(support_dir)
+            .filter(F.col("_kb").isin(touched))
+            .drop("_kb")
+            if have_sup
+            else spark.createDataFrame([], dsup.schema)
+        )
+        so, ds_ = sup_old.alias("so"), dsup.alias("ds")
+        merged = so.join(
+            ds_,
+            _ns("so", "ds", group_cols)
+            & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
+            "full_outer",
+        ).select(
+            *[
+                F.coalesce(F.col(f"so.{g}"), F.col(f"ds.{g}")).alias(g)
+                for g in group_cols
+            ],
+            F.coalesce(
+                F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")
+            ).alias(value_col),
+            (
+                F.coalesce(F.col("so.cnt"), F.lit(0))
+                + F.coalesce(F.col("ds.cnt"), F.lit(0))
+            ).alias("cnt"),
+        ).localCheckpoint(eager=True)  # feeds guard, extrema, AND the write
+        worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
+        if worst is not None and worst < 0:
+            raise RuntimeError(
+                "minmax_oplog sink: a support count went NEGATIVE "
+                f"({worst}) — the log retracted a (group, value) it never "
+                "inserted (bad before-image?); refusing to apply"
+            )
+        live = merged.filter(F.col("cnt") > 0)
+        # merged covers whole touched BUCKETS (hash neighbors included);
+        # extrema re-derivation is restricted to the TOUCHED GROUPS —
+        # their support is complete in merged because the bucket key is
+        # the group hash
+        tg = dsup.select(*group_cols).distinct().localCheckpoint(eager=True)
+        extrema = (
+            live.alias("lv")
+            .join(F.broadcast(tg.alias("tg")), _ns("lv", "tg", group_cols), "left_semi")
+            .groupBy(*group_cols)
+            .agg(
+                F.min(value_col).alias("mn"),
+                F.max(value_col).alias("mx"),
+            )
+        )
+        view_dir = os.path.join(target_dir, "view")
+        view_old = (
+            spark.read.parquet(view_dir)
+            if os.path.isdir(view_dir)
+            else spark.createDataFrame(
+                [],
+                dn.select(
+                    *group_cols,
+                    F.col("n"),
+                    F.lit(None).cast(dict(dsup.dtypes)[value_col]).alias("mn"),
+                    F.lit(None).cast(dict(dsup.dtypes)[value_col]).alias("mx"),
+                ).schema,
+            )
+        )
+        vo, dnn = view_old.alias("vo"), dn.alias("dn")
+        base = vo.join(dnn, _ns("vo", "dn", group_cols), "full_outer").select(
+            *[
+                F.coalesce(F.col(f"vo.{g}"), F.col(f"dn.{g}")).alias(g)
+                for g in group_cols
+            ],
+            (
+                F.coalesce(F.col("vo.n"), F.lit(0))
+                + F.coalesce(F.col("dn.n"), F.lit(0))
+            ).cast("bigint").alias("n"),
+            F.col("vo.mn").alias("mn"),
+            F.col("vo.mx").alias("mx"),
+        )
+        bs, ex, tg2 = (
+            base.alias("bs"),
+            extrema.alias("ex"),
+            tg.select(*group_cols, F.lit(True).alias("_tch")).alias("tg"),
+        )
+        view = (
+            bs.join(F.broadcast(tg2), _ns("bs", "tg", group_cols), "left")
+            .join(ex, _ns("bs", "ex", group_cols), "left")
+            .select(
+                *[F.col(f"bs.{g}").alias(g) for g in group_cols],
+                F.col("bs.n").alias("n"),
+                # support-touched groups take the re-derived extrema
+                # (NULL when their support emptied); untouched groups
+                # keep their stored values unread
+                F.when(F.col("tg._tch"), F.col("ex.mn"))
+                .otherwise(F.col("bs.mn"))
+                .alias("mn"),
+                F.when(F.col("tg._tch"), F.col("ex.mx"))
+                .otherwise(F.col("bs.mx"))
+                .alias("mx"),
+            )
+        )
+        stage = f"{target_dir}.stage-{batch_id}"
+        live.withColumn("_kb", kb).repartition(
+            max(len(touched), 1), "_kb"
+        ).write.partitionBy("_kb").mode("overwrite").parquet(
+            os.path.join(stage, "support")
+        )
+        if have_sup:
+            _link_untouched_buckets(
+                support_dir, os.path.join(stage, "support"), touched, spark=spark
+            )
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(oplog, _apply, checkpoint_dir, "minmax_oplog", timeout_sec)
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
 def join_view_foreach_batch(
     snapshots: DataFrame,
     target_dir: str,

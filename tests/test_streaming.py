@@ -2537,3 +2537,224 @@ def test_distinct_oplog_support_partial_rewrite(spark, tmp_path):
             assert os.stat(os.path.join(sup_dir, d, f)).st_ino == ino, (d, f)
             untouched_checked += 1
     assert untouched_checked > 0
+
+
+_MMLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, o_orderstatus STRING, "
+    "cents BIGINT, prev_o_orderstatus STRING, prev_cents BIGINT"
+)
+
+
+def _mmlog_land(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen:03d}")
+    spark.createDataFrame(rows, _MMLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _mmlog_run(spark, landing, target, ckpt, max_files, n_buckets=8):
+    from epe_data_wrangling_spark.streaming.ops import (
+        minmax_view_oplog_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_MMLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return minmax_view_oplog_foreach_batch(
+        stream,
+        target,
+        op_col="op",
+        seq_col="seq",
+        group_cols=["o_orderstatus"],
+        value_col="cents",
+        n_buckets=n_buckets,
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_minmax_oplog_eviction_and_round_trip(spark, tmp_path):
+    """The cases only the support multiset can answer: deleting the
+    row holding a group's MAX re-derives the next-best survivor;
+    deleting a DUPLICATED extremum value moves nothing (multiset
+    count, not set membership); a group emptied of rows persists as
+    (n=0, NULL, NULL) and resurrects cleanly; NULL values feed n but
+    never the extrema."""
+    import os  # noqa: F401
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    import os
+
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _mmlog_land(spark, landing, 1, [
+        (1, 101, "I", "A", 10, None, None),
+        (2, 102, "I", "A", 50, None, None),   # the max
+        (3, 103, "I", "A", 30, None, None),
+        (4, 104, "I", "A", 30, None, None),   # duplicated value
+        (5, 105, "I", "A", None, None, None),  # NULL value
+        (6, 106, "I", "B", 7, None, None),
+    ])
+    view = _mmlog_run(spark, str(landing), target, ck, None)
+    got = {
+        r["o_orderstatus"]: (r["n"], r["mn"], r["mx"])
+        for r in view.collect()
+    }
+    assert got == {"A": (5, 10, 50), "B": (1, 7, 7)}
+    # evict the max: survivor 30 must take over (not 50, not NULL)
+    _mmlog_land(spark, landing, 2, [
+        (2, 201, "D", None, None, "A", 50),
+    ])
+    view = _mmlog_run(spark, str(landing), target, ck, None)
+    got = {r["o_orderstatus"]: (r["n"], r["mn"], r["mx"]) for r in view.collect()}
+    assert got == {"A": (4, 10, 30), "B": (1, 7, 7)}
+    # delete ONE copy of the duplicated 30: extrema unchanged
+    _mmlog_land(spark, landing, 3, [
+        (3, 301, "D", None, None, "A", 30),
+    ])
+    view = _mmlog_run(spark, str(landing), target, ck, None)
+    got = {r["o_orderstatus"]: (r["n"], r["mn"], r["mx"]) for r in view.collect()}
+    assert got == {"A": (3, 10, 30), "B": (1, 7, 7)}
+    # empty group B entirely, then resurrect it
+    _mmlog_land(spark, landing, 4, [
+        (6, 401, "D", None, None, "B", 7),
+    ])
+    view = _mmlog_run(spark, str(landing), target, ck, None)
+    got = {r["o_orderstatus"]: (r["n"], r["mn"], r["mx"]) for r in view.collect()}
+    assert got == {"A": (3, 10, 30), "B": (0, None, None)}
+    _mmlog_land(spark, landing, 5, [
+        (7, 501, "I", "B", 99, None, None),
+    ])
+    view = _mmlog_run(spark, str(landing), target, ck, None)
+    got = {r["o_orderstatus"]: (r["n"], r["mn"], r["mx"]) for r in view.collect()}
+    assert got == {"A": (3, 10, 30), "B": (1, 99, 99)}
+    # support hygiene: no zero/negative counts stored
+    sup = spark.read.parquet(os.path.join(target, "support"))
+    assert sup.filter(F.col("cnt") <= 0).count() == 0
+
+
+def test_minmax_oplog_invariant_to_batch_split(spark, tmp_path):
+    """Same view whether the three carving generations arrive in one
+    batch or one per batch — both equal to a direct recompute of v3's
+    per-status COUNT/MIN/MAX."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _oplog_from_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, log in enumerate(
+        (
+            _oplog_from_versions(None, v1, 10**10),
+            _oplog_from_versions(v1, v2, 2 * 10**10),
+            _oplog_from_versions(v2, v3, 3 * 10**10),
+        ),
+        start=1,
+    ):
+        p = str(landing / f"g{i:03d}")
+        log.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _mmlog_run(
+            spark, str(landing), str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ck{i}"), max_files,
+        )
+        results.append(
+            {
+                r["o_orderstatus"]: (r["n"], r["mn"], r["mx"])
+                for r in view.filter(F.col("n") > 0).collect()
+            }
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["mn"], r["mx"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    assert results[0] == results[1] == expect
+
+
+def test_minmax_oplog_negative_support_raises(spark, tmp_path):
+    """Retracting a value the support never held must RAISE."""
+    import os
+
+    import pytest
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    _mmlog_land(spark, landing, 1, [(1, 101, "I", "A", 10, None, None)])
+    _mmlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    _mmlog_land(spark, landing, 2, [
+        (9, 201, "D", None, None, "A", 11),   # 11 never inserted
+    ])
+    with pytest.raises(Exception, match="NEGATIVE"):
+        _mmlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+
+
+def test_minmax_oplog_support_partial_rewrite(spark, tmp_path):
+    """Support buckets of untouched GROUPS keep their inode through a
+    commit that only touches another group's bucket."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    # 16 groups spread over the 8 group-hash buckets
+    _mmlog_land(spark, landing, 1, [
+        (k, 100 + k, "I", f"G{k % 16}", 10 * k, None, None) for k in range(64)
+    ])
+    _mmlog_run(spark, str(landing), target, ck, None)
+    sup_dir = os.path.join(target, "support")
+    inodes = {}
+    for d in os.listdir(sup_dir):
+        if d.startswith("_kb="):
+            for f in os.listdir(os.path.join(sup_dir, d)):
+                if f.endswith(".parquet"):
+                    inodes[(d, f)] = os.stat(os.path.join(sup_dir, d, f)).st_ino
+    _mmlog_land(spark, landing, 2, [
+        (999, 1000, "I", "G3", 5, None, None),
+    ])
+    _mmlog_run(spark, str(landing), target, ck, None)
+    [tb] = spark.range(1).select(
+        F.pmod(F.hash(F.lit("G3")), F.lit(8)).alias("b")
+    ).collect()
+    untouched_checked = 0
+    for (d, f), ino in inodes.items():
+        if int(d.split("=")[1]) != tb["b"]:
+            assert os.stat(os.path.join(sup_dir, d, f)).st_ino == ino, (d, f)
+            untouched_checked += 1
+    assert untouched_checked > 0
