@@ -422,6 +422,9 @@ def main() -> None:
             "streaming_distinct_count_view_maintenance",
             "streaming_distinct_view_3gen",
         ),
+        # r10 additions end-to-end
+        ("streaming_distinct_count_oplog_pipeline", "distinct_oplog_3gen"),
+        ("streaming_minmax_view_maintenance", "minmax_oplog_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
@@ -633,6 +636,116 @@ def main() -> None:
                 spark, stored, dR, s1, dS
             )[0],
         )
+
+        # ---- r10: fixed-delta isolation for the two new op-log
+        # sinks. Both keep a BUCKETED support table, so the honest
+        # scale knob is production bucket sizing: n_buckets grows with
+        # the corpus (fixed target bucket SIZE), making the touched-
+        # bucket slice a ~constant number of rows — the timed second
+        # refresh should be ~flat while the bootstrap (untimed here)
+        # is corpus-sized by definition. The fixed ~60-row delta is
+        # the tombstone experiment's carving (mod 99731, below the
+        # replica shift).
+        from epe_data_wrangling_spark.catalog.streaming_q import _rel_oplog
+        from epe_data_wrangling_spark.streaming.ops import (
+            distinct_count_oplog_foreach_batch,
+            minmax_view_oplog_foreach_batch,
+        )
+
+        nb = 256 if tag == "sf01" else 2560
+
+        o10 = spark.read.parquet(os.path.join(sfdir, "orders.parquet"))
+        d1 = o10.select("o_orderkey", "o_custkey", "o_orderstatus")
+        d2 = d1.withColumn(
+            "o_orderstatus",
+            F.when(
+                (F.col("o_orderkey") % 99731 == 0)
+                & (F.col("o_orderkey") < 10_000_000),
+                F.lit("X"),
+            ).otherwise(F.col("o_orderstatus")),
+        )
+        dlog_schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, o_custkey BIGINT, "
+            "o_orderstatus STRING, prev_o_custkey BIGINT, "
+            "prev_o_orderstatus STRING"
+        )
+        root = f"{WORK}/dlog_{tag}"
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+
+        def go_dlog(root=root, landing=landing, nb=nb):
+            stream = spark.readStream.schema(dlog_schema).parquet(landing)
+            return distinct_count_oplog_foreach_batch(
+                stream,
+                os.path.join(root, "state"),
+                op_col="op",
+                seq_col="seq",
+                group_col="o_orderstatus",
+                value_col="o_custkey",
+                n_buckets=nb,
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+        dcols = ["o_custkey", "o_orderstatus"]
+        _land_generations(
+            landing, [_rel_oplog(None, d1, "o_orderkey", dcols, 10**10)],
+            prefix="a",
+        )
+        go_dlog()  # bootstrap support build (corpus-sized) — untimed
+        _land_generations(
+            landing, [_rel_oplog(d1, d2, "o_orderkey", dcols, 2 * 10**10)],
+            prefix="b",
+        )
+        run(f"distinct_oplog_2nd_refresh_{tag}", go_dlog)
+
+        # minmax: many synthetic groups (pmod(custkey, 8192)) so the
+        # touched-GROUP prune is visible — the fixed delta bumps cents
+        # on ~60 keys, touching ≤60 of 8192 groups / ≤60 of nb buckets
+        m1 = o10.select(
+            "o_orderkey",
+            F.pmod(F.col("o_custkey"), F.lit(8192)).alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        m2 = m1.withColumn(
+            "cents",
+            F.when(
+                (F.col("o_orderkey") % 99731 == 0)
+                & (F.col("o_orderkey") < 10_000_000),
+                F.col("cents") + 777,
+            ).otherwise(F.col("cents")),
+        )
+        mmlog_schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, g BIGINT, "
+            "cents BIGINT, prev_g BIGINT, prev_cents BIGINT"
+        )
+        root = f"{WORK}/mmlog_{tag}"
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+
+        def go_mmlog(root=root, landing=landing, nb=nb):
+            stream = spark.readStream.schema(mmlog_schema).parquet(landing)
+            return minmax_view_oplog_foreach_batch(
+                stream,
+                os.path.join(root, "state"),
+                op_col="op",
+                seq_col="seq",
+                group_cols=["g"],
+                value_col="cents",
+                n_buckets=nb,
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+        mcols = ["g", "cents"]
+        _land_generations(
+            landing, [_rel_oplog(None, m1, "o_orderkey", mcols, 10**10)],
+            prefix="a",
+        )
+        go_mmlog()  # bootstrap — untimed
+        _land_generations(
+            landing, [_rel_oplog(m1, m2, "o_orderkey", mcols, 2 * 10**10)],
+            prefix="b",
+        )
+        run(f"minmax_oplog_2nd_refresh_{tag}", go_mmlog)
 
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
