@@ -2758,3 +2758,46 @@ def test_minmax_oplog_support_partial_rewrite(spark, tmp_path):
             assert os.stat(os.path.join(sup_dir, d, f)).st_ino == ino, (d, f)
             untouched_checked += 1
     assert untouched_checked > 0
+
+
+def test_join_view_oplog_keyidx_backfills_after_unverified_batches(spark, tmp_path):
+    """Flipping verify_before_images on mid-lifetime must work: the
+    atomic swap drops the key index while verification is off, so the
+    first verified batch BACKFILLS it from the committed image — and
+    the backfilled index immediately catches a cross-bucket
+    insert-over-present."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    def bucket_of(v):
+        return spark.range(1).select(
+            F.pmod(F.hash(F.lit(v).cast("bigint")), F.lit(8)).alias("b")
+        ).collect()[0]["b"]
+
+    j1 = 1
+    j2 = next(v for v in range(2, 64) if bucket_of(v) != bucket_of(j1))
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _land_jvlog(spark, landing, 1, [
+        _s_op(1, "I", j1, "SEG_A"),
+        _r_op(2, "I", 101, j1, 10, "O"),
+    ])
+    target = str(tmp_path / "state")
+    # unverified bootstrap: no key index is written
+    _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None,
+               verify=False)
+    assert not os.path.isdir(os.path.join(target, "keyidx_r"))
+    # verified batch with a legit op: backfill happens, index appears
+    _land_jvlog(spark, landing, 2, [
+        _r_op(10, "U", 101, j1, 11, "O", j1, 10, "O"),
+    ])
+    _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    assert os.path.isdir(os.path.join(target, "keyidx_r"))
+    # and the (re)backfilled index catches the cross-bucket insert
+    _land_jvlog(spark, landing, 3, [
+        _r_op(20, "I", 101, j2, 12, "O"),
+    ])
+    with pytest.raises(Exception, match="key index"):
+        _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
