@@ -1197,6 +1197,121 @@ def streaming_minmax_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "streaming_topk_view_maintenance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, cents
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, cents
+    FROM (
+      SELECT o_custkey, o_orderkey, cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC, o_orderkey) AS rnk
+      FROM v3) t
+    WHERE rnk <= 3
+    """,
+)
+def streaming_topk_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming TOP-K maintenance from the op log — the affected-
+    group-recompute class composed into the standing-sink family,
+    completing the aggregate taxonomy (additive → COUNT(DISTINCT) →
+    MIN/MAX → top-k; batch twin ``ivm_topk_affected_groups`` certifies
+    one refresh, this certifies the standing loop): a per-customer
+    top-3-orders-by-cents view where deletes can EVICT a ranked row
+    (the replacement is the #4 the view no longer holds) and cents
+    bumps can PROMOTE one in.
+    ``streaming.ops.topk_view_oplog_foreach_batch`` therefore keeps
+    the groups' full base rows as a standing image bucketed by GROUP
+    hash — each batch reads and rewrites only the buckets its before/
+    after groups hash to, re-ranks exactly the touched groups (whose
+    rows are complete in those buckets by construction), and passes
+    every untouched group's view rows through UNREAD because the view
+    itself is bucketed and touched-bucket-rewritten too (at 100 TB,
+    k·|groups| is too large to rewrite per commit). Three before-image
+    changelog generations of the shared orders carving land as a file
+    stream (deletes ≡5 mod 11 / ≡1 mod 17 evict ranked rows, cents
+    bumps ≡0 mod 23 promote rows); the oracle recomputes v3's ranked
+    top-3 directly with the deterministic (cents DESC, o_orderkey)
+    tie-break, so the hash certifies three generations of
+    affected-group maintenance ≡ recompute(final) — a single stale
+    rank row anywhere cannot hash green. Eviction, promotion,
+    batch-split invariance, group-migration updates, and the
+    divergence guard (image digests + exact key index) are
+    pytest-pinned. Scale: per batch — delta-sized validation/dedup,
+    touched-group-bucket I/O on image and view, a rank window over
+    |touched groups| × |group size|, O(#untouched files) hardlinks;
+    nothing is ever corpus-sized."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "cents"]
+    work = tempfile.mkdtemp(prefix="topk_oplog_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        G = 10**10
+        _land_generations(
+            landing,
+            [
+                _rel_oplog(None, v1, "o_orderkey", cols, 1 * G),
+                _rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
+                _rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_custkey BIGINT, cents BIGINT, "
+            "prev_o_custkey BIGINT, prev_cents BIGINT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.topk_view_oplog_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_custkey"],
+            value_col="cents",
+            k=3,
+        )
+        rows = view.select("o_custkey", "rnk", "o_orderkey", "cents").collect()
+        return spark.createDataFrame(
+            rows,
+            "o_custkey BIGINT, rnk BIGINT, o_orderkey BIGINT, cents BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _tombstone_log_from_versions(old, new, seq_base: int):
     """Fixture-side compacted-changelog emitter: upserts carry ONLY
     the after-image ('U' — the producer does not distinguish insert

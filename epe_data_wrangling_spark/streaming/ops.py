@@ -989,6 +989,83 @@ def _compact_bucket_into(spark, src_dir: str, dst_dir: str) -> None:
     shutil.rmtree(tmp)
 
 
+def _key_index_guard_and_rewrite(
+    spark,
+    kidx_dir: str,
+    stage_kidx_dir: str,
+    *,
+    keys: list[str],
+    n_buckets: int,
+    ops_df: DataFrame,
+    insert_first_keys: DataFrame,
+    batch_keys: DataFrame,
+    upsert_keys: DataFrame,
+    image: DataFrame | None,
+    tag: str,
+) -> None:
+    """Primary-KEY index sidecar shared by the sinks that keep a
+    standing image bucketed by something OTHER than the key (join
+    value, group hash): every key once, bucketed by key hash
+    (partition col reuses ``_kb`` so the hardlink/compaction helpers
+    apply), committed in the caller's atomic swap. Makes the
+    insert-over-present check EXACT — an I claiming attributes that
+    hash to a different image bucket is invisible to image-side
+    checks but present here — at touched-key-bucket cost. Backfills
+    itself once from the committed image if absent (the swap drops it
+    while the caller's verification is off, so flipping verification
+    back on re-backfills cleanly). RAISES on any first-op insert
+    whose key the index already holds; otherwise rewrites the touched
+    key-buckets (keys with any op drop out, final upserts re-enter)
+    and hardlinks the rest.
+
+    ``insert_first_keys``: keys whose EARLIEST op in the batch is I;
+    ``batch_keys``: every key with any op; ``upsert_keys``: keys whose
+    LAST op is I/U. All delta-sized."""
+    import os
+
+    kk = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    touched_kk = {
+        int(r["b"]) for r in ops_df.select(kk.alias("b")).distinct().collect()
+    }
+    linkable = _has_bucket_files(kidx_dir)
+    if linkable:
+        old_keymap = spark.read.parquet(kidx_dir).filter(
+            F.col("_kb").isin(sorted(touched_kk))
+        )
+    elif image is not None:
+        # one-time backfill: derive the full key index from the
+        # committed image (image-sized scan, ONCE; every later batch
+        # is touched-bucket-sized again)
+        old_keymap = image.select(*keys).withColumn("_kb", kk)
+    else:
+        old_keymap = spark.createDataFrame(
+            [], ops_df.select(*keys, F.lit(0).alias("_kb")).schema
+        )
+    n_cross = (
+        insert_first_keys.join(old_keymap.select(*keys), list(keys), "inner")
+        .count()
+    )
+    if n_cross:
+        raise RuntimeError(
+            f"{tag} log DIVERGES from the key index: {n_cross} insert(s) "
+            "over a key the index already holds (possibly stored in a "
+            "different bucket) — refusing to apply; emit U (or D+I) for "
+            "existing keys or fix the log"
+        )
+    km_survivors = old_keymap.join(
+        F.broadcast(batch_keys), list(keys), "left_anti"
+    ).select(*keys, "_kb")
+    km_upserts = upsert_keys.withColumn("_kb", kk)
+    n_parts = max(len(touched_kk), 1) if linkable else n_buckets
+    km_survivors.unionByName(km_upserts).repartition(
+        n_parts, "_kb"
+    ).write.partitionBy("_kb").mode("overwrite").parquet(stage_kidx_dir)
+    if linkable:
+        _link_untouched_buckets(
+            kidx_dir, stage_kidx_dir, touched_kk, spark=spark
+        )
+
+
 def _has_bucket_files(image_dir: str) -> bool:
     """True iff a bucketed image dir holds at least one data file — a
     committed image may hold ZERO (every key deleted), and schema
@@ -1785,6 +1862,299 @@ def minmax_view_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def topk_view_oplog_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    op_col: str,
+    seq_col: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    prev_prefix: str = "prev_",
+    n_buckets: int = 64,
+    verify_before_images: bool = True,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Streaming TOP-K view maintenance from a before-image op log —
+    the affected-group-recompute aggregate class composed into the
+    standing-sink family (streaming twin of the batch
+    ``catalog.evolve_q.ivm_topk_affected_groups``, completing the
+    taxonomy: additive → distinct-count → MIN/MAX → top-k): a delete
+    can EVICT a group's #1 and the replacement is the #k+1 the view
+    no longer holds, so the sink maintains the group's FULL base rows
+    as a standing image — bucketed by GROUP hash (``_kb = pmod(
+    hash(group), n_buckets)``), so every touched group's rows are
+    complete inside the touched buckets by construction — and
+    recomputes the rank window for exactly the groups each batch
+    touches.
+
+    Target layout (one atomic swap): ``image/`` (key cols + group
+    cols + value, group-hash bucketed; touched-bucket rewrites,
+    untouched buckets hardlink with over-threshold compaction),
+    ``keyidx/`` (the shared primary-key-index sidecar while
+    ``verify_before_images`` is on), ``view/`` (group cols + ``rnk``
+    + key cols + value, ALSO group-hash bucketed and touched-bucket
+    rewritten — at scale k·|groups| is itself too large to rewrite
+    per commit), ``_ivm_meta.json``.
+
+    Per batch: ops validate (I/U/D, unique increasing seq); the LAST
+    op per primary key decides the image; touched buckets come from
+    the before-image's group (U/D) and the after-image's (I/U) — an
+    update may MOVE a row between group buckets; the divergence guard
+    cross-checks the EARLIEST op per key against the image (U/D must
+    exist with a matching before-image digest, I must land on an
+    absent key — exact via the key index, including cross-bucket
+    claims). The view refresh is kept/recomputed: untouched groups'
+    rows pass through untouched (unread outside the touched buckets),
+    touched groups re-rank from the post-batch touched-bucket rows
+    with ``row_number() OVER (PARTITION BY group ORDER BY value DESC
+    NULLS LAST, key)`` ≤ k — the deterministic tie-break the repo
+    uses everywhere a rank meets an oracle. Groups emptied of rows
+    leave the view (a top-k of nothing is nothing); batch-split
+    invariance holds because the final image state, and hence the
+    rank, is independent of how ops split across batches
+    (pytest-pinned along with eviction and promotion).
+
+    Contracts as the op-log sinks (immutable keys within U — key
+    changes are D+I; exact before-images; deterministic rendering).
+
+    Scale: per batch — delta-sized validation/dedup, touched-GROUP-
+    bucket image I/O on lookup and rewrite, a rank window over
+    |touched groups| × |group size| (never corpus-sized; the regime
+    where affected-group recompute wins is sparse deltas over many
+    groups), a touched-bucket view rewrite of k·|touched groups|
+    rows, and O(#untouched files) hardlinks.
+
+    Returns the final view as a batch DataFrame (without the bucket
+    column).
+    """
+    import json
+    import os
+
+    business = list(group_cols) + [value_col]
+    extra = [c for c in business if c not in key_cols]
+    kb = F.pmod(F.hash(*[F.col(g) for g in group_cols]), F.lit(n_buckets))
+
+    def _prev(c: str):
+        # a key column has no prev_ twin (keys are immutable within U)
+        return F.col(c) if c in key_cols else F.col(f"{prev_prefix}{c}")
+
+    prev_kb = F.pmod(F.hash(*[_prev(g) for g in group_cols]), F.lit(n_buckets))
+
+    def _ns(a: str, b: str, cols: list[str]):
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+        return cond
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "topk_oplog"):
+            return
+        op = F.col(op_col)
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("I", "U", "D"),
+            meta.get("last_seq"), "topk_oplog",
+        )
+        if v is None:
+            return
+        ops_df = batch_df.localCheckpoint(eager=True)  # feeds 5+ consumers
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        last_ops = (
+            ops_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*key_cols, op_col, *extra)
+            .localCheckpoint(eager=True)
+        )
+        # touched buckets AND touched groups, from the op-type-gated
+        # before/after group values (hash(NULL)=42: NULL groups live
+        # in bucket 42 % n like everywhere else in the module)
+        touched = {
+            int(r["b"])
+            for r in ops_df.select(
+                F.explode(
+                    F.array(
+                        F.when(op.isin("U", "D"), prev_kb),
+                        F.when(op.isin("I", "U"), kb),
+                    )
+                ).alias("b")
+            )
+            .filter(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        }
+        tg = (
+            ops_df.filter(op.isin("U", "D"))
+            .select(*[_prev(g).alias(g) for g in group_cols])
+            .unionByName(
+                ops_df.filter(op.isin("I", "U")).select(*group_cols)
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        image_dir = os.path.join(target_dir, "image")
+        have_image = _has_bucket_files(image_dir)
+        image = spark.read.parquet(image_dir) if have_image else None
+        old_touched = (
+            image.filter(F.col("_kb").isin(sorted(touched)))
+            if image is not None
+            else spark.createDataFrame(
+                [],
+                ops_df.select(
+                    *key_cols, *extra, F.lit(0).alias("_kb")
+                ).schema,
+            )
+        )
+        if verify_before_images:
+            w_asc = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
+            first_ops = (
+                ops_df.withColumn("_rn", F.row_number().over(w_asc))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    *key_cols,
+                    op,
+                    _row_digest(
+                        [c if c in key_cols else f"{prev_prefix}{c}" for c in business]
+                    ).alias("_prev_rh"),
+                )
+                .alias("fo")
+            )
+            stored = old_touched.select(
+                *key_cols,
+                _row_digest(business).alias("_rh"),
+                F.lit(True).alias("_in"),
+            ).alias("st")
+            cond = F.lit(True)
+            for c in key_cols:
+                cond = cond & (F.col(f"fo.{c}") == F.col(f"st.{c}"))
+            chk = first_ops.join(stored, cond, "left").agg(
+                F.sum(
+                    F.when(
+                        (F.col(f"fo.{op_col}").isin("U", "D"))
+                        & F.col("st._in").isNull(),
+                        1,
+                    ).otherwise(0)
+                ).alias("ud_missing"),
+                F.sum(
+                    F.when(
+                        (F.col(f"fo.{op_col}").isin("U", "D"))
+                        & F.col("st._in").isNotNull()
+                        & (F.col("fo._prev_rh") != F.col("st._rh")),
+                        1,
+                    ).otherwise(0)
+                ).alias("prev_mismatch"),
+            ).collect()[0]
+            problems = {
+                key: chk[key]
+                for key in ("ud_missing", "prev_mismatch")
+                if chk[key]
+            }
+            if problems:
+                raise RuntimeError(
+                    f"topk_oplog sink: log DIVERGES from the standing "
+                    f"image: {problems} (update/delete of an absent key "
+                    "or a before-image that does not match the stored "
+                    "row) — refusing to apply; re-snapshot the source or "
+                    "fix the log"
+                )
+        keyset = last_ops.select(*key_cols)
+        survivors = old_touched.join(
+            F.broadcast(keyset), key_cols, "left_anti"
+        ).select(*key_cols, *extra, "_kb")
+        upserts = last_ops.filter(op.isin("U", "I")).select(
+            *key_cols, *extra, kb.alias("_kb")
+        )
+        # post-batch rows of the touched buckets — the image rewrite
+        # AND the rank recompute both read this
+        new_touched = survivors.unionByName(upserts).localCheckpoint(eager=True)
+        rank_w = Window.partitionBy(*group_cols).orderBy(
+            F.desc_nulls_last(value_col), *[F.col(c) for c in key_cols]
+        )
+        recomputed = (
+            new_touched.alias("nt")
+            .join(F.broadcast(tg.alias("tg")), _ns("nt", "tg", group_cols), "left_semi")
+            .select(
+                *group_cols,
+                F.row_number().over(rank_w).cast("bigint").alias("rnk"),
+                *key_cols,
+                value_col,
+                "_kb",
+            )
+            .filter(F.col("rnk") <= k)
+        )
+        view_dir = os.path.join(target_dir, "view")
+        have_view = _has_bucket_files(view_dir)
+        # the view is bucketed exactly like the image, so only the
+        # touched buckets rewrite: their untouched-GROUP rows pass
+        # through (anti-join), touched groups take the recompute
+        if have_view:
+            old_view_touched = spark.read.parquet(view_dir).filter(
+                F.col("_kb").isin(sorted(touched))
+            )
+            kept_in_touched = old_view_touched.alias("ov").join(
+                F.broadcast(tg.alias("tg")), _ns("ov", "tg", group_cols), "left_anti"
+            )
+            new_view_touched = kept_in_touched.unionByName(recomputed)
+        else:
+            new_view_touched = recomputed
+        stage = f"{target_dir}.stage-{batch_id}"
+        new_touched.repartition(max(len(touched), 1), "_kb").write.partitionBy(
+            "_kb"
+        ).mode("overwrite").parquet(os.path.join(stage, "image"))
+        if have_image:
+            _link_untouched_buckets(
+                image_dir, os.path.join(stage, "image"), touched, spark=spark
+            )
+        new_view_touched.repartition(
+            max(len(touched), 1), "_kb"
+        ).write.partitionBy("_kb").mode("overwrite").parquet(
+            os.path.join(stage, "view")
+        )
+        if have_view:
+            _link_untouched_buckets(
+                view_dir, os.path.join(stage, "view"), touched, spark=spark
+            )
+        if verify_before_images:
+            _key_index_guard_and_rewrite(
+                spark,
+                os.path.join(target_dir, "keyidx"),
+                os.path.join(stage, "keyidx"),
+                keys=list(key_cols),
+                n_buckets=n_buckets,
+                ops_df=ops_df,
+                insert_first_keys=first_ops.filter(
+                    F.col(f"fo.{op_col}") == "I"
+                ).select(*key_cols),
+                batch_keys=keyset,
+                upsert_keys=last_ops.filter(op.isin("U", "I")).select(*key_cols),
+                image=image,
+                tag="topk_oplog sink:",
+            )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(oplog, _apply, checkpoint_dir, "topk_oplog", timeout_sec)
+    return oplog.sparkSession.read.parquet(
+        os.path.join(target_dir, "view")
+    ).drop("_kb")
+
+
 def join_view_foreach_batch(
     snapshots: DataFrame,
     target_dir: str,
@@ -2486,42 +2856,6 @@ def join_view_oplog_foreach_batch(
                 if image is not None
                 else _empty(keys, cols, ops_df)
             )
-            # ---- primary-key index (exact cross-bucket guard + its
-            # maintenance). The image is bucketed by JOIN value, so an
-            # I over an EXISTING key whose claimed join value hashes to
-            # a different bucket is invisible to the image-side checks;
-            # the sidecar stores every key once, bucketed by KEY hash
-            # (partition col reuses the `_kb` name so the hardlink/
-            # compaction helpers apply), making the insert-over-present
-            # check exact at touched-key-bucket cost. Maintained only
-            # while verify_before_images is on; the atomic swap drops
-            # it on an unverified batch, so flipping the flag back on
-            # triggers a clean one-time backfill from the image.
-            kidx_sub = sub.replace("image", "keyidx")
-            kidx_dir = os.path.join(target_dir, kidx_sub)
-            kk = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
-            old_keymap = None
-            kidx_linkable = False
-            touched_kk: set[int] = set()
-            if verify_before_images:
-                touched_kk = {
-                    int(r["b"])
-                    for r in ops_df.select(kk.alias("b")).distinct().collect()
-                }
-                if _has_bucket_files(kidx_dir):
-                    old_keymap = spark.read.parquet(kidx_dir).filter(
-                        F.col("_kb").isin(sorted(touched_kk))
-                    )
-                    kidx_linkable = True
-                elif image is not None:
-                    # one-time backfill: derive the full key index from
-                    # the committed image (image-sized scan, ONCE; every
-                    # later batch is touched-bucket-sized again)
-                    old_keymap = image.select(*keys).withColumn("_kb", kk)
-                else:
-                    old_keymap = spark.createDataFrame(
-                        [], ops_df.select(*keys, F.lit(0).alias("_kb")).schema
-                    )
             if verify_before_images:
                 # the earliest op per key must agree with the image:
                 # U/D carry a before-image that must exist and match;
@@ -2583,24 +2917,6 @@ def join_view_oplog_foreach_batch(
                         "refusing to apply; re-snapshot the source or fix "
                         "the log"
                     )
-                # exact insert-over-present check via the key index —
-                # catches the cross-bucket case the image checks cannot
-                # (I claiming a join value that hashes elsewhere);
-                # both sides are delta-/touched-key-bucket-sized
-                n_cross = (
-                    first_ops.filter(F.col(f"fo.{op_col}") == "I")
-                    .select(*keys)
-                    .join(old_keymap.select(*keys), list(keys), "inner")
-                    .count()
-                )
-                if n_cross:
-                    raise RuntimeError(
-                        f"join_view_oplog sink: {sub} log DIVERGES from the "
-                        f"key index: {n_cross} insert(s) over a key the "
-                        "index already holds (possibly stored in a "
-                        "different join-value bucket) — refusing to apply; "
-                        "emit U (or D+I) for existing keys or fix the log"
-                    )
             keyset = last_ops.select(*keys)
             survivors = old_touched.join(
                 F.broadcast(keyset), keys, "left_anti"
@@ -2623,31 +2939,28 @@ def join_view_oplog_foreach_batch(
                     spark=spark,
                 )
             if verify_before_images:
-                # key-index rewrite, same discipline as the image: keys
-                # with any op this batch drop out of their key-bucket,
-                # final upserts re-enter; untouched key-buckets hardlink
-                # (on backfill there is no source dir — write everything)
-                km_survivors = old_keymap.join(
-                    F.broadcast(keyset), list(keys), "left_anti"
-                ).select(*keys, "_kb")
-                km_upserts = last_ops.filter(op.isin("U", "I")).select(
-                    *keys
-                ).withColumn("_kb", kk)
-                n_km_parts = (
-                    max(len(touched_kk), 1) if kidx_linkable else n_buckets
+                # exact insert-over-present guard + key-index upkeep —
+                # the image is bucketed by JOIN value, so this is what
+                # catches an I whose claimed join value hashes away
+                # from the key's stored bucket (shared helper; the
+                # swap drops the index while verification is off, so
+                # flipping it back on re-backfills from the image)
+                kidx_sub = sub.replace("image", "keyidx")
+                _key_index_guard_and_rewrite(
+                    spark,
+                    os.path.join(target_dir, kidx_sub),
+                    os.path.join(stage, kidx_sub),
+                    keys=list(keys),
+                    n_buckets=n_buckets,
+                    ops_df=ops_df,
+                    insert_first_keys=first_ops.filter(
+                        F.col(f"fo.{op_col}") == "I"
+                    ).select(*keys),
+                    batch_keys=keyset,
+                    upsert_keys=last_ops.filter(op.isin("U", "I")).select(*keys),
+                    image=image,
+                    tag=f"join_view_oplog sink: {sub}",
                 )
-                km_survivors.unionByName(km_upserts).repartition(
-                    n_km_parts, "_kb"
-                ).write.partitionBy("_kb").mode("overwrite").parquet(
-                    os.path.join(stage, kidx_sub)
-                )
-                if kidx_linkable:
-                    _link_untouched_buckets(
-                        kidx_dir,
-                        os.path.join(stage, kidx_sub),
-                        touched_kk,
-                        spark=spark,
-                    )
 
         _rewrite_image("image_r", img_r, r_ops, r_key, r_cols, r_join)
         _rewrite_image("image_s", img_s, s_ops, s_key, s_cols, s_join)

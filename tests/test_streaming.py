@@ -2801,3 +2801,216 @@ def test_join_view_oplog_keyidx_backfills_after_unverified_batches(spark, tmp_pa
     ])
     with pytest.raises(Exception, match="key index"):
         _jvlog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+
+
+_TKLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, o_custkey BIGINT, "
+    "cents BIGINT, prev_o_custkey BIGINT, prev_cents BIGINT"
+)
+
+
+def _tklog_land(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen:03d}")
+    spark.createDataFrame(rows, _TKLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _tklog_run(spark, landing, target, ckpt, max_files, k=2, n_buckets=8,
+               verify=True):
+    from epe_data_wrangling_spark.streaming.ops import (
+        topk_view_oplog_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_TKLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return topk_view_oplog_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+        group_cols=["o_custkey"],
+        value_col="cents",
+        k=k,
+        n_buckets=n_buckets,
+        verify_before_images=verify,
+        checkpoint_dir=ckpt,
+    )
+
+
+def _tk_view(view):
+    return {
+        (r["o_custkey"], r["rnk"]): (r["o_orderkey"], r["cents"])
+        for r in view.collect()
+    }
+
+
+def test_topk_oplog_eviction_promotion_and_migration(spark, tmp_path):
+    """The cases only the standing base rows can answer: deleting the
+    current #1 promotes the #3 the VIEW no longer held; a value bump
+    promotes a row INTO the top-k; an update that moves a row between
+    GROUPS re-ranks both the old and the new group; an emptied group
+    leaves the view."""
+    import os
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    # group 1: cents 50 > 40 > 30 > 20; group 2: one row
+    _tklog_land(spark, landing, 1, [
+        (101, 1, "I", 1, 50, None, None),
+        (102, 2, "I", 1, 40, None, None),
+        (103, 3, "I", 1, 30, None, None),
+        (104, 4, "I", 1, 20, None, None),
+        (201, 5, "I", 2, 9, None, None),
+    ])
+    view = _tklog_run(spark, str(landing), target, ck, None)
+    assert _tk_view(view) == {
+        (1, 1): (101, 50), (1, 2): (102, 40),
+        (2, 1): (201, 9),
+    }
+    # delete the #1: 30 (key 103) must be promoted from the base
+    _tklog_land(spark, landing, 2, [
+        (101, 10, "D", None, None, 1, 50),
+    ])
+    view = _tklog_run(spark, str(landing), target, ck, None)
+    assert _tk_view(view) == {
+        (1, 1): (102, 40), (1, 2): (103, 30),
+        (2, 1): (201, 9),
+    }
+    # bump key 104 to 45: promotes INTO the top-2
+    _tklog_land(spark, landing, 3, [
+        (104, 20, "U", 1, 45, 1, 20),
+    ])
+    view = _tklog_run(spark, str(landing), target, ck, None)
+    assert _tk_view(view) == {
+        (1, 1): (104, 45), (1, 2): (102, 40),
+        (2, 1): (201, 9),
+    }
+    # migrate key 102 to group 2: both groups re-rank
+    _tklog_land(spark, landing, 4, [
+        (102, 30, "U", 2, 40, 1, 40),
+    ])
+    view = _tklog_run(spark, str(landing), target, ck, None)
+    assert _tk_view(view) == {
+        (1, 1): (104, 45), (1, 2): (103, 30),
+        (2, 1): (102, 40), (2, 2): (201, 9),
+    }
+    # empty group 2 entirely: it leaves the view
+    _tklog_land(spark, landing, 5, [
+        (102, 40, "D", None, None, 2, 40),
+        (201, 41, "D", None, None, 2, 9),
+    ])
+    view = _tklog_run(spark, str(landing), target, ck, None)
+    assert _tk_view(view) == {(1, 1): (104, 45), (1, 2): (103, 30)}
+
+
+def test_topk_oplog_invariant_to_batch_split(spark, tmp_path):
+    """Same ranked view whether the three carving generations arrive
+    in one batch or one per batch — both equal to a direct rank-window
+    recompute of v3 (deterministic cents DESC, key tie-break)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.catalog.streaming_q import _rel_oplog
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "cents"]
+    G = 10**10
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, log in enumerate(
+        (
+            _rel_oplog(None, v1, "o_orderkey", cols, G),
+            _rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
+            _rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+        ),
+        start=1,
+    ):
+        p = str(landing / f"g{i:03d}")
+        log.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _tklog_run(
+            spark, str(landing), str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ck{i}"), max_files, k=3,
+        )
+        results.append(_tk_view(view))
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc_nulls_last("cents"), "o_orderkey"
+    )
+    expect = _tk_view(
+        v3.select(
+            "o_custkey",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            "o_orderkey",
+            "cents",
+        ).filter(F.col("rnk") <= 3)
+    )
+    assert results[0] == results[1] == expect
+
+
+def test_topk_oplog_divergence_guard(spark, tmp_path):
+    """A log disagreeing with the standing image must RAISE: wrong
+    before-image digest, update of an absent key, and (via the key
+    index) an insert over a present key whose claimed group hashes to
+    a different bucket."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    def bucket_of(v):
+        return spark.range(1).select(
+            F.pmod(F.hash(F.lit(v).cast("bigint")), F.lit(8)).alias("b")
+        ).collect()[0]["b"]
+
+    g1 = 1
+    g2 = next(v for v in range(2, 64) if bucket_of(v) != bucket_of(g1))
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    _tklog_land(spark, landing, 1, [
+        (101, 1, "I", g1, 10, None, None),
+    ])
+    target = str(tmp_path / "state")
+    _tklog_run(spark, str(landing), target, str(tmp_path / "ck"), None)
+    cases = [
+        ((101, 10, "U", g1, 11, g1, 999), "DIVERGES from the standing"),
+        ((555, 10, "U", g1, 11, g1, 10), "DIVERGES from the standing"),
+        ((101, 10, "I", g2, 11, None, None), "key index"),
+    ]
+    for i, (bad, match) in enumerate(cases):
+        bad_landing = tmp_path / f"bad{i}"
+        os.makedirs(bad_landing)
+        shutil.copytree(str(landing / "g001"), str(bad_landing / "g001"))
+        _tklog_land(spark, bad_landing, 2, [bad])
+        with pytest.raises(Exception, match=match):
+            _tklog_run(
+                spark, str(bad_landing), str(tmp_path / f"state{i}"),
+                str(tmp_path / f"ckb{i}"), 1,
+            )

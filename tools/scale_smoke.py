@@ -425,6 +425,7 @@ def main() -> None:
         # r10 additions end-to-end
         ("streaming_distinct_count_oplog_pipeline", "distinct_oplog_3gen"),
         ("streaming_minmax_view_maintenance", "minmax_oplog_3gen"),
+        ("streaming_topk_view_maintenance", "topk_oplog_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
@@ -746,6 +747,59 @@ def main() -> None:
             prefix="b",
         )
         run(f"minmax_oplog_2nd_refresh_{tag}", go_mmlog)
+
+        # top-k sink: same fixed ~60-row delta over per-customer
+        # groups; the second refresh reads/rewrites only the touched
+        # group buckets of image AND view and re-ranks ≤60 groups
+        from epe_data_wrangling_spark.streaming.ops import (
+            topk_view_oplog_foreach_batch,
+        )
+
+        k1 = o10.select("o_orderkey", "o_custkey",
+                        F.round(F.col("o_totalprice") * 100).cast("bigint")
+                        .alias("cents"))
+        k2_df = k1.withColumn(
+            "cents",
+            F.when(
+                (F.col("o_orderkey") % 99731 == 0)
+                & (F.col("o_orderkey") < 10_000_000),
+                F.col("cents") + 100000,
+            ).otherwise(F.col("cents")),
+        )
+        tklog_schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, o_custkey BIGINT, "
+            "cents BIGINT, prev_o_custkey BIGINT, prev_cents BIGINT"
+        )
+        root = f"{WORK}/tklog_{tag}"
+        landing = os.path.join(root, "landing")
+        os.makedirs(landing)
+
+        def go_tklog(root=root, landing=landing, nb=nb):
+            stream = spark.readStream.schema(tklog_schema).parquet(landing)
+            return topk_view_oplog_foreach_batch(
+                stream,
+                os.path.join(root, "state"),
+                key_cols=["o_orderkey"],
+                op_col="op",
+                seq_col="seq",
+                group_cols=["o_custkey"],
+                value_col="cents",
+                k=3,
+                n_buckets=nb,
+                checkpoint_dir=os.path.join(root, "ckpt"),
+            )
+
+        kcols = ["o_custkey", "cents"]
+        _land_generations(
+            landing, [_rel_oplog(None, k1, "o_orderkey", kcols, 10**10)],
+            prefix="a",
+        )
+        go_tklog()  # bootstrap image+view build — untimed
+        _land_generations(
+            landing, [_rel_oplog(k1, k2_df, "o_orderkey", kcols, 2 * 10**10)],
+            prefix="b",
+        )
+        run(f"topk_oplog_2nd_refresh_{tag}", go_tklog)
 
     n_pairs = X.minhash_lsh_pairs(bd, "text", "doc_id").count()
     n_groups = X.simhash_dedup_groups(bd, "text", "doc_id", num_bits=32, blocks=4).count()
