@@ -3151,13 +3151,19 @@ def incremental_dedup_runs(
       re-scan old increments — the index IS the corpus memory);
     - dup-within: first-doc_id-wins inside the increment;
     - accepted fingerprints are APPENDED to the index, and one
-      accounting row per batch is appended to an audit sink.
+      accounting row per batch is appended to an audit sink. Appends
+      add ~one file per increment, so once the index crosses the
+      shared COMPACT_FILE_THRESHOLD it is compacted in place (read →
+      one file → atomic dir swap, crash-recovered like every other
+      standing table here) — nightly runs never fragment it
+      unboundedly.
 
     Returns the audit table (source, n_incoming, n_dup_vs_existing,
     n_dup_within, n_accepted) — the streaming twin of the batch
     ``dedup_incremental_new_docs`` accounting. State is O(|index|)
     on disk, not in the stream; each increment costs one hash join
     against fingerprints, never a corpus rescan."""
+    import glob as globmod
     import os
 
     from pyspark.sql import Window
@@ -3169,6 +3175,8 @@ def incremental_dedup_runs(
     os.makedirs(landing, exist_ok=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_swap(index_dir)  # a crash mid-compaction must not lose the index
+        _clean_stale_stages(index_dir)
         b = batch_df.select(
             "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("h")
         )
@@ -3198,6 +3206,19 @@ def incremental_dedup_runs(
         )
         audit.write.mode("append").parquet(audit_dir)
         fresh.where(F.col("rn") == 1).select("h").write.mode("append").parquet(index_dir)
+        # compaction: one file per increment accumulates; past the
+        # threshold, rewrite the index as one file and promote it with
+        # the crash-safe dir swap (same discipline as the bucketed
+        # standing images)
+        n_files = len(
+            globmod.glob(os.path.join(globmod.escape(index_dir), "*.parquet"))
+        )
+        if n_files > COMPACT_FILE_THRESHOLD:
+            stage = f"{index_dir}.stage-{batch_id}"
+            spark.read.parquet(index_dir).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            _atomic_swap(stage, index_dir, batch_id)
 
     schema = None
     for i, (name, docs) in enumerate(increments):

@@ -3014,3 +3014,48 @@ def test_topk_oplog_divergence_guard(spark, tmp_path):
                 spark, str(bad_landing), str(tmp_path / f"state{i}"),
                 str(tmp_path / f"ckb{i}"), 1,
             )
+
+
+def test_incremental_dedup_index_file_count_bounded(spark, tmp_path):
+    """The fingerprint index appends ~one file per nightly increment;
+    past COMPACT_FILE_THRESHOLD it must compact (crash-safe dir swap)
+    so file counts stay bounded across many runs — with dedup
+    semantics unchanged."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.ops import (
+        COMPACT_FILE_THRESHOLD,
+        incremental_dedup_runs,
+    )
+
+    def docs(lo, hi, source):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.lit(source).alias("source"),
+            F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+        )
+
+    # 12 increments: unique docs + one increment repeating older text
+    increments = [(f"inc{i}", docs(i * 10, i * 10 + 10, f"s{i}")) for i in range(11)]
+    increments.append(("replay", docs(0, 10, "s_replay")))
+    audit = incremental_dedup_runs(
+        spark, increments, work_dir=str(tmp_path / "work")
+    )
+    got = {
+        r["source"]: (r["n_incoming"], r["n_dup_vs_existing"], r["n_accepted"])
+        for r in audit.collect()
+    }
+    assert got["s_replay"] == (10, 10, 0)   # all dups vs the standing index
+    assert got["s5"] == (10, 0, 10)
+    n_files = len(
+        glob.glob(os.path.join(str(tmp_path / "work" / "index"), "*.parquet"))
+    )
+    assert n_files <= COMPACT_FILE_THRESHOLD + 1, n_files
+    # index holds exactly the 110 distinct fingerprints
+    assert (
+        spark.read.parquet(str(tmp_path / "work" / "index")).distinct().count()
+        == 110
+    )
