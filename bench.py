@@ -125,7 +125,13 @@ def main() -> None:
     passes: list[dict[str, float]] = []
     probes: list[float] = []
     for _ in range(2):
-        probes.append(round(calibration_probe(spark, sf_dir), 3))
+        # THREE probe readings per pass (r10+; r9 took one): the r9/r10
+        # comparison showed a single reading's own spread (0.24-0.35 s
+        # within one round) exceeds the cross-round drift it measures;
+        # min-of-three per pass tightens the yardstick without touching
+        # the frozen probe plan. Consumers take min(list) as before.
+        for _p in range(3):
+            probes.append(round(calibration_probe(spark, sf_dir), 3))
         sweep = {}
         for name, q in sorted(queries.items()):
             sweep[name] = round(run_query(q.fn, spark, sf_dir), 3)
