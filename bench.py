@@ -11,8 +11,9 @@ Each query is forced end-to-end with the no-op sink (full plan
 execution, no driver collect overhead). A tiny warm-up query runs
 first so JVM/codegen startup is not billed to the first headline.
 
-The JSON also carries ``calibration_probe_sec`` — two readings of a
-frozen probe plan, one immediately before each timed pass — so
+The JSON also carries ``calibration_probe_sec`` (scan-bound) and
+``calibration_probe_shuffle_sec`` (shuffle-bound, r10+) — readings of
+two frozen probe plans taken immediately before each timed pass — so
 round-over-round ratios can be normalized for the shared VM's ambient
 noise (rule in BASELINE.md "Calibration").
 """
@@ -61,6 +62,37 @@ def calibration_probe(spark, sf_dir: str) -> float:
             F.sum("l_quantity").alias("q"),
             F.sum("l_extendedprice").alias("p"),
         )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def calibration_probe_shuffle(spark, sf_dir: str) -> float:
+    """SECOND frozen probe (r10+), shuffle-bound where the first is
+    scan-bound: the r10 bench runs caught a neighbor spike that
+    inflated every headline query ~1.3x while the scan probe read
+    quiet (ROUND10.md "Bench note") — interference that lands on
+    shuffle/multi-stage work is invisible to a single-stage scan. This
+    plan forces one real exchange (lineitem hash-repartitioned on
+    l_orderkey, then a per-key agg whose grouping differs from the
+    incoming partitioning) so both interference modes have a
+    yardstick. Emitted as its OWN field
+    (``calibration_probe_shuffle_sec``); the original probe and its
+    r9 comparability are untouched. DO NOT EDIT this plan either."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    t0 = time.perf_counter()
+    (
+        li.repartition(32, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
         .write.format("noop")
         .mode("overwrite")
         .save()
@@ -121,9 +153,11 @@ def main() -> None:
     # would both land inside one spike; separating the passes by a full
     # sweep decorrelates them so the min measures the plan, not the
     # neighbor.
-    calibration_probe(spark, sf_dir)  # compile the probe's codegen once
+    calibration_probe(spark, sf_dir)  # compile the probes' codegen once
+    calibration_probe_shuffle(spark, sf_dir)
     passes: list[dict[str, float]] = []
     probes: list[float] = []
+    probes_shuffle: list[float] = []
     for _ in range(2):
         # THREE probe readings per pass (r10+; r9 took one): the r9/r10
         # comparison showed a single reading's own spread (0.24-0.35 s
@@ -132,6 +166,9 @@ def main() -> None:
         # the frozen probe plan. Consumers take min(list) as before.
         for _p in range(3):
             probes.append(round(calibration_probe(spark, sf_dir), 3))
+            probes_shuffle.append(
+                round(calibration_probe_shuffle(spark, sf_dir), 3)
+            )
         sweep = {}
         for name, q in sorted(queries.items()):
             sweep[name] = round(run_query(q.fn, spark, sf_dir), 3)
@@ -156,6 +193,7 @@ def main() -> None:
                 # (min = the quietest ambient seen; see BASELINE.md
                 # "Calibration" for the normalization rule)
                 "calibration_probe_sec": probes,
+                "calibration_probe_shuffle_sec": probes_shuffle,
                 "sf": sf,
             }
         )
