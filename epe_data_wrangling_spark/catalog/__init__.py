@@ -90,15 +90,15 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: each round; as of r9 every oracle-bearing query that existed at the
 #: r9 freeze is driver-validated (263 checked / 262 green,
 #: judge-reverified), so the r10 window carries (a) the 10 anchors,
-#: (b) the 3 queries ADDED during r10 (never driver-certified: the
+#: (b) the 4 queries ADDED during r10 (never driver-certified: the
 #: op-log-fed COUNT(DISTINCT), MIN/MAX, and TOP-K view-maintenance
-#: sinks), and
+#: sinks plus the tombstone-fed COUNT(DISTINCT) dialect), and
 #: (c) stalest-certified re-certs (oldest green driver row first, per
 #: tools/rotate_window.py) — mostly r2/r3-vintage greens now 7-8
 #: rounds old — so driver evidence ages out nowhere.
 #: ann_cosine_topk_arrow is rows-only BY DESIGN (Arrow/BLAS float
 #: summation order); its slot keeps driver row+schema evidence fresh.
-#: A green r10 record certifies the full 266-query catalog. Queries
+#: A green r10 record certifies the full 267-query catalog. Queries
 #: outside the window remain locally verified every round by
 #: tools/verify_local.py (the full DuckDB-differential sweep).
 PRIORITY_ORDER = [
@@ -113,16 +113,19 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the 3 queries added during r10 (never driver-certified):
+    # --- the 4 queries added during r10 (never driver-certified):
     # the op-log-fed COUNT(DISTINCT) sink (bucketed support table,
     # no snapshot landing/diff), the op-log-fed MIN/MAX sink (support
-    # multiset, extremum eviction re-derivation), and the op-log-fed
+    # multiset, extremum eviction re-derivation), the op-log-fed
     # TOP-K sink (group-bucketed standing base rows + bucketed view,
     # affected-group re-rank) — completing the sink family's
-    # aggregate taxonomy
+    # aggregate taxonomy — and the tombstone-fed COUNT(DISTINCT)
+    # sink (retractions manufactured from a key-bucketed image,
+    # same shared transition algebra, third hash-identical dialect)
     "streaming_distinct_count_oplog_pipeline",
     "streaming_minmax_view_maintenance",
     "streaming_topk_view_maintenance",
+    "streaming_distinct_count_tombstone_pipeline",
     # --- stalest re-certs (oldest green driver row first; the
     # arrow twin keeps rows-only evidence fresh by design)
     "ann_cosine_topk_arrow",
@@ -161,7 +164,6 @@ PRIORITY_ORDER = [
     "multimodal_wav_energy",
     "multimodal_y4m_frame_stats",
     "pack_sequences_greedy",
-    "pagerank_trading_graph",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

@@ -1312,42 +1312,162 @@ def streaming_topk_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _tombstone_log_from_versions(old, new, seq_base: int):
-    """Fixture-side compacted-changelog emitter: upserts carry ONLY
-    the after-image ('U' — the producer does not distinguish insert
-    from update), deletes are key-only tombstones ('D'). ``old is
-    None`` = bootstrap (all rows 'U')."""
+def _tombstone_rel_log(old, new, key: str, cols: list[str], seq_base: int):
+    """Generic fixture-side compacted-changelog emitter: upserts carry
+    ONLY the after-image ('U' — the producer does not distinguish
+    insert from update), deletes are key-only tombstones ('D'),
+    change detection is null-safe per column (a value↔NULL transition
+    must emit; a plain != yields NULL and the filter would drop it).
+    ``old is None`` = bootstrap (all rows 'U')."""
     from pyspark.sql import functions as F
 
     if old is None:
         return new.select(
-            "o_orderkey",
-            (F.lit(seq_base) + F.col("o_orderkey")).alias("seq"),
+            key,
+            (F.lit(seq_base) + F.col(key)).alias("seq"),
             F.lit("U").alias("op"),
-            "o_orderstatus",
-            "cents",
+            *cols,
         )
     a, b = old.alias("a"), new.alias("b")
-    j = a.join(b, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer")
-    a_abs = F.col("a.o_orderkey").isNull()
-    b_abs = F.col("b.o_orderkey").isNull()
-    # null-safe change detection: a value↔NULL transition must emit
-    # an op (a plain != yields NULL and the filter would drop it)
-    changed = ~F.col("a.cents").eqNullSafe(F.col("b.cents")) | ~F.col(
-        "a.o_orderstatus"
-    ).eqNullSafe(F.col("b.o_orderstatus"))
+    j = a.join(b, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    a_abs = F.col(f"a.{key}").isNull()
+    b_abs = F.col(f"b.{key}").isNull()
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
     return j.filter(a_abs | b_abs | changed).select(
-        F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
-            "o_orderkey"
-        ),
+        F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias(key),
         (
-            F.lit(seq_base)
-            + F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+            F.lit(seq_base) + F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}"))
         ).alias("seq"),
         F.when(b_abs, "D").otherwise("U").alias("op"),
-        F.col("b.o_orderstatus").alias("o_orderstatus"),
-        F.col("b.cents").alias("cents"),
+        *[F.col(f"b.{c}").alias(c) for c in cols],
     )
+
+
+def _tombstone_log_from_versions(old, new, seq_base: int):
+    """Orders-shaped compacted-changelog emitter — thin wrapper over
+    the generic `_tombstone_rel_log`."""
+    return _tombstone_rel_log(
+        old, new, "o_orderkey", ["o_orderstatus", "cents"], seq_base
+    )
+
+
+@query(
+    "streaming_distinct_count_tombstone_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_distinct_count_tombstone_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COUNT(DISTINCT) from a compacted topic — the THIRD input
+    dialect over the same carving and SAME oracle as
+    ``streaming_distinct_count_view_maintenance`` (full snapshots) and
+    ``streaming_distinct_count_oplog_pipeline`` (before-image log), so
+    all three pipelines must hash identically: upserts carry only the
+    after-image and deletes only the key, and
+    ``streaming.ops.distinct_count_tombstone_foreach_batch``
+    manufactures every retraction value from the key-hash-bucketed
+    standing image it maintains (touched-bucket lookup and rewrite,
+    hardlinked untouched buckets — the ``cdc_tombstone`` machinery)
+    before handing the signed rows to the SAME shared two-level
+    refresh as the op-log dialect (bucketed support table, 0↔positive
+    transitions). Three tombstone-changelog generations land as a file
+    stream; the oracle recomputes v3's COUNT(DISTINCT) directly. The
+    matrix point: input dialect and aggregate algebra compose
+    orthogonally — the dialect decides how retractions are obtained
+    (before-images / manufactured from an image / snapshot diffs),
+    the algebra is one implementation shared across all three.
+    Scale: per batch — delta-sized dedup/validation + touched
+    key-bucket image I/O + touched support-bucket I/O + a
+    |groups|-row merge; no snapshot ever lands."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "o_orderstatus"]
+    work = tempfile.mkdtemp(prefix="distinct_tomb_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        G = 10**10
+        _land_generations(
+            landing,
+            [
+                _tombstone_rel_log(None, v1, "o_orderkey", cols, 1 * G),
+                _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
+                _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_custkey BIGINT, o_orderstatus STRING"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.distinct_count_tombstone_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_col="o_orderstatus",
+            value_col="o_custkey",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("d").alias("n_distinct_cust"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n_orders BIGINT, n_distinct_cust BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 @query(

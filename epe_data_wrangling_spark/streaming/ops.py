@@ -1439,6 +1439,105 @@ def distinct_count_view_foreach_batch(
     return snapshots.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def _distinct_state_refresh(
+    spark,
+    target_dir: str,
+    stage: str,
+    signed: DataFrame,
+    group_col: str,
+    value_col: str,
+    kb,
+    tag: str,
+) -> None:
+    """The two-level distinct-count refresh every changelog dialect
+    shares, from SIGNED business rows (however the dialect produced
+    them — before-images from the log, or retractions manufactured
+    from a standing image): aggregate to the row-count delta and the
+    net support delta, read the standing support PRUNED to the
+    delta's ``kb`` buckets, move the view's ``d`` on 0↔positive
+    transitions and ``n`` additively, merge the touched buckets'
+    support (zero-count rows dropped; a NEGATIVE count RAISES — the
+    support table is the divergence witness), and write ``support/``
+    (+ hardlinked/compacted untouched buckets) and ``view/`` into the
+    caller's stage. The caller owns meta + the atomic swap."""
+    import os
+
+    signed = signed.localCheckpoint(eager=True)  # feeds dn, dsup
+    dn = signed.groupBy(group_col).agg(
+        F.sum("_sign").cast("bigint").alias("n")
+    )
+    dsup = (
+        signed.filter(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.sum("_sign").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+        .localCheckpoint(eager=True)
+    )
+    touched = sorted(
+        int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
+    )
+    support_dir = os.path.join(target_dir, "support")
+    have_sup = _has_bucket_files(support_dir)
+    sup_old = (
+        spark.read.parquet(support_dir).filter(F.col("_kb").isin(touched))
+        if have_sup
+        else None
+    )
+    dd = _support_transitions(
+        spark, dsup, sup_old.drop("_kb") if sup_old is not None else None,
+        group_col, value_col,
+    )
+    dview = _combine_n_d(dn, dd, group_col)
+    view = (
+        spark.read.parquet(os.path.join(target_dir, "view"))
+        if os.path.isdir(os.path.join(target_dir, "view"))
+        else None
+    )
+    view = _additive_merge(view, dview, [group_col], ["n", "d"])
+    # merge the touched buckets' support (null-safe on the group;
+    # values are non-null by construction on both sides)
+    so = (
+        sup_old
+        if sup_old is not None
+        else spark.createDataFrame([], dsup.withColumn("_kb", F.lit(0)).schema)
+    ).alias("so")
+    ds_ = dsup.alias("ds")
+    merged = so.join(
+        ds_,
+        F.col(f"so.{group_col}").eqNullSafe(F.col(f"ds.{group_col}"))
+        & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(f"so.{group_col}"), F.col(f"ds.{group_col}")).alias(
+            group_col
+        ),
+        F.coalesce(F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")).alias(
+            value_col
+        ),
+        (
+            F.coalesce(F.col("so.cnt"), F.lit(0))
+            + F.coalesce(F.col("ds.cnt"), F.lit(0))
+        ).alias("cnt"),
+    ).localCheckpoint(eager=True)  # feeds the guard agg AND the write
+    worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
+    if worst is not None and worst < 0:
+        raise RuntimeError(
+            f"{tag} sink: a support count went NEGATIVE ({worst}) — the "
+            "log retracted a (group, value) it never inserted (bad "
+            "before-image?); refusing to apply"
+        )
+    merged.filter(F.col("cnt") > 0).withColumn("_kb", kb).repartition(
+        max(len(touched), 1), "_kb"
+    ).write.partitionBy("_kb").mode("overwrite").parquet(
+        os.path.join(stage, "support")
+    )
+    if have_sup:
+        _link_untouched_buckets(
+            support_dir, os.path.join(stage, "support"), touched, spark=spark
+        )
+    view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+
+
 def distinct_count_oplog_foreach_batch(
     oplog: DataFrame,
     target_dir: str,
@@ -1533,85 +1632,12 @@ def distinct_count_oplog_foreach_batch(
         insert = batch_df.filter(op.isin("I", "U")).select(
             *business, F.lit(1).alias("_sign")
         )
-        # feeds the row-count delta, the support delta, and (via the
-        # support delta) the touched-bucket collect — materialize once
-        signed = retract.unionByName(insert).localCheckpoint(eager=True)
-        dn = signed.groupBy(group_col).agg(
-            F.sum("_sign").cast("bigint").alias("n")
-        )
-        dsup = (
-            signed.filter(F.col(value_col).isNotNull())
-            .groupBy(group_col, value_col)
-            .agg(F.sum("_sign").cast("bigint").alias("cnt"))
-            .filter(F.col("cnt") != 0)
-            .localCheckpoint(eager=True)
-        )
-        touched = sorted(
-            int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
-        )
-        support_dir = os.path.join(target_dir, "support")
-        have_sup = _has_bucket_files(support_dir)
-        sup_old = (
-            spark.read.parquet(support_dir).filter(F.col("_kb").isin(touched))
-            if have_sup
-            else None
-        )
-        dd = _support_transitions(
-            spark, dsup, sup_old.drop("_kb") if sup_old is not None else None,
-            group_col, value_col,
-        )
-        dview = _combine_n_d(dn, dd, group_col)
-        view = (
-            spark.read.parquet(os.path.join(target_dir, "view"))
-            if os.path.isdir(os.path.join(target_dir, "view"))
-            else None
-        )
-        view = _additive_merge(view, dview, [group_col], ["n", "d"])
-        # merge the touched buckets' support (null-safe on the group;
-        # values are non-null by construction on both sides)
-        so = (
-            sup_old
-            if sup_old is not None
-            else spark.createDataFrame(
-                [], dsup.withColumn("_kb", F.lit(0)).schema
-            )
-        ).alias("so")
-        ds_ = dsup.alias("ds")
-        merged = so.join(
-            ds_,
-            F.col(f"so.{group_col}").eqNullSafe(F.col(f"ds.{group_col}"))
-            & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
-            "full_outer",
-        ).select(
-            F.coalesce(F.col(f"so.{group_col}"), F.col(f"ds.{group_col}")).alias(
-                group_col
-            ),
-            F.coalesce(F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")).alias(
-                value_col
-            ),
-            (
-                F.coalesce(F.col("so.cnt"), F.lit(0))
-                + F.coalesce(F.col("ds.cnt"), F.lit(0))
-            ).alias("cnt"),
-        ).localCheckpoint(eager=True)  # feeds the guard agg AND the write
-        worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
-        if worst is not None and worst < 0:
-            raise RuntimeError(
-                "distinct_oplog sink: a support count went NEGATIVE "
-                f"({worst}) — the log retracted a (group, value) it never "
-                "inserted (bad before-image?); refusing to apply"
-            )
         stage = f"{target_dir}.stage-{batch_id}"
-        merged.filter(F.col("cnt") > 0).withColumn("_kb", kb).repartition(
-            max(len(touched), 1), "_kb"
-        ).write.partitionBy("_kb").mode("overwrite").parquet(
-            os.path.join(stage, "support")
+        _distinct_state_refresh(
+            spark, target_dir, stage,
+            retract.unionByName(insert),
+            group_col, value_col, kb, "distinct_oplog",
         )
-        if have_sup:
-            _link_untouched_buckets(
-                support_dir, os.path.join(stage, "support"), touched, spark=spark
-            )
-        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
@@ -1624,6 +1650,145 @@ def distinct_count_oplog_foreach_batch(
         _atomic_swap(stage, target_dir, batch_id)
 
     _run_foreach_batch(oplog, _apply, checkpoint_dir, "distinct_oplog", timeout_sec)
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
+def distinct_count_tombstone_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    op_col: str,
+    seq_col: str,
+    group_col: str,
+    value_col: str,
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """COUNT(DISTINCT) maintenance from a changelog WITHOUT
+    before-images — the compacted-topic dialect composed with the
+    support-table algebra, filling the input-shape × aggregate-class
+    matrix cell between ``cdc_tombstone_foreach_batch`` (tombstones →
+    additive view) and ``distinct_count_oplog_foreach_batch``
+    (before-image log → distinct view): rows are 'U' upserts carrying
+    only the AFTER image or 'D' tombstones carrying only the KEY, so
+    the retraction values the transition algebra needs are
+    MANUFACTURED from a standing keyed image the sink maintains —
+    bucketed by KEY hash, looked up and rewritten only where the
+    batch's keys land, untouched buckets hardlinked through the
+    commit (the ``cdc_tombstone`` image machinery, unchanged).
+
+    Per batch: last-op-per-key dedup (intermediate states cancel);
+    the stored rows of the batch's keys become −1 signed rows (an
+    upsert replaces: retract old THEN insert new; a tombstone only
+    retracts; a tombstone for an absent key retracts nothing —
+    compaction semantics), the final upserts become +1 rows, and the
+    SAME shared two-level refresh as the other dialects takes over
+    (``_distinct_state_refresh``: bucketed support, 0↔positive
+    transitions, zero rows dropped, negative counts raise). Target
+    layout in ONE atomic swap: ``image/`` (key-hash-bucketed),
+    ``support/`` (hash(group, value)-bucketed), ``view/``,
+    ``_ivm_meta.json``. Exactly-once and validation follow the
+    tombstone sink's discipline.
+
+    Scale: per batch — delta-sized dedup/validation, touched
+    KEY-bucket image I/O (lookup + rewrite), touched SUPPORT-bucket
+    I/O, a |groups|-row view merge, O(#untouched files) hardlinks;
+    the corpus is never re-aggregated and no snapshot ever lands.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    business = [group_col, value_col]
+    extra = [c for c in business if c not in key_cols]
+    key_kb = F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+    sup_kb = F.pmod(F.hash(F.col(group_col), F.col(value_col)), F.lit(n_buckets))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "distinct_tombstone"):
+            return
+        op = F.col(op_col)
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("U", "D"),
+            meta.get("last_seq"), "distinct_tombstone",
+        )
+        if v is None:
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        last_ops = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*key_cols, op_col, *extra)
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            int(r["b"])
+            for r in last_ops.select(key_kb.alias("b")).distinct().collect()
+        )
+        image_dir = os.path.join(target_dir, "image")
+        have_image = _has_bucket_files(image_dir)
+        old_touched = (
+            spark.read.parquet(image_dir).filter(
+                F.col("_kb").isin(touched)
+            )
+            if have_image
+            else spark.createDataFrame(
+                [],
+                last_ops.select(
+                    *key_cols, *extra, F.lit(0).alias("_kb")
+                ).schema,
+            )
+        )
+        keyset = last_ops.select(*key_cols)
+        # manufactured retractions: the stored rows of the batch's
+        # keys (whether the last op upserts or tombstones them)
+        retract = old_touched.join(F.broadcast(keyset), key_cols).select(
+            *business, F.lit(-1).alias("_sign")
+        )
+        upserts = last_ops.filter(op == "U")
+        insert = upserts.select(*business, F.lit(1).alias("_sign"))
+        stage = f"{target_dir}.stage-{batch_id}"
+        _distinct_state_refresh(
+            spark, target_dir, stage,
+            retract.unionByName(insert),
+            group_col, value_col, sup_kb, "distinct_tombstone",
+        )
+        survivors = old_touched.join(
+            F.broadcast(keyset), key_cols, "left_anti"
+        ).select(*key_cols, *extra, "_kb")
+        new_touched = survivors.unionByName(
+            upserts.select(*key_cols, *extra, key_kb.alias("_kb"))
+        )
+        new_touched.repartition(max(len(touched), 1), "_kb").write.partitionBy(
+            "_kb"
+        ).mode("overwrite").parquet(os.path.join(stage, "image"))
+        if have_image:
+            _link_untouched_buckets(
+                image_dir, os.path.join(stage, "image"), touched, spark=spark
+            )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(
+        oplog, _apply, checkpoint_dir, "distinct_tombstone", timeout_sec
+    )
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 

@@ -3059,3 +3059,162 @@ def test_incremental_dedup_index_file_count_bounded(spark, tmp_path):
         spark.read.parquet(str(tmp_path / "work" / "index")).distinct().count()
         == 110
     )
+
+
+_DTLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, o_custkey BIGINT, "
+    "o_orderstatus STRING"
+)
+
+
+def _dtlog_land(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen:03d}")
+    spark.createDataFrame(rows, _DTLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _dtlog_run(spark, landing, target, ckpt, max_files, n_buckets=8):
+    from epe_data_wrangling_spark.streaming.ops import (
+        distinct_count_tombstone_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_DTLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return distinct_count_tombstone_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+        group_col="o_orderstatus",
+        value_col="o_custkey",
+        n_buckets=n_buckets,
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_distinct_tombstone_semantics_and_round_trip(spark, tmp_path):
+    """The manufactured-retraction cases: an upsert that REPLACES a
+    row must retract the stored value (group AND value may change); a
+    tombstone for the last support of a value drops d; a tombstone for
+    an ABSENT key is a no-op; re-upserting after a delete raises d
+    back (1→0→1 via the image, not before-images)."""
+    import os  # noqa: F401
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    landing = tmp_path / "landing"
+    import os
+
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _dtlog_land(spark, landing, 1, [
+        (1, 101, "U", 7, "A"),
+        (2, 102, "U", 7, "A"),     # second support of (A, 7)
+        (3, 103, "U", 9, "B"),
+    ])
+    view = _dtlog_run(spark, str(landing), target, ck, None)
+    got = {r["o_orderstatus"]: (r["n"], r["d"]) for r in view.collect()}
+    assert got == {"A": (2, 1), "B": (1, 1)}
+    # upsert key 1 to a new group+value: retract (A,7), insert (B,9);
+    # (A,7) still supported by key 2, (B,9) now doubly supported
+    _dtlog_land(spark, landing, 2, [
+        (1, 201, "U", 9, "B"),
+        (999, 202, "D", None, None),   # absent key: no-op
+    ])
+    view = _dtlog_run(spark, str(landing), target, ck, None)
+    got = {r["o_orderstatus"]: (r["n"], r["d"]) for r in view.collect()}
+    assert got == {"A": (1, 1), "B": (2, 1)}
+    # tombstone key 2: (A,7) loses its LAST support -> A leaves
+    _dtlog_land(spark, landing, 3, [
+        (2, 301, "D", None, None),
+    ])
+    view = _dtlog_run(spark, str(landing), target, ck, None)
+    got = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {"B": (2, 1)}
+    # re-upsert: A returns with a fresh support
+    _dtlog_land(spark, landing, 4, [
+        (2, 401, "U", 7, "A"),
+    ])
+    view = _dtlog_run(spark, str(landing), target, ck, None)
+    got = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in view.filter(F.col("n") > 0).collect()
+    }
+    assert got == {"A": (1, 1), "B": (2, 1)}
+
+
+def test_distinct_tombstone_invariant_to_batch_split(spark, tmp_path):
+    """Same view whether the three tombstone-changelog generations
+    arrive in one batch or one per batch — both equal to a direct
+    recompute of the final state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.catalog.streaming_q import _tombstone_rel_log
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "o_orderstatus"]
+    G = 10**10
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    for i, log in enumerate(
+        (
+            _tombstone_rel_log(None, v1, "o_orderkey", cols, G),
+            _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
+            _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+        ),
+        start=1,
+    ):
+        p = str(landing / f"g{i:03d}")
+        log.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                fp = os.path.join(p, f)
+                t = os.path.getmtime(fp)
+                os.utime(fp, (t + i, t + i))
+    results = []
+    for i, max_files in enumerate((None, 1)):
+        view = _dtlog_run(
+            spark, str(landing), str(tmp_path / f"state{i}"),
+            str(tmp_path / f"ck{i}"), max_files,
+        )
+        results.append(
+            {
+                r["o_orderstatus"]: (r["n"], r["d"])
+                for r in view.filter(F.col("n") > 0).collect()
+            }
+        )
+    expect = {
+        r["o_orderstatus"]: (r["n"], r["d"])
+        for r in v3.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("o_custkey").alias("d"),
+        )
+        .collect()
+    }
+    assert results[0] == results[1] == expect

@@ -426,6 +426,7 @@ def main() -> None:
         ("streaming_distinct_count_oplog_pipeline", "distinct_oplog_3gen"),
         ("streaming_minmax_view_maintenance", "minmax_oplog_3gen"),
         ("streaming_topk_view_maintenance", "topk_oplog_3gen"),
+        ("streaming_distinct_count_tombstone_pipeline", "distinct_tomb_3gen"),
     ):
         run(f"{lbl}_sf01", lambda q=cat[qname]: q.fn(spark, base))
         run(f"{lbl}_10x", lambda q=cat[qname]: q.fn(spark, mix2))
