@@ -90,15 +90,16 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: each round; as of r9 every oracle-bearing query that existed at the
 #: r9 freeze is driver-validated (263 checked / 262 green,
 #: judge-reverified), so the r10 window carries (a) the 10 anchors,
-#: (b) the 4 queries ADDED during r10 (never driver-certified: the
+#: (b) the 5 queries ADDED during r10 (never driver-certified: the
 #: op-log-fed COUNT(DISTINCT), MIN/MAX, and TOP-K view-maintenance
-#: sinks plus the tombstone-fed COUNT(DISTINCT) dialect), and
+#: sinks, the tombstone-fed COUNT(DISTINCT) dialect, and the
+#: median-from-support order statistic), and
 #: (c) stalest-certified re-certs (oldest green driver row first, per
 #: tools/rotate_window.py) — mostly r2/r3-vintage greens now 7-8
 #: rounds old — so driver evidence ages out nowhere.
 #: ann_cosine_topk_arrow is rows-only BY DESIGN (Arrow/BLAS float
 #: summation order); its slot keeps driver row+schema evidence fresh.
-#: A green r10 record certifies the full 267-query catalog. Queries
+#: A green r10 record certifies the full 268-query catalog. Queries
 #: outside the window remain locally verified every round by
 #: tools/verify_local.py (the full DuckDB-differential sweep).
 PRIORITY_ORDER = [
@@ -126,6 +127,9 @@ PRIORITY_ORDER = [
     "streaming_minmax_view_maintenance",
     "streaming_topk_view_maintenance",
     "streaming_distinct_count_tombstone_pipeline",
+    # median from the same support multiset (order statistics
+    # beyond MIN/MAX, derived without touching base rows)
+    "ivm_median_support",
     # --- stalest re-certs (oldest green driver row first; the
     # arrow twin keeps rows-only evidence fresh by design)
     "ann_cosine_topk_arrow",
@@ -163,7 +167,6 @@ PRIORITY_ORDER = [
     "multimodal_png_pixel_stats",
     "multimodal_wav_energy",
     "multimodal_y4m_frame_stats",
-    "pack_sequences_greedy",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

@@ -2022,6 +2022,121 @@ def ivm_minmax_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.unionByName(recomputed).filter(F.col("n_rows") > 0)
 
 
+@query(
+    "ivm_median_support",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 != 5),
+    ranked AS (
+      SELECT o_orderstatus, cents,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM v2)
+    SELECT o_orderstatus,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(cents AS BIGINT) AS median_cents
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def ivm_median_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for an ORDER STATISTIC — the same support multiset that
+    maintains MIN/MAX (``ivm_minmax_support``) answers ANY exact
+    quantile without ever re-reading base rows: per group the support
+    is already (value → cnt), so the lower median is the smallest
+    value whose running support count reaches ⌈n/2⌉ — a cumulative
+    window over |distinct values per group| SUPPORT rows, not over
+    the group's rows. The refresh is the standard two-path split:
+    signed deltas aggregate to support deltas (delta-sized), only
+    TOUCHED groups' support merges them and re-derives the median,
+    untouched groups keep their stored view rows unread. The shared
+    v1→v2 carving makes both hazards load-bearing (deletes shift
+    medians, status flips migrate rows across groups); the oracle
+    recomputes v2's per-status lower median directly via an explicit
+    rank expression (deterministic for ties — equal cents at the
+    median position give the same value regardless of tie order), so
+    a refresh that kept one stale median cannot hash green. Scale:
+    the median re-derivation is |touched groups| × |distinct values
+    per group| — the regime where a sorted-run recompute over raw
+    rows would be group-sized, the support form is
+    distinct-value-sized, and at 100 TB the support is the standing
+    table the streaming MIN/MAX sink already maintains bucketed (this
+    query certifies the algebra; the sink stores the state)."""
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v1 = v1.select("o_orderkey", "cents", "o_orderstatus")
+    v2 = v2.select("o_orderkey", "cents", "o_orderstatus")
+
+    delta = _signed_delta(
+        v1, v2, "o_orderkey", ["cents", "o_orderstatus"]
+    ).localCheckpoint(eager=True)
+
+    sup1 = (
+        v1.groupBy("o_orderstatus", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    def median_from_support(sup: DataFrame) -> DataFrame:
+        w_cum = (
+            Window.partitionBy("o_orderstatus")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy("o_orderstatus")
+        c = sup.select(
+            "o_orderstatus",
+            "cents",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
+        )
+        # lower median: smallest value whose cumulative count reaches
+        # (n+1) div 2 — INTEGER division (Spark's `/` is float and
+        # would round even-n groups up to the UPPER median); rows are
+        # support entries, so the window is |distinct values per
+        # group|-sized
+        hits = c.filter(F.col("cum") >= F.floor((F.col("n") + 1) / 2))
+        return hits.groupBy("o_orderstatus").agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("median_cents"),
+        )
+
+    view1 = median_from_support(sup1)
+
+    dsup = (
+        delta.groupBy("o_orderstatus", "cents")
+        .agg(F.sum("sign").alias("dc"))
+        .filter(F.col("dc") != 0)
+        .localCheckpoint(eager=True)
+    )
+    touched = dsup.select("o_orderstatus").distinct()
+
+    kept = view1.join(touched, "o_orderstatus", "left_anti")
+    sup_t, d = (
+        sup1.join(touched, "o_orderstatus", "left_semi").alias("sp"),
+        dsup.alias("d"),
+    )
+    merged_sup = sup_t.join(
+        d,
+        (F.col("sp.o_orderstatus") == F.col("d.o_orderstatus"))
+        & (F.col("sp.cents") == F.col("d.cents")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("sp.o_orderstatus"), F.col("d.o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.coalesce(F.col("sp.cents"), F.col("d.cents")).alias("cents"),
+        (
+            F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.coalesce(F.col("d.dc"), F.lit(0))
+        ).alias("cnt"),
+    )
+    recomputed = median_from_support(merged_sup.filter(F.col("cnt") > 0))
+    return kept.unionByName(recomputed).filter(F.col("n_rows") > 0)
+
+
 def _sparse_version(o: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Sparse second version for the non-distributive IVM query: v2
     bumps cents on keys ≡0 mod 97 (an update that can INSERT a row
