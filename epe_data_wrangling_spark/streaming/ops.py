@@ -927,6 +927,127 @@ def cdc_oplog_foreach_batch(
 COMPACT_FILE_THRESHOLD = 8
 
 
+def _ns_cond(a: str, b: str, cols: list[str]):
+    """Null-safe multi-column equi condition between two aliases — a
+    NULL group is a legitimate group everywhere in this module, and a
+    plain equality would drop (or re-transition) it on every join."""
+    cond = F.lit(True)
+    for c in cols:
+        cond = cond & F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
+    return cond
+
+
+def _merge_bucketed_support(
+    spark,
+    support_dir: str,
+    dsup: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    kb,
+    tag: str,
+):
+    """The bucketed-support read+merge+guard every support-multiset
+    sink shares (distinct-count and MIN/MAX, both changelog dialects):
+    collect the net delta's touched ``kb`` buckets, read the standing
+    support PRUNED to them, full-outer-merge the counts (null-safe on
+    the group columns; values are non-null by construction on both
+    sides), and RAISE if any merged count goes negative — a
+    retraction of a (group, value) the support never held means the
+    log diverged, and the support table is the divergence witness.
+    Returns ``(merged, sup_old, touched, have_sup)``; ``merged`` is
+    localCheckpointed (it feeds the guard agg, the caller's
+    re-aggregation, and the write), ``sup_old`` is the pruned
+    pre-merge support (None on bootstrap) for callers that also need
+    the OLD counts (the distinct transition rule)."""
+    import os  # noqa: F401
+
+    touched = sorted(
+        int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
+    )
+    have_sup = _has_bucket_files(support_dir)
+    sup_old = (
+        spark.read.parquet(support_dir).filter(F.col("_kb").isin(touched))
+        if have_sup
+        else None
+    )
+    so = (
+        sup_old.drop("_kb")
+        if sup_old is not None
+        else spark.createDataFrame([], dsup.schema)
+    ).alias("so")
+    ds_ = dsup.alias("ds")
+    merged = so.join(
+        ds_,
+        _ns_cond("so", "ds", group_cols)
+        & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
+        "full_outer",
+    ).select(
+        *[
+            F.coalesce(F.col(f"so.{g}"), F.col(f"ds.{g}")).alias(g)
+            for g in group_cols
+        ],
+        F.coalesce(F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")).alias(
+            value_col
+        ),
+        (
+            F.coalesce(F.col("so.cnt"), F.lit(0))
+            + F.coalesce(F.col("ds.cnt"), F.lit(0))
+        ).alias("cnt"),
+    ).localCheckpoint(eager=True)
+    worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
+    if worst is not None and worst < 0:
+        raise RuntimeError(
+            f"{tag} sink: a support count went NEGATIVE ({worst}) — the "
+            "log retracted a (group, value) it never inserted (bad "
+            "before-image?); refusing to apply"
+        )
+    return merged, sup_old, touched, have_sup
+
+
+def _write_bucketed_support(
+    spark,
+    support_dir: str,
+    stage_support_dir: str,
+    merged: DataFrame,
+    kb,
+    touched: list,
+    have_sup: bool,
+) -> None:
+    """Write the merged support's touched buckets (zero-count rows
+    dropped — indistinguishable from absent for every consumer of a
+    support multiset) and hardlink/compact the untouched ones."""
+    merged.filter(F.col("cnt") > 0).withColumn("_kb", kb).repartition(
+        max(len(touched), 1), "_kb"
+    ).write.partitionBy("_kb").mode("overwrite").parquet(stage_support_dir)
+    if have_sup:
+        _link_untouched_buckets(
+            support_dir, stage_support_dir, touched, spark=spark
+        )
+
+
+def _check_bucket_layout(meta: dict, n_buckets: int, tag: str) -> None:
+    """Fail-loud bucket-layout guard for every sink that keeps
+    bucketed standing state: the committed ``_kb`` values are
+    pmod(hash(...), n_buckets-at-write-time), so resuming a target
+    with a DIFFERENT n_buckets (config drift, changed default) would
+    silently misread the layout — touched-bucket filters load the
+    wrong rows, old counts read as zero, and the view corrupts in
+    ways the value-level guards cannot see (nothing goes negative).
+    The sinks commit ``n_buckets`` inside ``_ivm_meta.json`` and this
+    check runs at batch start. Targets written before the field
+    existed pass (None) and adopt the configured value on their next
+    commit."""
+    committed = meta.get("n_buckets")
+    if committed is not None and committed != n_buckets:
+        raise RuntimeError(
+            f"{tag} sink: target was committed with n_buckets={committed} "
+            f"but the sink is configured with n_buckets={n_buckets} — the "
+            "stored bucket layout would be misread (wrong touched-bucket "
+            "filters, spurious transitions); use the committed value or "
+            "rebuild the target"
+        )
+
+
 def _link_untouched_buckets(
     image_dir: str,
     stage_image_dir: str,
@@ -1142,6 +1263,7 @@ def cdc_tombstone_foreach_batch(
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "cdc_tombstone")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "cdc_tombstone"):
@@ -1229,6 +1351,7 @@ def cdc_tombstone_foreach_batch(
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },
@@ -1473,15 +1596,9 @@ def _distinct_state_refresh(
         .filter(F.col("cnt") != 0)
         .localCheckpoint(eager=True)
     )
-    touched = sorted(
-        int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
-    )
     support_dir = os.path.join(target_dir, "support")
-    have_sup = _has_bucket_files(support_dir)
-    sup_old = (
-        spark.read.parquet(support_dir).filter(F.col("_kb").isin(touched))
-        if have_sup
-        else None
+    merged, sup_old, touched, have_sup = _merge_bucketed_support(
+        spark, support_dir, dsup, [group_col], value_col, kb, tag
     )
     dd = _support_transitions(
         spark, dsup, sup_old.drop("_kb") if sup_old is not None else None,
@@ -1494,47 +1611,10 @@ def _distinct_state_refresh(
         else None
     )
     view = _additive_merge(view, dview, [group_col], ["n", "d"])
-    # merge the touched buckets' support (null-safe on the group;
-    # values are non-null by construction on both sides)
-    so = (
-        sup_old
-        if sup_old is not None
-        else spark.createDataFrame([], dsup.withColumn("_kb", F.lit(0)).schema)
-    ).alias("so")
-    ds_ = dsup.alias("ds")
-    merged = so.join(
-        ds_,
-        F.col(f"so.{group_col}").eqNullSafe(F.col(f"ds.{group_col}"))
-        & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col(f"so.{group_col}"), F.col(f"ds.{group_col}")).alias(
-            group_col
-        ),
-        F.coalesce(F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")).alias(
-            value_col
-        ),
-        (
-            F.coalesce(F.col("so.cnt"), F.lit(0))
-            + F.coalesce(F.col("ds.cnt"), F.lit(0))
-        ).alias("cnt"),
-    ).localCheckpoint(eager=True)  # feeds the guard agg AND the write
-    worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
-    if worst is not None and worst < 0:
-        raise RuntimeError(
-            f"{tag} sink: a support count went NEGATIVE ({worst}) — the "
-            "log retracted a (group, value) it never inserted (bad "
-            "before-image?); refusing to apply"
-        )
-    merged.filter(F.col("cnt") > 0).withColumn("_kb", kb).repartition(
-        max(len(touched), 1), "_kb"
-    ).write.partitionBy("_kb").mode("overwrite").parquet(
-        os.path.join(stage, "support")
+    _write_bucketed_support(
+        spark, support_dir, os.path.join(stage, "support"),
+        merged, kb, touched, have_sup,
     )
-    if have_sup:
-        _link_untouched_buckets(
-            support_dir, os.path.join(stage, "support"), touched, spark=spark
-        )
     view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
 
 
@@ -1613,6 +1693,7 @@ def distinct_count_oplog_foreach_batch(
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "distinct_oplog")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "distinct_oplog"):
@@ -1642,6 +1723,7 @@ def distinct_count_oplog_foreach_batch(
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },
@@ -1712,6 +1794,7 @@ def distinct_count_tombstone_foreach_batch(
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "distinct_tombstone")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "distinct_tombstone"):
@@ -1779,6 +1862,7 @@ def distinct_count_tombstone_foreach_batch(
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },
@@ -1858,17 +1942,12 @@ def minmax_view_oplog_foreach_batch(
 
     kb = F.pmod(F.hash(*[F.col(g) for g in group_cols]), F.lit(n_buckets))
 
-    def _ns(a: str, b: str, cols: list[str]):
-        cond = F.lit(True)
-        for k in cols:
-            cond = cond & F.col(f"{a}.{k}").eqNullSafe(F.col(f"{b}.{k}"))
-        return cond
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "minmax_oplog")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "minmax_oplog"):
@@ -1899,44 +1978,11 @@ def minmax_view_oplog_foreach_batch(
             .filter(F.col("cnt") != 0)
             .localCheckpoint(eager=True)
         )
-        touched = sorted(
-            int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
-        )
         support_dir = os.path.join(target_dir, "support")
-        have_sup = _has_bucket_files(support_dir)
-        sup_old = (
-            spark.read.parquet(support_dir)
-            .filter(F.col("_kb").isin(touched))
-            .drop("_kb")
-            if have_sup
-            else spark.createDataFrame([], dsup.schema)
+        merged, _sup_old, touched, have_sup = _merge_bucketed_support(
+            spark, support_dir, dsup, list(group_cols), value_col, kb,
+            "minmax_oplog",
         )
-        so, ds_ = sup_old.alias("so"), dsup.alias("ds")
-        merged = so.join(
-            ds_,
-            _ns("so", "ds", group_cols)
-            & (F.col(f"so.{value_col}") == F.col(f"ds.{value_col}")),
-            "full_outer",
-        ).select(
-            *[
-                F.coalesce(F.col(f"so.{g}"), F.col(f"ds.{g}")).alias(g)
-                for g in group_cols
-            ],
-            F.coalesce(
-                F.col(f"so.{value_col}"), F.col(f"ds.{value_col}")
-            ).alias(value_col),
-            (
-                F.coalesce(F.col("so.cnt"), F.lit(0))
-                + F.coalesce(F.col("ds.cnt"), F.lit(0))
-            ).alias("cnt"),
-        ).localCheckpoint(eager=True)  # feeds guard, extrema, AND the write
-        worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
-        if worst is not None and worst < 0:
-            raise RuntimeError(
-                "minmax_oplog sink: a support count went NEGATIVE "
-                f"({worst}) — the log retracted a (group, value) it never "
-                "inserted (bad before-image?); refusing to apply"
-            )
         live = merged.filter(F.col("cnt") > 0)
         # merged covers whole touched BUCKETS (hash neighbors included);
         # extrema re-derivation is restricted to the TOUCHED GROUPS —
@@ -1945,7 +1991,7 @@ def minmax_view_oplog_foreach_batch(
         tg = dsup.select(*group_cols).distinct().localCheckpoint(eager=True)
         extrema = (
             live.alias("lv")
-            .join(F.broadcast(tg.alias("tg")), _ns("lv", "tg", group_cols), "left_semi")
+            .join(F.broadcast(tg.alias("tg")), _ns_cond("lv", "tg", group_cols), "left_semi")
             .groupBy(*group_cols)
             .agg(
                 F.min(value_col).alias("mn"),
@@ -1967,7 +2013,7 @@ def minmax_view_oplog_foreach_batch(
             )
         )
         vo, dnn = view_old.alias("vo"), dn.alias("dn")
-        base = vo.join(dnn, _ns("vo", "dn", group_cols), "full_outer").select(
+        base = vo.join(dnn, _ns_cond("vo", "dn", group_cols), "full_outer").select(
             *[
                 F.coalesce(F.col(f"vo.{g}"), F.col(f"dn.{g}")).alias(g)
                 for g in group_cols
@@ -1985,8 +2031,8 @@ def minmax_view_oplog_foreach_batch(
             tg.select(*group_cols, F.lit(True).alias("_tch")).alias("tg"),
         )
         view = (
-            bs.join(F.broadcast(tg2), _ns("bs", "tg", group_cols), "left")
-            .join(ex, _ns("bs", "ex", group_cols), "left")
+            bs.join(F.broadcast(tg2), _ns_cond("bs", "tg", group_cols), "left")
+            .join(ex, _ns_cond("bs", "ex", group_cols), "left")
             .select(
                 *[F.col(f"bs.{g}").alias(g) for g in group_cols],
                 F.col("bs.n").alias("n"),
@@ -2002,20 +2048,16 @@ def minmax_view_oplog_foreach_batch(
             )
         )
         stage = f"{target_dir}.stage-{batch_id}"
-        live.withColumn("_kb", kb).repartition(
-            max(len(touched), 1), "_kb"
-        ).write.partitionBy("_kb").mode("overwrite").parquet(
-            os.path.join(stage, "support")
+        _write_bucketed_support(
+            spark, support_dir, os.path.join(stage, "support"),
+            merged, kb, touched, have_sup,
         )
-        if have_sup:
-            _link_untouched_buckets(
-                support_dir, os.path.join(stage, "support"), touched, spark=spark
-            )
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },
@@ -2109,17 +2151,12 @@ def topk_view_oplog_foreach_batch(
 
     prev_kb = F.pmod(F.hash(*[_prev(g) for g in group_cols]), F.lit(n_buckets))
 
-    def _ns(a: str, b: str, cols: list[str]):
-        cond = F.lit(True)
-        for c in cols:
-            cond = cond & F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}"))
-        return cond
-
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "topk_oplog")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "topk_oplog"):
@@ -2245,7 +2282,7 @@ def topk_view_oplog_foreach_batch(
         )
         recomputed = (
             new_touched.alias("nt")
-            .join(F.broadcast(tg.alias("tg")), _ns("nt", "tg", group_cols), "left_semi")
+            .join(F.broadcast(tg.alias("tg")), _ns_cond("nt", "tg", group_cols), "left_semi")
             .select(
                 *group_cols,
                 F.row_number().over(rank_w).cast("bigint").alias("rnk"),
@@ -2265,7 +2302,7 @@ def topk_view_oplog_foreach_batch(
                 F.col("_kb").isin(sorted(touched))
             )
             kept_in_touched = old_view_touched.alias("ov").join(
-                F.broadcast(tg.alias("tg")), _ns("ov", "tg", group_cols), "left_anti"
+                F.broadcast(tg.alias("tg")), _ns_cond("ov", "tg", group_cols), "left_anti"
             )
             new_view_touched = kept_in_touched.unionByName(recomputed)
         else:
@@ -2307,6 +2344,7 @@ def topk_view_oplog_foreach_batch(
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },
@@ -2689,9 +2727,11 @@ def join_view_oplog_foreach_batch(
     ``sum_cols``; n=0 groups persist — finalize with ``n > 0``.
 
     Target layout (one atomic swap): ``image_r/``, ``image_s/``
-    (bucketed by join value), ``keyidx_r/``, ``keyidx_s/`` (bucketed
-    by key hash; present while verifying), ``view/``,
-    ``_ivm_meta.json``.
+    (bucketed by join value), ``keyidx_r/``/``keyidx_s/`` (bucketed
+    by key hash; present while verifying AND only for a relation
+    whose join column is not its key — when it is, the image itself
+    is key-bucketed and the inline insert-over-present check is
+    already exact), ``view/``, ``_ivm_meta.json``.
 
     Returns the final view as a batch DataFrame.
     """
@@ -2740,6 +2780,7 @@ def join_view_oplog_foreach_batch(
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
         meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "join_view_oplog")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "join_view_oplog"):
@@ -3103,13 +3144,19 @@ def join_view_oplog_foreach_batch(
                     touched,
                     spark=spark,
                 )
-            if verify_before_images:
+            if verify_before_images and join_col not in keys:
                 # exact insert-over-present guard + key-index upkeep —
                 # the image is bucketed by JOIN value, so this is what
                 # catches an I whose claimed join value hashes away
                 # from the key's stored bucket (shared helper; the
                 # swap drops the index while verification is off, so
-                # flipping it back on re-backfills from the image)
+                # flipping it back on re-backfills from the image).
+                # When join_col IS the key (the dim side of both
+                # shipped pipelines), an I's claimed join value is the
+                # key itself — its stored bucket is always touched and
+                # the inline i_existing check above is already exact,
+                # so the sidecar would add a duplicate standing table
+                # and per-batch jobs for zero detection power; skip it.
                 kidx_sub = sub.replace("image", "keyidx")
                 _key_index_guard_and_rewrite(
                     spark,
@@ -3134,6 +3181,7 @@ def join_view_oplog_foreach_batch(
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },

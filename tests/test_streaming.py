@@ -3218,3 +3218,30 @@ def test_distinct_tombstone_invariant_to_batch_split(spark, tmp_path):
         .collect()
     }
     assert results[0] == results[1] == expect
+
+
+def test_bucketed_sinks_reject_n_buckets_drift(spark, tmp_path):
+    """Resuming a bucketed-state target with a DIFFERENT n_buckets
+    would silently misread the committed _kb layout (wrong
+    touched-bucket filters, spurious 0→1 transitions — nothing the
+    value-level guards can see), so the committed layout is recorded
+    in the meta and a mismatch must RAISE at batch start."""
+    import os
+
+    import pytest
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    _dlog_land(spark, landing, 1, [(1, 101, "I", 7, "A", None, None)])
+    _dlog_run(spark, str(landing), target, str(tmp_path / "ck"), None,
+              n_buckets=8)
+    _dlog_land(spark, landing, 2, [(2, 201, "I", 8, "A", None, None)])
+    with pytest.raises(Exception, match="n_buckets"):
+        _dlog_run(spark, str(landing), target, str(tmp_path / "ck"), None,
+                  n_buckets=4)
+    # the matching value still applies cleanly
+    view = _dlog_run(spark, str(landing), target, str(tmp_path / "ck"), None,
+                     n_buckets=8)
+    [row] = view.collect()
+    assert (row["n"], row["d"]) == (2, 2)
