@@ -877,7 +877,7 @@ def streaming_distinct_count_oplog_pipeline(
     signed rows straight to the two-level state — the additive
     (status, custkey → cnt) support table, stored PARTITIONED by
     hash(group, value) bucket with touched-bucket lookups/rewrites and
-    hardlinked untouched buckets, and the per-status (COUNT(*),
+    manifest-carried untouched buckets, and the per-status (COUNT(*),
     COUNT(DISTINCT)) view whose distinct count moves only on support
     0↔positive transitions. No snapshot is ever landed and no keyed
     diff ever runs: this removes the two snapshot-sized costs SCALE.md
@@ -1114,7 +1114,7 @@ def streaming_minmax_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     ``streaming.ops.minmax_view_oplog_foreach_batch`` maintains
     PARTITIONED by group-hash bucket — each batch merges its net
     support deltas into only the touched buckets (untouched buckets
-    hardlink through the atomic commit) and recomputes MIN/MAX for
+    carry through the atomic commit as manifest rows) and recomputes MIN/MAX for
     exactly the touched groups, whose support is complete in those
     buckets by construction. Three before-image changelog generations
     of the shared orders carving land as a file stream (the same
@@ -1249,7 +1249,7 @@ def streaming_topk_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     divergence guard (image digests + exact key index) are
     pytest-pinned. Scale: per batch — delta-sized validation/dedup,
     touched-group-bucket I/O on image and view, a rank window over
-    |touched groups| × |group size|, O(#untouched files) hardlinks;
+    |touched groups| × |group size|, ONE manifest write per store;
     nothing is ever corpus-sized."""
     import os
     import shutil
@@ -1389,7 +1389,7 @@ def streaming_distinct_count_tombstone_pipeline(
     ``streaming.ops.distinct_count_tombstone_foreach_batch``
     manufactures every retraction value from the key-hash-bucketed
     standing image it maintains (touched-bucket lookup and rewrite,
-    hardlinked untouched buckets — the ``cdc_tombstone`` machinery)
+    manifest-carried untouched buckets — the ``cdc_tombstone`` machinery)
     before handing the signed rows to the SAME shared two-level
     refresh as the op-log dialect (bucketed support table, 0↔positive
     transitions). Three tombstone-changelog generations land as a file
@@ -1505,19 +1505,21 @@ def streaming_cdc_tombstone_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
     after-image, deletes only the key, so
     ``streaming.ops.cdc_tombstone_foreach_batch`` must manufacture
     every retraction from the standing keyed image it maintains —
-    stored partitioned by key-hash bucket, looked up with a
-    ``_kb IN (touched)`` partition filter, and REWRITTEN only where
-    touched (untouched buckets hardlink into the commit, the local-FS
-    analogue of a manifest re-pointing unchanged files). Three log
+    stored bucketed by key hash behind a manifest-committed store
+    (``streaming.manifest``), looked up by reading exactly the
+    touched buckets' data files, and REWRITTEN only where touched
+    (untouched buckets carry through the commit as manifest rows —
+    the offline build of a table format re-pointing unchanged
+    files). Three log
     generations (bootstrap upserts; the v1→v2 and v2→v3 changelogs
     with deletes, cross-group updates, and value-only updates) land
     as a file stream; the oracle recomputes v3's aggregate directly,
     so the hash certifies image-lookup → signed apply → partial
     rewrite over three generations ≡ recompute(final). Batch-split
     invariance, delete-then-reinsert, tombstones for absent keys, and
-    the untouched-bucket-inode identity are pytest-pinned. Scale: per
-    batch, delta-sized dedup/validation + touched-bucket image I/O +
-    a |groups|-row merge + O(#untouched files) hardlinks — image cost
+    the untouched-bucket manifest-entry identity are pytest-pinned.
+    Scale: per batch, delta-sized dedup/validation + touched-bucket
+    image I/O + a |groups|-row merge + ONE manifest write — image cost
     tracks the keys the batch actually touches."""
     import os
     import shutil
@@ -1811,7 +1813,7 @@ def streaming_join_view_oplog_pipeline(spark: SparkSession, sf_dir: str) -> Data
     straight from the log. Each Δ-term's counterpart image scan is
     partition-pruned to the delta's join-key buckets and the delta is
     broadcast; image rewrites touch only the buckets the batch's keys
-    occupy (untouched buckets hardlink through the atomic commit);
+    occupy (untouched buckets carry through the atomic commit as manifest rows);
     the earliest op per key is cross-checked against the committed
     image so a diverged log RAISES instead of corrupting the view.
     The oracle recomputes γ(v3 ⋈ s2) directly — the hash certifies

@@ -1,0 +1,344 @@
+"""Manifest-committed bucket stores for the stateful streaming sinks.
+
+Every sink in `streaming.ops` that keeps bucketed standing state
+(support multisets, keyed images, top-k views, key-index sidecars)
+commits through this module instead of materializing a full copy of
+the bucket layout per batch. The motivation is measured, not
+theoretical: SCALE.md's round-10 isolation runs showed that with
+per-bucket *directories* (hive `_kb=<b>/` layout, untouched buckets
+hardlinked file-by-file into each staging dir), scaling the bucket
+count 10x made otherwise-flat refreshes 2.3-4.6x slower on pure
+per-directory filesystem metadata — listing, link(2) per file,
+rmtree of the superseded tree. That is exactly the cost a lakehouse
+table format's transaction log removes, and this module is the
+offline-buildable equivalent:
+
+- **Data files are immutable and live in a flat pool** outside the
+  swapped target dir (``<target>.pool/<store>/bNNN-....parquet``),
+  shared by every committed version. Each file holds rows of exactly
+  one bucket (single-bucket by construction: deltas are written
+  ``partitionBy`` a duplicated bucket column, then renamed into the
+  pool), and the bucket id ``_kb`` is ALSO a real column in the data,
+  so a reader over any file subset sees the same schema the hive
+  layout exposed.
+- **The manifest is one small JSON file per store**
+  (``_manifest_<store>.json``: bucket -> ordered data-file names)
+  written into the sink's staging dir and promoted by the SAME
+  atomic dir swap as ``_ivm_meta.json`` — state data and its commit
+  record can never diverge. An untouched bucket costs one manifest
+  row to carry forward, not N syscalls; a store untouched by a whole
+  batch carries forward as one small file copy.
+- **Bucket pruning moves from directory pruning to file selection**:
+  readers resolve the touched buckets against the manifest and read
+  exactly those files (`read_store(buckets=...)`), which is stricter
+  than relying on Catalyst partition pruning and independent of
+  directory layout.
+- **Crash safety** composes with the existing swap protocol
+  (`ops._atomic_swap` / `_recover_swap` / `_clean_stale_stages`):
+  pool files written by a batch that never committed its manifest
+  are unreferenced by construction and are deleted by
+  `sweep_orphans` at the next batch start; a torn manifest can only
+  exist inside a staging dir, which the stale-stage sweep removes; a
+  manifest in the COMMITTED dir that fails to parse, or references a
+  pool file that does not exist, RAISES — it is a corruption
+  witness, never silently rebuilt.
+- **Compaction is a manifest rewrite**: any bucket whose file list
+  exceeds `COMPACT_FILE_THRESHOLD` is rewritten — all selected
+  buckets in ONE Spark job, capped at `COMPACT_BUCKETS_PER_COMMIT`
+  per commit so a fragmented bootstrap cannot turn one batch into
+  O(n_buckets) serial jobs — and the manifest simply points at the
+  replacement file; the old files become orphans.
+
+Reference parity note: the reference engine
+(`tratamento_epe.R:290`) persists its refreshed table as a single
+binary artifact per run; this module is the scale-out counterpart
+for the sinks that must NOT rewrite their world per refresh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid as _uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MANIFEST_FORMAT_VERSION = 1
+
+# Per-bucket data-file count above which a bucket is rewritten as one
+# file inside the next commit that sees it (shared with the dedup
+# index's tier size in `ops.incremental_dedup_runs`).
+COMPACT_FILE_THRESHOLD = 8
+
+# Ceiling on buckets compacted per commit: bounds the latency any one
+# batch pays for de-fragmentation, spreading a fragmented bootstrap
+# across commits instead of spiking the first one.
+COMPACT_BUCKETS_PER_COMMIT = 16
+
+
+def pool_store_dir(target_dir: str, store: str) -> str:
+    """The flat immutable data-file pool for one store. Lives OUTSIDE
+    the swapped target dir (sibling path) so the swap's rmtree of a
+    superseded version never touches shared data files."""
+    return os.path.join(f"{target_dir}.pool", store)
+
+
+def _manifest_path(d: str, store: str) -> str:
+    return os.path.join(d, f"_manifest_{store}.json")
+
+
+def read_manifest(target_dir: str, store: str) -> dict | None:
+    """The committed manifest for one store, or None for a virgin
+    store. RAISES on an unparsable or wrong-version manifest (a torn
+    write can only exist in a staging dir, so corruption in the
+    committed dir is a witness, not something to silently rebuild
+    over) and on the pre-manifest hive bucket layout (resuming such a
+    target would silently read zero old state)."""
+    p = _manifest_path(target_dir, store)
+    if not os.path.isfile(p):
+        legacy = os.path.join(target_dir, store)
+        if os.path.isdir(legacy) and any(
+            d.startswith("_kb=") for d in os.listdir(legacy)
+        ):
+            raise RuntimeError(
+                f"store '{store}' under {target_dir} uses the pre-manifest "
+                "bucket-directory layout (_kb=*/ dirs, no manifest) — this "
+                "build commits bucketed state through a manifest; rebuild "
+                "the target from the stream"
+            )
+        return None
+    try:
+        with open(p) as f:
+            m = json.load(f)
+    except ValueError as e:
+        raise RuntimeError(
+            f"committed manifest {p} is unreadable ({e}) — refusing to "
+            "treat a corrupt commit record as an empty store"
+        ) from e
+    if m.get("format_version") != MANIFEST_FORMAT_VERSION:
+        raise RuntimeError(
+            f"manifest {p} has format_version={m.get('format_version')}, "
+            f"this build reads {MANIFEST_FORMAT_VERSION}"
+        )
+    return m
+
+
+def store_has_files(manifest: dict | None) -> bool:
+    return manifest is not None and any(manifest["buckets"].values())
+
+
+def store_file_paths(
+    target_dir: str, store: str, manifest: dict, buckets=None
+) -> list[str]:
+    """Absolute paths of the data files backing ``buckets`` (all when
+    None) — the manifest-era replacement for directory-level partition
+    pruning. A referenced-but-missing pool file RAISES: the manifest
+    is the commit record, so the file's absence is corruption (or an
+    orphan sweep run against a foreign target), never emptiness."""
+    pool = pool_store_dir(target_dir, store)
+    if buckets is None:
+        keys = list(manifest["buckets"])
+    else:
+        keys = [str(int(b)) for b in buckets]
+    out = []
+    for b in keys:
+        for name in manifest["buckets"].get(b, []):
+            p = os.path.join(pool, name)
+            if not os.path.isfile(p):
+                raise RuntimeError(
+                    f"manifest for store '{store}' references missing data "
+                    f"file {p} — the pool and the committed manifest "
+                    "diverged; refusing to read a partial store"
+                )
+            out.append(p)
+    return out
+
+
+_UNSET = object()
+
+
+def read_store(
+    spark,
+    target_dir: str,
+    store: str,
+    *,
+    buckets=None,
+    manifest=_UNSET,
+) -> DataFrame | None:
+    """The store's rows for ``buckets`` (all when None), or None when
+    the store has never committed OR no selected bucket holds files —
+    callers already branch on None (typed-empty fallback), and an
+    empty selection cannot carry a schema without opening a file.
+    Pass ``manifest`` (even an explicit None for a known-virgin store)
+    to skip the committed-manifest read."""
+    m = read_manifest(target_dir, store) if manifest is _UNSET else manifest
+    if m is None:
+        return None
+    paths = store_file_paths(target_dir, store, m, buckets)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def carry_store(target_dir: str, store: str, stage_dir: str) -> None:
+    """Carry a store a batch did not touch through the commit: the
+    new version's manifest is byte-identical, so the carry is ONE
+    small file copy — the cost the hive layout paid in per-file
+    hardlinks. No-op for a virgin store."""
+    src = _manifest_path(target_dir, store)
+    if not os.path.isfile(src):
+        return
+    os.makedirs(stage_dir, exist_ok=True)
+    shutil.copyfile(src, _manifest_path(stage_dir, store))
+
+
+def _write_pool_files(
+    df: DataFrame, pool: str, n_parts: int, batch_id: int
+) -> dict:
+    """Materialize delta rows (carrying ``_kb``) as single-bucket pool
+    files and return {bucket: [file names]}. The write partitions by a
+    DUPLICATE of the bucket column so the bucket id stays a real data
+    column while the tmp layout hands us an exact file->bucket map
+    with zero extra jobs; files then rename into the flat pool under
+    fresh unique names (immutable — a name is never reused, so readers
+    of the previous committed manifest are never disturbed)."""
+    token = _uuid.uuid4().hex[:12]
+    tmp = os.path.join(pool, f"_tmp-{batch_id}-{token}")
+    (
+        df.withColumn("_kbp", F.col("_kb"))
+        .repartition(max(n_parts, 1), "_kb")
+        .write.partitionBy("_kbp")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    entries: dict[str, list[str]] = {}
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("_kbp="):
+            continue
+        b = d.split("=", 1)[1]
+        files = sorted(
+            f for f in os.listdir(os.path.join(tmp, d)) if f.endswith(".parquet")
+        )
+        for i, fname in enumerate(files):
+            name = f"b{b}-{batch_id}-{token}-{i}.parquet"
+            os.rename(os.path.join(tmp, d, fname), os.path.join(pool, name))
+            entries.setdefault(b, []).append(name)
+    shutil.rmtree(tmp)
+    return entries
+
+
+def _compact_over_threshold(
+    spark, target_dir: str, store: str, buckets: dict, exclude: set, batch_id: int
+) -> dict:
+    """Rewrite over-threshold buckets (fragmented bootstrap images,
+    repeatedly-carried small files) as one file each — ALL selected
+    buckets in ONE Spark job, at most `COMPACT_BUCKETS_PER_COMMIT`
+    per commit. Touched buckets are excluded: the caller just rewrote
+    them to ~one file. Superseded files become orphans for the next
+    batch's sweep."""
+    over = sorted(
+        (
+            b
+            for b, names in buckets.items()
+            if b not in exclude and len(names) > COMPACT_FILE_THRESHOLD
+        ),
+        key=lambda b: -len(buckets[b]),
+    )[:COMPACT_BUCKETS_PER_COMMIT]
+    if not over:
+        return buckets
+    pool = pool_store_dir(target_dir, store)
+    paths = [os.path.join(pool, n) for b in over for n in buckets[b]]
+    sel = [int(b) for b in over]
+    df = (
+        spark.read.parquet(*paths)
+        .filter(F.col("_kb").isin(sel))
+        .repartition(len(over), "_kb")
+    )
+    entries = _write_pool_files(df, pool, len(over), batch_id)
+    out = dict(buckets)
+    for b in over:
+        out.pop(b, None)
+    out.update(entries)
+    return out
+
+
+def write_store_delta(
+    spark,
+    df: DataFrame,
+    target_dir: str,
+    store: str,
+    stage_dir: str,
+    *,
+    batch_id: int,
+    touched,
+    manifest: dict | None,
+    n_parts: int | None = None,
+    compact: bool = True,
+) -> None:
+    """Commit one store's new version into the caller's staging dir:
+    ``df`` (the full post-batch rows of the touched buckets, carrying
+    ``_kb``; on bootstrap/backfill it may carry ANY buckets — every
+    bucket present in the data gets a fresh entry) lands in the pool,
+    touched buckets' old entries drop, untouched entries carry over as
+    manifest rows, over-threshold untouched buckets compact, and the
+    new manifest JSON is written to ``stage_dir`` for the caller's
+    atomic swap. Nothing here mutates the committed version."""
+    pool = pool_store_dir(target_dir, store)
+    os.makedirs(pool, exist_ok=True)
+    buckets = dict(manifest["buckets"]) if manifest is not None else {}
+    touched_keys = {str(int(b)) for b in touched}
+    for b in touched_keys:
+        buckets.pop(b, None)
+    n = n_parts if n_parts is not None else max(len(touched_keys), 1)
+    entries = _write_pool_files(df, pool, n, batch_id)
+    buckets.update(entries)
+    if compact:
+        buckets = _compact_over_threshold(
+            spark, target_dir, store, buckets, touched_keys | set(entries), batch_id
+        )
+    os.makedirs(stage_dir, exist_ok=True)
+    with open(_manifest_path(stage_dir, store), "w") as f:
+        json.dump(
+            {
+                "format_version": MANIFEST_FORMAT_VERSION,
+                "buckets": {
+                    b: names
+                    for b, names in sorted(
+                        buckets.items(), key=lambda kv: int(kv[0])
+                    )
+                    if names
+                },
+            },
+            f,
+        )
+
+
+def sweep_orphans(target_dir: str) -> None:
+    """Delete pool files no committed manifest references — the data
+    written by batches that crashed before their swap (their manifest
+    never left the staging dir) and the files superseded by a
+    compaction. MUST run after `_recover_swap` (so the reference set
+    is the true committed state) and before the current batch writes
+    its own pool files (which would otherwise look like orphans).
+    One listdir per store; no Spark jobs."""
+    pool_root = f"{target_dir}.pool"
+    if not os.path.isdir(pool_root):
+        return
+    for store in os.listdir(pool_root):
+        sdir = os.path.join(pool_root, store)
+        if not os.path.isdir(sdir):
+            continue
+        m = read_manifest(target_dir, store)
+        referenced = (
+            {n for names in m["buckets"].values() for n in names}
+            if m is not None
+            else set()
+        )
+        for fname in os.listdir(sdir):
+            p = os.path.join(sdir, fname)
+            if fname.startswith("_tmp-") and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+            elif fname.endswith(".parquet") and fname not in referenced:
+                os.remove(p)

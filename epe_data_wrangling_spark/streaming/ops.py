@@ -28,6 +28,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from epe_data_wrangling_spark.catalog.core import stage6, unstage6
+from epe_data_wrangling_spark.streaming.manifest import (
+    COMPACT_FILE_THRESHOLD,
+    carry_store,
+    read_manifest,
+    read_store,
+    store_has_files,
+    sweep_orphans,
+    write_store_delta,
+)
 
 
 def with_watermark(events: DataFrame, delay: str) -> DataFrame:
@@ -916,17 +925,6 @@ def cdc_oplog_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
-#: Compaction trigger for bucketed standing state: when an UNTOUCHED
-#: bucket carried through a commit holds more than this many data
-#: files, it is rewritten (compacted to one file) inside that commit
-#: instead of hardlinked. The sinks' own rewrites leave ~one file per
-#: touched bucket, so this fires only on externally-fragmented state
-#: (e.g. a bootstrap image written by a many-partition job) — but it
-#: BOUNDS per-bucket file counts for any input, which unbounded
-#: hardlinking cannot.
-COMPACT_FILE_THRESHOLD = 8
-
-
 def _ns_cond(a: str, b: str, cols: list[str]):
     """Null-safe multi-column equi condition between two aliases — a
     NULL group is a legitimate group everywhere in this module, and a
@@ -939,7 +937,7 @@ def _ns_cond(a: str, b: str, cols: list[str]):
 
 def _merge_bucketed_support(
     spark,
-    support_dir: str,
+    target_dir: str,
     dsup: DataFrame,
     group_cols: list[str],
     value_col: str,
@@ -949,26 +947,24 @@ def _merge_bucketed_support(
     """The bucketed-support read+merge+guard every support-multiset
     sink shares (distinct-count and MIN/MAX, both changelog dialects):
     collect the net delta's touched ``kb`` buckets, read the standing
-    support PRUNED to them, full-outer-merge the counts (null-safe on
-    the group columns; values are non-null by construction on both
-    sides), and RAISE if any merged count goes negative — a
-    retraction of a (group, value) the support never held means the
-    log diverged, and the support table is the divergence witness.
-    Returns ``(merged, sup_old, touched, have_sup)``; ``merged`` is
-    localCheckpointed (it feeds the guard agg, the caller's
-    re-aggregation, and the write), ``sup_old`` is the pruned
-    pre-merge support (None on bootstrap) for callers that also need
-    the OLD counts (the distinct transition rule)."""
-    import os  # noqa: F401
-
+    support's ``support`` store PRUNED to them via its manifest (file
+    selection, not directory pruning), full-outer-merge the counts
+    (null-safe on the group columns; values are non-null by
+    construction on both sides), and RAISE if any merged count goes
+    negative — a retraction of a (group, value) the support never held
+    means the log diverged, and the support table is the divergence
+    witness. Returns ``(merged, sup_old, touched, manifest)``;
+    ``merged`` is localCheckpointed (it feeds the guard agg, the
+    caller's re-aggregation, and the write), ``sup_old`` is the pruned
+    pre-merge support (None on bootstrap or when no touched bucket
+    holds files) for callers that also need the OLD counts (the
+    distinct transition rule)."""
     touched = sorted(
         int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
     )
-    have_sup = _has_bucket_files(support_dir)
-    sup_old = (
-        spark.read.parquet(support_dir).filter(F.col("_kb").isin(touched))
-        if have_sup
-        else None
+    manifest = read_manifest(target_dir, "support")
+    sup_old = read_store(
+        spark, target_dir, "support", buckets=touched, manifest=manifest
     )
     so = (
         sup_old.drop("_kb")
@@ -1001,28 +997,33 @@ def _merge_bucketed_support(
             "log retracted a (group, value) it never inserted (bad "
             "before-image?); refusing to apply"
         )
-    return merged, sup_old, touched, have_sup
+    return merged, sup_old, touched, manifest
 
 
 def _write_bucketed_support(
     spark,
-    support_dir: str,
-    stage_support_dir: str,
+    target_dir: str,
+    stage: str,
     merged: DataFrame,
     kb,
     touched: list,
-    have_sup: bool,
+    manifest: dict | None,
+    batch_id: int,
 ) -> None:
-    """Write the merged support's touched buckets (zero-count rows
-    dropped — indistinguishable from absent for every consumer of a
-    support multiset) and hardlink/compact the untouched ones."""
-    merged.filter(F.col("cnt") > 0).withColumn("_kb", kb).repartition(
-        max(len(touched), 1), "_kb"
-    ).write.partitionBy("_kb").mode("overwrite").parquet(stage_support_dir)
-    if have_sup:
-        _link_untouched_buckets(
-            support_dir, stage_support_dir, touched, spark=spark
-        )
+    """Commit the merged support's touched buckets to the ``support``
+    store (zero-count rows dropped — indistinguishable from absent for
+    every consumer of a support multiset); untouched buckets carry as
+    manifest rows."""
+    write_store_delta(
+        spark,
+        merged.filter(F.col("cnt") > 0).withColumn("_kb", kb),
+        target_dir,
+        "support",
+        stage,
+        batch_id=batch_id,
+        touched=touched,
+        manifest=manifest,
+    )
 
 
 def _check_bucket_layout(meta: dict, n_buckets: int, tag: str) -> None:
@@ -1048,72 +1049,12 @@ def _check_bucket_layout(meta: dict, n_buckets: int, tag: str) -> None:
         )
 
 
-def _link_untouched_buckets(
-    image_dir: str,
-    stage_image_dir: str,
-    touched,
-    *,
-    spark=None,
-    compact_threshold: int = COMPACT_FILE_THRESHOLD,
-) -> None:
-    """Complete a partially-rewritten bucketed image in the staging
-    dir: every ``_kb=<b>`` bucket dir NOT in ``touched`` has its data
-    files HARDLINKED from the committed image (one metadata op per
-    file — the local-FS analogue of a table format re-pointing
-    unchanged data files in its manifest; falls back to a copy on
-    filesystems without link support). When ``spark`` is given and an
-    untouched bucket's file count exceeds ``compact_threshold``, the
-    bucket is COMPACTED instead — read and rewritten as one file into
-    the stage (an executor-side job over just that bucket), so
-    per-bucket file counts stay bounded across arbitrarily many
-    commits regardless of how fragmented the state arrived. Shared by
-    every sink that maintains a bucket-partitioned standing image."""
-    import os
-    import shutil
-
-    touched_dirs = {f"_kb={int(b)}" for b in touched}
-    for d in os.listdir(image_dir):
-        if not d.startswith("_kb=") or d in touched_dirs:
-            continue
-        src_dir = os.path.join(image_dir, d)
-        dst_dir = os.path.join(stage_image_dir, d)
-        fnames = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
-        if spark is not None and len(fnames) > compact_threshold:
-            _compact_bucket_into(spark, src_dir, dst_dir)
-            continue
-        os.makedirs(dst_dir, exist_ok=True)
-        for fname in fnames:
-            try:
-                os.link(
-                    os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
-                )
-            except OSError:
-                shutil.copy2(
-                    os.path.join(src_dir, fname), os.path.join(dst_dir, fname)
-                )
-
-
-def _compact_bucket_into(spark, src_dir: str, dst_dir: str) -> None:
-    """Rewrite one bucket directory's rows as a single parquet file in
-    the staging dir (executor-side; the bucket partition column lives
-    in the DIRECTORY name, so reading the dir directly yields exactly
-    the stored row schema and the output drops into place)."""
-    import os
-    import shutil
-
-    tmp = f"{dst_dir}.compact"
-    spark.read.parquet(src_dir).coalesce(1).write.mode("overwrite").parquet(tmp)
-    os.makedirs(dst_dir, exist_ok=True)
-    for fname in os.listdir(tmp):
-        if fname.endswith(".parquet"):
-            os.rename(os.path.join(tmp, fname), os.path.join(dst_dir, fname))
-    shutil.rmtree(tmp)
-
-
 def _key_index_guard_and_rewrite(
     spark,
-    kidx_dir: str,
-    stage_kidx_dir: str,
+    target_dir: str,
+    kidx_store: str,
+    stage: str,
+    batch_id: int,
     *,
     keys: list[str],
     n_buckets: int,
@@ -1126,8 +1067,8 @@ def _key_index_guard_and_rewrite(
 ) -> None:
     """Primary-KEY index sidecar shared by the sinks that keep a
     standing image bucketed by something OTHER than the key (join
-    value, group hash): every key once, bucketed by key hash
-    (partition col reuses ``_kb`` so the hardlink/compaction helpers
+    value, group hash): every key once, bucketed by key hash (the
+    bucket column reuses ``_kb`` so the manifest store helpers
     apply), committed in the caller's atomic swap. Makes the
     insert-over-present check EXACT — an I claiming attributes that
     hash to a different image bucket is invisible to image-side
@@ -1136,23 +1077,30 @@ def _key_index_guard_and_rewrite(
     while the caller's verification is off, so flipping verification
     back on re-backfills cleanly). RAISES on any first-op insert
     whose key the index already holds; otherwise rewrites the touched
-    key-buckets (keys with any op drop out, final upserts re-enter)
-    and hardlinks the rest.
+    key-buckets (keys with any op drop out, final upserts re-enter);
+    untouched key-buckets carry as manifest rows.
 
     ``insert_first_keys``: keys whose EARLIEST op in the batch is I;
     ``batch_keys``: every key with any op; ``upsert_keys``: keys whose
     LAST op is I/U. All delta-sized."""
-    import os
-
     kk = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
     touched_kk = {
         int(r["b"]) for r in ops_df.select(kk.alias("b")).distinct().collect()
     }
-    linkable = _has_bucket_files(kidx_dir)
+    kidx_manifest = read_manifest(target_dir, kidx_store)
+    linkable = store_has_files(kidx_manifest)
     if linkable:
-        old_keymap = spark.read.parquet(kidx_dir).filter(
-            F.col("_kb").isin(sorted(touched_kk))
+        old_keymap = read_store(
+            spark,
+            target_dir,
+            kidx_store,
+            buckets=sorted(touched_kk),
+            manifest=kidx_manifest,
         )
+        if old_keymap is None:
+            old_keymap = spark.createDataFrame(
+                [], ops_df.select(*keys, F.lit(0).alias("_kb")).schema
+            )
     elif image is not None:
         # one-time backfill: derive the full key index from the
         # committed image (image-sized scan, ONCE; every later batch
@@ -1177,25 +1125,16 @@ def _key_index_guard_and_rewrite(
         F.broadcast(batch_keys), list(keys), "left_anti"
     ).select(*keys, "_kb")
     km_upserts = upsert_keys.withColumn("_kb", kk)
-    n_parts = max(len(touched_kk), 1) if linkable else n_buckets
-    km_survivors.unionByName(km_upserts).repartition(
-        n_parts, "_kb"
-    ).write.partitionBy("_kb").mode("overwrite").parquet(stage_kidx_dir)
-    if linkable:
-        _link_untouched_buckets(
-            kidx_dir, stage_kidx_dir, touched_kk, spark=spark
-        )
-
-
-def _has_bucket_files(image_dir: str) -> bool:
-    """True iff a bucketed image dir holds at least one data file — a
-    committed image may hold ZERO (every key deleted), and schema
-    inference would fail on it; an empty image behaves like none."""
-    import glob as globmod
-    import os
-
-    return os.path.isdir(image_dir) and bool(
-        globmod.glob(os.path.join(globmod.escape(image_dir), "_kb=*", "*.parquet"))
+    write_store_delta(
+        spark,
+        km_survivors.unionByName(km_upserts),
+        target_dir,
+        kidx_store,
+        stage,
+        batch_id=batch_id,
+        touched=touched_kk,
+        manifest=kidx_manifest if linkable else None,
+        n_parts=max(len(touched_kk), 1) if linkable else n_buckets,
     )
 
 
@@ -1227,11 +1166,11 @@ def cdc_tombstone_foreach_batch(
       partition filter (touched = distinct batch-key buckets, a
       ≤ n_buckets collect);
     - the image REWRITE materializes only the touched buckets
-      (survivors ⊎ upserts); every untouched bucket's files are
-      HARDLINKED into the staging dir (one metadata op per file — the
-      local-FS analogue of a table format re-pointing unchanged data
-      files in its manifest) before the usual atomic swap of
-      image + view + meta.
+      (survivors ⊎ upserts) as fresh immutable pool files; every
+      untouched bucket carries through as ONE manifest row
+      (`streaming.manifest` — the offline equivalent of a table
+      format re-pointing unchanged data files), and the manifest
+      commits in the usual atomic swap of image + view + meta.
 
     Per-batch cost: delta-sized validation + last-op dedup, touched-
     bucket I/O on both the lookup and the rewrite, a |groups|-row view
@@ -1262,6 +1201,7 @@ def cdc_tombstone_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "cdc_tombstone")
         batch_files = _batch_provenance(batch_df)
@@ -1286,16 +1226,11 @@ def cdc_tombstone_foreach_batch(
             .localCheckpoint(eager=True)
         )
         touched = sorted(
-            r["b"] for r in last_ops.select(kb.alias("b")).distinct().collect()
+            int(r["b"]) for r in last_ops.select(kb.alias("b")).distinct().collect()
         )
-        image_dir = os.path.join(target_dir, "image")
-        have_image = _has_bucket_files(image_dir)
-        old_touched = (
-            spark.read.parquet(image_dir).filter(
-                F.col("_kb").isin([int(b) for b in touched])
-            )
-            if have_image
-            else None
+        m_img = read_manifest(target_dir, "image")
+        old_touched = read_store(
+            spark, target_dir, "image", buckets=touched, manifest=m_img
         )
         keyset = last_ops.select(*key_cols)
         if old_touched is not None:
@@ -1332,20 +1267,13 @@ def cdc_tombstone_foreach_batch(
         new_touched = (
             survivors.unionByName(upserts) if survivors is not None else upserts
         )
-        # touched buckets only: partitionBy writes dirs for present
-        # values, and only touched-bucket rows are present. Repartition
-        # on the bucket first so each bucket dir gets ~ONE file instead
-        # of one per shuffle partition — over many commits the
-        # alternative is the classic small-files accumulation.
-        new_touched.repartition(max(len(touched), 1), "_kb").write.partitionBy(
-            "_kb"
-        ).mode("overwrite").parquet(os.path.join(stage, "image"))
-        if have_image:
-            # untouched buckets: hardlink into the stage so the swap
-            # commits a complete image without rewriting unchanged data
-            _link_untouched_buckets(
-                image_dir, os.path.join(stage, "image"), touched, spark=spark
-            )
+        # touched buckets only: the manifest carries untouched buckets
+        # forward as rows, so the swap commits a complete image without
+        # rewriting (or even stat-ing) unchanged data files
+        write_store_delta(
+            spark, new_touched, target_dir, "image", stage,
+            batch_id=batch_id, touched=touched, manifest=m_img,
+        )
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
@@ -1571,17 +1499,18 @@ def _distinct_state_refresh(
     value_col: str,
     kb,
     tag: str,
+    batch_id: int,
 ) -> None:
     """The two-level distinct-count refresh every changelog dialect
     shares, from SIGNED business rows (however the dialect produced
     them — before-images from the log, or retractions manufactured
     from a standing image): aggregate to the row-count delta and the
     net support delta, read the standing support PRUNED to the
-    delta's ``kb`` buckets, move the view's ``d`` on 0↔positive
-    transitions and ``n`` additively, merge the touched buckets'
-    support (zero-count rows dropped; a NEGATIVE count RAISES — the
-    support table is the divergence witness), and write ``support/``
-    (+ hardlinked/compacted untouched buckets) and ``view/`` into the
+    delta's ``kb`` buckets (manifest file selection), move the view's
+    ``d`` on 0↔positive transitions and ``n`` additively, merge the
+    touched buckets' support (zero-count rows dropped; a NEGATIVE
+    count RAISES — the support table is the divergence witness), and
+    commit the ``support`` store's manifest and ``view/`` into the
     caller's stage. The caller owns meta + the atomic swap."""
     import os
 
@@ -1596,9 +1525,8 @@ def _distinct_state_refresh(
         .filter(F.col("cnt") != 0)
         .localCheckpoint(eager=True)
     )
-    support_dir = os.path.join(target_dir, "support")
-    merged, sup_old, touched, have_sup = _merge_bucketed_support(
-        spark, support_dir, dsup, [group_col], value_col, kb, tag
+    merged, sup_old, touched, manifest = _merge_bucketed_support(
+        spark, target_dir, dsup, [group_col], value_col, kb, tag
     )
     dd = _support_transitions(
         spark, dsup, sup_old.drop("_kb") if sup_old is not None else None,
@@ -1612,8 +1540,7 @@ def _distinct_state_refresh(
     )
     view = _additive_merge(view, dview, [group_col], ["n", "d"])
     _write_bucketed_support(
-        spark, support_dir, os.path.join(stage, "support"),
-        merged, kb, touched, have_sup,
+        spark, target_dir, stage, merged, kb, touched, manifest, batch_id
     )
     view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
 
@@ -1647,10 +1574,11 @@ def distinct_count_oplog_foreach_batch(
       stored PARTITIONED by ``_kb = pmod(hash(group, value),
       n_buckets)``. Each batch's support deltas touch only the buckets
       their (group, value) pairs hash to: the old-count lookup reads
-      the support with a ``_kb IN (touched)`` partition filter, the
-      rewrite materializes only the touched buckets, and untouched
-      buckets HARDLINK through the atomic commit (with the shared
-      over-threshold compaction) — so support I/O tracks the delta,
+      exactly the touched buckets' manifest files, the rewrite
+      materializes only the touched buckets, and untouched buckets
+      carry through the atomic commit as manifest rows (with the
+      shared capped over-threshold compaction) — so support I/O
+      tracks the delta,
       not the corpus-distinct-sized support. Support rows whose count
       reaches zero are DROPPED (a zero row and an absent row are
       indistinguishable to the transition rule, and dropping keeps
@@ -1677,7 +1605,7 @@ def distinct_count_oplog_foreach_batch(
     Scale: per batch — one delta-sized validation agg, one
     (group, value) partial agg over the signed rows, a touched-
     support-bucket join + rewrite, a |groups|-row view merge, and
-    O(#untouched files) hardlink metadata. SCALE.md carries the
+    ONE manifest write regardless of bucket count. SCALE.md carries the
     fixed-delta isolation row: refresh cost is flat in corpus size,
     which the snapshot-fed twin's landing + diff floor cannot be.
 
@@ -1692,6 +1620,7 @@ def distinct_count_oplog_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "distinct_oplog")
         batch_files = _batch_provenance(batch_df)
@@ -1717,7 +1646,7 @@ def distinct_count_oplog_foreach_batch(
         _distinct_state_refresh(
             spark, target_dir, stage,
             retract.unionByName(insert),
-            group_col, value_col, kb, "distinct_oplog",
+            group_col, value_col, kb, "distinct_oplog", batch_id,
         )
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
@@ -1758,8 +1687,9 @@ def distinct_count_tombstone_foreach_batch(
     the retraction values the transition algebra needs are
     MANUFACTURED from a standing keyed image the sink maintains —
     bucketed by KEY hash, looked up and rewritten only where the
-    batch's keys land, untouched buckets hardlinked through the
-    commit (the ``cdc_tombstone`` image machinery, unchanged).
+    batch's keys land, untouched buckets carried through the
+    commit as manifest rows (the ``cdc_tombstone`` image machinery,
+    unchanged).
 
     Per batch: last-op-per-key dedup (intermediate states cancel);
     the stored rows of the batch's keys become −1 signed rows (an
@@ -1776,8 +1706,8 @@ def distinct_count_tombstone_foreach_batch(
 
     Scale: per batch — delta-sized dedup/validation, touched
     KEY-bucket image I/O (lookup + rewrite), touched SUPPORT-bucket
-    I/O, a |groups|-row view merge, O(#untouched files) hardlinks;
-    the corpus is never re-aggregated and no snapshot ever lands.
+    I/O, a |groups|-row view merge, two manifest writes; the corpus
+    is never re-aggregated and no snapshot ever lands.
 
     Returns the final view as a batch DataFrame.
     """
@@ -1793,6 +1723,7 @@ def distinct_count_tombstone_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "distinct_tombstone")
         batch_files = _batch_provenance(batch_df)
@@ -1817,20 +1748,17 @@ def distinct_count_tombstone_foreach_batch(
             int(r["b"])
             for r in last_ops.select(key_kb.alias("b")).distinct().collect()
         )
-        image_dir = os.path.join(target_dir, "image")
-        have_image = _has_bucket_files(image_dir)
-        old_touched = (
-            spark.read.parquet(image_dir).filter(
-                F.col("_kb").isin(touched)
-            )
-            if have_image
-            else spark.createDataFrame(
+        m_img = read_manifest(target_dir, "image")
+        old_touched = read_store(
+            spark, target_dir, "image", buckets=touched, manifest=m_img
+        )
+        if old_touched is None:
+            old_touched = spark.createDataFrame(
                 [],
                 last_ops.select(
                     *key_cols, *extra, F.lit(0).alias("_kb")
                 ).schema,
             )
-        )
         keyset = last_ops.select(*key_cols)
         # manufactured retractions: the stored rows of the batch's
         # keys (whether the last op upserts or tombstones them)
@@ -1843,7 +1771,7 @@ def distinct_count_tombstone_foreach_batch(
         _distinct_state_refresh(
             spark, target_dir, stage,
             retract.unionByName(insert),
-            group_col, value_col, sup_kb, "distinct_tombstone",
+            group_col, value_col, sup_kb, "distinct_tombstone", batch_id,
         )
         survivors = old_touched.join(
             F.broadcast(keyset), key_cols, "left_anti"
@@ -1851,13 +1779,10 @@ def distinct_count_tombstone_foreach_batch(
         new_touched = survivors.unionByName(
             upserts.select(*key_cols, *extra, key_kb.alias("_kb"))
         )
-        new_touched.repartition(max(len(touched), 1), "_kb").write.partitionBy(
-            "_kb"
-        ).mode("overwrite").parquet(os.path.join(stage, "image"))
-        if have_image:
-            _link_untouched_buckets(
-                image_dir, os.path.join(stage, "image"), touched, spark=spark
-            )
+        write_store_delta(
+            spark, new_touched, target_dir, "image", stage,
+            batch_id=batch_id, touched=touched, manifest=m_img,
+        )
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
@@ -1907,8 +1832,9 @@ def minmax_view_oplog_foreach_batch(
     before −1, U → both; NULL values feed the row count but never the
     support — SQL MIN/MAX ignore NULLs), aggregate to net support
     deltas (delta-sized), the touched buckets merge them (untouched
-    buckets HARDLINK through the atomic commit, with the shared
-    over-threshold compaction), and the view updates in two parts:
+    buckets carry through the atomic commit as manifest rows, with
+    the shared capped over-threshold compaction), and the view
+    updates in two parts:
     ``n`` moves additively for every delta group, while ``mn``/``mx``
     are RECOMPUTED from merged support for support-touched groups
     only — untouched groups keep their stored extrema unread. Support
@@ -1931,9 +1857,9 @@ def minmax_view_oplog_foreach_batch(
     touched-GROUP-bucket support merge + rewrite, an extremum
     re-aggregation over touched groups' support (|touched groups| ×
     |distinct values per group|, never corpus-sized), a |groups|-row
-    view merge, and O(#untouched files) hardlinks. Target layout (one
-    atomic swap): ``support/`` (bucketed), ``view/``,
-    ``_ivm_meta.json``.
+    view merge, and ONE manifest write. Target layout (one atomic
+    swap): the ``support`` store manifest (data files in the pool),
+    ``view/``, ``_ivm_meta.json``.
 
     Returns the final view as a batch DataFrame.
     """
@@ -1946,6 +1872,7 @@ def minmax_view_oplog_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "minmax_oplog")
         batch_files = _batch_provenance(batch_df)
@@ -1978,9 +1905,8 @@ def minmax_view_oplog_foreach_batch(
             .filter(F.col("cnt") != 0)
             .localCheckpoint(eager=True)
         )
-        support_dir = os.path.join(target_dir, "support")
-        merged, _sup_old, touched, have_sup = _merge_bucketed_support(
-            spark, support_dir, dsup, list(group_cols), value_col, kb,
+        merged, _sup_old, touched, m_sup = _merge_bucketed_support(
+            spark, target_dir, dsup, list(group_cols), value_col, kb,
             "minmax_oplog",
         )
         live = merged.filter(F.col("cnt") > 0)
@@ -2049,8 +1975,7 @@ def minmax_view_oplog_foreach_batch(
         )
         stage = f"{target_dir}.stage-{batch_id}"
         _write_bucketed_support(
-            spark, support_dir, os.path.join(stage, "support"),
-            merged, kb, touched, have_sup,
+            spark, target_dir, stage, merged, kb, touched, m_sup, batch_id
         )
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
@@ -2100,7 +2025,8 @@ def topk_view_oplog_foreach_batch(
 
     Target layout (one atomic swap): ``image/`` (key cols + group
     cols + value, group-hash bucketed; touched-bucket rewrites,
-    untouched buckets hardlink with over-threshold compaction),
+    untouched buckets carried as manifest rows with capped
+    over-threshold compaction),
     ``keyidx/`` (the shared primary-key-index sidecar while
     ``verify_before_images`` is on), ``view/`` (group cols + ``rnk``
     + key cols + value, ALSO group-hash bucketed and touched-bucket
@@ -2133,7 +2059,7 @@ def topk_view_oplog_foreach_batch(
     |touched groups| × |group size| (never corpus-sized; the regime
     where affected-group recompute wins is sparse deltas over many
     groups), a touched-bucket view rewrite of k·|touched groups|
-    rows, and O(#untouched files) hardlinks.
+    rows, and three manifest writes.
 
     Returns the final view as a batch DataFrame (without the bucket
     column).
@@ -2155,6 +2081,7 @@ def topk_view_oplog_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "topk_oplog")
         batch_files = _batch_provenance(batch_df)
@@ -2202,19 +2129,23 @@ def topk_view_oplog_foreach_batch(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        image_dir = os.path.join(target_dir, "image")
-        have_image = _has_bucket_files(image_dir)
-        image = spark.read.parquet(image_dir) if have_image else None
-        old_touched = (
-            image.filter(F.col("_kb").isin(sorted(touched)))
-            if image is not None
-            else spark.createDataFrame(
+        m_img = read_manifest(target_dir, "image")
+        have_image = store_has_files(m_img)
+        image = (
+            read_store(spark, target_dir, "image", manifest=m_img)
+            if have_image
+            else None
+        )
+        old_touched = read_store(
+            spark, target_dir, "image", buckets=sorted(touched), manifest=m_img
+        )
+        if old_touched is None:
+            old_touched = spark.createDataFrame(
                 [],
                 ops_df.select(
                     *key_cols, *extra, F.lit(0).alias("_kb")
                 ).schema,
             )
-        )
         if verify_before_images:
             w_asc = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).asc())
             first_ops = (
@@ -2292,15 +2223,14 @@ def topk_view_oplog_foreach_batch(
             )
             .filter(F.col("rnk") <= k)
         )
-        view_dir = os.path.join(target_dir, "view")
-        have_view = _has_bucket_files(view_dir)
+        m_view = read_manifest(target_dir, "view")
         # the view is bucketed exactly like the image, so only the
         # touched buckets rewrite: their untouched-GROUP rows pass
         # through (anti-join), touched groups take the recompute
-        if have_view:
-            old_view_touched = spark.read.parquet(view_dir).filter(
-                F.col("_kb").isin(sorted(touched))
-            )
+        old_view_touched = read_store(
+            spark, target_dir, "view", buckets=sorted(touched), manifest=m_view
+        )
+        if old_view_touched is not None:
             kept_in_touched = old_view_touched.alias("ov").join(
                 F.broadcast(tg.alias("tg")), _ns_cond("ov", "tg", group_cols), "left_anti"
             )
@@ -2308,27 +2238,21 @@ def topk_view_oplog_foreach_batch(
         else:
             new_view_touched = recomputed
         stage = f"{target_dir}.stage-{batch_id}"
-        new_touched.repartition(max(len(touched), 1), "_kb").write.partitionBy(
-            "_kb"
-        ).mode("overwrite").parquet(os.path.join(stage, "image"))
-        if have_image:
-            _link_untouched_buckets(
-                image_dir, os.path.join(stage, "image"), touched, spark=spark
-            )
-        new_view_touched.repartition(
-            max(len(touched), 1), "_kb"
-        ).write.partitionBy("_kb").mode("overwrite").parquet(
-            os.path.join(stage, "view")
+        write_store_delta(
+            spark, new_touched, target_dir, "image", stage,
+            batch_id=batch_id, touched=touched, manifest=m_img,
         )
-        if have_view:
-            _link_untouched_buckets(
-                view_dir, os.path.join(stage, "view"), touched, spark=spark
-            )
+        write_store_delta(
+            spark, new_view_touched, target_dir, "view", stage,
+            batch_id=batch_id, touched=touched, manifest=m_view,
+        )
         if verify_before_images:
             _key_index_guard_and_rewrite(
                 spark,
-                os.path.join(target_dir, "keyidx"),
-                os.path.join(stage, "keyidx"),
+                target_dir,
+                "keyidx",
+                stage,
+                batch_id,
                 keys=list(key_cols),
                 n_buckets=n_buckets,
                 ops_df=ops_df,
@@ -2353,9 +2277,13 @@ def topk_view_oplog_foreach_batch(
         _atomic_swap(stage, target_dir, batch_id)
 
     _run_foreach_batch(oplog, _apply, checkpoint_dir, "topk_oplog", timeout_sec)
-    return oplog.sparkSession.read.parquet(
-        os.path.join(target_dir, "view")
-    ).drop("_kb")
+    out = read_store(oplog.sparkSession, target_dir, "view")
+    if out is None:
+        raise RuntimeError(
+            "topk_oplog sink: no committed view to return — the stream "
+            "applied no batch (or every group emptied)"
+        )
+    return out.drop("_kb")
 
 
 def join_view_foreach_batch(
@@ -2679,8 +2607,8 @@ def join_view_oplog_foreach_batch(
     - Image rewrites touch only the buckets the batch's keys occupy
       (old bucket from the before-image's join value — an update may
       MOVE a row between buckets — new bucket from the after-image's);
-      untouched buckets hardlink through the commit
-      (`_link_untouched_buckets`). Within a batch the LAST op per
+      untouched buckets carry through the commit as manifest rows
+      (`streaming.manifest`). Within a batch the LAST op per
       primary key decides the final image; for the VIEW no dedup is
       needed at all — signed multiset algebra cancels intermediate
       states, and every downstream use is linear, so batch-split
@@ -2702,7 +2630,7 @@ def join_view_oplog_foreach_batch(
       in the same atomic swap), including the cross-bucket case where
       the I claims a join value that hashes elsewhere. Both checks
       are delta + touched-bucket sized; the key index is maintained
-      with the same touched-bucket rewrite + hardlink discipline as
+      with the same touched-bucket rewrite + manifest-carry discipline as
       the images, backfills itself once from the image if absent, and
       is dropped by the swap while verification is off (so flipping
       the flag back on re-backfills cleanly).
@@ -2779,6 +2707,7 @@ def join_view_oplog_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "join_view_oplog")
         batch_files = _batch_provenance(batch_df)
@@ -2815,12 +2744,8 @@ def join_view_oplog_foreach_batch(
         dR, r_ops = _load_side(r_tag, r_key, r_cols, r_join)
         dS, s_ops = _load_side(s_tag, s_key, s_cols, s_join)
 
-        def _read_image(sub, keys, cols):
-            d = os.path.join(target_dir, sub)
-            return spark.read.parquet(d) if _has_bucket_files(d) else None
-
-        img_r = _read_image("image_r", r_key, r_cols)
-        img_s = _read_image("image_s", s_key, s_cols)
+        m_r = read_manifest(target_dir, "image_r")
+        m_s = read_manifest(target_dir, "image_s")
 
         def _empty(keys, cols, like):
             schema = like.select(
@@ -2848,8 +2773,8 @@ def join_view_oplog_foreach_batch(
         terms = []
         if dR is not None:
             bR = _buckets(dR, r_join)
-            so_pruned = (
-                img_s.filter(F.col("_kb").isin(bR)) if img_s is not None else None
+            so_pruned = read_store(
+                spark, target_dir, "image_s", buckets=bR, manifest=m_s
             )
             dr = dR.alias("dr")
             if so_pruned is not None:
@@ -2906,8 +2831,8 @@ def join_view_oplog_foreach_batch(
                 )
         if dS is not None:
             bS = _buckets(dS, s_join)
-            ro_pruned = (
-                img_r.filter(F.col("_kb").isin(bS)) if img_r is not None else None
+            ro_pruned = read_store(
+                spark, target_dir, "image_r", buckets=bS, manifest=m_r
             )
             ds_ = dS.alias("ds")
             if ro_pruned is not None:
@@ -3003,18 +2928,14 @@ def join_view_oplog_foreach_batch(
 
         stage = f"{target_dir}.stage-{batch_id}"
 
-        def _rewrite_image(sub, image, ops_df, keys, cols, join_col):
+        def _rewrite_image(sub, m_img, ops_df, keys, cols, join_col):
             """Touched-bucket rewrite of one relation's standing image
             (+ the before-image divergence guard)."""
             if ops_df is None:  # relation absent this batch: image unchanged
                 for carry in (sub, sub.replace("image", "keyidx")):
-                    if os.path.isdir(os.path.join(target_dir, carry)):
-                        _link_untouched_buckets(
-                            os.path.join(target_dir, carry),
-                            os.path.join(stage, carry),
-                            set(),
-                            spark=spark,
-                        )
+                    # untouched store: its new manifest is identical —
+                    # one small file copy carries every bucket forward
+                    carry_store(target_dir, carry, stage)
                 return
             w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
             last_ops = (
@@ -3057,11 +2978,11 @@ def join_view_oplog_foreach_batch(
                 .distinct()
                 .collect()
             }
-            old_touched = (
-                image.filter(F.col("_kb").isin(sorted(touched)))
-                if image is not None
-                else _empty(keys, cols, ops_df)
+            old_touched = read_store(
+                spark, target_dir, sub, buckets=sorted(touched), manifest=m_img
             )
+            if old_touched is None:
+                old_touched = _empty(keys, cols, ops_df)
             if verify_before_images:
                 # the earliest op per key must agree with the image:
                 # U/D carry a before-image that must exist and match;
@@ -3130,20 +3051,18 @@ def join_view_oplog_foreach_batch(
             upserts = last_ops.filter(op.isin("U", "I")).select(
                 *keys, *cols, _kb_of(join_col).alias("_kb")
             )
-            # ~one file per touched bucket dir, not one per shuffle
+            # ~one pool file per touched bucket, not one per shuffle
             # partition (small-files control across many commits)
-            survivors.unionByName(upserts).repartition(
-                max(len(touched), 1), "_kb"
-            ).write.partitionBy("_kb").mode("overwrite").parquet(
-                os.path.join(stage, sub)
+            write_store_delta(
+                spark,
+                survivors.unionByName(upserts),
+                target_dir,
+                sub,
+                stage,
+                batch_id=batch_id,
+                touched=touched,
+                manifest=m_img,
             )
-            if image is not None:
-                _link_untouched_buckets(
-                    os.path.join(target_dir, sub),
-                    os.path.join(stage, sub),
-                    touched,
-                    spark=spark,
-                )
             if verify_before_images and join_col not in keys:
                 # exact insert-over-present guard + key-index upkeep —
                 # the image is bucketed by JOIN value, so this is what
@@ -3160,8 +3079,10 @@ def join_view_oplog_foreach_batch(
                 kidx_sub = sub.replace("image", "keyidx")
                 _key_index_guard_and_rewrite(
                     spark,
-                    os.path.join(target_dir, kidx_sub),
-                    os.path.join(stage, kidx_sub),
+                    target_dir,
+                    kidx_sub,
+                    stage,
+                    batch_id,
                     keys=list(keys),
                     n_buckets=n_buckets,
                     ops_df=ops_df,
@@ -3170,12 +3091,16 @@ def join_view_oplog_foreach_batch(
                     ).select(*keys),
                     batch_keys=keyset,
                     upsert_keys=last_ops.filter(op.isin("U", "I")).select(*keys),
-                    image=image,
+                    image=(
+                        read_store(spark, target_dir, sub, manifest=m_img)
+                        if store_has_files(m_img)
+                        else None
+                    ),
                     tag=f"join_view_oplog sink: {sub}",
                 )
 
-        _rewrite_image("image_r", img_r, r_ops, r_key, r_cols, r_join)
-        _rewrite_image("image_s", img_s, s_ops, s_key, s_cols, s_join)
+        _rewrite_image("image_r", m_r, r_ops, r_key, r_cols, r_join)
+        _rewrite_image("image_s", m_s, s_ops, s_key, s_cols, s_join)
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
@@ -3344,6 +3269,67 @@ def record_highs_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+def _compact_index_tiers(
+    spark, index_dir: str, batch_id: int, threshold: int = COMPACT_FILE_THRESHOLD
+) -> None:
+    """Size-tiered (LSM-style) compaction of a flat fingerprint-index
+    dir: files are named ``L<level>-...`` (anything else counts as
+    level 0, covering pre-tiering indexes); whenever a level holds
+    more than ``threshold`` files, exactly those files merge into ONE
+    file at the next level, promoted by the crash-safe dir swap with
+    the other levels' files hardlinked through (bounded: at most
+    threshold × levels links). Merges cascade upward until no level
+    overflows. Cost: each fingerprint participates in O(log n) merges
+    across n appends — the bounded-compaction answer to rewriting the
+    whole index every ~threshold increments."""
+    import os
+    import shutil
+
+    rnd = 0
+    while True:
+        files = [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+        by_level: dict[int, list[str]] = {}
+        for f in files:
+            head = f.split("-", 1)[0]
+            lvl = (
+                int(head[1:])
+                if f.startswith("L") and head[1:].isdigit()
+                else 0
+            )
+            by_level.setdefault(lvl, []).append(f)
+        over = [lvl for lvl, fs in sorted(by_level.items()) if len(fs) > threshold]
+        if not over:
+            return
+        lvl = over[0]
+        merge = by_level[lvl]
+        tmp = f"{index_dir}.stage-t{batch_id}-{rnd}"
+        spark.read.parquet(
+            *[os.path.join(index_dir, f) for f in merge]
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        stage = f"{index_dir}.stage-c{batch_id}-{rnd}"
+        os.makedirs(stage, exist_ok=True)
+        for i, fname in enumerate(sorted(os.listdir(tmp))):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, fname),
+                    os.path.join(
+                        stage, f"L{lvl + 1}-{batch_id}-{rnd}-{i}.parquet"
+                    ),
+                )
+        shutil.rmtree(tmp)
+        for fname in set(files) - set(merge):
+            try:
+                os.link(
+                    os.path.join(index_dir, fname), os.path.join(stage, fname)
+                )
+            except OSError:
+                shutil.copy2(
+                    os.path.join(index_dir, fname), os.path.join(stage, fname)
+                )
+        _atomic_swap(stage, index_dir, batch_id)
+        rnd += 1
+
+
 def incremental_dedup_runs(
     spark,
     increments: "list[tuple[str, DataFrame]]",
@@ -3363,20 +3349,22 @@ def incremental_dedup_runs(
       (16-byte keys; document bodies never shuffle and never
       re-scan old increments — the index IS the corpus memory);
     - dup-within: first-doc_id-wins inside the increment;
-    - accepted fingerprints are APPENDED to the index, and one
-      accounting row per batch is appended to an audit sink. Appends
-      add ~one file per increment, so once the index crosses the
-      shared COMPACT_FILE_THRESHOLD it is compacted in place (read →
-      one file → atomic dir swap, crash-recovered like every other
-      standing table here) — nightly runs never fragment it
-      unboundedly.
+    - accepted fingerprints are APPENDED to the index as one
+      level-0 file per increment, and one accounting row per batch
+      is appended to an audit sink. Compaction is SIZE-TIERED
+      (LSM-style, `_compact_index_tiers`): when any level
+      accumulates more than COMPACT_FILE_THRESHOLD files they merge
+      into ONE next-level file via the crash-safe dir swap — each
+      fingerprint is rewritten O(log n) times over n increments,
+      instead of the whole index every ~threshold appends (quadratic
+      amortized), while file count stays bounded at
+      threshold × levels.
 
     Returns the audit table (source, n_incoming, n_dup_vs_existing,
     n_dup_within, n_accepted) — the streaming twin of the batch
     ``dedup_incremental_new_docs`` accounting. State is O(|index|)
     on disk, not in the stream; each increment costs one hash join
     against fingerprints, never a corpus rescan."""
-    import glob as globmod
     import os
 
     from pyspark.sql import Window
@@ -3418,20 +3406,24 @@ def incremental_dedup_runs(
             )
         )
         audit.write.mode("append").parquet(audit_dir)
-        fresh.where(F.col("rn") == 1).select("h").write.mode("append").parquet(index_dir)
-        # compaction: one file per increment accumulates; past the
-        # threshold, rewrite the index as one file and promote it with
-        # the crash-safe dir swap (same discipline as the bucketed
-        # standing images)
-        n_files = len(
-            globmod.glob(os.path.join(globmod.escape(index_dir), "*.parquet"))
-        )
-        if n_files > COMPACT_FILE_THRESHOLD:
-            stage = f"{index_dir}.stage-{batch_id}"
-            spark.read.parquet(index_dir).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(stage)
-            _atomic_swap(stage, index_dir, batch_id)
+        # append the increment's accepted fingerprints as ONE new
+        # level-0 file (controlled name so the tiered compactor can
+        # read levels back from the directory listing alone)
+        import shutil as shutilmod
+
+        tmp = f"{index_dir}.stage-append-{batch_id}"
+        fresh.where(F.col("rn") == 1).select("h").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.makedirs(index_dir, exist_ok=True)
+        for i, fname in enumerate(sorted(os.listdir(tmp))):
+            if fname.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, fname),
+                    os.path.join(index_dir, f"L0-{batch_id}-{i}.parquet"),
+                )
+        shutilmod.rmtree(tmp)
+        _compact_index_tiers(spark, index_dir, batch_id)
 
     schema = None
     for i, (name, docs) in enumerate(increments):

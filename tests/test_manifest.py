@@ -1,0 +1,209 @@
+"""Manifest-committed bucket stores (`streaming.manifest`): the
+commit-record discipline that replaced the hive `_kb=` directory
+layout (round-10 SCALE.md measured per-directory metadata making
+high-bucket-count refreshes 2.3-4.6x slower; the manifest makes an
+untouched bucket one JSON row). These tests pin the crash/corruption
+contract the sinks rely on:
+
+- a write + carry round-trips rows and leaves untouched entries
+  byte-identical;
+- orphan pool files (a batch that died before its swap) are swept,
+  referenced files never are;
+- a TORN manifest in the committed dir RAISES (corruption witness),
+  while a torn manifest in a staging dir is cleaned by the existing
+  stale-stage sweep before it can ever be read;
+- a manifest referencing a missing pool file RAISES;
+- the pre-manifest hive layout RAISES instead of silently reading
+  zero state;
+- over-threshold buckets compact in one commit, capped per commit.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.streaming.manifest import (
+    COMPACT_BUCKETS_PER_COMMIT,
+    COMPACT_FILE_THRESHOLD,
+    pool_store_dir,
+    read_manifest,
+    read_store,
+    store_file_paths,
+    store_has_files,
+    sweep_orphans,
+    write_store_delta,
+)
+from epe_data_wrangling_spark.streaming.ops import (
+    _atomic_swap,
+    _clean_stale_stages,
+)
+
+
+def _df(spark, pairs):
+    """(k, v) rows with _kb = pmod(hash(k), 8)."""
+    return spark.createDataFrame(pairs, "k BIGINT, v BIGINT").withColumn(
+        "_kb", F.pmod(F.hash("k"), F.lit(8))
+    )
+
+
+def _commit(spark, target, store, df, touched, batch_id, **kw):
+    """One manifest commit through the real swap protocol."""
+    m = read_manifest(target, store)
+    stage = f"{target}.stage-{batch_id}"
+    write_store_delta(
+        spark, df, target, store, stage,
+        batch_id=batch_id, touched=touched, manifest=m, **kw,
+    )
+    _atomic_swap(stage, target, batch_id)
+
+
+def test_write_read_carry_round_trip(spark, tmp_path):
+    target = str(tmp_path / "t")
+    rows = [(k, 10 * k) for k in range(32)]
+    all_buckets = list(range(8))
+    _commit(spark, target, "s", _df(spark, rows), all_buckets, 0)
+    m1 = read_manifest(target, "s")
+    assert store_has_files(m1)
+    got = {(r["k"], r["v"]) for r in read_store(spark, target, "s").collect()}
+    assert got == set(rows)
+    # touch one bucket: every other entry must be byte-identical
+    b3 = spark.createDataFrame([(3,)], "k BIGINT").select(
+        F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    upd = _df(spark, [(3, 999)])
+    _commit(spark, target, "s", upd, [b3], 1)
+    m2 = read_manifest(target, "s")
+    carried = 0
+    for b, names in m1["buckets"].items():
+        if int(b) != b3:
+            assert m2["buckets"][b] == names, b
+            carried += 1
+    assert carried > 0
+    # pruned read returns only the touched bucket's (rewritten) rows
+    pr = read_store(spark, target, "s", buckets=[b3])
+    assert {(r["k"], r["v"]) for r in pr.collect()} == {(3, 999)}
+
+
+def test_orphan_sweep_spares_referenced_files(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(k, k) for k in range(16)]),
+            list(range(8)), 0)
+    pool = pool_store_dir(target, "s")
+    referenced = set(os.listdir(pool))
+    # simulate a batch that wrote pool files + a tmp dir, then died
+    # before its swap: both must be swept, referenced files kept
+    with open(os.path.join(pool, "b0-99-deadbeef-0.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    os.makedirs(os.path.join(pool, "_tmp-99-deadbeef"))
+    sweep_orphans(target)
+    left = set(os.listdir(pool))
+    assert left == referenced
+    # and the store still reads clean
+    assert read_store(spark, target, "s").count() == 16
+
+
+def test_torn_committed_manifest_raises(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(1, 1)]), list(range(8)), 0)
+    with open(os.path.join(target, "_manifest_s.json"), "w") as f:
+        f.write('{"format_version": 1, "buckets": {"0": ["trunc')  # torn
+    with pytest.raises(RuntimeError, match="unreadable"):
+        read_manifest(target, "s")
+
+
+def test_torn_stage_manifest_is_cleaned_not_read(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(1, 1)]), list(range(8)), 0)
+    good = read_manifest(target, "s")
+    # a crash mid-stage-write leaves a torn manifest ONLY in the stage
+    stage = f"{target}.stage-1"
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_manifest_s.json"), "w") as f:
+        f.write("{torn")
+    _clean_stale_stages(target)
+    assert not os.path.isdir(stage)
+    assert read_manifest(target, "s") == good  # committed state untouched
+
+
+def test_missing_pool_file_raises(spark, tmp_path):
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(1, 1), (2, 2)]), list(range(8)), 0)
+    m = read_manifest(target, "s")
+    victim = next(names[0] for names in m["buckets"].values() if names)
+    os.remove(os.path.join(pool_store_dir(target, "s"), victim))
+    with pytest.raises(RuntimeError, match="missing data file"):
+        store_file_paths(target, "s", m)
+
+
+def test_legacy_hive_layout_raises(tmp_path):
+    target = str(tmp_path / "t")
+    os.makedirs(os.path.join(target, "image", "_kb=0"))
+    with pytest.raises(RuntimeError, match="pre-manifest"):
+        read_manifest(target, "image")
+
+
+def test_wrong_format_version_raises(tmp_path):
+    target = str(tmp_path / "t")
+    os.makedirs(target)
+    with open(os.path.join(target, "_manifest_s.json"), "w") as f:
+        json.dump({"format_version": 99, "buckets": {}}, f)
+    with pytest.raises(RuntimeError, match="format_version"):
+        read_manifest(target, "s")
+
+
+def test_compaction_is_capped_per_commit(spark, tmp_path):
+    """More over-threshold buckets than the per-commit cap: one commit
+    compacts exactly the cap's worth (worst-first), the next sweeps up
+    the rest — the latency-bounding contract."""
+    target = str(tmp_path / "t")
+    # hand-build a fragmented arrival: ~32 buckets (pmod 32), each
+    # holding threshold+2 single-generation pool files
+    pool = pool_store_dir(target, "s")
+    os.makedirs(pool)
+    os.makedirs(target, exist_ok=True)
+    buckets: dict = {}
+    n_frag = COMPACT_FILE_THRESHOLD + 2
+    for i in range(n_frag):
+        tmp = str(tmp_path / f"frag{i}")
+        (
+            spark.createDataFrame(
+                [(k, 100 * k + i) for k in range(64)], "k BIGINT, v BIGINT"
+            )
+            .withColumn("_kb", F.pmod(F.hash("k"), F.lit(32)))
+            .withColumn("_kbp", F.col("_kb"))
+            .write.partitionBy("_kbp")
+            .parquet(tmp)
+        )
+        for d in os.listdir(tmp):
+            if not d.startswith("_kbp="):
+                continue
+            b = d.split("=", 1)[1]
+            for j, fname in enumerate(sorted(os.listdir(os.path.join(tmp, d)))):
+                if fname.endswith(".parquet"):
+                    name = f"b{b}-f{i}-{j}.parquet"
+                    os.rename(
+                        os.path.join(tmp, d, fname), os.path.join(pool, name)
+                    )
+                    buckets.setdefault(b, []).append(name)
+    with open(os.path.join(target, "_manifest_s.json"), "w") as f:
+        json.dump({"format_version": 1, "buckets": buckets}, f)
+    m = read_manifest(target, "s")
+    over_before = [b for b, ns in m["buckets"].items()
+                   if len(ns) > COMPACT_FILE_THRESHOLD]
+    assert len(over_before) >= 2
+    total_rows = read_store(spark, target, "s").count()
+    # a touched=[] commit with compact on: compacts up to the cap
+    _commit(spark, target, "s",
+            spark.createDataFrame([], "k BIGINT, v BIGINT, _kb INT"),
+            [], 100)
+    m2 = read_manifest(target, "s")
+    over_after = [b for b, ns in m2["buckets"].items()
+                  if len(ns) > COMPACT_FILE_THRESHOLD]
+    compacted = set(over_before) - set(over_after)
+    assert len(compacted) == min(len(over_before), COMPACT_BUCKETS_PER_COMMIT)
+    for b in compacted:
+        assert len(m2["buckets"][b]) == 1, b
+    # rows unchanged by compaction
+    assert read_store(spark, target, "s").count() == total_rows
