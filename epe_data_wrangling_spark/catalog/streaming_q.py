@@ -2252,3 +2252,99 @@ def streaming_outer_join_view_maintenance(
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---- the reference's monthly use case, end-to-end incremental --------
+
+#: Per-session memo: both monthly-refresh queries certify the SAME
+#: three-drop run (fact + annual view from one standing state), so the
+#: landing/stream/refresh work runs once per session.
+_EPE_MONTHLY_MEMO: dict[SparkSession, tuple[DataFrame, DataFrame]] = {}
+
+
+def _epe_monthly_run(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    import os
+    import shutil
+    import tempfile
+
+    if spark in _EPE_MONTHLY_MEMO:
+        return _EPE_MONTHLY_MEMO[spark]
+    from epe_data_wrangling_spark.plans.epe_demo import monthly_workbook_versions
+    from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+    from epe_data_wrangling_spark.streaming.epe_monthly import epe_monthly_refresh
+
+    work = tempfile.mkdtemp(prefix="epe_monthly_")
+    drops = os.path.join(work, "drops")
+    os.makedirs(drops)
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        for i, grids in enumerate(monthly_workbook_versions(), start=1):
+            # one drop lands, one availableNow run applies it — the
+            # monthly cycle, three times, over ONE checkpoint (the
+            # stream reader's seen-file offset carries across runs)
+            write_xlsx(os.path.join(drops, f"drop_{i:03d}.xlsx"), grids)
+            fact, annual = epe_monthly_refresh(
+                spark, drops, target, checkpoint_dir=ckpt
+            )
+        # materialize before cleanup: both frames read the standing
+        # state lazily and the work dir must not leak per sweep
+        fact_rows = fact.collect()
+        annual_rows = annual.collect()
+        out = (
+            spark.createDataFrame(fact_rows, fact.schema),
+            spark.createDataFrame(annual_rows, annual.schema),
+        )
+        _EPE_MONTHLY_MEMO[spark] = out
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _epe_monthly_fact_oracle() -> str:
+    from epe_data_wrangling_spark.catalog.epe_q import _expected_values_sql
+
+    return _expected_values_sql()
+
+
+def _epe_monthly_annual_oracle() -> str:
+    from epe_data_wrangling_spark.catalog.epe_q import _expected_values_sql
+
+    return f"""
+    WITH fact AS ({_expected_values_sql()})
+    SELECT chave_seletora, CAST(year(data) AS INTEGER) AS ano,
+           CAST(SUM(CAST(valor AS DECIMAL(18,6))) AS DOUBLE) AS valor_ano,
+           COUNT(*) AS n_meses
+    FROM fact GROUP BY chave_seletora, year(data)
+    """
+
+
+@query("streaming_epe_monthly_fact", oracle=_epe_monthly_fact_oracle)
+def streaming_epe_monthly_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's monthly cadence (`tratamento_epe.rmd:30`)
+    composed end-to-end and INCREMENTAL: three cumulative workbook
+    drops land in a watched dir (months missing in drop 1, published
+    in drop 2, and one prior-month figure REVISED by drop 3), the
+    workbook stream reader delivers each drop's cells, and
+    `streaming.epe_monthly.epe_monthly_refresh` maintains the
+    standing 8-column fact table by keyed snapshot diff — never
+    recomputing prior drops. The final fact must hash-match the SAME
+    frozen golden as the batch `epe_pipeline_demo`, which is the
+    from-scratch recompute of drop 3: certifies that bootstrap +
+    publish + revision (retraction load-bearing) converge exactly."""
+    return _epe_monthly_run(spark)[0]
+
+
+@query("streaming_epe_monthly_refresh", oracle=_epe_monthly_annual_oracle)
+def streaming_epe_monthly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream half of the monthly capstone: the
+    annual-consumption view ((chave_seletora, ano) → valor_ano,
+    n_meses) maintained ADDITIVELY from the drops' manufactured
+    changelog — micro-unit integer sums merged |groups|-at-a-time per
+    drop, the standing aggregate never recomputed from the fact. The
+    oracle recomputes the aggregate from the golden fact directly, so
+    the hash certifies bootstrap + new-month inserts + the drop-3
+    revision (a signed retraction reaching the view through
+    `_additive_merge`) land on exact equality with the batch
+    `epe_annual_consumption` semantics."""
+    return _epe_monthly_run(spark)[1]

@@ -134,3 +134,56 @@ def demo_workbook(spark):
     from epe_data_wrangling_spark.sources.workbook import grid_to_df
 
     return {s: grid_to_df(spark, g, s) for s, g in workbook_grids().items()}
+
+
+_DATA_CELL = __import__("re").compile(r"^\d+\.5$")
+
+
+def monthly_workbook_versions() -> list[dict[str, list]]:
+    """THREE monthly publications of the demo workbook — the cadence
+    the reference actually lives in (`tratamento_epe.rmd:30`: the
+    source workbook is cumulative and 'atualizados mensalmente').
+    Carved BACKWARD from the frozen golden so the final state is
+    byte-exactly `workbook_grids()` and every downstream check can
+    reuse the existing golden oracles:
+
+    - v3 = ``workbook_grids()`` (the golden truth);
+    - v2 = v3 with ONE already-published figure wrong — RESIDENCIAIS /
+      NORTE month 3 printed as ``999.5`` instead of ``102.5`` — so
+      drop 3 is a PRIOR-MONTH REVISION and the incremental consumer's
+      retraction path is load-bearing, not decorative;
+    - v1 = v2 with the LAST TWO month cells of every data row blank
+      EXCEPT each sheet's first valued row (months not yet published
+      in the first drop; data cells are the ``\\d+.5`` values — year
+      labels, Total_Ano's ``999`` and text never match). One row per
+      sheet keeps its full width so the workbook container round-trip
+      preserves sheet geometry — a fully-blank trailing column would
+      not survive the .xlsx write/read (blank cells are simply not
+      stored) and the 12/13-column dispatch would reject the sheet.
+
+    Structure (sheets, headers, junk rows, markers) is identical
+    across versions — only cell VALUES move, exactly like the real
+    republished workbook."""
+    import copy
+
+    v3 = workbook_grids()
+    v2 = copy.deepcopy(v3)
+    for row in v2["RESIDENCIAIS"]:
+        if row and row[0] == "NORTE":
+            assert row[3] == "102.5", row
+            row[3] = "999.5"
+            break
+    v1 = copy.deepcopy(v2)
+    for grid in v1.values():
+        first_valued = True
+        for row in grid:
+            data_idx = [i for i, v in enumerate(row)
+                        if isinstance(v, str) and _DATA_CELL.match(v)]
+            if len(data_idx) < 3:
+                continue
+            if first_valued:
+                first_valued = False
+                continue
+            for i in data_idx[-2:]:
+                row[i] = N
+    return [v1, v2, v3]

@@ -203,9 +203,15 @@ class WorkbookStreamReader(SimpleDataSourceStreamReader):
         seen = set(start.get("seen", []))
         new = sorted(f for f in self._files() if f not in seen)
         end = {"seen": sorted(seen | set(new))}
-        # materialized list, not a generator: the prefetching wrapper
-        # pickles the batch so an un-committed prefetch can be replayed
-        return list(self._cells(new)), end
+        # materialized THEN wrapped in iter(): materialized because the
+        # prefetching wrapper pickles the batch so an un-committed
+        # prefetch can be replayed; iter() because the wrapper's
+        # no-advance validation calls next() on the result when a poll
+        # finds nothing new (end == start) — handing it a bare list
+        # raises TypeError and kills the query on the first EMPTY poll
+        # (a restart with no new drop landed), the exact state a
+        # landing-zone watcher spends most of its life in
+        return iter(list(self._cells(new))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))

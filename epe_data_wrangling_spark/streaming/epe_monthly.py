@@ -1,0 +1,188 @@
+"""EPE monthly incremental refresh — the reference's real cadence,
+composed end-to-end.
+
+`tratamento_epe.rmd:30` says the source workbook is cumulative and
+"atualizados mensalmente"; the reference's answer is a full re-run
+per month (`tratamento_epe.R:39` re-downloads, `R:290` re-exports).
+This module is the streaming-native composition the engine already
+had all the parts for: the workbook landing zone
+(`sources.spark_datasource.WorkbookStreamReader` — each drop's cells
+arrive as a micro-batch) feeds the CDC-retraction discipline
+(`streaming.ops`), maintaining TWO standing tables per drop instead
+of recomputing the world:
+
+- ``snapshot/`` — the 8-column EPE fact table's hashed image. Each
+  drop is a full cumulative publication, so its normalized rows are
+  diffed against the image by `_signed_image_diff` — the changelog is
+  MANUFACTURED, exactly like the CDC snapshot dialect. The join key
+  is a null-safe DIGEST of the 7 dimension columns
+  (`_row_digest`): NULL dims are legitimate fact values (the TOTAL
+  sheet's leading-null ``abertura``, excluded sheets' NULL selector
+  key), so a raw-column equi join would silently drop them.
+- ``view/`` — the annual-consumption aggregate
+  ((chave_seletora, ano) → n_meses, Σ valor) maintained ADDITIVELY
+  from the signed rows (`_additive_merge`, |groups|-row full-outer).
+  ``valor`` is staged in micro-units (×10⁶, BIGINT) so incremental
+  maintenance is exact integer algebra across arbitrarily many
+  monthly revisions — float accumulation would drift from the
+  recompute oracle precisely when the table gets old, which is the
+  one regime this sink exists for.
+
+Both tables commit in ONE atomic swap with the batch-id + file
+provenance record (the module's exactly-once discipline; provenance
+comes from the workbook source's own ``file`` column —
+``input_file_name()`` is empty on Python-datasource streams). A drop
+that REVISES a prior month retracts the old row's contribution and
+inserts the new one; months that appear for the first time are pure
+inserts — so after any number of drops the standing fact and annual
+view hash-match a from-scratch recompute of the latest workbook,
+which is exactly what the catalog queries certify against the frozen
+golden.
+
+Scale: per drop — one workbook parse + normalize (the producer
+artifact's own size), one keyed hash-diff shuffle against the
+standing image, a delta-sized signed aggregate, and a |groups|-row
+view merge. The EPE fact is dimension-table-sized so the plain
+snapshot rewrite is the right plan here; a fact too large to rewrite
+per cycle would instead land the SAME signed rows in the bucketed
+op-log sinks (`cdc_oplog_foreach_batch` et al.), which this module's
+changelog manufacture feeds unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.streaming.ops import (
+    _additive_merge,
+    _atomic_swap,
+    _clean_stale_stages,
+    _is_committed_replay,
+    _read_sink_meta,
+    _recover_swap,
+    _row_digest,
+    _run_foreach_batch,
+    _signed_image_diff,
+)
+
+FACT_DIMS = [
+    "chave_seletora", "mercado", "dado", "classe", "abertura", "atributo",
+    "data",
+]
+
+#: valor staging factor: micro-units keep the additive view's sums in
+#: exact BIGINT algebra (the reference's values carry ≤6 decimals).
+MICRO = 1_000_000
+
+
+def epe_monthly_refresh(
+    spark,
+    drops_dir: str,
+    target_dir: str,
+    *,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 600,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the landing-zone stream to completion (availableNow) and
+    return ``(fact, annual)`` as batch DataFrames: the standing
+    8-column fact table and the incrementally-maintained annual view
+    (chave_seletora, ano, valor_ano DOUBLE, n_meses). Call again
+    after landing further drops with the SAME checkpoint dir — the
+    stream reader's seen-file offset makes each run process exactly
+    the new drops."""
+    from epe_data_wrangling_spark.plans.epe_pipeline import run_pipeline
+    from epe_data_wrangling_spark.sources.spark_datasource import (
+        grids_from_cells,
+        register,
+    )
+    from epe_data_wrangling_spark.sources.workbook import grid_to_df
+
+    register(spark)
+    stream = spark.readStream.format("workbook").load(drops_dir)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = {
+            r["f"]
+            for r in batch_df.select(F.col("file").alias("f")).distinct().collect()
+        }
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "epe_monthly"):
+            return
+        if not batch_files:
+            return
+        cells = batch_df.localCheckpoint(eager=True)  # feeds one pass per drop
+        have = os.path.isdir(target_dir)
+        snap = (
+            spark.read.parquet(os.path.join(target_dir, "snapshot"))
+            if have
+            else None
+        )
+        view = (
+            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
+        )
+        # a batch may carry several drops (files); landed order is
+        # name order by the drop_NNN landing convention, and each drop
+        # is a full snapshot so they must apply in sequence
+        for f in sorted(batch_files):
+            grids = grids_from_cells(cells.filter(F.col("file") == f))
+            frames = {s: grid_to_df(spark, g, s) for s, g in grids.items()}
+            fact = run_pipeline(spark, frames)
+            img = fact.select(
+                _row_digest(FACT_DIMS).alias("k"),
+                *FACT_DIMS,
+                "valor",
+                _row_digest(FACT_DIMS + ["valor"]).alias("rh"),
+            ).localCheckpoint(eager=True)
+            signed = _signed_image_diff(
+                snap, img, ["k"], FACT_DIMS + ["valor"]
+            ).localCheckpoint(eager=True)
+            dview = signed.groupBy(
+                "chave_seletora", F.year("data").cast("int").alias("ano")
+            ).agg(
+                F.sum("_sign").cast("bigint").alias("n_meses"),
+                F.sum(
+                    F.col("_sign")
+                    * F.round(F.col("valor") * MICRO).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("valor_micro"),
+            )
+            view = _additive_merge(
+                view, dview, ["chave_seletora", "ano"], ["n_meses", "valor_micro"]
+            )
+            snap = img
+        stage = f"{target_dir}.stage-{batch_id}"
+        snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
+        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "applied_files": sorted(applied | batch_files),
+                },
+                fh,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(stream, _apply, checkpoint_dir, "epe_monthly", timeout_sec)
+    fact = spark.read.parquet(os.path.join(target_dir, "snapshot")).select(
+        *FACT_DIMS, "valor"
+    )
+    annual = (
+        spark.read.parquet(os.path.join(target_dir, "view"))
+        .filter(F.col("n_meses") > 0)
+        .select(
+            "chave_seletora",
+            "ano",
+            (F.col("valor_micro").cast("double") / MICRO).alias("valor_ano"),
+            "n_meses",
+        )
+    )
+    return fact, annual

@@ -159,6 +159,31 @@ def store_file_paths(
 _UNSET = object()
 
 
+def _read_paths(spark, paths: list[str], schema_json: str | None) -> DataFrame:
+    """Construct the DataFrame over an explicit resolved-file list with
+    the two driver-side costs removed that otherwise dominate small
+    touched-bucket reads (measured: ~0.6 s per construction at 60
+    paths, several constructions per batch): the committed schema from
+    the manifest skips footer inference, and the parallel-partition-
+    discovery threshold is raised for the call so Spark stat's the
+    paths serially instead of launching a LISTING JOB per construction
+    (the default threshold is 32 paths — every touched-bucket read
+    over >32 buckets would pay a whole Spark job just to list files it
+    was already handed)."""
+    reader = spark.read
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "1000000")
+    try:
+        return reader.parquet(*paths)
+    finally:
+        spark.conf.set(key, old)
+
+
 def read_store(
     spark,
     target_dir: str,
@@ -179,7 +204,7 @@ def read_store(
     paths = store_file_paths(target_dir, store, m, buckets)
     if not paths:
         return None
-    return spark.read.parquet(*paths)
+    return _read_paths(spark, paths, m.get("schema"))
 
 
 def carry_store(target_dir: str, store: str, stage_dir: str) -> None:
@@ -230,7 +255,13 @@ def _write_pool_files(
 
 
 def _compact_over_threshold(
-    spark, target_dir: str, store: str, buckets: dict, exclude: set, batch_id: int
+    spark,
+    target_dir: str,
+    store: str,
+    buckets: dict,
+    exclude: set,
+    batch_id: int,
+    schema_json: str | None = None,
 ) -> dict:
     """Rewrite over-threshold buckets (fragmented bootstrap images,
     repeatedly-carried small files) as one file each — ALL selected
@@ -252,7 +283,7 @@ def _compact_over_threshold(
     paths = [os.path.join(pool, n) for b in over for n in buckets[b]]
     sel = [int(b) for b in over]
     df = (
-        spark.read.parquet(*paths)
+        _read_paths(spark, paths, schema_json)
         .filter(F.col("_kb").isin(sel))
         .repartition(len(over), "_kb")
     )
@@ -294,15 +325,21 @@ def write_store_delta(
     n = n_parts if n_parts is not None else max(len(touched_keys), 1)
     entries = _write_pool_files(df, pool, n, batch_id)
     buckets.update(entries)
+    # the committed schema rides the manifest so readers never pay
+    # footer inference; the writer's df IS the store's row schema
+    # (``_kbp`` is partition-only and never reaches the files)
+    schema_json = df.schema.json()
     if compact:
         buckets = _compact_over_threshold(
-            spark, target_dir, store, buckets, touched_keys | set(entries), batch_id
+            spark, target_dir, store, buckets,
+            touched_keys | set(entries), batch_id, schema_json,
         )
     os.makedirs(stage_dir, exist_ok=True)
     with open(_manifest_path(stage_dir, store), "w") as f:
         json.dump(
             {
                 "format_version": MANIFEST_FORMAT_VERSION,
+                "schema": schema_json,
                 "buckets": {
                     b: names
                     for b, names in sorted(

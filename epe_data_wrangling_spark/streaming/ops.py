@@ -1062,7 +1062,7 @@ def _key_index_guard_and_rewrite(
     insert_first_keys: DataFrame,
     batch_keys: DataFrame,
     upsert_keys: DataFrame,
-    image: DataFrame | None,
+    image_thunk,
     tag: str,
 ) -> None:
     """Primary-KEY index sidecar shared by the sinks that keep a
@@ -1073,7 +1073,8 @@ def _key_index_guard_and_rewrite(
     insert-over-present check EXACT — an I claiming attributes that
     hash to a different image bucket is invisible to image-side
     checks but present here — at touched-key-bucket cost. Backfills
-    itself once from the committed image if absent (the swap drops it
+    itself once from ``image_thunk()`` (the committed image) if absent
+    (the swap drops it
     while the caller's verification is off, so flipping verification
     back on re-backfills cleanly). RAISES on any first-op insert
     whose key the index already holds; otherwise rewrites the touched
@@ -1089,6 +1090,7 @@ def _key_index_guard_and_rewrite(
     }
     kidx_manifest = read_manifest(target_dir, kidx_store)
     linkable = store_has_files(kidx_manifest)
+    image = None if linkable else image_thunk()
     if linkable:
         old_keymap = read_store(
             spark,
@@ -1104,7 +1106,10 @@ def _key_index_guard_and_rewrite(
     elif image is not None:
         # one-time backfill: derive the full key index from the
         # committed image (image-sized scan, ONCE; every later batch
-        # is touched-bucket-sized again)
+        # is touched-bucket-sized again). The thunk defers the
+        # full-store DataFrame construction — over thousands of pool
+        # files the file-index build alone is a per-batch driver cost
+        # the steady state must not pay.
         old_keymap = image.select(*keys).withColumn("_kb", kk)
     else:
         old_keymap = spark.createDataFrame(
@@ -2131,11 +2136,6 @@ def topk_view_oplog_foreach_batch(
         )
         m_img = read_manifest(target_dir, "image")
         have_image = store_has_files(m_img)
-        image = (
-            read_store(spark, target_dir, "image", manifest=m_img)
-            if have_image
-            else None
-        )
         old_touched = read_store(
             spark, target_dir, "image", buckets=sorted(touched), manifest=m_img
         )
@@ -2261,7 +2261,11 @@ def topk_view_oplog_foreach_batch(
                 ).select(*key_cols),
                 batch_keys=keyset,
                 upsert_keys=last_ops.filter(op.isin("U", "I")).select(*key_cols),
-                image=image,
+                image_thunk=lambda: (
+                    read_store(spark, target_dir, "image", manifest=m_img)
+                    if have_image
+                    else None
+                ),
                 tag="topk_oplog sink:",
             )
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
@@ -3091,7 +3095,7 @@ def join_view_oplog_foreach_batch(
                     ).select(*keys),
                     batch_keys=keyset,
                     upsert_keys=last_ops.filter(op.isin("U", "I")).select(*keys),
-                    image=(
+                    image_thunk=lambda sub=sub, m_img=m_img: (
                         read_store(spark, target_dir, sub, manifest=m_img)
                         if store_has_files(m_img)
                         else None

@@ -94,3 +94,41 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="fixpoint"):
         X.connected_components(edges, "a_id", "b_id", max_iter=2)
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """A stop-shingle corpus (60 docs sharing one boilerplate prefix,
+    otherwise unrelated) makes the UNCAPPED exploded self-join emit
+    C(60,2) = 1770 candidate pairs from the hot shingles alone; the
+    document-frequency cap suppresses exactly those, while a genuine
+    near-dup pair sharing RARE shingles still surfaces with its
+    unbiased full-set Jaccard."""
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = [
+        (i, f"{boiler} unique tail number {i} with words w{i}a w{i}b w{i}c w{i}d")
+        for i in range(60)
+    ]
+    # one real near-dup pair sharing a RARE 9-word overlap (df = 2)
+    rare = "rare overlap section alpha beta gamma delta epsilon zeta"
+    rows += [
+        (100, f"{rare} ending one two three"),
+        (101, f"{rare} ending four five six"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    uncapped = X.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=5, threshold=0.0,
+        max_shingle_freq=10**9,
+    )
+    assert uncapped.count() >= 1770  # the quadratic boilerplate blowup
+
+    capped = X.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_n=5, threshold=0.0,
+        max_shingle_freq=10,
+    )
+    got = {(r.a_id, r.b_id): r.jaccard for r in capped.collect()}
+    assert (100, 101) in got            # rare-shingle pair survives
+    assert all(a == 100 for a, _ in got)  # boilerplate-only pairs gone
+    # the verify step scores the FULL sets: same jaccard either way
+    [unc] = uncapped.filter("a_id = 100 AND b_id = 101").collect()
+    assert abs(got[(100, 101)] - unc.jaccard) < 1e-12
