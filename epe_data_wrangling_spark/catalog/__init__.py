@@ -114,59 +114,56 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the 4 queries added during r10 (never driver-certified):
-    # the op-log-fed COUNT(DISTINCT) sink (bucketed support table,
-    # no snapshot landing/diff), the op-log-fed MIN/MAX sink (support
-    # multiset, extremum eviction re-derivation), the op-log-fed
-    # TOP-K sink (group-bucketed standing base rows + bucketed view,
-    # affected-group re-rank) — completing the sink family's
-    # aggregate taxonomy — and the tombstone-fed COUNT(DISTINCT)
-    # sink (retractions manufactured from a key-bucketed image,
-    # same shared transition algebra, third hash-identical dialect)
-    "streaming_distinct_count_oplog_pipeline",
-    "streaming_minmax_view_maintenance",
-    "streaming_topk_view_maintenance",
-    "streaming_distinct_count_tombstone_pipeline",
-    # median from the same support multiset (order statistics
-    # beyond MIN/MAX, derived without touching base rows)
-    "ivm_median_support",
+    # --- the 2 queries added during r11 (never driver-certified):
+    # the EPE monthly incremental refresh capstone — the standing
+    # fact table and its additively-maintained annual view, fed by
+    # the workbook landing-zone stream over three monthly drops
+    # (one revising a prior month), certified against the same
+    # frozen golden as the batch pipeline
+    "streaming_epe_monthly_fact",
+    "streaming_epe_monthly_refresh",
     # --- stalest re-certs (oldest green driver row first; the
-    # arrow twin keeps rows-only evidence fresh by design)
+    # arrow twin keeps rows-only evidence fresh by design) —
+    # this window drains the r4/r5 vintage flagged by the r10
+    # verdict (post-r11 max staleness target: <=5 rounds)
     "ann_cosine_topk_arrow",
-    "q18_large_orders",
-    "q22_idle_balance",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "rollup_region_nation_revenue",
-    "sliding_window_events",
-    "sql_q6_forecast_revenue",
-    "streaming_dedup_keys",
-    "streaming_sessionize",
-    "streaming_user_stats",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_scores",
-    "tumbling_window_events",
-    "unpivot_lineitem_measures",
-    "agg_approx_percentiles",
-    "ann_ivf_trained_topk",
-    "benford_first_digit_audit",
-    "bm25_doc_scores",
-    "customer_rfm_segments",
-    "dedup_incremental_new_docs",
-    "dedup_shared_spans",
-    "dq_lineitem_null_profile",
-    "dq_orders_constraint_audit",
-    "feature_quantile_bins",
-    "funnel_conversion",
-    "linkage_deletion_neighborhood",
-    "lm_bigram_perplexity",
-    "mixture_rebalance",
-    "multimodal_gif_pixel_stats",
-    "multimodal_jpeg_pixel_stats",
-    "multimodal_png_pixel_stats",
-    "multimodal_wav_energy",
-    "multimodal_y4m_frame_stats",
+    "pack_sequences_greedy",
+    "pagerank_trading_graph",
+    "pca_projection_extremes",
+    "pq_adc_topk",
+    "q11_important_stock",
+    "q16_parts_supplier_cnt",
+    "q20_promotion_suppliers",
+    "q21_sole_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "sample_weighted_systematic",
+    "scrub_shared_spans",
+    "setop_intersectall_multiset",
+    "sketch_cms_heavy_hitters",
+    "streaming_record_highs",
+    "streaming_stream_join",
+    "streaming_upsert_latest",
+    "text_readability_proxy",
+    "window_ewma_user_value",
+    "workbook_source_cells",
+    "agg_exact_median_distributed",
+    "agg_newer_builtins",
+    "anomaly_mad_events",
+    "bpe_train_merges",
+    "collation_case_insensitive_groups",
+    "dedup_semantic_clusters",
+    "dq_observe_single_scan",
+    "dsir_importance_select",
+    "epe_pipeline_via_datasource",
+    "graph_strong_tie_components",
+    "layout_compaction_lossless",
+    "logreg_train_quality",
+    "mixture_temperature_sampling",
+    "mmr_diverse_topk",
+    "multimodal_adpcm_energy",
+    "multimodal_jpeg420_pixel_stats",
+    "multimodal_jpeg_progressive_stats",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty
