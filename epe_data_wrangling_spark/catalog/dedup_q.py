@@ -74,7 +74,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Document-frequency cap on candidate-generating shingles (mirrored
 #: EXACTLY in the oracle below — the cap is part of the operator's
 #: semantics, not an approximation the oracle ignores).
-_NGRAM_MAX_DF = 1000
+NGRAM_MAX_DF = 1000
 
 
 @query(
@@ -86,7 +86,7 @@ _NGRAM_MAX_DF = 1000
     rare AS (SELECT doc_id, s FROM (
                SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df
                FROM ex) t
-             WHERE df <= {_NGRAM_MAX_DF}),
+             WHERE df <= {NGRAM_MAX_DF}),
     cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
              FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
@@ -98,14 +98,14 @@ _NGRAM_MAX_DF = 1000
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shared-shingle candidates (document frequency ≤
-    {_NGRAM_MAX_DF} — the hot-shingle cap that bounds the self-join's
+    {NGRAM_MAX_DF} — the hot-shingle cap that bounds the self-join's
     skew-quadratic boilerplate blowup) + Jaccard ≥ 0.25
     (operators.dedup.ngram_jaccard_pairs) — the unsketched baseline
     the MinHash path approximates. The oracle applies the identical
     cap, so the hash certifies the capped semantics."""
     return X.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), "text", "doc_id",
-        shingle_n=5, threshold=0.25, max_shingle_freq=_NGRAM_MAX_DF,
+        shingle_n=5, threshold=0.25, max_shingle_freq=NGRAM_MAX_DF,
     )
 
 

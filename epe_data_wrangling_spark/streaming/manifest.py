@@ -158,6 +158,12 @@ def store_file_paths(
 
 _UNSET = object()
 
+import threading as _threading
+
+_SERIAL_LISTING_LOCK = _threading.Lock()
+_SERIAL_LISTING_DEPTH = [0]
+_SERIAL_LISTING_OLD = [None]
+
 
 def _read_paths(spark, paths: list[str], schema_json: str | None) -> DataFrame:
     """Construct the DataFrame over an explicit resolved-file list with
@@ -175,13 +181,26 @@ def _read_paths(spark, paths: list[str], schema_json: str | None) -> DataFrame:
         from pyspark.sql.types import StructType
 
         reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+    # The threshold is session-global SQLConf (no per-relation option
+    # exists), so concurrent readers must not interleave raw
+    # set/restore pairs — a depth-counted lock keeps it raised while
+    # ANY manifest read is constructing and restores the caller's
+    # value only when the last one exits. External readers of large
+    # directory trees regain parallel discovery the moment no
+    # manifest read is in flight.
     key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "1000000")
+    with _SERIAL_LISTING_LOCK:
+        if _SERIAL_LISTING_DEPTH[0] == 0:
+            _SERIAL_LISTING_OLD[0] = spark.conf.get(key)
+            spark.conf.set(key, "1000000")
+        _SERIAL_LISTING_DEPTH[0] += 1
     try:
         return reader.parquet(*paths)
     finally:
-        spark.conf.set(key, old)
+        with _SERIAL_LISTING_LOCK:
+            _SERIAL_LISTING_DEPTH[0] -= 1
+            if _SERIAL_LISTING_DEPTH[0] == 0:
+                spark.conf.set(key, _SERIAL_LISTING_OLD[0])
 
 
 def read_store(

@@ -3420,11 +3420,20 @@ def incremental_dedup_runs(
             "overwrite"
         ).parquet(tmp)
         os.makedirs(index_dir, exist_ok=True)
+        # the L0 name carries a fresh token: a crash-replay of a
+        # committed batch re-runs this append with the SAME batch_id
+        # and an EMPTY fresh set, and a deterministic name would
+        # os.rename that empty file OVER the committed fingerprints —
+        # silently un-deduplicating every later increment. A unique
+        # name turns the replay into one harmless empty (or
+        # duplicate) L0 file, which the semi-join ignores and the
+        # next tier merge folds away.
+        token = __import__("uuid").uuid4().hex[:8]
         for i, fname in enumerate(sorted(os.listdir(tmp))):
             if fname.endswith(".parquet"):
                 os.rename(
                     os.path.join(tmp, fname),
-                    os.path.join(index_dir, f"L0-{batch_id}-{i}.parquet"),
+                    os.path.join(index_dir, f"L0-{batch_id}-{token}-{i}.parquet"),
                 )
         shutilmod.rmtree(tmp)
         _compact_index_tiers(spark, index_dir, batch_id)
