@@ -60,6 +60,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading as _threading
 import uuid as _uuid
 
 from pyspark.sql import DataFrame
@@ -157,8 +158,6 @@ def store_file_paths(
 
 
 _UNSET = object()
-
-import threading as _threading
 
 _SERIAL_LISTING_LOCK = _threading.Lock()
 _SERIAL_LISTING_DEPTH = [0]
