@@ -89,16 +89,17 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: the externally-validated surface for the round. The window ROTATES
 #: each round; as of r10 every registered query is driver-certified
 #: (268/268 cumulative, judge-reverified), so the r11 window carries
-#: (a) the 10 anchors, (b) the 2 queries ADDED during r11 (never
+#: (a) the 10 anchors, (b) the 4 queries ADDED during r11 (never
 #: driver-certified: the EPE monthly incremental-refresh capstone's
-#: standing fact table and its additively-maintained annual view),
+#: two views, and the tombstone-fed MIN/MAX and TOP-K sinks that
+#: close the input-dialect × aggregate matrix),
 #: and (c) stalest-certified re-certs (oldest green driver row first,
 #: per tools/rotate_window.py) — this drains the whole r4 vintage and
-#: half the r5 vintage; the 21 remaining r5-vintage greens head the
+#: half the r5 vintage; the 23 remaining r5-vintage greens head the
 #: r12 refill by construction.
 #: ann_cosine_topk_arrow is rows-only BY DESIGN (Arrow/BLAS float
 #: summation order); its slot keeps driver row+schema evidence fresh.
-#: A green r11 record brings the certified set to the full 270-query
+#: A green r11 record brings the certified set to the full 272-query
 #: catalog. Queries outside the window remain locally verified every
 #: round by tools/verify_local.py (the full DuckDB-differential sweep).
 PRIORITY_ORDER = [
@@ -113,14 +114,21 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the 2 queries added during r11 (never driver-certified):
+    # --- the 4 queries added during r11 (never driver-certified):
     # the EPE monthly incremental refresh capstone — the standing
     # fact table and its additively-maintained annual view, fed by
     # the workbook landing-zone stream over three monthly drops
     # (one revising a prior month), certified against the same
-    # frozen golden as the batch pipeline
+    # frozen golden as the batch pipeline — and the two cells that
+    # CLOSE the input-dialect × aggregate matrix: tombstone-fed
+    # MIN/MAX (manufactured retractions through the shared extremum
+    # refresh) and tombstone-fed TOP-K (the key index promoted to a
+    # LOCATOR: group-bucketed image, key-named deletes), both pinned
+    # hash-identical to their before-image op-log twins
     "streaming_epe_monthly_fact",
     "streaming_epe_monthly_refresh",
+    "streaming_minmax_tombstone_pipeline",
+    "streaming_topk_tombstone_pipeline",
     # --- stalest re-certs (oldest green driver row first; the
     # arrow twin keeps rows-only evidence fresh by design) —
     # this window drains the r4/r5 vintage flagged by the r10
@@ -161,8 +169,6 @@ PRIORITY_ORDER = [
     "mixture_temperature_sampling",
     "mmr_diverse_topk",
     "multimodal_adpcm_energy",
-    "multimodal_jpeg420_pixel_stats",
-    "multimodal_jpeg_progressive_stats",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

@@ -1471,6 +1471,230 @@ def streaming_distinct_count_tombstone_pipeline(
 
 
 @query(
+    "streaming_minmax_tombstone_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, cents,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'Y'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM v3 GROUP BY o_orderstatus
+    """,
+)
+def streaming_minmax_tombstone_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIN/MAX from a compacted topic — the SECOND input dialect over
+    the same carving and SAME oracle as
+    ``streaming_minmax_view_maintenance`` (before-image log), so both
+    pipelines must hash identically: upserts carry only the
+    after-image and deletes only the key, and
+    ``streaming.ops.minmax_view_tombstone_foreach_batch`` manufactures
+    every retraction (status, cents) pair from the key-hash-bucketed
+    standing image it maintains (the ``cdc_tombstone`` machinery
+    behind the manifest store) before handing the signed rows to the
+    SAME shared refresh as the op-log dialect
+    (``_minmax_state_refresh``: group-hash-bucketed support multiset,
+    touched-group extremum re-derivation). With this cell the input
+    dialect × aggregate matrix closes further: tombstones now feed the
+    additive, COUNT(DISTINCT), AND MIN/MAX classes through one image
+    mechanism and one per-class algebra — the carving's deletes
+    (≡5 mod 11, ≡1 mod 17) EVICT extrema whose replacements the
+    tombstones never carry, which is exactly what the manufactured
+    retractions must reconstruct. Scale: per batch — delta-sized
+    dedup/validation + touched key-bucket image I/O + touched
+    group-bucket support I/O + a |groups|-row merge; no snapshot ever
+    lands and the corpus is never re-aggregated."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_orderstatus", "cents"]
+    work = tempfile.mkdtemp(prefix="minmax_tomb_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        G = 10**10
+        _land_generations(
+            landing,
+            [
+                _tombstone_rel_log(None, v1, "o_orderkey", cols, 1 * G),
+                _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
+                _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_orderstatus STRING, cents BIGINT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.minmax_view_tombstone_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_orderstatus"],
+            value_col="cents",
+        )
+        rows = (
+            view.filter(F.col("n") > 0)
+            .select(
+                "o_orderstatus",
+                F.col("n").alias("n_orders"),
+                F.col("mn").alias("min_cents"),
+                F.col("mx").alias("max_cents"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            rows,
+            "o_orderstatus STRING, n_orders BIGINT, min_cents BIGINT, "
+            "max_cents BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "streaming_topk_tombstone_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    v2 AS (
+      SELECT o_orderkey, o_custkey, cents
+      FROM base WHERE o_orderkey % 11 != 5),
+    v3 AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 23 = 0 THEN cents + 500
+                  ELSE cents END AS cents
+      FROM v2 WHERE o_orderkey % 17 != 1)
+    SELECT o_custkey, CAST(rnk AS BIGINT) AS rnk, o_orderkey, cents
+    FROM (
+      SELECT o_custkey, o_orderkey, cents,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC, o_orderkey) AS rnk
+      FROM v3) t
+    WHERE rnk <= 3
+    """,
+)
+def streaming_topk_tombstone_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOP-K from a compacted topic — the SECOND input dialect over
+    the same carving and SAME oracle as
+    ``streaming_topk_view_maintenance`` (before-image log), closing
+    the input-dialect × aggregate matrix: tombstones now feed all four
+    aggregate classes. The cell's structural content: the image is
+    bucketed by GROUP hash (complete-group recompute) but a tombstone
+    names only a KEY, so
+    ``streaming.ops.topk_view_tombstone_foreach_batch`` promotes the
+    key-index sidecar to a LOCATOR — a standing key → image-bucket
+    map, bucketed by key hash, resolved at touched-key-bucket cost
+    before any image I/O; locator and image are each other's
+    divergence witness (count mismatch RAISES). Deletes here EVICT
+    ranked rows whose replacements the tombstones never carry — the
+    re-rank must reconstruct them from the located image buckets.
+    Scale: per batch — delta-sized dedup/validation, touched
+    key-bucket locator I/O, touched group-bucket image+view I/O, a
+    rank window over |affected groups| × |group size|; no snapshot
+    ever lands and the producer never supplies before-images (the
+    shape a compacted key-value topic actually provides)."""
+    import os
+    import shutil
+    import tempfile
+
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _snapshot_version3,
+        _snapshot_versions,
+    )
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
+    v3 = _snapshot_version3(v2)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "cents")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    cols = ["o_custkey", "cents"]
+    work = tempfile.mkdtemp(prefix="topk_tomb_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    os.makedirs(landing)
+    try:
+        G = 10**10
+        _land_generations(
+            landing,
+            [
+                _tombstone_rel_log(None, v1, "o_orderkey", cols, 1 * G),
+                _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
+                _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+            ],
+            prefix="log",
+        )
+        schema = (
+            "o_orderkey BIGINT, seq BIGINT, op STRING, "
+            "o_custkey BIGINT, cents BIGINT"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        view = ops.topk_view_tombstone_foreach_batch(
+            stream,
+            target,
+            key_cols=["o_orderkey"],
+            op_col="op",
+            seq_col="seq",
+            group_cols=["o_custkey"],
+            value_col="cents",
+            k=3,
+        )
+        rows = view.select("o_custkey", "rnk", "o_orderkey", "cents").collect()
+        return spark.createDataFrame(
+            rows,
+            "o_custkey BIGINT, rnk BIGINT, o_orderkey BIGINT, cents BIGINT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
     "streaming_cdc_tombstone_pipeline",
     oracle="""
     WITH base AS (

@@ -1806,6 +1806,114 @@ def distinct_count_tombstone_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
+def _minmax_state_refresh(
+    spark,
+    target_dir: str,
+    stage: str,
+    signed: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    kb,
+    tag: str,
+    batch_id: int,
+) -> None:
+    """The MIN/MAX support-multiset refresh every changelog dialect
+    shares, from SIGNED business rows (however the dialect produced
+    them — before-images from the log, or retractions manufactured
+    from a standing keyed image): aggregate to the row-count delta and
+    the net support delta, merge the touched GROUP-hash buckets
+    (negative counts RAISE — divergence witness), re-derive extrema
+    for exactly the support-touched groups (their support is complete
+    inside the touched buckets because the bucket key is the group
+    hash; untouched groups' stored extrema are never read), and commit
+    the ``support`` store manifest + ``view/`` into the caller's
+    stage. The caller owns meta + the atomic swap."""
+    import os
+
+    signed = signed.localCheckpoint(eager=True)  # feeds dn, dsup
+    dn = signed.groupBy(*group_cols).agg(
+        F.sum("_sign").cast("bigint").alias("n")
+    )
+    dsup = (
+        signed.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum("_sign").cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+        .localCheckpoint(eager=True)
+    )
+    merged, _sup_old, touched, m_sup = _merge_bucketed_support(
+        spark, target_dir, dsup, list(group_cols), value_col, kb, tag
+    )
+    live = merged.filter(F.col("cnt") > 0)
+    # merged covers whole touched BUCKETS (hash neighbors included);
+    # extrema re-derivation is restricted to the TOUCHED GROUPS —
+    # their support is complete in merged because the bucket key is
+    # the group hash
+    tg = dsup.select(*group_cols).distinct().localCheckpoint(eager=True)
+    extrema = (
+        live.alias("lv")
+        .join(F.broadcast(tg.alias("tg")), _ns_cond("lv", "tg", group_cols), "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            F.min(value_col).alias("mn"),
+            F.max(value_col).alias("mx"),
+        )
+    )
+    view_dir = os.path.join(target_dir, "view")
+    view_old = (
+        spark.read.parquet(view_dir)
+        if os.path.isdir(view_dir)
+        else spark.createDataFrame(
+            [],
+            dn.select(
+                *group_cols,
+                F.col("n"),
+                F.lit(None).cast(dict(dsup.dtypes)[value_col]).alias("mn"),
+                F.lit(None).cast(dict(dsup.dtypes)[value_col]).alias("mx"),
+            ).schema,
+        )
+    )
+    vo, dnn = view_old.alias("vo"), dn.alias("dn")
+    base = vo.join(dnn, _ns_cond("vo", "dn", group_cols), "full_outer").select(
+        *[
+            F.coalesce(F.col(f"vo.{g}"), F.col(f"dn.{g}")).alias(g)
+            for g in group_cols
+        ],
+        (
+            F.coalesce(F.col("vo.n"), F.lit(0))
+            + F.coalesce(F.col("dn.n"), F.lit(0))
+        ).cast("bigint").alias("n"),
+        F.col("vo.mn").alias("mn"),
+        F.col("vo.mx").alias("mx"),
+    )
+    bs, ex, tg2 = (
+        base.alias("bs"),
+        extrema.alias("ex"),
+        tg.select(*group_cols, F.lit(True).alias("_tch")).alias("tg"),
+    )
+    view = (
+        bs.join(F.broadcast(tg2), _ns_cond("bs", "tg", group_cols), "left")
+        .join(ex, _ns_cond("bs", "ex", group_cols), "left")
+        .select(
+            *[F.col(f"bs.{g}").alias(g) for g in group_cols],
+            F.col("bs.n").alias("n"),
+            # support-touched groups take the re-derived extrema
+            # (NULL when their support emptied); untouched groups
+            # keep their stored values unread
+            F.when(F.col("tg._tch"), F.col("ex.mn"))
+            .otherwise(F.col("bs.mn"))
+            .alias("mn"),
+            F.when(F.col("tg._tch"), F.col("ex.mx"))
+            .otherwise(F.col("bs.mx"))
+            .alias("mx"),
+        )
+    )
+    _write_bucketed_support(
+        spark, target_dir, stage, merged, kb, touched, m_sup, batch_id
+    )
+    view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+
+
 def minmax_view_oplog_foreach_batch(
     oplog: DataFrame,
     target_dir: str,
@@ -1899,90 +2007,12 @@ def minmax_view_oplog_foreach_batch(
         insert = batch_df.filter(op.isin("I", "U")).select(
             *business, F.lit(1).alias("_sign")
         )
-        signed = retract.unionByName(insert).localCheckpoint(eager=True)
-        dn = signed.groupBy(*group_cols).agg(
-            F.sum("_sign").cast("bigint").alias("n")
-        )
-        dsup = (
-            signed.filter(F.col(value_col).isNotNull())
-            .groupBy(*group_cols, value_col)
-            .agg(F.sum("_sign").cast("bigint").alias("cnt"))
-            .filter(F.col("cnt") != 0)
-            .localCheckpoint(eager=True)
-        )
-        merged, _sup_old, touched, m_sup = _merge_bucketed_support(
-            spark, target_dir, dsup, list(group_cols), value_col, kb,
-            "minmax_oplog",
-        )
-        live = merged.filter(F.col("cnt") > 0)
-        # merged covers whole touched BUCKETS (hash neighbors included);
-        # extrema re-derivation is restricted to the TOUCHED GROUPS —
-        # their support is complete in merged because the bucket key is
-        # the group hash
-        tg = dsup.select(*group_cols).distinct().localCheckpoint(eager=True)
-        extrema = (
-            live.alias("lv")
-            .join(F.broadcast(tg.alias("tg")), _ns_cond("lv", "tg", group_cols), "left_semi")
-            .groupBy(*group_cols)
-            .agg(
-                F.min(value_col).alias("mn"),
-                F.max(value_col).alias("mx"),
-            )
-        )
-        view_dir = os.path.join(target_dir, "view")
-        view_old = (
-            spark.read.parquet(view_dir)
-            if os.path.isdir(view_dir)
-            else spark.createDataFrame(
-                [],
-                dn.select(
-                    *group_cols,
-                    F.col("n"),
-                    F.lit(None).cast(dict(dsup.dtypes)[value_col]).alias("mn"),
-                    F.lit(None).cast(dict(dsup.dtypes)[value_col]).alias("mx"),
-                ).schema,
-            )
-        )
-        vo, dnn = view_old.alias("vo"), dn.alias("dn")
-        base = vo.join(dnn, _ns_cond("vo", "dn", group_cols), "full_outer").select(
-            *[
-                F.coalesce(F.col(f"vo.{g}"), F.col(f"dn.{g}")).alias(g)
-                for g in group_cols
-            ],
-            (
-                F.coalesce(F.col("vo.n"), F.lit(0))
-                + F.coalesce(F.col("dn.n"), F.lit(0))
-            ).cast("bigint").alias("n"),
-            F.col("vo.mn").alias("mn"),
-            F.col("vo.mx").alias("mx"),
-        )
-        bs, ex, tg2 = (
-            base.alias("bs"),
-            extrema.alias("ex"),
-            tg.select(*group_cols, F.lit(True).alias("_tch")).alias("tg"),
-        )
-        view = (
-            bs.join(F.broadcast(tg2), _ns_cond("bs", "tg", group_cols), "left")
-            .join(ex, _ns_cond("bs", "ex", group_cols), "left")
-            .select(
-                *[F.col(f"bs.{g}").alias(g) for g in group_cols],
-                F.col("bs.n").alias("n"),
-                # support-touched groups take the re-derived extrema
-                # (NULL when their support emptied); untouched groups
-                # keep their stored values unread
-                F.when(F.col("tg._tch"), F.col("ex.mn"))
-                .otherwise(F.col("bs.mn"))
-                .alias("mn"),
-                F.when(F.col("tg._tch"), F.col("ex.mx"))
-                .otherwise(F.col("bs.mx"))
-                .alias("mx"),
-            )
-        )
         stage = f"{target_dir}.stage-{batch_id}"
-        _write_bucketed_support(
-            spark, target_dir, stage, merged, kb, touched, m_sup, batch_id
+        _minmax_state_refresh(
+            spark, target_dir, stage,
+            retract.unionByName(insert),
+            group_cols, value_col, kb, "minmax_oplog", batch_id,
         )
-        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
@@ -1997,6 +2027,374 @@ def minmax_view_oplog_foreach_batch(
 
     _run_foreach_batch(oplog, _apply, checkpoint_dir, "minmax_oplog", timeout_sec)
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
+def minmax_view_tombstone_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    op_col: str,
+    seq_col: str,
+    group_cols: list[str],
+    value_col: str,
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """MIN/MAX maintenance from a changelog WITHOUT before-images —
+    the compacted-topic dialect composed with the support-multiset
+    algebra, filling the input-shape × aggregate-class matrix cell
+    between ``distinct_count_tombstone_foreach_batch`` (tombstones →
+    distinct view) and ``minmax_view_oplog_foreach_batch``
+    (before-image log → MIN/MAX view): rows are 'U' upserts carrying
+    only the AFTER image or 'D' tombstones carrying only the KEY, so
+    the retraction (group, value) pairs the extremum algebra needs are
+    MANUFACTURED from a standing keyed image the sink maintains —
+    bucketed by KEY hash, looked up and rewritten only where the
+    batch's keys land (the ``cdc_tombstone`` image machinery,
+    unchanged, behind the manifest store).
+
+    Per batch: last-op-per-key dedup (intermediate states cancel); the
+    stored rows of the batch's keys become −1 signed rows, the final
+    upserts +1 rows, and the SAME shared refresh as the before-image
+    dialect takes over (``_minmax_state_refresh``: group-hash-bucketed
+    support, touched-group extremum re-derivation, negative counts
+    RAISE). Target layout in ONE atomic swap: the ``image`` store
+    (key-hash-bucketed manifest), the ``support`` store (group-hash-
+    bucketed manifest), ``view/``, ``_ivm_meta.json``. Exactly-once
+    and validation follow the tombstone sinks' discipline; the two
+    dialects are pinned hash-identical on the same carving by the
+    catalog query + oracle.
+
+    Scale: per batch — delta-sized dedup/validation, touched
+    KEY-bucket image I/O, touched GROUP-bucket support I/O, an
+    extremum re-aggregation over touched groups' support, a
+    |groups|-row view merge, two manifest writes; the corpus is never
+    re-aggregated and no snapshot ever lands.
+
+    Returns the final view as a batch DataFrame.
+    """
+    import json
+    import os
+
+    business = list(group_cols) + [value_col]
+    extra = [c for c in business if c not in key_cols]
+    key_kb = F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+    sup_kb = F.pmod(F.hash(*[F.col(g) for g in group_cols]), F.lit(n_buckets))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
+        meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "minmax_tombstone")
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "minmax_tombstone"):
+            return
+        op = F.col(op_col)
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("U", "D"),
+            meta.get("last_seq"), "minmax_tombstone",
+        )
+        if v is None:
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        last_ops = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*key_cols, op_col, *extra)
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            int(r["b"])
+            for r in last_ops.select(key_kb.alias("b")).distinct().collect()
+        )
+        m_img = read_manifest(target_dir, "image")
+        old_touched = read_store(
+            spark, target_dir, "image", buckets=touched, manifest=m_img
+        )
+        if old_touched is None:
+            old_touched = spark.createDataFrame(
+                [],
+                last_ops.select(
+                    *key_cols, *extra, F.lit(0).alias("_kb")
+                ).schema,
+            )
+        keyset = last_ops.select(*key_cols)
+        # manufactured retractions: the stored rows of the batch's
+        # keys (whether the last op upserts or tombstones them)
+        retract = old_touched.join(F.broadcast(keyset), key_cols).select(
+            *business, F.lit(-1).alias("_sign")
+        )
+        upserts = last_ops.filter(op == "U")
+        insert = upserts.select(*business, F.lit(1).alias("_sign"))
+        stage = f"{target_dir}.stage-{batch_id}"
+        _minmax_state_refresh(
+            spark, target_dir, stage,
+            retract.unionByName(insert),
+            group_cols, value_col, sup_kb, "minmax_tombstone", batch_id,
+        )
+        survivors = old_touched.join(
+            F.broadcast(keyset), key_cols, "left_anti"
+        ).select(*key_cols, *extra, "_kb")
+        new_touched = survivors.unionByName(
+            upserts.select(*key_cols, *extra, key_kb.alias("_kb"))
+        )
+        write_store_delta(
+            spark, new_touched, target_dir, "image", stage,
+            batch_id=batch_id, touched=touched, manifest=m_img,
+        )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(
+        oplog, _apply, checkpoint_dir, "minmax_tombstone", timeout_sec
+    )
+    return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
+
+
+def topk_view_tombstone_foreach_batch(
+    oplog: DataFrame,
+    target_dir: str,
+    *,
+    key_cols: list[str],
+    op_col: str,
+    seq_col: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """TOP-K maintenance from a changelog WITHOUT before-images — the
+    compacted-topic dialect composed with the affected-group-recompute
+    class, CLOSING the input-dialect × aggregate matrix (tombstones
+    now feed all four classes: additive, COUNT(DISTINCT), MIN/MAX,
+    top-k): rows are 'U' upserts carrying only the AFTER image or 'D'
+    tombstones carrying only the KEY; upsert-over-absent is an insert,
+    tombstone-for-absent a no-op (compaction semantics).
+
+    The structural twist this cell forces, and the reason it is not a
+    trivial variation: the standing image must be bucketed by GROUP
+    hash (affected-group recompute needs every touched group complete
+    inside the touched buckets), but a tombstone names only a KEY — so
+    the sink cannot know WHICH image bucket holds the victim row. The
+    key-index sidecar therefore graduates from divergence guard to
+    LOCATOR: a standing ``keyloc`` store (key → stored image bucket),
+    bucketed by KEY hash, resolves each batch key's image bucket at
+    touched-KEY-bucket cost BEFORE any image I/O happens; the image
+    read then prunes to located-old ∪ upsert-group buckets. The
+    locator commits in the same atomic swap as the image, and a
+    locator hit whose key the pruned image does not actually hold (or
+    vice versa) RAISES — the two standing tables are each other's
+    divergence witness.
+
+    Target layout (one atomic swap): ``image`` store (key cols +
+    group cols + value, group-hash buckets), ``view`` store (group
+    cols + ``rnk`` + key cols + value, bucketed like the image,
+    touched-bucket rewritten), ``keyloc`` store (key cols + img_kb,
+    key-hash buckets), ``_ivm_meta.json``. Rank semantics, tie-break,
+    emptied-group eviction, and batch-split invariance are identical
+    to the op-log twin — the catalog pins both dialects hash-equal on
+    the same carving.
+
+    Scale: per batch — delta-sized dedup/validation, touched
+    KEY-bucket locator I/O, touched GROUP-bucket image+view I/O, a
+    rank window over |affected groups| × |group size|, three manifest
+    writes; no snapshot ever lands and no before-image is required
+    from the producer (the shape a compacted key-value topic actually
+    provides).
+
+    Returns the final view as a batch DataFrame (without the bucket
+    column).
+    """
+    import json
+    import os
+
+    business = list(group_cols) + [value_col]
+    extra = [c for c in business if c not in key_cols]
+    kb = F.pmod(F.hash(*[F.col(g) for g in group_cols]), F.lit(n_buckets))
+    key_kb = F.pmod(F.hash(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
+        meta = _read_sink_meta(target_dir)
+        _check_bucket_layout(meta, n_buckets, "topk_tombstone")
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "topk_tombstone"):
+            return
+        op = F.col(op_col)
+        v = _validate_oplog_batch(
+            batch_df, op_col, seq_col, ("U", "D"),
+            meta.get("last_seq"), "topk_tombstone",
+        )
+        if v is None:
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        last_ops = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*key_cols, op_col, *extra)
+            .localCheckpoint(eager=True)
+        )
+        keyset = last_ops.select(*key_cols)
+        touched_kk = sorted(
+            int(r["b"])
+            for r in last_ops.select(key_kb.alias("b")).distinct().collect()
+        )
+        # LOCATE: which image buckets hold the batch keys' stored rows
+        m_loc = read_manifest(target_dir, "keyloc")
+        loc_old = read_store(
+            spark, target_dir, "keyloc", buckets=touched_kk, manifest=m_loc
+        )
+        if loc_old is None:
+            loc_old = spark.createDataFrame(
+                [],
+                last_ops.select(
+                    *key_cols,
+                    F.lit(0).alias("img_kb"),
+                    F.lit(0).alias("_kb"),
+                ).schema,
+            )
+        hit = loc_old.join(F.broadcast(keyset), key_cols).localCheckpoint(
+            eager=True
+        )
+        upserts = last_ops.filter(op == "U").localCheckpoint(eager=True)
+        touched_img = sorted(
+            {int(r["b"]) for r in hit.select(F.col("img_kb").alias("b")).distinct().collect()}
+            | {
+                int(r["b"])
+                for r in upserts.select(kb.alias("b")).distinct().collect()
+            }
+        )
+        m_img = read_manifest(target_dir, "image")
+        old_touched = read_store(
+            spark, target_dir, "image", buckets=touched_img, manifest=m_img
+        )
+        if old_touched is None:
+            old_touched = spark.createDataFrame(
+                [],
+                last_ops.select(
+                    *key_cols, *extra, F.lit(0).alias("_kb")
+                ).schema,
+            )
+        old_rows = old_touched.join(F.broadcast(keyset), key_cols).localCheckpoint(
+            eager=True
+        )
+        # locator ↔ image divergence witness: every located key must
+        # surface in the pruned image and nothing unlocated may
+        # (both counts are delta-sized)
+        n_hit, n_img = hit.count(), old_rows.count()
+        if n_hit != n_img:
+            raise RuntimeError(
+                f"topk_tombstone sink: key locator and image DIVERGE — "
+                f"{n_hit} located key(s) vs {n_img} stored row(s) for the "
+                "batch's keys; the standing state is corrupt, refusing to "
+                "apply"
+            )
+        # affected groups: the stored rows being replaced/deleted plus
+        # the upserts' (possibly new) groups
+        tg = (
+            old_rows.select(*group_cols)
+            .unionByName(upserts.select(*group_cols))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        survivors = old_touched.join(
+            F.broadcast(keyset), key_cols, "left_anti"
+        ).select(*key_cols, *extra, "_kb")
+        up_img = upserts.select(*key_cols, *extra, kb.alias("_kb"))
+        new_touched = survivors.unionByName(up_img).localCheckpoint(eager=True)
+        rank_w = Window.partitionBy(*group_cols).orderBy(
+            F.desc_nulls_last(value_col), *[F.col(c) for c in key_cols]
+        )
+        recomputed = (
+            new_touched.alias("nt")
+            .join(F.broadcast(tg.alias("tg")), _ns_cond("nt", "tg", group_cols), "left_semi")
+            .select(
+                *group_cols,
+                F.row_number().over(rank_w).cast("bigint").alias("rnk"),
+                *key_cols,
+                value_col,
+                "_kb",
+            )
+            .filter(F.col("rnk") <= k)
+        )
+        m_view = read_manifest(target_dir, "view")
+        old_view_touched = read_store(
+            spark, target_dir, "view", buckets=touched_img, manifest=m_view
+        )
+        if old_view_touched is not None:
+            kept_in_touched = old_view_touched.alias("ov").join(
+                F.broadcast(tg.alias("tg")), _ns_cond("ov", "tg", group_cols), "left_anti"
+            )
+            new_view_touched = kept_in_touched.unionByName(recomputed)
+        else:
+            new_view_touched = recomputed
+        stage = f"{target_dir}.stage-{batch_id}"
+        write_store_delta(
+            spark, new_touched, target_dir, "image", stage,
+            batch_id=batch_id, touched=touched_img, manifest=m_img,
+        )
+        write_store_delta(
+            spark, new_view_touched, target_dir, "view", stage,
+            batch_id=batch_id, touched=touched_img, manifest=m_view,
+        )
+        loc_survivors = loc_old.join(
+            F.broadcast(keyset), key_cols, "left_anti"
+        ).select(*key_cols, "img_kb", "_kb")
+        loc_upserts = upserts.select(
+            *key_cols, kb.cast("int").alias("img_kb"), key_kb.alias("_kb")
+        )
+        write_store_delta(
+            spark,
+            loc_survivors.unionByName(loc_upserts),
+            target_dir,
+            "keyloc",
+            stage,
+            batch_id=batch_id,
+            touched=touched_kk,
+            manifest=m_loc,
+        )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
+                    "applied_files": sorted(applied | batch_files),
+                    "last_seq": int(v["hi"]),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(
+        oplog, _apply, checkpoint_dir, "topk_tombstone", timeout_sec
+    )
+    out = read_store(oplog.sparkSession, target_dir, "view")
+    if out is None:
+        raise RuntimeError(
+            "topk_tombstone sink: no committed view to return — the stream "
+            "applied no batch (or every group emptied)"
+        )
+    return out.drop("_kb")
 
 
 def topk_view_oplog_foreach_batch(

@@ -3277,3 +3277,317 @@ def test_bucketed_sinks_reject_n_buckets_drift(spark, tmp_path):
                      n_buckets=8)
     [row] = view.collect()
     assert (row["n"], row["d"]) == (2, 2)
+
+
+_MMTLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, g BIGINT, cents BIGINT"
+)
+
+
+def _mmtlog_land(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen:03d}")
+    spark.createDataFrame(rows, _MMTLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _mmtlog_run(spark, landing, target, ckpt, max_files, n_buckets=8):
+    from epe_data_wrangling_spark.streaming.ops import (
+        minmax_view_tombstone_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_MMTLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return minmax_view_tombstone_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+        group_cols=["g"],
+        value_col="cents",
+        n_buckets=n_buckets,
+        checkpoint_dir=ckpt,
+    )
+
+
+def test_minmax_tombstone_eviction_and_round_trip(spark, tmp_path):
+    """Tombstone-fed MIN/MAX: a tombstone that evicts a group's
+    extremum carries NO replacement — the sink must reconstruct the
+    retraction from its keyed image and re-derive the new extremum
+    from the support multiset. Also: upsert-moves between groups,
+    absent-key tombstones, and the emptied-group round trip."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _mmtlog_land(spark, landing, 1, [
+        (1, 101, "U", 7, 10),
+        (2, 102, "U", 7, 50),   # group 7's max
+        (3, 103, "U", 9, 30),
+    ])
+    view = _mmtlog_run(spark, str(landing), target, ck, None)
+    got = {r["g"]: (r["n"], r["mn"], r["mx"]) for r in view.collect()}
+    assert got == {7: (2, 10, 50), 9: (1, 30, 30)}
+    # tombstone the max holder: replacement must come from support
+    _mmtlog_land(spark, landing, 2, [
+        (2, 201, "D", None, None),
+        (999, 202, "D", None, None),   # absent key: no-op
+    ])
+    view = _mmtlog_run(spark, str(landing), target, ck, None)
+    got = {r["g"]: (r["n"], r["mn"], r["mx"])
+           for r in view.filter(F.col("n") > 0).collect()}
+    assert got == {7: (1, 10, 10), 9: (1, 30, 30)}
+    # upsert key 3 into group 7 with a new min; group 9 empties
+    _mmtlog_land(spark, landing, 3, [
+        (3, 301, "U", 7, 5),
+    ])
+    view = _mmtlog_run(spark, str(landing), target, ck, None)
+    got = {r["g"]: (r["n"], r["mn"], r["mx"])
+           for r in view.filter(F.col("n") > 0).collect()}
+    assert got == {7: (2, 5, 10)}
+    # re-populate the emptied group
+    _mmtlog_land(spark, landing, 4, [
+        (4, 401, "U", 9, 77),
+    ])
+    view = _mmtlog_run(spark, str(landing), target, ck, None)
+    got = {r["g"]: (r["n"], r["mn"], r["mx"])
+           for r in view.filter(F.col("n") > 0).collect()}
+    assert got == {7: (2, 5, 10), 9: (1, 77, 77)}
+
+
+def test_minmax_tombstone_invariant_to_batch_split(spark, tmp_path):
+    """Same view whether the generations arrive in one batch or one
+    per batch — dialect-level batch-split invariance over the image
+    lookup + shared minmax refresh."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    gens = [
+        [(k, 100 + k, "U", k % 3, 10 * k) for k in range(24)],
+        [(3, 201, "D", None, None), (5, 202, "U", 1, 999),
+         (23, 203, "D", None, None)],
+        [(5, 301, "U", 2, 1), (0, 302, "D", None, None)],
+    ]
+    results = []
+    for mode, max_files in (("split", 1), ("one", None)):
+        landing = tmp_path / f"landing_{mode}"
+        os.makedirs(landing)
+        target = str(tmp_path / f"state_{mode}")
+        ck = str(tmp_path / f"ck_{mode}")
+        for i, rows in enumerate(gens, start=1):
+            _mmtlog_land(spark, landing, i, rows)
+        view = _mmtlog_run(spark, str(landing), target, ck, max_files)
+        results.append({
+            r["g"]: (r["n"], r["mn"], r["mx"])
+            for r in view.filter(F.col("n") > 0).collect()
+        })
+    # direct recompute of the final state
+    final = {}
+    for rows in gens:
+        for k, _seq, op, g, c in rows:
+            if op == "D":
+                final.pop(k, None)
+            else:
+                final[k] = (g, c)
+    expect = {}
+    for g, c in final.values():
+        n, mn, mx = expect.get(g, (0, None, None))
+        expect[g] = (n + 1, c if mn is None else min(mn, c),
+                     c if mx is None else max(mx, c))
+    assert results[0] == results[1] == expect
+
+
+_TKTLOG_SCHEMA = (
+    "o_orderkey BIGINT, seq BIGINT, op STRING, g BIGINT, cents BIGINT"
+)
+
+
+def _tktlog_land(spark, landing, gen, rows):
+    import os
+
+    p = str(landing / f"g{gen:03d}")
+    spark.createDataFrame(rows, _TKTLOG_SCHEMA).coalesce(1).write.parquet(p)
+    for f in os.listdir(p):
+        if f.endswith(".parquet"):
+            fp = os.path.join(p, f)
+            t = os.path.getmtime(fp)
+            os.utime(fp, (t + gen, t + gen))
+
+
+def _tktlog_run(spark, landing, target, ckpt, max_files, k=2, n_buckets=8):
+    from epe_data_wrangling_spark.streaming.ops import (
+        topk_view_tombstone_foreach_batch,
+    )
+
+    reader = spark.readStream.schema(_TKTLOG_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.option("pathGlobFilter", "*.parquet").parquet(landing + "/*")
+    return topk_view_tombstone_foreach_batch(
+        stream,
+        target,
+        key_cols=["o_orderkey"],
+        op_col="op",
+        seq_col="seq",
+        group_cols=["g"],
+        value_col="cents",
+        k=k,
+        n_buckets=n_buckets,
+        checkpoint_dir=ckpt,
+    )
+
+
+def _tkt_view(view):
+    return {
+        (r["g"], r["rnk"]): (r["o_orderkey"], r["cents"])
+        for r in view.collect()
+    }
+
+
+def test_topk_tombstone_eviction_promotion_and_locator(spark, tmp_path):
+    """Tombstone-fed top-k: a tombstone evicting a ranked row carries
+    no replacement — the LOCATOR must find the stored row's group
+    bucket, and the re-rank must promote the former #k+1 from the
+    located image. Also: upsert-moves between groups (the locator
+    re-points), absent-key tombstones, emptied groups leaving the
+    view."""
+    import os
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _tktlog_land(spark, landing, 1, [
+        (1, 101, "U", 7, 30),
+        (2, 102, "U", 7, 20),
+        (3, 103, "U", 7, 10),   # the #3 that promotion must recover
+        (4, 104, "U", 9, 50),
+    ])
+    view = _tktlog_run(spark, str(landing), target, ck, None)
+    assert _tkt_view(view) == {
+        (7, 1): (1, 30), (7, 2): (2, 20), (9, 1): (4, 50),
+    }
+    # evict group 7's #1 with a bare tombstone: #3 must be promoted
+    # from the image the locator resolves
+    _tktlog_land(spark, landing, 2, [
+        (1, 201, "D", None, None),
+        (999, 202, "D", None, None),   # absent key: no-op
+    ])
+    view = _tktlog_run(spark, str(landing), target, ck, None)
+    assert _tkt_view(view) == {
+        (7, 1): (2, 20), (7, 2): (3, 10), (9, 1): (4, 50),
+    }
+    # upsert key 4 into group 7 (locator re-points across buckets);
+    # group 9 empties and must leave the view
+    _tktlog_land(spark, landing, 3, [
+        (4, 301, "U", 7, 25),
+    ])
+    view = _tktlog_run(spark, str(landing), target, ck, None)
+    assert _tkt_view(view) == {
+        (7, 1): (4, 25), (7, 2): (2, 20),
+    }
+
+
+def test_topk_tombstone_invariant_to_batch_split(spark, tmp_path):
+    """Same view whether the generations arrive in one batch or one
+    per batch — both equal a direct recompute of the final state."""
+    import os
+
+    gens = [
+        [(kk, 100 + kk, "U", kk % 3, (kk * 37) % 100) for kk in range(24)],
+        [(3, 201, "D", None, None), (5, 202, "U", 1, 999),
+         (23, 203, "D", None, None)],
+        [(5, 301, "U", 2, 1), (0, 302, "D", None, None)],
+    ]
+    results = []
+    for mode, max_files in (("split", 1), ("one", None)):
+        landing = tmp_path / f"landing_{mode}"
+        os.makedirs(landing)
+        target = str(tmp_path / f"state_{mode}")
+        ck = str(tmp_path / f"ck_{mode}")
+        for i, rows in enumerate(gens, start=1):
+            _tktlog_land(spark, landing, i, rows)
+        view = _tktlog_run(spark, str(landing), target, ck, max_files)
+        results.append(_tkt_view(view))
+    final = {}
+    for rows in gens:
+        for kk, _seq, op, g, c in rows:
+            if op == "D":
+                final.pop(kk, None)
+            else:
+                final[kk] = (g, c)
+    expect = {}
+    by_g = {}
+    for kk, (g, c) in final.items():
+        by_g.setdefault(g, []).append((-c, kk))
+    for g, rows_g in by_g.items():
+        for rnk, (negc, kk) in enumerate(sorted(rows_g)[:2], start=1):
+            expect[(g, rnk)] = (kk, -negc)
+    assert results[0] == results[1] == expect
+
+
+def test_topk_tombstone_locator_divergence_raises(spark, tmp_path):
+    """A STALE locator (a key's row re-pointed at an image bucket that
+    does not hold it) must RAISE on the next batch touching that key —
+    the located keys and the pruned image's stored rows are counted
+    against each other. (The symmetric corruption — a locator row
+    silently MISSING — is invisible at touched-bucket cost by design;
+    that is exactly why the locator commits in the same atomic swap
+    as the image.)"""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.manifest import (
+        read_manifest,
+        read_store,
+        write_store_delta,
+    )
+
+    landing = tmp_path / "landing"
+    os.makedirs(landing)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _tktlog_land(spark, landing, 1, [
+        (1, 101, "U", 7, 30),
+        (2, 102, "U", 9, 20),
+    ])
+    _tktlog_run(spark, str(landing), target, ck, None)
+    # corrupt: re-point every locator row one bucket over (the image
+    # itself is untouched)
+    m = read_manifest(target, "keyloc")
+    loc = read_store(spark, target, "keyloc", manifest=m)
+    bad = loc.withColumn(
+        "img_kb", ((F.col("img_kb") + 1) % 8).cast("int")
+    )
+    touched = [int(r["b"]) for r in loc.select(F.col("_kb").alias("b")).distinct().collect()]
+    stage = f"{target}.stage-corrupt"
+    write_store_delta(
+        spark, bad, target, "keyloc", stage,
+        batch_id=99, touched=touched, manifest=m,
+    )
+    os.replace(
+        os.path.join(stage, "_manifest_keyloc.json"),
+        os.path.join(target, "_manifest_keyloc.json"),
+    )
+    shutil.rmtree(stage, ignore_errors=True)
+    _tktlog_land(spark, landing, 2, [
+        (1, 201, "D", None, None),
+    ])
+    with pytest.raises(Exception, match="DIVERGE"):
+        _tktlog_run(spark, str(landing), target, ck, None)
