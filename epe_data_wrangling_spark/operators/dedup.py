@@ -147,33 +147,39 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 5,
     threshold: float = 0.5,
-    max_shingle_freq: int = 1000,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via exact shared-shingle candidates + Jaccard
     verify. Returns (a_id, b_id, jaccard).
 
-    Hot-shingle cap: a stop-shingle shared by f documents ("the quick
-    brown fox …" boilerplate) alone contributes O(f²) candidate pairs
-    — the skew-quadratic failure mode of the exploded self-join at
-    corpus scale — so shingles whose DOCUMENT FREQUENCY exceeds
-    ``max_shingle_freq`` are dropped from candidate GENERATION only
-    (the same suppression the module's siblings apply: LSH banding in
-    `minhash_lsh_pairs`, ``max_gram_freq`` in `shared_span_pairs`).
+    Hot-shingle cap (OPT-IN, default None = exact candidates, the
+    pre-r11 semantics): a stop-shingle shared by f documents ("the
+    quick brown fox …" boilerplate) alone contributes O(f²) candidate
+    pairs — the skew-quadratic failure mode of the exploded self-join
+    at corpus scale — so when ``max_shingle_freq`` is set, shingles
+    whose DOCUMENT FREQUENCY exceeds it are dropped from candidate
+    GENERATION only (the same suppression the module's siblings apply:
+    LSH banding in `minhash_lsh_pairs`, ``max_gram_freq`` in
+    `shared_span_pairs` — both of which also opt in at call sites).
     The verify step still scores Jaccard over FULL shingle sets, so
     surviving pairs' scores are unbiased; a pair loses candidacy only
     when every shingle it shares is hotter than the cap — boilerplate
     by construction at any sane cap. The frequency count rides a
     window partitioned by the shingle, the same key the candidate
-    join shuffles on, so the cap adds no extra exchange."""
+    join shuffles on, so the cap adds no extra exchange. Corpus-scale
+    callers SHOULD set a cap (the catalog query uses 1000)."""
     sh = _shingle_sets(df, text_col, id_col, shingle_n)
     exploded = sh.select("doc_id", F.explode("shingles").alias("s"))
-    rare = (
-        exploded.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    if max_shingle_freq is None:
+        rare = exploded
+    else:
+        rare = (
+            exploded.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+            )
+            .filter(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
         )
-        .filter(F.col("_df") <= max_shingle_freq)
-        .drop("_df")
-    )
     a = rare.select(F.col("doc_id").alias("a_id"), "s")
     b = rare.select(F.col("doc_id").alias("b_id"), "s")
     cand = (

@@ -341,6 +341,7 @@ class WorkbookShardWriter(DataSourceWriter):
         try:
             os.remove(os.path.join(self.path, "_SUCCESS"))
         except FileNotFoundError:
+            # first write into a fresh dir: no prior marker to clear
             pass
         # 2. overwrite: clear previous shards (a crash here leaves a
         #    manifest-less directory = "no committed output")
@@ -381,4 +382,7 @@ class WorkbookShardWriter(DataSourceWriter):
         try:  # drop _temporary itself only when no other job is staging
             os.rmdir(os.path.join(self.path, "_temporary"))
         except OSError:
+            # ENOTEMPTY: a concurrent job's attempt dir still lives
+            # under _temporary — leaving the shared dir is the correct
+            # outcome, its owner removes it when it commits
             pass

@@ -215,7 +215,17 @@ def read_store(
     callers already branch on None (typed-empty fallback), and an
     empty selection cannot carry a schema without opening a file.
     Pass ``manifest`` (even an explicit None for a known-virgin store)
-    to skip the committed-manifest read."""
+    to skip the committed-manifest read.
+
+    Concurrency note: while any manifest read is constructing its
+    DataFrame, the session-global
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` SQLConf
+    is raised (and restored when the last concurrent read exits) — an
+    unrelated application thread constructing a DataFrame over a LARGE
+    directory tree in that window lists files serially instead of via
+    a listing job. Acceptable for this repo's single-driver sinks; if
+    concurrent external large-directory readers ever matter, give the
+    manifest reads a dedicated SparkSession (`spark.newSession()`)."""
     m = read_manifest(target_dir, store) if manifest is _UNSET else manifest
     if m is None:
         return None
@@ -337,16 +347,35 @@ def write_store_delta(
     pool = pool_store_dir(target_dir, store)
     os.makedirs(pool, exist_ok=True)
     buckets = dict(manifest["buckets"]) if manifest is not None else {}
+    # the committed schema rides the manifest so readers never pay
+    # footer inference; the writer's df IS the store's row schema
+    # (``_kbp`` is partition-only and never reaches the files).
+    # Schema drift guard: a store's row schema is FIXED for its
+    # lifetime — silently replacing the committed schema would make
+    # `_compact_over_threshold` (and every carried-bucket read) open
+    # OLD pool files with the NEW schema, where a dropped column
+    # resurfaces as nulls instead of raising. Compare name+type
+    # (nullability legitimately flutters across lit()/union paths).
+    schema_json = df.schema.json()
+    if manifest is not None and manifest.get("schema"):
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromJson(json.loads(manifest["schema"]))
+        new_sig = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        old_sig = [(f.name, f.dataType.simpleString()) for f in committed.fields]
+        if new_sig != old_sig:
+            raise RuntimeError(
+                f"store '{store}' schema drift: committed {old_sig} vs "
+                f"this delta's {new_sig} — a manifest store's row schema "
+                "is immutable; refusing to commit a delta that would make "
+                "old pool files read back reshaped"
+            )
     touched_keys = {str(int(b)) for b in touched}
     for b in touched_keys:
         buckets.pop(b, None)
     n = n_parts if n_parts is not None else max(len(touched_keys), 1)
     entries = _write_pool_files(df, pool, n, batch_id)
     buckets.update(entries)
-    # the committed schema rides the manifest so readers never pay
-    # footer inference; the writer's df IS the store's row schema
-    # (``_kbp`` is partition-only and never reaches the files)
-    schema_json = df.schema.json()
     if compact:
         buckets = _compact_over_threshold(
             spark, target_dir, store, buckets,

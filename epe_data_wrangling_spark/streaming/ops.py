@@ -2299,15 +2299,20 @@ def topk_view_tombstone_foreach_batch(
             eager=True
         )
         # locator ↔ image divergence witness: every located key must
-        # surface in the pruned image and nothing unlocated may
-        # (both counts are delta-sized)
-        n_hit, n_img = hit.count(), old_rows.count()
-        if n_hit != n_img:
+        # surface in the pruned image and nothing unlocated may. A
+        # count compare would let offsetting corruptions cancel (key A
+        # located-but-unstored + key B stored-but-unlocated in the same
+        # batch), so witness per-key with anti-joins in BOTH directions
+        # — both sides are delta-sized and localCheckpointed above.
+        only_loc = hit.join(old_rows, key_cols, "left_anti").count()
+        only_img = old_rows.join(hit, key_cols, "left_anti").count()
+        if only_loc or only_img:
             raise RuntimeError(
                 f"topk_tombstone sink: key locator and image DIVERGE — "
-                f"{n_hit} located key(s) vs {n_img} stored row(s) for the "
-                "batch's keys; the standing state is corrupt, refusing to "
-                "apply"
+                f"{only_loc} located key(s) absent from the stored image, "
+                f"{only_img} stored key(s) with no locator entry, among "
+                "the batch's keys; the standing state is corrupt, "
+                "refusing to apply"
             )
         # affected groups: the stored rows being replaced/deleted plus
         # the upserts' (possibly new) groups
@@ -3603,6 +3608,9 @@ class _RecordHighsProcessor:
             )
 
     def close(self) -> None:
+        # Required StatefulProcessor lifecycle hook; this processor
+        # holds no resources outside the managed state handle, so
+        # there is nothing to release. Not an exception swallow.
         pass
 
 

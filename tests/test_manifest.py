@@ -153,6 +153,36 @@ def test_wrong_format_version_raises(tmp_path):
         read_manifest(target, "s")
 
 
+def test_schema_drift_raises_not_masks(spark, tmp_path):
+    """A delta whose row schema differs from the committed store schema
+    (name or type) RAISES instead of silently replacing the manifest
+    schema — which would make compaction read OLD pool files reshaped,
+    resurfacing dropped columns as nulls. Nullability-only flutter is
+    tolerated (lit()/union paths legitimately flip it)."""
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(1, 1), (2, 2)]), list(range(8)), 0)
+    # dropped column
+    dropped = spark.createDataFrame([(3,)], "k BIGINT").withColumn(
+        "_kb", F.pmod(F.hash("k"), F.lit(8))
+    )
+    with pytest.raises(RuntimeError, match="schema drift"):
+        _commit(spark, target, "s", dropped, list(range(8)), 1)
+    # retyped column
+    retyped = spark.createDataFrame([(3, "x")], "k BIGINT, v STRING").withColumn(
+        "_kb", F.pmod(F.hash("k"), F.lit(8))
+    )
+    with pytest.raises(RuntimeError, match="schema drift"):
+        _commit(spark, target, "s", retyped, list(range(8)), 2)
+    # nullability-only difference commits fine
+    nn = spark.createDataFrame([(3, 30)], "k BIGINT NOT NULL, v BIGINT").withColumn(
+        "_kb", F.pmod(F.hash("k"), F.lit(8))
+    )
+    _commit(spark, target, "s", nn, list(range(8)), 3)
+    assert {(r["k"], r["v"]) for r in read_store(spark, target, "s").collect()} == {
+        (3, 30)
+    }
+
+
 def test_compaction_is_capped_per_commit(spark, tmp_path):
     """More over-threshold buckets than the per-commit cap: one commit
     compacts exactly the cap's worth (worst-first), the next sweeps up
