@@ -1090,6 +1090,311 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_PROBE = 4  #: probed cells per query (of KMEANS_K)
+IVFPQ_NQ = 10  #: queries served
+IVFPQ_CBK = 32  #: residual codebook size per subspace (PQ_M x 5 bits)
+IVFPQ_CAND = 100  #: ADC candidates per query before exact re-rank
+IVFPQ_K = 5  #: final neighbors per query
+
+
+def _ivfpq_oracle() -> str:
+    """IVF×PQ CTE chain: trained coarse quantizer (the shared
+    _kmeans_oracle), residual encoding (v − cell centroid,
+    elementwise), one staged Lloyd round per residual subspace, ADC
+    over probed cells with round(d2·1e9) BIGINT tables, exact
+    re-rank of the ADC top candidates."""
+    mean = (
+        "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
+    )
+    return f"""
+    WITH m2 AS ({_kmeans_oracle()}),
+    centl AS (SELECT cid AS cell, list(mean_val ORDER BY dim) AS cv
+              FROM m2 GROUP BY cid),
+    cents AS (SELECT cell, cv, list_dot_product(cv, cv) AS cc FROM centl),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ev AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    asg AS (SELECT vec_id, v, cell, cv FROM (
+        SELECT ev.vec_id, ev.v, c.cell, c.cv,
+               row_number() OVER (PARTITION BY ev.vec_id
+                 ORDER BY (ev.vv - 2 * list_dot_product(ev.v, c.cv)) + c.cc,
+                          c.cell) AS rn
+        FROM ev CROSS JOIN cents c) t WHERE rn = 1),
+    res AS (SELECT vec_id, cell,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+            FROM asg),
+    rsub0 AS (SELECT vec_id, cell, u.m AS m,
+                     r[u.m * {PQ_SUB} + 1 : (u.m + 1) * {PQ_SUB}] AS rv
+              FROM res, LATERAL unnest(generate_series(0, {PQ_M - 1})) u(m)),
+    rsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
+             FROM rsub0),
+    init AS (SELECT m, vec_id AS cid, rv AS c FROM (
+               SELECT m, vec_id, rv,
+                      row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+               FROM rsub0) t WHERE rn <= {IVFPQ_CBK}),
+    cb0 AS (SELECT m, cid, c, list_dot_product(c, c) AS cc FROM init),
+    a1 AS (SELECT vec_id, m, rv, cid FROM (
+             SELECT s.vec_id, s.m, s.rv, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY (s.rvv - 2 * list_dot_product(s.rv, c.c)) + c.cc,
+                               c.cid) AS rn
+             FROM rsub s JOIN cb0 c ON s.m = c.m) t WHERE rn = 1),
+    m1x AS (SELECT m, cid, CAST(u.i - 1 AS INTEGER) AS dim, rv[u.i] AS x
+            FROM a1, LATERAL unnest(generate_series(1, len(rv))) u(i)),
+    m1 AS (SELECT m, cid, dim, {mean} AS mean_val
+           FROM m1x GROUP BY m, cid, dim),
+    cb1l AS (SELECT m, cid, list(mean_val ORDER BY dim) AS c
+             FROM m1 GROUP BY m, cid),
+    cb1 AS (SELECT m, cid, c, list_dot_product(c, c) AS cc FROM cb1l),
+    codes AS (SELECT vec_id, cell, m, cid FROM (
+                SELECT s.vec_id, s.cell, s.m, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY (s.rvv - 2 * list_dot_product(s.rv, c.c))
+                                  + c.cc, c.cid) AS rn
+                FROM rsub s JOIN cb1 c ON s.m = c.m) t WHERE rn = 1),
+    probes AS (SELECT query_id, qv, cell, cv FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, c.cell, c.cv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY (q.vv - 2 * list_dot_product(q.v, c.cv)) + c.cc,
+                          c.cell) AS rn
+        FROM ev q CROSS JOIN cents c WHERE q.vec_id < {IVFPQ_NQ}) t
+      WHERE rn <= {IVFPQ_PROBE}),
+    qres AS (SELECT query_id, cell,
+                    list_transform(range(1, len(qv) + 1),
+                                   i -> qv[i] - cv[i]) AS r
+             FROM probes),
+    qsub0 AS (SELECT query_id, cell, u.m AS m,
+                     r[u.m * {PQ_SUB} + 1 : (u.m + 1) * {PQ_SUB}] AS rv
+              FROM qres, LATERAL unnest(generate_series(0, {PQ_M - 1})) u(m)),
+    qsub AS (SELECT query_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
+             FROM qsub0),
+    dtab AS (SELECT s.query_id, s.cell, s.m, c.cid,
+                    CAST(round(((s.rvv - 2 * list_dot_product(s.rv, c.c))
+                                + c.cc) * 1000000000.0) AS BIGINT) AS d2_r
+             FROM qsub s JOIN cb1 c ON s.m = c.m),
+    adc AS (SELECT d.query_id, k.vec_id, SUM(d.d2_r) AS adc_r
+            FROM codes k
+            JOIN dtab d ON k.cell = d.cell AND k.m = d.m AND k.cid = d.cid
+            WHERE d.query_id <> k.vec_id
+            GROUP BY d.query_id, k.vec_id),
+    cand AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_r, vec_id) AS rn
+               FROM adc) t WHERE rn <= {IVFPQ_CAND}),
+    exact AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                     CAST(round(((q.vv - 2 * list_dot_product(q.v, x.v))
+                                 + x.vv) * 1000000000.0) AS BIGINT) AS d2_r
+              FROM cand c
+              JOIN ev q ON q.vec_id = c.query_id
+              JOIN ev x ON x.vec_id = c.vec_id)
+    SELECT query_id, neighbor_id, rank,
+           round(CAST(d2_r AS DOUBLE) / 1000000000.0, 6) AS l2_dist
+    FROM (SELECT query_id, neighbor_id, d2_r,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY d2_r, neighbor_id) AS INTEGER) AS rank
+          FROM exact) t
+    WHERE rank <= {IVFPQ_K}
+    """
+
+
+@query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ — the standard billion-scale ANN composition (FAISS
+    IVFPQ with by_residual=true): the trained k-means coarse
+    quantizer ({KMEANS_K} cells from kmeans_lloyd_centroids)
+    partitions the corpus; every vector is encoded as its cell id
+    plus {PQ_M} one-byte PQ codes of its RESIDUAL v − centroid
+    (residuals have far less variance than raw vectors, which is why
+    FAISS encodes them); each of the first {IVFPQ_NQ} queries probes
+    its {IVFPQ_PROBE} best cells, builds per-(cell, subspace)
+    asymmetric-distance tables of its own residual against the
+    residual codebooks, scores members of the probed cells by
+    {PQ_M} table lookups (ADC), and the ADC top-{IVFPQ_CAND}
+    candidates are re-ranked by EXACT L2 for the final
+    top-{IVFPQ_K}. Distance-table entries and the exact re-rank
+    stage as round(d2·1e9) BIGINT so sums and ranks are order-free
+    exact cross-engine. Scale (100 TB): training scans the corpus
+    with (m,cid,dim)-sized shuffles; the served path reads PQ codes
+    (~{PQ_SUB}x smaller than floats) for ~{IVFPQ_PROBE}/{KMEANS_K}
+    of the corpus against a BROADCAST
+    {IVFPQ_NQ}x{IVFPQ_PROBE}x{PQ_M}x{IVFPQ_CBK}-row table, and the exact
+    re-rank touches only |queries|x{IVFPQ_CAND} full vectors — the
+    memory/recall tradeoff dialed by probe count and candidate depth.
+    Ref composition: ann_ivf_trained_topk (coarse) x pq_adc_topk
+    (codes); recall floor vs exact pinned in tests/test_recall.py."""
+    means = kmeans_lloyd_centroids(spark, sf_dir)
+    cents = (
+        means.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("cv")
+        )
+        .select(F.col("cid").alias("cell"), "cv")
+        .withColumn("cc", V.dot(F.col("cv"), F.col("cv")))
+        # barrier: feeds corpus assignment AND query probes (no CSE
+        # across DataFrame branches; same idiom as ann_ivf_trained)
+        .localCheckpoint(eager=True)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    w_asg = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
+    asg = (
+        ev.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d2", (F.col("vv") - 2 * V.dot(F.col("v"), F.col("cv"))) + F.col("cc")
+        )
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell", "cv")
+    )
+    res = asg.select(
+        "vec_id",
+        "cell",
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias("r"),
+    )
+    rsub = res.select(
+        "vec_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[F.slice(F.col("r"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
+            )
+        ).alias("m", "rv"),
+    ).withColumn("rvv", V.dot(F.col("rv"), F.col("rv")))
+    init = (
+        rsub.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("m").orderBy("vec_id"))
+        )
+        .filter(F.col("rn") <= IVFPQ_CBK)
+        .select("m", F.col("vec_id").alias("cid"), F.col("rv").alias("c"))
+    )
+
+    def with_cc(cb: DataFrame) -> DataFrame:
+        return cb.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+
+    def assign_res(cb_cc: DataFrame) -> DataFrame:
+        d2 = (F.col("rvv") - 2 * V.dot(F.col("rv"), F.col("c"))) + F.col("cc")
+        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("cid"))
+        return (
+            rsub.join(F.broadcast(cb_cc), "m")
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
+    a1 = assign_res(with_cc(init)).select("vec_id", "m", "rv", "cid")
+    m1 = (
+        a1.select("m", "cid", F.posexplode(F.col("rv")).alias("dim", "x"))
+        .groupBy("m", "cid", "dim")
+        .agg(
+            (
+                F.sum(staged).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e9)
+            ).alias("mean_val")
+        )
+    )
+    cb1 = with_cc(
+        m1.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("c")
+        )
+    ).localCheckpoint(eager=False)
+    # ^ barrier: cb1 feeds corpus encoding AND the query tables
+    codes = assign_res(cb1).select("vec_id", "cell", "m", "cid")
+    w_pr = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
+    probes = (
+        ev.filter(F.col("vec_id") < IVFPQ_NQ)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "cell",
+            "cv",
+            (
+                (F.col("vv") - 2 * V.dot(F.col("v"), F.col("cv"))) + F.col("cc")
+            ).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w_pr))
+        .filter(F.col("rn") <= IVFPQ_PROBE)
+        .select("query_id", "qv", "cell", "cv")
+    )
+    qsub = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(
+                        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a - b),
+                        m * PQ_SUB + 1,
+                        PQ_SUB,
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", "rv"),
+    ).withColumn("rvv", V.dot(F.col("rv"), F.col("rv")))
+    d2q = (F.col("rvv") - 2 * V.dot(F.col("rv"), F.col("c"))) + F.col("cc")
+    dtab = qsub.join(F.broadcast(cb1), "m").select(
+        "query_id",
+        "cell",
+        "m",
+        "cid",
+        F.round(d2q * F.lit(1e9)).cast("bigint").alias("d2_r"),
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["cell", "m", "cid"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_r").alias("adc_r"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy("adc_r", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= IVFPQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    evq = ev.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_v"),
+        F.col("vv").alias("q_vv"),
+    )
+    exact = (
+        ev.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(evq.filter(F.col("query_id") < IVFPQ_NQ)), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                ((F.col("q_vv") - 2 * V.dot(F.col("q_v"), F.col("v"))) + F.col("vv"))
+                * F.lit(1e9)
+            )
+            .cast("bigint")
+            .alias("d2_r"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy("d2_r", "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .filter(F.col("rank") <= IVFPQ_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("d2_r").cast("double") / F.lit(1e9), 6).alias("l2_dist"),
+        )
+    )
+
+
 LOGREG_ETA = 16.0  #: full-batch gradient-descent learning rate
 LOGREG_ITERS = 16
 

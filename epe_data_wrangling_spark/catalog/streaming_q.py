@@ -842,6 +842,7 @@ def _oplog_from_versions(old, new, seq_base: int):
 
 @query(
     "streaming_distinct_count_oplog_pipeline",
+    headline=True,  # r12: guards the manifest commit/read path round-over-round
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_custkey,

@@ -14,13 +14,26 @@ table format's transaction log removes, and this module is the
 offline-buildable equivalent:
 
 - **Data files are immutable and live in a flat pool** outside the
-  swapped target dir (``<target>.pool/<store>/bNNN-....parquet``),
-  shared by every committed version. Each file holds rows of exactly
-  one bucket (single-bucket by construction: deltas are written
-  ``partitionBy`` a duplicated bucket column, then renamed into the
-  pool), and the bucket id ``_kb`` is ALSO a real column in the data,
-  so a reader over any file subset sees the same schema the hive
-  layout exposed.
+  swapped target dir (``<target>.pool/<store>/``), shared by every
+  committed version. A file holds the rows of ONE OR MORE buckets:
+  buckets smaller than ``TARGET_MIN_FILE_ROWS`` are packed together
+  (consecutive bucket-id runs) so a commit that touches 60 tiny
+  buckets lands ~1 small file, not 60 — the measured r11 residual
+  (per-file open cost on many tiny touched files) — while buckets at
+  or above the target keep a file to themselves, so at production
+  bucket sizes the layout degenerates to exactly the per-bucket form
+  and pruned reads pay zero amplification. The bucket id ``_kb`` is
+  a real column in the data, and pruned reads filter on it, so a
+  shared file never leaks a neighbor's rows.
+- **The unit of copy-on-write is the FILE** (the same discipline as
+  a lakehouse format's copy-on-write): every pool file's rows are
+  exactly the CURRENT rows of the buckets whose manifest entries
+  reference it — never stale. A commit that touches a bucket whose
+  file is shared therefore rewrites the whole file: the co-located
+  "mate" buckets' (unchanged, tiny by the packing invariant) rows
+  ride along into the replacement file, bounded per touched file by
+  ``TARGET_MIN_FILE_ROWS``-ish rows of write amplification. Reads
+  need no per-file bucket maps because of this invariant.
 - **The manifest is one small JSON file per store**
   (``_manifest_<store>.json``: bucket -> ordered data-file names)
   written into the sink's staging dir and promoted by the SAME
@@ -72,6 +85,15 @@ MANIFEST_FORMAT_VERSION = 1
 # file inside the next commit that sees it (shared with the dedup
 # index's tier size in `ops.incremental_dedup_runs`).
 COMPACT_FILE_THRESHOLD = 8
+
+# Buckets below this row count are packed together into shared pool
+# files (consecutive bucket-id runs, one file per run); buckets at or
+# above it keep their own file. Row-count is the proxy for size
+# because every manifest store holds NARROW state rows (keys +
+# integer counts/hashes) — revisit if a store ever carries wide
+# payloads. At production bucket sizing (bucket >> this), packing
+# never engages and the layout is per-bucket.
+TARGET_MIN_FILE_ROWS = 4096
 
 # Ceiling on buckets compacted per commit: bounds the latency any one
 # batch pays for de-fragmentation, spreading a fragmented bootstrap
@@ -144,8 +166,12 @@ def store_file_paths(
     else:
         keys = [str(int(b)) for b in buckets]
     out = []
+    seen = set()  # a packed file shared by several selected buckets reads once
     for b in keys:
         for name in manifest["buckets"].get(b, []):
+            if name in seen:
+                continue
+            seen.add(name)
             p = os.path.join(pool, name)
             if not os.path.isfile(p):
                 raise RuntimeError(
@@ -232,7 +258,12 @@ def read_store(
     paths = store_file_paths(target_dir, store, m, buckets)
     if not paths:
         return None
-    return _read_paths(spark, paths, m.get("schema"))
+    df = _read_paths(spark, paths, m.get("schema"))
+    if buckets is not None:
+        # a packed file holds neighbor buckets' (current) rows too —
+        # restrict to the selection; pushed to the parquet scan
+        df = df.filter(F.col("_kb").isin([int(b) for b in buckets]))
+    return df
 
 
 def carry_store(target_dir: str, store: str, stage_dir: str) -> None:
@@ -247,38 +278,88 @@ def carry_store(target_dir: str, store: str, stage_dir: str) -> None:
     shutil.copyfile(src, _manifest_path(stage_dir, store))
 
 
-def _write_pool_files(
-    df: DataFrame, pool: str, n_parts: int, batch_id: int
-) -> dict:
-    """Materialize delta rows (carrying ``_kb``) as single-bucket pool
-    files and return {bucket: [file names]}. The write partitions by a
-    DUPLICATE of the bucket column so the bucket id stays a real data
-    column while the tmp layout hands us an exact file->bucket map
-    with zero extra jobs; files then rename into the flat pool under
-    fresh unique names (immutable — a name is never reused, so readers
-    of the previous committed manifest are never disturbed)."""
+def _pack_groups(by_id: list) -> list:
+    """Greedy consecutive packing of (bucket_id, row_count) pairs,
+    sorted by id: a group closes once it holds >= TARGET_MIN_FILE_ROWS
+    rows, so tiny buckets share a file while a bucket at/above the
+    target gets one to itself. Returns a list of bucket-id lists."""
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_rows = 0
+    for b, c in by_id:
+        if cur and cur_rows >= TARGET_MIN_FILE_ROWS:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(b)
+        cur_rows += c
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _write_pool_files(df: DataFrame, pool: str, batch_id: int) -> dict:
+    """Materialize rows (carrying ``_kb``) as pool files and return
+    {bucket: [file names]}. Buckets are discovered exactly from the
+    data (one delta-sized count job — the map never depends on the
+    caller's ``touched`` being complete, so bootstrap/backfill writes
+    carrying arbitrary buckets stay safe) and packed by
+    `_pack_groups`; the write partitions by the group id so a packed
+    group lands in one file, sorted by ``_kb`` within it so bucket
+    rows cluster for row-group stat pruning once files grow real row
+    groups. Files rename into the flat pool under fresh unique names
+    (immutable — a name is never reused, so readers of the previous
+    committed manifest are never disturbed)."""
+    counts = df.groupBy("_kb").agg(F.count(F.lit(1)).alias("c")).collect()
+    if not counts:
+        return {}
+    by_id = sorted((int(r["_kb"]), int(r["c"])) for r in counts)
+    groups = _pack_groups(by_id)
+    if len(groups) == len(by_id):
+        # nothing packs: partition by the bucket id itself (no
+        # assignment expression; the production-sizing fast path)
+        kbg = F.col("_kb")
+        group_of = {b: b for b, _ in by_id}
+    else:
+        # ascending upper-bound CaseWhen (flat branch list, exhaustive:
+        # the last group is the otherwise)
+        uppers = [g[-1] for g in groups]
+        kbg = F.when(F.col("_kb") <= F.lit(uppers[0]), F.lit(0))
+        for gi in range(1, len(groups) - 1):
+            kbg = kbg.when(F.col("_kb") <= F.lit(uppers[gi]), F.lit(gi))
+        kbg = kbg.otherwise(F.lit(len(groups) - 1))
+        group_of = {b: gi for gi, g in enumerate(groups) for b in g}
     token = _uuid.uuid4().hex[:12]
     tmp = os.path.join(pool, f"_tmp-{batch_id}-{token}")
     (
-        df.withColumn("_kbp", F.col("_kb"))
-        .repartition(max(n_parts, 1), "_kb")
-        .write.partitionBy("_kbp")
+        df.withColumn("_kbg", kbg)
+        .repartition(len(groups), "_kbg")
+        .sortWithinPartitions("_kbg", "_kb")
+        .write.partitionBy("_kbg")
         .mode("overwrite")
         .parquet(tmp)
     )
-    entries: dict[str, list[str]] = {}
+    files_of_group: dict[str, list[str]] = {}
     for d in sorted(os.listdir(tmp)):
-        if not d.startswith("_kbp="):
+        if not d.startswith("_kbg="):
             continue
-        b = d.split("=", 1)[1]
+        g = d.split("=", 1)[1]
         files = sorted(
             f for f in os.listdir(os.path.join(tmp, d)) if f.endswith(".parquet")
         )
         for i, fname in enumerate(files):
-            name = f"b{b}-{batch_id}-{token}-{i}.parquet"
+            name = f"g{g}-{batch_id}-{token}-{i}.parquet"
             os.rename(os.path.join(tmp, d, fname), os.path.join(pool, name))
-            entries.setdefault(b, []).append(name)
+            files_of_group.setdefault(g, []).append(name)
     shutil.rmtree(tmp)
+    entries: dict[str, list[str]] = {}
+    for b, _c in by_id:
+        names = files_of_group.get(str(group_of[b]))
+        if not names:  # cannot happen: b has rows, so its group wrote
+            raise RuntimeError(
+                f"pool write produced no file for bucket {b} "
+                f"(group {group_of[b]}) — tmp layout diverged from the plan"
+            )
+        entries[str(b)] = list(names)
     return entries
 
 
@@ -292,11 +373,14 @@ def _compact_over_threshold(
     schema_json: str | None = None,
 ) -> dict:
     """Rewrite over-threshold buckets (fragmented bootstrap images,
-    repeatedly-carried small files) as one file each — ALL selected
-    buckets in ONE Spark job, at most `COMPACT_BUCKETS_PER_COMMIT`
-    per commit. Touched buckets are excluded: the caller just rewrote
-    them to ~one file. Superseded files become orphans for the next
-    batch's sweep."""
+    repeatedly-carried small files) — ALL selected buckets in ONE
+    Spark job, at most `COMPACT_BUCKETS_PER_COMMIT` seed buckets per
+    commit. Touched buckets are excluded: the caller just rewrote
+    them. The selection expands to FILE MATES (buckets co-packed into
+    any file being rewritten — tiny by the packing invariant) so a
+    rewritten file never strands stale rows behind a surviving
+    reference. Superseded files become orphans for the next batch's
+    sweep."""
     over = sorted(
         (
             b
@@ -307,17 +391,22 @@ def _compact_over_threshold(
     )[:COMPACT_BUCKETS_PER_COMMIT]
     if not over:
         return buckets
+    seed_files = {n for b in over for n in buckets[b]}
+    sel_ids = set(over) | {
+        b
+        for b, names in buckets.items()
+        if b not in over and seed_files.intersection(names)
+    }
     pool = pool_store_dir(target_dir, store)
-    paths = [os.path.join(pool, n) for b in over for n in buckets[b]]
-    sel = [int(b) for b in over]
-    df = (
-        _read_paths(spark, paths, schema_json)
-        .filter(F.col("_kb").isin(sel))
-        .repartition(len(over), "_kb")
+    paths = sorted(
+        {os.path.join(pool, n) for b in sel_ids for n in buckets[b]}
     )
-    entries = _write_pool_files(df, pool, len(over), batch_id)
+    df = _read_paths(spark, paths, schema_json).filter(
+        F.col("_kb").isin([int(b) for b in sel_ids])
+    )
+    entries = _write_pool_files(df, pool, batch_id)
     out = dict(buckets)
-    for b in over:
+    for b in sel_ids:
         out.pop(b, None)
     out.update(entries)
     return out
@@ -333,7 +422,7 @@ def write_store_delta(
     batch_id: int,
     touched,
     manifest: dict | None,
-    n_parts: int | None = None,
+    digests: dict | None = None,
     compact: bool = True,
 ) -> None:
     """Commit one store's new version into the caller's staging dir:
@@ -343,10 +432,25 @@ def write_store_delta(
     touched buckets' old entries drop, untouched entries carry over as
     manifest rows, over-threshold untouched buckets compact, and the
     new manifest JSON is written to ``stage_dir`` for the caller's
-    atomic swap. Nothing here mutates the committed version."""
+    atomic swap. Nothing here mutates the committed version.
+
+    When a touched bucket's committed file is SHARED (packed tiny
+    buckets), the untouched co-packed mates are rewritten along with
+    it (their current rows read from the superseded files and unioned
+    into the write) — the file-level copy-on-write that keeps every
+    referenced file stale-free; amplification is bounded by the
+    packing target per touched file.
+
+    ``digests``: optional per-bucket content digests for the TOUCHED
+    buckets ({bucket: json value}, as computed by the caller over the
+    post-batch rows). They ride the manifest; untouched buckets carry
+    theirs, a touched bucket not re-supplied loses its digest (absent
+    digests compare as changed — conservative, never wrong). Mate
+    rewrites preserve mate digests (content unchanged)."""
     pool = pool_store_dir(target_dir, store)
     os.makedirs(pool, exist_ok=True)
     buckets = dict(manifest["buckets"]) if manifest is not None else {}
+    digs = dict(manifest.get("digests", {})) if manifest is not None else {}
     # the committed schema rides the manifest so readers never pay
     # footer inference; the writer's df IS the store's row schema
     # (``_kbp`` is partition-only and never reaches the files).
@@ -371,32 +475,61 @@ def write_store_delta(
                 "old pool files read back reshaped"
             )
     touched_keys = {str(int(b)) for b in touched}
-    for b in touched_keys:
+    # file-level copy-on-write: untouched buckets co-packed into a
+    # touched bucket's file move with it (their rows union into the
+    # write; their digests survive — content unchanged)
+    touched_files = {n for b in touched_keys for n in buckets.get(b, [])}
+    mate_ids = {
+        b
+        for b, names in buckets.items()
+        if b not in touched_keys and touched_files.intersection(names)
+    }
+    out_df = df
+    if mate_ids:
+        mate_paths = sorted(
+            {
+                os.path.join(pool, n)
+                for b in mate_ids
+                for n in buckets[b]
+            }
+        )
+        mates_df = _read_paths(
+            spark, mate_paths, manifest.get("schema") if manifest else None
+        ).filter(F.col("_kb").isin([int(b) for b in mate_ids]))
+        out_df = df.unionByName(mates_df.select(*df.columns))
+    for b in touched_keys | mate_ids:
         buckets.pop(b, None)
-    n = n_parts if n_parts is not None else max(len(touched_keys), 1)
-    entries = _write_pool_files(df, pool, n, batch_id)
+    for b in touched_keys:
+        digs.pop(b, None)
+    if digests:
+        digs.update({str(int(b)): v for b, v in digests.items()})
+    entries = _write_pool_files(out_df, pool, batch_id)
     buckets.update(entries)
     if compact:
         buckets = _compact_over_threshold(
             spark, target_dir, store, buckets,
-            touched_keys | set(entries), batch_id, schema_json,
+            touched_keys | mate_ids | set(entries), batch_id, schema_json,
         )
     os.makedirs(stage_dir, exist_ok=True)
+    final_buckets = {
+        b: names
+        for b, names in sorted(buckets.items(), key=lambda kv: int(kv[0]))
+        if names
+    }
+    out = {
+        "format_version": MANIFEST_FORMAT_VERSION,
+        "schema": schema_json,
+        "buckets": final_buckets,
+    }
+    digs = {
+        b: v
+        for b, v in sorted(digs.items(), key=lambda kv: int(kv[0]))
+        if b in final_buckets
+    }
+    if digs:
+        out["digests"] = digs
     with open(_manifest_path(stage_dir, store), "w") as f:
-        json.dump(
-            {
-                "format_version": MANIFEST_FORMAT_VERSION,
-                "schema": schema_json,
-                "buckets": {
-                    b: names
-                    for b, names in sorted(
-                        buckets.items(), key=lambda kv: int(kv[0])
-                    )
-                    if names
-                },
-            },
-            f,
-        )
+        json.dump(out, f)
 
 
 def sweep_orphans(target_dir: str) -> None:

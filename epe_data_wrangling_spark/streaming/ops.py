@@ -18,6 +18,7 @@ latency-oriented choice.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from collections.abc import Callable, Iterator
 from typing import Any
@@ -431,6 +432,109 @@ def _signed_image_diff(
     return retract.unionByName(insert)
 
 
+def _collect_image_digests(img_kb: DataFrame, key_cols: list[str]) -> dict:
+    """Per-bucket content digest of a hashed image carrying ``_kb``:
+    {bucket: [row_count, row_hash_sum]} from ONE partial+final agg
+    (bucket-count rows collected). The per-row hash covers the keys
+    AND the business row-hash ``rh``, summed as decimal(38,0) so the
+    aggregate is order-free and cannot overflow under ANSI; count+sum
+    together make an accidental collision ~2^-64 — and a collision
+    only ever SKIPS a bucket diff, it can never corrupt applied state
+    the divergence guards would miss silently forever (the next real
+    change to the bucket re-diffs it)."""
+    rows = (
+        img_kb.groupBy("_kb")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.xxhash64(*[F.col(k) for k in key_cols], F.col("rh")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("s"),
+        )
+        .collect()
+    )
+    return {str(int(r["_kb"])): [int(r["c"]), str(int(r["s"]))] for r in rows}
+
+
+def _digest_pruned_version_diffs(
+    spark,
+    target_dir: str,
+    store: str,
+    batch_df: DataFrame,
+    versions: list,
+    version_col: str,
+    hashed_fn,
+    key_cols: list[str],
+    cols: list[str],
+    kb,
+):
+    """The digest-pruned snapshot diff loop both snapshot-fed sinks
+    share: per version, bucket the hashed image, compare per-bucket
+    digests against the previous image's (the committed manifest's
+    for the first version — stored at commit time, so an untouched
+    bucket is pruned from the diff by a DRIVER-side compare, never a
+    join), and run `_signed_image_diff` over ONLY the buckets whose
+    digest moved. At 100 TB this turns the per-version diff from a
+    corpus×corpus keyed join into a changed-bucket join: the full
+    snapshot is still SCANNED (it is the input), but unchanged
+    buckets never shuffle.
+
+    Returns ``(signed, touched, final_img, final_digs, manifest)``:
+    the union of all versions' signed rows (``cols`` + ``_sign``),
+    the sorted union of changed bucket ids, the LAST version's full
+    bucketed image and digest map (what the caller commits through
+    `write_store_delta(digests=...)`), and the committed manifest."""
+    manifest = read_manifest(target_dir, store)
+    if manifest is None and os.path.isdir(os.path.join(target_dir, "snapshot")):
+        raise RuntimeError(
+            f"target {target_dir} holds a pre-digest 'snapshot/' image "
+            "with no manifest store — this build keeps the snapshot "
+            "image manifest-committed with per-bucket digests; rebuild "
+            "the target from the stream"
+        )
+    prev_digs = dict(manifest.get("digests", {})) if manifest else {}
+    prev_img = None
+    touched: set[int] = set()
+    signed_parts = []
+    final_img = None
+    for v in versions:
+        img = hashed_fn(
+            batch_df.filter(F.col(version_col) == v)
+        ).withColumn("_kb", kb)
+        digs = _collect_image_digests(img, key_cols)
+        changed = sorted(
+            {int(b) for b in digs if prev_digs.get(b) != digs[b]}
+            | {int(b) for b in prev_digs if b not in digs}
+        )
+        if changed:
+            if prev_img is None:
+                old = read_store(
+                    spark, target_dir, store, buckets=changed, manifest=manifest
+                )
+                old_side = old.drop("_kb") if old is not None else None
+            else:
+                old_side = prev_img.filter(F.col("_kb").isin(changed)).drop(
+                    "_kb"
+                )
+            img_ch = img.filter(F.col("_kb").isin(changed)).drop("_kb")
+            signed_parts.append(
+                _signed_image_diff(old_side, img_ch, key_cols, cols)
+            )
+            touched.update(changed)
+        prev_img, prev_digs = img, digs
+        final_img = img
+    if signed_parts:
+        signed = signed_parts[0]
+        for p in signed_parts[1:]:
+            signed = signed.unionByName(p)
+    else:
+        signed = final_img.select(
+            *cols, F.lit(1).alias("_sign")
+        ).filter(F.lit(False))
+    return signed, sorted(touched), final_img, prev_digs, manifest
+
+
 def _read_sink_meta(target_dir: str) -> dict:
     """Read the exactly-once commit record a stateful foreachBatch
     sink stores INSIDE its target (written in the same atomic swap as
@@ -626,6 +730,7 @@ def cdc_retraction_foreach_batch(
     version_col: str,
     group_cols: list[str],
     sum_cols: list[str],
+    n_buckets: int = 64,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -642,13 +747,15 @@ def cdc_retraction_foreach_batch(
     standing pipeline.
 
     The target holds TWO tables committed together in one atomic
-    swap: ``snapshot/`` (last applied image: keys + business columns
-    + md5 row-hash) and ``view/`` (one additive row per group:
-    ``n`` + ``sum_<c>`` per ``sum_cols`` entry). Because image and
-    view move in the same commit, a crash can never apply a version
-    to one but not the other. Exactly-once follows the module's
-    non-idempotent-sink discipline: batch_id + source-file provenance
-    in ``_ivm_meta.json`` inside the swap; replays skip, a fresh
+    swap: the ``snapimg`` manifest store (last applied image, keys +
+    business columns + md5 row-hash, bucketed ``pmod(hash(key),
+    n_buckets)`` with PER-BUCKET CONTENT DIGESTS riding the manifest)
+    and ``view/`` (one additive row per group: ``n`` + ``sum_<c>``
+    per ``sum_cols`` entry). Because image and view move in the same
+    commit, a crash can never apply a version to one but not the
+    other. Exactly-once follows the module's non-idempotent-sink
+    discipline: batch_id + source-file provenance in
+    ``_ivm_meta.json`` inside the swap; replays skip, a fresh
     checkpoint over genuinely new files raises.
 
     Contracts: ``key_cols`` are non-null and unique per version;
@@ -660,11 +767,13 @@ def cdc_retraction_foreach_batch(
     (additive state never forgets a group); finalize with
     ``n > 0`` downstream.
 
-    Scale: per version the diff is one keyed shuffle per side (zero
-    when both sides are bucketed on the key) comparing ONE narrow
-    hash column, so unchanged keys — the overwhelming majority at
-    100 TB — die in the join; the view merge is |groups|-sized. The
-    snapshot rewrite is image-sized: that is the floor for
+    Scale: per version the incoming snapshot is scanned once for
+    per-bucket digests (count + order-free row-hash sum), compared
+    DRIVER-side against the digests the last commit stored, and the
+    keyed hash-compare diff join runs over ONLY the buckets whose
+    digest moved — unchanged buckets (the overwhelming majority at
+    100 TB) never shuffle, never rewrite, and carry forward as one
+    manifest row each. The input scan is the floor for
     CDC-from-snapshots (no changelog exists to be cheaper than the
     snapshot itself); with a real changelog upstream, use
     ``ivm_agg_foreach_batch`` instead.
@@ -687,6 +796,7 @@ def cdc_retraction_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
@@ -694,14 +804,11 @@ def cdc_retraction_foreach_batch(
             return
         if batch_df.isEmpty():
             return  # no versions to apply; committing nothing keeps replay trivial
-        have = os.path.isdir(target_dir)
-        snap = (
-            spark.read.parquet(os.path.join(target_dir, "snapshot"))
-            if have
-            else None
-        )
+        _check_bucket_layout(meta, n_buckets, "cdc")
         view = (
-            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
+            spark.read.parquet(os.path.join(target_dir, "view"))
+            if os.path.isdir(os.path.join(target_dir, "view"))
+            else None
         )
         versions = sorted(
             r["v"]
@@ -717,41 +824,53 @@ def cdc_retraction_foreach_batch(
                 "monotonic version contract (equal/inverted file mtimes?); "
                 "refusing to apply a diff backwards"
             )
-        for _i, v in enumerate(versions):  # in-version order
-            img = _hashed(
-                batch_df.filter(F.col(version_col) == v).select(
-                    *key_cols, *extra
-                )
+        kb = F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+        signed, touched, final_img, final_digs, m_snap = (
+            _digest_pruned_version_diffs(
+                spark, target_dir, "snapimg", batch_df, versions,
+                version_col,
+                lambda d: _hashed(d.select(*key_cols, *extra)),
+                key_cols, business, kb,
             )
-            signed = _signed_image_diff(snap, img, key_cols, business)
-            dview = signed.groupBy(*group_cols).agg(
-                F.sum("_sign").cast("bigint").alias("n"),
-                *[
-                    F.sum(F.col("_sign") * F.col(c))
-                    .cast("bigint")
-                    .alias(f"sum_{c}")
-                    for c in sum_cols
-                ],
-            )
-            view = _additive_merge(
-                view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
-            )
-            snap = img
-            # cut the VIEW's lineage every few versions — a many-version
-            # batch otherwise nests one full-outer merge per version in
-            # the PLAN even when per-version volumes are small (snap does
-            # not nest: it is reassigned from the batch each version)
-            if _i % 4 == 3:
-                view = view.localCheckpoint(eager=True)
-        # materialize BOTH tables into the stage (plans still read the
-        # pre-swap target), then promote image+view+meta in one swap
+        )
+        signed = signed.localCheckpoint(eager=True)  # delta-sized
+        dview = signed.groupBy(*group_cols).agg(
+            F.sum("_sign").cast("bigint").alias("n"),
+            *[
+                F.sum(F.col("_sign") * F.col(c)).cast("bigint").alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+        view = _additive_merge(
+            view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
+        )
+        # materialize into the stage (plans still read the pre-swap
+        # target), then promote image+view+meta in one swap; untouched
+        # image buckets carry as manifest rows, never rewritten
         stage = f"{target_dir}.stage-{batch_id}"
-        snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
+        write_store_delta(
+            spark,
+            final_img.filter(F.col("_kb").isin(touched))
+            if touched
+            else final_img.filter(F.lit(False)),
+            target_dir,
+            "snapimg",
+            stage,
+            batch_id=batch_id,
+            touched=touched,
+            manifest=m_snap,
+            digests={
+                str(b): final_digs[str(b)]
+                for b in touched
+                if str(b) in final_digs
+            },
+        )
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_version": versions[-1] if versions else None,
                 },
@@ -1139,7 +1258,6 @@ def _key_index_guard_and_rewrite(
         batch_id=batch_id,
         touched=touched_kk,
         manifest=kidx_manifest if linkable else None,
-        n_parts=max(len(touched_kk), 1) if linkable else n_buckets,
     )
 
 
@@ -1362,6 +1480,7 @@ def distinct_count_view_foreach_batch(
     version_col: str,
     group_col: str,
     value_col: str,
+    n_buckets: int = 64,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -1376,21 +1495,25 @@ def distinct_count_view_foreach_batch(
     only on support 0↔positive TRANSITIONS.
 
     The stream carries full snapshot versions of a keyed table (the
-    CDC sink's input shape); per version: diff against the
-    last-applied image (one keyed hash-compare shuffle per side),
-    aggregate the signed rows to support deltas (delta-sized), join
-    each touched support's OLD count (equi on (group, value) — at
-    scale an index-friendly, touched-support-sized probe), emit the
-    view delta as Σ(+1 for 0→>0, −1 for >0→0) on ``d`` with ``n``
-    moving additively, and merge both state levels. The target holds
-    THREE tables committed in ONE atomic swap — ``snapshot/``,
-    ``support/``, ``view/`` — so a crash can never apply a version to
-    one state level but not the other; batch-id + file provenance +
-    the monotonic-version guard follow the module's non-idempotent-
-    sink discipline. Support rows that reach zero REMAIN (additive
-    state never forgets; a 0-count row and an absent row behave
-    identically in the transition rule), as do n=0 view groups;
-    finalize with ``n > 0`` downstream.
+    CDC sink's input shape); per version: one digest scan of the
+    incoming image (per-bucket count + order-free row-hash sum,
+    compared DRIVER-side against the digests the last commit stored),
+    then the keyed hash-compare diff over ONLY the buckets whose
+    digest moved — unchanged buckets never shuffle. The net signed
+    rows feed the SAME ``_distinct_state_refresh`` the op-log and
+    tombstone dialects use: support deltas (delta-sized) join each
+    touched support's OLD count via manifest file selection on the
+    bucketed ``support`` store, the view's ``d`` moves on 0↔positive
+    transitions with ``n`` additive. The target holds THREE state
+    levels committed in ONE atomic swap — the ``snapimg`` manifest
+    store (keyed image + digests), the bucketed ``support`` store,
+    and ``view/`` — so a crash can never apply a version to one
+    state level but not the other; batch-id + file provenance + the
+    monotonic-version guard follow the module's non-idempotent-sink
+    discipline. Support rows that reach zero are dropped by the
+    shared refresh (indistinguishable from absent in the transition
+    rule); n=0 view groups remain — finalize with ``n > 0``
+    downstream.
 
     Returns the final view as a batch DataFrame.
     """
@@ -1407,6 +1530,7 @@ def distinct_count_view_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
@@ -1414,18 +1538,7 @@ def distinct_count_view_foreach_batch(
             return
         if batch_df.isEmpty():
             return
-        have = os.path.isdir(target_dir)
-        snap = (
-            spark.read.parquet(os.path.join(target_dir, "snapshot"))
-            if have
-            else None
-        )
-        support = (
-            spark.read.parquet(os.path.join(target_dir, "support")) if have else None
-        )
-        view = (
-            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
-        )
+        _check_bucket_layout(meta, n_buckets, "distinct_count")
         versions = sorted(
             r["v"]
             for r in batch_df.select(F.col(version_col).alias("v"))
@@ -1440,50 +1553,52 @@ def distinct_count_view_foreach_batch(
                 "monotonic version contract (equal/inverted file mtimes?); "
                 "refusing to apply a diff backwards"
             )
-        for _i, v in enumerate(versions):
-            img = _hashed(
-                batch_df.filter(F.col(version_col) == v).select(*key_cols, *extra)
+        key_kb = F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+        sup_kb = F.pmod(
+            F.hash(F.col(group_col), F.col(value_col)), F.lit(n_buckets)
+        )
+        signed, touched, final_img, final_digs, m_snap = (
+            _digest_pruned_version_diffs(
+                spark, target_dir, "snapimg", batch_df, versions,
+                version_col,
+                lambda d: _hashed(d.select(*key_cols, *extra)),
+                key_cols, business, key_kb,
             )
-            signed = _signed_image_diff(snap, img, key_cols, business).localCheckpoint(
-                eager=True
-            )  # feeds the row count AND the support delta
-            # COUNT(DISTINCT) ignores NULL values (SQL semantics), so
-            # NULL-valued rows contribute to n but never to supports —
-            # and the support lookup is NULL-SAFE on the group (a NULL
-            # group is a legitimate group; a plain equality join would
-            # re-transition it 0→1 on every delta)
-            dn = signed.groupBy(group_col).agg(
-                F.sum("_sign").cast("bigint").alias("n")
-            )
-            dsup = (
-                signed.filter(F.col(value_col).isNotNull())
-                .groupBy(group_col, value_col)
-                .agg(F.sum("_sign").cast("bigint").alias("cnt"))
-                .filter(F.col("cnt") != 0)
-            )
-            dd = _support_transitions(spark, dsup, support, group_col, value_col)
-            dview = _combine_n_d(dn, dd, group_col)
-            view = _additive_merge(view, dview, [group_col], ["n", "d"])
-            support = _additive_merge(
-                support, dsup, [group_col, value_col], ["cnt"]
-            )
-            snap = img
-            # a batch may carry MANY versions (no maxFilesPerTrigger
-            # upstream): the lazy merges otherwise nest one full-outer
-            # join per version and the PLAN itself blows up even when
-            # per-version volumes are small — cut the lineage every few
-            # versions (as `signed` already does per-version)
-            if _i % 4 == 3:
-                view = view.localCheckpoint(eager=True)
-                support = support.localCheckpoint(eager=True)
+        )
+        # net signed rows across the batch's versions apply in ONE
+        # support refresh: the view's d is a function of the FINAL
+        # support counts, so sequential per-version transitions and a
+        # single net-delta application land on the same state.
+        # COUNT(DISTINCT) ignores NULL values (SQL semantics) and the
+        # support lookup inside the shared refresh is NULL-SAFE on the
+        # group — both pinned where every dialect shares them.
         stage = f"{target_dir}.stage-{batch_id}"
-        snap.write.mode("overwrite").parquet(os.path.join(stage, "snapshot"))
-        support.write.mode("overwrite").parquet(os.path.join(stage, "support"))
-        view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
+        _distinct_state_refresh(
+            spark, target_dir, stage, signed, group_col, value_col,
+            sup_kb, "distinct_count", batch_id,
+        )
+        write_store_delta(
+            spark,
+            final_img.filter(F.col("_kb").isin(touched))
+            if touched
+            else final_img.filter(F.lit(False)),
+            target_dir,
+            "snapimg",
+            stage,
+            batch_id=batch_id,
+            touched=touched,
+            manifest=m_snap,
+            digests={
+                str(b): final_digs[str(b)]
+                for b in touched
+                if str(b) in final_digs
+            },
+        )
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_version": versions[-1] if versions else None,
                 },

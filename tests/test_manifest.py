@@ -60,30 +60,127 @@ def _commit(spark, target, store, df, touched, batch_id, **kw):
 
 
 def test_write_read_carry_round_trip(spark, tmp_path):
+    """Tiny-bucket regime: all buckets pack into shared files; a
+    touched bucket's file-mates rewrite with it (file-level CoW), but
+    rows round-trip exactly and pruned reads stay bucket-exact."""
     target = str(tmp_path / "t")
     rows = [(k, 10 * k) for k in range(32)]
     all_buckets = list(range(8))
     _commit(spark, target, "s", _df(spark, rows), all_buckets, 0)
     m1 = read_manifest(target, "s")
     assert store_has_files(m1)
+    # 32 rows << TARGET_MIN_FILE_ROWS: the whole store is ONE file
+    assert len({n for ns in m1["buckets"].values() for n in ns}) == 1
     got = {(r["k"], r["v"]) for r in read_store(spark, target, "s").collect()}
     assert got == set(rows)
-    # touch one bucket: every other entry must be byte-identical
     b3 = spark.createDataFrame([(3,)], "k BIGINT").select(
         F.pmod(F.hash("k"), F.lit(8)).alias("b")
     ).collect()[0]["b"]
     upd = _df(spark, [(3, 999)])
     _commit(spark, target, "s", upd, [b3], 1)
-    m2 = read_manifest(target, "s")
-    carried = 0
-    for b, names in m1["buckets"].items():
-        if int(b) != b3:
-            assert m2["buckets"][b] == names, b
-            carried += 1
-    assert carried > 0
     # pruned read returns only the touched bucket's (rewritten) rows
     pr = read_store(spark, target, "s", buckets=[b3])
     assert {(r["k"], r["v"]) for r in pr.collect()} == {(3, 999)}
+    # mates' rows survived the file rewrite; the touched bucket was
+    # replaced WHOLESALE (its other keys drop — the caller's contract
+    # is "full post-batch rows of the touched buckets")
+    in_b3 = {
+        r["k"]
+        for r in _df(spark, rows).filter(F.col("_kb") == b3).collect()
+    }
+    expect = {(k, 10 * k) for k in range(32) if k not in in_b3} | {(3, 999)}
+    got2 = {(r["k"], r["v"]) for r in read_store(spark, target, "s").collect()}
+    assert got2 == expect
+    # no stale rows anywhere: every referenced file's rows are current
+    sweep_orphans(target)
+    assert read_store(spark, target, "s").count() == len(expect)
+
+
+def test_big_buckets_carry_byte_identical(spark, tmp_path):
+    """Production-sizing regime: buckets at/above the packing target
+    keep per-bucket files, so touching one bucket leaves every other
+    entry byte-identical (the untouched-carry contract)."""
+    from epe_data_wrangling_spark.streaming.manifest import TARGET_MIN_FILE_ROWS
+
+    target = str(tmp_path / "t")
+    # 2x the packing target per bucket on average: hash variance across
+    # 8 buckets cannot pull any below the target
+    per = 2 * TARGET_MIN_FILE_ROWS
+    rows = [(k, k) for k in range(8 * per)]
+    _commit(spark, target, "s", _df(spark, rows), list(range(8)), 0)
+    m1 = read_manifest(target, "s")
+    # every bucket has its own file (nothing packs)
+    names = [tuple(ns) for ns in m1["buckets"].values()]
+    assert len({n for ns in names for n in ns}) == len(
+        [n for ns in names for n in ns]
+    )
+    b0 = spark.createDataFrame([(0,)], "k BIGINT").select(
+        F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    _commit(spark, target, "s", _df(spark, [(0, 999)]), [b0], 1)
+    m2 = read_manifest(target, "s")
+    carried = 0
+    for b, ns in m1["buckets"].items():
+        if int(b) != b0:
+            assert m2["buckets"][b] == ns, b
+            carried += 1
+    assert carried == 7
+
+
+def test_digests_ride_the_manifest(spark, tmp_path):
+    """Per-bucket digests: supplied for touched buckets, carried for
+    untouched ones, preserved for file-mates rewritten by CoW, and
+    dropped for a touched bucket not re-supplied."""
+    from epe_data_wrangling_spark.streaming.manifest import TARGET_MIN_FILE_ROWS
+
+    target = str(tmp_path / "t")
+    per = TARGET_MIN_FILE_ROWS + 16
+    rows = [(k, k) for k in range(8 * per)]
+    digs0 = {str(b): [per, f"sig{b}"] for b in range(8)}
+    _commit(spark, target, "s", _df(spark, rows), list(range(8)), 0,
+            digests=digs0)
+    assert read_manifest(target, "s")["digests"] == digs0
+    b0 = spark.createDataFrame([(0,)], "k BIGINT").select(
+        F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    # touch b0 WITH a new digest: others carry
+    _commit(spark, target, "s", _df(spark, [(0, 999)]), [b0], 1,
+            digests={str(b0): [1, "new"]})
+    d = read_manifest(target, "s")["digests"]
+    assert d[str(b0)] == [1, "new"]
+    assert all(d[str(b)] == digs0[str(b)] for b in range(8) if b != b0)
+    # touch b0 WITHOUT a digest: b0's drops, others still carry
+    _commit(spark, target, "s", _df(spark, [(0, 998)]), [b0], 2)
+    d2 = read_manifest(target, "s")["digests"]
+    assert str(b0) not in d2
+    assert all(d2[str(b)] == digs0[str(b)] for b in range(8) if b != b0)
+
+
+def test_mate_rewrite_preserves_mate_digests(spark, tmp_path):
+    """Tiny-bucket store (everything shares one file): touching one
+    bucket rewrites its mates' rows but keeps their digests — content
+    unchanged means the digest stays valid."""
+    target = str(tmp_path / "t")
+    digs0 = {str(b): [4, f"sig{b}"] for b in range(8)}
+    _commit(spark, target, "s", _df(spark, [(k, k) for k in range(32)]),
+            list(range(8)), 0, digests=digs0)
+    b3 = spark.createDataFrame([(3,)], "k BIGINT").select(
+        F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    _commit(spark, target, "s", _df(spark, [(3, 999)]), [b3], 1,
+            digests={str(b3): [1, "new"]})
+    d = read_manifest(target, "s")["digests"]
+    assert d[str(b3)] == [1, "new"]
+    assert all(d[str(b)] == digs0[str(b)] for b in range(8) if b != b3)
+    # and the mate rows themselves are intact (bucket b3 replaced whole)
+    in_b3 = {
+        r["k"]
+        for r in _df(spark, [(k, k) for k in range(32)])
+        .filter(F.col("_kb") == b3)
+        .collect()
+    }
+    got = {(r["k"], r["v"]) for r in read_store(spark, target, "s").collect()}
+    assert got == {(k, k) for k in range(32) if k not in in_b3} | {(3, 999)}
 
 
 def test_orphan_sweep_spares_referenced_files(spark, tmp_path):

@@ -132,3 +132,48 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
     # the verify step scores the FULL sets: same jaccard either way
     [unc] = uncapped.filter("a_id = 100 AND b_id = 101").collect()
     assert abs(got[(100, 101)] - unc.jaccard) < 1e-12
+
+
+def test_ivfpq_recall_vs_exact_l2(spark):
+    """IVF×PQ (ann_ivfpq_topk: trained coarse quantizer, residual PQ
+    codes, 4/8-cell probe, ADC top-100, exact re-rank) recovers the
+    exact L2 top-5 well above the floor. Measured 0.92 at sf0.001 and
+    sf0.01 — essentially AT the coarse-probe ceiling (0.94: the
+    fraction of true neighbors whose cell is probed at all), i.e. the
+    residual-PQ + re-rank stages lose almost nothing; the floor
+    leaves slack only for tie-order jitter."""
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.catalog.mlprep_q import (
+        IVFPQ_K,
+        IVFPQ_NQ,
+        ann_ivfpq_topk,
+    )
+    from epe_data_wrangling_spark.functions import vectors as V
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < IVFPQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        V.dot(F.col("qv"), F.col("qv"))
+        - 2 * V.dot(F.col("qv"), F.col("v"))
+        + V.dot(F.col("v"), F.col("v"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVFPQ_K)
+    )
+    ex = {(r.query_id, r.vec_id) for r in exact.collect()}
+    ap = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivfpq_topk(spark, SF_DIR).collect()
+    }
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.85, f"IVFPQ recall {recall:.3f} over {len(ex)} truths"

@@ -1487,17 +1487,21 @@ def test_tombstone_view_invariant_to_batch_split(spark, tmp_path):
 
 
 def test_tombstone_partial_rewrite_and_semantics(spark, tmp_path):
-    """The bucketed-image contract, on a hand-built log: (a) a second
-    batch touching ONE bucket leaves every other bucket's manifest
-    entry byte-identical (same immutable pool files carried forward —
-    file names are never reused, so name identity IS data identity);
-    (b) delete-then-reinsert lands the reinserted value; (c) a
-    tombstone for a key that never existed retracts nothing."""
+    """The bucketed-image contract, on a hand-built log: (a) at
+    production bucket sizing (every bucket above the packing target)
+    a second batch touching ONE bucket leaves every other bucket's
+    manifest entry byte-identical (same immutable pool files carried
+    forward — file names are never reused, so name identity IS data
+    identity; below the target, file-level CoW applies instead,
+    pinned in tests/test_manifest.py); (b) delete-then-reinsert lands
+    the reinserted value; (c) a tombstone for a key that never
+    existed retracts nothing."""
     import os
 
     from pyspark.sql import functions as F
 
     from epe_data_wrangling_spark.streaming.manifest import (
+        TARGET_MIN_FILE_ROWS,
         pool_store_dir,
         read_manifest,
     )
@@ -1533,24 +1537,28 @@ def test_tombstone_partial_rewrite_and_semantics(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt"),
         )
 
-    # gen1: 64 keys spread over all 8 buckets
-    land(1, [(k, 100 + k, "U", "A", 10) for k in range(64)])
+    # gen1: keys spread over all 8 buckets, 2x the packing target per
+    # bucket on average so nothing packs
+    n_keys = 8 * 2 * TARGET_MIN_FILE_ROWS
+    land(1, [(k, 100 + k, "U", "A", 10) for k in range(n_keys)])
     view = run("ckpt")
     assert {(r["o_orderstatus"], r["n"], r["sum_cents"]) for r in view.collect()} == {
-        ("A", 64, 640)
+        ("A", n_keys, 10 * n_keys)
     }
     target = str(tmp_path / "state")
     m_before = read_manifest(target, "image")
     assert m_before is not None and m_before["buckets"]
+    all_names = [n for ns in m_before["buckets"].values() for n in ns]
+    assert len(set(all_names)) == len(all_names)  # nothing packed
     # gen2: delete key 3, reinsert it at a new value, update key 3's
     # bucket only; plus a tombstone for a key that never existed —
     # all four ops hash into a small set of buckets
     land(
         2,
         [
-            (3, 1000, "D", None, None),
-            (3, 1001, "U", "B", 99),       # delete-then-reinsert, new group
-            (999_999, 1002, "D", None, None),  # never existed: no-op
+            (3, 1_000_000, "D", None, None),
+            (3, 1_000_001, "U", "B", 99),    # delete-then-reinsert, new group
+            (999_999_999, 1_000_002, "D", None, None),  # never existed: no-op
         ],
     )
     view = run("ckpt")
@@ -1558,7 +1566,7 @@ def test_tombstone_partial_rewrite_and_semantics(spark, tmp_path):
         r["o_orderstatus"]: (r["n"], r["sum_cents"])
         for r in view.filter(F.col("n") > 0).collect()
     }
-    assert got == {"A": (63, 630), "B": (1, 99)}
+    assert got == {"A": (n_keys - 1, 10 * (n_keys - 1)), "B": (1, 99)}
     # untouched buckets: identical manifest entries through the commit
     # (the same immutable pool files, still present)
     from pyspark.sql import functions as FF
@@ -1566,7 +1574,7 @@ def test_tombstone_partial_rewrite_and_semantics(spark, tmp_path):
     touched_buckets = {
         r["b"]
         for r in spark.createDataFrame(
-            [(3,), (999_999,)], "o_orderkey BIGINT"
+            [(3,), (999_999_999,)], "o_orderkey BIGINT"
         )
         .select(FF.pmod(FF.hash("o_orderkey"), FF.lit(8)).alias("b"))
         .collect()
@@ -2522,30 +2530,40 @@ def test_distinct_oplog_negative_support_raises(spark, tmp_path):
 
 def test_distinct_oplog_support_partial_rewrite(spark, tmp_path):
     """The bucketed support table is a standing image like any other:
-    a commit touching one (group, value) bucket must CARRY every
-    untouched bucket's manifest entry byte-identically (same immutable
-    pool files) rather than rewrite it."""
+    at production bucket sizing (every bucket at/above the packing
+    target, so nothing shares a file) a commit touching one
+    (group, value) bucket must CARRY every untouched bucket's manifest
+    entry byte-identically (same immutable pool files) rather than
+    rewrite it. Below the target the manifest layer's file-level CoW
+    applies instead — pinned in tests/test_manifest.py."""
     import os
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.streaming.manifest import read_manifest
+    from epe_data_wrangling_spark.streaming.manifest import (
+        TARGET_MIN_FILE_ROWS,
+        read_manifest,
+    )
 
     landing = tmp_path / "landing"
     os.makedirs(landing)
     target = str(tmp_path / "state")
     ck = str(tmp_path / "ck")
-    # 64 distinct values spread over the 8 (group, value) buckets
+    # 2x the packing target per (group, value) bucket on average: hash
+    # variance across 8 buckets cannot pull any below the target
+    n_vals = 8 * 2 * TARGET_MIN_FILE_ROWS
     _dlog_land(spark, landing, 1, [
-        (k, 100 + k, "I", k, "A", None, None) for k in range(64)
+        (k, 100 + k, "I", k, "A", None, None) for k in range(n_vals)
     ])
     _dlog_run(spark, str(landing), target, ck, None)
     m_before = read_manifest(target, "support")
-    # touch exactly one value
-    _dlog_land(spark, landing, 2, [(3, 1000, "D", None, None, 3, "A")])
+    all_names = [n for ns in m_before["buckets"].values() for n in ns]
+    assert len(set(all_names)) == len(all_names)  # nothing packed
+    # touch exactly one value (seq above the bootstrap's high-water mark)
+    _dlog_land(spark, landing, 2, [(3, 999999, "D", None, None, 3, "A")])
     view = _dlog_run(spark, str(landing), target, ck, None)
     [row] = view.filter(F.col("n") > 0).collect()
-    assert (row["n"], row["d"]) == (63, 63)
+    assert (row["n"], row["d"]) == (n_vals - 1, n_vals - 1)
     [tb] = spark.range(1).select(
         F.pmod(
             F.hash(F.lit("A"), F.lit(3).cast("bigint")), F.lit(8)
@@ -2557,7 +2575,7 @@ def test_distinct_oplog_support_partial_rewrite(spark, tmp_path):
         if int(b) != tb["b"]:
             assert m_after["buckets"][b] == names, b
             untouched_checked += 1
-    assert untouched_checked > 0
+    assert untouched_checked == 7
 
 
 _MMLOG_SCHEMA = (
@@ -2747,25 +2765,36 @@ def test_minmax_oplog_negative_support_raises(spark, tmp_path):
 def test_minmax_oplog_support_partial_rewrite(spark, tmp_path):
     """Support buckets of untouched GROUPS carry their manifest entry
     (same immutable pool files) through a commit that only touches
-    another group's bucket."""
+    another group's bucket — at production sizing (every group-hash
+    bucket above the packing target; below it, file-level CoW applies,
+    pinned in tests/test_manifest.py)."""
     import os
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.streaming.manifest import read_manifest
+    from epe_data_wrangling_spark.streaming.manifest import (
+        TARGET_MIN_FILE_ROWS,
+        read_manifest,
+    )
 
     landing = tmp_path / "landing"
     os.makedirs(landing)
     target = str(tmp_path / "state")
     ck = str(tmp_path / "ck")
-    # 16 groups spread over the 8 group-hash buckets
+    # 16 groups spread over the 8 group-hash buckets; every group gets
+    # TARGET_MIN_FILE_ROWS distinct values, so even a bucket holding a
+    # single group sits at the packing target and nothing packs
+    n_rows = 16 * TARGET_MIN_FILE_ROWS
     _mmlog_land(spark, landing, 1, [
-        (k, 100 + k, "I", f"G{k % 16}", 10 * k, None, None) for k in range(64)
+        (k, 100 + k, "I", f"G{k % 16}", 10 * k, None, None)
+        for k in range(n_rows)
     ])
     _mmlog_run(spark, str(landing), target, ck, None)
     m_before = read_manifest(target, "support")
+    all_names = [n for ns in m_before["buckets"].values() for n in ns]
+    assert len(set(all_names)) == len(all_names)  # nothing packed
     _mmlog_land(spark, landing, 2, [
-        (999, 1000, "I", "G3", 5, None, None),
+        (999, 10_000_000, "I", "G3", 5, None, None),
     ])
     _mmlog_run(spark, str(landing), target, ck, None)
     [tb] = spark.range(1).select(
