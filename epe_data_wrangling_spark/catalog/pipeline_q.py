@@ -677,10 +677,12 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 3  #: learned merge steps
 
 
-def _bpe_oracle() -> str:
-    """Unrolled {BPE_MERGES}-iteration BPE merge-learning CTE chain —
-    the same pair-count → argmax → gaps-and-islands greedy-merge
-    relational plan the Spark side builds, iteration for iteration."""
+def _bpe_chain() -> str:
+    """The unrolled {BPE_MERGES}-iteration BPE merge-learning CTE
+    chain (WITH ... w{{N}}) shared by the training and the encoding
+    oracles — the same pair-count → argmax → gaps-and-islands
+    greedy-merge relational plan the Spark side builds, iteration for
+    iteration."""
     parts = [f"""
     WITH tok AS (SELECT unnest({_W}) AS word
                  FROM (SELECT lower(text) AS text FROM documents)),
@@ -716,33 +718,25 @@ def _bpe_oracle() -> str:
                     list(CASE WHEN m THEN l || r ELSE s END ORDER BY k) AS syms
              FROM m{i} WHERE pm IS NULL OR NOT pm
              GROUP BY word, freq)""")
+    return ",".join(parts)
+
+
+def _bpe_oracle() -> str:
     finals = " UNION ALL ".join(
         f"SELECT {i} AS step, l AS merge_left, r AS merge_right, "
         f"CAST(cnt AS BIGINT) AS pair_count FROM t{i}"
         for i in range(1, BPE_MERGES + 1)
     )
-    return ",".join(parts) + " " + finals
+    return _bpe_chain() + " " + finals
 
 
-@query("bpe_train_merges", oracle=_bpe_oracle())
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING — {BPE_MERGES} merge-learning steps over
-    the corpus, the missing half of tokenization (bpe_token_count
-    applies a tokenizer; this learns one). Each step: (1) count
-    adjacent symbol pairs weighted by word frequency (vocabulary-sized
-    shuffle of pair keys + counts — the corpus is scanned ONCE total,
-    at the initial word-frequency aggregate), (2) broadcast the argmax
-    pair (count desc, then lexicographic — deterministic), (3) apply
-    the merge greedily left-to-right per word. Greedy non-overlap over
-    runs (e.g. 'aaaa' with pair (a,a) → 'aa','aa') is expressed
-    RELATIONALLY as gaps-and-islands — occurrence positions that chain
-    by +1 form an island; keep the 1st, 3rd, … of each island — so the
-    identical plan runs on both engines with no UDF and no
-    order-dependent fold. Output: (step, merge_left, merge_right,
-    pair_count) — the learned merge table. 100 TB posture: after the
-    first aggregate everything operates on the vocabulary (words ×
-    symbols), per-word windows only; the merge table itself is what a
-    real tokenizer trainer (GPT-2 BPE, SentencePiece-BPE) emits."""
+def _bpe_fit(spark: SparkSession, sf_dir: str):
+    """The shared {BPE_MERGES}-step BPE merge-learning loop: returns
+    ``(merges, words)`` — the per-step argmax rows and the FINAL
+    per-word symbol segmentation. `bpe_train_merges` emits the former
+    (the trained merge table); `bpe_encode_corpus` applies the latter
+    (tokenizer application). One implementation so the two cannot
+    drift."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(T.words(F.lower(F.col("text")))).alias("word"))
     words = (
@@ -836,6 +830,29 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return merges, words
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — {BPE_MERGES} merge-learning steps over
+    the corpus, the missing half of tokenization (bpe_token_count
+    applies a tokenizer; this learns one). Each step: (1) count
+    adjacent symbol pairs weighted by word frequency (vocabulary-sized
+    shuffle of pair keys + counts — the corpus is scanned ONCE total,
+    at the initial word-frequency aggregate), (2) broadcast the argmax
+    pair (count desc, then lexicographic — deterministic), (3) apply
+    the merge greedily left-to-right per word. Greedy non-overlap over
+    runs (e.g. 'aaaa' with pair (a,a) → 'aa','aa') is expressed
+    RELATIONALLY as gaps-and-islands — occurrence positions that chain
+    by +1 form an island; keep the 1st, 3rd, … of each island — so the
+    identical plan runs on both engines with no UDF and no
+    order-dependent fold. Output: (step, merge_left, merge_right,
+    pair_count) — the learned merge table. 100 TB posture: after the
+    first aggregate everything operates on the vocabulary (words ×
+    symbols), per-word windows only; the merge table itself is what a
+    real tokenizer trainer (GPT-2 BPE, SentencePiece-BPE) emits."""
+    merges, _words = _bpe_fit(spark, sf_dir)
     if not merges:  # single-symbol vocabulary: nothing to learn
         return spark.createDataFrame(
             [], "step INT, merge_left STRING, merge_right STRING, pair_count BIGINT"
@@ -844,6 +861,66 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def _bpe_encode_oracle() -> str:
+    """The training chain through w{BPE_MERGES}, then every word
+    occurrence joins its final segmentation and per-doc token stats
+    aggregate — the application half, locked to the same trained
+    state as the training oracle by construction."""
+    return f"""
+    {_bpe_chain()}
+    , tokd AS (SELECT doc_id, unnest({_W}) AS word
+               FROM (SELECT doc_id, lower(text) AS text FROM documents)),
+    enc AS (SELECT t.doc_id, len(w.syms) AS ntok, length(t.word) AS nch
+            FROM tokd t JOIN w{BPE_MERGES} w USING (word))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(nch) AS BIGINT) AS n_chars,
+           CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(nch) AS DOUBLE) / SUM(ntok), 6) AS chars_per_token
+    FROM enc GROUP BY doc_id
+    """
+
+
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION at corpus scale — the natural pair of
+    `bpe_train_merges` (same {BPE_MERGES}-merge training loop via the
+    shared `_bpe_fit`, so the applied tokenizer IS the trained one):
+    every word occurrence joins its final symbol segmentation from the
+    trained vocabulary and each document aggregates its token stats —
+    (n_words, n_chars, n_bpe_tokens, chars_per_token), the
+    tokens-per-doc accounting every LLM data pipeline runs before
+    budgeting a training mix. Scale: the corpus is scanned once to
+    explode words; the join side is the VOCABULARY (words × final
+    syms — broadcastable at any corpus size, since vocabulary grows
+    sublinearly); the aggregate is per-doc with map-side combine. No
+    UDF anywhere — segmentation lengths ride the trained relation."""
+    _merges, words = _bpe_fit(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tokd = d.select(
+        "doc_id", F.explode(T.words(F.lower(F.col("text")))).alias("word")
+    )
+    seg = words.select("word", F.size("syms").alias("ntok"))
+    return (
+        tokd.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("ntok").cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 TEMP_ALPHA_SQRT = True  #: α = 0.5, expressed as sqrt() (bit-exact cross-engine)
