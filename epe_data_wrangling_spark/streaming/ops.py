@@ -457,6 +457,111 @@ def _collect_image_digests(img_kb: DataFrame, key_cols: list[str]) -> dict:
     return {str(int(r["_kb"])): [int(r["c"]), str(int(r["s"]))] for r in rows}
 
 
+class _DigestPrunedImage:
+    """Per-store digest-pruned snapshot-diff state across a batch's
+    versions — the machinery the snapshot-fed sinks share, factored so
+    a sink maintaining SEVERAL standing images (the join-view sink's
+    R and S) threads one instance per store. Lifecycle per batch:
+    construct (reads the committed manifest; RAISES on the pre-digest
+    plain-dir layout), then per version `diff(img)` (per-bucket digest
+    scan → driver-side compare → `_signed_image_diff` over only the
+    buckets whose digest moved), `old_full()` whenever the full
+    current image is needed (bilinear join terms), and one `commit()`
+    into the caller's stage (touched buckets + their digests; the
+    untouched majority carries as manifest rows)."""
+
+    def __init__(self, spark, target_dir, store, key_cols, cols, kb,
+                 legacy_subdir):
+        self.spark = spark
+        self.target_dir = target_dir
+        self.store = store
+        self.key_cols = key_cols
+        self.cols = cols
+        self.kb = kb
+        self.manifest = read_manifest(target_dir, store)
+        if self.manifest is None and os.path.isdir(
+            os.path.join(target_dir, legacy_subdir)
+        ):
+            raise RuntimeError(
+                f"target {target_dir} holds a pre-digest '{legacy_subdir}/' "
+                "image with no manifest store — this build keeps snapshot "
+                "images manifest-committed with per-bucket digests; rebuild "
+                "the target from the stream"
+            )
+        self.prev_digs = dict(self.manifest.get("digests", {})) if self.manifest else {}
+        self.prev_img = None
+        self.touched: set[int] = set()
+
+    def has_image(self):
+        return self.prev_img is not None or self.manifest is not None
+
+    def old_full(self) -> DataFrame | None:
+        """The CURRENT full image (pre-diff within this batch): the
+        in-batch previous version's image when one applied, else the
+        committed store (all buckets — the bilinear terms genuinely
+        need the counterpart relation's whole image)."""
+        if self.prev_img is not None:
+            return self.prev_img.drop("_kb")
+        rs = read_store(self.spark, self.target_dir, self.store,
+                        manifest=self.manifest)
+        return rs.drop("_kb") if rs is not None else None
+
+    def diff(self, img_plain: DataFrame) -> DataFrame:
+        """Signed rows (``cols`` + ``_sign``) of this version's image
+        vs the current one, joined over ONLY digest-moved buckets."""
+        img = img_plain.withColumn("_kb", self.kb)
+        digs = _collect_image_digests(img, self.key_cols)
+        changed = sorted(
+            {int(b) for b in digs if self.prev_digs.get(b) != digs[b]}
+            | {int(b) for b in self.prev_digs if b not in digs}
+        )
+        if changed:
+            if self.prev_img is None:
+                old = read_store(
+                    self.spark, self.target_dir, self.store,
+                    buckets=changed, manifest=self.manifest,
+                )
+                old_side = old.drop("_kb") if old is not None else None
+            else:
+                old_side = self.prev_img.filter(
+                    F.col("_kb").isin(changed)
+                ).drop("_kb")
+            img_ch = img.filter(F.col("_kb").isin(changed)).drop("_kb")
+            signed = _signed_image_diff(old_side, img_ch, self.key_cols, self.cols)
+            self.touched.update(changed)
+        else:
+            signed = img_plain.select(
+                *self.cols, F.lit(1).alias("_sign")
+            ).filter(F.lit(False))
+        self.prev_img, self.prev_digs = img, digs
+        return signed
+
+    def commit(self, stage: str, batch_id: int) -> None:
+        if self.prev_img is None:
+            # no version of this batch carried the relation: the whole
+            # store carries forward as one manifest copy
+            carry_store(self.target_dir, self.store, stage)
+            return
+        touched = sorted(self.touched)
+        write_store_delta(
+            self.spark,
+            self.prev_img.filter(F.col("_kb").isin(touched))
+            if touched
+            else self.prev_img.filter(F.lit(False)),
+            self.target_dir,
+            self.store,
+            stage,
+            batch_id=batch_id,
+            touched=touched,
+            manifest=self.manifest,
+            digests={
+                str(b): self.prev_digs[str(b)]
+                for b in touched
+                if str(b) in self.prev_digs
+            },
+        )
+
+
 def _digest_pruned_version_diffs(
     spark,
     target_dir: str,
@@ -469,70 +574,31 @@ def _digest_pruned_version_diffs(
     cols: list[str],
     kb,
 ):
-    """The digest-pruned snapshot diff loop both snapshot-fed sinks
-    share: per version, bucket the hashed image, compare per-bucket
-    digests against the previous image's (the committed manifest's
-    for the first version — stored at commit time, so an untouched
-    bucket is pruned from the diff by a DRIVER-side compare, never a
-    join), and run `_signed_image_diff` over ONLY the buckets whose
-    digest moved. At 100 TB this turns the per-version diff from a
-    corpus×corpus keyed join into a changed-bucket join: the full
-    snapshot is still SCANNED (it is the input), but unchanged
-    buckets never shuffle.
+    """The digest-pruned snapshot diff loop the SINGLE-image
+    snapshot-fed sinks share — a thin loop over `_DigestPrunedImage`
+    (one instance, one store): per version, bucket the hashed image,
+    compare per-bucket digests against the previous image's (the
+    committed manifest's for the first version — stored at commit
+    time, so an untouched bucket is pruned from the diff by a
+    DRIVER-side compare, never a join), and run `_signed_image_diff`
+    over ONLY the buckets whose digest moved. At 100 TB this turns
+    the per-version diff from a corpus×corpus keyed join into a
+    changed-bucket join: the full snapshot is still SCANNED (it is
+    the input), but unchanged buckets never shuffle.
 
-    Returns ``(signed, touched, final_img, final_digs, manifest)``:
-    the union of all versions' signed rows (``cols`` + ``_sign``),
-    the sorted union of changed bucket ids, the LAST version's full
-    bucketed image and digest map (what the caller commits through
-    `write_store_delta(digests=...)`), and the committed manifest."""
-    manifest = read_manifest(target_dir, store)
-    if manifest is None and os.path.isdir(os.path.join(target_dir, "snapshot")):
-        raise RuntimeError(
-            f"target {target_dir} holds a pre-digest 'snapshot/' image "
-            "with no manifest store — this build keeps the snapshot "
-            "image manifest-committed with per-bucket digests; rebuild "
-            "the target from the stream"
-        )
-    prev_digs = dict(manifest.get("digests", {})) if manifest else {}
-    prev_img = None
-    touched: set[int] = set()
-    signed_parts = []
-    final_img = None
+    Returns ``(signed, dpi)``: the union of all versions' signed rows
+    (``cols`` + ``_sign``) and the `_DigestPrunedImage` whose
+    ``commit(stage, batch_id)`` the caller runs alongside its other
+    state writes."""
+    dpi = _DigestPrunedImage(
+        spark, target_dir, store, key_cols, cols, kb,
+        legacy_subdir="snapshot",
+    )
+    signed = None
     for v in versions:
-        img = hashed_fn(
-            batch_df.filter(F.col(version_col) == v)
-        ).withColumn("_kb", kb)
-        digs = _collect_image_digests(img, key_cols)
-        changed = sorted(
-            {int(b) for b in digs if prev_digs.get(b) != digs[b]}
-            | {int(b) for b in prev_digs if b not in digs}
-        )
-        if changed:
-            if prev_img is None:
-                old = read_store(
-                    spark, target_dir, store, buckets=changed, manifest=manifest
-                )
-                old_side = old.drop("_kb") if old is not None else None
-            else:
-                old_side = prev_img.filter(F.col("_kb").isin(changed)).drop(
-                    "_kb"
-                )
-            img_ch = img.filter(F.col("_kb").isin(changed)).drop("_kb")
-            signed_parts.append(
-                _signed_image_diff(old_side, img_ch, key_cols, cols)
-            )
-            touched.update(changed)
-        prev_img, prev_digs = img, digs
-        final_img = img
-    if signed_parts:
-        signed = signed_parts[0]
-        for p in signed_parts[1:]:
-            signed = signed.unionByName(p)
-    else:
-        signed = final_img.select(
-            *cols, F.lit(1).alias("_sign")
-        ).filter(F.lit(False))
-    return signed, sorted(touched), final_img, prev_digs, manifest
+        sv = dpi.diff(hashed_fn(batch_df.filter(F.col(version_col) == v)))
+        signed = sv if signed is None else signed.unionByName(sv)
+    return signed, dpi
 
 
 def _read_sink_meta(target_dir: str) -> dict:
@@ -825,13 +891,11 @@ def cdc_retraction_foreach_batch(
                 "refusing to apply a diff backwards"
             )
         kb = F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
-        signed, touched, final_img, final_digs, m_snap = (
-            _digest_pruned_version_diffs(
-                spark, target_dir, "snapimg", batch_df, versions,
-                version_col,
-                lambda d: _hashed(d.select(*key_cols, *extra)),
-                key_cols, business, kb,
-            )
+        signed, dpi = _digest_pruned_version_diffs(
+            spark, target_dir, "snapimg", batch_df, versions,
+            version_col,
+            lambda d: _hashed(d.select(*key_cols, *extra)),
+            key_cols, business, kb,
         )
         signed = signed.localCheckpoint(eager=True)  # delta-sized
         dview = signed.groupBy(*group_cols).agg(
@@ -848,23 +912,7 @@ def cdc_retraction_foreach_batch(
         # target), then promote image+view+meta in one swap; untouched
         # image buckets carry as manifest rows, never rewritten
         stage = f"{target_dir}.stage-{batch_id}"
-        write_store_delta(
-            spark,
-            final_img.filter(F.col("_kb").isin(touched))
-            if touched
-            else final_img.filter(F.lit(False)),
-            target_dir,
-            "snapimg",
-            stage,
-            batch_id=batch_id,
-            touched=touched,
-            manifest=m_snap,
-            digests={
-                str(b): final_digs[str(b)]
-                for b in touched
-                if str(b) in final_digs
-            },
-        )
+        dpi.commit(stage, batch_id)
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
@@ -1557,13 +1605,11 @@ def distinct_count_view_foreach_batch(
         sup_kb = F.pmod(
             F.hash(F.col(group_col), F.col(value_col)), F.lit(n_buckets)
         )
-        signed, touched, final_img, final_digs, m_snap = (
-            _digest_pruned_version_diffs(
-                spark, target_dir, "snapimg", batch_df, versions,
-                version_col,
-                lambda d: _hashed(d.select(*key_cols, *extra)),
-                key_cols, business, key_kb,
-            )
+        signed, dpi = _digest_pruned_version_diffs(
+            spark, target_dir, "snapimg", batch_df, versions,
+            version_col,
+            lambda d: _hashed(d.select(*key_cols, *extra)),
+            key_cols, business, key_kb,
         )
         # net signed rows across the batch's versions apply in ONE
         # support refresh: the view's d is a function of the FINAL
@@ -1577,23 +1623,7 @@ def distinct_count_view_foreach_batch(
             spark, target_dir, stage, signed, group_col, value_col,
             sup_kb, "distinct_count", batch_id,
         )
-        write_store_delta(
-            spark,
-            final_img.filter(F.col("_kb").isin(touched))
-            if touched
-            else final_img.filter(F.lit(False)),
-            target_dir,
-            "snapimg",
-            stage,
-            batch_id=batch_id,
-            touched=touched,
-            manifest=m_snap,
-            digests={
-                str(b): final_digs[str(b)]
-                for b in touched
-                if str(b) in final_digs
-            },
-        )
+        dpi.commit(stage, batch_id)
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
@@ -2826,6 +2856,7 @@ def join_view_foreach_batch(
     sum_cols: list[str],
     how: str = "inner",
     null_group: str = "(none)",
+    n_buckets: int = 64,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
@@ -2862,10 +2893,14 @@ def join_view_foreach_batch(
     falls out of the same algebra (every unmatched R₁ row is a ΔR
     row outside K₁).
 
-    The target holds THREE tables committed in one atomic swap —
-    ``snap_r/``, ``snap_s/`` (last applied images: keys + business
-    columns + md5 row-hash) and ``view/`` (one additive row per group:
-    ``n`` + ``sum_<c>``) — plus batch_id + source-file provenance in
+    The target holds THREE state levels committed in one atomic swap —
+    the ``snapimg_r`` and ``snapimg_s`` manifest stores (last applied
+    images: keys + business columns + md5 row-hash, bucketed
+    ``pmod(hash(key), n_buckets)`` with per-bucket content digests, so
+    each version's diff joins only digest-moved buckets and untouched
+    buckets carry as manifest rows) and ``view/`` (one additive row
+    per group: ``n`` + ``sum_<c>``) — plus batch_id + source-file
+    provenance in
     ``_ivm_meta.json``, so crash replay and fresh-checkpoint runs
     follow the module's non-idempotent-sink discipline (replays skip,
     new data under a fresh checkpoint raises). Contracts as the CDC
@@ -2902,6 +2937,7 @@ def join_view_foreach_batch(
         spark = batch_df.sparkSession
         _recover_swap(target_dir)
         _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
@@ -2909,15 +2945,21 @@ def join_view_foreach_batch(
             return
         if batch_df.isEmpty():
             return
-        have = os.path.isdir(target_dir)
-        snap_r = (
-            spark.read.parquet(os.path.join(target_dir, "snap_r")) if have else None
+        _check_bucket_layout(meta, n_buckets, "join_view")
+        kb_r = F.pmod(F.hash(*[F.col(k) for k in r_key]), F.lit(n_buckets))
+        kb_s = F.pmod(F.hash(*[F.col(k) for k in s_key]), F.lit(n_buckets))
+        dpi_r = _DigestPrunedImage(
+            spark, target_dir, "snapimg_r", r_key, r_cols, kb_r,
+            legacy_subdir="snap_r",
         )
-        snap_s = (
-            spark.read.parquet(os.path.join(target_dir, "snap_s")) if have else None
+        dpi_s = _DigestPrunedImage(
+            spark, target_dir, "snapimg_s", s_key, s_cols, kb_s,
+            legacy_subdir="snap_s",
         )
         view = (
-            spark.read.parquet(os.path.join(target_dir, "view")) if have else None
+            spark.read.parquet(os.path.join(target_dir, "view"))
+            if os.path.isdir(os.path.join(target_dir, "view"))
+            else None
         )
         versions = sorted(
             r["v"]
@@ -2939,25 +2981,28 @@ def join_view_foreach_batch(
             img_s_src = vdf.filter(F.col(rel_col) == s_tag)
             has_r = not img_r_src.isEmpty()
             has_s = not img_s_src.isEmpty()
-            img_r = _hashed(img_r_src, r_key, r_cols) if has_r else None
-            img_s = _hashed(img_s_src, s_key, s_cols) if has_s else None
-            # old images as empty-but-typed frames on bootstrap, so the
-            # Δ-term algebra needs no special cases
+            # old images BEFORE this version's diffs advance the state;
+            # empty-but-typed frames on bootstrap, so the Δ-term
+            # algebra needs no special cases. The bilinear terms need
+            # the counterpart's WHOLE image — that read is manifest
+            # file selection over all buckets (cost-equal to the old
+            # plain-dir scan); what the digests prune is the DIFF.
+            of_r, of_s = dpi_r.old_full(), dpi_s.old_full()
             r_old = (
-                snap_r.select(*r_cols)
-                if snap_r is not None
+                of_r.select(*r_cols)
+                if of_r is not None
                 else spark.createDataFrame([], vdf.select(*r_cols).schema)
             )
             s_old = (
-                snap_s.select(*s_cols)
-                if snap_s is not None
+                of_s.select(*s_cols)
+                if of_s is not None
                 else spark.createDataFrame([], vdf.select(*s_cols).schema)
             )
             # each delta feeds TWO Δ-terms — materialize it once
-            # (change-volume-sized) so the diff full-outer join, the
+            # (change-volume-sized) so the digest-pruned diff join, the
             # dominant per-version cost at scale, never runs twice
             d_r = (
-                _signed_image_diff(snap_r, img_r, r_key, r_cols).localCheckpoint(
+                dpi_r.diff(_hashed(img_r_src, r_key, r_cols)).localCheckpoint(
                     eager=True
                 )
                 if has_r
@@ -2966,7 +3011,7 @@ def join_view_foreach_batch(
                 )
             )
             d_s = (
-                _signed_image_diff(snap_s, img_s, s_key, s_cols).localCheckpoint(
+                dpi_s.diff(_hashed(img_s_src, s_key, s_cols)).localCheckpoint(
                     eager=True
                 )
                 if has_s
@@ -3003,7 +3048,7 @@ def join_view_foreach_batch(
                         return F.col(f"{side}.{c}").alias(c)
                     return F.lit(null_group).alias(c)
 
-                new_s = img_s if img_s is not None else snap_s
+                new_s = dpi_s.prev_img.drop("_kb") if has_s else of_s
                 if new_s is None:  # bootstrap version without the dim
                     raise RuntimeError(
                         "join_view sink: first applied version must carry "
@@ -3049,28 +3094,25 @@ def join_view_foreach_batch(
             view = _additive_merge(
                 view, dview, list(group_cols), ["n"] + [f"sum_{c}" for c in sum_cols]
             )
-            if img_r is not None:
-                snap_r = img_r
-            if img_s is not None:
-                snap_s = img_s
             # cut the view's lineage every few versions (plan-depth
             # control for many-version batches; images do not nest)
             if _vi % 4 == 3:
                 view = view.localCheckpoint(eager=True)
-        if snap_r is None or snap_s is None:
+        if not dpi_r.has_image() or not dpi_s.has_image():
             raise RuntimeError(
                 "join_view sink: first applied version must carry BOTH "
-                f"relations (got {r_tag}: {snap_r is not None}, "
-                f"{s_tag}: {snap_s is not None})"
+                f"relations (got {r_tag}: {dpi_r.has_image()}, "
+                f"{s_tag}: {dpi_s.has_image()})"
             )
         stage = f"{target_dir}.stage-{batch_id}"
-        snap_r.write.mode("overwrite").parquet(os.path.join(stage, "snap_r"))
-        snap_s.write.mode("overwrite").parquet(os.path.join(stage, "snap_s"))
+        dpi_r.commit(stage, batch_id)
+        dpi_s.commit(stage, batch_id)
         view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
                     "last_batch_id": batch_id,
+                    "n_buckets": n_buckets,
                     "applied_files": sorted(applied | batch_files),
                     "last_version": versions[-1] if versions else None,
                 },
