@@ -281,13 +281,19 @@ def carry_store(target_dir: str, store: str, stage_dir: str) -> None:
 def _pack_groups(by_id: list) -> list:
     """Greedy consecutive packing of (bucket_id, row_count) pairs,
     sorted by id: a group closes once it holds >= TARGET_MIN_FILE_ROWS
-    rows, so tiny buckets share a file while a bucket at/above the
-    target gets one to itself. Returns a list of bucket-id lists."""
+    rows, AND before admitting a bucket that is itself at/above the
+    target — so tiny buckets share a file while a big bucket always
+    gets one to itself (a skewed store's hot bucket must never become
+    a tiny neighbor's file-mate: every CoW touch of the tiny bucket
+    would rewrite the hot rows, unbounded by the packing target).
+    Returns a list of bucket-id lists."""
     groups: list[list[int]] = []
     cur: list[int] = []
     cur_rows = 0
     for b, c in by_id:
-        if cur and cur_rows >= TARGET_MIN_FILE_ROWS:
+        if cur and (
+            cur_rows >= TARGET_MIN_FILE_ROWS or c >= TARGET_MIN_FILE_ROWS
+        ):
             groups.append(cur)
             cur, cur_rows = [], 0
         cur.append(b)
@@ -453,7 +459,8 @@ def write_store_delta(
     digs = dict(manifest.get("digests", {})) if manifest is not None else {}
     # the committed schema rides the manifest so readers never pay
     # footer inference; the writer's df IS the store's row schema
-    # (``_kbp`` is partition-only and never reaches the files).
+    # (``_kbg``, the pool write's partition column, never reaches the
+    # files).
     # Schema drift guard: a store's row schema is FIXED for its
     # lifetime — silently replacing the committed schema would make
     # `_compact_over_threshold` (and every carried-bucket read) open

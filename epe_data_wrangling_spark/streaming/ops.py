@@ -457,6 +457,9 @@ def _collect_image_digests(img_kb: DataFrame, key_cols: list[str]) -> dict:
     return {str(int(r["_kb"])): [int(r["c"]), str(int(r["s"]))] for r in rows}
 
 
+_UNSET_OLD = object()
+
+
 class _DigestPrunedImage:
     """Per-store digest-pruned snapshot-diff state across a batch's
     versions — the machinery the snapshot-fed sinks share, factored so
@@ -489,8 +492,17 @@ class _DigestPrunedImage:
                 "the target from the stream"
             )
         self.prev_digs = dict(self.manifest.get("digests", {})) if self.manifest else {}
+        if self.manifest is not None:
+            # a committed bucket with no digest (a past commit did not
+            # re-supply one) must compare as CHANGED in BOTH directions
+            # — including total disappearance, where the incoming
+            # version contributes no digest row for it at all — so seed
+            # a sentinel no real digest can equal
+            for b in self.manifest["buckets"]:
+                self.prev_digs.setdefault(b, ["?", "?"])
         self.prev_img = None
         self.touched: set[int] = set()
+        self._old_full = _UNSET_OLD
 
     def has_image(self):
         return self.prev_img is not None or self.manifest is not None
@@ -499,12 +511,17 @@ class _DigestPrunedImage:
         """The CURRENT full image (pre-diff within this batch): the
         in-batch previous version's image when one applied, else the
         committed store (all buckets — the bilinear terms genuinely
-        need the counterpart relation's whole image)."""
+        need the counterpart relation's whole image). The committed
+        read is constructed once and cached: a many-version batch that
+        never carries this relation would otherwise pay the
+        explicit-file-list DataFrame-construction cost per version."""
         if self.prev_img is not None:
             return self.prev_img.drop("_kb")
-        rs = read_store(self.spark, self.target_dir, self.store,
-                        manifest=self.manifest)
-        return rs.drop("_kb") if rs is not None else None
+        if self._old_full is _UNSET_OLD:
+            rs = read_store(self.spark, self.target_dir, self.store,
+                            manifest=self.manifest)
+            self._old_full = rs.drop("_kb") if rs is not None else None
+        return self._old_full
 
     def diff(self, img_plain: DataFrame) -> DataFrame:
         """Signed rows (``cols`` + ``_sign``) of this version's image
@@ -2445,17 +2462,22 @@ def topk_view_tombstone_foreach_batch(
         )
         # locator ↔ image divergence witness: every located key must
         # surface in the pruned image and nothing unlocated may. A
-        # count compare would let offsetting corruptions cancel (key A
+        # count compare alone lets offsetting corruptions cancel (key A
         # located-but-unstored + key B stored-but-unlocated in the same
         # batch), so witness per-key with anti-joins in BOTH directions
-        # — both sides are delta-sized and localCheckpointed above.
+        # — AND keep the count compare, which is what catches duplicate
+        # rows/entries for one key (anti-joins are blind to
+        # multiplicity). All four aggregates are delta-sized over the
+        # localCheckpointed sides above.
         only_loc = hit.join(old_rows, key_cols, "left_anti").count()
         only_img = old_rows.join(hit, key_cols, "left_anti").count()
-        if only_loc or only_img:
+        n_hit, n_img = hit.count(), old_rows.count()
+        if only_loc or only_img or n_hit != n_img:
             raise RuntimeError(
                 f"topk_tombstone sink: key locator and image DIVERGE — "
                 f"{only_loc} located key(s) absent from the stored image, "
-                f"{only_img} stored key(s) with no locator entry, among "
+                f"{only_img} stored key(s) with no locator entry, "
+                f"{n_hit} locator row(s) vs {n_img} stored row(s) among "
                 "the batch's keys; the standing state is corrupt, "
                 "refusing to apply"
             )

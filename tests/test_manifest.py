@@ -334,3 +334,24 @@ def test_compaction_is_capped_per_commit(spark, tmp_path):
         assert len(m2["buckets"][b]) == 1, b
     # rows unchanged by compaction
     assert read_store(spark, target, "s").count() == total_rows
+
+
+def test_pack_groups_big_bucket_never_shares():
+    """A bucket at/above the packing target must never co-pack with
+    preceding tiny buckets: the file-level CoW would otherwise rewrite
+    the big bucket's rows on every touch of a tiny file-mate,
+    unbounded by the packing target (a skewed store's hot bucket)."""
+    from epe_data_wrangling_spark.streaming.manifest import (
+        TARGET_MIN_FILE_ROWS as T,
+    )
+    from epe_data_wrangling_spark.streaming.manifest import _pack_groups
+
+    # tiny, huge, tiny: the huge bucket sits alone
+    assert _pack_groups([(0, 100), (1, 100 * T), (2, 100)]) == [[0], [1], [2]]
+    # tinies pack together until the target, then a new group opens
+    assert _pack_groups([(0, T // 2), (1, T // 2), (2, 10), (3, 10)]) == [
+        [0, 1],
+        [2, 3],
+    ]
+    # all big: strictly per-bucket
+    assert _pack_groups([(b, T) for b in range(4)]) == [[b] for b in range(4)]
