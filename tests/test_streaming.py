@@ -3620,3 +3620,55 @@ def test_topk_tombstone_locator_divergence_raises(spark, tmp_path):
     ])
     with pytest.raises(Exception, match="DIVERGE"):
         _tktlog_run(spark, str(landing), target, ck, None)
+
+
+def test_digest_pruned_image_diffs_digestless_bucket_disappearance(
+    spark, tmp_path
+):
+    """A committed bucket WITHOUT a digest (a past commit did not
+    re-supply one) whose rows all vanish from the incoming snapshot
+    must still be diffed — the sentinel seeding makes 'no digest'
+    compare as changed in BOTH directions, including total
+    disappearance (previously that direction emitted no retraction)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.streaming.manifest import write_store_delta
+    from epe_data_wrangling_spark.streaming.ops import (
+        _DigestPrunedImage,
+        _atomic_swap,
+        _row_digest,
+    )
+
+    target = str(tmp_path / "t")
+    kb = F.pmod(F.hash("k"), F.lit(8))
+
+    def _img(rows):
+        return spark.createDataFrame(rows, "k BIGINT, v BIGINT").select(
+            "k", "v", _row_digest(["v"]).alias("rh")
+        )
+
+    # commit an image WITHOUT digests (the supported lose-your-digest path)
+    stage = f"{target}.stage-0"
+    write_store_delta(
+        spark, _img([(1, 10), (2, 20)]).withColumn("_kb", kb), target,
+        "snapimg", stage, batch_id=0, touched=list(range(8)), manifest=None,
+    )
+    _atomic_swap(stage, target, 0)
+    # next snapshot: EVERYTHING gone — the diff must retract both rows
+    dpi = _DigestPrunedImage(
+        spark, target, "snapimg", ["k"], ["k", "v"], kb,
+        legacy_subdir="snapshot",
+    )
+    signed = dpi.diff(_img([]))
+    got = {(r["k"], r["v"], r["_sign"]) for r in signed.collect()}
+    assert got == {(1, 10, -1), (2, 20, -1)}
+    # and a one-row survivor version retracts only the other row
+    dpi2 = _DigestPrunedImage(
+        spark, target, "snapimg", ["k"], ["k", "v"], kb,
+        legacy_subdir="snapshot",
+    )
+    signed2 = dpi2.diff(_img([(1, 10)]))
+    got2 = {(r["k"], r["v"], r["_sign"]) for r in signed2.collect()}
+    assert got2 == {(2, 20, -1)}
