@@ -457,9 +457,6 @@ def _collect_image_digests(img_kb: DataFrame, key_cols: list[str]) -> dict:
     return {str(int(r["_kb"])): [int(r["c"]), str(int(r["s"]))] for r in rows}
 
 
-_UNSET_OLD = object()
-
-
 class _DigestPrunedImage:
     """Per-store digest-pruned snapshot-diff state across a batch's
     versions — the machinery the snapshot-fed sinks share, factored so
@@ -468,8 +465,9 @@ class _DigestPrunedImage:
     construct (reads the committed manifest; RAISES on the pre-digest
     plain-dir layout), then per version `diff(img)` (per-bucket digest
     scan → driver-side compare → `_signed_image_diff` over only the
-    buckets whose digest moved), `old_full()` whenever the full
-    current image is needed (bilinear join terms), and one `commit()`
+    buckets whose digest moved), `old_pruned(pre_diff_capture,
+    buckets)` for the bilinear join terms (the counterpart image
+    restricted to the delta's join-key buckets), and one `commit()`
     into the caller's stage (touched buckets + their digests; the
     untouched majority carries as manifest rows)."""
 
@@ -502,26 +500,26 @@ class _DigestPrunedImage:
                 self.prev_digs.setdefault(b, ["?", "?"])
         self.prev_img = None
         self.touched: set[int] = set()
-        self._old_full = _UNSET_OLD
 
     def has_image(self):
         return self.prev_img is not None or self.manifest is not None
 
-    def old_full(self) -> DataFrame | None:
-        """The CURRENT full image (pre-diff within this batch): the
-        in-batch previous version's image when one applied, else the
-        committed store (all buckets — the bilinear terms genuinely
-        need the counterpart relation's whole image). The committed
-        read is constructed once and cached: a many-version batch that
-        never carries this relation would otherwise pay the
-        explicit-file-list DataFrame-construction cost per version."""
-        if self.prev_img is not None:
-            return self.prev_img.drop("_kb")
-        if self._old_full is _UNSET_OLD:
-            rs = read_store(self.spark, self.target_dir, self.store,
-                            manifest=self.manifest)
-            self._old_full = rs.drop("_kb") if rs is not None else None
-        return self._old_full
+    def old_pruned(self, old_prev, buckets) -> DataFrame | None:
+        """The pre-diff image restricted to ``buckets`` — ``old_prev``
+        is the caller's CAPTURE of ``prev_img`` taken BEFORE this
+        version's `diff` calls advanced the state (the bilinear-term
+        off-by-one rule: deltas join the counterpart's OLD image).
+        None when neither an in-batch image nor committed files back
+        the selection."""
+        if old_prev is not None:
+            return old_prev.filter(
+                F.col("_kb").isin([int(b) for b in buckets])
+            ).drop("_kb")
+        rs = read_store(
+            self.spark, self.target_dir, self.store,
+            buckets=sorted(buckets), manifest=self.manifest,
+        )
+        return rs.drop("_kb") if rs is not None else None
 
     def diff(self, img_plain: DataFrame) -> DataFrame:
         """Signed rows (``cols`` + ``_sign``) of this version's image
@@ -2930,11 +2928,17 @@ def join_view_foreach_batch(
     business columns (money as integer cents), integer ``sum_cols``;
     zero-count groups remain as n=0 rows, finalize with ``n > 0``.
 
-    Scale: per version, each diff is one keyed shuffle per side
-    comparing one narrow hash column; the three Δ-terms each join a
-    DELTA (change-volume-sized, broadcast-eligible) against one
-    stored image scan or another delta — the standing images are
-    never re-joined wholesale; the view merge is |groups|-sized.
+    Scale: per version, each incoming image is digest-scanned once
+    and its keyed hash-compare diff runs over ONLY the buckets whose
+    digest moved (driver-side compare, never a join); the three
+    Δ-terms each join a DELTA (change-volume-sized,
+    broadcast-eligible) against the counterpart image PRUNED to the
+    delta's join-key buckets — exact under join-column bucketing,
+    since a matching row shares the bucket — or against another
+    delta; the standing images are never scanned wholesale and
+    untouched buckets carry as manifest rows; the view merge is
+    |groups|-sized. The irreducible per-version cost is scanning the
+    incoming snapshot itself (it is the input).
 
     Returns the final view as a batch DataFrame.
     """
@@ -2968,8 +2972,24 @@ def join_view_foreach_batch(
         if batch_df.isEmpty():
             return
         _check_bucket_layout(meta, n_buckets, "join_view")
-        kb_r = F.pmod(F.hash(*[F.col(k) for k in r_key]), F.lit(n_buckets))
-        kb_s = F.pmod(F.hash(*[F.col(k) for k in s_key]), F.lit(n_buckets))
+        committed_bk = meta.get("image_bucketing")
+        if committed_bk is not None and committed_bk != [r_join, s_join]:
+            raise RuntimeError(
+                f"join_view sink: target images were bucketed by "
+                f"{committed_bk} but the sink is configured with "
+                f"[{r_join!r}, {s_join!r}] — the stored layout would be "
+                "misread; use the committed columns or rebuild the target"
+            )
+        # images bucket by the JOIN column (not the primary key): a
+        # delta row's potential matches live in the SAME bucket, so the
+        # bilinear terms read the counterpart pruned to the delta's
+        # join-key buckets — exact, never a full image scan (the same
+        # layout the op-log twin uses). The keyed DIFF is unaffected: a
+        # key whose join value changes moves buckets, both buckets'
+        # digests move, and the full-outer diff over their union still
+        # pairs old and new by key.
+        kb_r = F.pmod(F.hash(F.col(r_join)), F.lit(n_buckets))
+        kb_s = F.pmod(F.hash(F.col(s_join)), F.lit(n_buckets))
         dpi_r = _DigestPrunedImage(
             spark, target_dir, "snapimg_r", r_key, r_cols, kb_r,
             legacy_subdir="snap_r",
@@ -3003,26 +3023,13 @@ def join_view_foreach_batch(
             img_s_src = vdf.filter(F.col(rel_col) == s_tag)
             has_r = not img_r_src.isEmpty()
             has_s = not img_s_src.isEmpty()
-            # old images BEFORE this version's diffs advance the state;
-            # empty-but-typed frames on bootstrap, so the Δ-term
-            # algebra needs no special cases. The bilinear terms need
-            # the counterpart's WHOLE image — that read is manifest
-            # file selection over all buckets (cost-equal to the old
-            # plain-dir scan); what the digests prune is the DIFF.
-            of_r, of_s = dpi_r.old_full(), dpi_s.old_full()
-            r_old = (
-                of_r.select(*r_cols)
-                if of_r is not None
-                else spark.createDataFrame([], vdf.select(*r_cols).schema)
-            )
-            s_old = (
-                of_s.select(*s_cols)
-                if of_s is not None
-                else spark.createDataFrame([], vdf.select(*s_cols).schema)
-            )
-            # each delta feeds TWO Δ-terms — materialize it once
-            # (change-volume-sized) so the digest-pruned diff join, the
-            # dominant per-version cost at scale, never runs twice
+            # capture the pre-diff image handles (the bilinear terms
+            # join deltas against the counterpart's OLD image — the
+            # off-by-one-version rule), then advance the state with the
+            # digest-pruned diffs. Each delta feeds TWO Δ-terms —
+            # materialize it once (change-volume-sized) so the pruned
+            # diff join never runs twice.
+            old_r_prev, old_s_prev = dpi_r.prev_img, dpi_s.prev_img
             d_r = (
                 dpi_r.diff(_hashed(img_r_src, r_key, r_cols)).localCheckpoint(
                     eager=True
@@ -3040,6 +3047,42 @@ def join_view_foreach_batch(
                 else spark.createDataFrame(
                     [], vdf.select(*s_cols, F.lit(1).alias("_sign")).schema
                 )
+            )
+            # counterpart images pruned to the delta's join-key buckets
+            # (exact under join-column bucketing: a match shares the
+            # bucket); empty-but-typed frames when nothing backs the
+            # selection, so the Δ-term algebra needs no special cases
+            bR = (
+                [
+                    int(r["b"])
+                    for r in d_r.select(
+                        F.pmod(F.hash(F.col(r_join)), F.lit(n_buckets)).alias("b")
+                    ).distinct().collect()
+                ]
+                if has_r
+                else []
+            )
+            bS = (
+                [
+                    int(r["b"])
+                    for r in d_s.select(
+                        F.pmod(F.hash(F.col(s_join)), F.lit(n_buckets)).alias("b")
+                    ).distinct().collect()
+                ]
+                if has_s
+                else []
+            )
+            of_r = dpi_r.old_pruned(old_r_prev, bS) if bS else None
+            of_s = dpi_s.old_pruned(old_s_prev, bR) if bR else None
+            r_old = (
+                of_r.select(*r_cols)
+                if of_r is not None
+                else spark.createDataFrame([], vdf.select(*r_cols).schema)
+            )
+            s_old = (
+                of_s.select(*s_cols)
+                if of_s is not None
+                else spark.createDataFrame([], vdf.select(*s_cols).schema)
             )
             out_cols = list(group_cols) + list(sum_cols)
             dr, ds = d_r.alias("dr"), d_s.alias("ds")
@@ -3070,12 +3113,25 @@ def join_view_foreach_batch(
                         return F.col(f"{side}.{c}").alias(c)
                     return F.lit(null_group).alias(c)
 
-                new_s = dpi_s.prev_img.drop("_kb") if has_s else of_s
-                if new_s is None:  # bootstrap version without the dim
+                if not dpi_s.has_image():  # bootstrap version without the dim
                     raise RuntimeError(
                         "join_view sink: first applied version must carry "
                         f"BOTH relations (outer mode needs the {s_tag} key "
                         "set to place unmatched rows)"
+                    )
+                # the batch-final dim key set, pruned to ΔR's join-key
+                # buckets — exact (a matching key shares the bucket);
+                # an empty pruned read means NO dim key can match, and
+                # every ΔR row lands in the ∅-group
+                if has_s and bR:
+                    new_s = dpi_s.prev_img.filter(
+                        F.col("_kb").isin(bR)
+                    ).drop("_kb")
+                elif not has_s and of_s is not None:
+                    new_s = of_s
+                else:  # no ΔR buckets to probe, or nothing backs them
+                    new_s = spark.createDataFrame(
+                        [], vdf.select(*s_cols).schema
                     )
                 k2 = new_s.select(F.col(s_join)).alias("k2")
                 t4 = dr.join(
