@@ -879,3 +879,47 @@ def test_ivm_minmax_support_eviction_is_load_bearing(spark):
         if (g1[k][1], g1[k][2]) != (g2[k][1], g2[k][2])
     ]
     assert moved, (g1, g2)
+
+
+def test_pruned_store_read_pushes_kb_filter_to_scan(spark, tmp_path):
+    """`manifest.read_store(buckets=...)`'s `_kb` selection filter must
+    reach the parquet scan (PushedFilters) — with packed multi-bucket
+    files, row-group stats on the sorted `_kb` column are what keep a
+    one-bucket read from paying a whole shared file once files grow
+    real row groups."""
+    from epe_data_wrangling_spark.streaming.manifest import (
+        read_manifest,
+        read_store,
+        write_store_delta,
+    )
+    from epe_data_wrangling_spark.streaming.ops import _atomic_swap
+
+    target = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(k, k) for k in range(64)], "k BIGINT, v BIGINT"
+    ).withColumn("_kb", F.pmod(F.hash("k"), F.lit(8)))
+    stage = f"{target}.stage-0"
+    write_store_delta(
+        spark, df, target, "s", stage, batch_id=0,
+        touched=list(range(8)), manifest=None,
+    )
+    _atomic_swap(stage, target, 0)
+    pr = read_store(spark, target, "s", buckets=[1, 3],
+                    manifest=read_manifest(target, "s"))
+    plan = _plan(pr)
+    assert "PushedFilters" in plan
+    assert "_kb" in plan.split("PushedFilters")[1][:200]
+
+
+def test_ivfpq_broadcasts_quantizers_and_tables(spark):
+    """ann_ivfpq_topk's serve path must broadcast the small sides —
+    the coarse centroids, the residual codebooks, and the ADC distance
+    tables — and never sort-merge the corpus against any of them; the
+    corpus-sized relations move only through hash partitioning for the
+    per-vector argmin windows and the (query, vec) partial sums."""
+    from epe_data_wrangling_spark.catalog import all_queries
+
+    q = all_queries()["ann_ivfpq_topk"].fn(spark, SF_DIR)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
