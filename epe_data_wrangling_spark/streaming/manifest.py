@@ -493,6 +493,22 @@ def write_store_delta(
     }
     out_df = df
     if mate_ids:
+        # the delta must not itself carry rows for a mate bucket: the
+        # mate union would then commit the bucket's OLD rows alongside
+        # the delta's new ones (duplicates). One delta-sized distinct
+        # (packed stores are tiny by the packing invariant) catches the
+        # undeclared-bucket caller error before any data moves.
+        df_buckets = {
+            str(int(r["_kb"])) for r in df.select("_kb").distinct().collect()
+        }
+        stray_in_mates = df_buckets & mate_ids
+        if stray_in_mates:
+            raise RuntimeError(
+                f"store '{store}' delta carries data for committed "
+                f"bucket(s) {sorted(stray_in_mates)[:8]} not declared in "
+                "touched (they share files with touched buckets) — "
+                "declare every replaced bucket in `touched`"
+            )
         mate_paths = sorted(
             {
                 os.path.join(pool, n)
@@ -504,6 +520,7 @@ def write_store_delta(
             spark, mate_paths, manifest.get("schema") if manifest else None
         ).filter(F.col("_kb").isin([int(b) for b in mate_ids]))
         out_df = df.unionByName(mates_df.select(*df.columns))
+    pre_existing = set(buckets)
     for b in touched_keys | mate_ids:
         buckets.pop(b, None)
     for b in touched_keys:
@@ -511,6 +528,21 @@ def write_store_delta(
     if digests:
         digs.update({str(int(b)): v for b, v in digests.items()})
     entries = _write_pool_files(out_df, pool, batch_id)
+    # every pre-existing bucket the data replaces must have been
+    # DECLARED touched (or ridden in as a mate): replacing an
+    # undeclared bucket would skip its mate expansion, leaving its old
+    # shared file referenced by the mates WITH the bucket's stale rows
+    # inside — the one way a caller could break the stale-free-file
+    # invariant. All in-repo callers declare exactly the data's
+    # buckets; this turns a future caller's mistake into a witness.
+    stray = (set(entries) - touched_keys - mate_ids) & pre_existing
+    if stray:
+        raise RuntimeError(
+            f"store '{store}' delta carries data for committed bucket(s) "
+            f"{sorted(stray)[:8]} not declared in touched — their old "
+            "entries would be replaced without file-level copy-on-write; "
+            "declare every replaced bucket in `touched`"
+        )
     buckets.update(entries)
     if compact:
         buckets = _compact_over_threshold(

@@ -355,3 +355,33 @@ def test_pack_groups_big_bucket_never_shares():
     ]
     # all big: strictly per-bucket
     assert _pack_groups([(b, T) for b in range(4)]) == [[b] for b in range(4)]
+
+
+def test_undeclared_bucket_replacement_raises(spark, tmp_path):
+    """Data for a committed bucket NOT declared in ``touched`` must
+    raise: replacing its entry without file-level CoW would leave its
+    old shared file referenced by mates with the bucket's stale rows
+    inside. (Bootstrap/backfill against a virgin store — no manifest —
+    stays free-form.)"""
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(k, k) for k in range(32)]),
+            list(range(8)), 0)
+    b3 = spark.createDataFrame([(3,)], "k BIGINT").select(
+        F.pmod(F.hash("k"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    other = next(b for b in range(8) if b != b3)
+    # mate sub-case (tiny store, shared file): b3 would ride in as a
+    # mate of `other` and the mate union would duplicate its rows
+    with pytest.raises(RuntimeError, match="not declared in touched"):
+        _commit(spark, target, "s", _df(spark, [(3, 999)]), [other], 1)
+    # unshared sub-case (production sizing): caught after the write
+    from epe_data_wrangling_spark.streaming.manifest import (
+        TARGET_MIN_FILE_ROWS,
+    )
+
+    target2 = str(tmp_path / "t2")
+    per = 2 * TARGET_MIN_FILE_ROWS
+    _commit(spark, target2, "s", _df(spark, [(k, k) for k in range(8 * per)]),
+            list(range(8)), 0)
+    with pytest.raises(RuntimeError, match="not declared in touched"):
+        _commit(spark, target2, "s", _df(spark, [(3, 999)]), [other], 1)
