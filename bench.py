@@ -177,10 +177,28 @@ def main() -> None:
         name: round(min(p[name] for p in passes), 3) for name in sorted(queries)
     }
 
-    # `queries` stays best-of-2 (the plan's cost); `passes` keeps BOTH
-    # raw sweeps so a judge can separate ambient-VM drift (both passes
-    # inflated uniformly) from a plan regression (min itself moved)
-    # without trusting round notes.
+    # `queries` stays best-of-2 (the plan's cost). The BOTH-raw-sweeps
+    # detail (so a judge can separate ambient-VM drift from a plan
+    # regression) moves to a FILE: r12's stdout JSON outgrew the
+    # driver's tail-capture window and truncated the front of the line
+    # (BENCH_r12.json recorded "parsed": null) — the machine-readable
+    # summary must stay small, COMPACT, and be the LAST line printed.
+    detail_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
+    )
+    os.makedirs(detail_dir, exist_ok=True)
+    detail_file = os.path.join(detail_dir, "bench_passes.json")
+    with open(detail_file, "w") as f:
+        json.dump(
+            {
+                "passes": passes,
+                "calibration_probe_sec": probes,
+                "calibration_probe_shuffle_sec": probes_shuffle,
+                "sf": sf,
+            },
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -188,14 +206,16 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "passes": passes,
-                # frozen ambient-noise yardstick, one reading per pass
-                # (min = the quietest ambient seen; see BASELINE.md
-                # "Calibration" for the normalization rule)
-                "calibration_probe_sec": probes,
-                "calibration_probe_shuffle_sec": probes_shuffle,
+                # frozen ambient-noise yardsticks, three readings per
+                # pass (min = the quietest ambient seen; BASELINE.md
+                # "Calibration" has the normalization rule); raw
+                # per-pass sweeps live in `passes_file`
+                "calibration_probe_sec": round(min(probes), 3),
+                "calibration_probe_shuffle_sec": round(min(probes_shuffle), 3),
+                "passes_file": ".benchmarks/bench_passes.json",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -183,52 +183,13 @@ def kmeans_lloyd_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_label_centroids). At 100 TB the corpus is scanned once
     per iteration with no corpus-sized shuffle: the exchange after
     map-side combine carries K·dims rows."""
+    from epe_data_wrangling_spark.operators.kmeans import lloyd_means
+
     e = load_table(spark, sf_dir, "embeddings")
     ev = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
-    cents = (
-        ev.orderBy("vec_id")
-        .limit(KMEANS_K)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("c"))
-    )
-    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
-
-    def assign(cents_df: DataFrame) -> DataFrame:
-        c = cents_df.withColumn("cc", V.dot(F.col("c"), F.col("c")))
-        dist2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist2"), F.col("cid"))
-        return (
-            ev.crossJoin(F.broadcast(c.select("cid", "c", "cc")))
-            .withColumn("dist2", dist2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cid")
-        )
-
-    def update(assigned: DataFrame) -> DataFrame:
-        x = assigned.select("cid", F.posexplode(F.col("v")).alias("dim", "x"))
-        return x.groupBy("cid", "dim").agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            (
-                F.sum(staged).cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / F.lit(1e9)
-            ).alias("mean_val"),
-        )
-
-    def to_cent(means: DataFrame) -> DataFrame:
-        return means.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
-                lambda s: s["mean_val"],
-            ).alias("c")
-        )
-
-    means = update(assign(cents))
-    for _ in range(KMEANS_ITERS - 1):
-        means = update(assign(to_cent(means)))
-    return means.select("cid", "dim", "n_vecs", "mean_val")
+    return lloyd_means(ev, KMEANS_K, KMEANS_ITERS)
 
 
 @query(
@@ -1199,7 +1160,9 @@ def _ivfpq_oracle() -> str:
 
 
 @query("ann_ivfpq_topk", oracle=_ivfpq_oracle())
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivfpq_topk(
+    spark: SparkSession, sf_dir: str, probe: int = IVFPQ_PROBE
+) -> DataFrame:
     """IVF×PQ — the standard billion-scale ANN composition (FAISS
     IVFPQ with by_residual=true): the trained k-means coarse
     quantizer ({KMEANS_K} cells from kmeans_lloyd_centroids)
@@ -1324,7 +1287,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d2"),
         )
         .withColumn("rn", F.row_number().over(w_pr))
-        .filter(F.col("rn") <= IVFPQ_PROBE)
+        .filter(F.col("rn") <= probe)
         .select("query_id", "qv", "cell", "cv")
     )
     qsub = probes.select(

@@ -2573,3 +2573,158 @@ def streaming_epe_monthly_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
     `_additive_merge`) land on exact equality with the batch
     `epe_annual_consumption` semantics."""
     return _epe_monthly_run(spark)[1]
+
+
+# ---- incremental ANN index maintenance (IVF refresh, no retrain) -----
+
+AIDX_CELLS = 8   #: trained coarse cells (mirrors KMEANS_K)
+AIDX_ITERS = 2   #: Lloyd iterations at bootstrap (mirrors KMEANS_ITERS)
+AIDX_NQ = 20     #: queries served
+AIDX_PROBE = 4   #: probed cells per query
+AIDX_K = 3       #: neighbors per query
+
+
+def _ann_index_oracle() -> str:
+    """Recompute of the final index state: Lloyd trained on the
+    BOOTSTRAP generation only (vec_id % 3 = 0 — the sink's frozen
+    quantizer), ALL vectors assigned against the frozen centroids,
+    probed serve with BIGINT-staged distances. Mirrors
+    `operators.kmeans.lloyd_means` operation tree for operation
+    tree (same staging as mlprep_q._kmeans_oracle)."""
+    mean = (
+        "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
+    )
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (SELECT vec_id, v, cid FROM (
+        SELECT tv.vec_id, tv.v, c.cid,
+               row_number() OVER (PARTITION BY tv.vec_id
+                 ORDER BY (tv.vv - 2 * list_dot_product(tv.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM tv CROSS JOIN {cents} c) t
+      WHERE rn = 1)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""
+    {out}x AS (SELECT cid, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+        FROM {assigned}, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    {out} AS (SELECT cid, dim, {mean} AS mean_val
+              FROM {out}x GROUP BY cid, dim)"""
+
+    def to_cent(means: str, out: str) -> str:
+        return f"""
+    {out}l AS (SELECT cid, list(mean_val ORDER BY dim) AS c
+               FROM {means} GROUP BY cid),
+    {out} AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM {out}l)"""
+
+    d2a = "(a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc"
+    d2q = "(q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc"
+    d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
+           WHERE vec_id % 3 = 0),
+    c0l AS (SELECT vec_id AS cid, v AS c FROM tv
+            ORDER BY vec_id LIMIT {AIDX_CELLS}),
+    c0 AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM c0l),
+    {assign("c0", "a1")},
+    {update("a1", "m1")},
+    {to_cent("m1", "c1")},
+    {assign("c1", "a2")},
+    {update("a2", "m2")},
+    {to_cent("m2", "cent")},
+    av AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    assigned AS (SELECT vid, vx, vv, cell FROM (
+        SELECT a.vec_id AS vid, a.v AS vx, a.vv, c.cid AS cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {d2a}, c.cid) AS rn
+        FROM av a CROSS JOIN cent c) t
+      WHERE rn = 1),
+    probes AS (SELECT query_id, qv, qq, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.vv AS qq, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {d2q}, c.cid) AS rn
+        FROM av q CROSS JOIN cent c WHERE q.vec_id < {AIDX_NQ}) t
+      WHERE rn <= {AIDX_PROBE}),
+    cand AS (SELECT p.query_id, a.vid AS neighbor_id,
+               CAST(round(({d2x}) * 1000000000.0) AS BIGINT) AS d2_r
+             FROM probes p JOIN assigned a USING (cell)
+             WHERE p.query_id <> a.vid)
+    SELECT query_id, neighbor_id, rank,
+           round(CAST(d2_r AS DOUBLE) / 1000000000.0, 6) AS l2_dist
+    FROM (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY d2_r, neighbor_id) AS INTEGER) AS rank, d2_r
+          FROM cand) t
+    WHERE rank <= {AIDX_K}
+    """
+
+
+@query("streaming_ann_index_refresh", oracle=_ann_index_oracle())
+def streaming_ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — IVF refresh WITHOUT
+    retrain (`streaming.ann_index`): the embeddings corpus lands in
+    THREE generations (vec_id mod 3), the bootstrap batch trains the
+    coarse quantizer ({AIDX_CELLS} cells, {AIDX_ITERS} Lloyd
+    iterations via the SAME `operators.kmeans.lloyd_means` the batch
+    trainer certifies), and each later generation's vectors are
+    assigned against the FROZEN centroids and appended into the
+    cell-bucketed manifest store — never touching prior vectors'
+    cells beyond the file-level copy-on-write of the cells the batch
+    lands in. Serve: {AIDX_NQ} queries probe {AIDX_PROBE}/{AIDX_CELLS}
+    cells and read ONLY those cells' files (manifest bucket pruning).
+    The oracle recomputes the FINAL state from scratch (train on
+    generation 1, assign all, probe, rank), so the hash certifies
+    that three generations of append-only maintenance land exactly on
+    recompute — the vector-database ingestion contract. Scale: per
+    ingestion batch the work is delta × K broadcast argmin +
+    touched-cell rewrite + manifest commit; a query scans
+    ~{AIDX_PROBE}/{AIDX_CELLS} of the corpus. Replay skips, duplicate
+    ids raise, k_cells drift raises (pytest-pinned)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivf_index_foreach_batch,
+        ivf_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ann_index_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing,
+            [e.filter(F.col("vec_id") % 3 == i) for i in range(3)],
+        )
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivf_index_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS, checkpoint_dir=ckpt,
+        )
+        queries = e.filter(F.col("vec_id") < AIDX_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        rows = ivf_index_topk(
+            spark, target, queries, probe=AIDX_PROBE, k=AIDX_K
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -48,8 +48,15 @@ NORMALIZED_COLS = ("atributo_1", "atributo_2", "atributo_3", "atributo_4", "data
 #: expressions themselves are context-free unresolved trees that the
 #: same sheet shapes reconstruct IDENTICALLY per sheet and per drop.
 #: Keyed by the live SparkContext so a restarted JVM can never serve
-#: stale gateway references.
+#: stale gateway references. Size-capped: some keys carry per-workbook
+#: VALUES (title cells, per-sheet column names), so a long-running
+#: monthly-cycle driver would otherwise accumulate Column objects
+#: (each holding a py4j/JVM expression-tree reference) without bound —
+#: at ~18k entries per workbook the cap below holds a few workbooks'
+#: worth, and overflow clears the map wholesale (costs one rebuild of
+#: memoized expressions, never correctness).
 _EXPR_CACHE: dict = {"ctx": None, "m": {}}
+_EXPR_CACHE_MAX = 100_000
 
 
 def _cached_expr(key, build):
@@ -61,6 +68,8 @@ def _cached_expr(key, build):
         _EXPR_CACHE["m"] = {}
     m = _EXPR_CACHE["m"]
     if key not in m:
+        if len(m) >= _EXPR_CACHE_MAX:
+            m.clear()
         m[key] = build()
     return m[key]
 

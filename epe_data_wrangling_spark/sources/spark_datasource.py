@@ -145,7 +145,7 @@ class WorkbookDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return WorkbookCellReader(self.options)
 
-    def simpleStreamReader(self, schema) -> "WorkbookStreamReader":
+    def streamReader(self, schema) -> "WorkbookStreamReader":
         return WorkbookStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "WorkbookShardWriter":
@@ -160,10 +160,10 @@ def register(spark) -> None:
 
 # ---- streaming: the landing-zone drop watcher ------------------------
 
-from pyspark.sql.datasource import SimpleDataSourceStreamReader
+from pyspark.sql.datasource import DataSourceStreamReader
 
 
-class WorkbookStreamReader(SimpleDataSourceStreamReader):
+class WorkbookStreamReader(DataSourceStreamReader):
     """Streaming counterpart of :class:`WorkbookCellReader` — the
     monthly-drop shape the reference actually lives in (a workbook
     republished to the same site every cycle, `tratamento_epe.R:39`):
@@ -171,10 +171,18 @@ class WorkbookStreamReader(SimpleDataSourceStreamReader):
     batch and emits their cells.
 
     Offsets are {"seen": sorted file list} — pure metadata, JSON-
-    serializable, and replayable: ``readBetweenOffsets`` re-parses
-    exactly the files that joined between two offsets, so recovery
-    after failure re-reads the same drops (files are immutable once
-    landed, the standard landing-zone contract)."""
+    serializable, and replayable: ``partitions(start, end)`` plans ONE
+    partition per file that joined between the offsets, so recovery
+    after failure re-parses exactly the same drops (files are
+    immutable once landed, the standard landing-zone contract).
+
+    Full ``DataSourceStreamReader`` (not the Simple driver-side
+    variant, which this class was through r12): the driver only LISTS
+    the landing dir (metadata); the BIFF/OOXML parse runs in the
+    executor task of each file's partition — a fleet of drops landing
+    in one batch parses in parallel across the cluster instead of
+    serially on the driver, which profiling showed was the EPE
+    monthly cycle's floor."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -188,34 +196,29 @@ class WorkbookStreamReader(SimpleDataSourceStreamReader):
         except FileNotFoundError:
             return []  # an empty landing zone is a normal streaming state
 
-    @staticmethod
-    def _cells(files: list[str]):
-        from epe_data_wrangling_spark.sources.workbook import read_workbook_grids
-
-        for file in files:
-            for sheet_idx, (sheet, grid) in enumerate(read_workbook_grids(file).items()):
-                yield from _emit_sheet_cells(file, sheet_idx, sheet, grid)
-
     def initialOffset(self) -> dict:
         return {"seen": []}
 
-    def read(self, start: dict):
-        seen = set(start.get("seen", []))
-        new = sorted(f for f in self._files() if f not in seen)
-        end = {"seen": sorted(seen | set(new))}
-        # materialized THEN wrapped in iter(): materialized because the
-        # prefetching wrapper pickles the batch so an un-committed
-        # prefetch can be replayed; iter() because the wrapper's
-        # no-advance validation calls next() on the result when a poll
-        # finds nothing new (end == start) — handing it a bare list
-        # raises TypeError and kills the query on the first EMPTY poll
-        # (a restart with no new drop landed), the exact state a
-        # landing-zone watcher spends most of its life in
-        return iter(list(self._cells(new))), end
+    def latestOffset(self) -> dict:
+        return {"seen": sorted(self._files())}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
-        return list(self._cells(new))
+        return [_FilePartition(f) for f in new]
+
+    def read(self, partition: _FilePartition):
+        # Executor-side (the whole point): same magic-byte dispatch as
+        # the batch reader.
+        from epe_data_wrangling_spark.sources.workbook import read_workbook_grids
+
+        file = partition.file
+        for sheet_idx, (sheet, grid) in enumerate(
+            read_workbook_grids(file).items()
+        ):
+            yield from _emit_sheet_cells(file, sheet_idx, sheet, grid)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are pure metadata; nothing external to ack
 
 
 def grids_from_cells(cells_df) -> dict[str, list]:

@@ -1,0 +1,248 @@
+"""Incremental ANN index maintenance — IVF index refresh WITHOUT
+retrain, the 100 TB serving-side twin of the batch ANN family.
+
+The production shape (FAISS operational practice, and every vector
+database's ingestion path): the coarse quantizer is TRAINED ONCE on a
+representative corpus, then FROZEN — newly embedded documents are
+assigned to their nearest trained centroid on arrival and appended to
+the index, because retraining (and re-assigning the whole corpus)
+per ingestion batch would cost a corpus-sized job for a delta-sized
+change. This module is that contract as a foreachBatch sink over the
+repo's manifest store:
+
+- ``centroids/`` — trained on the BOOTSTRAP batch's vectors by the
+  shared Lloyd trainer (`operators.kmeans.lloyd_means` — the same
+  implementation the batch `kmeans_lloyd_centroids` certifies, so the
+  trained/served quantizer cannot drift), then frozen. Deployment
+  contract: the first landed drop IS the training corpus.
+- ``vectors`` (manifest store) — the index rows (id, vector),
+  bucketed by CELL id (``_kb`` = assigned centroid), so a serve-time
+  probe reads ONLY the probed cells' files (the manifest layer pushes
+  the ``_kb`` filter to the parquet scan) and an ingestion batch
+  rewrites only the cells its vectors land in; untouched cells carry
+  as manifest rows.
+
+Per batch the work is: one delta × K broadcast argmin (assignment),
+one touched-cell read + union + rewrite (append under file-level
+copy-on-write), one manifest commit. Nothing corpus-sized moves after
+bootstrap. Serve (`ivf_index_topk`): queries probe their ``probe``
+best cells against the broadcast centroids and scan ~probe/K of the
+index, exactly the trained-IVF serve path of `ann_ivf_trained_topk`.
+
+Exactly-once: appends double-count on re-application, so the sink
+follows the module discipline — applied batch_id + source-file
+provenance committed inside the target in the same atomic swap as
+the data; replays skip, new data under a fresh checkpoint raises.
+Duplicate-id guard: a batch id that already exists in its assigned
+cell raises (exact for the common duplicate-delivery case — an
+identical vector re-assigns to the identical cell under the frozen
+quantizer; a DIFFERENT vector reusing an id would need a key→cell
+locator sidecar, the extension the top-k sinks already demonstrate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from epe_data_wrangling_spark.functions import vectors as V
+from epe_data_wrangling_spark.operators.kmeans import (
+    lloyd_means,
+    means_to_centroids,
+)
+from epe_data_wrangling_spark.streaming.manifest import (
+    read_manifest,
+    read_store,
+    write_store_delta,
+)
+from epe_data_wrangling_spark.streaming.ops import (
+    _atomic_swap,
+    _batch_provenance,
+    _clean_stale_stages,
+    _is_committed_replay,
+    _read_sink_meta,
+    _recover_swap,
+    _run_foreach_batch,
+)
+from epe_data_wrangling_spark.streaming.manifest import sweep_orphans
+
+
+def _assign_cells(batch: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-trained-centroid assignment (dist² argmin against the
+    broadcast centroids — the Lloyd metric, so the index is coherent
+    with its trainer). Returns (id, v, _kb = cell)."""
+    c = cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+    dist2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
+    w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("cid"))
+    return (
+        batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+        .crossJoin(F.broadcast(c.select("cid", "c", "cc")))
+        .withColumn("dist2", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", F.col("cid").cast("int").alias("_kb"))
+    )
+
+
+def ivf_index_foreach_batch(
+    vectors: DataFrame,
+    target_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    train_iters: int = 2,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Maintain the IVF index at ``target_dir`` from an append-only
+    vector stream (rows: ``id_col``, ``vec_col`` array<float|double>).
+    The bootstrap batch trains the quantizer; every batch (bootstrap
+    included) appends its vectors to the cell-bucketed store."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "ivf_index"):
+            return
+        if batch_df.isEmpty():
+            return
+        committed_k = meta.get("k_cells")
+        if committed_k is not None and committed_k != k_cells:
+            raise RuntimeError(
+                f"ivf_index sink: target was committed with k_cells="
+                f"{committed_k} but the sink is configured with "
+                f"{k_cells} — the stored cell layout would be misread; "
+                "use the committed value or rebuild the target"
+            )
+        batch = batch_df.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        )
+        cent_dir = os.path.join(target_dir, "centroids")
+        manifest = read_manifest(target_dir, "vectors")
+        if manifest is None and not os.path.isdir(cent_dir):
+            # bootstrap: this batch IS the training corpus
+            ev = batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+            cents = means_to_centroids(
+                lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+            ).localCheckpoint(eager=True)  # barrier: feeds every later job
+        else:
+            cents = spark.read.parquet(cent_dir)
+        delta = _assign_cells(batch, cents, id_col).localCheckpoint(
+            eager=True  # assignment feeds the guard, the union, the commit
+        )
+        touched = sorted(
+            int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
+        )
+        existing = read_store(
+            spark, target_dir, "vectors", buckets=touched, manifest=manifest
+        )
+        if existing is not None:
+            dup = (
+                delta.select(id_col)
+                .join(existing.select(id_col), id_col)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise RuntimeError(
+                    f"ivf_index sink: id {dup[0][0]} already present in its "
+                    "assigned cell — the stream re-delivered a vector outside "
+                    "batch replay (appending would duplicate it); dedup "
+                    "upstream or rebuild the target"
+                )
+            out = existing.unionByName(delta)
+        else:
+            out = delta
+        stage = f"{target_dir}.stage-{batch_id}"
+        os.makedirs(stage, exist_ok=True)
+        write_store_delta(
+            spark, out, target_dir, "vectors", stage,
+            batch_id=batch_id, touched=touched, manifest=manifest,
+        )
+        cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "k_cells": k_cells,
+                    "applied_files": sorted(applied | batch_files),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(vectors, _apply, checkpoint_dir, "ivf_index", timeout_sec)
+
+
+def ivf_index_topk(
+    spark,
+    target_dir: str,
+    queries: DataFrame,
+    *,
+    probe: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Serve cosine-agnostic L2 top-k from the maintained index:
+    ``queries`` rows (query_id, qv array<double>) probe their
+    ``probe`` nearest trained cells (broadcast centroids) and scan
+    ONLY those cells' index files (manifest bucket pruning pushes the
+    ``_kb`` filter to the parquet scan). Distances are emitted as
+    round(d2·1e9)/1e9 so ranking and values are order-free exact
+    cross-engine. Returns (query_id, neighbor_id, rank, l2_dist)."""
+    cents = spark.read.parquet(os.path.join(target_dir, "centroids"))
+    c = cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+    q = queries.withColumn("qq", V.dot(F.col("qv"), F.col("qv")))
+    d2c = (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("c"))) + F.col("cc")
+    w_p = Window.partitionBy("query_id").orderBy(F.col("d2c"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(c.select("cid", "c", "cc")))
+        .withColumn("d2c", d2c)
+        .withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= probe)
+        .select("query_id", "qv", "qq", F.col("cid").cast("int").alias("_kb"))
+    )
+    cells = sorted(
+        int(r["_kb"]) for r in probes.select("_kb").distinct().collect()
+    )
+    vecs = read_store(spark, target_dir, "vectors", buckets=cells)
+    if vecs is None:
+        raise RuntimeError(
+            f"ivf_index serve: no committed index at {target_dir}"
+        )
+    id_col = [col for col in vecs.columns if col not in ("v", "_kb")][0]
+    d2 = F.round(
+        (
+            (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v")))
+            + V.dot(F.col("v"), F.col("v"))
+        )
+        * F.lit(1e9)
+    ).cast("bigint")
+    w_k = Window.partitionBy("query_id").orderBy("d2_r", "neighbor_id")
+    return (
+        vecs.join(F.broadcast(probes), "_kb")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            d2.alias("d2_r"),
+        )
+        .withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("d2_r").cast("double") / F.lit(1e9), 6).alias(
+                "l2_dist"
+            ),
+        )
+    )

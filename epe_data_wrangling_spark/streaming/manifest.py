@@ -303,19 +303,24 @@ def _pack_groups(by_id: list) -> list:
     return groups
 
 
-def _write_pool_files(df: DataFrame, pool: str, batch_id: int) -> dict:
+def _write_pool_files(
+    df: DataFrame, pool: str, batch_id: int, counts=None
+) -> dict:
     """Materialize rows (carrying ``_kb``) as pool files and return
     {bucket: [file names]}. Buckets are discovered exactly from the
     data (one delta-sized count job — the map never depends on the
     caller's ``touched`` being complete, so bootstrap/backfill writes
-    carrying arbitrary buckets stay safe) and packed by
-    `_pack_groups`; the write partitions by the group id so a packed
-    group lands in one file, sorted by ``_kb`` within it so bucket
-    rows cluster for row-group stat pruning once files grow real row
-    groups. Files rename into the flat pool under fresh unique names
-    (immutable — a name is never reused, so readers of the previous
-    committed manifest are never disturbed)."""
-    counts = df.groupBy("_kb").agg(F.count(F.lit(1)).alias("c")).collect()
+    carrying arbitrary buckets stay safe; ``counts`` lets the caller
+    hand in rows it already collected for the SAME df, so the
+    pre-write stray witness and the packing plan share one job) and
+    packed by `_pack_groups`; the write partitions by the group id so
+    a packed group lands in one file, sorted by ``_kb`` within it so
+    bucket rows cluster for row-group stat pruning once files grow
+    real row groups. Files rename into the flat pool under fresh
+    unique names (immutable — a name is never reused, so readers of
+    the previous committed manifest are never disturbed)."""
+    if counts is None:
+        counts = df.groupBy("_kb").agg(F.count(F.lit(1)).alias("c")).collect()
     if not counts:
         return {}
     by_id = sorted((int(r["_kb"]), int(r["c"])) for r in counts)
@@ -482,6 +487,7 @@ def write_store_delta(
                 "old pool files read back reshaped"
             )
     touched_keys = {str(int(b)) for b in touched}
+    pre_existing = set(buckets)
     # file-level copy-on-write: untouched buckets co-packed into a
     # touched bucket's file move with it (their rows union into the
     # write; their digests survive — content unchanged)
@@ -491,16 +497,29 @@ def write_store_delta(
         for b, names in buckets.items()
         if b not in touched_keys and touched_files.intersection(names)
     }
-    out_df = df
-    if mate_ids:
-        # the delta must not itself carry rows for a mate bucket: the
-        # mate union would then commit the bucket's OLD rows alongside
-        # the delta's new ones (duplicates). One delta-sized distinct
-        # (packed stores are tiny by the packing invariant) catches the
-        # undeclared-bucket caller error before any data moves.
-        df_buckets = {
-            str(int(r["_kb"])) for r in df.select("_kb").distinct().collect()
-        }
+    # Undeclared-replaced-bucket witnesses, BOTH run BEFORE any pool
+    # write so a rejected commit leaves the pool untouched (in-repo
+    # sinks reclaim strays via next-batch sweep_orphans, but an
+    # external caller that never sweeps would otherwise leak pool
+    # files on every rejection). Two caller errors are caught:
+    # (a) the delta carries rows for a MATE bucket — the mate union
+    #     below would commit the bucket's OLD rows alongside the
+    #     delta's new ones (duplicates);
+    # (b) the delta replaces a committed bucket never declared
+    #     touched — its mate expansion is skipped, leaving its old
+    #     shared file referenced by the mates WITH the bucket's stale
+    #     rows inside (the one way a caller could break the
+    #     stale-free-file invariant).
+    # One delta-sized per-bucket count (≤ n_buckets rows back) that the
+    # mate-free pool write REUSES as its packing plan (no extra job),
+    # skipped entirely when no stray is possible: bootstrap (nothing
+    # committed) or every pre-existing bucket already declared touched.
+    df_counts = None
+    if mate_ids or not pre_existing <= touched_keys:
+        df_counts = df.groupBy("_kb").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+        df_buckets = {str(int(r["_kb"])) for r in df_counts}
         stray_in_mates = df_buckets & mate_ids
         if stray_in_mates:
             raise RuntimeError(
@@ -509,6 +528,16 @@ def write_store_delta(
                 "touched (they share files with touched buckets) — "
                 "declare every replaced bucket in `touched`"
             )
+        stray = (df_buckets - touched_keys - mate_ids) & pre_existing
+        if stray:
+            raise RuntimeError(
+                f"store '{store}' delta carries data for committed "
+                f"bucket(s) {sorted(stray)[:8]} not declared in touched — "
+                "their old entries would be replaced without file-level "
+                "copy-on-write; declare every replaced bucket in `touched`"
+            )
+    out_df = df
+    if mate_ids:
         mate_paths = sorted(
             {
                 os.path.join(pool, n)
@@ -520,29 +549,16 @@ def write_store_delta(
             spark, mate_paths, manifest.get("schema") if manifest else None
         ).filter(F.col("_kb").isin([int(b) for b in mate_ids]))
         out_df = df.unionByName(mates_df.select(*df.columns))
-    pre_existing = set(buckets)
     for b in touched_keys | mate_ids:
         buckets.pop(b, None)
     for b in touched_keys:
         digs.pop(b, None)
     if digests:
         digs.update({str(int(b)): v for b, v in digests.items()})
-    entries = _write_pool_files(out_df, pool, batch_id)
-    # every pre-existing bucket the data replaces must have been
-    # DECLARED touched (or ridden in as a mate): replacing an
-    # undeclared bucket would skip its mate expansion, leaving its old
-    # shared file referenced by the mates WITH the bucket's stale rows
-    # inside — the one way a caller could break the stale-free-file
-    # invariant. All in-repo callers declare exactly the data's
-    # buckets; this turns a future caller's mistake into a witness.
-    stray = (set(entries) - touched_keys - mate_ids) & pre_existing
-    if stray:
-        raise RuntimeError(
-            f"store '{store}' delta carries data for committed bucket(s) "
-            f"{sorted(stray)[:8]} not declared in touched — their old "
-            "entries would be replaced without file-level copy-on-write; "
-            "declare every replaced bucket in `touched`"
-        )
+    entries = _write_pool_files(
+        out_df, pool, batch_id,
+        counts=df_counts if not mate_ids else None,  # out_df == df then
+    )
     buckets.update(entries)
     if compact:
         buckets = _compact_over_threshold(

@@ -531,17 +531,35 @@ class _DigestPrunedImage:
             | {int(b) for b in self.prev_digs if b not in digs}
         )
         if changed:
+            # Adaptive bypass for the dense-carve regime: when EVERY
+            # bucket either side knows about moved (changed-fraction
+            # = 1 — e.g. a version that rewrites the whole relation),
+            # pruning buys nothing and the `_kb IN (...)` filters are
+            # pure per-row overhead — diff the whole image directly.
+            # Same rows reach `_signed_image_diff` either way; the
+            # digests were still collected (the commit needs them) and
+            # the NEXT version's sparse carve prunes as before.
+            dense = len(changed) == len(
+                {int(b) for b in digs} | {int(b) for b in self.prev_digs}
+            )
             if self.prev_img is None:
                 old = read_store(
                     self.spark, self.target_dir, self.store,
-                    buckets=changed, manifest=self.manifest,
+                    buckets=None if dense else changed,
+                    manifest=self.manifest,
                 )
                 old_side = old.drop("_kb") if old is not None else None
+            elif dense:
+                old_side = self.prev_img.drop("_kb")
             else:
                 old_side = self.prev_img.filter(
                     F.col("_kb").isin(changed)
                 ).drop("_kb")
-            img_ch = img.filter(F.col("_kb").isin(changed)).drop("_kb")
+            img_ch = (
+                img_plain
+                if dense
+                else img.filter(F.col("_kb").isin(changed)).drop("_kb")
+            )
             signed = _signed_image_diff(old_side, img_ch, self.key_cols, self.cols)
             self.touched.update(changed)
         else:
@@ -1228,6 +1246,27 @@ def _check_bucket_layout(meta: dict, n_buckets: int, tag: str) -> None:
             "stored bucket layout would be misread (wrong touched-bucket "
             "filters, spurious transitions); use the committed value or "
             "rebuild the target"
+        )
+
+
+def _check_image_bucketing(meta: dict, r_join: str, s_join: str,
+                           tag: str) -> None:
+    """Join-column twin of `_check_bucket_layout`: the join-view
+    sinks bucket their standing images by the JOIN column's hash, so
+    resuming a target with DIFFERENT r_join/s_join would prune the
+    wrong buckets in the bilinear Δ-terms — a corruption the
+    value-level guards cannot see (matches silently go missing, no
+    count goes negative). The sinks commit ``image_bucketing``
+    inside ``_ivm_meta.json``; targets written before the field
+    existed pass (None) and adopt the configured columns on their
+    next commit."""
+    committed_bk = meta.get("image_bucketing")
+    if committed_bk is not None and committed_bk != [r_join, s_join]:
+        raise RuntimeError(
+            f"{tag} sink: target images were bucketed by "
+            f"{committed_bk} but the sink is configured with "
+            f"[{r_join!r}, {s_join!r}] — the stored layout would be "
+            "misread; use the committed columns or rebuild the target"
         )
 
 
@@ -2972,14 +3011,7 @@ def join_view_foreach_batch(
         if batch_df.isEmpty():
             return
         _check_bucket_layout(meta, n_buckets, "join_view")
-        committed_bk = meta.get("image_bucketing")
-        if committed_bk is not None and committed_bk != [r_join, s_join]:
-            raise RuntimeError(
-                f"join_view sink: target images were bucketed by "
-                f"{committed_bk} but the sink is configured with "
-                f"[{r_join!r}, {s_join!r}] — the stored layout would be "
-                "misread; use the committed columns or rebuild the target"
-            )
+        _check_image_bucketing(meta, r_join, s_join, "join_view")
         # images bucket by the JOIN column (not the primary key): a
         # delta row's potential matches live in the SAME bucket, so the
         # bilinear terms read the counterpart pruned to the delta's
@@ -3191,6 +3223,7 @@ def join_view_foreach_batch(
                 {
                     "last_batch_id": batch_id,
                     "n_buckets": n_buckets,
+                    "image_bucketing": [r_join, s_join],
                     "applied_files": sorted(applied | batch_files),
                     "last_version": versions[-1] if versions else None,
                 },
@@ -3352,6 +3385,7 @@ def join_view_oplog_foreach_batch(
         sweep_orphans(target_dir)
         meta = _read_sink_meta(target_dir)
         _check_bucket_layout(meta, n_buckets, "join_view_oplog")
+        _check_image_bucketing(meta, r_join, s_join, "join_view_oplog")
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_committed_replay(meta, batch_files, batch_id, "join_view_oplog"):
@@ -3749,6 +3783,7 @@ def join_view_oplog_foreach_batch(
                 {
                     "last_batch_id": batch_id,
                     "n_buckets": n_buckets,
+                    "image_bucketing": [r_join, s_join],
                     "applied_files": sorted(applied | batch_files),
                     "last_seq": int(v["hi"]),
                 },

@@ -372,9 +372,18 @@ def test_undeclared_bucket_replacement_raises(spark, tmp_path):
     other = next(b for b in range(8) if b != b3)
     # mate sub-case (tiny store, shared file): b3 would ride in as a
     # mate of `other` and the mate union would duplicate its rows
+    import os
+
+    from epe_data_wrangling_spark.streaming.manifest import pool_store_dir
+
+    pool_before = set(os.listdir(pool_store_dir(target, "s")))
     with pytest.raises(RuntimeError, match="not declared in touched"):
         _commit(spark, target, "s", _df(spark, [(3, 999)]), [other], 1)
-    # unshared sub-case (production sizing): caught after the write
+    # the witness runs PRE-write: a rejected commit leaves the pool
+    # byte-identical (an external caller that never runs sweep_orphans
+    # must not leak stranded files on every rejection)
+    assert set(os.listdir(pool_store_dir(target, "s"))) == pool_before
+    # unshared sub-case (production sizing): same pre-write witness
     from epe_data_wrangling_spark.streaming.manifest import (
         TARGET_MIN_FILE_ROWS,
     )
@@ -383,5 +392,7 @@ def test_undeclared_bucket_replacement_raises(spark, tmp_path):
     per = 2 * TARGET_MIN_FILE_ROWS
     _commit(spark, target2, "s", _df(spark, [(k, k) for k in range(8 * per)]),
             list(range(8)), 0)
+    pool2_before = set(os.listdir(pool_store_dir(target2, "s")))
     with pytest.raises(RuntimeError, match="not declared in touched"):
         _commit(spark, target2, "s", _df(spark, [(3, 999)]), [other], 1)
+    assert set(os.listdir(pool_store_dir(target2, "s"))) == pool2_before

@@ -171,9 +171,21 @@ def test_ivfpq_recall_vs_exact_l2(spark):
         .filter(F.col("rn") <= IVFPQ_K)
     )
     ex = {(r.query_id, r.vec_id) for r in exact.collect()}
-    ap = {
-        (r.query_id, r.neighbor_id)
-        for r in ann_ivfpq_topk(spark, SF_DIR).collect()
-    }
-    recall = len(ex & ap) / len(ex)
-    assert recall >= 0.85, f"IVFPQ recall {recall:.3f} over {len(ex)} truths"
+    # Probe sweep — the dial a production user actually turns (FAISS
+    # nprobe). Recall must not DECREASE with more probed cells: extra
+    # cells only add candidates, and the exact re-rank keeps the best
+    # — the tiny tolerance covers ADC-candidate-cap crowding (a new
+    # cell's vectors can push a true neighbor out of the ADC
+    # top-IVFPQ_CAND before re-rank sees it) and tie-order jitter.
+    # This also guards codebook regressions the single floor could
+    # miss: a broken residual codebook flattens the curve.
+    recalls = {}
+    for probe in (2, 4, 8):
+        ap = {
+            (r.query_id, r.neighbor_id)
+            for r in ann_ivfpq_topk(spark, SF_DIR, probe=probe).collect()
+        }
+        recalls[probe] = len(ex & ap) / len(ex)
+    assert recalls[4] >= 0.85, f"IVFPQ recall {recalls} over {len(ex)} truths"
+    assert recalls[2] <= recalls[4] + 0.02, f"probe curve not monotone: {recalls}"
+    assert recalls[4] <= recalls[8] + 0.02, f"probe curve not monotone: {recalls}"

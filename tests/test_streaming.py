@@ -788,7 +788,8 @@ _JOIN_VIEW_SCHEMA = (
 )
 
 
-def _join_view_run(spark, landing, target, ckpt, max_files):
+def _join_view_run(spark, landing, target, ckpt, max_files,
+                   r_join="o_custkey", s_join="c_custkey"):
     from epe_data_wrangling_spark.streaming.ops import join_view_foreach_batch
 
     reader = spark.readStream.schema(_JOIN_VIEW_SCHEMA)
@@ -804,8 +805,8 @@ def _join_view_run(spark, landing, target, ckpt, max_files):
         s_tag="S",
         r_key=["o_orderkey"],
         s_key=["c_custkey"],
-        r_join="o_custkey",
-        s_join="c_custkey",
+        r_join=r_join,
+        s_join=s_join,
         r_cols=["o_custkey", "cents", "o_orderstatus"],
         s_cols=["c_custkey", "c_mktsegment"],
         group_cols=["c_mktsegment", "o_orderstatus"],
@@ -865,6 +866,56 @@ def test_join_view_replay_is_noop(spark, tmp_path):
     first = collect(_join_view_run(spark, landing, target, None, 1))
     replayed = collect(_join_view_run(spark, landing, target, None, 1))
     assert first == replayed == _join_view_direct(v3, s2)
+
+
+def test_join_view_rejects_image_bucketing_drift(spark, tmp_path):
+    """The join-view sinks bucket their standing images by the JOIN
+    column's hash; resuming a target with DIFFERENT r_join/s_join
+    would prune the WRONG buckets in the bilinear Δ-terms (matches
+    silently go missing — nothing the value-level guards can see), so
+    the committed columns are recorded in the meta and a mismatch
+    must RAISE at batch start."""
+    import json
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    landing, v3, s2 = _join_view_fixture(spark, tmp_path)
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _join_view_run(spark, landing, target, ck, None)
+    with open(os.path.join(target, "_ivm_meta.json")) as f:
+        assert json.load(f)["image_bucketing"] == ["o_custkey", "c_custkey"]
+    # land g4: the same final R image re-presented as version 4 (a
+    # no-change snapshot), so the re-run has an uncommitted batch to
+    # apply and the guard actually gets exercised
+    sub = str(tmp_path / "landing" / "g4")
+    (
+        v3.select(
+            F.lit("R").alias("rel"), F.lit(4).alias("snapshot_version"),
+            "o_orderkey", "o_custkey", "cents", "o_orderstatus",
+            F.lit(None).cast("bigint").alias("c_custkey"),
+            F.lit(None).cast("string").alias("c_mktsegment"),
+        )
+        .coalesce(1)
+        .write.parquet(sub)
+    )
+    for f in os.listdir(sub):
+        if f.endswith(".parquet"):
+            p = os.path.join(sub, f)
+            t = os.path.getmtime(p)
+            os.utime(p, (t + 10, t + 10))
+    with pytest.raises(Exception, match="bucketed by"):
+        _join_view_run(spark, landing, target, ck, None,
+                       r_join="o_orderkey")
+    # the matching configuration still applies cleanly (g4 is a
+    # no-change image: digests match every bucket, the diff is empty,
+    # and the view is untouched)
+    view = _join_view_run(spark, landing, target, ck, None)
+    got = {(r["c_mktsegment"], r["o_orderstatus"]): (r["n"], r["sum_cents"])
+           for r in view.filter(F.col("n") > 0).collect()}
+    assert got == _join_view_direct(v3, s2)
 
 
 def test_join_view_first_version_must_carry_both_relations(spark, tmp_path):
