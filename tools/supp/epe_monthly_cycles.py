@@ -13,8 +13,16 @@ under test: the incremental sink's work is one workbook parse +
 normalize + a delta-sized diff/merge, independent of how many months
 of history the standing fact already holds.
 
-Usage: python tools/supp/epe_monthly_cycles.py [--cycles 12]
-Prints one JSON line {"cycles": [sec, ...], "final_fact_rows": N}.
+``--burst N`` (r13, the distributed-parse payoff): after the cycles,
+land N further one-cell-revision drops AT ONCE and run ONE refresh —
+the full `DataSourceStreamReader` plans one partition per drop, so
+the N workbook parses run in PARALLEL executor tasks within the
+batch (through r12 the Simple stream reader parsed them serially on
+the driver). Compare `burst_sec` against N× the single-cycle band.
+
+Usage: python tools/supp/epe_monthly_cycles.py [--cycles 12] [--burst N]
+Prints one JSON line {"cycles": [sec, ...], "burst_drops": N,
+"burst_sec": s, "final_fact_rows": N}.
 """
 
 from __future__ import annotations
@@ -37,6 +45,7 @@ WORK = "/tmp/epe_monthly_cycles"
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cycles", type=int, default=12)
+    ap.add_argument("--burst", type=int, default=0)
     args = ap.parse_args()
 
     from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
@@ -70,9 +79,28 @@ def main() -> None:
             spark, drops, target, checkpoint_dir=ckpt
         )
         timings.append(round(time.perf_counter() - t0, 2))
+    burst_sec = None
+    if args.burst:
+        for b in range(1, args.burst + 1):
+            c = args.cycles + b
+            grids = copy.deepcopy(base)
+            grids["RESIDENCIAIS"][6][3] = str(
+                float(base["RESIDENCIAIS"][6][3]) + c - 1
+            )
+            write_xlsx(os.path.join(drops, f"drop_{c:03d}.xlsx"), grids)
+        t0 = time.perf_counter()
+        fact, _annual = epe_monthly_refresh(
+            spark, drops, target, checkpoint_dir=ckpt
+        )
+        burst_sec = round(time.perf_counter() - t0, 2)
     print(
         json.dumps(
-            {"cycles": timings, "final_fact_rows": fact.count()}
+            {
+                "cycles": timings,
+                "burst_drops": args.burst,
+                "burst_sec": burst_sec,
+                "final_fact_rows": fact.count(),
+            }
         )
     )
 

@@ -53,15 +53,18 @@ WORK = "/tmp/fixed_delta"
 #: --mult: only keys <= the base maximum are ever carved.
 CARVE_MOD = 2477
 
-ORD_COLS = ["o_custkey", "cents", "o_orderstatus"]
+#: ``g`` is a fine-grained derived group (o_custkey mod 997) so the
+#: affected-group aggregate classes (top-k) recompute ~delta-many
+#: groups, not the whole corpus — the regime the sinks are built for.
+ORD_COLS = ["o_custkey", "cents", "o_orderstatus", "g"]
 OPLOG_SCHEMA = (
     "o_orderkey BIGINT, seq BIGINT, op STRING, o_custkey BIGINT, "
-    "cents BIGINT, o_orderstatus STRING, prev_o_custkey BIGINT, "
-    "prev_cents BIGINT, prev_o_orderstatus STRING"
+    "cents BIGINT, o_orderstatus STRING, g BIGINT, prev_o_custkey BIGINT, "
+    "prev_cents BIGINT, prev_o_orderstatus STRING, prev_g BIGINT"
 )
 SNAP_SCHEMA = (
     "v INT, o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, "
-    "o_orderstatus STRING"
+    "o_orderstatus STRING, g BIGINT"
 )
 JV_SCHEMA = (
     "rel STRING, v INT, o_orderkey BIGINT, o_custkey BIGINT, "
@@ -80,6 +83,7 @@ def build_versions(spark, sf_dir: str, mult: int):
         "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         "o_orderstatus",
+        (F.col("o_custkey") % 997).alias("g"),
     )
     omax, cmax = base.agg(
         F.max("o_orderkey"), F.max("o_custkey")
@@ -95,6 +99,7 @@ def build_versions(spark, sf_dir: str, mult: int):
             ),
             "cents",
             "o_orderstatus",
+            "g",
         )
     else:
         v1 = base
@@ -221,7 +226,13 @@ def main() -> None:
 
     def snap_gens():
         return [
-            (f"g{i}.parquet", v.select(F.lit(i).alias("v"), "*"))
+            (
+                f"g{i}.parquet",
+                v.select(
+                    F.lit(i).alias("v"), "o_orderkey", "o_custkey",
+                    "cents", "o_orderstatus", "g",
+                ),
+            )
             for i, v in enumerate((v1, v2, v3), start=1)
         ]
 
@@ -276,7 +287,7 @@ def main() -> None:
             oplog_gens,
             lambda s, t, ck: ops.topk_view_oplog_foreach_batch(
                 s, t, key_cols=["o_orderkey"], op_col="op", seq_col="seq",
-                group_cols=["o_orderstatus"], value_col="cents", k=5,
+                group_cols=["g"], value_col="cents", k=5,
                 n_buckets=B, checkpoint_dir=ck,
             ),
         ),
