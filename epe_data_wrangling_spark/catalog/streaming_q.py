@@ -26,21 +26,13 @@ def _land_generations(landing: str, gens, prefix: str = "g") -> None:
     """Write each generation DataFrame as ONE parquet file into the
     landing dir with strictly increasing mtimes, so file-source
     discovery order equals generation order — the ordering contract
-    the snapshot sinks enforce. Shared by every snapshot-stream
-    query (the before/after glob diff + rename + utime trick is
-    subtle enough to exist exactly once)."""
-    import glob as globmod
-    import os
+    the snapshot sinks enforce. Thin loop over the shared
+    `streaming.sources.land_single_file` (the glob-diff + rename +
+    utime core exists exactly once, there)."""
+    from epe_data_wrangling_spark.streaming.sources import land_single_file
 
     for i, gdf in enumerate(gens, start=1):
-        before = set(globmod.glob(os.path.join(landing, "*.parquet")))
-        gdf.coalesce(1).write.mode("append").parquet(landing)
-        new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
-        assert len(new) == 1
-        path = os.path.join(landing, f"{prefix}{i}.parquet")
-        os.rename(new.pop(), path)
-        t = os.path.getmtime(path)
-        os.utime(path, (t + i, t + i))  # discovery order := generation order
+        land_single_file(gdf, landing, f"{prefix}{i}.parquet", i)
 
 
 
@@ -422,10 +414,11 @@ def streaming_workbook_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's real operating mode, streaming-native: a
     landing zone where a workbook drop appears each cycle
     (`tratamento_epe.R:39` re-downloads the same monthly-republished
-    .xls), watched by the workbook Python Data Source's
-    SimpleDataSourceStreamReader (sources.spark_datasource.
-    WorkbookStreamReader — offset = seen-file set, replayable
-    readBetweenOffsets). TWO availableNow runs over ONE checkpoint
+    .xls), watched by the workbook Python Data Source's full
+    DataSourceStreamReader (sources.spark_datasource.
+    WorkbookStreamReader — offset = seen-file set, one partition per
+    new drop, BIFF/OOXML parse on the EXECUTORS, replayable
+    partitions(start, end)). TWO availableNow runs over ONE checkpoint
     with a drop landing between them (second drop in the OTHER
     container format): the parquet sink must hold each file's cells
     exactly once — certifying offset commit/restart and the

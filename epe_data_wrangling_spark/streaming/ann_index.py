@@ -168,7 +168,16 @@ def ivf_index_foreach_batch(
             spark, out, target_dir, "vectors", stage,
             batch_id=batch_id, touched=touched, manifest=manifest,
         )
-        cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+        if os.path.isdir(cent_dir):
+            # frozen quantizer: byte-identical carry into the stage (no
+            # per-batch Spark round-trip, no re-serialization drift)
+            import shutil
+
+            shutil.copytree(cent_dir, os.path.join(stage, "centroids"))
+        else:
+            cents.write.mode("overwrite").parquet(
+                os.path.join(stage, "centroids")
+            )
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
@@ -213,10 +222,21 @@ def ivf_index_topk(
     cells = sorted(
         int(r["_kb"]) for r in probes.select("_kb").distinct().collect()
     )
-    vecs = read_store(spark, target_dir, "vectors", buckets=cells)
-    if vecs is None:
+    manifest = read_manifest(target_dir, "vectors")
+    if manifest is None:
         raise RuntimeError(
             f"ivf_index serve: no committed index at {target_dir}"
+        )
+    vecs = read_store(
+        spark, target_dir, "vectors", buckets=cells, manifest=manifest
+    )
+    if vecs is None:
+        # committed index, but every probed cell is vector-empty (a
+        # skewed corpus can leave trained cells unpopulated): IVF
+        # serve semantics = zero candidates, not an error
+        return spark.createDataFrame(
+            [],
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
         )
     id_col = [col for col in vecs.columns if col not in ("v", "_kb")][0]
     d2 = F.round(

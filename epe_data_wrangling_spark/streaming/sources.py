@@ -36,6 +36,27 @@ def _as_stream_dir(parquet_file: str) -> str:
     return d
 
 
+def land_single_file(df: DataFrame, landing: str, name: str, order: int) -> None:
+    """Write ``df`` as ONE parquet file named ``name`` in ``landing``
+    with mtime bumped by ``order`` seconds — the landing contract
+    every generation-ordered file stream relies on (file-source
+    discovery order equals generation order). The before/after glob
+    diff + rename + utime sequence is subtle enough to exist exactly
+    once: fixture-side landers (`catalog.streaming_q._land_generations`,
+    tools/supp, tests) all call this."""
+    import glob as globmod
+
+    os.makedirs(landing, exist_ok=True)
+    before = set(globmod.glob(os.path.join(landing, "*.parquet")))
+    df.coalesce(1).write.mode("append").parquet(landing)
+    new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
+    assert len(new) == 1
+    path = os.path.join(landing, name)
+    os.rename(new.pop(), path)
+    t = os.path.getmtime(path)
+    os.utime(path, (t + order, t + order))
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,

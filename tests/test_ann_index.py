@@ -5,7 +5,6 @@ final state equals the from-scratch recompute."""
 
 from __future__ import annotations
 
-import glob
 import os
 
 import pytest
@@ -24,15 +23,9 @@ NQ, PROBE, K = 12, 3, 3
 
 
 def _land(df, landing: str, name: str, order: int) -> None:
-    os.makedirs(landing, exist_ok=True)
-    before = set(glob.glob(os.path.join(landing, "*.parquet")))
-    df.coalesce(1).write.mode("append").parquet(landing)
-    new = set(glob.glob(os.path.join(landing, "*.parquet"))) - before
-    assert len(new) == 1
-    path = os.path.join(landing, name)
-    os.rename(new.pop(), path)
-    t = os.path.getmtime(path)
-    os.utime(path, (t + order, t + order))
+    from epe_data_wrangling_spark.streaming.sources import land_single_file
+
+    land_single_file(df, landing, name, order)
 
 
 def _run(spark, landing: str, target: str, ck: str, k_cells: int = 8,

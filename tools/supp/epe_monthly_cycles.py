@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--cycles", type=int, default=12)
     ap.add_argument("--burst", type=int, default=0)
     args = ap.parse_args()
+    if args.cycles < 1 and not args.burst:
+        ap.error("need --cycles >= 1 or --burst > 0 (nothing to land)")
 
     from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
     from epe_data_wrangling_spark.session import get_spark

@@ -135,19 +135,11 @@ def replicated_customer(spark, sf_dir: str, mult: int, cmax: int):
 
 
 def land_one(df, landing: str, name: str, order: int) -> None:
-    """One generation -> one mtime-ordered parquet file (the landing
-    contract every snapshot/oplog sink enforces)."""
-    import glob as globmod
+    """One generation -> one mtime-ordered parquet file (the shared
+    landing core from `streaming.sources`)."""
+    from epe_data_wrangling_spark.streaming.sources import land_single_file
 
-    os.makedirs(landing, exist_ok=True)
-    before = set(globmod.glob(os.path.join(landing, "*.parquet")))
-    df.coalesce(1).write.mode("append").parquet(landing)
-    new = set(globmod.glob(os.path.join(landing, "*.parquet"))) - before
-    assert len(new) == 1
-    path = os.path.join(landing, name)
-    os.rename(new.pop(), path)
-    t = os.path.getmtime(path)
-    os.utime(path, (t + order, t + order))
+    land_single_file(df, landing, name, order)
 
 
 def timed_increments(spark, work: str, schema: str, gens, sink_call) -> dict:
