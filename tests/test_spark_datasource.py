@@ -266,3 +266,37 @@ def test_workbook_writer_null_cells_round_trip(spark, tmp_path):
         ["a", None, None],
         ["c", "d", None],
     ]
+
+
+def test_stream_reader_plans_one_partition_per_new_drop(tmp_path):
+    """The distributed-parse contract (r13): `WorkbookStreamReader`
+    is a FULL DataSourceStreamReader whose `partitions(start, end)`
+    plans ONE partition per file that joined between the offsets —
+    the unit of executor-side parse parallelism for a fleet of
+    concurrent drops. Unknown/already-seen files must not be
+    re-planned."""
+    import os
+
+    from epe_data_wrangling_spark.sources.spark_datasource import (
+        WorkbookStreamReader,
+    )
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    files = []
+    for i in range(3):
+        p = os.path.join(d, f"drop_{i}.xlsx")
+        open(p, "wb").close()  # listing-only: partitions never opens files
+        files.append(p)
+    r = WorkbookStreamReader({"path": d})
+    assert r.initialOffset() == {"seen": []}
+    assert r.latestOffset() == {"seen": sorted(files)}
+    parts = r.partitions({"seen": []}, {"seen": sorted(files)})
+    assert sorted(p.file for p in parts) == sorted(files)
+    # incremental: only the unseen file is planned
+    parts2 = r.partitions(
+        {"seen": sorted(files[:2])}, {"seen": sorted(files)}
+    )
+    assert [p.file for p in parts2] == [files[2]]
+    # no new files -> no partitions (an empty poll plans nothing)
+    assert r.partitions({"seen": sorted(files)}, {"seen": sorted(files)}) == []
