@@ -89,16 +89,17 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: the externally-validated surface for the round. The window ROTATES
 #: each round; every registered query has a driver-certified record
 #: (274 cumulative through r12, judge-reverified), so the r13 window
-#: carries (a) the 10 anchors, (b) streaming_ann_index_refresh (ADDED
-#: r13, never driver-certified: incremental IVF index maintenance),
-#: (c) ann_cosine_topk_arrow (rows-only BY DESIGN — Arrow/BLAS float
-#: summation order; its slot keeps driver row+schema evidence fresh),
-#: and (d) 38 stalest-certified re-certs (oldest green driver row
-#: first, per tools/rotate_window.py) — this drains the ENTIRE r6
-#: vintage (26 queries, the oldest bucket after the r12 drain of r5)
-#: plus the 12 oldest r7-vintage rows, so after a green r13 no
-#: non-anchor query's hard signal is older than r7 (max staleness ≤ 6
-#: sustained).
+#: carries (a) the 10 anchors, (b) the 2 queries ADDED during r13
+#: (never driver-certified: streaming_ann_index_refresh — incremental
+#: IVF index maintenance — and streaming_ivfpq_index_refresh, its
+#: PQ-coded billion-scale form), (c) ann_cosine_topk_arrow (rows-only
+#: BY DESIGN — Arrow/BLAS float summation order; its slot keeps
+#: driver row+schema evidence fresh), and (d) 37 stalest-certified
+#: re-certs (oldest green driver row first, per
+#: tools/rotate_window.py) — this drains the ENTIRE r6 vintage (26
+#: queries, the oldest bucket after the r12 drain of r5) plus the 11
+#: oldest r7-vintage rows, so after a green r13 no non-anchor query's
+#: hard signal is older than r7 (max staleness ≤ 6 sustained).
 #: Queries outside the window remain locally verified every round by
 #: tools/verify_local.py (the full DuckDB-differential sweep).
 PRIORITY_ORDER = [
@@ -113,8 +114,9 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the query added during r13 (never driver-certified)
+    # --- the 2 queries added during r13 (never driver-certified)
     "streaming_ann_index_refresh",
+    "streaming_ivfpq_index_refresh",
     # --- rows-only-by-design twin: refresh its driver row evidence
     "ann_cosine_topk_arrow",
     # --- stalest re-certs (oldest driver-green first): all 26
@@ -156,7 +158,6 @@ PRIORITY_ORDER = [
     "event_type_cooccurrence",
     "feature_winsorize_robust",
     "funnel_conversion_rates",
-    "histogram_order_totals",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

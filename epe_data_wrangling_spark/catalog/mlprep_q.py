@@ -1220,59 +1220,22 @@ def ann_ivfpq_topk(
         "cell",
         F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias("r"),
     )
-    rsub = res.select(
-        "vec_id",
-        "cell",
-        F.posexplode(
-            F.array(
-                *[F.slice(F.col("r"), m * PQ_SUB + 1, PQ_SUB) for m in range(PQ_M)]
-            )
-        ).alias("m", "rv"),
-    ).withColumn("rvv", V.dot(F.col("rv"), F.col("rv")))
-    init = (
-        rsub.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("m").orderBy("vec_id"))
-        )
-        .filter(F.col("rn") <= IVFPQ_CBK)
-        .select("m", F.col("vec_id").alias("cid"), F.col("rv").alias("c"))
+    from epe_data_wrangling_spark.operators.pq import (
+        assign_codes,
+        split_residual_subspaces,
+        train_residual_codebooks,
     )
 
-    def with_cc(cb: DataFrame) -> DataFrame:
-        return cb.withColumn("cc", V.dot(F.col("c"), F.col("c")))
-
-    def assign_res(cb_cc: DataFrame) -> DataFrame:
-        d2 = (F.col("rvv") - 2 * V.dot(F.col("rv"), F.col("c"))) + F.col("cc")
-        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("cid"))
-        return (
-            rsub.join(F.broadcast(cb_cc), "m")
-            .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-
-    staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
-    a1 = assign_res(with_cc(init)).select("vec_id", "m", "rv", "cid")
-    m1 = (
-        a1.select("m", "cid", F.posexplode(F.col("rv")).alias("dim", "x"))
-        .groupBy("m", "cid", "dim")
-        .agg(
-            (
-                F.sum(staged).cast("double")
-                / F.count(F.lit(1)).cast("double")
-                / F.lit(1e9)
-            ).alias("mean_val")
-        )
+    rsub = split_residual_subspaces(
+        res, PQ_M, PQ_SUB, keep=["vec_id", "cell"]
     )
-    cb1 = with_cc(
-        m1.groupBy("m", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
-                lambda s: s["mean_val"],
-            ).alias("c")
-        )
+    cb1 = train_residual_codebooks(
+        rsub, IVFPQ_CBK, "vec_id"
     ).localCheckpoint(eager=False)
     # ^ barrier: cb1 feeds corpus encoding AND the query tables
-    codes = assign_res(cb1).select("vec_id", "cell", "m", "cid")
+    codes = assign_codes(rsub, cb1, "vec_id").select(
+        "vec_id", "cell", "m", "cid"
+    )
     w_pr = Window.partitionBy("query_id").orderBy(F.col("d2"), F.col("cell"))
     probes = (
         ev.filter(F.col("vec_id") < IVFPQ_NQ)

@@ -2721,3 +2721,223 @@ def streaming_ann_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+AIDXQ_NQ = 10     #: queries served by the PQ-coded index
+AIDXQ_PROBE = 4
+AIDXQ_CAND = 50   #: ADC candidates before exact re-rank
+AIDXQ_K = 5
+AIDXQ_M = 4       #: PQ subspaces (64 dims -> 16 each)
+AIDXQ_SUB = 16
+AIDXQ_CBK = 32    #: residual codebook entries per subspace
+
+
+def _ivfpq_index_oracle() -> str:
+    """Recompute of the PQ-coded index's final state: coarse
+    quantizer AND residual codebooks trained on the BOOTSTRAP
+    generation only (vec_id % 3 = 0 — the sink's frozen stages), ALL
+    vectors residual-encoded against them, probed ADC + exact
+    re-rank. Mirrors `operators.kmeans.lloyd_means` +
+    `operators.pq` operation tree for operation tree (same staging
+    as mlprep_q's _kmeans_oracle/_ivfpq_oracle)."""
+    mean = (
+        "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
+        " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
+    )
+
+    def assign(cents: str, out: str) -> str:
+        return f"""
+    {out} AS (SELECT vec_id, v, cid FROM (
+        SELECT tv.vec_id, tv.v, c.cid,
+               row_number() OVER (PARTITION BY tv.vec_id
+                 ORDER BY (tv.vv - 2 * list_dot_product(tv.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM tv CROSS JOIN {cents} c) t
+      WHERE rn = 1)"""
+
+    def update(assigned: str, out: str) -> str:
+        return f"""
+    {out}x AS (SELECT cid, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
+        FROM {assigned}, LATERAL unnest(generate_series(1, len(v))) u(i)),
+    {out} AS (SELECT cid, dim, {mean} AS mean_val
+              FROM {out}x GROUP BY cid, dim)"""
+
+    def to_cent(means: str, out: str) -> str:
+        return f"""
+    {out}l AS (SELECT cid, list(mean_val ORDER BY dim) AS c
+               FROM {means} GROUP BY cid),
+    {out} AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM {out}l)"""
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
+           WHERE vec_id % 3 = 0),
+    c0l AS (SELECT vec_id AS cid, v AS c FROM tv
+            ORDER BY vec_id LIMIT {AIDX_CELLS}),
+    c0 AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM c0l),
+    {assign("c0", "a1")},
+    {update("a1", "m1")},
+    {to_cent("m1", "c1")},
+    {assign("c1", "a2")},
+    {update("a2", "m2")},
+    {to_cent("m2", "cent")},
+    av AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    asg AS (SELECT vec_id, v, cell, cv FROM (
+        SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY (a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM av a CROSS JOIN cent c) t WHERE rn = 1),
+    res AS (SELECT vec_id, cell,
+                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+            FROM asg),
+    rsub0 AS (SELECT vec_id, cell, u.m AS m,
+                     r[u.m * {AIDXQ_SUB} + 1 : (u.m + 1) * {AIDXQ_SUB}] AS rv
+              FROM res, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
+    rsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
+             FROM rsub0),
+    tsub AS (SELECT * FROM rsub WHERE vec_id % 3 = 0),
+    init AS (SELECT m, vec_id AS cid, rv AS c FROM (
+               SELECT m, vec_id, rv,
+                      row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+               FROM tsub) t WHERE rn <= {AIDXQ_CBK}),
+    cb0 AS (SELECT m, cid, c, list_dot_product(c, c) AS cc FROM init),
+    b1 AS (SELECT vec_id, m, rv, cid FROM (
+             SELECT s.vec_id, s.m, s.rv, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY (s.rvv - 2 * list_dot_product(s.rv, c.c)) + c.cc,
+                               c.cid) AS rn
+             FROM tsub s JOIN cb0 c ON s.m = c.m) t WHERE rn = 1),
+    n1x AS (SELECT m, cid, CAST(u.i - 1 AS INTEGER) AS dim, rv[u.i] AS x
+            FROM b1, LATERAL unnest(generate_series(1, len(rv))) u(i)),
+    n1 AS (SELECT m, cid, dim, {mean} AS mean_val
+           FROM n1x GROUP BY m, cid, dim),
+    cb1l AS (SELECT m, cid, list(mean_val ORDER BY dim) AS c
+             FROM n1 GROUP BY m, cid),
+    cb1 AS (SELECT m, cid, c, list_dot_product(c, c) AS cc FROM cb1l),
+    codes AS (SELECT vec_id, cell, m, cid FROM (
+                SELECT s.vec_id, s.cell, s.m, c.cid,
+                       row_number() OVER (PARTITION BY s.vec_id, s.m
+                         ORDER BY (s.rvv - 2 * list_dot_product(s.rv, c.c))
+                                  + c.cc, c.cid) AS rn
+                FROM rsub s JOIN cb1 c ON s.m = c.m) t WHERE rn = 1),
+    probes AS (SELECT query_id, qv, qq, cell, cv FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.vv AS qq,
+               c.cid AS cell, c.c AS cv,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY (q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM av q CROSS JOIN cent c WHERE q.vec_id < {AIDXQ_NQ}) t
+      WHERE rn <= {AIDXQ_PROBE}),
+    qres AS (SELECT query_id, cell,
+                    list_transform(range(1, len(qv) + 1),
+                                   i -> qv[i] - cv[i]) AS r
+             FROM probes),
+    qsub0 AS (SELECT query_id, cell, u.m AS m,
+                     r[u.m * {AIDXQ_SUB} + 1 : (u.m + 1) * {AIDXQ_SUB}] AS rv
+              FROM qres, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
+    qsub AS (SELECT query_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
+             FROM qsub0),
+    dtab AS (SELECT s.query_id, s.cell, s.m, c.cid,
+                    CAST(round(((s.rvv - 2 * list_dot_product(s.rv, c.c))
+                                + c.cc) * 1000000000.0) AS BIGINT) AS d2_r
+             FROM qsub s JOIN cb1 c ON s.m = c.m),
+    adc AS (SELECT d.query_id, k.vec_id, SUM(d.d2_r) AS adc_r
+            FROM codes k
+            JOIN dtab d ON k.cell = d.cell AND k.m = d.m AND k.cid = d.cid
+            WHERE d.query_id <> k.vec_id
+            GROUP BY d.query_id, k.vec_id),
+    cand AS (SELECT query_id, vec_id FROM (
+               SELECT query_id, vec_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY adc_r, vec_id) AS rn
+               FROM adc) t WHERE rn <= {AIDXQ_CAND}),
+    exact AS (SELECT c.query_id, c.vec_id AS neighbor_id,
+                     CAST(round(((q.vv - 2 * list_dot_product(q.v, x.v))
+                                 + x.vv) * 1000000000.0) AS BIGINT) AS d2_r
+              FROM cand c
+              JOIN av q ON q.vec_id = c.query_id
+              JOIN av x ON x.vec_id = c.vec_id)
+    SELECT query_id, neighbor_id, rank,
+           round(CAST(d2_r AS DOUBLE) / 1000000000.0, 6) AS l2_dist
+    FROM (SELECT query_id, neighbor_id, d2_r,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY d2_r, neighbor_id) AS INTEGER) AS rank
+          FROM exact) t
+    WHERE rank <= {AIDXQ_K}
+    """
+
+
+@query("streaming_ivfpq_index_refresh", oracle=_ivfpq_index_oracle())
+def streaming_ivfpq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-CODED incremental ANN index — the billion-scale ingestion
+    form of `streaming_ann_index_refresh` (FAISS IVFPQ maintained
+    incrementally): the bootstrap generation trains the coarse
+    quantizer AND the residual codebooks (both via the shared
+    trainers, so batch `ann_ivfpq_topk` and this sink cannot drift),
+    both freeze, and each later generation's vectors are
+    residual-encoded to {AIDXQ_M} one-byte codes and appended into
+    the cell-bucketed manifest store — the index holds CODES only
+    (~{AIDXQ_SUB}× smaller than the float vectors; raw vectors stay
+    in the source table, which serve-time exact re-rank reads as a
+    |queries|×{AIDXQ_CAND} point-lookup). Serve: {AIDXQ_NQ} queries
+    probe {AIDXQ_PROBE}/{AIDX_CELLS} cells, score the probed cells'
+    codes by broadcast ADC tables, exact-re-rank the top
+    {AIDXQ_CAND}. The oracle recomputes the FINAL state from scratch
+    (train both stages on generation 1, encode all, probe, ADC,
+    re-rank), so the hash certifies that append-only PQ-coded
+    maintenance lands exactly on recompute. Scale: per ingestion
+    batch = delta × K argmin + delta-residual encode against
+    broadcast codebooks + touched-cell rewrite of CODE rows; a query
+    scans ~{AIDXQ_PROBE}/{AIDX_CELLS} of the corpus as codes."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_foreach_batch,
+        ivfpq_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ivfpq_index_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing,
+            [e.filter(F.col("vec_id") % 3 == i) for i in range(3)],
+        )
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivfpq_index_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS,
+            pq_m=AIDXQ_M, pq_sub=AIDXQ_SUB, cbk=AIDXQ_CBK,
+            checkpoint_dir=ckpt,
+        )
+        queries = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        vectors = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        rows = ivfpq_index_topk(
+            spark, target, queries, vectors,
+            probe=AIDXQ_PROBE, cand=AIDXQ_CAND, k=AIDXQ_K,
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

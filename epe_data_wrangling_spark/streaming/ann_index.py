@@ -73,7 +73,9 @@ from epe_data_wrangling_spark.streaming.manifest import sweep_orphans
 def _assign_cells(batch: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Nearest-trained-centroid assignment (dist² argmin against the
     broadcast centroids — the Lloyd metric, so the index is coherent
-    with its trainer). Returns (id, v, _kb = cell)."""
+    with its trainer). Returns (id, v, _kb = cell, cv = the cell's
+    centroid vector — the residual encoders need it; plain callers
+    drop it)."""
     c = cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
     dist2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
     w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("cid"))
@@ -83,7 +85,10 @@ def _assign_cells(batch: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
         .withColumn("dist2", dist2)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, "v", F.col("cid").cast("int").alias("_kb"))
+        .select(
+            id_col, "v", F.col("cid").cast("int").alias("_kb"),
+            F.col("c").alias("cv"),
+        )
     )
 
 
@@ -136,7 +141,7 @@ def ivf_index_foreach_batch(
             ).localCheckpoint(eager=True)  # barrier: feeds every later job
         else:
             cents = spark.read.parquet(cent_dir)
-        delta = _assign_cells(batch, cents, id_col).localCheckpoint(
+        delta = _assign_cells(batch, cents, id_col).drop("cv").localCheckpoint(
             eager=True  # assignment feeds the guard, the union, the commit
         )
         touched = sorted(
@@ -254,6 +259,276 @@ def ivf_index_topk(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
             d2.alias("d2_r"),
+        )
+        .withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("d2_r").cast("double") / F.lit(1e9), 6).alias(
+                "l2_dist"
+            ),
+        )
+    )
+
+
+def ivfpq_index_foreach_batch(
+    vectors: DataFrame,
+    target_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_cells: int = 8,
+    train_iters: int = 2,
+    pq_m: int = 4,
+    pq_sub: int = 16,
+    cbk: int = 32,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """PQ-coded twin of `ivf_index_foreach_batch` — the
+    billion-scale ingestion form (FAISS IVFPQ, by_residual=true,
+    maintained incrementally): the bootstrap batch trains the coarse
+    quantizer AND the residual codebooks (both via the shared
+    trainers — `operators.kmeans.lloyd_means`,
+    `operators.pq.train_residual_codebooks` — so the batch
+    `ann_ivfpq_topk` and this sink cannot drift), then BOTH are
+    frozen; every batch's vectors are assigned to their cell,
+    residual-encoded to ``pq_m`` codebook ids, and the CODES (one
+    (id, m, cid) row per subspace — ~``pq_sub``× smaller than the
+    float vectors) append into the cell-bucketed manifest store. The
+    raw vectors are never stored: serve-time exact re-rank reads them
+    from the caller's source table (`ivfpq_index_topk(vectors=...)`),
+    which is where they live at 100 TB anyway. Same exactly-once /
+    duplicate-id / layout-drift discipline as the raw-vector sink."""
+
+    from epe_data_wrangling_spark.operators.pq import (
+        assign_codes,
+        split_residual_subspaces,
+        train_residual_codebooks,
+        with_cc,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_committed_replay(meta, batch_files, batch_id, "ivfpq_index"):
+            return
+        if batch_df.isEmpty():
+            return
+        committed = meta.get("pq_layout")
+        layout = [k_cells, pq_m, pq_sub, cbk]
+        if committed is not None and committed != layout:
+            raise RuntimeError(
+                f"ivfpq_index sink: target was committed with "
+                f"[k_cells, m, sub, cbk]={committed} but the sink is "
+                f"configured with {layout} — the stored cells/codes would "
+                "be misread; use the committed layout or rebuild the target"
+            )
+        batch = batch_df.select(
+            id_col, F.col(vec_col).cast("array<double>").alias("v")
+        )
+        cent_dir = os.path.join(target_dir, "centroids")
+        cb_dir = os.path.join(target_dir, "codebooks")
+        manifest = read_manifest(target_dir, "codes")
+        if manifest is None and not os.path.isdir(cent_dir):
+            # bootstrap: this batch trains BOTH frozen stages
+            ev = batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+            cents = means_to_centroids(
+                lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+            ).localCheckpoint(eager=True)
+            asg0 = _assign_cells(batch, cents, id_col)
+            res0 = asg0.select(
+                id_col, "_kb",
+                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias(
+                    "r"
+                ),
+            )
+            rsub0 = split_residual_subspaces(
+                res0, pq_m, pq_sub, keep=[id_col, "_kb"]
+            )
+            cb = train_residual_codebooks(
+                rsub0, cbk, id_col
+            ).localCheckpoint(eager=True)
+        else:
+            cents = spark.read.parquet(cent_dir)
+            cb = with_cc(spark.read.parquet(cb_dir))
+        asg = _assign_cells(batch, cents, id_col)
+        res = asg.select(
+            id_col, "_kb",
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias("r"),
+        )
+        rsub = split_residual_subspaces(res, pq_m, pq_sub, keep=[id_col, "_kb"])
+        delta = (
+            assign_codes(rsub, cb, id_col)
+            .select(id_col, "m", "cid", "_kb")
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
+        )
+        existing = read_store(
+            spark, target_dir, "codes", buckets=touched, manifest=manifest
+        )
+        if existing is not None:
+            dup = (
+                delta.select(id_col)
+                .distinct()
+                .join(existing.select(id_col).distinct(), id_col)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise RuntimeError(
+                    f"ivfpq_index sink: id {dup[0][0]} already present in "
+                    "its assigned cell — the stream re-delivered a vector "
+                    "outside batch replay (appending would duplicate its "
+                    "codes); dedup upstream or rebuild the target"
+                )
+            out = existing.unionByName(delta)
+        else:
+            out = delta
+        stage = f"{target_dir}.stage-{batch_id}"
+        os.makedirs(stage, exist_ok=True)
+        write_store_delta(
+            spark, out, target_dir, "codes", stage,
+            batch_id=batch_id, touched=touched, manifest=manifest,
+        )
+        import shutil
+
+        for sub_dir, df_fresh in (("centroids", cents), ("codebooks", cb)):
+            committed_dir = os.path.join(target_dir, sub_dir)
+            if os.path.isdir(committed_dir):
+                # frozen stages: byte-identical carry into the stage
+                shutil.copytree(committed_dir, os.path.join(stage, sub_dir))
+            else:
+                out_df = df_fresh.drop("cc") if sub_dir == "codebooks" else df_fresh
+                out_df.write.mode("overwrite").parquet(
+                    os.path.join(stage, sub_dir)
+                )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": batch_id,
+                    "pq_layout": layout,
+                    "applied_files": sorted(applied | batch_files),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(
+        vectors, _apply, checkpoint_dir, "ivfpq_index", timeout_sec
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    target_dir: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    *,
+    probe: int = 4,
+    cand: int = 50,
+    k: int = 5,
+) -> DataFrame:
+    """Serve from the PQ-coded index: queries probe their ``probe``
+    nearest cells, build per-(cell, subspace) asymmetric-distance
+    tables of their OWN residual against the frozen codebooks
+    (broadcast), score the probed cells' CODES by table lookups
+    (ADC — the index scan reads codes only, pruned to the probed
+    cells), and the ADC top-``cand`` are re-ranked by EXACT L2
+    against ``vectors`` (the caller's raw-vector table — at 100 TB a
+    |queries|×cand point-lookup join, never a corpus scan). Returns
+    (query_id, neighbor_id, rank, l2_dist), BIGINT-staged like the
+    batch twin."""
+    from epe_data_wrangling_spark.operators.pq import (
+        split_residual_subspaces,
+        with_cc,
+    )
+
+    meta = _read_sink_meta(target_dir)
+    layout = meta.get("pq_layout")
+    if layout is None:
+        raise RuntimeError(
+            f"ivfpq_index serve: no committed index at {target_dir}"
+        )
+    _k_cells, pq_m, pq_sub, _cbk = layout
+    cents = spark.read.parquet(os.path.join(target_dir, "centroids"))
+    cb = with_cc(spark.read.parquet(os.path.join(target_dir, "codebooks")))
+    c = cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+    q = queries.withColumn("qq", V.dot(F.col("qv"), F.col("qv")))
+    d2c = (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("c"))) + F.col("cc")
+    w_p = Window.partitionBy("query_id").orderBy(F.col("d2c"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(c.select("cid", "c", "cc")))
+        .withColumn("d2c", d2c)
+        .withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= probe)
+        .select(
+            "query_id", "qv", "qq",
+            F.col("cid").cast("int").alias("_kb"),
+            F.col("c").alias("cv"),
+        )
+    )
+    qres = probes.select(
+        "query_id", "_kb",
+        F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: a - b).alias("r"),
+    )
+    qsub = split_residual_subspaces(
+        qres, pq_m, pq_sub, keep=["query_id", "_kb"]
+    )
+    d2q = (F.col("rvv") - 2 * V.dot(F.col("rv"), F.col("c"))) + F.col("cc")
+    dtab = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "_kb", "m", "cid",
+        F.round(d2q * F.lit(1e9)).cast("bigint").alias("d2_r"),
+    )
+    cells = sorted(
+        int(r["_kb"]) for r in probes.select("_kb").distinct().collect()
+    )
+    codes = read_store(spark, target_dir, "codes", buckets=cells)
+    if codes is None:
+        # committed index, but every probed cell is code-empty
+        return spark.createDataFrame(
+            [],
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    id_col = [col for col in codes.columns if col not in ("m", "cid", "_kb")][0]
+    adc = (
+        codes.join(F.broadcast(dtab), ["_kb", "m", "cid"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2_r").alias("adc_r"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy("adc_r", id_col)
+    cand_df = (
+        adc.withColumn("rn", F.row_number().over(w_c))
+        .filter(F.col("rn") <= cand)
+        .select("query_id", id_col)
+    )
+    ev = vectors.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    d2x = F.round(
+        (
+            (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v")))
+            + F.col("vv")
+        )
+        * F.lit(1e9)
+    ).cast("bigint")
+    w_k = Window.partitionBy("query_id").orderBy("d2_r", "neighbor_id")
+    return (
+        ev.join(F.broadcast(cand_df), ev[id_col] == cand_df[id_col])
+        .drop(cand_df[id_col])
+        .join(F.broadcast(q.select("query_id", "qv", "qq")), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            d2x.alias("d2_r"),
         )
         .withColumn("rank", F.row_number().over(w_k).cast("int"))
         .filter(F.col("rank") <= k)

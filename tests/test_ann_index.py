@@ -214,3 +214,96 @@ def test_ann_index_serve_prunes_and_broadcasts(spark, tmp_path):
     assert "_kb" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- PQ-coded twin (codes-only store, external re-rank) --------------
+
+from epe_data_wrangling_spark.streaming.ann_index import (  # noqa: E402
+    ivfpq_index_foreach_batch,
+    ivfpq_index_topk,
+)
+
+
+def _pq_run(spark, landing: str, target: str, ck: str, pq_m: int = 4,
+            per_file: bool = True) -> None:
+    reader = spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    if per_file:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    ivfpq_index_foreach_batch(
+        reader.parquet(landing), target,
+        k_cells=8, train_iters=2, pq_m=pq_m, pq_sub=64 // pq_m, cbk=32,
+        checkpoint_dir=ck,
+    )
+
+
+def _pq_serve_set(spark, target, e):
+    vectors = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_index_topk(
+            spark, target, _queries(e), vectors, probe=PROBE, cand=30, k=K
+        ).collect()
+    }
+
+
+def test_ivfpq_index_batch_split_invariance(spark, tmp_path):
+    """Incremental land+run cycles and one per-file-trigger run must
+    produce identical code stores — serve results equal. (Exact
+    convergence-on-recompute is certified by the catalog oracle.)"""
+    gens, e = _gens(spark)
+    l1, l2 = str(tmp_path / "l1"), str(tmp_path / "l2")
+    for i, g in enumerate(gens, start=1):
+        _land(g, l1, f"g{i}.parquet", i)
+    t1 = str(tmp_path / "t1")
+    _pq_run(spark, l1, t1, str(tmp_path / "ck1"))
+    t2 = str(tmp_path / "t2")
+    ck2 = str(tmp_path / "ck2")
+    for i, g in enumerate(gens, start=1):
+        _land(g, l2, f"g{i}.parquet", i)
+        _pq_run(spark, l2, t2, ck2)
+    s1 = _pq_serve_set(spark, t1, e)
+    assert s1 == _pq_serve_set(spark, t2, e)
+    assert len({q for q, _, _ in s1}) == NQ
+
+
+def test_ivfpq_index_layout_drift_and_duplicate_raise(spark, tmp_path):
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    _land(gens[0], landing, "g1.parquet", 1)
+    _pq_run(spark, landing, target, ck, pq_m=4)
+    _land(gens[1], landing, "g2.parquet", 2)
+    with pytest.raises(Exception, match="pq_layout|misread"):
+        _pq_run(spark, landing, target, ck, pq_m=2)
+    _pq_run(spark, landing, target, ck, pq_m=4)  # matching layout applies
+    _land(gens[0].limit(1), landing, "g3.parquet", 3)
+    with pytest.raises(Exception, match="already present"):
+        _pq_run(spark, landing, target, ck, pq_m=4)
+
+
+def test_ivfpq_index_serve_prunes_and_broadcasts(spark, tmp_path):
+    """The PQ serve plan must read codes pruned to the probed cells
+    (PushedFilters `_kb`) and broadcast the small sides (ADC tables,
+    candidates, queries) — never sort-merge the code store."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    for i, g in enumerate(gens, start=1):
+        _land(g, landing, f"g{i}.parquet", i)
+    _pq_run(spark, landing, target, str(tmp_path / "ck"))
+    vectors = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = ivfpq_index_topk(
+        spark, target, _queries(e), vectors, probe=PROBE, cand=30, k=K
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "_kb" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
