@@ -2577,13 +2577,15 @@ AIDX_PROBE = 4   #: probed cells per query
 AIDX_K = 3       #: neighbors per query
 
 
-def _ann_index_oracle() -> str:
-    """Recompute of the final index state: Lloyd trained on the
-    BOOTSTRAP generation only (vec_id % 3 = 0 — the sink's frozen
-    quantizer), ALL vectors assigned against the frozen centroids,
-    probed serve with BIGINT-staged distances. Mirrors
-    `operators.kmeans.lloyd_means` operation tree for operation
-    tree (same staging as mlprep_q._kmeans_oracle)."""
+def _gen1_coarse_ctes() -> str:
+    """Shared WITH-prefix of the two incremental-ANN-index oracles:
+    the coarse quantizer trained on the BOOTSTRAP generation only
+    (vec_id % 3 = 0 — the sinks' frozen stage; same staging as
+    mlprep_q._kmeans_oracle, mirrored from
+    `operators.kmeans.lloyd_means`), ending at ``cent`` (cid, c, cc)
+    and ``av`` (every vector + its norm). Exists once so the Lloyd
+    staging cannot drift between the raw-vector and PQ-coded
+    oracles."""
     mean = (
         "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
@@ -2612,11 +2614,7 @@ def _ann_index_oracle() -> str:
                FROM {means} GROUP BY cid),
     {out} AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM {out}l)"""
 
-    d2a = "(a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc"
-    d2q = "(q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc"
-    d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
-    return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
            WHERE vec_id % 3 = 0),
     c0l AS (SELECT vec_id AS cid, v AS c FROM tv
@@ -2628,7 +2626,22 @@ def _ann_index_oracle() -> str:
     {assign("c1", "a2")},
     {update("a2", "m2")},
     {to_cent("m2", "cent")},
-    av AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    av AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e)"""
+
+
+def _ann_index_oracle() -> str:
+    """Recompute of the final index state: Lloyd trained on the
+    BOOTSTRAP generation only (vec_id % 3 = 0 — the sink's frozen
+    quantizer), ALL vectors assigned against the frozen centroids,
+    probed serve with BIGINT-staged distances. Mirrors
+    `operators.kmeans.lloyd_means` operation tree for operation
+    tree (same staging as mlprep_q._kmeans_oracle). Coarse-quantizer
+    CTEs shared with the PQ twin via `_gen1_coarse_ctes`."""
+    d2a = "(a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc"
+    d2q = "(q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc"
+    d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
+    return f"""
+    WITH {_gen1_coarse_ctes()},
     assigned AS (SELECT vid, vx, vv, cell FROM (
         SELECT a.vec_id AS vid, a.v AS vx, a.vv, c.cid AS cell,
                row_number() OVER (PARTITION BY a.vec_id
@@ -2739,49 +2752,15 @@ def _ivfpq_index_oracle() -> str:
     vectors residual-encoded against them, probed ADC + exact
     re-rank. Mirrors `operators.kmeans.lloyd_means` +
     `operators.pq` operation tree for operation tree (same staging
-    as mlprep_q's _kmeans_oracle/_ivfpq_oracle)."""
+    as mlprep_q's _kmeans_oracle/_ivfpq_oracle). Coarse-quantizer
+    CTEs shared with the raw-vector twin via `_gen1_coarse_ctes`;
+    the PQ-specific ``mean`` staging below is the codebook round."""
     mean = (
         "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
     )
-
-    def assign(cents: str, out: str) -> str:
-        return f"""
-    {out} AS (SELECT vec_id, v, cid FROM (
-        SELECT tv.vec_id, tv.v, c.cid,
-               row_number() OVER (PARTITION BY tv.vec_id
-                 ORDER BY (tv.vv - 2 * list_dot_product(tv.v, c.c)) + c.cc,
-                          c.cid) AS rn
-        FROM tv CROSS JOIN {cents} c) t
-      WHERE rn = 1)"""
-
-    def update(assigned: str, out: str) -> str:
-        return f"""
-    {out}x AS (SELECT cid, CAST(u.i - 1 AS INTEGER) AS dim, v[u.i] AS x
-        FROM {assigned}, LATERAL unnest(generate_series(1, len(v))) u(i)),
-    {out} AS (SELECT cid, dim, {mean} AS mean_val
-              FROM {out}x GROUP BY cid, dim)"""
-
-    def to_cent(means: str, out: str) -> str:
-        return f"""
-    {out}l AS (SELECT cid, list(mean_val ORDER BY dim) AS c
-               FROM {means} GROUP BY cid),
-    {out} AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM {out}l)"""
-
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
-           WHERE vec_id % 3 = 0),
-    c0l AS (SELECT vec_id AS cid, v AS c FROM tv
-            ORDER BY vec_id LIMIT {AIDX_CELLS}),
-    c0 AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM c0l),
-    {assign("c0", "a1")},
-    {update("a1", "m1")},
-    {to_cent("m1", "c1")},
-    {assign("c1", "a2")},
-    {update("a2", "m2")},
-    {to_cent("m2", "cent")},
-    av AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e),
+    WITH {_gen1_coarse_ctes()},
     asg AS (SELECT vec_id, v, cell, cv FROM (
         SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
                row_number() OVER (PARTITION BY a.vec_id

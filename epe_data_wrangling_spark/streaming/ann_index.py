@@ -120,6 +120,16 @@ def ivf_index_foreach_batch(
             return
         if batch_df.isEmpty():
             return
+        if meta.get("pq_layout") is not None:
+            # cross-sink witness: the whole-dir atomic swap would
+            # silently DROP the PQ target's codes store and codebooks
+            # (and the next sweep_orphans would reclaim their pool)
+            raise RuntimeError(
+                f"ivf_index sink: target {target_dir} is a PQ-coded index "
+                "(meta carries pq_layout) — committing raw vectors over it "
+                "would destroy the codes store; use "
+                "ivfpq_index_foreach_batch or a fresh target"
+            )
         committed_k = meta.get("k_cells")
         if committed_k is not None and committed_k != k_cells:
             raise RuntimeError(
@@ -322,6 +332,15 @@ def ivfpq_index_foreach_batch(
             return
         if batch_df.isEmpty():
             return
+        if meta.get("k_cells") is not None:
+            # cross-sink witness (twin of the raw sink's): swapping a
+            # PQ commit over a raw-vector target would drop its store
+            raise RuntimeError(
+                f"ivfpq_index sink: target {target_dir} is a raw-vector "
+                "index (meta carries k_cells) — committing codes over it "
+                "would destroy the vectors store; use "
+                "ivf_index_foreach_batch or a fresh target"
+            )
         committed = meta.get("pq_layout")
         layout = [k_cells, pq_m, pq_sub, cbk]
         if committed is not None and committed != layout:
@@ -334,37 +353,45 @@ def ivfpq_index_foreach_batch(
         batch = batch_df.select(
             id_col, F.col(vec_col).cast("array<double>").alias("v")
         )
+        # pq_m*pq_sub must cover the vector exactly — the subspace
+        # slices would otherwise silently encode only a PREFIX of each
+        # residual (ADC on half the dims = quiet recall collapse, no
+        # error anywhere). One delta-sized limit-1 job.
+        bad = batch.filter(F.size("v") != pq_m * pq_sub).limit(1).collect()
+        if bad:
+            raise RuntimeError(
+                f"ivfpq_index sink: vector dim {len(bad[0]['v'])} != "
+                f"pq_m*pq_sub = {pq_m * pq_sub} — the subspace slices "
+                "would drop trailing dimensions; fix the layout"
+            )
         cent_dir = os.path.join(target_dir, "centroids")
         cb_dir = os.path.join(target_dir, "codebooks")
         manifest = read_manifest(target_dir, "codes")
-        if manifest is None and not os.path.isdir(cent_dir):
+        bootstrap = manifest is None and not os.path.isdir(cent_dir)
+        if bootstrap:
             # bootstrap: this batch trains BOTH frozen stages
             ev = batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
             cents = means_to_centroids(
                 lloyd_means(ev, k_cells, train_iters, id_col=id_col)
             ).localCheckpoint(eager=True)
-            asg0 = _assign_cells(batch, cents, id_col)
-            res0 = asg0.select(
-                id_col, "_kb",
-                F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias(
-                    "r"
-                ),
-            )
-            rsub0 = split_residual_subspaces(
-                res0, pq_m, pq_sub, keep=[id_col, "_kb"]
-            )
-            cb = train_residual_codebooks(
-                rsub0, cbk, id_col
-            ).localCheckpoint(eager=True)
         else:
             cents = spark.read.parquet(cent_dir)
-            cb = with_cc(spark.read.parquet(cb_dir))
         asg = _assign_cells(batch, cents, id_col)
         res = asg.select(
             id_col, "_kb",
             F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias("r"),
         )
         rsub = split_residual_subspaces(res, pq_m, pq_sub, keep=[id_col, "_kb"])
+        if bootstrap:
+            # the training residuals ARE this batch's residuals — one
+            # assignment/split, reused for training and encoding (the
+            # bootstrap batch is the largest one by contract)
+            rsub = rsub.localCheckpoint(eager=True)
+            cb = train_residual_codebooks(
+                rsub, cbk, id_col
+            ).localCheckpoint(eager=True)
+        else:
+            cb = with_cc(spark.read.parquet(cb_dir))
         delta = (
             assign_codes(rsub, cb, id_col)
             .select(id_col, "m", "cid", "_kb")
@@ -444,10 +471,12 @@ def ivfpq_index_topk(
     (broadcast), score the probed cells' CODES by table lookups
     (ADC — the index scan reads codes only, pruned to the probed
     cells), and the ADC top-``cand`` are re-ranked by EXACT L2
-    against ``vectors`` (the caller's raw-vector table — at 100 TB a
-    |queries|×cand point-lookup join, never a corpus scan). Returns
-    (query_id, neighbor_id, rank, l2_dist), BIGINT-staged like the
-    batch twin."""
+    against ``vectors`` (the caller's raw-vector table): the
+    ≤ |queries|×cand candidate ids are collected driver-side and
+    PUSHED DOWN as an id-membership filter on the vectors scan
+    (plan-asserted), so the re-rank reads candidate rows, not the
+    corpus. Returns (query_id, neighbor_id, rank, l2_dist),
+    BIGINT-staged like the batch twin."""
     from epe_data_wrangling_spark.operators.pq import (
         split_residual_subspaces,
         with_cc,
@@ -512,7 +541,15 @@ def ivfpq_index_topk(
         .filter(F.col("rn") <= cand)
         .select("query_id", id_col)
     )
-    ev = vectors.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    # candidate ids driver-side (≤ |queries|×cand rows — already the
+    # size of the final answer×cand) so the raw-vector read is a
+    # PUSHED-DOWN membership filter, not a corpus scan
+    cand_ids = [
+        r[0] for r in cand_df.select(id_col).distinct().collect()
+    ]
+    ev = vectors.filter(
+        vectors[id_col].isin(cand_ids)
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
     d2x = F.round(
         (
             (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v")))

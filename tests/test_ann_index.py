@@ -268,6 +268,30 @@ def test_ivfpq_index_batch_split_invariance(spark, tmp_path):
     assert len({q for q, _, _ in s1}) == NQ
 
 
+def test_ivfpq_index_fresh_checkpoint_guard_and_dim_check(spark, tmp_path):
+    """The PQ twin keeps the module's provenance discipline (a fresh-
+    checkpoint single batch mixing applied and never-applied files
+    raises), and a layout whose pq_m*pq_sub does not cover the vector
+    raises instead of silently encoding a residual prefix."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(gens[0], landing, "g1.parquet", 1)
+    _pq_run(spark, landing, target, str(tmp_path / "ck1"))
+    _land(gens[1], landing, "g2.parquet", 2)
+    with pytest.raises(Exception, match="never-applied"):
+        _pq_run(spark, landing, target, str(tmp_path / "ck2"),
+                per_file=False)
+    with pytest.raises(Exception, match="pq_m\\*pq_sub"):
+        ivfpq_index_foreach_batch(
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .parquet(landing),
+            str(tmp_path / "state2"),
+            k_cells=8, train_iters=2, pq_m=4, pq_sub=8, cbk=32,
+            checkpoint_dir=str(tmp_path / "ck3"),
+        )
+
+
 def test_ivfpq_index_layout_drift_and_duplicate_raise(spark, tmp_path):
     gens, e = _gens(spark)
     landing = str(tmp_path / "landing")
@@ -307,3 +331,26 @@ def test_ivfpq_index_serve_prunes_and_broadcasts(spark, tmp_path):
     assert "_kb" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # the exact re-rank reads candidate rows, not the corpus: the
+    # collected candidate ids must reach the raw-vector scan as a
+    # pushed membership filter
+    assert "In(vec_id" in plan or "vec_id IN" in plan
+
+
+def test_ann_index_cross_sink_guard(spark, tmp_path):
+    """Pointing one sink at the other's target must raise: the
+    whole-dir atomic swap would otherwise silently DROP the other
+    sink's stores (and the next orphan sweep would reclaim their
+    pool files) — silent index destruction."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    _land(gens[0], landing, "g1.parquet", 1)
+    t_ivf, ck1 = str(tmp_path / "t_ivf"), str(tmp_path / "ck1")
+    t_pq, ck2 = str(tmp_path / "t_pq"), str(tmp_path / "ck2")
+    _run(spark, landing, t_ivf, ck1)
+    _pq_run(spark, landing, t_pq, ck2)
+    _land(gens[1], landing, "g2.parquet", 2)
+    with pytest.raises(Exception, match="raw-vector index"):
+        _pq_run(spark, landing, t_ivf, ck1)
+    with pytest.raises(Exception, match="PQ-coded index"):
+        _run(spark, landing, t_pq, ck2)
