@@ -23,11 +23,16 @@ repo's manifest store:
   as manifest rows.
 
 Per batch the work is: one delta × K broadcast argmin (assignment),
-one touched-cell read + union + rewrite (append under file-level
-copy-on-write), one manifest commit. Nothing corpus-sized moves after
-bootstrap. Serve (`ivf_index_topk`): queries probe their ``probe``
-best cells against the broadcast centroids and scan ~probe/K of the
-index, exactly the trained-IVF serve path of `ann_ivf_trained_topk`.
+one SEGMENT-APPEND manifest commit (`write_store_delta(append=True)`
+— the batch's rows land as NEW pool files added to their cells'
+entries; standing rows are never read or rewritten on the ingest
+path, so a batch costs the batch regardless of index size, and the
+file-count growth is absorbed by the store's normal over-threshold
+compaction), plus one touched-cell read for the duplicate-id witness
+(read-only). Nothing corpus-sized moves after bootstrap. Serve
+(`ivf_index_topk`): queries probe their ``probe`` best cells against
+the broadcast centroids and scan ~probe/K of the index, exactly the
+trained-IVF serve path of `ann_ivf_trained_topk`.
 
 Exactly-once: appends double-count on re-application, so the sink
 follows the module discipline — applied batch_id + source-file
@@ -161,6 +166,8 @@ def ivf_index_foreach_batch(
             spark, target_dir, "vectors", buckets=touched, manifest=manifest
         )
         if existing is not None:
+            # duplicate witness only — the standing rows are never
+            # rewritten (segment-append commit below)
             dup = (
                 delta.select(id_col)
                 .join(existing.select(id_col), id_col)
@@ -174,14 +181,12 @@ def ivf_index_foreach_batch(
                     "batch replay (appending would duplicate it); dedup "
                     "upstream or rebuild the target"
                 )
-            out = existing.unionByName(delta)
-        else:
-            out = delta
         stage = f"{target_dir}.stage-{batch_id}"
         os.makedirs(stage, exist_ok=True)
         write_store_delta(
-            spark, out, target_dir, "vectors", stage,
+            spark, delta, target_dir, "vectors", stage,
             batch_id=batch_id, touched=touched, manifest=manifest,
+            append=True,
         )
         if os.path.isdir(cent_dir):
             # frozen quantizer: byte-identical carry into the stage (no
@@ -404,6 +409,7 @@ def ivfpq_index_foreach_batch(
             spark, target_dir, "codes", buckets=touched, manifest=manifest
         )
         if existing is not None:
+            # duplicate witness only — standing codes never rewritten
             dup = (
                 delta.select(id_col)
                 .distinct()
@@ -418,14 +424,12 @@ def ivfpq_index_foreach_batch(
                     "outside batch replay (appending would duplicate its "
                     "codes); dedup upstream or rebuild the target"
                 )
-            out = existing.unionByName(delta)
-        else:
-            out = delta
         stage = f"{target_dir}.stage-{batch_id}"
         os.makedirs(stage, exist_ok=True)
         write_store_delta(
-            spark, out, target_dir, "codes", stage,
+            spark, delta, target_dir, "codes", stage,
             batch_id=batch_id, touched=touched, manifest=manifest,
+            append=True,
         )
         import shutil
 

@@ -435,6 +435,7 @@ def write_store_delta(
     manifest: dict | None,
     digests: dict | None = None,
     compact: bool = True,
+    append: bool = False,
 ) -> None:
     """Commit one store's new version into the caller's staging dir:
     ``df`` (the full post-batch rows of the touched buckets, carrying
@@ -444,6 +445,19 @@ def write_store_delta(
     manifest rows, over-threshold untouched buckets compact, and the
     new manifest JSON is written to ``stage_dir`` for the caller's
     atomic swap. Nothing here mutates the committed version.
+
+    ``append=True`` switches to SEGMENT-APPEND semantics (the
+    lakehouse append commit; built for append-only stores like the
+    ANN index): ``df`` carries ONLY the new rows, its files ADD to
+    the touched buckets' committed entries instead of replacing them
+    — no existing row is ever read or rewritten on the ingest path,
+    so a batch costs the batch, not the touched buckets' standing
+    contents; the file-count growth is what the normal over-threshold
+    compaction absorbs (appended buckets stay eligible — they are
+    exactly the ones accumulating files). Replaced-bucket witnesses,
+    mate expansion, and ``digests`` do not apply (nothing is
+    replaced; a per-bucket content digest cannot be maintained
+    without reading the standing content — pass none).
 
     When a touched bucket's committed file is SHARED (packed tiny
     buckets), the untouched co-packed mates are rewritten along with
@@ -486,6 +500,48 @@ def write_store_delta(
                 "is immutable; refusing to commit a delta that would make "
                 "old pool files read back reshaped"
             )
+    if append:
+        if digests:
+            raise ValueError(
+                "write_store_delta(append=True) cannot carry digests — a "
+                "per-bucket content digest requires the full post-batch "
+                "bucket contents, which an append commit never reads"
+            )
+        entries = _write_pool_files(df, pool, batch_id)
+        for b, names in entries.items():
+            buckets[b] = buckets.get(b, []) + names
+        if compact:
+            # appended buckets stay eligible: they are the ones
+            # accumulating files (exclude nothing)
+            buckets = _compact_over_threshold(
+                spark, target_dir, store, buckets, set(), batch_id,
+                schema_json,
+            )
+        os.makedirs(stage_dir, exist_ok=True)
+        out = {
+            "format_version": MANIFEST_FORMAT_VERSION,
+            "schema": schema_json,
+            "buckets": {
+                b: names
+                for b, names in sorted(
+                    buckets.items(), key=lambda kv: int(kv[0])
+                )
+                if names
+            },
+        }
+        if digs:
+            # carried digests from earlier replace-mode commits stay
+            # valid only for buckets this append did NOT touch
+            digs = {
+                b: v
+                for b, v in sorted(digs.items(), key=lambda kv: int(kv[0]))
+                if b in out["buckets"] and b not in entries
+            }
+            if digs:
+                out["digests"] = digs
+        with open(_manifest_path(stage_dir, store), "w") as f:
+            json.dump(out, f)
+        return
     touched_keys = {str(int(b)) for b in touched}
     pre_existing = set(buckets)
     # file-level copy-on-write: untouched buckets co-packed into a

@@ -396,3 +396,50 @@ def test_undeclared_bucket_replacement_raises(spark, tmp_path):
     with pytest.raises(RuntimeError, match="not declared in touched"):
         _commit(spark, target2, "s", _df(spark, [(3, 999)]), [other], 1)
     assert set(os.listdir(pool_store_dir(target2, "s"))) == pool2_before
+
+
+def test_append_mode_accumulates_without_rewriting(spark, tmp_path):
+    """`write_store_delta(append=True)` — the segment-append commit:
+    new rows ADD to the touched buckets' entries, the standing files
+    are never rewritten (byte-identical carry), rows accumulate
+    exactly, digests are rejected, and the normal over-threshold
+    compaction absorbs the file growth (appended buckets stay
+    eligible)."""
+    import os
+
+    from epe_data_wrangling_spark.streaming.manifest import (
+        COMPACT_FILE_THRESHOLD,
+        pool_store_dir,
+    )
+
+    target = str(tmp_path / "t")
+    _commit(spark, target, "s", _df(spark, [(k, k) for k in range(40)]),
+            list(range(8)), 0)
+    pool = pool_store_dir(target, "s")
+    before_files = set(os.listdir(pool))
+    _commit(spark, target, "s",
+            _df(spark, [(k, k) for k in range(40, 80)]),
+            list(range(8)), 1, append=True)
+    # standing files untouched, new files added
+    assert before_files <= set(os.listdir(pool))
+    rows = {(r["k"], r["v"]) for r in read_store(spark, target, "s").collect()}
+    assert rows == {(k, k) for k in range(80)}
+    # digests cannot ride an append commit
+    import pytest
+
+    with pytest.raises(ValueError, match="append=True"):
+        _commit(spark, target, "s", _df(spark, [(100, 100)]),
+                [0], 2, append=True, digests={"0": ["1", "2"]})
+    # many appends -> over-threshold buckets compact back down
+    for i in range(2, 2 + COMPACT_FILE_THRESHOLD + 3):
+        base = i * 1000
+        _commit(spark, target, "s",
+                _df(spark, [(base + k, base + k) for k in range(16)]),
+                list(range(8)), i, append=True)
+    m = read_manifest(target, "s")
+    n_total = read_store(spark, target, "s").count()
+    assert n_total == 80 + (COMPACT_FILE_THRESHOLD + 3) * 16
+    assert all(
+        len(names) <= COMPACT_FILE_THRESHOLD + 1
+        for names in m["buckets"].values()
+    ), {b: len(n) for b, n in m["buckets"].items()}
