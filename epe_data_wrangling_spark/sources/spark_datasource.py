@@ -189,6 +189,16 @@ class WorkbookStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("workbook source requires a path: .load('<dir>')")
         self.path = path
+        #: Monotone seen-file accumulator. A bare directory listing is
+        #: NOT monotone — retention cleanup (or a transient listing
+        #: blip on an object store) removes a previously-seen file, a
+        #: listing-only latestOffset would REGRESS the committed
+        #: offset, and a file re-landed under the same name would then
+        #: re-emit its cells (duplicates downstream). Offsets must
+        #: only grow: union every listing into this set, and seed it
+        #: from the committed offsets Spark hands to partitions() so
+        #: the guarantee survives reader re-creation on restart.
+        self._seen: set[str] = set()
 
     def _files(self) -> list[str]:
         try:
@@ -200,9 +210,15 @@ class WorkbookStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
-        return {"seen": sorted(self._files())}
+        self._seen.update(self._files())
+        return {"seen": sorted(self._seen)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # restart path: the committed offsets are authoritative prior
+        # knowledge — fold them into the accumulator so the next
+        # latestOffset cannot regress below what was already emitted
+        self._seen.update(start.get("seen", []))
+        self._seen.update(end.get("seen", []))
         new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
         return [_FilePartition(f) for f in new]
 

@@ -75,6 +75,43 @@ from epe_data_wrangling_spark.streaming.ops import (
 from epe_data_wrangling_spark.streaming.manifest import sweep_orphans
 
 
+def _dense_cids(cents: DataFrame) -> DataFrame:
+    """Re-key freshly trained centroids to DENSE 0..k-1 cell ids
+    (order-preserving, so every later ``orderBy(..., cid)`` tie-break
+    compares identically). Lloyd seeds cid from the k lowest
+    ``vec_id``s — a BIGINT; ``_assign_cells`` casts the cell id to int
+    for the ``_kb`` bucket, so a bootstrap corpus with vec_id ≥ 2³¹
+    would silently WRAP the cell id and collide cells between ingest
+    and serve. Dense re-keying at bootstrap (K rows, one driver-side
+    window) removes the overflow class entirely; the frozen centroids
+    parquet then carries only small ints for the index's lifetime."""
+    w = Window.orderBy("cid")
+    return cents.withColumn(
+        "cid", (F.row_number().over(w) - 1).cast("bigint")
+    )
+
+
+def _require_unique_ids(batch: DataFrame, id_col: str, sink: str) -> None:
+    """Intra-batch duplicate-id witness: two rows sharing an id WITHIN
+    one micro-batch (re-delivery landing in the same trigger) would
+    both append silently — the standing-rows join can't see them — and
+    serve would then return the vector twice, inflating ranks. One
+    delta-sized limit-1 job."""
+    dup = (
+        batch.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise RuntimeError(
+            f"{sink} sink: id {dup[0][0]} appears {dup[0]['n']} times "
+            "WITHIN this batch — appending would duplicate it in its "
+            "cell; dedup upstream or rebuild the target"
+        )
+
+
 def _assign_cells(batch: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Nearest-trained-centroid assignment (dist² argmin against the
     broadcast centroids — the Lloyd metric, so the index is coherent
@@ -146,13 +183,18 @@ def ivf_index_foreach_batch(
         batch = batch_df.select(
             id_col, F.col(vec_col).cast("array<double>").alias("v")
         )
+        _require_unique_ids(batch, id_col, "ivf_index")
         cent_dir = os.path.join(target_dir, "centroids")
         manifest = read_manifest(target_dir, "vectors")
         if manifest is None and not os.path.isdir(cent_dir):
-            # bootstrap: this batch IS the training corpus
+            # bootstrap: this batch IS the training corpus; re-key the
+            # trained centroids dense 0..k-1 (vec_id-seeded cids can
+            # exceed int32 — see _dense_cids)
             ev = batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
-            cents = means_to_centroids(
-                lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+            cents = _dense_cids(
+                means_to_centroids(
+                    lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+                )
             ).localCheckpoint(eager=True)  # barrier: feeds every later job
         else:
             cents = spark.read.parquet(cent_dir)
@@ -358,6 +400,7 @@ def ivfpq_index_foreach_batch(
         batch = batch_df.select(
             id_col, F.col(vec_col).cast("array<double>").alias("v")
         )
+        _require_unique_ids(batch, id_col, "ivfpq_index")
         # pq_m*pq_sub must cover the vector exactly — the subspace
         # slices would otherwise silently encode only a PREFIX of each
         # residual (ADC on half the dims = quiet recall collapse, no
@@ -374,10 +417,13 @@ def ivfpq_index_foreach_batch(
         manifest = read_manifest(target_dir, "codes")
         bootstrap = manifest is None and not os.path.isdir(cent_dir)
         if bootstrap:
-            # bootstrap: this batch trains BOTH frozen stages
+            # bootstrap: this batch trains BOTH frozen stages; dense
+            # cell re-key as in the raw sink (see _dense_cids)
             ev = batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
-            cents = means_to_centroids(
-                lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+            cents = _dense_cids(
+                means_to_centroids(
+                    lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+                )
             ).localCheckpoint(eager=True)
         else:
             cents = spark.read.parquet(cent_dir)

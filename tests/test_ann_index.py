@@ -354,3 +354,104 @@ def test_ann_index_cross_sink_guard(spark, tmp_path):
         _pq_run(spark, landing, t_ivf, ck1)
     with pytest.raises(Exception, match="PQ-coded index"):
         _run(spark, landing, t_pq, ck2)
+
+
+def test_ann_index_intra_batch_duplicate_raises(spark, tmp_path):
+    """Two rows sharing an id WITHIN one micro-batch (re-delivery
+    landing in the same trigger) must raise — the standing-rows join
+    cannot see them, and a silent double-append would make serve
+    return the vector twice, inflating ranks."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    dup_batch = gens[0].union(gens[0].limit(1))
+    _land(dup_batch, landing, "g1.parquet", 1)
+    with pytest.raises(Exception, match="WITHIN this batch"):
+        _run(spark, landing, target, str(tmp_path / "ck"))
+
+
+def test_ann_index_cell_ids_dense_even_for_huge_vec_ids(spark, tmp_path):
+    """Trained centroids must carry DENSE 0..k-1 cell ids: Lloyd
+    seeds cid from vec_id (BIGINT), and the `_kb` bucket id is an
+    int — a bootstrap corpus with vec_id ≥ 2³¹ would otherwise wrap
+    the cell id and collide cells between ingest and serve. Shift the
+    corpus past 2³¹ and require (a) dense small cids in the frozen
+    centroids, and (b) append + serve still exactly equal to the
+    from-scratch recompute."""
+    gens, e = _gens(spark)
+    big = 2**31
+    shift = [
+        g.withColumn("vec_id", F.col("vec_id") + F.lit(big)) for g in gens
+    ]
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    for i, g in enumerate(shift[:2], start=1):
+        _land(g, landing, f"g{i}.parquet", i)
+        _run(spark, landing, target, ck)
+    cids = sorted(
+        r.cid
+        for r in spark.read.parquet(os.path.join(target, "centroids"))
+        .select("cid")
+        .collect()
+    )
+    assert cids == list(range(8))
+    landed = shift[0].union(shift[1])
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_topk(
+            spark,
+            target,
+            landed.filter(F.col("vec_id") < NQ + big).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+            ),
+            probe=PROBE,
+            k=K,
+        ).collect()
+    }
+    cents = spark.read.parquet(os.path.join(target, "centroids"))
+    c = cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
+    ev = landed.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    d2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
+    w_a = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cid"))
+    assigned = (
+        ev.crossJoin(F.broadcast(c))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w_a))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "vv", F.col("cid").alias("cell"))
+    )
+    q = assigned.filter(F.col("vec_id") < NQ + big).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vv").alias("qq"),
+    )
+    d2q = (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("c"))) + F.col("cc")
+    w_p = Window.partitionBy("query_id").orderBy(F.col("d2q"), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .withColumn("d2q", d2q)
+        .withColumn("rn", F.row_number().over(w_p))
+        .filter(F.col("rn") <= PROBE)
+        .select("query_id", "qv", "qq", F.col("cid").alias("cell"))
+    )
+    d2x = F.round(
+        ((F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v"))) + F.col("vv"))
+        * F.lit(1e9)
+    ).cast("bigint")
+    w_k = Window.partitionBy("query_id").orderBy("d2_r", "neighbor_id")
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), d2x.alias("d2_r")
+        )
+        .withColumn("rank", F.row_number().over(w_k).cast("int"))
+        .filter(F.col("rank") <= K)
+        .collect()
+    }
+    assert got == want

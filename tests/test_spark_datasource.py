@@ -300,3 +300,41 @@ def test_stream_reader_plans_one_partition_per_new_drop(tmp_path):
     assert [p.file for p in parts2] == [files[2]]
     # no new files -> no partitions (an empty poll plans nothing)
     assert r.partitions({"seen": sorted(files)}, {"seen": sorted(files)}) == []
+
+
+def test_stream_reader_offsets_are_monotone(tmp_path):
+    """latestOffset must never REGRESS below what was already seen:
+    a bare directory listing is not monotone — retention cleanup (or
+    a transient listing blip on an object store) removes a landed
+    file, and a listing-only offset would shrink, so a file re-landed
+    under the same name would be re-planned and its cells duplicated
+    downstream. Seen-file sets only grow; the committed offsets seed
+    the accumulator across reader re-creation (restart)."""
+    import os
+
+    from epe_data_wrangling_spark.sources.spark_datasource import (
+        WorkbookStreamReader,
+    )
+
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    f1 = os.path.join(d, "drop_1.xlsx")
+    open(f1, "wb").close()
+    r = WorkbookStreamReader({"path": d})
+    off1 = r.latestOffset()
+    assert off1 == {"seen": [f1]}
+    # retention cleanup removes the landed file -> offset must NOT shrink
+    os.remove(f1)
+    assert r.latestOffset() == {"seen": [f1]}
+    # the file re-lands under the same name: still seen, never re-planned
+    open(f1, "wb").close()
+    off2 = r.latestOffset()
+    assert off2 == {"seen": [f1]}
+    assert r.partitions(off1, off2) == []
+    # restart path: a FRESH reader (empty accumulator) is seeded by the
+    # committed offsets Spark hands to partitions(); a later listing
+    # that misses the file cannot regress below them
+    r2 = WorkbookStreamReader({"path": d})
+    assert r2.partitions({"seen": [f1]}, {"seen": [f1]}) == []
+    os.remove(f1)
+    assert r2.latestOffset() == {"seen": [f1]}
