@@ -41,8 +41,37 @@ the data; replays skip, new data under a fresh checkpoint raises.
 Duplicate-id guard: a batch id that already exists in its assigned
 cell raises (exact for the common duplicate-delivery case — an
 identical vector re-assigns to the identical cell under the frozen
-quantizer; a DIFFERENT vector reusing an id would need a key→cell
-locator sidecar, the extension the top-k sinks already demonstrate).
+quantizer; a DIFFERENT vector reusing an id is caught exactly by the
+CDC sink's locator sidecar below).
+
+**Deletes / upserts** (`ivf_index_changes_foreach_batch`): a
+production vector index must also UNLEARN — dedup casualties, GDPR
+deletes, re-embedded documents. The CDC sink composes the module's
+append discipline with the tombstone + key-locator machinery the
+top-k sinks established (`ops._key_index_guard_and_rewrite`):
+
+- ``locator/`` — (id → cell) sidecar, bucketed by ``pmod(hash(id),
+  loc_buckets)`` so a change batch reads/rewrites ONLY the key
+  buckets its ids hash to. It answers the question a delete arrives
+  WITHOUT the answer to: which cell holds this id's standing row
+  (the vector is gone client-side; recomputing the cell needs the
+  vector). Also makes insert-over-present and delete-of-unknown
+  EXACT witnesses at touched-key-bucket cost.
+- ``tombs/`` — cell-bucketed tombstones (id, _kb, tgen): a delete or
+  upsert APPENDS a tombstone for the retired (id, old-cell) entry —
+  standing vector rows are still never read or rewritten on the
+  change path (merge-on-read, the lakehouse delete-vector shape).
+  Vector rows carry ``_gen`` (a monotone per-target generation,
+  `_next_gen` — checkpoint-handoff safe where raw batch ids are
+  not); a row is
+  dead iff a tombstone with the same (id, cell) and ``tgen > _gen``
+  exists, so an upsert landing back in the SAME cell outlives the
+  tombstone retiring its predecessor.
+- Serve filters the probed cells' tombstones (a broadcast-joined
+  max-tgen per retired id — dead-entry-sized, never corpus-sized);
+  `ivf_index_vacuum` physically drops dead rows (copy-on-write
+  rewrite of exactly the tombstoned cells) and clears their
+  tombstones, restoring the pure-append read path.
 """
 
 from __future__ import annotations
@@ -59,8 +88,10 @@ from epe_data_wrangling_spark.operators.kmeans import (
     means_to_centroids,
 )
 from epe_data_wrangling_spark.streaming.manifest import (
+    carry_store,
     read_manifest,
     read_store,
+    store_has_files,
     write_store_delta,
 )
 from epe_data_wrangling_spark.streaming.ops import (
@@ -73,6 +104,40 @@ from epe_data_wrangling_spark.streaming.ops import (
     _run_foreach_batch,
 )
 from epe_data_wrangling_spark.streaming.manifest import sweep_orphans
+
+
+def _is_replay_or_handoff(
+    meta: dict, batch_files: set, batch_id: int, tag: str
+) -> bool:
+    """`_is_committed_replay` with one extra admissible case — the
+    CHECKPOINT HANDOFF: batch ids are a per-checkpoint counter, so a
+    target adopted by a new stream (a fresh checkpoint over a fresh
+    landing dir — exactly how a plain-append index graduates to the
+    CDC sink) legitimately arrives with batch_id 0 against a
+    committed last_batch_id > 0. When every file in the batch is
+    NEVER-applied, the batch cannot be a replay (a replay's files are
+    all in applied by definition) — apply it. A batch MIXING applied
+    and fresh files keeps raising (ambiguous), and provenance-less
+    low batches keep raising, via the shared helper."""
+    applied = set(meta.get("applied_files", []))
+    if (
+        batch_id <= meta["last_batch_id"]
+        and batch_files
+        and not (batch_files & applied)
+    ):
+        return False
+    return _is_committed_replay(meta, batch_files, batch_id, tag)
+
+
+def _next_gen(meta: dict) -> int:
+    """Monotone PER-TARGET generation counter (meta ``last_gen``) for
+    the vectors' ``_gen`` / tombstones' ``tgen`` ordering. Raw batch
+    ids cannot serve: they restart at 0 on a checkpoint handoff, and
+    a tombstone stamped with a regressed id would fail to retire
+    standing rows committed under the old checkpoint's higher ids.
+    Falls back to last_batch_id for targets committed before the
+    counter existed (their ids were their gens)."""
+    return int(meta.get("last_gen", meta.get("last_batch_id", -1))) + 1
 
 
 def _dense_cids(cents: DataFrame) -> DataFrame:
@@ -158,10 +223,11 @@ def ivf_index_foreach_batch(
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
-        if _is_committed_replay(meta, batch_files, batch_id, "ivf_index"):
+        if _is_replay_or_handoff(meta, batch_files, batch_id, "ivf_index"):
             return
         if batch_df.isEmpty():
             return
+        gen = _next_gen(meta)
         if meta.get("pq_layout") is not None:
             # cross-sink witness: the whole-dir atomic swap would
             # silently DROP the PQ target's codes store and codebooks
@@ -171,6 +237,17 @@ def ivf_index_foreach_batch(
                 "(meta carries pq_layout) — committing raw vectors over it "
                 "would destroy the codes store; use "
                 "ivfpq_index_foreach_batch or a fresh target"
+            )
+        if meta.get("cdc"):
+            # cross-sink witness: a plain append neither consults nor
+            # maintains the CDC target's locator sidecar — its (id →
+            # cell) map would silently go stale and every later
+            # delete/upsert would retire the wrong (or no) entry
+            raise RuntimeError(
+                f"ivf_index sink: target {target_dir} is CDC-maintained "
+                "(meta carries cdc) — a plain append would leave the "
+                "locator sidecar stale; use "
+                "ivf_index_changes_foreach_batch (op='I') instead"
             )
         committed_k = meta.get("k_cells")
         if committed_k is not None and committed_k != k_cells:
@@ -198,8 +275,19 @@ def ivf_index_foreach_batch(
             ).localCheckpoint(eager=True)  # barrier: feeds every later job
         else:
             cents = spark.read.parquet(cent_dir)
-        delta = _assign_cells(batch, cents, id_col).drop("cv").localCheckpoint(
-            eager=True  # assignment feeds the guard, the union, the commit
+        delta = (
+            _assign_cells(batch, cents, id_col)
+            .drop("cv")
+            # _gen: the committing generation (_next_gen — monotone
+            # per target, checkpoint-handoff safe) — inert for a
+            # pure-append index, load-bearing the moment the CDC sink
+            # tombstones a row (dead iff a (id, cell) tombstone with
+            # tgen > _gen exists); written by both sinks so one
+            # vectors-store schema serves both lifecycles
+            .withColumn("_gen", F.lit(gen).cast("bigint"))
+            .localCheckpoint(
+                eager=True  # assignment feeds the guard, the commit
+            )
         )
         touched = sorted(
             int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
@@ -243,7 +331,10 @@ def ivf_index_foreach_batch(
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
-                    "last_batch_id": batch_id,
+                    # max(): a checkpoint handoff restarts batch ids at
+                    # 0 — the committed high-water mark must not regress
+                    "last_batch_id": max(batch_id, meta["last_batch_id"]),
+                    "last_gen": gen,
                     "k_cells": k_cells,
                     "applied_files": sorted(applied | batch_files),
                 },
@@ -300,7 +391,21 @@ def ivf_index_topk(
             [],
             "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
         )
-    id_col = [col for col in vecs.columns if col not in ("v", "_kb")][0]
+    id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
+    tombs = read_store(spark, target_dir, "tombs", buckets=cells)
+    if tombs is not None:
+        # merge-on-read delete filter: a row is dead iff a tombstone
+        # for its (id, cell) with tgen > _gen exists — strict, so an
+        # upsert re-landing in the same cell (same batch as its
+        # predecessor's tombstone) survives. The dead set is
+        # tombstone-sized (probed cells only) and broadcast; vacuum
+        # restores the filter-free path.
+        dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
+        vecs = (
+            vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
+            .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
+            .drop("_tg")
+        )
     d2 = F.round(
         (
             (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v")))
@@ -328,6 +433,387 @@ def ivf_index_topk(
             ),
         )
     )
+
+
+def _typed_empty_locator(ops: DataFrame, id_col: str) -> DataFrame:
+    return (
+        ops.select(id_col)
+        .withColumn("cell", F.lit(0).cast("int"))
+        .withColumn("_kb", F.lit(0).cast("int"))
+        .filter(F.lit(False))
+    )
+
+
+def ivf_index_changes_foreach_batch(
+    changes: DataFrame,
+    target_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    k_cells: int = 8,
+    train_iters: int = 2,
+    loc_buckets: int = 32,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Maintain the IVF index from a CHANGE stream — rows
+    (``op_col`` ∈ {'I','U','D'}, ``id_col``, ``vec_col``; D rows may
+    carry a null vector, which is the whole point: a delete arrives
+    without the vector, so the cell holding its standing row must
+    come from the ``locator/`` sidecar). Per batch:
+
+    - inserts/upserts assign against the FROZEN centroids and
+      SEGMENT-APPEND into the cell-bucketed vectors store, ``_gen`` =
+      batch id (cost: the batch — identical to the append sink);
+    - deletes and upserts-over-present APPEND a tombstone (id,
+      old-cell, tgen = batch id) retiring the standing entry —
+      standing rows are never read or rewritten on the change path;
+    - the locator rewrites exactly the key buckets the batch's ids
+      hash to (survivors ⊎ final entries — the
+      `_key_index_guard_and_rewrite` discipline), in the same atomic
+      swap, so (id → cell) and the index can never diverge across a
+      crash.
+
+    Witnesses (all delta-sized): op outside {I,U,D}, null vector on
+    I/U, duplicate id within the batch, INSERT over a present id
+    (exact via the locator — catches a different vector reusing an
+    id, the case the append sink's cell-local check cannot see),
+    DELETE of an unknown id, and locator↔store divergence (every
+    retired (id, cell) must hold a standing row in that cell).
+
+    Bootstrap: a virgin target trains the quantizer on the first
+    batch's I/U vectors (dense 0..k-1 cells). A target built by
+    `ivf_index_foreach_batch` is adopted by backfilling the locator
+    from the full vectors store ONCE (corpus-sized, the one-time
+    adoption cost; every later batch is touched-bucket-sized), after
+    which the plain append sink refuses the target (meta ``cdc``
+    flag) — the two lifecycles cannot interleave and strand the
+    locator stale."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_replay_or_handoff(
+            meta, batch_files, batch_id, "ivf_index_changes"
+        ):
+            return
+        if batch_df.isEmpty():
+            return
+        gen = _next_gen(meta)
+        if meta.get("pq_layout") is not None:
+            raise RuntimeError(
+                f"ivf_index_changes sink: target {target_dir} is a PQ-coded "
+                "index (meta carries pq_layout) — committing raw vectors "
+                "over it would destroy the codes store; use a fresh target"
+            )
+        committed_k = meta.get("k_cells")
+        if committed_k is not None and committed_k != k_cells:
+            raise RuntimeError(
+                f"ivf_index_changes sink: target was committed with "
+                f"k_cells={committed_k} but the sink is configured with "
+                f"{k_cells} — the stored cell layout would be misread; "
+                "use the committed value or rebuild the target"
+            )
+        committed_lb = meta.get("loc_buckets")
+        if committed_lb is not None and committed_lb != loc_buckets:
+            raise RuntimeError(
+                f"ivf_index_changes sink: target's locator was committed "
+                f"with loc_buckets={committed_lb} but the sink is "
+                f"configured with {loc_buckets} — the key buckets would be "
+                "misread; use the committed value or rebuild the target"
+            )
+        ops = batch_df.select(
+            F.upper(F.col(op_col)).alias("op"),
+            id_col,
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).localCheckpoint(eager=True)  # feeds every witness + commit job
+        bad_op = ops.filter(~F.col("op").isin("I", "U", "D")).limit(1).collect()
+        if bad_op:
+            raise RuntimeError(
+                f"ivf_index_changes sink: op {bad_op[0]['op']!r} outside "
+                "{'I','U','D'}"
+            )
+        _require_unique_ids(ops, id_col, "ivf_index_changes")
+        bad_v = (
+            ops.filter(F.col("op").isin("I", "U") & F.col("v").isNull())
+            .limit(1)
+            .collect()
+        )
+        if bad_v:
+            raise RuntimeError(
+                f"ivf_index_changes sink: id {bad_v[0][id_col]} has op "
+                f"{bad_v[0]['op']} but a null vector — only deletes may "
+                "omit the vector"
+            )
+        cent_dir = os.path.join(target_dir, "centroids")
+        vec_manifest = read_manifest(target_dir, "vectors")
+        present = ops.filter(F.col("op").isin("I", "U")).select(id_col, "v")
+        if vec_manifest is None and not os.path.isdir(cent_dir):
+            if present.isEmpty():
+                raise RuntimeError(
+                    "ivf_index_changes sink: virgin target and the first "
+                    "batch carries no I/U vectors — nothing to train the "
+                    "quantizer on"
+                )
+            ev = present.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+            cents = _dense_cids(
+                means_to_centroids(
+                    lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+                )
+            ).localCheckpoint(eager=True)
+        else:
+            cents = spark.read.parquet(cent_dir)
+        # --- locator: old entries for the batch's key buckets -------
+        kk = F.pmod(F.hash(F.col(id_col)), F.lit(loc_buckets)).cast("int")
+        touched_kk = sorted(
+            int(r["b"])
+            for r in ops.select(kk.alias("b")).distinct().collect()
+        )
+        loc_manifest = read_manifest(target_dir, "locator")
+        # backfill ONLY for a target the CDC sink has never committed
+        # (no locator manifest at all): a committed-but-empty locator
+        # (every id deleted) must NOT re-derive entries from the
+        # vectors store, whose rows may all be tombstoned
+        loc_backfill = loc_manifest is None and vec_manifest is not None
+        if store_has_files(loc_manifest):
+            old_loc = read_store(
+                spark, target_dir, "locator",
+                buckets=touched_kk, manifest=loc_manifest,
+            )
+            if old_loc is None:
+                old_loc = _typed_empty_locator(ops, id_col)
+        elif loc_backfill:
+            # one-time adoption of a plain-append target: derive the
+            # full (id → cell) map from the vectors store (corpus-
+            # sized, ONCE; a plain target has no tombstones, so every
+            # stored row is live). This batch then commits the FULL
+            # locator; later batches are touched-bucket-sized.
+            allv = read_store(
+                spark, target_dir, "vectors", manifest=vec_manifest
+            )
+            old_loc = allv.select(
+                id_col, F.col("_kb").alias("cell")
+            ).withColumn("_kb", kk)
+        else:
+            old_loc = _typed_empty_locator(ops, id_col)
+        # witnesses the locator makes EXACT (delta-sized joins; the
+        # locator side is touched-bucket pruned, or the one-time full
+        # backfill)
+        ins_over = (
+            ops.filter(F.col("op") == "I")
+            .select(id_col)
+            .join(old_loc.select(id_col), id_col)
+            .limit(1)
+            .collect()
+        )
+        if ins_over:
+            raise RuntimeError(
+                f"ivf_index_changes sink: id {ins_over[0][0]} op=I but the "
+                "locator already holds it (possibly with a different "
+                "vector in a different cell) — emit U to re-embed or D+I"
+            )
+        del_unknown = (
+            ops.filter(F.col("op") == "D")
+            .select(id_col)
+            .join(old_loc.select(id_col), id_col, "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if del_unknown:
+            raise RuntimeError(
+                f"ivf_index_changes sink: id {del_unknown[0][0]} op=D but "
+                "the locator does not hold it — deleting an absent id is a "
+                "pipeline fault (double delete or wrong target), not a no-op"
+            )
+        # retired entries: U/D ids the locator holds → (id, old cell)
+        retire = (
+            ops.filter(F.col("op").isin("U", "D"))
+            .select(id_col)
+            .join(old_loc.select(id_col, "cell"), id_col)
+            .localCheckpoint(eager=True)
+        )
+        retire_cells = sorted(
+            int(r["cell"]) for r in retire.select("cell").distinct().collect()
+        )
+        if retire_cells:
+            # locator ↔ store divergence witness: every retired entry
+            # must hold a standing row in its located cell (read-only,
+            # retired-cells-pruned)
+            standing = read_store(
+                spark, target_dir, "vectors",
+                buckets=retire_cells, manifest=vec_manifest,
+            )
+            missing = (
+                retire
+                if standing is None
+                else retire.join(
+                    standing.select(
+                        id_col, F.col("_kb").alias("cell")
+                    ),
+                    [id_col, "cell"],
+                    "left_anti",
+                )
+            ).limit(1).collect()
+            if missing:
+                raise RuntimeError(
+                    f"ivf_index_changes sink: locator and vectors store "
+                    f"DIVERGE — id {missing[0][0]} located in cell "
+                    f"{missing[0]['cell']} but that cell holds no row for "
+                    "it; refusing to retire a phantom entry"
+                )
+        # --- new rows under the frozen quantizer --------------------
+        delta = (
+            _assign_cells(present, cents, id_col)
+            .drop("cv")
+            .withColumn("_gen", F.lit(gen).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        touched = sorted(
+            int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
+        )
+        # --- commit: vectors append + tombs append + locator rewrite
+        stage = f"{target_dir}.stage-{batch_id}"
+        os.makedirs(stage, exist_ok=True)
+        if touched:
+            write_store_delta(
+                spark, delta, target_dir, "vectors", stage,
+                batch_id=batch_id, touched=touched, manifest=vec_manifest,
+                append=True,
+            )
+        else:
+            carry_store(target_dir, "vectors", stage)
+        tombs_manifest = read_manifest(target_dir, "tombs")
+        if retire_cells:
+            tomb_delta = retire.select(
+                id_col,
+                F.col("cell").cast("int").alias("_kb"),
+                F.lit(gen).cast("bigint").alias("tgen"),
+            )
+            write_store_delta(
+                spark, tomb_delta, target_dir, "tombs", stage,
+                batch_id=batch_id, touched=retire_cells,
+                manifest=tombs_manifest, append=True,
+            )
+        else:
+            carry_store(target_dir, "tombs", stage)
+        survivors = old_loc.join(
+            F.broadcast(ops.select(id_col)), id_col, "left_anti"
+        )
+        final_loc = delta.select(
+            id_col, F.col("_kb").alias("cell")
+        ).withColumn("_kb", kk)
+        new_loc = survivors.select(id_col, "cell", "_kb").unionByName(
+            final_loc.select(id_col, "cell", "_kb")
+        )
+        loc_touched = (
+            sorted(
+                {
+                    int(r["_kb"])
+                    for r in new_loc.select("_kb").distinct().collect()
+                }
+            )
+            if loc_backfill
+            else touched_kk
+        )
+        write_store_delta(
+            spark, new_loc, target_dir, "locator", stage,
+            batch_id=batch_id, touched=loc_touched,
+            manifest=loc_manifest if store_has_files(loc_manifest) else None,
+        )
+        if os.path.isdir(cent_dir):
+            import shutil
+
+            shutil.copytree(cent_dir, os.path.join(stage, "centroids"))
+        else:
+            cents.write.mode("overwrite").parquet(
+                os.path.join(stage, "centroids")
+            )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": max(batch_id, meta["last_batch_id"]),
+                    "last_gen": gen,
+                    "k_cells": k_cells,
+                    "loc_buckets": loc_buckets,
+                    "cdc": True,
+                    "applied_files": sorted(applied | batch_files),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(
+        changes, _apply, checkpoint_dir, "ivf_index_changes", timeout_sec
+    )
+
+
+def ivf_index_vacuum(spark, target_dir: str) -> int:
+    """Physically drop dead rows: copy-on-write rewrite of exactly the
+    TOMBSTONED cells (live rows survive into fresh pool files; the
+    superseded files become orphans for the next sweep), clear those
+    cells' tombstones, commit everything in one atomic swap. Serve
+    results are invariant by construction — the rewrite keeps
+    precisely the rows the serve-time tombstone filter kept — and
+    afterwards the probed-cell read path is filter-free again.
+    Returns the number of cells vacuumed (0 = nothing dead). The
+    maintenance twin of the manifest layer's over-threshold
+    compaction: run it when the dead fraction warrants reclaiming
+    scan bandwidth, e.g. after a dedup sweep retires a cohort."""
+    import shutil
+
+    _recover_swap(target_dir)
+    _clean_stale_stages(target_dir)
+    sweep_orphans(target_dir)
+    meta = _read_sink_meta(target_dir)
+    tombs_manifest = read_manifest(target_dir, "tombs")
+    if not store_has_files(tombs_manifest):
+        return 0
+    tombs = read_store(spark, target_dir, "tombs", manifest=tombs_manifest)
+    dead_cells = sorted(
+        int(r["_kb"]) for r in tombs.select("_kb").distinct().collect()
+    )
+    vec_manifest = read_manifest(target_dir, "vectors")
+    vecs = read_store(
+        spark, target_dir, "vectors", buckets=dead_cells,
+        manifest=vec_manifest,
+    )
+    if vecs is None:
+        raise RuntimeError(
+            f"ivf_index_vacuum: tombstones reference cells {dead_cells[:8]} "
+            "but the vectors store holds no rows there — the stores diverged"
+        )
+    id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
+    dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
+    live = (
+        vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
+        .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
+        .select(*vecs.columns)  # committed column order (schema guard)
+    )
+    batch_id = int(meta.get("last_batch_id", 0))
+    stage = f"{target_dir}.stage-vacuum-{batch_id}"
+    os.makedirs(stage, exist_ok=True)
+    write_store_delta(
+        spark, live, target_dir, "vectors", stage,
+        batch_id=batch_id, touched=dead_cells, manifest=vec_manifest,
+    )
+    write_store_delta(
+        spark, tombs.filter(F.lit(False)), target_dir, "tombs", stage,
+        batch_id=batch_id, touched=dead_cells, manifest=tombs_manifest,
+    )
+    carry_store(target_dir, "locator", stage)
+    cent_dir = os.path.join(target_dir, "centroids")
+    if os.path.isdir(cent_dir):
+        shutil.copytree(cent_dir, os.path.join(stage, "centroids"))
+    with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+        json.dump(meta, f)
+    _atomic_swap(stage, target_dir, batch_id)
+    return len(dead_cells)
 
 
 def ivfpq_index_foreach_batch(

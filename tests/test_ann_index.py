@@ -455,3 +455,344 @@ def test_ann_index_cell_ids_dense_even_for_huge_vec_ids(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---- CDC extension: deletes / upserts / vacuum -----------------------
+
+from epe_data_wrangling_spark.streaming.ann_index import (  # noqa: E402
+    ivf_index_changes_foreach_batch,
+    ivf_index_vacuum,
+)
+
+
+def _chg_run(spark, landing: str, target: str, ck: str,
+             per_file: bool = True) -> None:
+    reader = spark.readStream.schema(
+        "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    if per_file:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    ivf_index_changes_foreach_batch(
+        reader.parquet(landing), target,
+        k_cells=8, train_iters=2, checkpoint_dir=ck,
+    )
+
+
+def _as_ops(df, op: str):
+    if op == "D":
+        return df.select(
+            F.lit("D").alias("op"), "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+    return df.select(F.lit(op).alias("op"), "vec_id", "embedding")
+
+
+def _cdc_land_three(spark, e, landing: str, target: str, ck: str):
+    """Bootstrap (I), append (I), then a mixed I/U/D batch: upsert
+    re-embeds landed ids with NEGATED vectors (a genuinely different
+    vector reusing the id — the case the append sink cannot express),
+    delete retires a disjoint cohort."""
+    landed = F.col("vec_id") % 3 != 2
+    ups = _as_ops(
+        e.filter(landed & (F.col("vec_id") % 5 == 2)).withColumn(
+            "embedding", F.transform("embedding", lambda x: -x)
+        ),
+        "U",
+    )
+    dels = _as_ops(e.filter(landed & (F.col("vec_id") % 5 == 4)), "D")
+    batches = [
+        _as_ops(e.filter(F.col("vec_id") % 3 == 0), "I"),
+        _as_ops(e.filter(F.col("vec_id") % 3 == 1), "I"),
+        _as_ops(e.filter(F.col("vec_id") % 3 == 2), "I").union(ups).union(dels),
+    ]
+    for i, b in enumerate(batches, start=1):
+        _land(b, landing, f"c{i}.parquet", i)
+        _chg_run(spark, landing, target, ck)
+
+
+def _cdc_live_corpus(e):
+    """The LIVE corpus after `_cdc_land_three`: deletes excluded,
+    upserted ids carrying their re-embedded (negated) vectors."""
+    landed = F.col("vec_id") % 3 != 2
+    return (
+        e.filter(landed & (F.col("vec_id") % 5 != 4))
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 2,
+                F.transform("embedding", lambda x: -x),
+            ).otherwise(F.col("embedding")),
+        )
+        .union(e.filter(F.col("vec_id") % 3 == 2))
+    )
+
+
+def test_ann_index_changes_converge_and_vacuum_invariant(spark, tmp_path):
+    """I/U/D change batches must serve exactly the live corpus (the
+    from-scratch recompute that EXCLUDES deleted ids and carries the
+    upserts' re-embedded vectors); vacuum must not change serve
+    results, must clear the tombstones, and must be idempotent."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _cdc_land_three(spark, e, landing, target, str(tmp_path / "ck"))
+    live = _cdc_live_corpus(e)
+    got = _serve_set(spark, target, live)
+    want = _direct_recompute(spark, target, live)
+    assert got == want
+    n = ivf_index_vacuum(spark, target)
+    assert n > 0
+    assert _serve_set(spark, target, live) == want
+    assert ivf_index_vacuum(spark, target) == 0  # nothing left dead
+    from epe_data_wrangling_spark.streaming.manifest import (
+        read_manifest,
+        store_has_files,
+    )
+
+    assert not store_has_files(read_manifest(target, "tombs"))
+
+
+def test_ann_index_changes_witnesses(spark, tmp_path):
+    """Delta-sized witnesses: op outside {I,U,D}; null vector on I/U;
+    INSERT over a present id (exact via the locator, even when the
+    new vector would land in a DIFFERENT cell); DELETE of an unknown
+    id. Each case runs bootstrap + bad batch over its own target —
+    the bad batch must RAISE, leaving the bootstrap state committed."""
+    gens, e = _gens(spark)
+    cases = [
+        (
+            "insert_over_present",
+            _as_ops(
+                gens[0].limit(1).withColumn(
+                    "embedding", F.transform("embedding", lambda x: -x)
+                ),
+                "I",
+            ),
+            "op=I but the locator",
+        ),
+        ("delete_unknown", _as_ops(gens[2].limit(1), "D"), "op=D but"),
+        (
+            "null_vector_on_upsert",
+            _as_ops(gens[0].limit(1), "D").withColumn("op", F.lit("U")),
+            "null vector",
+        ),
+        (
+            "op_outside_domain",
+            _as_ops(gens[0].limit(1), "I").withColumn("op", F.lit("X")),
+            "outside",
+        ),
+    ]
+    for name, bad, pattern in cases:
+        landing = str(tmp_path / name / "landing")
+        target = str(tmp_path / name / "state")
+        ck = str(tmp_path / name / "ck")
+        _land(_as_ops(gens[0], "I"), landing, "c1.parquet", 1)
+        _land(bad, landing, "c2.parquet", 2)
+        with pytest.raises(Exception, match=pattern):
+            _chg_run(spark, landing, target, ck)
+        # the bootstrap batch committed before the bad one raised
+        assert _serve_set(spark, target, gens[0]) == _direct_recompute(
+            spark, target, gens[0]
+        )
+
+
+def test_ann_index_changes_replay_noop_and_fresh_checkpoint_guard(
+    spark, tmp_path
+):
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(_as_ops(gens[0], "I"), landing, "c1.parquet", 1)
+    _land(_as_ops(gens[1].filter(F.col("vec_id") % 5 == 0), "D"),
+          landing, "c2.parquet", 2)
+    # D of gen-1... wait: gen index 1 ids were never inserted
+    import shutil
+
+    shutil.rmtree(landing)
+    _land(_as_ops(gens[0], "I"), landing, "c1.parquet", 1)
+    _land(_as_ops(gens[0].filter(F.col("vec_id") % 5 == 0), "D"),
+          landing, "c2.parquet", 2)
+    _chg_run(spark, landing, target, str(tmp_path / "ck1"))
+    before = _serve_set(spark, target, e)
+    _chg_run(spark, landing, target, str(tmp_path / "ck2"))  # pure replay
+    assert _serve_set(spark, target, e) == before
+    # fresh checkpoint over applied + NEW data must raise, not drop
+    _land(_as_ops(gens[1], "I"), landing, "c3.parquet", 3)
+    with pytest.raises(Exception, match="never-applied"):
+        _chg_run(spark, landing, target, str(tmp_path / "ck3"),
+                 per_file=False)
+    # resuming with the original checkpoint applies exactly the new file
+    _chg_run(spark, landing, target, str(tmp_path / "ck1"))
+    live = gens[0].filter(F.col("vec_id") % 5 != 0).union(gens[1])
+    assert _serve_set(spark, target, live) == _direct_recompute(
+        spark, target, live
+    )
+
+
+def test_ann_index_changes_adopts_plain_target_and_plain_refuses_cdc(
+    spark, tmp_path
+):
+    """A plain-append target is adopted by the CDC sink (one-time
+    locator backfill from the vectors store), after which the plain
+    sink must refuse the target — interleaving would strand the
+    locator stale."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    for i, g in enumerate(gens[:2], start=1):
+        _land(g, landing, f"g{i}.parquet", i)
+    _run(spark, landing, target, str(tmp_path / "ck1"))  # plain append sink
+    chg_landing = str(tmp_path / "chg")
+    _land(_as_ops(gens[0].filter(F.col("vec_id") % 5 == 0), "D"),
+          chg_landing, "c1.parquet", 1)
+    _chg_run(spark, chg_landing, target, str(tmp_path / "ck2"))
+    live = gens[0].filter(F.col("vec_id") % 5 != 0).union(gens[1])
+    assert _serve_set(spark, target, live) == _direct_recompute(
+        spark, target, live
+    )
+    # plain sink now refuses the CDC-maintained target
+    _land(gens[2], landing, "g3.parquet", 3)
+    with pytest.raises(Exception, match="CDC-maintained"):
+        _run(spark, landing, target, str(tmp_path / "ck1"))
+
+
+def test_ann_index_changes_locator_drift_witness(spark, tmp_path):
+    """A locator entry whose located cell holds no standing row for
+    the id is corruption — retiring it must RAISE, never silently
+    tombstone a phantom."""
+    import json
+    import os as _os
+
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(_as_ops(gens[0], "I"), landing, "c1.parquet", 1)
+    _chg_run(spark, landing, target, str(tmp_path / "ck1"))
+    # forge a locator entry for an id the store does not hold, via the
+    # same manifest API the sink uses (white-box corruption)
+    from epe_data_wrangling_spark.streaming.ann_index import _atomic_swap
+    from epe_data_wrangling_spark.streaming.manifest import (
+        read_manifest,
+        read_store,
+        write_store_delta,
+    )
+
+    phantom_id = 999_999_001
+    loc_manifest = read_manifest(target, "locator")
+    # the forged entry must live in the phantom id's OWN hash bucket —
+    # that is the bucket the sink's pruned locator read resolves
+    kb = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.hash(F.lit(phantom_id).cast("bigint")), F.lit(32)
+            ).cast("int").alias("b")
+        )
+        .collect()[0]["b"]
+    )
+    forged = spark.createDataFrame(
+        [(phantom_id, 0, kb)], "vec_id BIGINT, cell INT, _kb INT"
+    )
+    touched = [kb]
+    standing_loc = read_store(
+        spark, target, "locator", buckets=touched, manifest=loc_manifest
+    )
+    merged = forged if standing_loc is None else standing_loc.union(forged)
+    stage = f"{target}.stage-777"
+    _os.makedirs(stage, exist_ok=True)
+    write_store_delta(
+        spark, merged, target, "locator", stage,
+        batch_id=777, touched=touched, manifest=loc_manifest,
+    )
+    from epe_data_wrangling_spark.streaming.manifest import carry_store
+
+    carry_store(target, "vectors", stage)
+    carry_store(target, "tombs", stage)
+    import shutil
+
+    shutil.copytree(
+        _os.path.join(target, "centroids"), _os.path.join(stage, "centroids")
+    )
+    with open(_os.path.join(target, "_ivm_meta.json")) as f:
+        meta = json.load(f)
+    with open(_os.path.join(stage, "_ivm_meta.json"), "w") as f:
+        json.dump(meta, f)
+    _atomic_swap(stage, target, 777)
+    # deleting the phantom passes the locator-presence check but must
+    # trip the locator<->store divergence witness
+    _land(
+        spark.createDataFrame(
+            [("D", phantom_id, None)],
+            "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>",
+        ),
+        landing, "c2.parquet", 2,
+    )
+    with pytest.raises(Exception, match="DIVERGE"):
+        _chg_run(spark, landing, target, str(tmp_path / "ck1"))
+
+
+def test_ann_index_cdc_serve_prunes_and_broadcasts(spark, tmp_path):
+    """The CDC-maintained index's serve plan must keep the probed-cell
+    `_kb` pushdown and broadcast-only joins — the tombstone filter
+    must not introduce a sort-merge join or a full scan."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _cdc_land_three(spark, e, landing, target, str(tmp_path / "ck"))
+    out = ivf_index_topk(spark, target, _queries(e), probe=PROBE, k=K)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "_kb" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ann_index_serve_invariant_across_compaction(spark, tmp_path):
+    """Verdict-r13 item 5: drive the append sink across an
+    over-threshold manifest compaction and require byte-identical
+    serve results on both sides of the boundary, plus the `_kb`
+    pushdown still in the plan. 12 single-file generations against 8
+    cells push hot cells past COMPACT_FILE_THRESHOLD (8), so the
+    append path's in-commit compaction must fire at least once."""
+    from epe_data_wrangling_spark.streaming.manifest import (
+        COMPACT_FILE_THRESHOLD,
+        read_manifest,
+    )
+
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    n_gens = 12
+    parts = [e.filter(F.col("vec_id") % n_gens == i) for i in range(n_gens)]
+    landed = None
+    saw_fragmented = False
+    max_files_seen = 0
+    for i, g in enumerate(parts, start=1):
+        _land(g, landing, f"g{i:02d}.parquet", i)
+        _run(spark, landing, target, ck)
+        landed = g if landed is None else landed.union(g)
+        m = read_manifest(target, "vectors")
+        n_files = max(len(v) for v in m["buckets"].values())
+        max_files_seen = max(max_files_seen, n_files)
+        if n_files > COMPACT_FILE_THRESHOLD - 1:
+            saw_fragmented = True
+        # serve must equal the frozen-quantizer recompute at EVERY
+        # boundary — before, during, and after compactions
+        assert _serve_set(spark, target, landed) == _direct_recompute(
+            spark, target, landed
+        )
+    # the run genuinely fragmented and genuinely compacted
+    assert saw_fragmented, "run never approached the compaction threshold"
+    final = read_manifest(target, "vectors")
+    assert max(len(v) for v in final["buckets"].values()) < max(
+        max_files_seen, n_gens
+    ), "no compaction ever fired"
+    out = ivf_index_topk(spark, target, _queries(e), probe=PROBE, k=K)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan and "_kb" in plan
+    assert "SortMergeJoin" not in plan
