@@ -2920,3 +2920,148 @@ def streaming_ivfpq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _ann_index_upsert_oracle() -> str:
+    """Recompute of the post-change index state: the quantizer is
+    still trained on the BOOTSTRAP generation only (the frozen
+    stage), but the indexed corpus is the LIVE set after the change
+    batch — deleted ids (landed ∧ vec_id%5=4) excluded, upserted ids
+    (landed ∧ vec_id%5=2) carrying their re-embedded (negated)
+    vectors, the third generation inserted as-is. Queries remain the
+    ORIGINAL embeddings (external query vectors are not index rows).
+    Coarse CTEs shared with the append twin via `_gen1_coarse_ctes`
+    so the Lloyd staging cannot drift between the three oracles."""
+    d2a = "(a.lvv - 2 * list_dot_product(a.lv, c.c)) + c.cc"
+    d2q = "(q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc"
+    d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
+    return f"""
+    WITH {_gen1_coarse_ctes()},
+    live AS (SELECT vec_id,
+                    CASE WHEN vec_id % 3 <> 2 AND vec_id % 5 = 2
+                         THEN list_transform(v, x -> -x)
+                         ELSE v END AS lv
+             FROM e
+             WHERE NOT (vec_id % 3 <> 2 AND vec_id % 5 = 4)),
+    lv AS (SELECT vec_id, lv, list_dot_product(lv, lv) AS lvv FROM live),
+    assigned AS (SELECT vid, vx, vv, cell FROM (
+        SELECT a.vec_id AS vid, a.lv AS vx, a.lvv AS vv, c.cid AS cell,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {d2a}, c.cid) AS rn
+        FROM lv a CROSS JOIN cent c) t
+      WHERE rn = 1),
+    probes AS (SELECT query_id, qv, qq, cell FROM (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.vv AS qq, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {d2q}, c.cid) AS rn
+        FROM av q CROSS JOIN cent c WHERE q.vec_id < {AIDX_NQ}) t
+      WHERE rn <= {AIDX_PROBE}),
+    cand AS (SELECT p.query_id, a.vid AS neighbor_id,
+               CAST(round(({d2x}) * 1000000000.0) AS BIGINT) AS d2_r
+             FROM probes p JOIN assigned a USING (cell)
+             WHERE p.query_id <> a.vid)
+    SELECT query_id, neighbor_id, rank,
+           round(CAST(d2_r AS DOUBLE) / 1000000000.0, 6) AS l2_dist
+    FROM (SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY d2_r, neighbor_id) AS INTEGER) AS rank, d2_r
+          FROM cand) t
+    WHERE rank <= {AIDX_K}
+    """
+
+
+@query("streaming_ann_index_upsert", oracle=_ann_index_upsert_oracle())
+def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index's UNLEARN path (`streaming.ann_index.
+    ivf_index_changes_foreach_batch`): three change batches land —
+    generation 1 bootstraps (op=I, trains the frozen quantizer),
+    generation 2 inserts, and a MIXED batch inserts generation 3
+    while UPSERTING re-embedded (negated) vectors for landed ids with
+    vec_id%5=2 and DELETING landed ids with vec_id%5=4 (the dedup-
+    casualty / GDPR / re-embedding contract a production vector index
+    must honor). Deletes and superseded upserts never touch standing
+    rows: they append cell-bucketed tombstones located via the (id →
+    cell) locator sidecar (bucketed by id hash — a change batch
+    reads/rewrites only the key buckets its ids hash to), and serve
+    filters the probed cells' tombstones via a broadcast max-tgen
+    join. `ivf_index_vacuum` then physically drops the dead rows
+    (copy-on-write of exactly the tombstoned cells) and the SAME
+    queries are served from the vacuumed index — so the certified
+    hash covers the tombstone semantics AND the vacuum's physical
+    rewrite in one pass. The oracle recomputes the final state from
+    scratch over the LIVE corpus (deletes excluded, upserts
+    re-embedded) under the bootstrap-trained quantizer. Scale: a
+    change batch costs the batch (append + touched-key-bucket locator
+    rewrite + tombstone append); vacuum costs the tombstoned cells;
+    serve scans ~probe/K of the corpus. Replay/duplicate/
+    insert-over-present/delete-unknown/locator-drift witnesses and
+    serve-plan pruning are pytest-pinned (tests/test_ann_index.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivf_index_changes_foreach_batch,
+        ivf_index_topk,
+        ivf_index_vacuum,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    landed = F.col("vec_id") % 3 != 2
+    ins = [
+        e.filter(F.col("vec_id") % 3 == i).select(
+            F.lit("I").alias("op"), "vec_id", "embedding"
+        )
+        for i in range(3)
+    ]
+    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
+        F.lit("U").alias("op"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
+        F.lit("D").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    work = tempfile.mkdtemp(prefix="ann_index_upsert_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
+        )
+        stream = (
+            spark.readStream.schema(
+                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivf_index_changes_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS, checkpoint_dir=ckpt,
+        )
+        if ivf_index_vacuum(spark, target) == 0:
+            raise RuntimeError(
+                "ann_index_upsert: vacuum found nothing dead — the change "
+                "batch's deletes/upserts never tombstoned"
+            )
+        queries = e.filter(F.col("vec_id") < AIDX_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        rows = ivf_index_topk(
+            spark, target, queries, probe=AIDX_PROBE, k=AIDX_K
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
