@@ -177,6 +177,60 @@ def _require_unique_ids(batch: DataFrame, id_col: str, sink: str) -> None:
         )
 
 
+#: Cell-occupancy skew (max/mean live rows per populated cell) above
+#: which the sinks surface a retrain advisory in their meta — the
+#: production trigger for re-training the frozen quantizer: a drifted
+#: embedding distribution piles new vectors into few cells, serve
+#: probes degrade toward scanning those hot cells, and recall on
+#: drifted queries decays (measured: tools/supp/ann_index_scale.py
+#: --drift; SCALE.md r14). Advisory, never an error: ingestion must
+#: not stop because the corpus moved.
+OCCUPANCY_SKEW_WARN = 8.0
+
+
+def _occupancy_meta(
+    old_counts: dict, delta_counts, retire_counts=None,
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
+) -> dict:
+    """Fold a batch's per-cell delta (and optional retired counts)
+    into the meta-carried live-row occupancy map and attach the skew
+    advisory. ``delta_counts``/``retire_counts`` are (cell, n)
+    iterables — delta-sized collects the callers already pay."""
+    counts = {str(k): int(v) for k, v in (old_counts or {}).items()}
+    for b, c in delta_counts:
+        counts[str(int(b))] = counts.get(str(int(b)), 0) + int(c)
+    for b, c in retire_counts or ():
+        counts[str(int(b))] = counts.get(str(int(b)), 0) - int(c)
+    counts = {b: c for b, c in counts.items() if c > 0}
+    out = {"cell_counts": dict(sorted(counts.items(), key=lambda kv: int(kv[0])))}
+    if counts:
+        mx = max(counts.values())
+        mean = sum(counts.values()) / len(counts)
+        skew = mx / mean if mean else 0.0
+        out["occupancy_skew"] = round(skew, 3)
+        if skew > warn_skew:
+            hot = max(counts, key=counts.get)
+            out["occupancy_warning"] = {
+                "skew": round(skew, 3),
+                "threshold": warn_skew,
+                "hot_cell": int(hot),
+                "hot_rows": counts[hot],
+                "action": "embedding distribution has drifted from the "
+                "bootstrap training corpus — retrain the quantizer "
+                "(rebuild the index) to restore probe balance",
+            }
+            import warnings
+
+            warnings.warn(
+                f"ANN index occupancy skew {skew:.1f} > "
+                f"{warn_skew} (hot cell {hot}: {counts[hot]} "
+                "rows) — quantizer retrain advised",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    return out
+
+
 def _assign_cells(batch: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     """Nearest-trained-centroid assignment (dist² argmin against the
     broadcast centroids — the Lloyd metric, so the index is coherent
@@ -207,6 +261,7 @@ def ivf_index_foreach_batch(
     vec_col: str = "embedding",
     k_cells: int = 8,
     train_iters: int = 2,
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -289,9 +344,13 @@ def ivf_index_foreach_batch(
                 eager=True  # assignment feeds the guard, the commit
             )
         )
-        touched = sorted(
-            int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
-        )
+        delta_counts = [
+            (int(r["_kb"]), int(r["c"]))
+            for r in delta.groupBy("_kb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        touched = sorted(b for b, _ in delta_counts)
         existing = read_store(
             spark, target_dir, "vectors", buckets=touched, manifest=manifest
         )
@@ -337,6 +396,10 @@ def ivf_index_foreach_batch(
                     "last_gen": gen,
                     "k_cells": k_cells,
                     "applied_files": sorted(applied | batch_files),
+                    **_occupancy_meta(
+                        meta.get("cell_counts"), delta_counts,
+                        warn_skew=warn_skew,
+                    ),
                 },
                 f,
             )
@@ -454,6 +517,7 @@ def ivf_index_changes_foreach_batch(
     k_cells: int = 8,
     train_iters: int = 2,
     loc_buckets: int = 32,
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -638,9 +702,13 @@ def ivf_index_changes_foreach_batch(
             .join(old_loc.select(id_col, "cell"), id_col)
             .localCheckpoint(eager=True)
         )
-        retire_cells = sorted(
-            int(r["cell"]) for r in retire.select("cell").distinct().collect()
-        )
+        retire_counts = [
+            (int(r["cell"]), int(r["c"]))
+            for r in retire.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        retire_cells = sorted(b for b, _ in retire_counts)
         if retire_cells:
             # locator ↔ store divergence witness: every retired entry
             # must hold a standing row in its located cell (read-only,
@@ -674,9 +742,13 @@ def ivf_index_changes_foreach_batch(
             .withColumn("_gen", F.lit(gen).cast("bigint"))
             .localCheckpoint(eager=True)
         )
-        touched = sorted(
-            int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
-        )
+        delta_counts = [
+            (int(r["_kb"]), int(r["c"]))
+            for r in delta.groupBy("_kb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        touched = sorted(b for b, _ in delta_counts)
         # --- commit: vectors append + tombs append + locator rewrite
         stage = f"{target_dir}.stage-{batch_id}"
         os.makedirs(stage, exist_ok=True)
@@ -743,6 +815,10 @@ def ivf_index_changes_foreach_batch(
                     "loc_buckets": loc_buckets,
                     "cdc": True,
                     "applied_files": sorted(applied | batch_files),
+                    **_occupancy_meta(
+                        meta.get("cell_counts"), delta_counts, retire_counts,
+                        warn_skew=warn_skew,
+                    ),
                 },
                 f,
             )
@@ -827,6 +903,7 @@ def ivfpq_index_foreach_batch(
     pq_m: int = 4,
     pq_sub: int = 16,
     cbk: int = 32,
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -934,9 +1011,14 @@ def ivfpq_index_foreach_batch(
             .select(id_col, "m", "cid", "_kb")
             .localCheckpoint(eager=True)
         )
-        touched = sorted(
-            int(r["_kb"]) for r in delta.select("_kb").distinct().collect()
-        )
+        delta_counts = [
+            # codes carry pq_m rows per vector: occupancy counts VECTORS
+            (int(r["_kb"]), int(r["c"]) // pq_m)
+            for r in delta.groupBy("_kb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        touched = sorted(b for b, _ in delta_counts)
         existing = read_store(
             spark, target_dir, "codes", buckets=touched, manifest=manifest
         )
@@ -981,6 +1063,10 @@ def ivfpq_index_foreach_batch(
                     "last_batch_id": batch_id,
                     "pq_layout": layout,
                     "applied_files": sorted(applied | batch_files),
+                    **_occupancy_meta(
+                        meta.get("cell_counts"), delta_counts,
+                        warn_skew=warn_skew,
+                    ),
                 },
                 f,
             )

@@ -796,3 +796,55 @@ def test_ann_index_serve_invariant_across_compaction(spark, tmp_path):
     )
     assert "PushedFilters" in plan and "_kb" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_index_occupancy_skew_witness(spark, tmp_path):
+    """Frozen-quantizer drift surfaces as cell-occupancy skew: a
+    batch concentrated far from the bootstrap distribution piles into
+    one cell, and once max/mean crosses the sink's warn threshold the
+    committed meta must carry the retrain advisory — while ingest and
+    serve keep working (advisory, never an error)."""
+    import json
+
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run(warn):
+        reader = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivf_index_foreach_batch(
+            reader, target, k_cells=8, train_iters=2,
+            warn_skew=warn, checkpoint_dir=ck,
+        )
+
+    _land(gens[0], landing, "g1.parquet", 1)
+    run(3.0)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert "occupancy_warning" not in meta
+    assert sum(meta["cell_counts"].values()) == gens[0].count()
+    # drifted cohort: one far-away point, many ids -> one hot cell
+    hot_vec = [1e4] * 64
+    hot = spark.createDataFrame(
+        [(10_000_000 + i, hot_vec) for i in range(gens[0].count() * 2)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    _land(hot, landing, "g2.parquet", 2)
+    run(3.0)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    warning = meta.get("occupancy_warning")
+    assert warning is not None
+    assert warning["skew"] > 3.0 and warning["threshold"] == 3.0
+    assert "retrain" in warning["action"]
+    # ingest + serve still work on the skewed index
+    landed = gens[0].union(hot)
+    assert _serve_set(spark, target, gens[0]) == _direct_recompute(
+        spark, target, landed
+    ) - {
+        t for t in _direct_recompute(spark, target, landed)
+        if t[0] >= 10_000_000
+    }

@@ -13,6 +13,19 @@ Usage: python tools/supp/ann_index_scale.py [--sf-dir ...] [--mult 20]
 Prints one JSON line:
   {"ivf": {"bootstrap": s, "appends": [s, ...], "store_bytes": N},
    "ivfpq": {...}, "vectors_per_gen": N, "mult": M}
+
+DRIFT MODE (``--drift G``): measures what the frozen quantizer
+CANNOT see — an embedding distribution that moves away from the
+bootstrap training corpus. G generations are appended, generation g
+shifted by ``g * --drift-step`` in every dimension; after each append
+the probe records (a) the sink's meta-carried cell-occupancy skew
+(max/mean live rows — the ingest-time witness that triggers the
+retrain advisory) and (b) recall@k of probed serve vs exact
+brute-force over the standing corpus, with queries drawn from the
+NEWEST generation (the realistic serving case: fresh queries look
+like fresh data). Prints {"drift_step": s, "k": k,
+"gens": [{"gen", "skew", "max_cell", "mean_cell",
+"recall_p2", "recall_p4"}]}.
 """
 
 from __future__ import annotations
@@ -48,14 +61,156 @@ def du(path: str) -> int:
     return total
 
 
+def _drift_mode(spark, args) -> None:
+    """Frozen-quantizer drift probe — see module docstring."""
+    from epe_data_wrangling_spark.functions import vectors as V
+    from epe_data_wrangling_spark.streaming.ann_index import ivf_index_topk
+    from pyspark.sql import Window
+
+    NQ, K = 20, 5
+    base = spark.read.parquet(
+        os.path.join(args.sf_dir, "embeddings.parquet")
+    ).select("vec_id", "embedding")
+    n = base.count()
+    work = os.path.join(WORK, "drift")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ck = os.path.join(work, "ck")
+
+    def shifted(g: int):
+        return base.select(
+            (F.col("vec_id") + g * n).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x + F.lit(float(g * args.drift_step))
+            ).cast("array<float>").alias("embedding"),
+        )
+
+    def brute_topk(corpus, queries):
+        ev = corpus.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+        q = queries.withColumn("qq", V.dot(F.col("qv"), F.col("qv")))
+        d2 = F.round(
+            ((F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v"))) + F.col("vv"))
+            * F.lit(1e9)
+        ).cast("bigint")
+        w = Window.partitionBy("query_id").orderBy("d2_r", "neighbor_id")
+        return (
+            ev.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                d2.alias("d2_r"),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= K)
+            .select("query_id", "neighbor_id")
+        )
+
+    def recall(corpus, queries, probe: int) -> float:
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_topk(corpus, queries).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_index_topk(
+                spark, target, queries, probe=probe, k=K
+            ).collect()
+        }
+        return round(len(exact & approx) / max(len(exact), 1), 3)
+
+    rows = []
+    corpus = None
+    for g in range(args.drift + 1):
+        gen = shifted(g)
+        land_single_file(gen, landing, f"g{g + 1}.parquet", g + 1)
+        stream = (
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivf_index_foreach_batch(
+            stream, target, k_cells=8, train_iters=2, checkpoint_dir=ck
+        )
+        corpus = gen if corpus is None else corpus.union(gen)
+        meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+        cell_counts = {int(b): c for b, c in meta["cell_counts"].items()}
+        counts = list(cell_counts.values())
+        total = sum(counts)
+        queries = gen.orderBy("vec_id").limit(NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+
+        def scan_frac(probe: int) -> float:
+            # mean fraction of the corpus a query's probed cells hold —
+            # the metric drift actually destroys first (the hot cell
+            # swallows the corpus, so probing it IS scanning it)
+            cents = {
+                int(r["cid"]): r["c"]
+                for r in spark.read.parquet(
+                    os.path.join(target, "centroids")
+                ).collect()
+            }
+            fr = []
+            for q in queries.collect():
+                d2 = sorted(
+                    (
+                        sum((a - b) ** 2 for a, b in zip(q["qv"], c)),
+                        cid,
+                    )
+                    for cid, c in cents.items()
+                )
+                probed = [cid for _, cid in d2[:probe]]
+                fr.append(
+                    sum(cell_counts.get(c, 0) for c in probed) / total
+                )
+            return round(sum(fr) / len(fr), 3)
+
+        rows.append(
+            {
+                "gen": g,
+                "skew": meta.get("occupancy_skew"),
+                "warned": "occupancy_warning" in meta,
+                "max_cell": max(counts),
+                "mean_cell": round(sum(counts) / len(counts), 1),
+                "recall_p2": recall(corpus, queries, 2),
+                "recall_p4": recall(corpus, queries, 4),
+                "scan_frac_p2": scan_frac(2),
+                "scan_frac_p4": scan_frac(4),
+            }
+        )
+    shutil.rmtree(work, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "drift_step": args.drift_step,
+                "k": K,
+                "vectors_per_gen": n,
+                "gens": rows,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--mult", type=int, default=20)
+    ap.add_argument("--drift", type=int, default=0,
+                    help="run the drift probe with this many shifted "
+                    "generations instead of the append-cost probe")
+    ap.add_argument("--drift-step", type=float, default=0.2,
+                    help="per-generation per-dimension shift")
     args = ap.parse_args()
     spark = get_spark("ann_index_scale")
     spark.sparkContext.setLogLevel("ERROR")
     shutil.rmtree(WORK, ignore_errors=True)
+    if args.drift:
+        _drift_mode(spark, args)
+        return
 
     base = spark.read.parquet(
         os.path.join(args.sf_dir, "embeddings.parquet")
