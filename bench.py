@@ -183,11 +183,28 @@ def main() -> None:
     # driver's tail-capture window and truncated the front of the line
     # (BENCH_r12.json recorded "parsed": null) — the machine-readable
     # summary must stay small, COMPACT, and be the LAST line printed.
-    detail_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".benchmarks"
-    )
+    # ROUND-STAMPED (r14): a single overwritten file destroyed each
+    # prior round's pass detail the BENCH_r* `passes_file` field
+    # pointed at. The round comes from $SPARK_GRAFT_ROUND when the
+    # driver sets it; otherwise it is inferred as 1 + the highest
+    # committed BENCH_r<N>.json at the repo root (the driver writes
+    # BENCH_r{N} right after running this script, so at round N the
+    # highest committed record is N-1). Timestamp-free and
+    # deterministic; each round's file is committed and history stays
+    # recoverable.
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        recs = [
+            int(m.group(1))
+            for f in os.listdir(repo_root)
+            if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+        ]
+        rnd = str(max(recs) + 1 if recs else 0)
+    detail_dir = os.path.join(repo_root, ".benchmarks")
     os.makedirs(detail_dir, exist_ok=True)
-    detail_file = os.path.join(detail_dir, "bench_passes.json")
+    detail_name = f"bench_passes_r{rnd}.json"
+    detail_file = os.path.join(detail_dir, detail_name)
     with open(detail_file, "w") as f:
         json.dump(
             {
@@ -212,7 +229,7 @@ def main() -> None:
                 # per-pass sweeps live in `passes_file`
                 "calibration_probe_sec": round(min(probes), 3),
                 "calibration_probe_shuffle_sec": round(min(probes_shuffle), 3),
-                "passes_file": ".benchmarks/bench_passes.json",
+                "passes_file": f".benchmarks/{detail_name}",
                 "sf": sf,
             },
             separators=(",", ":"),

@@ -89,19 +89,21 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: the externally-validated surface for the round. The window ROTATES
 #: each round; every registered query has a driver-certified record
 #: (276 cumulative through r13, judge-reverified), so the r14 window
-#: carries (a) the 10 anchors, (b) the query ADDED during r14 (never
-#: driver-certified: streaming_ann_index_upsert — the ANN index's
-#: tombstoned delete/upsert + vacuum path), (c) ann_cosine_topk_arrow
-#: (rows-only BY DESIGN — Arrow/BLAS float summation order; its slot
-#: keeps driver row+schema evidence fresh), and (d) 38
-#: stalest-certified re-certs (oldest green driver row first, per
-#: tools/rotate_window.py) — this drains the ENTIRE r7 vintage (31
-#: queries, the oldest bucket after the r13 drain of r6) plus the 7
-#: oldest r8-vintage rows, so after a green r14 no non-anchor query's
-#: hard signal is older than r8 (max staleness ≤ 6 sustained a third
-#: round). Queries outside the window remain locally verified every
-#: round by tools/verify_local.py (the full DuckDB-differential
-#: sweep).
+#: carries (a) the 10 anchors, (b) the 2 queries ADDED during r14
+#: (never driver-certified: streaming_ann_index_upsert — the ANN
+#: index's tombstoned delete/upsert + vacuum path — and
+#: streaming_workbook_burst, the 8-drop parallel-parse headline
+#: variant), (c) ann_cosine_topk_arrow (rows-only BY DESIGN —
+#: Arrow/BLAS float summation order; its slot keeps driver row+schema
+#: evidence fresh), and (d) 37 stalest-certified re-certs (oldest
+#: green driver row first, per tools/rotate_window.py) — this drains
+#: the ENTIRE r7 vintage (31 queries, the oldest bucket after the r13
+#: drain of r6) plus the 6 oldest r8-vintage rows, so after a green
+#: r14 no non-anchor query's hard signal is older than r8 (max
+#: staleness ≤ 6 sustained a third round; distinct_flags and
+#: dp_noisy_group_counts, both r8-green, wait for r15). Queries
+#: outside the window remain locally verified every round by
+#: tools/verify_local.py (the full DuckDB-differential sweep).
 PRIORITY_ORDER = [
     # --- anchors (10): per-family canaries, in every window
     "epe_pipeline_demo",
@@ -114,12 +116,13 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the query added during r14 (never driver-certified)
+    # --- the 2 queries added during r14 (never driver-certified)
     "streaming_ann_index_upsert",
+    "streaming_workbook_burst",
     # --- rows-only-by-design twin: refresh its driver row evidence
     "ann_cosine_topk_arrow",
     # --- stalest re-certs (oldest driver-green first): all 31
-    # --- r7-vintage entries, then the 7 oldest r8-vintage
+    # --- r7-vintage entries, then the 6 oldest r8-vintage
     "histogram_order_totals",
     "impute_value_by_type_mean",
     "interarrival_stats_per_user",
@@ -157,7 +160,6 @@ PRIORITY_ORDER = [
     "attribution_position_weighted",
     "case_bucket_acctbal",
     "date_series_calendar",
-    "distinct_flags",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

@@ -475,6 +475,97 @@ def streaming_workbook_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+WB_BURST_DROPS = 8  #: concurrent drops in the burst variant
+
+
+def _wb_burst_expected_sql() -> str:
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+
+    rows = []
+    for i in range(1, WB_BURST_DROPS + 1):
+        ext = "xls" if i % 2 == 0 else "xlsx"
+        for sheet, grid in workbook_grids().items():
+            n = sum(1 for row in grid for v in row if v is not None)
+            rows.append(f"('drop_{i}.{ext}', '{sheet}', {n})")
+    values = ",\n      ".join(rows)
+    return f"""
+    SELECT fname, sheet, CAST(n_cells AS BIGINT) AS n_cells
+    FROM (VALUES
+      {values}
+    ) t(fname, sheet, n_cells)
+    """
+
+
+@query(
+    "streaming_workbook_burst",
+    oracle=_wb_burst_expected_sql,
+    headline=True,  # r14: guards the stream reader's one-partition-per-
+    # drop parallel parse round-over-round (the r13 executor-side parse
+    # payoff lived only in SCALE.md — a partition-planning regression
+    # was invisible to BENCH_r*)
+)
+def streaming_workbook_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-of-drops burst the full `DataSourceStreamReader`
+    exists for: {WB_BURST_DROPS} workbook drops (alternating OOXML /
+    BIFF8 container formats) land BEFORE the stream runs, and ONE
+    availableNow pass must plan one partition per drop and parse all
+    of them executor-side in parallel (`sources.spark_datasource.
+    WorkbookStreamReader.partitions` — the r13 measurement: 7.3 s/drop
+    at burst 8 vs 9.7-10.7 single-drop, SCALE.md). Output is the
+    per-(file, sheet) cell count against the Python-computed grid
+    truth; as a HEADLINE query its timing lands in every BENCH_r*, so
+    a regression in partition planning (e.g. the burst collapsing to
+    one serial parse task) shows up as a step change round-over-round
+    rather than silently reverting the monthly cycle's floor."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.plans.epe_demo import workbook_grids
+    from epe_data_wrangling_spark.sources.spark_datasource import register
+    from epe_data_wrangling_spark.sources.xls_biff import write_xls
+    from epe_data_wrangling_spark.sources.xlsx import write_xlsx
+
+    register(spark)
+    work = tempfile.mkdtemp(prefix="wb_burst_")
+    land = os.path.join(work, "land")
+    os.makedirs(land)
+    out = os.path.join(work, "cells")
+    ckpt = os.path.join(work, "ckpt")
+    grids = workbook_grids()
+    try:
+        for i in range(1, WB_BURST_DROPS + 1):
+            if i % 2 == 0:
+                write_xls(os.path.join(land, f"drop_{i}.xls"), grids)
+            else:
+                write_xlsx(os.path.join(land, f"drop_{i}.xlsx"), grids)
+        q = (
+            spark.readStream.format("workbook")
+            .load(land)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        agg = (
+            spark.read.parquet(out)
+            .where(F.col("row_idx") >= 0)  # drop geometry marker rows
+            .groupBy(
+                F.element_at(F.split(F.col("file"), "/"), -1).alias("fname"),
+                "sheet",
+            )
+            .agg(F.count(F.lit(1)).alias("n_cells"))
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, agg.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query(
     "streaming_state_introspection",
     oracle="""
