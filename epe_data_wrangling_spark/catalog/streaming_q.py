@@ -2720,24 +2720,45 @@ def _gen1_coarse_ctes() -> str:
     av AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e)"""
 
 
-def _ann_index_oracle() -> str:
+def _live_corpus_ctes() -> str:
+    """CTEs of the LIVE corpus after the upsert-variant change batch
+    (shared by the raw and PQ upsert oracles): landed ids (gen 1+2)
+    minus the deleted cohort (vec_id%5=4), upserted ids (vec_id%5=2)
+    carrying their re-embedded (negated) vectors, gen 3 inserted
+    as-is. Ends at ``lvv`` with av-compatible columns (vec_id, v,
+    vv) so the shared serve CTEs swap corpora verbatim."""
+    return """live AS (SELECT vec_id,
+                    CASE WHEN vec_id % 3 <> 2 AND vec_id % 5 = 2
+                         THEN list_transform(v, x -> -x)
+                         ELSE v END AS v
+             FROM e
+             WHERE NOT (vec_id % 3 <> 2 AND vec_id % 5 = 4)),
+    lvv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM live)"""
+
+
+def _ann_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
     """Recompute of the final index state: Lloyd trained on the
     BOOTSTRAP generation only (vec_id % 3 = 0 — the sink's frozen
-    quantizer), ALL vectors assigned against the frozen centroids,
-    probed serve with BIGINT-staged distances. Mirrors
+    quantizer), the ``corpus`` CTE's vectors assigned against the
+    frozen centroids, probed serve with BIGINT-staged distances.
+    Queries are always the ORIGINAL embeddings (external query
+    vectors are not index rows). Mirrors
     `operators.kmeans.lloyd_means` operation tree for operation
     tree (same staging as mlprep_q._kmeans_oracle). Coarse-quantizer
-    CTEs shared with the PQ twin via `_gen1_coarse_ctes`."""
+    CTEs shared with the PQ twin via `_gen1_coarse_ctes`; the upsert
+    variant passes the `_live_corpus_ctes` corpus."""
     d2a = "(a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc"
     d2q = "(q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc"
     d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
+    extra = f"{extra_ctes}," if extra_ctes else ""
     return f"""
     WITH {_gen1_coarse_ctes()},
+    {extra}
     assigned AS (SELECT vid, vx, vv, cell FROM (
         SELECT a.vec_id AS vid, a.v AS vx, a.vv, c.cid AS cell,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY {d2a}, c.cid) AS rn
-        FROM av a CROSS JOIN cent c) t
+        FROM {corpus} a CROSS JOIN cent c) t
       WHERE rn = 1),
     probes AS (SELECT query_id, qv, qq, cell FROM (
         SELECT q.vec_id AS query_id, q.v AS qv, q.vv AS qq, c.cid AS cell,
@@ -2836,12 +2857,15 @@ AIDXQ_SUB = 16
 AIDXQ_CBK = 32    #: residual codebook entries per subspace
 
 
-def _ivfpq_index_oracle() -> str:
+def _ivfpq_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
     """Recompute of the PQ-coded index's final state: coarse
     quantizer AND residual codebooks trained on the BOOTSTRAP
-    generation only (vec_id % 3 = 0 — the sink's frozen stages), ALL
-    vectors residual-encoded against them, probed ADC + exact
-    re-rank. Mirrors `operators.kmeans.lloyd_means` +
+    generation only (vec_id % 3 = 0 ORIGINAL vectors — the sink's
+    frozen stages, independent of any later upsert/delete), the
+    ``corpus`` CTE's vectors residual-encoded against them, probed
+    ADC + exact re-rank against the same corpus (the caller's
+    vectors table — the system of record). Queries stay ORIGINAL
+    embeddings. Mirrors `operators.kmeans.lloyd_means` +
     `operators.pq` operation tree for operation tree (same staging
     as mlprep_q's _kmeans_oracle/_ivfpq_oracle). Coarse-quantizer
     CTEs shared with the raw-vector twin via `_gen1_coarse_ctes`;
@@ -2850,14 +2874,16 @@ def _ivfpq_index_oracle() -> str:
         "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
     )
+    extra = f"{extra_ctes}," if extra_ctes else ""
     return f"""
     WITH {_gen1_coarse_ctes()},
+    {extra}
     asg AS (SELECT vec_id, v, cell, cv FROM (
         SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
                row_number() OVER (PARTITION BY a.vec_id
                  ORDER BY (a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc,
                           c.cid) AS rn
-        FROM av a CROSS JOIN cent c) t WHERE rn = 1),
+        FROM {corpus} a CROSS JOIN cent c) t WHERE rn = 1),
     res AS (SELECT vec_id, cell,
                    list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
             FROM asg),
@@ -2866,7 +2892,20 @@ def _ivfpq_index_oracle() -> str:
               FROM res, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
     rsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
              FROM rsub0),
-    tsub AS (SELECT * FROM rsub WHERE vec_id % 3 = 0),
+    tasg AS (SELECT vec_id, v, cell, cv FROM (
+        SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY (a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM tv a CROSS JOIN cent c) t WHERE rn = 1),
+    tres AS (SELECT vec_id, cell,
+                    list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+             FROM tasg),
+    tsub0 AS (SELECT vec_id, cell, u.m AS m,
+                     r[u.m * {AIDXQ_SUB} + 1 : (u.m + 1) * {AIDXQ_SUB}] AS rv
+              FROM tres, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
+    tsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
+             FROM tsub0),
     init AS (SELECT m, vec_id AS cid, rv AS c FROM (
                SELECT m, vec_id, rv,
                       row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
@@ -2927,7 +2966,7 @@ def _ivfpq_index_oracle() -> str:
                                  + x.vv) * 1000000000.0) AS BIGINT) AS d2_r
               FROM cand c
               JOIN av q ON q.vec_id = c.query_id
-              JOIN av x ON x.vec_id = c.vec_id)
+              JOIN {corpus} x ON x.vec_id = c.vec_id)
     SELECT query_id, neighbor_id, rank,
            round(CAST(d2_r AS DOUBLE) / 1000000000.0, 6) AS l2_dist
     FROM (SELECT query_id, neighbor_id, d2_r,
@@ -3014,51 +3053,11 @@ def streaming_ivfpq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _ann_index_upsert_oracle() -> str:
-    """Recompute of the post-change index state: the quantizer is
-    still trained on the BOOTSTRAP generation only (the frozen
-    stage), but the indexed corpus is the LIVE set after the change
-    batch — deleted ids (landed ∧ vec_id%5=4) excluded, upserted ids
-    (landed ∧ vec_id%5=2) carrying their re-embedded (negated)
-    vectors, the third generation inserted as-is. Queries remain the
-    ORIGINAL embeddings (external query vectors are not index rows).
-    Coarse CTEs shared with the append twin via `_gen1_coarse_ctes`
-    so the Lloyd staging cannot drift between the three oracles."""
-    d2a = "(a.lvv - 2 * list_dot_product(a.lv, c.c)) + c.cc"
-    d2q = "(q.vv - 2 * list_dot_product(q.v, c.c)) + c.cc"
-    d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
-    return f"""
-    WITH {_gen1_coarse_ctes()},
-    live AS (SELECT vec_id,
-                    CASE WHEN vec_id % 3 <> 2 AND vec_id % 5 = 2
-                         THEN list_transform(v, x -> -x)
-                         ELSE v END AS lv
-             FROM e
-             WHERE NOT (vec_id % 3 <> 2 AND vec_id % 5 = 4)),
-    lv AS (SELECT vec_id, lv, list_dot_product(lv, lv) AS lvv FROM live),
-    assigned AS (SELECT vid, vx, vv, cell FROM (
-        SELECT a.vec_id AS vid, a.lv AS vx, a.lvv AS vv, c.cid AS cell,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY {d2a}, c.cid) AS rn
-        FROM lv a CROSS JOIN cent c) t
-      WHERE rn = 1),
-    probes AS (SELECT query_id, qv, qq, cell FROM (
-        SELECT q.vec_id AS query_id, q.v AS qv, q.vv AS qq, c.cid AS cell,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY {d2q}, c.cid) AS rn
-        FROM av q CROSS JOIN cent c WHERE q.vec_id < {AIDX_NQ}) t
-      WHERE rn <= {AIDX_PROBE}),
-    cand AS (SELECT p.query_id, a.vid AS neighbor_id,
-               CAST(round(({d2x}) * 1000000000.0) AS BIGINT) AS d2_r
-             FROM probes p JOIN assigned a USING (cell)
-             WHERE p.query_id <> a.vid)
-    SELECT query_id, neighbor_id, rank,
-           round(CAST(d2_r AS DOUBLE) / 1000000000.0, 6) AS l2_dist
-    FROM (SELECT query_id, neighbor_id,
-                 CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY d2_r, neighbor_id) AS INTEGER) AS rank, d2_r
-          FROM cand) t
-    WHERE rank <= {AIDX_K}
-    """
+    """`_ann_index_oracle` over the LIVE corpus (deletes excluded,
+    upserts re-embedded) — the quantizer still trains on the original
+    bootstrap generation (the frozen stage); queries stay the
+    ORIGINAL embeddings."""
+    return _ann_index_oracle(corpus="lvv", extra_ctes=_live_corpus_ctes())
 
 
 @query("streaming_ann_index_upsert", oracle=_ann_index_upsert_oracle())
@@ -3149,6 +3148,123 @@ def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = ivf_index_topk(
             spark, target, queries, probe=AIDX_PROBE, k=AIDX_K
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _ivfpq_index_upsert_oracle() -> str:
+    """`_ivfpq_index_oracle` over the LIVE corpus (deletes excluded,
+    upserts re-embedded): the coarse quantizer and residual codebooks
+    still train on the original bootstrap generation (the frozen
+    stages); codes encode the live corpus; exact re-rank reads the
+    live vectors table; queries stay the ORIGINAL embeddings."""
+    return _ivfpq_index_oracle(corpus="lvv", extra_ctes=_live_corpus_ctes())
+
+
+@query("streaming_ivfpq_index_upsert", oracle=_ivfpq_index_upsert_oracle())
+def streaming_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNLEARN path of the PQ-coded index
+    (`streaming.ann_index.ivfpq_index_changes_foreach_batch`) — the
+    billion-scale twin of `streaming_ann_index_upsert`, driven by the
+    same change plan (bootstrap I, insert I, then a mixed batch
+    upserting re-embedded negated vectors for landed vec_id%5=2 and
+    deleting landed vec_id%5=4): deletes/superseded upserts tombstone
+    their (id → cell) locator entry, serve filters probed-cell
+    tombstones BEFORE the ADC so retired codes are never scored,
+    `ivfpq_index_vacuum` physically drops the dead code rows, and the
+    exact re-rank reads the LIVE vectors table (the system of record
+    the index's codes-only store defers to). The oracle recomputes
+    from scratch with the frozen stages trained on the ORIGINAL
+    bootstrap generation and the live corpus encoded — certifying
+    that tombstoned PQ maintenance + vacuum land exactly on
+    recompute. Witnesses and serve-plan pruning shared with the raw
+    CDC sink (one implementation) and pytest-pinned."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_changes_foreach_batch,
+        ivfpq_index_topk,
+        ivfpq_index_vacuum,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    landed = F.col("vec_id") % 3 != 2
+    ins = [
+        e.filter(F.col("vec_id") % 3 == i).select(
+            F.lit("I").alias("op"), "vec_id", "embedding"
+        )
+        for i in range(3)
+    ]
+    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
+        F.lit("U").alias("op"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
+        F.lit("D").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    live = (
+        e.filter(landed & (F.col("vec_id") % 5 != 4))
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 2,
+                F.transform("embedding", lambda x: -x).cast("array<float>"),
+            ).otherwise(F.col("embedding")),
+        )
+        .union(e.filter(F.col("vec_id") % 3 == 2))
+    )
+    work = tempfile.mkdtemp(prefix="ivfpq_index_upsert_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
+        )
+        stream = (
+            spark.readStream.schema(
+                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivfpq_index_changes_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS,
+            pq_m=AIDXQ_M, pq_sub=AIDXQ_SUB, cbk=AIDXQ_CBK,
+            checkpoint_dir=ckpt,
+        )
+        if ivfpq_index_vacuum(spark, target) == 0:
+            raise RuntimeError(
+                "ivfpq_index_upsert: vacuum found nothing dead — the change "
+                "batch's deletes/upserts never tombstoned"
+            )
+        queries = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        vectors = live.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        rows = ivfpq_index_topk(
+            spark, target, queries, vectors,
+            probe=AIDXQ_PROBE, cand=AIDXQ_CAND, k=AIDXQ_K,
         ).collect()
         return spark.createDataFrame(
             rows,

@@ -507,6 +507,217 @@ def _typed_empty_locator(ops: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def _cdc_validate_ops(
+    batch_df: DataFrame, id_col: str, vec_col: str, op_col: str, tag: str
+) -> DataFrame:
+    """Normalize + witness a change batch (shared by the raw and PQ
+    CDC sinks): op ∈ {I,U,D}, unique ids within the batch, vectors
+    present on I/U. Returns the checkpointed (op, id, v) frame."""
+    ops = batch_df.select(
+        F.upper(F.col(op_col)).alias("op"),
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).localCheckpoint(eager=True)  # feeds every witness + commit job
+    bad_op = ops.filter(~F.col("op").isin("I", "U", "D")).limit(1).collect()
+    if bad_op:
+        raise RuntimeError(
+            f"{tag} sink: op {bad_op[0]['op']!r} outside " "{'I','U','D'}"
+        )
+    _require_unique_ids(ops, id_col, tag)
+    bad_v = (
+        ops.filter(F.col("op").isin("I", "U") & F.col("v").isNull())
+        .limit(1)
+        .collect()
+    )
+    if bad_v:
+        raise RuntimeError(
+            f"{tag} sink: id {bad_v[0][id_col]} has op "
+            f"{bad_v[0]['op']} but a null vector — only deletes may "
+            "omit the vector"
+        )
+    return ops
+
+
+def _cdc_locate_and_retire(
+    spark,
+    target_dir: str,
+    ops: DataFrame,
+    id_col: str,
+    loc_buckets: int,
+    tag: str,
+    *,
+    store: str,
+    store_manifest: dict | None,
+    backfill_pairs,
+):
+    """Shared locator-side machinery of the CDC sinks: resolve the
+    batch ids' key buckets, read (or one-time-backfill via
+    ``backfill_pairs()`` → (id, cell) rows) the locator, run the
+    exact insert-over-present / delete-of-unknown witnesses, compute
+    the retired (id, old-cell) entries, and run the locator↔store
+    divergence witness against the ``store``'s retired cells.
+    Returns (kk expr, touched_kk, loc_manifest, loc_backfill,
+    old_loc, retire, retire_counts, retire_cells)."""
+    kk = F.pmod(F.hash(F.col(id_col)), F.lit(loc_buckets)).cast("int")
+    touched_kk = sorted(
+        int(r["b"]) for r in ops.select(kk.alias("b")).distinct().collect()
+    )
+    loc_manifest = read_manifest(target_dir, "locator")
+    # backfill ONLY for a target the CDC sink has never committed
+    # (no locator manifest at all): a committed-but-empty locator
+    # (every id deleted) must NOT re-derive entries from the index
+    # store, whose rows may all be tombstoned
+    loc_backfill = loc_manifest is None and store_manifest is not None
+    if store_has_files(loc_manifest):
+        old_loc = read_store(
+            spark, target_dir, "locator",
+            buckets=touched_kk, manifest=loc_manifest,
+        )
+        if old_loc is None:
+            old_loc = _typed_empty_locator(ops, id_col)
+    elif loc_backfill:
+        # one-time adoption of a plain-append target: derive the full
+        # (id → cell) map from the index store (corpus-sized, ONCE; a
+        # plain target has no tombstones, so every stored row is
+        # live). This batch then commits the FULL locator; later
+        # batches are touched-bucket-sized.
+        old_loc = backfill_pairs().withColumn("_kb", kk)
+    else:
+        old_loc = _typed_empty_locator(ops, id_col)
+    # witnesses the locator makes EXACT (delta-sized joins; the
+    # locator side is touched-bucket pruned, or the one-time full
+    # backfill)
+    ins_over = (
+        ops.filter(F.col("op") == "I")
+        .select(id_col)
+        .join(old_loc.select(id_col), id_col)
+        .limit(1)
+        .collect()
+    )
+    if ins_over:
+        raise RuntimeError(
+            f"{tag} sink: id {ins_over[0][0]} op=I but the "
+            "locator already holds it (possibly with a different "
+            "vector in a different cell) — emit U to re-embed or D+I"
+        )
+    del_unknown = (
+        ops.filter(F.col("op") == "D")
+        .select(id_col)
+        .join(old_loc.select(id_col), id_col, "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if del_unknown:
+        raise RuntimeError(
+            f"{tag} sink: id {del_unknown[0][0]} op=D but "
+            "the locator does not hold it — deleting an absent id is a "
+            "pipeline fault (double delete or wrong target), not a no-op"
+        )
+    # retired entries: U/D ids the locator holds → (id, old cell)
+    retire = (
+        ops.filter(F.col("op").isin("U", "D"))
+        .select(id_col)
+        .join(old_loc.select(id_col, "cell"), id_col)
+        .localCheckpoint(eager=True)
+    )
+    retire_counts = [
+        (int(r["cell"]), int(r["c"]))
+        for r in retire.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    retire_cells = sorted(b for b, _ in retire_counts)
+    if retire_cells:
+        # locator ↔ store divergence witness: every retired entry
+        # must hold a standing row in its located cell (read-only,
+        # retired-cells-pruned)
+        standing = read_store(
+            spark, target_dir, store,
+            buckets=retire_cells, manifest=store_manifest,
+        )
+        missing = (
+            retire
+            if standing is None
+            else retire.join(
+                standing.select(
+                    id_col, F.col("_kb").alias("cell")
+                ).distinct(),
+                [id_col, "cell"],
+                "left_anti",
+            )
+        ).limit(1).collect()
+        if missing:
+            raise RuntimeError(
+                f"{tag} sink: locator and {store} store "
+                f"DIVERGE — id {missing[0][0]} located in cell "
+                f"{missing[0]['cell']} but that cell holds no row for "
+                "it; refusing to retire a phantom entry"
+            )
+    return (
+        kk, touched_kk, loc_manifest, loc_backfill,
+        old_loc, retire, retire_counts, retire_cells,
+    )
+
+
+def _cdc_commit_tombs_and_locator(
+    spark,
+    target_dir: str,
+    stage: str,
+    batch_id: int,
+    gen: int,
+    id_col: str,
+    ops: DataFrame,
+    old_loc: DataFrame,
+    new_pairs: DataFrame,
+    kk,
+    touched_kk: list,
+    loc_backfill: bool,
+    loc_manifest: dict | None,
+    retire: DataFrame,
+    retire_cells: list,
+) -> None:
+    """Shared commit tail of the CDC sinks: tombstone append for the
+    retired entries + locator rewrite (survivors ⊎ ``new_pairs`` —
+    (id, cell) rows of this batch's inserted/upserted entries), both
+    into the caller's staging dir."""
+    tombs_manifest = read_manifest(target_dir, "tombs")
+    if retire_cells:
+        tomb_delta = retire.select(
+            id_col,
+            F.col("cell").cast("int").alias("_kb"),
+            F.lit(gen).cast("bigint").alias("tgen"),
+        )
+        write_store_delta(
+            spark, tomb_delta, target_dir, "tombs", stage,
+            batch_id=batch_id, touched=retire_cells,
+            manifest=tombs_manifest, append=True,
+        )
+    else:
+        carry_store(target_dir, "tombs", stage)
+    survivors = old_loc.join(
+        F.broadcast(ops.select(id_col)), id_col, "left_anti"
+    )
+    final_loc = new_pairs.withColumn("_kb", kk)
+    new_loc = survivors.select(id_col, "cell", "_kb").unionByName(
+        final_loc.select(id_col, "cell", "_kb")
+    )
+    loc_touched = (
+        sorted(
+            {
+                int(r["_kb"])
+                for r in new_loc.select("_kb").distinct().collect()
+            }
+        )
+        if loc_backfill
+        else touched_kk
+    )
+    write_store_delta(
+        spark, new_loc, target_dir, "locator", stage,
+        batch_id=batch_id, touched=loc_touched,
+        manifest=loc_manifest if store_has_files(loc_manifest) else None,
+    )
+
+
 def ivf_index_changes_foreach_batch(
     changes: DataFrame,
     target_dir: str,
@@ -592,29 +803,9 @@ def ivf_index_changes_foreach_batch(
                 f"configured with {loc_buckets} — the key buckets would be "
                 "misread; use the committed value or rebuild the target"
             )
-        ops = batch_df.select(
-            F.upper(F.col(op_col)).alias("op"),
-            id_col,
-            F.col(vec_col).cast("array<double>").alias("v"),
-        ).localCheckpoint(eager=True)  # feeds every witness + commit job
-        bad_op = ops.filter(~F.col("op").isin("I", "U", "D")).limit(1).collect()
-        if bad_op:
-            raise RuntimeError(
-                f"ivf_index_changes sink: op {bad_op[0]['op']!r} outside "
-                "{'I','U','D'}"
-            )
-        _require_unique_ids(ops, id_col, "ivf_index_changes")
-        bad_v = (
-            ops.filter(F.col("op").isin("I", "U") & F.col("v").isNull())
-            .limit(1)
-            .collect()
+        ops = _cdc_validate_ops(
+            batch_df, id_col, vec_col, op_col, "ivf_index_changes"
         )
-        if bad_v:
-            raise RuntimeError(
-                f"ivf_index_changes sink: id {bad_v[0][id_col]} has op "
-                f"{bad_v[0]['op']} but a null vector — only deletes may "
-                "omit the vector"
-            )
         cent_dir = os.path.join(target_dir, "centroids")
         vec_manifest = read_manifest(target_dir, "vectors")
         present = ops.filter(F.col("op").isin("I", "U")).select(id_col, "v")
@@ -633,108 +824,22 @@ def ivf_index_changes_foreach_batch(
             ).localCheckpoint(eager=True)
         else:
             cents = spark.read.parquet(cent_dir)
-        # --- locator: old entries for the batch's key buckets -------
-        kk = F.pmod(F.hash(F.col(id_col)), F.lit(loc_buckets)).cast("int")
-        touched_kk = sorted(
-            int(r["b"])
-            for r in ops.select(kk.alias("b")).distinct().collect()
-        )
-        loc_manifest = read_manifest(target_dir, "locator")
-        # backfill ONLY for a target the CDC sink has never committed
-        # (no locator manifest at all): a committed-but-empty locator
-        # (every id deleted) must NOT re-derive entries from the
-        # vectors store, whose rows may all be tombstoned
-        loc_backfill = loc_manifest is None and vec_manifest is not None
-        if store_has_files(loc_manifest):
-            old_loc = read_store(
-                spark, target_dir, "locator",
-                buckets=touched_kk, manifest=loc_manifest,
-            )
-            if old_loc is None:
-                old_loc = _typed_empty_locator(ops, id_col)
-        elif loc_backfill:
-            # one-time adoption of a plain-append target: derive the
-            # full (id → cell) map from the vectors store (corpus-
-            # sized, ONCE; a plain target has no tombstones, so every
-            # stored row is live). This batch then commits the FULL
-            # locator; later batches are touched-bucket-sized.
+
+        def backfill_pairs():
             allv = read_store(
                 spark, target_dir, "vectors", manifest=vec_manifest
             )
-            old_loc = allv.select(
-                id_col, F.col("_kb").alias("cell")
-            ).withColumn("_kb", kk)
-        else:
-            old_loc = _typed_empty_locator(ops, id_col)
-        # witnesses the locator makes EXACT (delta-sized joins; the
-        # locator side is touched-bucket pruned, or the one-time full
-        # backfill)
-        ins_over = (
-            ops.filter(F.col("op") == "I")
-            .select(id_col)
-            .join(old_loc.select(id_col), id_col)
-            .limit(1)
-            .collect()
+            return allv.select(id_col, F.col("_kb").alias("cell"))
+
+        (
+            kk, touched_kk, loc_manifest, loc_backfill,
+            old_loc, retire, retire_counts, retire_cells,
+        ) = _cdc_locate_and_retire(
+            spark, target_dir, ops, id_col, loc_buckets,
+            "ivf_index_changes",
+            store="vectors", store_manifest=vec_manifest,
+            backfill_pairs=backfill_pairs,
         )
-        if ins_over:
-            raise RuntimeError(
-                f"ivf_index_changes sink: id {ins_over[0][0]} op=I but the "
-                "locator already holds it (possibly with a different "
-                "vector in a different cell) — emit U to re-embed or D+I"
-            )
-        del_unknown = (
-            ops.filter(F.col("op") == "D")
-            .select(id_col)
-            .join(old_loc.select(id_col), id_col, "left_anti")
-            .limit(1)
-            .collect()
-        )
-        if del_unknown:
-            raise RuntimeError(
-                f"ivf_index_changes sink: id {del_unknown[0][0]} op=D but "
-                "the locator does not hold it — deleting an absent id is a "
-                "pipeline fault (double delete or wrong target), not a no-op"
-            )
-        # retired entries: U/D ids the locator holds → (id, old cell)
-        retire = (
-            ops.filter(F.col("op").isin("U", "D"))
-            .select(id_col)
-            .join(old_loc.select(id_col, "cell"), id_col)
-            .localCheckpoint(eager=True)
-        )
-        retire_counts = [
-            (int(r["cell"]), int(r["c"]))
-            for r in retire.groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        ]
-        retire_cells = sorted(b for b, _ in retire_counts)
-        if retire_cells:
-            # locator ↔ store divergence witness: every retired entry
-            # must hold a standing row in its located cell (read-only,
-            # retired-cells-pruned)
-            standing = read_store(
-                spark, target_dir, "vectors",
-                buckets=retire_cells, manifest=vec_manifest,
-            )
-            missing = (
-                retire
-                if standing is None
-                else retire.join(
-                    standing.select(
-                        id_col, F.col("_kb").alias("cell")
-                    ),
-                    [id_col, "cell"],
-                    "left_anti",
-                )
-            ).limit(1).collect()
-            if missing:
-                raise RuntimeError(
-                    f"ivf_index_changes sink: locator and vectors store "
-                    f"DIVERGE — id {missing[0][0]} located in cell "
-                    f"{missing[0]['cell']} but that cell holds no row for "
-                    "it; refusing to retire a phantom entry"
-                )
         # --- new rows under the frozen quantizer --------------------
         delta = (
             _assign_cells(present, cents, id_col)
@@ -760,43 +865,11 @@ def ivf_index_changes_foreach_batch(
             )
         else:
             carry_store(target_dir, "vectors", stage)
-        tombs_manifest = read_manifest(target_dir, "tombs")
-        if retire_cells:
-            tomb_delta = retire.select(
-                id_col,
-                F.col("cell").cast("int").alias("_kb"),
-                F.lit(gen).cast("bigint").alias("tgen"),
-            )
-            write_store_delta(
-                spark, tomb_delta, target_dir, "tombs", stage,
-                batch_id=batch_id, touched=retire_cells,
-                manifest=tombs_manifest, append=True,
-            )
-        else:
-            carry_store(target_dir, "tombs", stage)
-        survivors = old_loc.join(
-            F.broadcast(ops.select(id_col)), id_col, "left_anti"
-        )
-        final_loc = delta.select(
-            id_col, F.col("_kb").alias("cell")
-        ).withColumn("_kb", kk)
-        new_loc = survivors.select(id_col, "cell", "_kb").unionByName(
-            final_loc.select(id_col, "cell", "_kb")
-        )
-        loc_touched = (
-            sorted(
-                {
-                    int(r["_kb"])
-                    for r in new_loc.select("_kb").distinct().collect()
-                }
-            )
-            if loc_backfill
-            else touched_kk
-        )
-        write_store_delta(
-            spark, new_loc, target_dir, "locator", stage,
-            batch_id=batch_id, touched=loc_touched,
-            manifest=loc_manifest if store_has_files(loc_manifest) else None,
+        _cdc_commit_tombs_and_locator(
+            spark, target_dir, stage, batch_id, gen, id_col, ops,
+            old_loc, delta.select(id_col, F.col("_kb").alias("cell")),
+            kk, touched_kk, loc_backfill, loc_manifest,
+            retire, retire_cells,
         )
         if os.path.isdir(cent_dir):
             import shutil
@@ -840,13 +913,17 @@ def ivf_index_vacuum(spark, target_dir: str) -> int:
     Returns the number of cells vacuumed (0 = nothing dead). The
     maintenance twin of the manifest layer's over-threshold
     compaction: run it when the dead fraction warrants reclaiming
-    scan bandwidth, e.g. after a dedup sweep retires a cohort."""
+    scan bandwidth, e.g. after a dedup sweep retires a cohort.
+    Handles BOTH index forms (raw ``vectors`` and PQ ``codes`` — the
+    store is resolved from the committed meta); ``ivfpq_index_vacuum``
+    is the same function under the PQ name."""
     import shutil
 
     _recover_swap(target_dir)
     _clean_stale_stages(target_dir)
     sweep_orphans(target_dir)
     meta = _read_sink_meta(target_dir)
+    store = "codes" if meta.get("pq_layout") else "vectors"
     tombs_manifest = read_manifest(target_dir, "tombs")
     if not store_has_files(tombs_manifest):
         return 0
@@ -854,17 +931,19 @@ def ivf_index_vacuum(spark, target_dir: str) -> int:
     dead_cells = sorted(
         int(r["_kb"]) for r in tombs.select("_kb").distinct().collect()
     )
-    vec_manifest = read_manifest(target_dir, "vectors")
+    vec_manifest = read_manifest(target_dir, store)
     vecs = read_store(
-        spark, target_dir, "vectors", buckets=dead_cells,
+        spark, target_dir, store, buckets=dead_cells,
         manifest=vec_manifest,
     )
     if vecs is None:
         raise RuntimeError(
             f"ivf_index_vacuum: tombstones reference cells {dead_cells[:8]} "
-            "but the vectors store holds no rows there — the stores diverged"
+            f"but the {store} store holds no rows there — the stores diverged"
         )
-    id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
+    id_col = [
+        c for c in vecs.columns if c not in ("v", "_kb", "_gen", "m", "cid")
+    ][0]
     dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
     live = (
         vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
@@ -875,7 +954,7 @@ def ivf_index_vacuum(spark, target_dir: str) -> int:
     stage = f"{target_dir}.stage-vacuum-{batch_id}"
     os.makedirs(stage, exist_ok=True)
     write_store_delta(
-        spark, live, target_dir, "vectors", stage,
+        spark, live, target_dir, store, stage,
         batch_id=batch_id, touched=dead_cells, manifest=vec_manifest,
     )
     write_store_delta(
@@ -883,13 +962,35 @@ def ivf_index_vacuum(spark, target_dir: str) -> int:
         batch_id=batch_id, touched=dead_cells, manifest=tombs_manifest,
     )
     carry_store(target_dir, "locator", stage)
-    cent_dir = os.path.join(target_dir, "centroids")
-    if os.path.isdir(cent_dir):
-        shutil.copytree(cent_dir, os.path.join(stage, "centroids"))
+    for sub in ("centroids", "codebooks"):
+        committed_dir = os.path.join(target_dir, sub)
+        if os.path.isdir(committed_dir):
+            shutil.copytree(committed_dir, os.path.join(stage, sub))
     with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
         json.dump(meta, f)
     _atomic_swap(stage, target_dir, batch_id)
     return len(dead_cells)
+
+
+#: PQ-name alias — the vacuum resolves the store from the committed
+#: meta, so one implementation serves both index forms.
+ivfpq_index_vacuum = ivf_index_vacuum
+
+
+def _pq_residual_subspaces(batch, cents, id_col, pq_m, pq_sub):
+    """Assign ``batch`` (id, v) against the frozen centroids and split
+    the residuals into PQ subspaces — the encode front half shared by
+    the plain and CDC PQ sinks (one implementation, no drift)."""
+    from epe_data_wrangling_spark.operators.pq import (
+        split_residual_subspaces,
+    )
+
+    asg = _assign_cells(batch, cents, id_col)
+    res = asg.select(
+        id_col, "_kb",
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias("r"),
+    )
+    return split_residual_subspaces(res, pq_m, pq_sub, keep=[id_col, "_kb"])
 
 
 def ivfpq_index_foreach_batch(
@@ -938,10 +1039,20 @@ def ivfpq_index_foreach_batch(
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
-        if _is_committed_replay(meta, batch_files, batch_id, "ivfpq_index"):
+        if _is_replay_or_handoff(meta, batch_files, batch_id, "ivfpq_index"):
             return
         if batch_df.isEmpty():
             return
+        gen = _next_gen(meta)
+        if meta.get("cdc"):
+            # cross-sink witness (as in the raw sink): a plain append
+            # neither consults nor maintains the CDC target's locator
+            raise RuntimeError(
+                f"ivfpq_index sink: target {target_dir} is CDC-maintained "
+                "(meta carries cdc) — a plain append would leave the "
+                "locator sidecar stale; use "
+                "ivfpq_index_changes_foreach_batch (op='I') instead"
+            )
         if meta.get("k_cells") is not None:
             # cross-sink witness (twin of the raw sink's): swapping a
             # PQ commit over a raw-vector target would drop its store
@@ -990,12 +1101,7 @@ def ivfpq_index_foreach_batch(
             ).localCheckpoint(eager=True)
         else:
             cents = spark.read.parquet(cent_dir)
-        asg = _assign_cells(batch, cents, id_col)
-        res = asg.select(
-            id_col, "_kb",
-            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: a - b).alias("r"),
-        )
-        rsub = split_residual_subspaces(res, pq_m, pq_sub, keep=[id_col, "_kb"])
+        rsub = _pq_residual_subspaces(batch, cents, id_col, pq_m, pq_sub)
         if bootstrap:
             # the training residuals ARE this batch's residuals — one
             # assignment/split, reused for training and encoding (the
@@ -1009,6 +1115,7 @@ def ivfpq_index_foreach_batch(
         delta = (
             assign_codes(rsub, cb, id_col)
             .select(id_col, "m", "cid", "_kb")
+            .withColumn("_gen", F.lit(gen).cast("bigint"))
             .localCheckpoint(eager=True)
         )
         delta_counts = [
@@ -1060,7 +1167,8 @@ def ivfpq_index_foreach_batch(
         with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
             json.dump(
                 {
-                    "last_batch_id": batch_id,
+                    "last_batch_id": max(batch_id, meta["last_batch_id"]),
+                    "last_gen": gen,
                     "pq_layout": layout,
                     "applied_files": sorted(applied | batch_files),
                     **_occupancy_meta(
@@ -1150,7 +1258,20 @@ def ivfpq_index_topk(
             [],
             "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
         )
-    id_col = [col for col in codes.columns if col not in ("m", "cid", "_kb")][0]
+    id_col = [
+        c for c in codes.columns if c not in ("m", "cid", "_kb", "_gen")
+    ][0]
+    tombs = read_store(spark, target_dir, "tombs", buckets=cells)
+    if tombs is not None:
+        # merge-on-read delete filter, as in the raw serve: dead iff a
+        # (id, cell) tombstone with tgen > _gen exists; dead-entry-
+        # sized broadcast, the ADC never scores retired codes
+        dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
+        codes = (
+            codes.join(F.broadcast(dead), [id_col, "_kb"], "left")
+            .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
+            .drop("_tg")
+        )
     adc = (
         codes.join(F.broadcast(dtab), ["_kb", "m", "cid"])
         .filter(F.col("query_id") != F.col(id_col))
@@ -1199,4 +1320,206 @@ def ivfpq_index_topk(
                 "l2_dist"
             ),
         )
+    )
+
+
+def ivfpq_index_changes_foreach_batch(
+    changes: DataFrame,
+    target_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    k_cells: int = 8,
+    train_iters: int = 2,
+    pq_m: int = 4,
+    pq_sub: int = 16,
+    cbk: int = 32,
+    loc_buckets: int = 32,
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """CDC form of the PQ-coded index — `ivf_index_changes_foreach_
+    batch`'s billion-scale twin: I/U vectors are residual-encoded
+    under the FROZEN coarse quantizer + codebooks and their CODES
+    segment-append; deletes and superseded upserts tombstone the
+    retired (id, old-cell) entry via the same locator sidecar, serve
+    (`ivfpq_index_topk`) filters probed-cell tombstones before ADC so
+    retired codes are never scored, and `ivfpq_index_vacuum`
+    physically drops dead code rows. One shared implementation for
+    the witnesses, locator, tombstones and vacuum
+    (`_cdc_validate_ops` / `_cdc_locate_and_retire` /
+    `_cdc_commit_tombs_and_locator`), so the raw and PQ delete
+    contracts cannot drift. Re-rank note: serve reads raw vectors
+    from the CALLER's vectors table — after an upsert that table must
+    reflect the new embedding (it is the system of record; the index
+    stores codes only)."""
+    from epe_data_wrangling_spark.operators.pq import (
+        assign_codes,
+        train_residual_codebooks,
+        with_cc,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover_swap(target_dir)
+        _clean_stale_stages(target_dir)
+        sweep_orphans(target_dir)
+        meta = _read_sink_meta(target_dir)
+        batch_files = _batch_provenance(batch_df)
+        applied = set(meta.get("applied_files", []))
+        if _is_replay_or_handoff(
+            meta, batch_files, batch_id, "ivfpq_index_changes"
+        ):
+            return
+        if batch_df.isEmpty():
+            return
+        gen = _next_gen(meta)
+        if meta.get("k_cells") is not None:
+            raise RuntimeError(
+                f"ivfpq_index_changes sink: target {target_dir} is a "
+                "raw-vector index (meta carries k_cells) — committing codes "
+                "over it would destroy the vectors store; use "
+                "ivf_index_changes_foreach_batch or a fresh target"
+            )
+        committed = meta.get("pq_layout")
+        layout = [k_cells, pq_m, pq_sub, cbk]
+        if committed is not None and committed != layout:
+            raise RuntimeError(
+                f"ivfpq_index_changes sink: target was committed with "
+                f"[k_cells, m, sub, cbk]={committed} but the sink is "
+                f"configured with {layout} — the stored cells/codes would "
+                "be misread; use the committed layout or rebuild the target"
+            )
+        committed_lb = meta.get("loc_buckets")
+        if committed_lb is not None and committed_lb != loc_buckets:
+            raise RuntimeError(
+                f"ivfpq_index_changes sink: target's locator was committed "
+                f"with loc_buckets={committed_lb} but the sink is "
+                f"configured with {loc_buckets} — the key buckets would be "
+                "misread; use the committed value or rebuild the target"
+            )
+        ops = _cdc_validate_ops(
+            batch_df, id_col, vec_col, op_col, "ivfpq_index_changes"
+        )
+        present = ops.filter(F.col("op").isin("I", "U")).select(id_col, "v")
+        bad = present.filter(F.size("v") != pq_m * pq_sub).limit(1).collect()
+        if bad:
+            raise RuntimeError(
+                f"ivfpq_index_changes sink: vector dim {len(bad[0]['v'])} "
+                f"!= pq_m*pq_sub = {pq_m * pq_sub} — the subspace slices "
+                "would drop trailing dimensions; fix the layout"
+            )
+        cent_dir = os.path.join(target_dir, "centroids")
+        cb_dir = os.path.join(target_dir, "codebooks")
+        codes_manifest = read_manifest(target_dir, "codes")
+        bootstrap = codes_manifest is None and not os.path.isdir(cent_dir)
+        if bootstrap:
+            if present.isEmpty():
+                raise RuntimeError(
+                    "ivfpq_index_changes sink: virgin target and the first "
+                    "batch carries no I/U vectors — nothing to train the "
+                    "quantizer/codebooks on"
+                )
+            ev = present.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+            cents = _dense_cids(
+                means_to_centroids(
+                    lloyd_means(ev, k_cells, train_iters, id_col=id_col)
+                )
+            ).localCheckpoint(eager=True)
+            rsub = _pq_residual_subspaces(
+                present, cents, id_col, pq_m, pq_sub
+            ).localCheckpoint(eager=True)
+            cb = train_residual_codebooks(
+                rsub, cbk, id_col
+            ).localCheckpoint(eager=True)
+        else:
+            cents = spark.read.parquet(cent_dir)
+            cb = with_cc(spark.read.parquet(cb_dir))
+            rsub = _pq_residual_subspaces(
+                present, cents, id_col, pq_m, pq_sub
+            )
+
+        def backfill_pairs():
+            allc = read_store(
+                spark, target_dir, "codes", manifest=codes_manifest
+            )
+            return allc.select(
+                id_col, F.col("_kb").alias("cell")
+            ).distinct()
+
+        (
+            kk, touched_kk, loc_manifest, loc_backfill,
+            old_loc, retire, retire_counts, retire_cells,
+        ) = _cdc_locate_and_retire(
+            spark, target_dir, ops, id_col, loc_buckets,
+            "ivfpq_index_changes",
+            store="codes", store_manifest=codes_manifest,
+            backfill_pairs=backfill_pairs,
+        )
+        delta = (
+            assign_codes(rsub, cb, id_col)
+            .select(id_col, "m", "cid", "_kb")
+            .withColumn("_gen", F.lit(gen).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        delta_counts = [
+            # codes carry pq_m rows per vector: occupancy counts VECTORS
+            (int(r["_kb"]), int(r["c"]) // pq_m)
+            for r in delta.groupBy("_kb")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        ]
+        touched = sorted(b for b, _ in delta_counts)
+        stage = f"{target_dir}.stage-{batch_id}"
+        os.makedirs(stage, exist_ok=True)
+        if touched:
+            write_store_delta(
+                spark, delta, target_dir, "codes", stage,
+                batch_id=batch_id, touched=touched, manifest=codes_manifest,
+                append=True,
+            )
+        else:
+            carry_store(target_dir, "codes", stage)
+        _cdc_commit_tombs_and_locator(
+            spark, target_dir, stage, batch_id, gen, id_col, ops,
+            old_loc,
+            delta.select(id_col, F.col("_kb").alias("cell")).distinct(),
+            kk, touched_kk, loc_backfill, loc_manifest,
+            retire, retire_cells,
+        )
+        import shutil
+
+        for sub_dir, df_fresh in (("centroids", cents), ("codebooks", cb)):
+            committed_dir = os.path.join(target_dir, sub_dir)
+            if os.path.isdir(committed_dir):
+                shutil.copytree(committed_dir, os.path.join(stage, sub_dir))
+            else:
+                out_df = (
+                    df_fresh.drop("cc") if sub_dir == "codebooks" else df_fresh
+                )
+                out_df.write.mode("overwrite").parquet(
+                    os.path.join(stage, sub_dir)
+                )
+        with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+            json.dump(
+                {
+                    "last_batch_id": max(batch_id, meta["last_batch_id"]),
+                    "last_gen": gen,
+                    "pq_layout": layout,
+                    "loc_buckets": loc_buckets,
+                    "cdc": True,
+                    "applied_files": sorted(applied | batch_files),
+                    **_occupancy_meta(
+                        meta.get("cell_counts"), delta_counts, retire_counts,
+                        warn_skew=warn_skew,
+                    ),
+                },
+                f,
+            )
+        _atomic_swap(stage, target_dir, batch_id)
+
+    _run_foreach_batch(
+        changes, _apply, checkpoint_dir, "ivfpq_index_changes", timeout_sec
     )

@@ -848,3 +848,138 @@ def test_ann_index_occupancy_skew_witness(spark, tmp_path):
         t for t in _direct_recompute(spark, target, landed)
         if t[0] >= 10_000_000
     }
+
+
+# ---- PQ-coded CDC twin ------------------------------------------------
+
+from epe_data_wrangling_spark.streaming.ann_index import (  # noqa: E402
+    ivfpq_index_changes_foreach_batch,
+    ivfpq_index_vacuum,
+)
+
+
+def _pq_chg_run(spark, landing: str, target: str, ck: str) -> None:
+    ivfpq_index_changes_foreach_batch(
+        spark.readStream.schema(
+            "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+        target,
+        k_cells=8, train_iters=2, pq_m=4, pq_sub=16, cbk=32,
+        checkpoint_dir=ck,
+    )
+
+
+def _pq_cdc_serve(spark, target, live):
+    vectors = live.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = live.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    return {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivfpq_index_topk(
+            spark, target, queries, vectors, probe=PROBE, cand=30, k=K
+        ).collect()
+    }
+
+
+def test_ivfpq_changes_deletes_upserts_and_vacuum(spark, tmp_path):
+    """PQ CDC twin: after the I/U/D plan, serve must never return a
+    deleted id, must rank the upserted ids by their NEW codes, and
+    vacuum (store-resolving alias) must clear the tombstones without
+    changing serve results. The cross-sink guard keeps the plain PQ
+    sink off the CDC target."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    landed = F.col("vec_id") % 3 != 2
+    ups = _as_ops(
+        e.filter(landed & (F.col("vec_id") % 5 == 2)).withColumn(
+            "embedding",
+            F.transform("embedding", lambda x: -x).cast("array<float>"),
+        ),
+        "U",
+    )
+    dels = _as_ops(e.filter(landed & (F.col("vec_id") % 5 == 4)), "D")
+    batches = [
+        _as_ops(gens[0], "I"),
+        _as_ops(gens[1], "I"),
+        _as_ops(gens[2], "I").union(ups).union(dels),
+    ]
+    ck = str(tmp_path / "ck")
+    for i, b in enumerate(batches, start=1):
+        _land(b, landing, f"c{i}.parquet", i)
+        _pq_chg_run(spark, landing, target, ck)
+    live = _cdc_live_corpus(e)
+    got = _pq_cdc_serve(spark, target, live)
+    dead_ids = {
+        r[0]
+        for r in e.filter(landed & (F.col("vec_id") % 5 == 4))
+        .select("vec_id")
+        .collect()
+    }
+    assert got and not {n for _, n, _ in got} & dead_ids
+    n = ivfpq_index_vacuum(spark, target)
+    assert n > 0
+    assert _pq_cdc_serve(spark, target, live) == got
+    assert ivfpq_index_vacuum(spark, target) == 0
+    # plain PQ sink refuses the CDC-maintained target
+    plain_landing = str(tmp_path / "plain")
+    _land(
+        gens[0].limit(5).withColumn("vec_id", F.col("vec_id") + 900000),
+        plain_landing, "p1.parquet", 1,
+    )
+    reader = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(plain_landing)
+    )
+    with pytest.raises(Exception, match="CDC-maintained"):
+        ivfpq_index_foreach_batch(
+            reader, target, k_cells=8, train_iters=2,
+            checkpoint_dir=str(tmp_path / "ckp"),
+        )
+
+
+def test_ivfpq_changes_serve_prunes_and_broadcasts(spark, tmp_path):
+    """The PQ CDC serve plan keeps `_kb` pushdown and broadcast-only
+    joins — the tombstone filter before the ADC must not introduce a
+    sort-merge join."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    landed = F.col("vec_id") % 3 != 2
+    dels = _as_ops(e.filter(landed & (F.col("vec_id") % 5 == 4)), "D")
+    batches = [
+        _as_ops(gens[0], "I"),
+        _as_ops(gens[1], "I"),
+        dels,
+    ]
+    ck = str(tmp_path / "ck")
+    for i, b in enumerate(batches, start=1):
+        _land(b, landing, f"c{i}.parquet", i)
+        _pq_chg_run(spark, landing, target, ck)
+    live = gens[0].union(gens[1]).filter(
+        ~(landed & (F.col("vec_id") % 5 == 4))
+    )
+    vectors = live.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = live.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    out = ivfpq_index_topk(
+        spark, target, queries, vectors, probe=PROBE, cand=30, k=K
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters" in plan
+    assert "_kb" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
