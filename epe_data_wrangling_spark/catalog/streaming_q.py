@@ -2875,6 +2875,27 @@ def _ivfpq_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
     )
     extra = f"{extra_ctes}," if extra_ctes else ""
+    if corpus == "av":
+        # tv ⊆ av: the corpus residuals already contain the training
+        # generation's — filter, don't recompute
+        tchain = "tsub AS (SELECT * FROM rsub WHERE vec_id % 3 = 0),"
+    else:
+        # the corpus diverged from the originals (upserts/deletes):
+        # the frozen codebooks still train on ORIGINAL gen-1 residuals
+        tchain = f"""tasg AS (SELECT vec_id, v, cell, cv FROM (
+        SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY (a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc,
+                          c.cid) AS rn
+        FROM tv a CROSS JOIN cent c) t WHERE rn = 1),
+    tres AS (SELECT vec_id, cell,
+                    list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+             FROM tasg),
+    tsub0 AS (SELECT vec_id, cell, u.m AS m,
+                     r[u.m * {AIDXQ_SUB} + 1 : (u.m + 1) * {AIDXQ_SUB}] AS rv
+              FROM tres, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
+    tsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
+             FROM tsub0),"""
     return f"""
     WITH {_gen1_coarse_ctes()},
     {extra}
@@ -2892,20 +2913,7 @@ def _ivfpq_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
               FROM res, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
     rsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
              FROM rsub0),
-    tasg AS (SELECT vec_id, v, cell, cv FROM (
-        SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
-               row_number() OVER (PARTITION BY a.vec_id
-                 ORDER BY (a.vv - 2 * list_dot_product(a.v, c.c)) + c.cc,
-                          c.cid) AS rn
-        FROM tv a CROSS JOIN cent c) t WHERE rn = 1),
-    tres AS (SELECT vec_id, cell,
-                    list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
-             FROM tasg),
-    tsub0 AS (SELECT vec_id, cell, u.m AS m,
-                     r[u.m * {AIDXQ_SUB} + 1 : (u.m + 1) * {AIDXQ_SUB}] AS rv
-              FROM tres, LATERAL unnest(generate_series(0, {AIDXQ_M - 1})) u(m)),
-    tsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
-             FROM tsub0),
+    {tchain}
     init AS (SELECT m, vec_id AS cid, rv AS c FROM (
                SELECT m, vec_id, rv,
                       row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn

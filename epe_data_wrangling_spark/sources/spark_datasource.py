@@ -196,9 +196,40 @@ class WorkbookStreamReader(DataSourceStreamReader):
         #: offset, and a file re-landed under the same name would then
         #: re-emit its cells (duplicates downstream). Offsets must
         #: only grow: union every listing into this set, and seed it
-        #: from the committed offsets Spark hands to partitions() so
-        #: the guarantee survives reader re-creation on restart.
+        #: from the committed offsets Spark hands to partitions().
+        #:
+        #: Restart ordering caveat: Spark's first call on a FRESH
+        #: reader instance may be latestOffset() — BEFORE partitions()
+        #: has seeded the accumulator from the committed offsets — so
+        #: in-memory tracking alone cannot close the window where a
+        #: restart coincides with a retention removal. The
+        #: ``offsets_dir`` option closes it: the accumulator persists
+        #: there (atomic tmp+rename JSON, the metadata log Spark's own
+        #: FileStreamSource keeps in its checkpoint — an API surface
+        #: the Python DataSource does not expose, hence the explicit
+        #: option) and re-seeds on construction. Callers that own a
+        #: checkpoint dir should point offsets_dir inside it.
         self._seen: set[str] = set()
+        self._offsets_dir = options.get("offsets_dir")
+        if self._offsets_dir:
+            import json as _json
+
+            p = os.path.join(self._offsets_dir, "seen.json")
+            if os.path.isfile(p):
+                with open(p) as f:
+                    self._seen.update(_json.load(f))
+
+    def _persist_seen(self) -> None:
+        if not self._offsets_dir:
+            return
+        import json as _json
+
+        os.makedirs(self._offsets_dir, exist_ok=True)
+        p = os.path.join(self._offsets_dir, "seen.json")
+        tmp = f"{p}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(sorted(self._seen), f)
+        os.replace(tmp, p)
 
     def _files(self) -> list[str]:
         try:
@@ -211,6 +242,7 @@ class WorkbookStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         self._seen.update(self._files())
+        self._persist_seen()
         return {"seen": sorted(self._seen)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -219,7 +251,24 @@ class WorkbookStreamReader(DataSourceStreamReader):
         # latestOffset cannot regress below what was already emitted
         self._seen.update(start.get("seen", []))
         self._seen.update(end.get("seen", []))
+        self._persist_seen()
         new = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        gone = [f for f in new if not os.path.isfile(f)]
+        if gone:
+            # a file due for first emission has vanished between
+            # listing and planning (retention raced the stream, or an
+            # offset regressed through the restart window above
+            # without offsets_dir): raising here is a witness with
+            # the cause attached — the alternative is an executor
+            # FileNotFoundError, or silent duplicates if the name
+            # re-lands
+            raise RuntimeError(
+                f"workbook stream: {len(gone)} file(s) planned for this "
+                f"batch no longer exist (e.g. {gone[0]!r}) — landed files "
+                "must be immutable until emitted; if retention can touch "
+                "the landing dir, set the offsets_dir option so seen-file "
+                "state survives restart"
+            )
         return [_FilePartition(f) for f in new]
 
     def read(self, partition: _FilePartition):

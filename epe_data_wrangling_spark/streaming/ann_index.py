@@ -107,21 +107,28 @@ from epe_data_wrangling_spark.streaming.manifest import sweep_orphans
 
 
 def _is_replay_or_handoff(
-    meta: dict, batch_files: set, batch_id: int, tag: str
+    meta: dict, batch_files: set, batch_id: int, tag: str,
+    adopt: bool = False,
 ) -> bool:
-    """`_is_committed_replay` with one extra admissible case — the
+    """`_is_committed_replay` with one OPT-IN admissible case — the
     CHECKPOINT HANDOFF: batch ids are a per-checkpoint counter, so a
     target adopted by a new stream (a fresh checkpoint over a fresh
     landing dir — exactly how a plain-append index graduates to the
     CDC sink) legitimately arrives with batch_id 0 against a
-    committed last_batch_id > 0. When every file in the batch is
-    NEVER-applied, the batch cannot be a replay (a replay's files are
-    all in applied by definition) — apply it. A batch MIXING applied
-    and fresh files keeps raising (ambiguous), and provenance-less
-    low batches keep raising, via the shared helper."""
+    committed last_batch_id > 0. When the caller declared the
+    handoff (``adopt=True``) and every file in the batch is
+    NEVER-applied, the batch cannot be a replay (a replay's files
+    are all in applied by definition) — apply it. WITHOUT the
+    declaration the shared helper's fresh-checkpoint witness stands:
+    the same signature also describes a MISWIRED job (the wrong
+    landing dir pointed at an existing target would silently mix two
+    corpora under one quantizer), and the sink cannot tell adoption
+    from accident — only the operator can, so adoption is explicit.
+    A batch MIXING applied and fresh files raises either way."""
     applied = set(meta.get("applied_files", []))
     if (
-        batch_id <= meta["last_batch_id"]
+        adopt
+        and batch_id <= meta["last_batch_id"]
         and batch_files
         and not (batch_files & applied)
     ):
@@ -135,8 +142,12 @@ def _next_gen(meta: dict) -> int:
     ids cannot serve: they restart at 0 on a checkpoint handoff, and
     a tombstone stamped with a regressed id would fail to retire
     standing rows committed under the old checkpoint's higher ids.
-    Falls back to last_batch_id for targets committed before the
-    counter existed (their ids were their gens)."""
+    Seeds from last_batch_id when ``last_gen`` is absent (a target
+    whose commits all predate the counter ALSO predates the stores'
+    ``_gen`` column, and the CDC sinks refuse it — see the
+    `_cdc_locate_and_retire` schema witness — so the seed only ever
+    bridges metas written mid-upgrade, never reinterprets old
+    stores)."""
     return int(meta.get("last_gen", meta.get("last_batch_id", -1))) + 1
 
 
@@ -262,6 +273,7 @@ def ivf_index_foreach_batch(
     k_cells: int = 8,
     train_iters: int = 2,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
+    adopt: bool = False,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -278,7 +290,9 @@ def ivf_index_foreach_batch(
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
-        if _is_replay_or_handoff(meta, batch_files, batch_id, "ivf_index"):
+        if _is_replay_or_handoff(
+            meta, batch_files, batch_id, "ivf_index", adopt
+        ):
             return
         if batch_df.isEmpty():
             return
@@ -558,6 +572,22 @@ def _cdc_locate_and_retire(
     divergence witness against the ``store``'s retired cells.
     Returns (kk expr, touched_kk, loc_manifest, loc_backfill,
     old_loc, retire, retire_counts, retire_cells)."""
+    if store_manifest is not None and store_manifest.get("schema"):
+        fields = [
+            f["name"]
+            for f in json.loads(store_manifest["schema"])["fields"]
+        ]
+        if "_gen" not in fields:
+            # a store committed before the generation column cannot
+            # order tombstones against its rows: a delete-only batch
+            # would commit tombstones that every later serve/vacuum
+            # crashes on (unresolved `_gen`), permanently wedging the
+            # target — refuse the adoption instead
+            raise RuntimeError(
+                f"{tag} sink: target's {store} store predates the _gen "
+                "generation column — tombstone ordering against its rows "
+                "cannot be established; rebuild the target from the stream"
+            )
     kk = F.pmod(F.hash(F.col(id_col)), F.lit(loc_buckets)).cast("int")
     touched_kk = sorted(
         int(r["b"]) for r in ops.select(kk.alias("b")).distinct().collect()
@@ -598,7 +628,8 @@ def _cdc_locate_and_retire(
         raise RuntimeError(
             f"{tag} sink: id {ins_over[0][0]} op=I but the "
             "locator already holds it (possibly with a different "
-            "vector in a different cell) — emit U to re-embed or D+I"
+            "vector in a different cell) — emit U to re-embed (or D, then "
+            "I in a LATER batch: one op per id per batch)"
         )
     del_unknown = (
         ops.filter(F.col("op") == "D")
@@ -729,6 +760,7 @@ def ivf_index_changes_foreach_batch(
     train_iters: int = 2,
     loc_buckets: int = 32,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
+    adopt: bool = False,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -775,7 +807,7 @@ def ivf_index_changes_foreach_batch(
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_replay_or_handoff(
-            meta, batch_files, batch_id, "ivf_index_changes"
+            meta, batch_files, batch_id, "ivf_index_changes", adopt
         ):
             return
         if batch_df.isEmpty():
@@ -1005,6 +1037,7 @@ def ivfpq_index_foreach_batch(
     pq_sub: int = 16,
     cbk: int = 32,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
+    adopt: bool = False,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -1039,7 +1072,9 @@ def ivfpq_index_foreach_batch(
         meta = _read_sink_meta(target_dir)
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
-        if _is_replay_or_handoff(meta, batch_files, batch_id, "ivfpq_index"):
+        if _is_replay_or_handoff(
+            meta, batch_files, batch_id, "ivfpq_index", adopt
+        ):
             return
         if batch_df.isEmpty():
             return
@@ -1337,6 +1372,7 @@ def ivfpq_index_changes_foreach_batch(
     cbk: int = 32,
     loc_buckets: int = 32,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
+    adopt: bool = False,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
 ) -> None:
@@ -1370,7 +1406,7 @@ def ivfpq_index_changes_foreach_batch(
         batch_files = _batch_provenance(batch_df)
         applied = set(meta.get("applied_files", []))
         if _is_replay_or_handoff(
-            meta, batch_files, batch_id, "ivfpq_index_changes"
+            meta, batch_files, batch_id, "ivfpq_index_changes", adopt
         ):
             return
         if batch_df.isEmpty():

@@ -102,7 +102,15 @@ def epe_monthly_refresh(
     from epe_data_wrangling_spark.sources.workbook import grid_to_df
 
     register(spark)
-    stream = spark.readStream.format("workbook").load(drops_dir)
+    reader = spark.readStream.format("workbook")
+    if checkpoint_dir:
+        # durable seen-file state beside the checkpoint: closes the
+        # restart-ordering window where a retention-removed drop could
+        # regress the reader's offset (see WorkbookStreamReader)
+        reader = reader.option(
+            "offsets_dir", os.path.join(checkpoint_dir, "wb_seen")
+        )
+    stream = reader.load(drops_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         _recover_swap(target_dir)

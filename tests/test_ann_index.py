@@ -466,7 +466,7 @@ from epe_data_wrangling_spark.streaming.ann_index import (  # noqa: E402
 
 
 def _chg_run(spark, landing: str, target: str, ck: str,
-             per_file: bool = True) -> None:
+             per_file: bool = True, adopt: bool = False) -> None:
     reader = spark.readStream.schema(
         "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
     )
@@ -474,7 +474,7 @@ def _chg_run(spark, landing: str, target: str, ck: str,
         reader = reader.option("maxFilesPerTrigger", 1)
     ivf_index_changes_foreach_batch(
         reader.parquet(landing), target,
-        k_cells=8, train_iters=2, checkpoint_dir=ck,
+        k_cells=8, train_iters=2, adopt=adopt, checkpoint_dir=ck,
     )
 
 
@@ -645,7 +645,11 @@ def test_ann_index_changes_adopts_plain_target_and_plain_refuses_cdc(
     chg_landing = str(tmp_path / "chg")
     _land(_as_ops(gens[0].filter(F.col("vec_id") % 5 == 0), "D"),
           chg_landing, "c1.parquet", 1)
-    _chg_run(spark, chg_landing, target, str(tmp_path / "ck2"))
+    # WITHOUT the explicit adopt declaration the fresh-checkpoint
+    # witness stands — the same signature describes a miswired job
+    with pytest.raises(Exception, match="never-applied"):
+        _chg_run(spark, chg_landing, target, str(tmp_path / "ck2"))
+    _chg_run(spark, chg_landing, target, str(tmp_path / "ck2b"), adopt=True)
     live = gens[0].filter(F.col("vec_id") % 5 != 0).union(gens[1])
     assert _serve_set(spark, target, live) == _direct_recompute(
         spark, target, live
@@ -938,9 +942,11 @@ def test_ivfpq_changes_deletes_upserts_and_vacuum(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(plain_landing)
     )
+    # adopt=True gets past the fresh-checkpoint witness so the
+    # CDC-maintained cross-sink guard is what actually fires
     with pytest.raises(Exception, match="CDC-maintained"):
         ivfpq_index_foreach_batch(
-            reader, target, k_cells=8, train_iters=2,
+            reader, target, k_cells=8, train_iters=2, adopt=True,
             checkpoint_dir=str(tmp_path / "ckp"),
         )
 

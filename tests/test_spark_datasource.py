@@ -338,3 +338,45 @@ def test_stream_reader_offsets_are_monotone(tmp_path):
     assert r2.partitions({"seen": [f1]}, {"seen": [f1]}) == []
     os.remove(f1)
     assert r2.latestOffset() == {"seen": [f1]}
+
+
+def test_stream_reader_offsets_dir_survives_restart_ordering(tmp_path):
+    """The restart-ordering window the in-memory accumulator cannot
+    close: Spark may call latestOffset() on a FRESH reader instance
+    BEFORE partitions() seeds it from the committed offsets. With the
+    ``offsets_dir`` option the seen-file set persists (atomic JSON)
+    and re-seeds on construction, so a retention-removed file cannot
+    regress the very first offset after restart. Also pins the
+    planned-but-missing witness: a file due for first emission that
+    vanished between listing and planning raises with the cause,
+    instead of an executor FileNotFoundError or silent duplicates."""
+    import os
+
+    from epe_data_wrangling_spark.sources.spark_datasource import (
+        WorkbookStreamReader,
+    )
+
+    d = str(tmp_path / "landing")
+    state = str(tmp_path / "state")
+    os.makedirs(d)
+    f1 = os.path.join(d, "drop_1.xlsx")
+    open(f1, "wb").close()
+    r = WorkbookStreamReader({"path": d, "offsets_dir": state})
+    off = r.latestOffset()
+    assert off == {"seen": [f1]}
+    # retention removes the file; a FRESH reader (restart) calls
+    # latestOffset FIRST — the persisted state must hold the line
+    os.remove(f1)
+    r2 = WorkbookStreamReader({"path": d, "offsets_dir": state})
+    assert r2.latestOffset() == {"seen": [f1]}
+    assert r2.partitions(off, {"seen": [f1]}) == []
+    # planned-but-missing witness: a NEW file vanishing between
+    # listing and planning is a raised corruption report
+    f2 = os.path.join(d, "drop_2.xlsx")
+    open(f2, "wb").close()
+    off2 = r2.latestOffset()
+    os.remove(f2)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no longer exist"):
+        r2.partitions(off, off2)
