@@ -2668,15 +2668,16 @@ AIDX_PROBE = 4   #: probed cells per query
 AIDX_K = 3       #: neighbors per query
 
 
-def _gen1_coarse_ctes() -> str:
-    """Shared WITH-prefix of the two incremental-ANN-index oracles:
-    the coarse quantizer trained on the BOOTSTRAP generation only
-    (vec_id % 3 = 0 — the sinks' frozen stage; same staging as
-    mlprep_q._kmeans_oracle, mirrored from
+def _gen1_coarse_ctes(after_e: str = "", train_sql: str | None = None) -> str:
+    """Shared WITH-prefix of the incremental-ANN-index oracles: the
+    coarse quantizer trained on ``train_sql``'s rows (default: the
+    BOOTSTRAP generation, vec_id % 3 = 0 — the sinks' frozen stage;
+    same staging as mlprep_q._kmeans_oracle, mirrored from
     `operators.kmeans.lloyd_means`), ending at ``cent`` (cid, c, cc)
-    and ``av`` (every vector + its norm). Exists once so the Lloyd
-    staging cannot drift between the raw-vector and PQ-coded
-    oracles."""
+    and ``av`` (every vector + its norm). ``after_e`` injects CTEs
+    between ``e`` and the training relation (the retrain oracle puts
+    the live-corpus CTEs there and trains on them). Exists once so
+    the Lloyd staging cannot drift between the oracles."""
     mean = (
         "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
@@ -2705,9 +2706,14 @@ def _gen1_coarse_ctes() -> str:
                FROM {means} GROUP BY cid),
     {out} AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM {out}l)"""
 
+    train = train_sql or (
+        "SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e "
+        "WHERE vec_id % 3 = 0"
+    )
+    after = f"{after_e}," if after_e else ""
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
-           WHERE vec_id % 3 = 0),
+    {after}
+    tv AS ({train}),
     c0l AS (SELECT vec_id AS cid, v AS c FROM tv
             ORDER BY vec_id LIMIT {AIDX_CELLS}),
     c0 AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM c0l),
@@ -2736,7 +2742,9 @@ def _live_corpus_ctes() -> str:
     lvv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM live)"""
 
 
-def _ann_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
+def _ann_index_oracle(
+    corpus: str = "av", extra_ctes: str = "", coarse: str | None = None
+) -> str:
     """Recompute of the final index state: Lloyd trained on the
     BOOTSTRAP generation only (vec_id % 3 = 0 — the sink's frozen
     quantizer), the ``corpus`` CTE's vectors assigned against the
@@ -2752,7 +2760,7 @@ def _ann_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
     d2x = "(p.qq - 2 * list_dot_product(p.qv, a.vx)) + a.vv"
     extra = f"{extra_ctes}," if extra_ctes else ""
     return f"""
-    WITH {_gen1_coarse_ctes()},
+    WITH {coarse or _gen1_coarse_ctes()},
     {extra}
     assigned AS (SELECT vid, vx, vv, cell FROM (
         SELECT a.vec_id AS vid, a.v AS vx, a.vv, c.cid AS cell,
@@ -3273,6 +3281,112 @@ def streaming_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = ivfpq_index_topk(
             spark, target, queries, vectors,
             probe=AIDXQ_PROBE, cand=AIDXQ_CAND, k=AIDXQ_K,
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _ann_index_retrain_oracle() -> str:
+    """Recompute of the post-RETRAIN index state: the quantizer is
+    trained on the LIVE corpus itself (Lloyd init = its k lowest
+    ids — exactly `ivf_index_retrain`'s contract), every live vector
+    assigned against the new centroids, probed serve. Queries stay
+    the ORIGINAL embeddings."""
+    return _ann_index_oracle(
+        corpus="lvv",
+        coarse=_gen1_coarse_ctes(
+            after_e=_live_corpus_ctes(),
+            train_sql="SELECT vec_id, v, vv FROM lvv",
+        ),
+    )
+
+
+@query("streaming_ann_index_retrain", oracle=_ann_index_retrain_oracle())
+def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift loop's remediation step (`streaming.ann_index.
+    ivf_index_retrain`), certified end-to-end: the upsert plan's three
+    change batches land (bootstrap I, insert I, mixed I/U/D), then the
+    index is RE-TRAINED on its current live corpus — new dense-cid
+    centroids from the SAME shared Lloyd trainer (init = the k lowest
+    live ids), every live row re-assigned, tombstoned rows dropped in
+    the same pass, tombstones cleared, the locator rewritten to the
+    new cells, occupancy counters rebuilt — all in one atomic swap.
+    Serve then probes the NEW cells. The oracle recomputes from
+    scratch with the quantizer trained on the LIVE corpus (not the
+    bootstrap generation — that is the entire point of retrain), so
+    the hash certifies that the corpus-sized re-partitioning lands
+    exactly where a fresh build over the live data would. Scale: the
+    one deliberately corpus-sized maintenance op in the index family,
+    run at drift cadence (the occupancy advisory's trigger), not per
+    batch; everything else stays delta-sized."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivf_index_changes_foreach_batch,
+        ivf_index_retrain,
+        ivf_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    landed = F.col("vec_id") % 3 != 2
+    ins = [
+        e.filter(F.col("vec_id") % 3 == i).select(
+            F.lit("I").alias("op"), "vec_id", "embedding"
+        )
+        for i in range(3)
+    ]
+    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
+        F.lit("U").alias("op"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
+        F.lit("D").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    work = tempfile.mkdtemp(prefix="ann_index_retrain_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
+        )
+        stream = (
+            spark.readStream.schema(
+                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivf_index_changes_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS, checkpoint_dir=ckpt,
+        )
+        n = ivf_index_retrain(
+            spark, target, k_cells=AIDX_CELLS, train_iters=AIDX_ITERS
+        )
+        if n <= 0:
+            raise RuntimeError("ann_index_retrain: retrain re-assigned 0 rows")
+        queries = e.filter(F.col("vec_id") < AIDX_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        rows = ivf_index_topk(
+            spark, target, queries, probe=AIDX_PROBE, k=AIDX_K
         ).collect()
         return spark.createDataFrame(
             rows,

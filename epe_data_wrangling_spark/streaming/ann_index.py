@@ -1009,6 +1009,140 @@ def ivf_index_vacuum(spark, target_dir: str) -> int:
 ivfpq_index_vacuum = ivf_index_vacuum
 
 
+def ivf_index_retrain(
+    spark, target_dir: str, *, k_cells: int | None = None,
+    train_iters: int = 2,
+) -> int:
+    """Re-train the coarse quantizer on the CURRENT live corpus and
+    re-assign every live row — the remediation the occupancy-skew
+    advisory points at, closing the drift loop (measure → warn →
+    retrain): after enough distribution drift the frozen cells stop
+    partitioning the corpus (SCALE.md r14: probing 2/8 cells read 80%
+    of it) and the fix is a fresh quantizer, not more appends.
+
+    DELIBERATELY corpus-sized — that is what retrain means; it is the
+    one operation here allowed to cost the standing index, run at the
+    cadence drift warrants (weeks/months), not per batch. One atomic
+    swap commits: new dense-cid centroids trained by the SAME shared
+    Lloyd trainer (init = current k lowest live ids), the vectors
+    store rewritten into the new cells (live rows only — tombstoned
+    rows are dropped in the same pass, so a separate vacuum is
+    redundant), tombstones cleared, the locator (if the target is
+    CDC-maintained) rewritten to the new cells, and occupancy
+    counters rebuilt (a standing retrain advisory clears itself by
+    construction). Serve needs no change: it reads whatever centroids
+    are committed. Raw-vector targets only — a PQ target stores
+    codes, not vectors, so its retrain is a REBUILD from the caller's
+    system-of-record vectors table (bootstrap a fresh target over
+    it). Returns the number of live rows re-assigned."""
+    import shutil
+
+    _recover_swap(target_dir)
+    _clean_stale_stages(target_dir)
+    sweep_orphans(target_dir)
+    meta = _read_sink_meta(target_dir)
+    if meta.get("pq_layout"):
+        raise RuntimeError(
+            "ivf_index_retrain: target is a PQ-coded index — its store "
+            "holds codes, not vectors; rebuild a fresh target from the "
+            "system-of-record vectors table instead"
+        )
+    vec_manifest = read_manifest(target_dir, "vectors")
+    if not store_has_files(vec_manifest):
+        raise RuntimeError(
+            f"ivf_index_retrain: no committed vectors at {target_dir}"
+        )
+    k = int(k_cells or meta.get("k_cells") or 8)
+    vecs = read_store(spark, target_dir, "vectors", manifest=vec_manifest)
+    id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
+    tombs_manifest = read_manifest(target_dir, "tombs")
+    live = vecs
+    if store_has_files(tombs_manifest):
+        tombs = read_store(
+            spark, target_dir, "tombs", manifest=tombs_manifest
+        )
+        dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
+        live = (
+            vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
+            .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
+            .select(*vecs.columns)
+        )
+    ev = live.select(id_col, "v").withColumn(
+        "vv", V.dot(F.col("v"), F.col("v"))
+    )
+    cents = _dense_cids(
+        means_to_centroids(lloyd_means(ev, k, train_iters, id_col=id_col))
+    ).localCheckpoint(eager=True)
+    gen_of = live.select(id_col, "_gen")
+    reassigned = (
+        _assign_cells(live.select(id_col, "v"), cents, id_col)
+        .drop("cv")
+        .join(gen_of, id_col)
+        .select(id_col, "v", "_kb", "_gen")
+        .localCheckpoint(eager=True)  # feeds counts, store, locator
+    )
+    new_counts = [
+        (int(r["_kb"]), int(r["c"]))
+        for r in reassigned.groupBy("_kb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    n_rows = sum(c for _, c in new_counts)
+    batch_id = int(meta.get("last_batch_id", 0))
+    stage = f"{target_dir}.stage-retrain-{batch_id}"
+    os.makedirs(stage, exist_ok=True)
+    # every committed bucket is replaced (old cells dissolve into the
+    # new partitioning)
+    old_buckets = sorted(int(b) for b in vec_manifest["buckets"])
+    all_touched = sorted(set(old_buckets) | {b for b, _ in new_counts})
+    write_store_delta(
+        spark, reassigned, target_dir, "vectors", stage,
+        batch_id=batch_id, touched=all_touched, manifest=vec_manifest,
+    )
+    if store_has_files(tombs_manifest):
+        tombs = read_store(
+            spark, target_dir, "tombs", manifest=tombs_manifest
+        )
+        write_store_delta(
+            spark, tombs.filter(F.lit(False)), target_dir, "tombs", stage,
+            batch_id=batch_id,
+            touched=sorted(int(b) for b in tombs_manifest["buckets"]),
+            manifest=tombs_manifest,
+        )
+    else:
+        carry_store(target_dir, "tombs", stage)
+    loc_manifest = read_manifest(target_dir, "locator")
+    if loc_manifest is not None:
+        loc_buckets = int(meta.get("loc_buckets", 32))
+        kk = F.pmod(F.hash(F.col(id_col)), F.lit(loc_buckets)).cast("int")
+        new_loc = reassigned.select(
+            id_col, F.col("_kb").alias("cell")
+        ).withColumn("_kb", kk)
+        write_store_delta(
+            spark, new_loc, target_dir, "locator", stage,
+            batch_id=batch_id,
+            touched=sorted(
+                set(int(b) for b in loc_manifest["buckets"])
+                | {
+                    int(r["_kb"])
+                    for r in new_loc.select("_kb").distinct().collect()
+                }
+            ),
+            manifest=loc_manifest,
+        )
+    cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+    new_meta = dict(meta)
+    new_meta["k_cells"] = k
+    new_meta.pop("occupancy_warning", None)
+    new_meta.pop("occupancy_skew", None)
+    new_meta.pop("cell_counts", None)
+    new_meta.update(_occupancy_meta(None, new_counts))
+    with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+        json.dump(new_meta, f)
+    _atomic_swap(stage, target_dir, batch_id)
+    return n_rows
+
+
 def _pq_residual_subspaces(batch, cents, id_col, pq_m, pq_sub):
     """Assign ``batch`` (id, v) against the frozen centroids and split
     the residuals into PQ subspaces — the encode front half shared by

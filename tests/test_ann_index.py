@@ -989,3 +989,68 @@ def test_ivfpq_changes_serve_prunes_and_broadcasts(spark, tmp_path):
     assert "_kb" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ann_index_retrain_rebalances_and_preserves_corpus(spark, tmp_path):
+    """The drift loop closes: a drifted cohort trips the occupancy
+    advisory; `ivf_index_retrain` re-trains on the CURRENT live
+    corpus, re-assigns every row, clears the advisory (balanced cells
+    by construction), drops tombstoned rows in the same pass, and the
+    retrained index serves exactly the frozen-quantizer recompute
+    against its NEW centroids. CDC machinery keeps working after:
+    a delete against the retrained locator lands."""
+    import json
+
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivf_index_retrain,
+    )
+
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    hot_vec = [1e4] * 64
+    n0 = gens[0].count()
+    hot = spark.createDataFrame(
+        [(10_000_000 + i, hot_vec) for i in range(n0 * 2)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    # CDC lifecycle: bootstrap, hot drifted cohort, one delete batch
+    batches = [
+        _as_ops(gens[0], "I"),
+        _as_ops(hot, "I"),
+        _as_ops(gens[0].filter(F.col("vec_id") % 5 == 0), "D"),
+    ]
+    for i, b in enumerate(batches, start=1):
+        _land(b, landing, f"c{i}.parquet", i)
+        _chg_run(spark, landing, target, ck)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert meta["occupancy_skew"] > 2.0  # the drifted cohort skewed it
+    live = gens[0].filter(F.col("vec_id") % 5 != 0).union(hot)
+    n = ivf_index_retrain(spark, target)
+    assert n == live.count()  # tombstoned rows dropped in the pass
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert "occupancy_warning" not in meta
+    assert sum(meta["cell_counts"].values()) == n
+    from epe_data_wrangling_spark.streaming.manifest import (
+        read_manifest,
+        store_has_files,
+    )
+
+    assert not store_has_files(read_manifest(target, "tombs"))
+    # serve == recompute against the RETRAINED centroids (queries
+    # from the live corpus; the <NQ filter keeps the hot cohort out
+    # of the query set)
+    assert _serve_set(spark, target, live) == _direct_recompute(
+        spark, target, live
+    )
+    # the rewritten locator still drives deletes correctly
+    _land(_as_ops(gens[0].filter(F.col("vec_id") % 5 == 1), "D"),
+          landing, "c4.parquet", 4)
+    _chg_run(spark, landing, target, ck)
+    live2 = live.filter(
+        ~((F.col("vec_id") % 5 == 1) & (F.col("vec_id") < 10_000_000))
+    )
+    assert _serve_set(spark, target, live2) == _direct_recompute(
+        spark, target, live2
+    )
