@@ -218,9 +218,14 @@ class WorkbookStreamReader(DataSourceStreamReader):
             if os.path.isfile(p):
                 with open(p) as f:
                     self._seen.update(_json.load(f))
+        #: size of the set at last persist (grow-only ⇒ a size match
+        #: means no change); the monotone set never shrinks
+        self._persisted_n = len(self._seen) if self._offsets_dir else -1
 
     def _persist_seen(self) -> None:
-        if not self._offsets_dir:
+        # only when the set grew: a quiet landing zone must not pay an
+        # O(all-files-ever-seen) JSON rewrite twice per empty trigger
+        if not self._offsets_dir or len(self._seen) == self._persisted_n:
             return
         import json as _json
 
@@ -230,6 +235,7 @@ class WorkbookStreamReader(DataSourceStreamReader):
         with open(tmp, "w") as f:
             _json.dump(sorted(self._seen), f)
         os.replace(tmp, p)
+        self._persisted_n = len(self._seen)
 
     def _files(self) -> list[str]:
         try:

@@ -471,18 +471,9 @@ def ivf_index_topk(
     id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
     tombs = read_store(spark, target_dir, "tombs", buckets=cells)
     if tombs is not None:
-        # merge-on-read delete filter: a row is dead iff a tombstone
-        # for its (id, cell) with tgen > _gen exists — strict, so an
-        # upsert re-landing in the same cell (same batch as its
-        # predecessor's tombstone) survives. The dead set is
-        # tombstone-sized (probed cells only) and broadcast; vacuum
-        # restores the filter-free path.
-        dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
-        vecs = (
-            vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
-            .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
-            .drop("_tg")
-        )
+        # probed-cell tombstones only; vacuum restores the
+        # filter-free path (see _live_rows for the liveness rule)
+        vecs = _live_rows(vecs, tombs, id_col)
     d2 = F.round(
         (
             (F.col("qq") - 2 * V.dot(F.col("qv"), F.col("v")))
@@ -509,6 +500,21 @@ def ivf_index_topk(
                 "l2_dist"
             ),
         )
+    )
+
+
+def _live_rows(rows: DataFrame, tombs: DataFrame, id_col: str) -> DataFrame:
+    """The merge-on-read tombstone filter — THE definition of 'live',
+    shared by serve, vacuum and retrain so the three can never
+    disagree: a row is dead iff a tombstone for its (id, cell) with
+    ``tgen > _gen`` exists (strict, so an upsert re-landing in the
+    same cell — same gen as its predecessor's tombstone — survives).
+    The dead set is tombstone-sized and broadcast."""
+    dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
+    return (
+        rows.join(F.broadcast(dead), [id_col, "_kb"], "left")
+        .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
+        .select(*rows.columns)  # committed column order (schema guard)
     )
 
 
@@ -791,12 +797,15 @@ def ivf_index_changes_foreach_batch(
 
     Bootstrap: a virgin target trains the quantizer on the first
     batch's I/U vectors (dense 0..k-1 cells). A target built by
-    `ivf_index_foreach_batch` is adopted by backfilling the locator
-    from the full vectors store ONCE (corpus-sized, the one-time
-    adoption cost; every later batch is touched-bucket-sized), after
-    which the plain append sink refuses the target (meta ``cdc``
-    flag) — the two lifecycles cannot interleave and strand the
-    locator stale."""
+    `ivf_index_foreach_batch` is adopted — with the EXPLICIT
+    ``adopt=True`` declaration, since the adopting stream's fresh
+    checkpoint is otherwise indistinguishable from a miswired job
+    (`_is_replay_or_handoff`) — by backfilling the locator from the
+    full vectors store ONCE (corpus-sized, the one-time adoption
+    cost; every later batch is touched-bucket-sized), after which
+    the plain append sink refuses the target (meta ``cdc`` flag) —
+    the two lifecycles cannot interleave and strand the locator
+    stale."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -976,12 +985,7 @@ def ivf_index_vacuum(spark, target_dir: str) -> int:
     id_col = [
         c for c in vecs.columns if c not in ("v", "_kb", "_gen", "m", "cid")
     ][0]
-    dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
-    live = (
-        vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
-        .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
-        .select(*vecs.columns)  # committed column order (schema guard)
-    )
+    live = _live_rows(vecs, tombs, id_col)
     batch_id = int(meta.get("last_batch_id", 0))
     stage = f"{target_dir}.stage-vacuum-{batch_id}"
     os.makedirs(stage, exist_ok=True)
@@ -1056,16 +1060,23 @@ def ivf_index_retrain(
     vecs = read_store(spark, target_dir, "vectors", manifest=vec_manifest)
     id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
     tombs_manifest = read_manifest(target_dir, "tombs")
-    live = vecs
-    if store_has_files(tombs_manifest):
-        tombs = read_store(
-            spark, target_dir, "tombs", manifest=tombs_manifest
-        )
-        dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
-        live = (
-            vecs.join(F.broadcast(dead), [id_col, "_kb"], "left")
-            .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
-            .select(*vecs.columns)
+    tombs = (
+        read_store(spark, target_dir, "tombs", manifest=tombs_manifest)
+        if store_has_files(tombs_manifest)
+        else None
+    )
+    live = vecs if tombs is None else _live_rows(vecs, tombs, id_col)
+    if live.isEmpty():
+        # a fully-tombstoned corpus would train ZERO centroids and
+        # commit an empty quantizer — after which every later insert
+        # assigns against nothing, emits an empty delta, and records
+        # its files as applied: the rows would vanish silently and be
+        # unreplayable. Refuse instead.
+        raise RuntimeError(
+            "ivf_index_retrain: the live corpus is empty (every row "
+            "tombstoned) — retraining would commit an empty quantizer "
+            "that silently swallows all future inserts; rebuild the "
+            "target from the stream instead"
         )
     ev = live.select(id_col, "v").withColumn(
         "vv", V.dot(F.col("v"), F.col("v"))
@@ -1099,10 +1110,7 @@ def ivf_index_retrain(
         spark, reassigned, target_dir, "vectors", stage,
         batch_id=batch_id, touched=all_touched, manifest=vec_manifest,
     )
-    if store_has_files(tombs_manifest):
-        tombs = read_store(
-            spark, target_dir, "tombs", manifest=tombs_manifest
-        )
+    if tombs is not None:
         write_store_delta(
             spark, tombs.filter(F.lit(False)), target_dir, "tombs", stage,
             batch_id=batch_id,
@@ -1432,15 +1440,9 @@ def ivfpq_index_topk(
     ][0]
     tombs = read_store(spark, target_dir, "tombs", buckets=cells)
     if tombs is not None:
-        # merge-on-read delete filter, as in the raw serve: dead iff a
-        # (id, cell) tombstone with tgen > _gen exists; dead-entry-
-        # sized broadcast, the ADC never scores retired codes
-        dead = tombs.groupBy(id_col, "_kb").agg(F.max("tgen").alias("_tg"))
-        codes = (
-            codes.join(F.broadcast(dead), [id_col, "_kb"], "left")
-            .filter(F.col("_tg").isNull() | (F.col("_gen") >= F.col("_tg")))
-            .drop("_tg")
-        )
+        # filtered BEFORE the ADC so retired codes are never scored
+        # (see _live_rows for the liveness rule)
+        codes = _live_rows(codes, tombs, id_col)
     adc = (
         codes.join(F.broadcast(dtab), ["_kb", "m", "cid"])
         .filter(F.col("query_id") != F.col(id_col))
