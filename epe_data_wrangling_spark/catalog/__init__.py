@@ -89,20 +89,21 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: the externally-validated surface for the round. The window ROTATES
 #: each round; every registered query has a driver-certified record
 #: (276 cumulative through r13, judge-reverified), so the r14 window
-#: carries (a) the 10 anchors, (b) the 4 queries ADDED during r14
+#: carries (a) the 10 anchors, (b) the 5 queries ADDED during r14
 #: (never driver-certified: streaming_ann_index_upsert,
 #: streaming_ivfpq_index_upsert and streaming_ann_index_retrain —
 #: the ANN index family's tombstoned delete/upsert + vacuum paths,
-#: raw and PQ-coded, plus the drift-loop retrain — and
+#: raw and PQ-coded, plus the drift-loop retrain —
 #: streaming_workbook_burst, the 8-drop parallel-parse headline
-#: variant), (c) ann_cosine_topk_arrow (rows-only BY DESIGN —
-#: Arrow/BLAS float summation order; its slot keeps driver row+schema
-#: evidence fresh), and (d) 35 stalest-certified re-certs (oldest
-#: green driver row first, per tools/rotate_window.py) — this drains
-#: the ENTIRE r7 vintage (31 queries, the oldest bucket after the r13
-#: drain of r6) plus the 4 oldest r8-vintage rows, so after a green
+#: variant, and hybrid_rrf_retrieval, lexical+vector RRF fusion),
+#: (c) ann_cosine_topk_arrow (rows-only BY DESIGN — Arrow/BLAS float
+#: summation order; its slot keeps driver row+schema evidence
+#: fresh), and (d) 34 stalest-certified re-certs (oldest green
+#: driver row first, per tools/rotate_window.py) — this drains the
+#: ENTIRE r7 vintage (31 queries, the oldest bucket after the r13
+#: drain of r6) plus the 3 oldest r8-vintage rows, so after a green
 #: r14 no non-anchor query's hard signal is older than r8 (max
-#: staleness ≤ 6 sustained a third round; the 35 remaining r8-green
+#: staleness ≤ 6 sustained a third round; the 36 remaining r8-green
 #: rows fit inside r15's ~39 free slots). Queries
 #: outside the window remain locally verified every round by
 #: tools/verify_local.py (the full DuckDB-differential sweep).
@@ -118,15 +119,16 @@ PRIORITY_ORDER = [
     "pivot_event_type_counts",
     "window_running_spend",
     "q1_pricing_summary",
-    # --- the 4 queries added during r14 (never driver-certified)
+    # --- the 5 queries added during r14 (never driver-certified)
     "streaming_ann_index_upsert",
     "streaming_ivfpq_index_upsert",
     "streaming_ann_index_retrain",
     "streaming_workbook_burst",
+    "hybrid_rrf_retrieval",
     # --- rows-only-by-design twin: refresh its driver row evidence
     "ann_cosine_topk_arrow",
     # --- stalest re-certs (oldest driver-green first): all 31
-    # --- r7-vintage entries, then the 4 oldest r8-vintage
+    # --- r7-vintage entries, then the 3 oldest r8-vintage
     "histogram_order_totals",
     "impute_value_by_type_mean",
     "interarrival_stats_per_user",
@@ -161,7 +163,6 @@ PRIORITY_ORDER = [
     "agg_count_distinct_exact",
     "agg_percentiles_priority",
     "agg_stat_moments",
-    "attribution_position_weighted",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

@@ -6,7 +6,7 @@ engines so rankings need no rounding fuzz.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
@@ -428,4 +428,154 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("rel", 6).alias("relevance"),
         F.round("score", 6).alias("mmr_score"),
+    )
+
+
+HYB_NQ = 10   #: query documents (doc_id < HYB_NQ; doc_id == vec_id)
+HYB_L = 20    #: depth of each per-modality candidate list
+HYB_K = 10    #: fused results per query
+HYB_RRF = 60  #: the standard RRF dampening constant
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      list_distinct(list_filter(
+                        regexp_split_to_array(trim(lower(text)), '\\s+'),
+                        x -> x <> '')) AS ts
+               FROM documents),
+    t AS (SELECT doc_id, unnest(ts) AS term FROM d),
+    n AS (SELECT doc_id, len(ts) AS n FROM d),
+    inter AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+                     COUNT(*) AS i
+              FROM t q JOIN t c USING (term)
+              WHERE q.doc_id < {HYB_NQ} AND q.doc_id <> c.doc_id
+              GROUP BY q.doc_id, c.doc_id),
+    jac AS (SELECT query_id, i.doc_id,
+                   CAST(round(CAST(i AS DOUBLE)
+                              / (nq.n + nc.n - i) * 1000000000.0)
+                        AS BIGINT) AS jacc_r
+            FROM inter i
+            JOIN n nq ON nq.doc_id = i.query_id
+            JOIN n nc ON nc.doc_id = i.doc_id),
+    lex AS (SELECT query_id, doc_id, r FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY jacc_r DESC, doc_id) AS r
+              FROM jac) x WHERE r <= {HYB_L}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vd AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                  {D.cosine('q.v', 'c.v')} AS cos_sim
+           FROM e q JOIN e c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < {HYB_NQ}),
+    vec AS (SELECT query_id, doc_id, r FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id) AS r
+              FROM vd) x WHERE r <= {HYB_L}),
+    fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+                     COALESCE(l.doc_id, v.doc_id) AS doc_id,
+                     COALESCE(1.0 / ({HYB_RRF} + l.r), 0)
+                     + COALESCE(1.0 / ({HYB_RRF} + v.r), 0) AS rrf
+              FROM lex l
+              FULL JOIN vec v
+                ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+    SELECT query_id, doc_id, rrf_rank, round(rrf, 6) AS rrf_score
+    FROM (SELECT query_id, doc_id, rrf,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY CAST(round(rrf * 1000000000.0) AS BIGINT) DESC,
+                            doc_id) AS INTEGER) AS rrf_rank
+          FROM fused) x
+    WHERE rrf_rank <= {HYB_K}
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the standard RAG serving shape: a LEXICAL
+    candidate list (distinct-token Jaccard between the query document
+    and every corpus document, computed by a TERM join — shuffles
+    carry (term, doc_id) pairs, never all-pairs; at 100 TB hot terms
+    get the same suppression treatment as dedup's hot grams) and a
+    VECTOR candidate list (exact cosine top-{HYB_L} via the shared
+    `operators.similarity.brute_topk`; swap in the IVF serve path for
+    the corpus-scale variant) are fused by RECIPROCAL-RANK FUSION
+    (Cormack et al.: score = Σ 1/({HYB_RRF}+rank) over the lists a
+    document appears in) — rank-space fusion needs no score
+    calibration between BM25-like and cosine scales, which is why
+    every production hybrid searcher uses it. Top-{HYB_L} per
+    modality, fused top-{HYB_K} per query; ties broken by doc_id,
+    ranking staged through BIGINT so the order is identical
+    cross-engine. documents.doc_id == embeddings.vec_id by the
+    testdata contract (both 0..N-1)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e = load_table(spark, sf_dir, "embeddings")
+    terms = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("term"),
+    )
+    n = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    q_terms = terms.filter(F.col("doc_id") < HYB_NQ).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    inter = (
+        q_terms.join(terms, "term")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jacc_r = F.round(
+        F.col("i").cast("double")
+        / (F.col("nq") + F.col("nc") - F.col("i"))
+        * F.lit(1e9)
+    ).cast("bigint")
+    w_l = Window.partitionBy("query_id").orderBy(
+        F.col("jacc_r").desc(), F.col("doc_id")
+    )
+    lex = (
+        inter.join(
+            F.broadcast(n.select(F.col("doc_id").alias("query_id"),
+                                 F.col("n").alias("nq"))),
+            "query_id",
+        )
+        .join(n.select("doc_id", F.col("n").alias("nc")), "doc_id")
+        .withColumn("jacc_r", jacc_r)
+        .withColumn("r_lex", F.row_number().over(w_l))
+        .filter(F.col("r_lex") <= HYB_L)
+        .select("query_id", "doc_id", "r_lex")
+    )
+    vec = S.brute_topk(
+        e.filter(F.col("vec_id") < HYB_NQ), e,
+        vec_col="embedding", id_col="vec_id", k=HYB_L,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(HYB_RRF) + F.col("r_lex")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(HYB_RRF) + F.col("r_vec")), F.lit(0.0)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_r").desc(), F.col("doc_id")
+    )
+    return (
+        lex.join(vec, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf", rrf)
+        .withColumn(
+            "rrf_r", F.round(F.col("rrf") * F.lit(1e9)).cast("bigint")
+        )
+        .withColumn("rrf_rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("rrf_rank") <= HYB_K)
+        .select(
+            "query_id", "doc_id", "rrf_rank",
+            F.round(F.col("rrf"), 6).alias("rrf_score"),
+        )
     )
