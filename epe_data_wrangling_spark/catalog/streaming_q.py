@@ -22,6 +22,21 @@ QUERIES: dict[str, CatalogQuery] = {}
 query = make_registrar(QUERIES)
 
 
+def _await_or_stop(q, tag: str, timeout_sec: int = 300) -> None:
+    """`awaitTermination` with the return value CHECKED — the idiom
+    `streaming.ops._run_foreach_batch` uses, shared by the catalog
+    queries that drive a query handle directly: a hung stream must
+    raise, not silently fall through to reading partial output as the
+    certified result. Stops the query either way."""
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"{tag} stream still running after {timeout_sec}s"
+            )
+    finally:
+        q.stop()
+
+
 def _land_generations(landing: str, gens, prefix: str = "g") -> None:
     """Write each generation DataFrame as ONE parquet file into the
     landing dir with strictly increasing mtimes, so file-source
@@ -453,7 +468,7 @@ def streaming_workbook_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            _await_or_stop(q, "workbook_landing")
 
         write_xlsx(os.path.join(land, "drop1.xlsx"), grids)
         run_pass()
@@ -550,7 +565,7 @@ def streaming_workbook_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_stop(q, "workbook_burst")
         agg = (
             spark.read.parquet(out)
             .where(F.col("row_idx") >= 0)  # drop geometry marker rows
@@ -605,7 +620,7 @@ def streaming_state_introspection(spark: SparkSession, sf_dir: str) -> DataFrame
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _await_or_stop(q, "state_introspection")
         state = (
             spark.read.format("statestore")
             .load(ckpt)
@@ -3126,7 +3141,12 @@ def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
         F.lit("U").alias("op"),
         "vec_id",
-        F.transform("embedding", lambda x: -x).alias("embedding"),
+        # cast as in the PQ/retrain twins: unary minus happens to
+        # preserve FloatType today, but the union/landing schema
+        # contract is array<float> and should not rest on that
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
+            "embedding"
+        ),
     )
     dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
         F.lit("D").alias("op"),

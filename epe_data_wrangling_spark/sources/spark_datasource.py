@@ -247,6 +247,21 @@ class WorkbookStreamReader(DataSourceStreamReader):
         return {"seen": []}
 
     def latestOffset(self) -> dict:
+        # Growth bound (deliberate): the offset IS the monotone
+        # seen-file set, so each checkpoint offset entry and each
+        # seen.json rewrite is O(all files ever landed) — ~100 bytes
+        # per path, i.e. ~10 MB at 100k lifetime drops, rewritten only
+        # when the set GROWS (_persist_seen is grow-gated). Workbook
+        # landing zones are low-churn by nature (human/monthly-cycle
+        # drops, not a firehose), so the bound is fine for this
+        # source's deployment shape; a long-lived HIGH-churn landing
+        # zone should instead move emitted files to an archive prefix
+        # (the standard FileStreamSource "sourceArchiveDir" practice),
+        # which keeps the listing — and therefore this set — bounded
+        # by the retention horizon. Compacting the set itself (e.g.
+        # retiring old entries into a count/high-water marker) is NOT
+        # safe here: file names carry no order, so any forgotten name
+        # that re-lands would be re-emitted as a duplicate.
         self._seen.update(self._files())
         self._persist_seen()
         return {"seen": sorted(self._seen)}

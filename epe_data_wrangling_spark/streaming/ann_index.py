@@ -188,6 +188,25 @@ def _require_unique_ids(batch: DataFrame, id_col: str, sink: str) -> None:
         )
 
 
+def _require_gen_schema(manifest: dict | None, store: str, sink: str) -> None:
+    """Pre-upgrade-target witness shared by the plain-append sinks
+    (the CDC path has its own copy with tombstone-specific wording,
+    `_cdc_locate_and_retire`): a store committed before deltas carried
+    the ``_gen`` generation column would fail the manifest layer's
+    schema check on the next append with a generic "schema drift"
+    error — refuse up front with the actionable message instead."""
+    if manifest is not None and manifest.get("schema"):
+        fields = [
+            f["name"] for f in json.loads(manifest["schema"])["fields"]
+        ]
+        if "_gen" not in fields:
+            raise RuntimeError(
+                f"{sink} sink: target's {store} store predates the _gen "
+                "generation column (committed by a pre-CDC build) — "
+                "rebuild the target from the stream to upgrade it"
+            )
+
+
 #: Cell-occupancy skew (max/mean live rows per populated cell) above
 #: which the sinks surface a retrain advisory in their meta — the
 #: production trigger for re-training the frozen quantizer: a drifted
@@ -332,6 +351,7 @@ def ivf_index_foreach_batch(
         _require_unique_ids(batch, id_col, "ivf_index")
         cent_dir = os.path.join(target_dir, "centroids")
         manifest = read_manifest(target_dir, "vectors")
+        _require_gen_schema(manifest, "vectors", "ivf_index")
         if manifest is None and not os.path.isdir(cent_dir):
             # bootstrap: this batch IS the training corpus; re-key the
             # trained centroids dense 0..k-1 (vec_id-seeded cids can
@@ -1266,6 +1286,7 @@ def ivfpq_index_foreach_batch(
         cent_dir = os.path.join(target_dir, "centroids")
         cb_dir = os.path.join(target_dir, "codebooks")
         manifest = read_manifest(target_dir, "codes")
+        _require_gen_schema(manifest, "codes", "ivfpq_index")
         bootstrap = manifest is None and not os.path.isdir(cent_dir)
         if bootstrap:
             # bootstrap: this batch trains BOTH frozen stages; dense

@@ -1054,3 +1054,99 @@ def test_ann_index_retrain_rebalances_and_preserves_corpus(spark, tmp_path):
     assert _serve_set(spark, target, live2) == _direct_recompute(
         spark, target, live2
     )
+
+
+def _strip_gen_from_manifest(target: str, store: str) -> None:
+    """Rewrite a committed manifest's schema WITHOUT the _gen field —
+    the pre-CDC on-disk layout, for the upgrade-witness tests."""
+    import json
+
+    p = os.path.join(target, f"_manifest_{store}.json")
+    m = json.load(open(p))
+    schema = json.loads(m["schema"])
+    schema["fields"] = [f for f in schema["fields"] if f["name"] != "_gen"]
+    m["schema"] = json.dumps(schema)
+    with open(p, "w") as f:
+        json.dump(m, f)
+
+
+def test_ann_index_plain_sink_refuses_pre_gen_target(spark, tmp_path):
+    """A raw-vector target committed before deltas carried _gen must
+    get the actionable upgrade refusal from the PLAIN sink (the CDC
+    sinks already had this witness) — not the manifest layer's generic
+    schema-drift error on the append."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(gens[0], landing, "g1.parquet", 1)
+    _run(spark, landing, target, str(tmp_path / "ck1"))
+    _strip_gen_from_manifest(target, "vectors")
+    _land(gens[1], landing, "g2.parquet", 2)
+    with pytest.raises(Exception, match="predates the _gen"):
+        _run(spark, landing, target, str(tmp_path / "ck2"))
+
+
+def test_ivfpq_index_plain_sink_refuses_pre_gen_target(spark, tmp_path):
+    """PQ twin of the pre-_gen plain-append refusal."""
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(gens[0], landing, "g1.parquet", 1)
+    _pq_run(spark, landing, target, str(tmp_path / "ck1"))
+    _strip_gen_from_manifest(target, "codes")
+    _land(gens[1], landing, "g2.parquet", 2)
+    with pytest.raises(Exception, match="predates the _gen"):
+        _pq_run(spark, landing, target, str(tmp_path / "ck2"))
+
+
+def test_ann_index_occupancy_default_fires_at_production_k(spark, tmp_path):
+    """The DEFAULT warn threshold (8.0) at a realistic cell count:
+    max/mean over POPULATED cells is bounded by the populated-cell
+    count, so at the toy k=8 the default is unreachable by
+    construction (SCALE.md r14) — but production indexes run k in the
+    hundreds. k=256 over a well-spread bootstrap must commit quietly;
+    a drifted cohort piling into one cell must fire the advisory
+    UNTUNED (no warn_skew override anywhere)."""
+    import json
+    import random
+
+    rng = random.Random(20260816)
+    dim, k, n_boot, n_drift = 8, 256, 2048, 1024
+    boot = spark.createDataFrame(
+        [(i, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+         for i in range(n_boot)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    far = [50.0 + d * 0.5 for d in range(dim)]
+    drift = spark.createDataFrame(
+        [(10_000_000 + i,
+          [x + rng.uniform(-0.01, 0.01) for x in far])
+         for i in range(n_drift)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+
+    def run():
+        ivf_index_foreach_batch(
+            spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing),
+            target, k_cells=k, train_iters=2, checkpoint_dir=ck,
+        )
+
+    _land(boot, landing, "g1.parquet", 1)
+    run()
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert "occupancy_warning" not in meta, (
+        f"well-spread bootstrap tripped the default: {meta.get('occupancy_skew')}"
+    )
+    _land(drift, landing, "g2.parquet", 2)
+    with pytest.warns(RuntimeWarning, match="occupancy skew"):
+        run()
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    warning = meta["occupancy_warning"]
+    assert warning["threshold"] == 8.0  # the untouched default
+    assert warning["skew"] > 8.0
+    assert warning["hot_rows"] >= n_drift
