@@ -75,18 +75,41 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_cosine_topk_arrow", headline=True)  # rows-only: float order differs
+@query(
+    "ann_cosine_topk_arrow",
+    headline=True,
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {D.cosine('q.v', 'c.v')} AS cos_sim
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored) t
+    WHERE rank <= 5
+    """,
+)
 def ann_cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized twin of ann_cosine_topk (operators.similarity.
     brute_topk_arrow): numpy matmul per Arrow batch, block-local
-    top-k, window merge. Rows-only by design — numpy's pairwise float
-    summation differs from the expression tree's sequential order in
-    the last ulp, so values can't hash-match; ann_cosine_topk is the
-    value-checked anchor and tests pin ranking agreement."""
+    top-k, window merge. Certified at RANK level: numpy's pairwise
+    float summation differs from the expression tree's sequential
+    order in the last ulp, so raw scores cannot hash-match — but the
+    RANKING provably can: the fixture corpus's minimum adjacent
+    exact-score gap at the top-6 boundary is ~2e-5 (pytest-pinned
+    witness `test_arrow_rank_gap_witness`, floor 1e-9), ten orders of
+    magnitude above the ~1e-15 summation-order noise, so no rank can
+    flip between the two summation orders. The query therefore
+    projects (query_id, neighbor_id, rank) and hash-matches the
+    exact-cosine rank oracle; ann_cosine_topk remains the
+    score-valued anchor."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.brute_topk_arrow(
         e.filter(F.col("vec_id") < 10), e, vec_col="embedding", id_col="vec_id", k=5
-    )
+    ).select("query_id", "neighbor_id", "rank")
 
 
 @query(

@@ -7,8 +7,11 @@ from __future__ import annotations
 from epe_data_wrangling_spark.catalog import PRIORITY_ORDER, all_queries
 
 #: queries that deliberately ship without an oracle (rows-only check);
-#: every addition here needs a docstring justifying it
-ROWS_ONLY = {"ann_cosine_topk_arrow"}
+#: every addition here needs a docstring justifying it. Empty since
+#: r15: ann_cosine_topk_arrow — rows-only for 14 rounds (numpy
+#: summation order) — now certifies at RANK level under a pinned
+#: min-adjacent-gap witness (test_similarity.test_arrow_rank_gap_witness).
+ROWS_ONLY: set[str] = set()
 
 
 def test_priority_window_is_exactly_50_and_resolves():
@@ -53,7 +56,11 @@ def test_catalog_is_reasonably_large_and_named():
 #: window slots that intentionally repeat a certified query — only a
 #: query whose prior driver row was RED (hash_match false) may appear
 #: here, to earn a green row after its oracle fix
-RECERTIFY: set[str] = set()  # r7: no recerts — all r6 window rows green
+RECERTIFY: set[str] = {
+    # r15: 14 rounds of deliberate `err: no_oracle` rows; the fix is
+    # the rank-level oracle + pinned gap witness (see ROWS_ONLY note)
+    "ann_cosine_topk_arrow",
+}
 #: Historical recerts (kept for the red-row evidence check below):
 #: variant_shred_events (r4 canonical-JSON red), xml_source_nations
 #: (r5 HUGEINT-final red) — both re-certified green in r6.

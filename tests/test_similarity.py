@@ -40,3 +40,37 @@ def test_ivf_probes_subset_recall(spark):
     # probing ALL cells == exhaustive: ranks must match exact top-3
     for r in ivf:
         assert exact[(r.query_id, r.neighbor_id)] == r.rank
+
+
+def test_arrow_rank_gap_witness(spark):
+    """The contract that lets `ann_cosine_topk_arrow` certify at RANK
+    level: for every query in its set (vec_id < 10), the EXACT cosine
+    scores' adjacent gaps at the top-6 boundary (ranks 1→2 … 5→6 —
+    rank membership and ordering both live inside these) must exceed
+    1e-9 at BOTH the test and the driver scale factor. Summation-order
+    noise between numpy's pairwise reduction and the expression tree's
+    sequential order is ~1e-15, so a gap floor of 1e-9 proves no rank
+    can flip between the two implementations — measured floors are
+    ~5.7e-5 (sf0.001) and ~1.9e-5 (sf0.01)."""
+    from pyspark.sql import Window
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf_dir, "embeddings")
+        q = e.filter(F.col("vec_id") < 10)
+        scored = S.brute_topk(
+            q, e, vec_col="embedding", id_col="vec_id", k=6
+        )
+        w = Window.partitionBy("query_id").orderBy("rank")
+        gaps = (
+            scored.withColumn(
+                "gap", F.col("cos_sim") - F.lead("cos_sim").over(w)
+            )
+            .filter(F.col("gap").isNotNull())
+            .agg(F.min("gap").alias("min_gap"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        assert gaps["n"] == 50, f"{sf_dir}: expected 10 queries x 5 gaps"
+        assert gaps["min_gap"] > 1e-9, (
+            f"{sf_dir}: adjacent exact-score gap {gaps['min_gap']} too "
+            "small — rank-level certification of the arrow twin unsafe"
+        )
