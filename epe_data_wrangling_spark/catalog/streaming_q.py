@@ -2880,7 +2880,10 @@ AIDXQ_SUB = 16
 AIDXQ_CBK = 32    #: residual codebook entries per subspace
 
 
-def _ivfpq_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
+def _ivfpq_index_oracle(
+    corpus: str = "av", extra_ctes: str = "", coarse: str | None = None,
+    train_is_corpus: bool = False,
+) -> str:
     """Recompute of the PQ-coded index's final state: coarse
     quantizer AND residual codebooks trained on the BOOTSTRAP
     generation only (vec_id % 3 = 0 ORIGINAL vectors — the sink's
@@ -2891,14 +2894,24 @@ def _ivfpq_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
     embeddings. Mirrors `operators.kmeans.lloyd_means` +
     `operators.pq` operation tree for operation tree (same staging
     as mlprep_q's _kmeans_oracle/_ivfpq_oracle). Coarse-quantizer
-    CTEs shared with the raw-vector twin via `_gen1_coarse_ctes`;
-    the PQ-specific ``mean`` staging below is the codebook round."""
+    CTEs shared with the raw-vector twin via `_gen1_coarse_ctes`
+    (``coarse`` overrides them — the rebuild oracle trains on the
+    live corpus, exactly as the retrain oracle does);
+    ``train_is_corpus`` short-circuits the codebook-training residual
+    chain to the corpus residuals themselves (rebuild: the training
+    corpus IS the encoded corpus, so tsub = rsub verbatim — same
+    dedup the ``corpus == 'av'`` branch applies to the default).
+    The PQ-specific ``mean`` staging below is the codebook round."""
     mean = (
         "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
     )
     extra = f"{extra_ctes}," if extra_ctes else ""
-    if corpus == "av":
+    if train_is_corpus:
+        # rebuild-from-source: both stages train on the live corpus —
+        # the training residuals ARE the corpus residuals
+        tchain = "tsub AS (SELECT * FROM rsub),"
+    elif corpus == "av":
         # tv ⊆ av: the corpus residuals already contain the training
         # generation's — filter, don't recompute
         tchain = "tsub AS (SELECT * FROM rsub WHERE vec_id % 3 = 0),"
@@ -2920,7 +2933,7 @@ def _ivfpq_index_oracle(corpus: str = "av", extra_ctes: str = "") -> str:
     tsub AS (SELECT vec_id, cell, m, rv, list_dot_product(rv, rv) AS rvv
              FROM tsub0),"""
     return f"""
-    WITH {_gen1_coarse_ctes()},
+    WITH {coarse or _gen1_coarse_ctes()},
     {extra}
     asg AS (SELECT vec_id, v, cell, cv FROM (
         SELECT a.vec_id, a.v, c.cid AS cell, c.c AS cv,
@@ -3407,6 +3420,132 @@ def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = ivf_index_topk(
             spark, target, queries, probe=AIDX_PROBE, k=AIDX_K
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "query_id BIGINT, neighbor_id BIGINT, rank INT, l2_dist DOUBLE",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+def _ivfpq_index_rebuild_oracle() -> str:
+    """Recompute of the post-REBUILD PQ index state: BOTH frozen
+    stages (coarse quantizer and residual codebooks) trained on the
+    LIVE corpus itself — `ivfpq_index_rebuild`'s contract — the live
+    corpus re-encoded, probed ADC + exact re-rank against the live
+    vectors table. Queries stay the ORIGINAL embeddings."""
+    return _ivfpq_index_oracle(
+        corpus="lvv",
+        coarse=_gen1_coarse_ctes(
+            after_e=_live_corpus_ctes(),
+            train_sql="SELECT vec_id, v, vv FROM lvv",
+        ),
+        train_is_corpus=True,
+    )
+
+
+@query("streaming_ivfpq_index_rebuild", oracle=_ivfpq_index_rebuild_oracle())
+def streaming_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index's drift remediation (`streaming.ann_index.
+    ivfpq_index_rebuild`) — closing the one gap `ivf_index_retrain`
+    left: a PQ target's codes store holds no vectors, so its retrain
+    must go back to the SYSTEM OF RECORD. The upsert plan's three
+    change batches land (bootstrap I, insert I, mixed I/U/D), then the
+    index is REBUILT: the live id set comes from the index's own codes
+    minus tombstones, their vectors come from the caller's vectors
+    table, and BOTH frozen stages re-train on that live corpus via the
+    shared trainers (coarse Lloyd init = the k lowest live ids;
+    codebooks on the live residuals) — so the rebuilt target is
+    indistinguishable from a fresh bootstrap over the live corpus
+    (pytest-pinned), tombstones clear, the locator rewrites to the new
+    cells, occupancy counters rebuild, one atomic swap. Serve then
+    probes the NEW cells with NEW ADC tables. The oracle recomputes
+    from scratch with both stages trained on the LIVE corpus (not the
+    bootstrap generation — the entire point of rebuild). Scale: the
+    one deliberately corpus-sized op in the PQ index family, run at
+    drift cadence; the source-table read is an id-join (live-ids ×
+    vector row lookup), and everything else stays delta-sized."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_changes_foreach_batch,
+        ivfpq_index_rebuild,
+        ivfpq_index_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    landed = F.col("vec_id") % 3 != 2
+    ins = [
+        e.filter(F.col("vec_id") % 3 == i).select(
+            F.lit("I").alias("op"), "vec_id", "embedding"
+        )
+        for i in range(3)
+    ]
+    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
+        F.lit("U").alias("op"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
+        F.lit("D").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    live = (
+        e.filter(landed & (F.col("vec_id") % 5 != 4))
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 2,
+                F.transform("embedding", lambda x: -x).cast("array<float>"),
+            ).otherwise(F.col("embedding")),
+        )
+        .union(e.filter(F.col("vec_id") % 3 == 2))
+    )
+    work = tempfile.mkdtemp(prefix="ivfpq_index_rebuild_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(
+            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
+        )
+        stream = (
+            spark.readStream.schema(
+                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivfpq_index_changes_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS,
+            pq_m=AIDXQ_M, pq_sub=AIDXQ_SUB, cbk=AIDXQ_CBK,
+            checkpoint_dir=ckpt,
+        )
+        vectors = live.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        n = ivfpq_index_rebuild(spark, target, vectors)
+        if n <= 0:
+            raise RuntimeError(
+                "ivfpq_index_rebuild: rebuild re-encoded 0 rows"
+            )
+        queries = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        rows = ivfpq_index_topk(
+            spark, target, queries, vectors,
+            probe=AIDXQ_PROBE, cand=AIDXQ_CAND, k=AIDXQ_K,
         ).collect()
         return spark.createDataFrame(
             rows,

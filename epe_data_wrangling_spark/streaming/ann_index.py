@@ -1056,9 +1056,9 @@ def ivf_index_retrain(
     counters rebuilt (a standing retrain advisory clears itself by
     construction). Serve needs no change: it reads whatever centroids
     are committed. Raw-vector targets only — a PQ target stores
-    codes, not vectors, so its retrain is a REBUILD from the caller's
-    system-of-record vectors table (bootstrap a fresh target over
-    it). Returns the number of live rows re-assigned."""
+    codes, not vectors, so its retrain is `ivfpq_index_rebuild` (the
+    same contract, corpus re-read from the caller's system-of-record
+    vectors table). Returns the number of live rows re-assigned."""
     import shutil
 
     _recover_swap(target_dir)
@@ -1068,7 +1068,7 @@ def ivf_index_retrain(
     if meta.get("pq_layout"):
         raise RuntimeError(
             "ivf_index_retrain: target is a PQ-coded index — its store "
-            "holds codes, not vectors; rebuild a fresh target from the "
+            "holds codes, not vectors; use ivfpq_index_rebuild with the "
             "system-of-record vectors table instead"
         )
     vec_manifest = read_manifest(target_dir, "vectors")
@@ -1716,3 +1716,189 @@ def ivfpq_index_changes_foreach_batch(
     _run_foreach_batch(
         changes, _apply, checkpoint_dir, "ivfpq_index_changes", timeout_sec
     )
+
+def ivfpq_index_rebuild(
+    spark, target_dir: str, vectors: DataFrame, *,
+    id_col: str = "vec_id", k_cells: int | None = None,
+    train_iters: int = 2,
+) -> int:
+    """Drift remediation for the PQ-CODED index — the rebuild
+    `ivf_index_retrain` points PQ targets at: the codes store holds no
+    vectors, so re-training means going back to the SYSTEM OF RECORD
+    (``vectors``: the caller's raw-vector table, (``id_col``, ``v``
+    array<double>) — the same table serve-time exact re-rank already
+    reads). The index's own stores contribute exactly one thing: the
+    LIVE id set (codes minus tombstones under the shared `_live_rows`
+    rule) — which ids the rebuilt index must contain; their vectors
+    are fetched from the source table by an id join.
+
+    One atomic swap commits: a fresh coarse quantizer trained on the
+    live corpus (shared Lloyd trainer, init = the k lowest live ids,
+    dense cids — `_dense_cids`), fresh residual codebooks trained on
+    the live residuals (shared `operators.pq.train_residual_codebooks`
+    — the SAME two trainers the bootstrap path uses, so a rebuilt
+    index and a from-scratch bootstrap over the live corpus are the
+    same artifact), every live row re-encoded into the new cells
+    (per-row ``_gen`` preserved — tombstone ordering for future CDC
+    batches stays intact), tombstones cleared, the locator (if the
+    target is CDC-maintained) rewritten to the new cells, occupancy
+    counters rebuilt. Deliberately corpus-sized, like retrain: run at
+    drift cadence (the occupancy advisory's trigger), not per batch.
+    Returns the number of live rows re-encoded.
+
+    Witnesses: raw-vector targets refuse (use `ivf_index_retrain` —
+    their store IS the corpus); an empty live corpus refuses (the
+    empty-quantizer wedge, as in retrain); a live id MISSING from the
+    system-of-record table refuses (the source table must cover the
+    index — rebuilding without it would silently drop the row);
+    duplicate source ids and a source dim != pq_m·pq_sub refuse (the
+    plain sink's layout witness, re-checked because the corpus is
+    re-read from outside the index)."""
+    import shutil
+
+    from epe_data_wrangling_spark.operators.pq import (
+        assign_codes,
+        train_residual_codebooks,
+    )
+
+    _recover_swap(target_dir)
+    _clean_stale_stages(target_dir)
+    sweep_orphans(target_dir)
+    meta = _read_sink_meta(target_dir)
+    layout = meta.get("pq_layout")
+    if layout is None:
+        raise RuntimeError(
+            "ivfpq_index_rebuild: target is a raw-vector index (no "
+            "pq_layout) — its store holds the vectors themselves; use "
+            "ivf_index_retrain"
+        )
+    _k_old, pq_m, pq_sub, cbk = (int(x) for x in layout)
+    k = int(k_cells or _k_old)
+    codes_manifest = read_manifest(target_dir, "codes")
+    if not store_has_files(codes_manifest):
+        raise RuntimeError(
+            f"ivfpq_index_rebuild: no committed codes at {target_dir}"
+        )
+    codes = read_store(spark, target_dir, "codes", manifest=codes_manifest)
+    tombs_manifest = read_manifest(target_dir, "tombs")
+    tombs = (
+        read_store(spark, target_dir, "tombs", manifest=tombs_manifest)
+        if store_has_files(tombs_manifest)
+        else None
+    )
+    live_codes = codes if tombs is None else _live_rows(codes, tombs, id_col)
+    # one (id, _gen) row per live vector (its pq_m code rows share one
+    # generation by construction — they land in one commit)
+    gen_of = (
+        live_codes.groupBy(id_col)
+        .agg(F.max("_gen").alias("_gen"))
+        .localCheckpoint(eager=True)  # feeds the witness join + encode
+    )
+    if gen_of.isEmpty():
+        raise RuntimeError(
+            "ivfpq_index_rebuild: the live corpus is empty (every row "
+            "tombstoned) — rebuilding would commit an empty quantizer "
+            "that silently swallows all future inserts; rebuild the "
+            "target from the stream instead"
+        )
+    src = vectors.select(id_col, "v")
+    missing = gen_of.join(src, id_col, "left_anti").limit(1).collect()
+    if missing:
+        raise RuntimeError(
+            f"ivfpq_index_rebuild: live id {missing[0][0]} is not in the "
+            "system-of-record vectors table — the source must cover every "
+            "live index row (rebuilding without it would silently drop "
+            "the row); fix the source table or delete the id first"
+        )
+    live = src.join(F.broadcast(gen_of.select(id_col)), id_col)
+    _require_unique_ids(live, id_col, "ivfpq_index_rebuild")
+    bad = live.filter(F.size("v") != pq_m * pq_sub).limit(1).collect()
+    if bad:
+        raise RuntimeError(
+            f"ivfpq_index_rebuild: source vector dim {len(bad[0]['v'])} "
+            f"!= pq_m*pq_sub = {pq_m * pq_sub} — the subspace slices "
+            "would drop trailing dimensions; fix the source table"
+        )
+    ev = live.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    cents = _dense_cids(
+        means_to_centroids(lloyd_means(ev, k, train_iters, id_col=id_col))
+    ).localCheckpoint(eager=True)
+    # one assignment/split feeds BOTH codebook training and encoding —
+    # the bootstrap path's idiom (the rebuild corpus IS the training
+    # corpus, by definition of rebuild-from-source)
+    rsub = _pq_residual_subspaces(
+        live, cents, id_col, pq_m, pq_sub
+    ).localCheckpoint(eager=True)
+    cb = train_residual_codebooks(rsub, cbk, id_col).localCheckpoint(
+        eager=True
+    )
+    recoded = (
+        assign_codes(rsub, cb, id_col)
+        .select(id_col, "m", "cid", "_kb")
+        .join(gen_of, id_col)
+        .select(id_col, "m", "cid", "_kb", "_gen")  # committed order
+        .localCheckpoint(eager=True)  # feeds counts, store, locator
+    )
+    delta_counts = [
+        # codes carry pq_m rows per vector: occupancy counts VECTORS
+        (int(r["_kb"]), int(r["c"]) // pq_m)
+        for r in recoded.groupBy("_kb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    n_rows = sum(c for _, c in delta_counts)
+    batch_id = int(meta.get("last_batch_id", 0))
+    stage = f"{target_dir}.stage-rebuild-{batch_id}"
+    os.makedirs(stage, exist_ok=True)
+    # every committed bucket is replaced (old cells dissolve into the
+    # new partitioning)
+    old_buckets = sorted(int(b) for b in codes_manifest["buckets"])
+    all_touched = sorted(set(old_buckets) | {b for b, _ in delta_counts})
+    write_store_delta(
+        spark, recoded, target_dir, "codes", stage,
+        batch_id=batch_id, touched=all_touched, manifest=codes_manifest,
+    )
+    if tombs is not None:
+        write_store_delta(
+            spark, tombs.filter(F.lit(False)), target_dir, "tombs", stage,
+            batch_id=batch_id,
+            touched=sorted(int(b) for b in tombs_manifest["buckets"]),
+            manifest=tombs_manifest,
+        )
+    else:
+        carry_store(target_dir, "tombs", stage)
+    loc_manifest = read_manifest(target_dir, "locator")
+    if loc_manifest is not None:
+        loc_buckets = int(meta.get("loc_buckets", 32))
+        kk = F.pmod(F.hash(F.col(id_col)), F.lit(loc_buckets)).cast("int")
+        new_loc = (
+            recoded.select(id_col, F.col("_kb").alias("cell"))
+            .distinct()
+            .withColumn("_kb", kk)
+        )
+        write_store_delta(
+            spark, new_loc, target_dir, "locator", stage,
+            batch_id=batch_id,
+            touched=sorted(
+                set(int(b) for b in loc_manifest["buckets"])
+                | {
+                    int(r["_kb"])
+                    for r in new_loc.select("_kb").distinct().collect()
+                }
+            ),
+            manifest=loc_manifest,
+        )
+    cents.write.mode("overwrite").parquet(os.path.join(stage, "centroids"))
+    cb.drop("cc").write.mode("overwrite").parquet(
+        os.path.join(stage, "codebooks")
+    )
+    new_meta = dict(meta)
+    new_meta["pq_layout"] = [k, pq_m, pq_sub, cbk]
+    new_meta.pop("occupancy_warning", None)
+    new_meta.pop("occupancy_skew", None)
+    new_meta.pop("cell_counts", None)
+    new_meta.update(_occupancy_meta(None, delta_counts))
+    with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
+        json.dump(new_meta, f)
+    _atomic_swap(stage, target_dir, batch_id)
+    return n_rows

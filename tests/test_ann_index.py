@@ -1150,3 +1150,107 @@ def test_ann_index_occupancy_default_fires_at_production_k(spark, tmp_path):
     assert warning["threshold"] == 8.0  # the untouched default
     assert warning["skew"] > 8.0
     assert warning["hot_rows"] >= n_drift
+
+
+def test_ivfpq_index_rebuild_equals_fresh_bootstrap_and_keeps_cdc(
+    spark, tmp_path
+):
+    """The PQ drift loop closes: a drifted cohort trips the occupancy
+    skew; `ivfpq_index_rebuild` re-trains BOTH frozen stages on the
+    live ids' vectors pulled from the system-of-record table, and the
+    rebuilt target must be indistinguishable from a FRESH bootstrap
+    over the same live corpus (same trainers, same init — that is the
+    rebuild contract). CDC machinery keeps working after: a delete
+    through the rewritten locator serves exactly like a fresh
+    bootstrap+delete lifecycle."""
+    import json
+
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_rebuild,
+    )
+
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    hot_vec = [1e4] * 64
+    n0 = gens[0].count()
+    hot = spark.createDataFrame(
+        [(10_000_000 + i, hot_vec) for i in range(n0 * 2)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    batches = [
+        _as_ops(gens[0], "I"),
+        _as_ops(hot, "I"),
+        _as_ops(gens[0].filter(F.col("vec_id") % 5 == 0), "D"),
+    ]
+    for i, b in enumerate(batches, start=1):
+        _land(b, landing, f"c{i}.parquet", i)
+        _pq_chg_run(spark, landing, target, ck)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert meta["occupancy_skew"] > 2.0  # the drifted cohort skewed it
+    live = gens[0].filter(F.col("vec_id") % 5 != 0).union(hot)
+    live_v = live.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = ivfpq_index_rebuild(spark, target, live_v)
+    assert n == live.count()  # tombstoned rows dropped in the pass
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert "occupancy_warning" not in meta
+    assert sum(meta["cell_counts"].values()) == n
+    from epe_data_wrangling_spark.streaming.manifest import (
+        read_manifest,
+        store_has_files,
+    )
+
+    assert not store_has_files(read_manifest(target, "tombs"))
+    # rebuilt == fresh bootstrap over the live corpus (one I batch)
+    fresh = str(tmp_path / "fresh")
+    fland = str(tmp_path / "fland")
+    _land(live, fland, "g1.parquet", 1)
+    _pq_run(spark, fland, fresh, str(tmp_path / "fck"))
+    assert _pq_cdc_serve(spark, target, live) == _pq_cdc_serve(
+        spark, fresh, live
+    )
+    # the rewritten locator still drives deletes: rebuilt target +
+    # delete == fresh CDC lifecycle (live bootstrap, same delete)
+    dels2 = _as_ops(gens[0].filter(F.col("vec_id") % 5 == 1), "D")
+    _land(dels2, landing, "c4.parquet", 4)
+    _pq_chg_run(spark, landing, target, ck)
+    twin = str(tmp_path / "twin")
+    tland = str(tmp_path / "tland")
+    _land(_as_ops(live, "I"), tland, "t1.parquet", 1)
+    _land(dels2, tland, "t2.parquet", 2)
+    _pq_chg_run(spark, tland, twin, str(tmp_path / "tck"))
+    assert _pq_cdc_serve(spark, target, live) == _pq_cdc_serve(
+        spark, twin, live
+    )
+
+
+def test_ivfpq_index_rebuild_witnesses(spark, tmp_path):
+    """Rebuild's refusals: raw-vector targets (use ivf_index_retrain),
+    and a live id missing from the system-of-record vectors table
+    (rebuilding without it would silently drop the row)."""
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_rebuild,
+    )
+
+    gens, e = _gens(spark)
+    # raw-vector target refuses
+    raw_land = str(tmp_path / "raw_land")
+    raw_target = str(tmp_path / "raw_state")
+    _land(gens[0], raw_land, "g1.parquet", 1)
+    _run(spark, raw_land, raw_target, str(tmp_path / "raw_ck"))
+    ev = gens[0].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with pytest.raises(RuntimeError, match="raw-vector index"):
+        ivfpq_index_rebuild(spark, raw_target, ev)
+    # live id missing from the source table refuses
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(_as_ops(gens[0], "I"), landing, "c1.parquet", 1)
+    _pq_chg_run(spark, landing, target, str(tmp_path / "ck"))
+    holey = ev.filter(F.col("vec_id") != ev.agg(F.min("vec_id")).collect()[0][0])
+    with pytest.raises(RuntimeError, match="system-of-record"):
+        ivfpq_index_rebuild(spark, target, holey)
