@@ -244,12 +244,14 @@ IVF_TRAINED_K = 3
 IVF_TRAINED_NQ = 20
 
 
-def _ivf_trained_oracle() -> str:
+def _trained_ivf_ctes(nq: int, probe: int) -> str:
+    """WITH-body prefix of the trained-IVF serve chain (Lloyd m2 →
+    cents → assigned → probes), shared by `_ivf_trained_oracle` and
+    similarity_q's IVF-served hybrid-retrieval oracle so the probe
+    chain exists once."""
     cos_pc = D.cosine("p.qv", "c.cv")
     cos_ec = D.cosine("e.v", "c.cv")
-    cos_qa = D.cosine("p.qv", "a.vv")
-    return f"""
-    WITH m2 AS ({_kmeans_oracle()}),
+    return f"""m2 AS ({_kmeans_oracle()}),
     cents AS (SELECT cid AS cell, list(mean_val ORDER BY dim) AS cv
               FROM m2 GROUP BY cid),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -266,8 +268,14 @@ def _ivf_trained_oracle() -> str:
                row_number() OVER (PARTITION BY q.vec_id
                  ORDER BY {cos_pc.replace('p.qv', 'q.v')} DESC, c.cell) AS rn
         FROM e q CROSS JOIN cents c
-        WHERE q.vec_id < {IVF_TRAINED_NQ}) t
-      WHERE rn <= {IVF_TRAINED_PROBE})
+        WHERE q.vec_id < {nq}) t
+      WHERE rn <= {probe})"""
+
+
+def _ivf_trained_oracle() -> str:
+    cos_qa = D.cosine("p.qv", "a.vv")
+    return f"""
+    WITH {_trained_ivf_ctes(IVF_TRAINED_NQ, IVF_TRAINED_PROBE)}
     SELECT query_id, neighbor_id, rank, cos_sim FROM (
       SELECT p.query_id, a.vid AS neighbor_id,
              {cos_qa} AS cos_sim,
@@ -279,18 +287,17 @@ def _ivf_trained_oracle() -> str:
     """
 
 
-@query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle())
-def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end trained ANN index: the k-means Lloyd trainer
-    (kmeans_lloyd_centroids, {KMEANS_ITERS} iterations) supplies the
-    IVF coarse quantizer, the corpus is quantized to the trained
-    cells, and each of the first {IVF_TRAINED_NQ} queries probes its
-    {IVF_TRAINED_PROBE} best cells for cosine top-{IVF_TRAINED_K} —
-    the full offline-train → index → serve composition as ONE
-    declarative plan, hash-checked through both stages. Scale shape
-    inherits from both parts: training never shuffles the corpus,
-    the trained centroid table broadcasts, and a query touches
-    ~{IVF_TRAINED_PROBE}/{KMEANS_K} of the corpus."""
+def trained_ivf_topk(
+    spark: SparkSession, sf_dir: str, *,
+    nq: int, probe: int, k: int,
+) -> DataFrame:
+    """The trained-IVF serve chain as a reusable plan builder (train →
+    quantize → probe → rank), parameterized for its two callers:
+    `ann_ivf_trained_topk` (the certified end-to-end composition) and
+    similarity_q's `hybrid_rrf_ivf` (the IVF-served vector leg of
+    hybrid retrieval). One implementation, one oracle prefix
+    (`_trained_ivf_ctes`) — the probe chain cannot drift between
+    them."""
     from epe_data_wrangling_spark.functions.vectors import cosine
 
     means = kmeans_lloyd_centroids(spark, sf_dir)
@@ -329,7 +336,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vid", "vv", "cell")
     )
     probes = (
-        e.filter(F.col("vec_id") < IVF_TRAINED_NQ)
+        e.filter(F.col("vec_id") < nq)
         .crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -338,7 +345,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("v"), F.col("cv")).alias("sim"),
         )
         .withColumn("rn", F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))))
-        .filter(F.col("rn") <= IVF_TRAINED_PROBE)
+        .filter(F.col("rn") <= probe)
         .select("query_id", "qv", "cell")
     )
     wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -351,8 +358,26 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("qv"), F.col("vv")).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(wk).cast("int"))
-        .filter(F.col("rank") <= IVF_TRAINED_K)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+@query("ann_ivf_trained_topk", oracle=_ivf_trained_oracle())
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end trained ANN index: the k-means Lloyd trainer
+    (kmeans_lloyd_centroids, {KMEANS_ITERS} iterations) supplies the
+    IVF coarse quantizer, the corpus is quantized to the trained
+    cells, and each of the first {IVF_TRAINED_NQ} queries probes its
+    {IVF_TRAINED_PROBE} best cells for cosine top-{IVF_TRAINED_K} —
+    the full offline-train → index → serve composition as ONE
+    declarative plan, hash-checked through both stages. Scale shape
+    inherits from both parts: training never shuffles the corpus,
+    the trained centroid table broadcasts, and a query touches
+    ~{IVF_TRAINED_PROBE}/{KMEANS_K} of the corpus."""
+    return trained_ivf_topk(
+        spark, sf_dir,
+        nq=IVF_TRAINED_NQ, probe=IVF_TRAINED_PROBE, k=IVF_TRAINED_K,
     )
 
 

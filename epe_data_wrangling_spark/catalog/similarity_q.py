@@ -460,10 +460,11 @@ HYB_K = 10    #: fused results per query
 HYB_RRF = 60  #: the standard RRF dampening constant
 
 
-@query(
-    "hybrid_rrf_retrieval",
-    oracle=f"""
-    WITH d AS (SELECT doc_id,
+def _lex_ctes() -> str:
+    """Lexical-leg WITH-body (distinct-token Jaccard via the TERM
+    join, top-{HYB_L} per query) — shared by the exact and IVF-served
+    hybrid oracles so the leg exists once."""
+    return f"""d AS (SELECT doc_id,
                       list_distinct(list_filter(
                         regexp_split_to_array(trim(lower(text)), '\\s+'),
                         x -> x <> '')) AS ts
@@ -486,18 +487,13 @@ HYB_RRF = 60  #: the standard RRF dampening constant
               SELECT query_id, doc_id,
                      row_number() OVER (PARTITION BY query_id
                        ORDER BY jacc_r DESC, doc_id) AS r
-              FROM jac) x WHERE r <= {HYB_L}),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    vd AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
-                  {D.cosine('q.v', 'c.v')} AS cos_sim
-           FROM e q JOIN e c ON q.vec_id <> c.vec_id
-           WHERE q.vec_id < {HYB_NQ}),
-    vec AS (SELECT query_id, doc_id, r FROM (
-              SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, doc_id) AS r
-              FROM vd) x WHERE r <= {HYB_L}),
-    fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+              FROM jac) x WHERE r <= {HYB_L})"""
+
+
+def _rrf_tail() -> str:
+    """RRF-fusion tail over the ``lex`` and ``vec`` rank lists —
+    shared by both hybrid oracles."""
+    return f"""fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
                      COALESCE(l.doc_id, v.doc_id) AS doc_id,
                      COALESCE(1.0 / ({HYB_RRF} + l.r), 0)
                      + COALESCE(1.0 / ({HYB_RRF} + v.r), 0) AS rrf
@@ -510,7 +506,24 @@ HYB_RRF = 60  #: the standard RRF dampening constant
                    ORDER BY CAST(round(rrf * 1000000000.0) AS BIGINT) DESC,
                             doc_id) AS INTEGER) AS rrf_rank
           FROM fused) x
-    WHERE rrf_rank <= {HYB_K}
+    WHERE rrf_rank <= {HYB_K}"""
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH {_lex_ctes()},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    vd AS (SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                  {D.cosine('q.v', 'c.v')} AS cos_sim
+           FROM e q JOIN e c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < {HYB_NQ}),
+    vec AS (SELECT query_id, doc_id, r FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id) AS r
+              FROM vd) x WHERE r <= {HYB_L}),
+    {_rrf_tail()}
     """,
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,8 +543,26 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking staged through BIGINT so the order is identical
     cross-engine. documents.doc_id == embeddings.vec_id by the
     testdata contract (both 0..N-1)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     e = load_table(spark, sf_dir, "embeddings")
+    lex = _lexical_topl(spark, sf_dir)
+    vec = S.brute_topk(
+        e.filter(F.col("vec_id") < HYB_NQ), e,
+        vec_col="embedding", id_col="vec_id", k=HYB_L,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    return _rrf_fuse(lex, vec)
+
+
+def _lexical_topl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid queries' shared LEXICAL candidate list: distinct-
+    token Jaccard between each query document (doc_id < {HYB_NQ}) and
+    every corpus document via a TERM join — shuffles carry (term,
+    doc_id) pairs, never all-pairs — top-{HYB_L} per query. Returns
+    (query_id, doc_id, r_lex)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     terms = docs.select(
         "doc_id",
         F.explode(
@@ -561,7 +592,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_l = Window.partitionBy("query_id").orderBy(
         F.col("jacc_r").desc(), F.col("doc_id")
     )
-    lex = (
+    return (
         inter.join(
             F.broadcast(n.select(F.col("doc_id").alias("query_id"),
                                  F.col("n").alias("nq"))),
@@ -573,14 +604,13 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_lex") <= HYB_L)
         .select("query_id", "doc_id", "r_lex")
     )
-    vec = S.brute_topk(
-        e.filter(F.col("vec_id") < HYB_NQ), e,
-        vec_col="embedding", id_col="vec_id", k=HYB_L,
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("r_vec"),
-    )
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of the (query_id, doc_id, r_lex) and
+    (query_id, doc_id, r_vec) candidate lists — the shared back half
+    of both hybrid queries (full-outer rank-space merge, score =
+    Σ 1/({HYB_RRF}+rank), BIGINT-staged ordering, top-{HYB_K})."""
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(HYB_RRF) + F.col("r_lex")), F.lit(0.0)
     ) + F.coalesce(
@@ -602,3 +632,64 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rrf"), 6).alias("rrf_score"),
         )
     )
+
+#: the IVF leg's cell count is mlprep_q's trained quantizer (also
+#: resolves the {KMEANS_K:d} docstring placeholders below)
+from epe_data_wrangling_spark.catalog.mlprep_q import KMEANS_K  # noqa: E402
+
+HYB_IVF_PROBE = 4  #: probed cells of the IVF-served vector leg (of KMEANS_K)
+
+
+def _hybrid_ivf_oracle() -> str:
+    """The IVF-served hybrid oracle: the shared lexical CTEs, the
+    shared trained-IVF probe chain (mlprep_q._trained_ivf_ctes — the
+    SAME chain ann_ivf_trained_topk certifies), a cosine rank list
+    over the probed cells, and the shared RRF tail."""
+    from epe_data_wrangling_spark.catalog.mlprep_q import _trained_ivf_ctes
+
+    cos_qa = D.cosine("p.qv", "a.vv")
+    return f"""
+    WITH {_lex_ctes()},
+    {_trained_ivf_ctes(HYB_NQ, HYB_IVF_PROBE)},
+    vd AS (SELECT p.query_id, a.vid AS doc_id,
+                  {cos_qa} AS cos_sim
+           FROM probes p JOIN assigned a USING (cell)
+           WHERE p.query_id <> a.vid),
+    vec AS (SELECT query_id, doc_id, r FROM (
+              SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, doc_id) AS r
+              FROM vd) x WHERE r <= {HYB_L}),
+    {_rrf_tail()}
+    """
+
+
+@query("hybrid_rrf_ivf", oracle=_hybrid_ivf_oracle())
+def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served from the TRAINED IVF INDEX — the
+    corpus-scale form `hybrid_rrf_retrieval`'s docstring names: the
+    same lexical leg (`_lexical_topl`, TERM-join Jaccard), but the
+    vector leg probes {HYB_IVF_PROBE}/{KMEANS_K:d} trained cells via
+    the shared `mlprep_q.trained_ivf_topk` chain instead of exact
+    brute-force — at 100 TB the vector leg reads
+    ~{HYB_IVF_PROBE}/{KMEANS_K:d} of the corpus instead of all of it,
+    which is the only change a production RAG serving path needs (the
+    lexical leg is already candidate-bounded by its term join, and
+    the RRF fusion is rank-space, so swapping the list source touches
+    nothing downstream). Fused exactly as the exact variant
+    (`_rrf_fuse`); fusion recall vs the exact variant is floor-pinned
+    in tests/test_recall.py. The oracle composes the SAME three
+    shared CTE blocks (lexical, trained-IVF probe chain, RRF tail),
+    so neither leg nor the fusion can drift from its certified
+    sibling."""
+    from epe_data_wrangling_spark.catalog.mlprep_q import trained_ivf_topk
+
+    lex = _lexical_topl(spark, sf_dir)
+    vec = trained_ivf_topk(
+        spark, sf_dir, nq=HYB_NQ, probe=HYB_IVF_PROBE, k=HYB_L
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_vec"),
+    )
+    return _rrf_fuse(lex, vec)

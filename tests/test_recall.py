@@ -189,3 +189,28 @@ def test_ivfpq_recall_vs_exact_l2(spark):
     assert recalls[4] >= 0.85, f"IVFPQ recall {recalls} over {len(ex)} truths"
     assert recalls[2] <= recalls[4] + 0.02, f"probe curve not monotone: {recalls}"
     assert recalls[4] <= recalls[8] + 0.02, f"probe curve not monotone: {recalls}"
+
+
+def test_hybrid_ivf_fusion_recall_vs_exact(spark):
+    """The IVF-served hybrid (`hybrid_rrf_ivf`) must recover most of
+    the exact variant's fused result set: the lexical legs are
+    identical, so the only loss channel is the vector leg's probed-
+    cell restriction ({HYB_IVF_PROBE}/{KMEANS_K} cells), and RRF's
+    rank-space fusion dampens even that (a vector-leg miss only
+    drops a doc that ALSO missed the lexical list). Measured overlap
+    0.97 (sf0.001) / 0.96 (sf0.01); floor 0.85."""
+    from epe_data_wrangling_spark.catalog.similarity_q import (
+        hybrid_rrf_ivf,
+        hybrid_rrf_retrieval,
+    )
+
+    exact = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_rrf_retrieval(spark, SF_DIR).collect()
+    }
+    ivf = {
+        (r.query_id, r.doc_id)
+        for r in hybrid_rrf_ivf(spark, SF_DIR).collect()
+    }
+    assert len(exact) == len(ivf) == 100
+    assert len(exact & ivf) / len(exact) >= 0.85
