@@ -159,12 +159,17 @@ def main() -> None:
     probes: list[float] = []
     probes_shuffle: list[float] = []
     for _ in range(2):
-        # THREE probe readings per pass (r10+; r9 took one): the r9/r10
-        # comparison showed a single reading's own spread (0.24-0.35 s
-        # within one round) exceeds the cross-round drift it measures;
-        # min-of-three per pass tightens the yardstick without touching
-        # the frozen probe plan. Consumers take min(list) as before.
-        for _p in range(3):
+        # SIX probe readings per pass (r15+; r10-r14 took three, r9
+        # one): the r9/r10 comparison showed a single reading's own
+        # spread (0.24-0.35 s within one round) exceeds the cross-round
+        # drift it measures, and r14's six total readings failed the
+        # BASELINE.md dispersion gate on one transient spike (max/min
+        # 1.81) — twelve readings make the min a repeatedly-observed
+        # quiet state and feed the r15 ROBUST dispersion statistic
+        # (median/min; BASELINE.md step 4) that one spike cannot fail.
+        # The frozen probe plans are untouched; consumers take
+        # min(list) as before.
+        for _p in range(6):
             probes.append(round(calibration_probe(spark, sf_dir), 3))
             probes_shuffle.append(
                 round(calibration_probe_shuffle(spark, sf_dir), 3)
@@ -223,7 +228,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                # frozen ambient-noise yardsticks, three readings per
+                # frozen ambient-noise yardsticks, six readings per
                 # pass (min = the quietest ambient seen; BASELINE.md
                 # "Calibration" has the normalization rule); raw
                 # per-pass sweeps live in `passes_file`

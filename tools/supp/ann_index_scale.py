@@ -26,6 +26,13 @@ NEWEST generation (the realistic serving case: fresh queries look
 like fresh data). Prints {"drift_step": s, "k": k,
 "gens": [{"gen", "skew", "max_cell", "mean_cell",
 "recall_p2", "recall_p4"}]}.
+
+REMEDIATE (``--drift G --remediate``): after the last drifted
+generation, runs `ivf_index_retrain` on the standing target and
+appends one more row (gen="retrain") with the same metrics plus the
+retrain wall time — measuring that the advisory's remediation
+actually restores what drift destroyed (scan_frac back to ~probe/k,
+skew back toward 1) without losing recall.
 """
 
 from __future__ import annotations
@@ -182,6 +189,37 @@ def _drift_mode(spark, args) -> None:
                 "scan_frac_p4": scan_frac(4),
             }
         )
+    if args.remediate:
+        from epe_data_wrangling_spark.streaming.ann_index import (
+            ivf_index_retrain,
+        )
+
+        t0 = time.perf_counter()
+        n_re = ivf_index_retrain(
+            spark, target, k_cells=8, train_iters=args.retrain_iters
+        )
+        retrain_sec = round(time.perf_counter() - t0, 2)
+        meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+        # rebind the loop locals scan_frac() closes over so the
+        # post-retrain row reads the NEW occupancy and centroids
+        cell_counts = {int(b): c for b, c in meta["cell_counts"].items()}
+        counts = list(cell_counts.values())
+        total = sum(counts)
+        rows.append(
+            {
+                "gen": "retrain",
+                "retrained_rows": n_re,
+                "sec": retrain_sec,
+                "skew": meta.get("occupancy_skew"),
+                "warned": "occupancy_warning" in meta,
+                "max_cell": max(counts),
+                "mean_cell": round(sum(counts) / len(counts), 1),
+                "recall_p2": recall(corpus, queries, 2),
+                "recall_p4": recall(corpus, queries, 4),
+                "scan_frac_p2": scan_frac(2),
+                "scan_frac_p4": scan_frac(4),
+            }
+        )
     shutil.rmtree(work, ignore_errors=True)
     print(
         json.dumps(
@@ -204,6 +242,15 @@ def main() -> None:
                     "generations instead of the append-cost probe")
     ap.add_argument("--drift-step", type=float, default=0.2,
                     help="per-generation per-dimension shift")
+    ap.add_argument("--remediate", action="store_true",
+                    help="after the drift generations, retrain the "
+                    "quantizer and append a post-retrain metrics row")
+    ap.add_argument("--retrain-iters", type=int, default=2,
+                    help="Lloyd iterations for --remediate (the "
+                    "deterministic lowest-id init seeds in the OLDEST "
+                    "cluster, so gradual multi-cluster drift needs "
+                    "more iterations to migrate seeds than the "
+                    "bootstrap's 2)")
     args = ap.parse_args()
     spark = get_spark("ann_index_scale")
     spark.sparkContext.setLogLevel("ERROR")
