@@ -3096,6 +3096,60 @@ def streaming_ivfpq_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _upsert_change_batches(e):
+    """The index-CDC queries' SHARED change plan (Python twin of
+    `_live_corpus_ctes` — the four certified queries that land it must
+    construct IDENTICAL batches, and r14's advice pass caught one copy
+    drifting on a cast, so it exists once now): three landing drops —
+    generation 1 (vec_id%3=0) bootstraps, generation 2 inserts, and a
+    MIXED batch inserts generation 3 while UPSERTING re-embedded
+    (negated) vectors for landed ids with vec_id%5=2 and DELETING
+    landed ids with vec_id%5=4."""
+    from pyspark.sql import functions as F
+
+    landed = F.col("vec_id") % 3 != 2
+    ins = [
+        e.filter(F.col("vec_id") % 3 == i).select(
+            F.lit("I").alias("op"), "vec_id", "embedding"
+        )
+        for i in range(3)
+    ]
+    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
+        F.lit("U").alias("op"),
+        "vec_id",
+        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
+            "embedding"
+        ),
+    )
+    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
+        F.lit("D").alias("op"),
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    return [ins[0], ins[1], ins[2].union(ups).union(dels)]
+
+
+def _live_corpus_df(e):
+    """The LIVE corpus after `_upsert_change_batches` lands (Python
+    twin of the oracle-side `_live_corpus_ctes`): landed ids minus the
+    deleted cohort, upserted ids carrying their re-embedded (negated)
+    vectors, generation 3 as-is."""
+    from pyspark.sql import functions as F
+
+    landed = F.col("vec_id") % 3 != 2
+    return (
+        e.filter(landed & (F.col("vec_id") % 5 != 4))
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id") % 5 == 2,
+                F.transform("embedding", lambda x: -x).cast("array<float>"),
+            ).otherwise(F.col("embedding")),
+        )
+        .union(e.filter(F.col("vec_id") % 3 == 2))
+    )
+
+
 def _ann_index_upsert_oracle() -> str:
     """`_ann_index_oracle` over the LIVE corpus (deletes excluded,
     upserts re-embedded) — the quantizer still trains on the original
@@ -3144,37 +3198,13 @@ def streaming_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    landed = F.col("vec_id") % 3 != 2
-    ins = [
-        e.filter(F.col("vec_id") % 3 == i).select(
-            F.lit("I").alias("op"), "vec_id", "embedding"
-        )
-        for i in range(3)
-    ]
-    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
-        F.lit("U").alias("op"),
-        "vec_id",
-        # cast as in the PQ/retrain twins: unary minus happens to
-        # preserve FloatType today, but the union/landing schema
-        # contract is array<float> and should not rest on that
-        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
-            "embedding"
-        ),
-    )
-    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
-        F.lit("D").alias("op"),
-        "vec_id",
-        F.lit(None).cast("array<float>").alias("embedding"),
-    )
     work = tempfile.mkdtemp(prefix="ann_index_upsert_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing)
     try:
-        _land_generations(
-            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
-        )
+        _land_generations(landing, _upsert_change_batches(e))
         stream = (
             spark.readStream.schema(
                 "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
@@ -3247,45 +3277,14 @@ def streaming_ivfpq_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    landed = F.col("vec_id") % 3 != 2
-    ins = [
-        e.filter(F.col("vec_id") % 3 == i).select(
-            F.lit("I").alias("op"), "vec_id", "embedding"
-        )
-        for i in range(3)
-    ]
-    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
-        F.lit("U").alias("op"),
-        "vec_id",
-        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
-            "embedding"
-        ),
-    )
-    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
-        F.lit("D").alias("op"),
-        "vec_id",
-        F.lit(None).cast("array<float>").alias("embedding"),
-    )
-    live = (
-        e.filter(landed & (F.col("vec_id") % 5 != 4))
-        .withColumn(
-            "embedding",
-            F.when(
-                F.col("vec_id") % 5 == 2,
-                F.transform("embedding", lambda x: -x).cast("array<float>"),
-            ).otherwise(F.col("embedding")),
-        )
-        .union(e.filter(F.col("vec_id") % 3 == 2))
-    )
+    live = _live_corpus_df(e)
     work = tempfile.mkdtemp(prefix="ivfpq_index_upsert_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing)
     try:
-        _land_generations(
-            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
-        )
+        _land_generations(landing, _upsert_change_batches(e))
         stream = (
             spark.readStream.schema(
                 "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
@@ -3370,34 +3369,13 @@ def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    landed = F.col("vec_id") % 3 != 2
-    ins = [
-        e.filter(F.col("vec_id") % 3 == i).select(
-            F.lit("I").alias("op"), "vec_id", "embedding"
-        )
-        for i in range(3)
-    ]
-    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
-        F.lit("U").alias("op"),
-        "vec_id",
-        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
-            "embedding"
-        ),
-    )
-    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
-        F.lit("D").alias("op"),
-        "vec_id",
-        F.lit(None).cast("array<float>").alias("embedding"),
-    )
     work = tempfile.mkdtemp(prefix="ann_index_retrain_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing)
     try:
-        _land_generations(
-            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
-        )
+        _land_generations(landing, _upsert_change_batches(e))
         stream = (
             spark.readStream.schema(
                 "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
@@ -3479,45 +3457,14 @@ def streaming_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    landed = F.col("vec_id") % 3 != 2
-    ins = [
-        e.filter(F.col("vec_id") % 3 == i).select(
-            F.lit("I").alias("op"), "vec_id", "embedding"
-        )
-        for i in range(3)
-    ]
-    ups = e.filter(landed & (F.col("vec_id") % 5 == 2)).select(
-        F.lit("U").alias("op"),
-        "vec_id",
-        F.transform("embedding", lambda x: -x).cast("array<float>").alias(
-            "embedding"
-        ),
-    )
-    dels = e.filter(landed & (F.col("vec_id") % 5 == 4)).select(
-        F.lit("D").alias("op"),
-        "vec_id",
-        F.lit(None).cast("array<float>").alias("embedding"),
-    )
-    live = (
-        e.filter(landed & (F.col("vec_id") % 5 != 4))
-        .withColumn(
-            "embedding",
-            F.when(
-                F.col("vec_id") % 5 == 2,
-                F.transform("embedding", lambda x: -x).cast("array<float>"),
-            ).otherwise(F.col("embedding")),
-        )
-        .union(e.filter(F.col("vec_id") % 3 == 2))
-    )
+    live = _live_corpus_df(e)
     work = tempfile.mkdtemp(prefix="ivfpq_index_rebuild_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(landing)
     try:
-        _land_generations(
-            landing, [ins[0], ins[1], ins[2].union(ups).union(dels)]
-        )
+        _land_generations(landing, _upsert_change_batches(e))
         stream = (
             spark.readStream.schema(
                 "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"

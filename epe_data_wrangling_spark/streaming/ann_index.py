@@ -1810,12 +1810,22 @@ def ivfpq_index_rebuild(
             "live index row (rebuilding without it would silently drop "
             "the row); fix the source table or delete the id first"
         )
-    live = src.join(F.broadcast(gen_of.select(id_col)), id_col)
+    # no broadcast hint: the live id set is CORPUS-sized (one row per
+    # live vector) — at index scale it must shuffle-join against the
+    # source table (AQE still broadcasts it when it is actually small)
+    live = src.join(gen_of.select(id_col), id_col)
     _require_unique_ids(live, id_col, "ivfpq_index_rebuild")
-    bad = live.filter(F.size("v") != pq_m * pq_sub).limit(1).collect()
+    bad = (
+        live.filter(
+            F.col("v").isNull() | (F.size("v") != pq_m * pq_sub)
+        )
+        .limit(1)
+        .collect()
+    )
     if bad:
+        dim = "NULL" if bad[0]["v"] is None else len(bad[0]["v"])
         raise RuntimeError(
-            f"ivfpq_index_rebuild: source vector dim {len(bad[0]['v'])} "
+            f"ivfpq_index_rebuild: source vector dim {dim} "
             f"!= pq_m*pq_sub = {pq_m * pq_sub} — the subspace slices "
             "would drop trailing dimensions; fix the source table"
         )

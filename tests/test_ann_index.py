@@ -1254,3 +1254,14 @@ def test_ivfpq_index_rebuild_witnesses(spark, tmp_path):
     holey = ev.filter(F.col("vec_id") != ev.agg(F.min("vec_id")).collect()[0][0])
     with pytest.raises(RuntimeError, match="system-of-record"):
         ivfpq_index_rebuild(spark, target, holey)
+    # a NULL vector in the source table gets the dim witness's
+    # actionable message, not a TypeError from the message formatting
+    min_id = ev.agg(F.min("vec_id")).collect()[0][0]
+    nulled = ev.withColumn(
+        "v",
+        F.when(F.col("vec_id") == min_id, F.lit(None)).otherwise(
+            F.col("v")
+        ),
+    )
+    with pytest.raises(RuntimeError, match="dim NULL"):
+        ivfpq_index_rebuild(spark, target, nulled)

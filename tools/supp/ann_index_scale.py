@@ -195,8 +195,12 @@ def _drift_mode(spark, args) -> None:
         )
 
         t0 = time.perf_counter()
+        # k_cells=None → retrain reads the committed meta's k (keeps
+        # the probe honest if the drift-mode bootstrap k ever changes);
+        # --retrain-k overrides to measure k as the remediation lever
         n_re = ivf_index_retrain(
-            spark, target, k_cells=8, train_iters=args.retrain_iters
+            spark, target, k_cells=args.retrain_k,
+            train_iters=args.retrain_iters,
         )
         retrain_sec = round(time.perf_counter() - t0, 2)
         meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
@@ -245,6 +249,12 @@ def main() -> None:
     ap.add_argument("--remediate", action="store_true",
                     help="after the drift generations, retrain the "
                     "quantizer and append a post-retrain metrics row")
+    ap.add_argument("--retrain-k", type=int, default=None,
+                    help="retrain with this many cells (default: the "
+                    "committed k) — a drift-elongated corpus is less "
+                    "separable at fixed k, so MORE cells is the "
+                    "production remediation lever when retrain-at-"
+                    "same-k plateaus")
     ap.add_argument("--retrain-iters", type=int, default=2,
                     help="Lloyd iterations for --remediate (the "
                     "deterministic lowest-id init seeds in the OLDEST "
