@@ -93,19 +93,21 @@ def make_registrar(registry: dict[str, CatalogQuery]):
 #: (`err: no_oracle`) for 14 rounds, now carrying a RANK-level oracle
 #: under a pinned min-adjacent-gap witness; this slot is its first
 #: chance at a hash-green driver row (tests/test_catalog.py RECERTIFY
-#: documents the fix), (c) the 2 queries ADDED during r15 (never
+#: documents the fix), (c) the 3 queries ADDED during r15 (never
 #: driver-certified: streaming_ivfpq_index_rebuild — the PQ index's
-#: rebuild-from-source drift remediation — and hybrid_rrf_ivf — hybrid
-#: retrieval with the vector leg served from the trained IVF index),
-#: and (d) 37 stalest-certified re-certs (oldest green driver row
-#: first, per tools/rotate_window.py) — this drains the ENTIRE r8
-#: vintage (36 queries, the oldest bucket after the r14 drain of r7)
-#: plus the alphabetically-first r9 row, so after a green r15 no
-#: query's hard driver signal is older than r9 (max staleness ≤ 6
-#: sustained a fourth round; the 38 remaining r9-green rows fit inside
-#: r16's ~40 free slots). Queries outside the window remain locally
-#: verified every round by tools/verify_local.py (the full
-#: DuckDB-differential sweep).
+#: rebuild-from-source drift remediation — hybrid_rrf_ivf — hybrid
+#: retrieval with the vector leg served from the trained IVF index —
+#: and streaming_ann_index_retrain_spread — farthest-first-seeded
+#: retrain, the remediation that works on multi-cluster drift where
+#: lowest-id seeding structurally cannot, SCALE.md r15), and (d) 36
+#: stalest-certified re-certs (oldest green driver row first, per
+#: tools/rotate_window.py) — this drains the ENTIRE r8 vintage (36
+#: queries, the oldest bucket after the r14 drain of r7), so after a
+#: green r15 no query's hard driver signal is older than r9 (max
+#: staleness ≤ 6 sustained a fourth round; the 39 remaining r9-green
+#: rows fit inside r16's ~40 free slots). Queries outside the window
+#: remain locally verified every round by tools/verify_local.py (the
+#: full DuckDB-differential sweep).
 PRIORITY_ORDER = [
     # --- anchors (10): per-family canaries, in every window
     "epe_pipeline_demo",
@@ -120,11 +122,12 @@ PRIORITY_ORDER = [
     "q1_pricing_summary",
     # --- 14-round red cell, first run with its new rank-level oracle
     "ann_cosine_topk_arrow",
-    # --- the 2 queries added during r15 (never driver-certified)
+    # --- the 3 queries added during r15 (never driver-certified)
     "hybrid_rrf_ivf",
     "streaming_ivfpq_index_rebuild",
+    "streaming_ann_index_retrain_spread",
     # --- stalest re-certs (oldest driver-green first): all 36
-    # --- r8-vintage entries, then the oldest r9 row
+    # --- r8-vintage entries
     "attribution_position_weighted",
     "case_bucket_acctbal",
     "date_series_calendar",
@@ -161,7 +164,6 @@ PRIORITY_ORDER = [
     "streaming_ivm_agg_merge",
     "streaming_join_view_maintenance",
     "streaming_outer_join_view_maintenance",
-    "agg_approx_distinct_hll",
 ]  # == 50 entries; assert below
 
 #: Never-driver-certified queries queued for future windows. Empty

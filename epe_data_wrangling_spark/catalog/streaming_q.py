@@ -2683,7 +2683,47 @@ AIDX_PROBE = 4   #: probed cells per query
 AIDX_K = 3       #: neighbors per query
 
 
-def _gen1_coarse_ctes(after_e: str = "", train_sql: str | None = None) -> str:
+def _spread_init_ctes(k: int) -> str:
+    """Unrolled FARTHEST-FIRST seeding over ``tv`` (the Gonzalez
+    traversal `operators.kmeans.farthest_first_seeds` runs Spark-side,
+    step for step): fs0 = the lowest id's row; fs(i) = the row
+    maximizing its accumulated min dist² to fs0..fs(i-1) (ties by
+    lowest id), the min accumulated pairwise via LEAST exactly as
+    Spark's flat F.least (min is exact, so flat vs chained agree
+    bit-for-bit). Ends at ``c0l`` (cid = pick order, c) — a drop-in
+    replacement for the lowest-id init block in
+    `_gen1_coarse_ctes(init_ctes=...)`."""
+    steps = ["fs0 AS (SELECT vec_id, v, vv FROM tv ORDER BY vec_id LIMIT 1)"]
+    for i in range(1, k):
+        if i == 1:
+            steps.append(
+                "fm1 AS (SELECT t.vec_id, t.v, t.vv,\n"
+                "        (t.vv - 2 * list_dot_product(t.v, s.v)) + s.vv AS d\n"
+                "        FROM tv t, fs0 s)"
+            )
+        else:
+            steps.append(
+                f"fm{i} AS (SELECT m.vec_id, m.v, m.vv,\n"
+                f"        LEAST(m.d, (m.vv - 2 * list_dot_product(m.v, s.v))"
+                f" + s.vv) AS d\n"
+                f"        FROM fm{i - 1} m, fs{i - 1} s)"
+            )
+        steps.append(
+            f"fs{i} AS (SELECT vec_id, v, vv FROM fm{i}\n"
+            f"        ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS cid, v AS c FROM fs{i}"
+        for i in range(k)
+    )
+    steps.append(f"c0l AS ({union})")
+    return ",\n    ".join(steps)
+
+
+def _gen1_coarse_ctes(
+    after_e: str = "", train_sql: str | None = None,
+    init_ctes: str | None = None,
+) -> str:
     """Shared WITH-prefix of the incremental-ANN-index oracles: the
     coarse quantizer trained on ``train_sql``'s rows (default: the
     BOOTSTRAP generation, vec_id % 3 = 0 — the sinks' frozen stage;
@@ -2691,8 +2731,11 @@ def _gen1_coarse_ctes(after_e: str = "", train_sql: str | None = None) -> str:
     `operators.kmeans.lloyd_means`), ending at ``cent`` (cid, c, cc)
     and ``av`` (every vector + its norm). ``after_e`` injects CTEs
     between ``e`` and the training relation (the retrain oracle puts
-    the live-corpus CTEs there and trains on them). Exists once so
-    the Lloyd staging cannot drift between the oracles."""
+    the live-corpus CTEs there and trains on them); ``init_ctes``
+    overrides the lowest-id Lloyd init with a CTE chain ending at
+    ``c0l`` (cid, c) — the spread-retrain oracle passes
+    `_spread_init_ctes`. Exists once so the Lloyd staging cannot
+    drift between the oracles."""
     mean = (
         "CAST(SUM(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)"
         " / CAST(COUNT(*) AS DOUBLE) / 1000000000.0"
@@ -2726,11 +2769,14 @@ def _gen1_coarse_ctes(after_e: str = "", train_sql: str | None = None) -> str:
         "WHERE vec_id % 3 = 0"
     )
     after = f"{after_e}," if after_e else ""
+    init = init_ctes or (
+        f"""c0l AS (SELECT vec_id AS cid, v AS c FROM tv
+            ORDER BY vec_id LIMIT {AIDX_CELLS})"""
+    )
     return f"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {after}
     tv AS ({train}),
-    c0l AS (SELECT vec_id AS cid, v AS c FROM tv
-            ORDER BY vec_id LIMIT {AIDX_CELLS}),
+    {init},
     c0 AS (SELECT cid, c, list_dot_product(c, c) AS cc FROM c0l),
     {assign("c0", "a1")},
     {update("a1", "m1")},
@@ -3337,24 +3383,10 @@ def _ann_index_retrain_oracle() -> str:
     )
 
 
-@query("streaming_ann_index_retrain", oracle=_ann_index_retrain_oracle())
-def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The drift loop's remediation step (`streaming.ann_index.
-    ivf_index_retrain`), certified end-to-end: the upsert plan's three
-    change batches land (bootstrap I, insert I, mixed I/U/D), then the
-    index is RE-TRAINED on its current live corpus — new dense-cid
-    centroids from the SAME shared Lloyd trainer (init = the k lowest
-    live ids), every live row re-assigned, tombstoned rows dropped in
-    the same pass, tombstones cleared, the locator rewritten to the
-    new cells, occupancy counters rebuilt — all in one atomic swap.
-    Serve then probes the NEW cells. The oracle recomputes from
-    scratch with the quantizer trained on the LIVE corpus (not the
-    bootstrap generation — that is the entire point of retrain), so
-    the hash certifies that the corpus-sized re-partitioning lands
-    exactly where a fresh build over the live data would. Scale: the
-    one deliberately corpus-sized maintenance op in the index family,
-    run at drift cadence (the occupancy advisory's trigger), not per
-    batch; everything else stays delta-sized."""
+def _retrain_run(spark: SparkSession, sf_dir: str, init: str) -> DataFrame:
+    """Shared body of the two retrain certifications: land the I/U/D
+    change plan, retrain the standing index on its live corpus with
+    the given seeding, serve from the NEW cells."""
     import os
     import shutil
     import tempfile
@@ -3388,7 +3420,8 @@ def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
             k_cells=AIDX_CELLS, train_iters=AIDX_ITERS, checkpoint_dir=ckpt,
         )
         n = ivf_index_retrain(
-            spark, target, k_cells=AIDX_CELLS, train_iters=AIDX_ITERS
+            spark, target, k_cells=AIDX_CELLS, train_iters=AIDX_ITERS,
+            init=init,
         )
         if n <= 0:
             raise RuntimeError("ann_index_retrain: retrain re-assigned 0 rows")
@@ -3405,6 +3438,68 @@ def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("streaming_ann_index_retrain", oracle=_ann_index_retrain_oracle())
+def streaming_ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift loop's remediation step (`streaming.ann_index.
+    ivf_index_retrain`), certified end-to-end: the upsert plan's three
+    change batches land (bootstrap I, insert I, mixed I/U/D), then the
+    index is RE-TRAINED on its current live corpus — new dense-cid
+    centroids from the SAME shared Lloyd trainer (init = the k lowest
+    live ids), every live row re-assigned, tombstoned rows dropped in
+    the same pass, tombstones cleared, the locator rewritten to the
+    new cells, occupancy counters rebuilt — all in one atomic swap.
+    Serve then probes the NEW cells. The oracle recomputes from
+    scratch with the quantizer trained on the LIVE corpus (not the
+    bootstrap generation — that is the entire point of retrain), so
+    the hash certifies that the corpus-sized re-partitioning lands
+    exactly where a fresh build over the live data would. Scale: the
+    one deliberately corpus-sized maintenance op in the index family,
+    run at drift cadence (the occupancy advisory's trigger), not per
+    batch; everything else stays delta-sized."""
+    return _retrain_run(spark, sf_dir, "lowest")
+
+
+def _ann_index_retrain_spread_oracle() -> str:
+    """The retrain oracle with the Lloyd init swapped for the unrolled
+    farthest-first chain (`_spread_init_ctes`) — everything else
+    (live-corpus training, assignment, probed serve) identical."""
+    return _ann_index_oracle(
+        corpus="lvv",
+        coarse=_gen1_coarse_ctes(
+            after_e=_live_corpus_ctes(),
+            train_sql="SELECT vec_id, v, vv FROM lvv",
+            init_ctes=_spread_init_ctes(AIDX_CELLS),
+        ),
+    )
+
+
+@query(
+    "streaming_ann_index_retrain_spread",
+    oracle=_ann_index_retrain_spread_oracle(),
+)
+def streaming_ann_index_retrain_spread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """`streaming_ann_index_retrain` with FARTHEST-FIRST seeding
+    (`init='spread'`, `operators.kmeans.farthest_first_seeds`) — the
+    remediation that works where lowest-id retrain structurally
+    cannot: the lowest live ids are by construction the OLDEST rows,
+    so on a drifted multi-cluster corpus every default seed starts in
+    the original cluster and plain Lloyd cannot migrate a seed across
+    a cluster gap at ANY k or iteration count (measured, SCALE.md r15:
+    after 6 drifted generations at sf0.1, lowest-id retrain leaves
+    skew 2.6 at k=8 and 6.9 at k=16; spread seeding restores balance —
+    and `test_ann_index_retrain_spread_rebalances_clustered_drift`
+    pins the clustered witness). The Gonzalez traversal is
+    deterministic (ties by lowest id) and exactly mirrorable in SQL,
+    so THIS query hash-certifies the whole chain: the oracle unrolls
+    the same {AIDX_CELLS}-step farthest-first seed selection, the same
+    {AIDX_ITERS} Lloyd iterations over the live corpus, and the same
+    probed serve. Scale: seeding costs k−1 extra corpus scans — a
+    retrain-cadence cost, never on the ingest path."""
+    return _retrain_run(spark, sf_dir, "spread")
 
 def _ivfpq_index_rebuild_oracle() -> str:
     """Recompute of the post-REBUILD PQ index state: BOTH frozen

@@ -22,14 +22,19 @@ from epe_data_wrangling_spark.functions import vectors as V
 
 
 def lloyd_means(
-    ev: DataFrame, k: int, iters: int, id_col: str = "vec_id"
+    ev: DataFrame, k: int, iters: int, id_col: str = "vec_id",
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Train ``iters`` full Lloyd iterations over ``ev`` (columns
     ``id_col``, ``v`` array<double>, ``vv`` = v·v) with deterministic
-    init (the ``k`` lowest ids' vectors) and return the trained means
-    as (cid, dim, n_vecs, mean_val) rows."""
+    init (the ``k`` lowest ids' vectors, or the caller's ``init``
+    centroids (cid, c) — e.g. `farthest_first_seeds` for drifted
+    corpora) and return the trained means as
+    (cid, dim, n_vecs, mean_val) rows."""
     cents = (
-        ev.orderBy(id_col)
+        init
+        if init is not None
+        else ev.orderBy(id_col)
         .limit(k)
         .select(F.col(id_col).alias("cid"), F.col("v").alias("c"))
     )
@@ -62,6 +67,55 @@ def lloyd_means(
     for _ in range(iters - 1):
         means = update(assign(means_to_centroids(means)))
     return means.select("cid", "dim", "n_vecs", "mean_val")
+
+
+def farthest_first_seeds(
+    ev: DataFrame, k: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Deterministic FARTHEST-FIRST ("spread") seeding — the init for
+    re-training over a DRIFTED corpus, where the default lowest-id
+    init fails structurally: the lowest ids are by construction the
+    OLDEST rows, so every seed starts inside the original cluster, and
+    plain Lloyd cannot migrate a seed across a cluster gap at any
+    iteration count (measured in SCALE.md r15: after 6 drifted
+    generations, lowest-id retrain leaves skew 2.6 at k=8 and 6.9 at
+    k=16 — MORE cells make it worse because all of them seed in the
+    old cluster). Farthest-first traversal (Gonzalez 1985) is the
+    classic deterministic fix: seed 1 = the lowest id's vector; seed
+    i+1 = the point maximizing its min dist² to the chosen seeds
+    (ties by lowest id). Every step is exactly mirrorable in SQL
+    (the certified retrain-spread oracle unrolls the same chain), so
+    determinism — the property the lowest-id init existed for — is
+    kept.
+
+    Cost: k−1 corpus scans (each a broadcast-free argmax over the
+    accumulated min-dist expression) plus k−1 one-row collects —
+    deliberate for a retrain-cadence operation; do not use it on the
+    per-batch ingest path. The accumulated expression holds one dot
+    product per chosen seed, so keep k modest (≤ ~64) or pre-sample.
+    Returns (cid 0..k−1 BIGINT in pick order, c array<double>)."""
+    pts = ev.select(id_col, "v", "vv")
+    first = pts.orderBy(id_col).limit(1).collect()[0]
+    seeds = [first]
+    dexprs = []
+    for _ in range(k - 1):
+        s = seeds[-1]
+        sv = F.array(*[F.lit(float(x)) for x in s["v"]])
+        # same operation tree as the serve/assign d²; the seed's norm
+        # comes from the engine-computed ``vv`` (collected, not
+        # recomputed in Python) so both engines fold identically
+        dexprs.append(
+            (F.col("vv") - 2 * V.dot(F.col("v"), sv)) + F.lit(float(s["vv"]))
+        )
+        mind = dexprs[0] if len(dexprs) == 1 else F.least(*dexprs)
+        seeds.append(
+            pts.orderBy(mind.desc(), F.col(id_col)).limit(1).collect()[0]
+        )
+    sc = ev.sparkSession
+    return sc.createDataFrame(
+        [(i, list(map(float, s["v"]))) for i, s in enumerate(seeds)],
+        "cid BIGINT, c ARRAY<DOUBLE>",
+    )
 
 
 def means_to_centroids(means: DataFrame) -> DataFrame:

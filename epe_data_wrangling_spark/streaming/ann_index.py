@@ -84,6 +84,7 @@ from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.functions import vectors as V
 from epe_data_wrangling_spark.operators.kmeans import (
+    farthest_first_seeds,
     lloyd_means,
     means_to_centroids,
 )
@@ -1035,7 +1036,7 @@ ivfpq_index_vacuum = ivf_index_vacuum
 
 def ivf_index_retrain(
     spark, target_dir: str, *, k_cells: int | None = None,
-    train_iters: int = 2,
+    train_iters: int = 2, init: str = "lowest",
 ) -> int:
     """Re-train the coarse quantizer on the CURRENT live corpus and
     re-assign every live row — the remediation the occupancy-skew
@@ -1101,8 +1102,22 @@ def ivf_index_retrain(
     ev = live.select(id_col, "v").withColumn(
         "vv", V.dot(F.col("v"), F.col("v"))
     )
+    if init not in ("lowest", "spread"):
+        raise ValueError(
+            f"ivf_index_retrain: init={init!r} — use 'lowest' (the "
+            "certified default) or 'spread' (farthest-first seeding "
+            "for drifted multi-cluster corpora; see "
+            "operators.kmeans.farthest_first_seeds)"
+        )
+    seed_df = (
+        farthest_first_seeds(ev, k, id_col=id_col)
+        if init == "spread"
+        else None
+    )
     cents = _dense_cids(
-        means_to_centroids(lloyd_means(ev, k, train_iters, id_col=id_col))
+        means_to_centroids(
+            lloyd_means(ev, k, train_iters, id_col=id_col, init=seed_df)
+        )
     ).localCheckpoint(eager=True)
     gen_of = live.select(id_col, "_gen")
     reassigned = (

@@ -1265,3 +1265,78 @@ def test_ivfpq_index_rebuild_witnesses(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="dim NULL"):
         ivfpq_index_rebuild(spark, target, nulled)
+
+
+def test_farthest_first_seeds_spread_and_deterministic(spark):
+    """Farthest-first seeding: first seed = the lowest id's vector,
+    every later seed maximizes its min dist² to the chosen set — on a
+    corpus of well-separated clusters the seeds must land one per
+    cluster BEFORE doubling up, regardless of id order (the failure
+    mode of lowest-id init, which puts every seed in the cluster that
+    happens to own the lowest ids). Deterministic across runs."""
+    from epe_data_wrangling_spark.functions import vectors as V
+    from epe_data_wrangling_spark.operators.kmeans import (
+        farthest_first_seeds,
+    )
+
+    dim, per = 4, 30
+    rows = []
+    for c in range(3):  # cluster c centered at 100*c per dim
+        for i in range(per):
+            rows.append(
+                (c * per + i, [100.0 * c + 0.001 * i] * dim)
+            )
+    ev = spark.createDataFrame(
+        rows, "vec_id BIGINT, v ARRAY<DOUBLE>"
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    seeds = farthest_first_seeds(ev, 3, id_col="vec_id").collect()
+    assert [s["cid"] for s in seeds] == [0, 1, 2]
+    clusters = sorted(round(s["c"][0] / 100.0) for s in seeds)
+    assert clusters == [0, 1, 2], f"seeds doubled up: {clusters}"
+    assert seeds[0]["c"][0] == 0.0  # first seed = lowest id's vector
+    again = farthest_first_seeds(ev, 3, id_col="vec_id").collect()
+    assert [tuple(s["c"]) for s in again] == [tuple(s["c"]) for s in seeds]
+
+
+def test_ann_index_retrain_spread_rebalances_clustered_drift(spark, tmp_path):
+    """The SCALE.md r15 finding as a pinned witness: on a multi-
+    cluster corpus whose lowest ids all live in one cluster, lowest-id
+    retrain cannot rebalance (every seed starts in that cluster and
+    Lloyd cannot migrate across the gaps), while init='spread'
+    (farthest-first) restores balance — and serve still equals the
+    frozen-quantizer recompute against whatever centroids are
+    committed (the serve contract is init-agnostic)."""
+    import json
+
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivf_index_retrain,
+    )
+
+    dim, per, k = 8, 100, 8
+    rows = []
+    for c in range(4):  # 4 clusters, ids cluster-ordered
+        for i in range(per):
+            rows.append(
+                (c * per + i, [10.0 * c + 0.01 * (i % 7)] * dim)
+            )
+    e = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(e, landing, "g1.parquet", 1)
+    _run(spark, landing, target, str(tmp_path / "ck"), k_cells=k)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    skew_boot = meta["occupancy_skew"]  # lowest-id init: seeds in cluster 0
+    n = ivf_index_retrain(spark, target, init="spread")
+    assert n == len(rows)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    skew_spread = meta["occupancy_skew"]
+    # 8 spread seeds over 4 clusters: ~2 cells per cluster, balanced
+    assert skew_spread < 2.0 < skew_boot, (skew_boot, skew_spread)
+    assert "occupancy_warning" not in meta
+    assert _serve_set(spark, target, e) == _direct_recompute(
+        spark, target, e
+    )
+    with pytest.raises(ValueError, match="init="):
+        ivf_index_retrain(spark, target, init="kmeans++")

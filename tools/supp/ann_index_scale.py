@@ -200,7 +200,7 @@ def _drift_mode(spark, args) -> None:
         # --retrain-k overrides to measure k as the remediation lever
         n_re = ivf_index_retrain(
             spark, target, k_cells=args.retrain_k,
-            train_iters=args.retrain_iters,
+            train_iters=args.retrain_iters, init=args.retrain_init,
         )
         retrain_sec = round(time.perf_counter() - t0, 2)
         meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
@@ -255,6 +255,12 @@ def main() -> None:
                     "separable at fixed k, so MORE cells is the "
                     "production remediation lever when retrain-at-"
                     "same-k plateaus")
+    ap.add_argument("--retrain-init", default="lowest",
+                    choices=("lowest", "spread"),
+                    help="retrain seeding: 'lowest' (certified "
+                    "default; seeds in the OLDEST cluster) or "
+                    "'spread' (farthest-first — the drifted-corpus "
+                    "remediation)")
     ap.add_argument("--retrain-iters", type=int, default=2,
                     help="Lloyd iterations for --remediate (the "
                     "deterministic lowest-id init seeds in the OLDEST "
