@@ -247,8 +247,10 @@ def _occupancy_meta(
                 "hot_cell": int(hot),
                 "hot_rows": counts[hot],
                 "action": "embedding distribution has drifted from the "
-                "bootstrap training corpus — retrain the quantizer "
-                "(rebuild the index) to restore probe balance",
+                "bootstrap training corpus — retrain the quantizer to "
+                "restore probe balance (ivf_index_retrain; use "
+                "init='spread' for multi-cluster drift — SCALE.md r15 — "
+                "or ivfpq_index_rebuild for PQ targets)",
             }
             import warnings
 
