@@ -1737,7 +1737,7 @@ def ivfpq_index_changes_foreach_batch(
 def ivfpq_index_rebuild(
     spark, target_dir: str, vectors: DataFrame, *,
     id_col: str = "vec_id", k_cells: int | None = None,
-    train_iters: int = 2,
+    train_iters: int = 2, init: str = "lowest",
 ) -> int:
     """Drift remediation for the PQ-CODED index — the rebuild
     `ivf_index_retrain` points PQ targets at: the codes store holds no
@@ -1847,8 +1847,23 @@ def ivfpq_index_rebuild(
             "would drop trailing dimensions; fix the source table"
         )
     ev = live.withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    if init not in ("lowest", "spread"):
+        raise ValueError(
+            f"ivfpq_index_rebuild: init={init!r} — use 'lowest' (the "
+            "certified default) or 'spread' (farthest-first coarse "
+            "seeding for drifted multi-cluster corpora; the residual "
+            "codebooks keep the lowest-id init — cell subtraction "
+            "removes the drift component the coarse stage absorbs)"
+        )
+    seed_df = (
+        farthest_first_seeds(ev, k, id_col=id_col)
+        if init == "spread"
+        else None
+    )
     cents = _dense_cids(
-        means_to_centroids(lloyd_means(ev, k, train_iters, id_col=id_col))
+        means_to_centroids(
+            lloyd_means(ev, k, train_iters, id_col=id_col, init=seed_df)
+        )
     ).localCheckpoint(eager=True)
     # one assignment/split feeds BOTH codebook training and encoding —
     # the bootstrap path's idiom (the rebuild corpus IS the training

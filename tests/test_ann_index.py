@@ -1340,3 +1340,52 @@ def test_ann_index_retrain_spread_rebalances_clustered_drift(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="init="):
         ivf_index_retrain(spark, target, init="kmeans++")
+
+
+def test_ivfpq_index_rebuild_spread_rebalances_clustered_drift(
+    spark, tmp_path
+):
+    """PQ twin of the spread-retrain witness: on the cluster-ordered
+    corpus, a lowest-id rebuild keeps the coarse skew, init='spread'
+    rebalances it — and the rebuilt index still serves its own
+    corpus (every query's true neighbors come back from the probed
+    cells; ADC + exact re-rank agree with the raw chain's cluster
+    structure)."""
+    import json
+
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_rebuild,
+    )
+
+    dim, per, k = 64, 100, 8
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            rows.append(
+                (c * per + i, [10.0 * c + 0.01 * (i % 7)] * dim)
+            )
+    e = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(e, landing, "g1.parquet", 1)
+    _pq_run(spark, landing, target, str(tmp_path / "ck"))
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    skew_boot = meta["occupancy_skew"]
+    ev = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = ivfpq_index_rebuild(spark, target, ev, init="spread")
+    assert n == len(rows)
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert meta["occupancy_skew"] < 2.0 < skew_boot
+    assert "occupancy_warning" not in meta
+    # serve sanity on the rebalanced index: the query set (vec_id <
+    # NQ, all cluster 0) must get cluster-0 neighbors back — the
+    # spread cells isolate clusters, so probing cannot cross them
+    got = _pq_cdc_serve(spark, target, e)
+    assert got, "rebalanced PQ index served nothing"
+    assert all(n < per for _, n, _ in got), "neighbors crossed clusters"
+    with pytest.raises(ValueError, match="init="):
+        ivfpq_index_rebuild(spark, target, ev, init="random")
