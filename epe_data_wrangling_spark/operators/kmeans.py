@@ -95,8 +95,12 @@ def farthest_first_seeds(
     product per chosen seed, so keep k modest (≤ ~64) or pre-sample.
     Returns (cid 0..k−1 BIGINT in pick order, c array<double>)."""
     pts = ev.select(id_col, "v", "vv")
-    first = pts.orderBy(id_col).limit(1).collect()[0]
-    seeds = [first]
+    head = pts.orderBy(id_col).limit(1).collect()
+    if not head:
+        raise ValueError(
+            "farthest_first_seeds: the corpus is empty — nothing to seed"
+        )
+    seeds = [head[0]]
     dexprs = []
     for _ in range(k - 1):
         s = seeds[-1]
@@ -108,9 +112,22 @@ def farthest_first_seeds(
             (F.col("vv") - 2 * V.dot(F.col("v"), sv)) + F.lit(float(s["vv"]))
         )
         mind = dexprs[0] if len(dexprs) == 1 else F.least(*dexprs)
-        seeds.append(
-            pts.orderBy(mind.desc(), F.col(id_col)).limit(1).collect()[0]
+        nxt = (
+            pts.select(id_col, "v", "vv", mind.alias("_fd"))
+            .orderBy(F.col("_fd").desc(), F.col(id_col))
+            .limit(1)
+            .collect()[0]
         )
+        if nxt["_fd"] <= 0.0:
+            # every remaining point coincides with a chosen seed
+            # (d² is exactly 0 for bit-identical vectors): stop —
+            # further picks would be duplicate seeds that can never
+            # win an argmin tie-break (lower cid wins), so returning
+            # fewer seeds yields the SAME trained means as the SQL
+            # mirror, which unrolls all k steps and lets the empty
+            # duplicate cells drop in the mean update.
+            break
+        seeds.append(nxt)
     sc = ev.sparkSession
     return sc.createDataFrame(
         [(i, list(map(float, s["v"]))) for i, s in enumerate(seeds)],

@@ -1058,12 +1058,26 @@ def ivf_index_retrain(
     CDC-maintained) rewritten to the new cells, and occupancy
     counters rebuilt (a standing retrain advisory clears itself by
     construction). Serve needs no change: it reads whatever centroids
-    are committed. Raw-vector targets only — a PQ target stores
-    codes, not vectors, so its retrain is `ivfpq_index_rebuild` (the
-    same contract, corpus re-read from the caller's system-of-record
-    vectors table). Returns the number of live rows re-assigned."""
+    are committed. ``init``: 'lowest' (the certified default — the k
+    lowest live ids) or 'spread' (farthest-first seeding, the
+    remediation for multi-cluster drift where lowest-id seeding
+    structurally cannot rebalance — SCALE.md r15; certified by
+    `streaming_ann_index_retrain_spread`). Raw-vector targets only —
+    a PQ target stores codes, not vectors, so its retrain is
+    `ivfpq_index_rebuild` (the same contract, corpus re-read from the
+    caller's system-of-record vectors table). Returns the number of
+    live rows re-assigned."""
     import shutil
 
+    if init not in ("lowest", "spread"):
+        # before any I/O or side-effectful maintenance: a bad literal
+        # is known bad at call time
+        raise ValueError(
+            f"ivf_index_retrain: init={init!r} — use 'lowest' (the "
+            "certified default) or 'spread' (farthest-first seeding "
+            "for drifted multi-cluster corpora; see "
+            "operators.kmeans.farthest_first_seeds)"
+        )
     _recover_swap(target_dir)
     _clean_stale_stages(target_dir)
     sweep_orphans(target_dir)
@@ -1104,18 +1118,14 @@ def ivf_index_retrain(
     ev = live.select(id_col, "v").withColumn(
         "vv", V.dot(F.col("v"), F.col("v"))
     )
-    if init not in ("lowest", "spread"):
-        raise ValueError(
-            f"ivf_index_retrain: init={init!r} — use 'lowest' (the "
-            "certified default) or 'spread' (farthest-first seeding "
-            "for drifted multi-cluster corpora; see "
-            "operators.kmeans.farthest_first_seeds)"
-        )
-    seed_df = (
-        farthest_first_seeds(ev, k, id_col=id_col)
-        if init == "spread"
-        else None
-    )
+    if init == "spread":
+        # materialize before seeding: farthest-first makes k-1 argmax
+        # passes, and each would otherwise re-read the vectors store
+        # and recompute the tombstone anti-join from scratch
+        ev = ev.localCheckpoint(eager=True)
+        seed_df = farthest_first_seeds(ev, k, id_col=id_col)
+    else:
+        seed_df = None
     cents = _dense_cids(
         means_to_centroids(
             lloyd_means(ev, k, train_iters, id_col=id_col, init=seed_df)
@@ -1750,8 +1760,12 @@ def ivfpq_index_rebuild(
     are fetched from the source table by an id join.
 
     One atomic swap commits: a fresh coarse quantizer trained on the
-    live corpus (shared Lloyd trainer, init = the k lowest live ids,
-    dense cids — `_dense_cids`), fresh residual codebooks trained on
+    live corpus (shared Lloyd trainer; ``init``: 'lowest' = the k
+    lowest live ids, or 'spread' = farthest-first seeding for
+    multi-cluster drift — the residual codebooks keep the lowest-id
+    init either way, since cell subtraction removes the drift
+    component the coarse stage absorbs; dense cids — `_dense_cids`),
+    fresh residual codebooks trained on
     the live residuals (shared `operators.pq.train_residual_codebooks`
     — the SAME two trainers the bootstrap path uses, so a rebuilt
     index and a from-scratch bootstrap over the live corpus are the
@@ -1778,6 +1792,16 @@ def ivfpq_index_rebuild(
         train_residual_codebooks,
     )
 
+    if init not in ("lowest", "spread"):
+        # before any I/O or side-effectful maintenance: a bad literal
+        # is known bad at call time
+        raise ValueError(
+            f"ivfpq_index_rebuild: init={init!r} — use 'lowest' (the "
+            "certified default) or 'spread' (farthest-first coarse "
+            "seeding for drifted multi-cluster corpora; the residual "
+            "codebooks keep the lowest-id init — cell subtraction "
+            "removes the drift component the coarse stage absorbs)"
+        )
     _recover_swap(target_dir)
     _clean_stale_stages(target_dir)
     sweep_orphans(target_dir)
@@ -1847,19 +1871,13 @@ def ivfpq_index_rebuild(
             "would drop trailing dimensions; fix the source table"
         )
     ev = live.withColumn("vv", V.dot(F.col("v"), F.col("v")))
-    if init not in ("lowest", "spread"):
-        raise ValueError(
-            f"ivfpq_index_rebuild: init={init!r} — use 'lowest' (the "
-            "certified default) or 'spread' (farthest-first coarse "
-            "seeding for drifted multi-cluster corpora; the residual "
-            "codebooks keep the lowest-id init — cell subtraction "
-            "removes the drift component the coarse stage absorbs)"
-        )
-    seed_df = (
-        farthest_first_seeds(ev, k, id_col=id_col)
-        if init == "spread"
-        else None
-    )
+    if init == "spread":
+        # materialize before seeding: k-1 argmax passes would
+        # otherwise each re-run the source join from scratch
+        ev = ev.localCheckpoint(eager=True)
+        seed_df = farthest_first_seeds(ev, k, id_col=id_col)
+    else:
+        seed_df = None
     cents = _dense_cids(
         means_to_centroids(
             lloyd_means(ev, k, train_iters, id_col=id_col, init=seed_df)

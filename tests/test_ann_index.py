@@ -1357,7 +1357,7 @@ def test_ivfpq_index_rebuild_spread_rebalances_clustered_drift(
         ivfpq_index_rebuild,
     )
 
-    dim, per, k = 64, 100, 8
+    dim, per = 64, 100  # cell count comes from _pq_run's k_cells=8
     rows = []
     for c in range(4):
         for i in range(per):
@@ -1389,3 +1389,31 @@ def test_ivfpq_index_rebuild_spread_rebalances_clustered_drift(
     assert all(n < per for _, n, _ in got), "neighbors crossed clusters"
     with pytest.raises(ValueError, match="init="):
         ivfpq_index_rebuild(spark, target, ev, init="random")
+
+
+def test_farthest_first_seeds_edge_cases(spark):
+    """Empty corpus raises with a diagnostic; k exceeding the distinct
+    point count stops early instead of fabricating duplicate seeds
+    (duplicate centroids can never win an argmin tie-break, so fewer
+    seeds train the same means the full-k SQL mirror does)."""
+    from epe_data_wrangling_spark.functions import vectors as V
+    from epe_data_wrangling_spark.operators.kmeans import (
+        farthest_first_seeds,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id BIGINT, v ARRAY<DOUBLE>, vv DOUBLE"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        farthest_first_seeds(empty, 4)
+    # 3 distinct points (one duplicated), k=8 -> exactly 3 seeds
+    ev = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [9.0, 0.0]), (2, [0.0, 9.0]),
+         (3, [0.0, 0.0])],
+        "vec_id BIGINT, v ARRAY<DOUBLE>",
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    seeds = farthest_first_seeds(ev, 8).collect()
+    assert len(seeds) == 3
+    assert sorted(tuple(s["c"]) for s in seeds) == [
+        (0.0, 0.0), (0.0, 9.0), (9.0, 0.0)
+    ]

@@ -262,11 +262,11 @@ def main() -> None:
                     "'spread' (farthest-first — the drifted-corpus "
                     "remediation)")
     ap.add_argument("--retrain-iters", type=int, default=2,
-                    help="Lloyd iterations for --remediate (the "
-                    "deterministic lowest-id init seeds in the OLDEST "
-                    "cluster, so gradual multi-cluster drift needs "
-                    "more iterations to migrate seeds than the "
-                    "bootstrap's 2)")
+                    help="Lloyd iterations for --remediate (measured "
+                    "r15: iterations are NOT the drift lever — with "
+                    "--retrain-init lowest, 8 iters ≈ 2 because Lloyd "
+                    "cannot migrate a seed across a cluster gap; the "
+                    "lever is --retrain-init spread)")
     args = ap.parse_args()
     spark = get_spark("ann_index_scale")
     spark.sparkContext.setLogLevel("ERROR")
