@@ -693,3 +693,128 @@ def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("r_vec"),
     )
     return _rrf_fuse(lex, vec)
+
+import math as _math  # noqa: E402
+
+RQ_NQ = 20    #: queries evaluated by retrieval_quality_report
+RQ_K = 5      #: depth of both the truth and candidate lists
+RQ_PROBE = 4  #: probed cells of the evaluated IVF path
+#: position weights, staged to exact integers ONCE in Python and
+#: inlined as literals on BOTH engines — log2 is libm-dependent in the
+#: last ulp, so neither engine computes it at query time
+RQ_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, RQ_K + 1)]
+RQ_RR_W = [round(1e9 / i) for i in range(1, RQ_K + 1)]
+RQ_IDCG = sum(RQ_DCG_W)
+
+
+def _retrieval_quality_oracle() -> str:
+    """DuckDB mirror of `retrieval_quality_report`: exact-cosine
+    top-{RQ_K} ground truth, the shared trained-IVF probe chain as
+    the candidate list, binary relevance, MRR and mean NDCG@{RQ_K}
+    aggregated through exact BIGINT sums (one double division each at
+    the very end). NOT yet registered — r16 window candidate; the
+    pytest `test_retrieval_quality_report_matches_duckdb` runs this
+    differential every round meanwhile."""
+    from epe_data_wrangling_spark.catalog.mlprep_q import (
+        _trained_ivf_ctes,
+    )
+
+    cos_qa = D.cosine("p.qv", "a.vv")
+    dcg_w = ", ".join(str(w) for w in RQ_DCG_W)
+    rr_w = ", ".join(str(w) for w in RQ_RR_W)
+    return f"""
+    WITH {_trained_ivf_ctes(RQ_NQ, RQ_PROBE)},
+    approx AS (SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.vid AS neighbor_id,
+             CAST(row_number() OVER (PARTITION BY p.query_id
+               ORDER BY {cos_qa} DESC, a.vid) AS INTEGER) AS rank
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id <> a.vid) t
+    WHERE rank <= {RQ_K}),
+    ed AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {D.cosine('q.v', 'c.v')} AS cos_sim
+           FROM e q JOIN e c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < {RQ_NQ}),
+    exact AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM ed) t WHERE rank <= {RQ_K}),
+    scored AS (SELECT a.query_id, a.rank,
+                      CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+               FROM approx a LEFT JOIN exact x
+                 ON a.query_id = x.query_id
+                AND a.neighbor_id = x.neighbor_id),
+    per_q AS (SELECT query_id,
+                     SUM(rel * list_extract(CAST([{dcg_w}] AS BIGINT[]),
+                                            rank)) AS dcg_r,
+                     MAX(rel * list_extract(CAST([{rr_w}] AS BIGINT[]),
+                                            rank)) AS rr_r
+              FROM scored GROUP BY query_id)
+    SELECT 'ivf_trained' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           round(CAST(SUM(rr_r) AS DOUBLE)
+                 / (COUNT(*) * 1000000000.0), 6) AS mrr,
+           round(CAST(SUM(dcg_r) AS DOUBLE)
+                 / (COUNT(*) * {RQ_IDCG}.0), 6) AS mean_ndcg
+    FROM per_q
+    """
+
+
+def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality accounting for the served ANN path — the
+    position-aware complement to `ann_recall_report`: MRR and mean
+    binary NDCG@{RQ_K} of the trained-IVF serve chain
+    (probe {RQ_PROBE}/{KMEANS_K}) against the exact-cosine
+    top-{RQ_K} ground truth over the first {RQ_NQ} queries. Both
+    metrics aggregate through EXACT integer arithmetic: the position
+    weights 1/log2(rank+1) and 1/rank are staged to BIGINT once in
+    Python and inlined as the same literals on both engines (log2 is
+    libm-dependent in the last ulp), per-query DCG/RR are integer
+    sums, and each metric performs exactly one double division at the
+    end — so the report is hash-certifiable, not just approximately
+    comparable. Scale: the truth leg is the exact top-k (the
+    expensive part — run it on an evaluation SAMPLE at 100 TB, which
+    is what every production recall dashboard does); the candidate
+    leg reads ~{RQ_PROBE}/{KMEANS_K} of the corpus."""
+    exact = S.brute_topk(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < RQ_NQ
+        ),
+        load_table(spark, sf_dir, "embeddings"),
+        vec_col="embedding", id_col="vec_id", k=RQ_K,
+    ).select("query_id", "neighbor_id")
+    from epe_data_wrangling_spark.catalog.mlprep_q import trained_ivf_topk
+
+    approx = trained_ivf_topk(
+        spark, sf_dir, nq=RQ_NQ, probe=RQ_PROBE, k=RQ_K
+    ).select("query_id", "neighbor_id", "rank")
+    dcg_w = F.element_at(
+        F.array(*[F.lit(w) for w in RQ_DCG_W]), F.col("rank")
+    )
+    rr_w = F.element_at(
+        F.array(*[F.lit(w) for w in RQ_RR_W]), F.col("rank")
+    )
+    scored = approx.join(
+        exact.withColumn("rel", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(F.col("rel") * dcg_w).alias("dcg_r"),
+        F.max(F.col("rel") * rr_w).alias("rr_r"),
+    )
+    return per_q.agg(
+        F.lit("ivf_trained").alias("method"),
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(
+            F.sum("rr_r").cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e9)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.sum("dcg_r").cast("double")
+            / (F.count(F.lit(1)) * F.lit(float(RQ_IDCG))),
+            6,
+        ).alias("mean_ndcg"),
+    )

@@ -74,3 +74,33 @@ def test_arrow_rank_gap_witness(spark):
             f"{sf_dir}: adjacent exact-score gap {gaps['min_gap']} too "
             "small — rank-level certification of the arrow twin unsafe"
         )
+
+
+def test_retrieval_quality_report_matches_duckdb(spark):
+    """The unregistered retrieval-quality operator (MRR + mean binary
+    NDCG@k of the trained-IVF serve path vs exact ground truth) must
+    match its DuckDB oracle EXACTLY — the same differential the driver
+    would run; registration is an r16 window candidate. Exactness
+    holds because the position weights are Python-staged BIGINT
+    literals on both engines and each metric divides once at the
+    end."""
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.similarity_q import (
+        _retrieval_quality_oracle,
+        retrieval_quality_report,
+    )
+
+    got = retrieval_quality_report(spark, SF_DIR).collect()
+    assert len(got) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = con.execute(_retrieval_quality_oracle()).fetchall()
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert (g.method, g.n_queries, g.mrr, g.mean_ndcg) == tuple(w)
+    # sanity: the IVF path finds the true top-1 for most queries
+    assert g.mrr > 0.8 and 0.5 < g.mean_ndcg <= 1.0
