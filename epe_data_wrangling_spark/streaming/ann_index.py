@@ -1962,3 +1962,54 @@ def ivfpq_index_rebuild(
         json.dump(new_meta, f)
     _atomic_swap(stage, target_dir, batch_id)
     return n_rows
+
+def ann_index_maintain(
+    spark, target_dir: str, vectors: DataFrame | None = None, *,
+    init: str = "spread", train_iters: int = 2,
+) -> dict:
+    """The drift loop as ONE operational call — measure → warn →
+    remediate, dispatched from the committed meta: if the target's
+    last commit carries the occupancy advisory (`_occupancy_meta`),
+    run the remediation that fits the index form — `ivf_index_retrain`
+    for raw-vector targets (default ``init='spread'``: the advisory
+    fires on drifted corpora, exactly where lowest-id seeding cannot
+    rebalance — SCALE.md r15), `ivfpq_index_rebuild` for PQ targets
+    (requires ``vectors``, the system-of-record table; refuses with
+    the actionable message otherwise). A healthy target is a NO-OP —
+    safe to call after every ingestion cycle; the corpus-sized work
+    runs only when the free per-batch signal says drift warrants it.
+    Returns {"action": "none"|"retrain"|"rebuild", "rows": n,
+    "skew_before": s, "skew_after": s'}."""
+    meta = _read_sink_meta(target_dir)
+    warning = meta.get("occupancy_warning")
+    if warning is None:
+        return {
+            "action": "none",
+            "rows": 0,
+            "skew_before": meta.get("occupancy_skew"),
+            "skew_after": meta.get("occupancy_skew"),
+        }
+    if meta.get("pq_layout"):
+        if vectors is None:
+            raise RuntimeError(
+                "ann_index_maintain: the PQ target's advisory is firing "
+                "but no system-of-record vectors table was passed — the "
+                "codes store holds no vectors, so the rebuild needs "
+                "vectors=<the table serve-time re-rank already reads>"
+            )
+        n = ivfpq_index_rebuild(
+            spark, target_dir, vectors, init=init, train_iters=train_iters
+        )
+        action = "rebuild"
+    else:
+        n = ivf_index_retrain(
+            spark, target_dir, init=init, train_iters=train_iters
+        )
+        action = "retrain"
+    new_meta = _read_sink_meta(target_dir)
+    return {
+        "action": action,
+        "rows": n,
+        "skew_before": warning["skew"],
+        "skew_after": new_meta.get("occupancy_skew"),
+    }

@@ -1417,3 +1417,66 @@ def test_farthest_first_seeds_edge_cases(spark):
     assert sorted(tuple(s["c"]) for s in seeds) == [
         (0.0, 0.0), (0.0, 9.0), (9.0, 0.0)
     ]
+
+
+def test_ann_index_maintain_dispatches_the_drift_loop(spark, tmp_path):
+    """`ann_index_maintain` is the loop as one call: no-op on a
+    healthy target, spread-retrain on a raw target whose advisory
+    fires (clearing it), actionable refusal on a PQ target without
+    the system-of-record table, rebuild with it."""
+    import json
+
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ann_index_maintain,
+    )
+
+    dim, per = 8, 100
+    rows = []
+    for c in range(4):
+        for i in range(per):
+            rows.append((c * per + i, [10.0 * c + 0.01 * (i % 7)] * dim))
+    e = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    # raw target, advisory forced by a low warn_skew at bootstrap
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(e, landing, "g1.parquet", 1)
+    ivf_index_foreach_batch(
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+        target, k_cells=8, train_iters=2, warn_skew=1.5,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert "occupancy_warning" in meta  # lowest-id bootstrap skewed it
+    out = ann_index_maintain(spark, target)
+    assert out["action"] == "retrain" and out["rows"] == len(rows)
+    assert out["skew_after"] < 2.0 < out["skew_before"]
+    # healthy now -> no-op (retrain rebuilds occupancy with the
+    # DEFAULT threshold, clearing the tuned advisory)
+    again = ann_index_maintain(spark, target)
+    assert again["action"] == "none" and again["rows"] == 0
+    # PQ target: refusal without the source table, rebuild with it
+    dim64 = spark.createDataFrame(
+        [(i, [10.0 * (i // per) + 0.01 * (i % 7)] * 64)
+         for i in range(4 * per)],
+        "vec_id BIGINT, embedding ARRAY<FLOAT>",
+    )
+    pq_land = str(tmp_path / "pq_land")
+    pq_target = str(tmp_path / "pq_state")
+    _land(dim64, pq_land, "g1.parquet", 1)
+    ivfpq_index_foreach_batch(
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(pq_land),
+        pq_target, k_cells=8, train_iters=2, pq_m=4, pq_sub=16, cbk=32,
+        warn_skew=1.5, checkpoint_dir=str(tmp_path / "pq_ck"),
+    )
+    with pytest.raises(RuntimeError, match="system-of-record"):
+        ann_index_maintain(spark, pq_target)
+    ev = dim64.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = ann_index_maintain(spark, pq_target, vectors=ev)
+    assert out["action"] == "rebuild" and out["rows"] == 4 * per
+    assert out["skew_after"] < 2.0
