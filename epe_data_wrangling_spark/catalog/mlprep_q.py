@@ -272,18 +272,32 @@ def _trained_ivf_ctes(nq: int, probe: int) -> str:
       WHERE rn <= {probe})"""
 
 
-def _ivf_trained_oracle() -> str:
+def _trained_ivf_ranked_sql(
+    k: int, id_as: str = "neighbor_id", rank_as: str = "rank",
+    with_cos: bool = False,
+) -> str:
+    """Ranked-candidate tail over `_trained_ivf_ctes`'s ``probes`` ×
+    ``assigned`` (self-excluded, cosine DESC with id tie-break,
+    top-``k``) — the serve list exists once, like the probe chain, so
+    its three oracle consumers (`_ivf_trained_oracle`, similarity_q's
+    hybrid-IVF vector leg and retrieval-quality candidate list)
+    cannot drift from the certified served path."""
     cos_qa = D.cosine("p.qv", "a.vv")
-    return f"""
-    WITH {_trained_ivf_ctes(IVF_TRAINED_NQ, IVF_TRAINED_PROBE)}
-    SELECT query_id, neighbor_id, rank, cos_sim FROM (
-      SELECT p.query_id, a.vid AS neighbor_id,
-             {cos_qa} AS cos_sim,
+    cos_col = f",\n             {cos_qa} AS cos_sim" if with_cos else ""
+    cos_out = ", cos_sim" if with_cos else ""
+    return f"""SELECT query_id, {id_as}, {rank_as}{cos_out} FROM (
+      SELECT p.query_id, a.vid AS {id_as}{cos_col},
              CAST(row_number() OVER (PARTITION BY p.query_id
-               ORDER BY {cos_qa} DESC, a.vid) AS INTEGER) AS rank
+               ORDER BY {cos_qa} DESC, a.vid) AS INTEGER) AS {rank_as}
       FROM probes p JOIN assigned a USING (cell)
       WHERE p.query_id <> a.vid) t
-    WHERE rank <= {IVF_TRAINED_K}
+    WHERE {rank_as} <= {k}"""
+
+
+def _ivf_trained_oracle() -> str:
+    return f"""
+    WITH {_trained_ivf_ctes(IVF_TRAINED_NQ, IVF_TRAINED_PROBE)}
+    {_trained_ivf_ranked_sql(IVF_TRAINED_K, with_cos=True)}
     """
 
 

@@ -645,21 +645,15 @@ def _hybrid_ivf_oracle() -> str:
     shared trained-IVF probe chain (mlprep_q._trained_ivf_ctes — the
     SAME chain ann_ivf_trained_topk certifies), a cosine rank list
     over the probed cells, and the shared RRF tail."""
-    from epe_data_wrangling_spark.catalog.mlprep_q import _trained_ivf_ctes
+    from epe_data_wrangling_spark.catalog.mlprep_q import (
+        _trained_ivf_ctes,
+        _trained_ivf_ranked_sql,
+    )
 
-    cos_qa = D.cosine("p.qv", "a.vv")
     return f"""
     WITH {_lex_ctes()},
     {_trained_ivf_ctes(HYB_NQ, HYB_IVF_PROBE)},
-    vd AS (SELECT p.query_id, a.vid AS doc_id,
-                  {cos_qa} AS cos_sim
-           FROM probes p JOIN assigned a USING (cell)
-           WHERE p.query_id <> a.vid),
-    vec AS (SELECT query_id, doc_id, r FROM (
-              SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                       ORDER BY cos_sim DESC, doc_id) AS r
-              FROM vd) x WHERE r <= {HYB_L}),
+    vec AS ({_trained_ivf_ranked_sql(HYB_L, id_as="doc_id", rank_as="r")}),
     {_rrf_tail()}
     """
 
@@ -717,20 +711,14 @@ def _retrieval_quality_oracle() -> str:
     differential every round meanwhile."""
     from epe_data_wrangling_spark.catalog.mlprep_q import (
         _trained_ivf_ctes,
+        _trained_ivf_ranked_sql,
     )
 
-    cos_qa = D.cosine("p.qv", "a.vv")
     dcg_w = ", ".join(str(w) for w in RQ_DCG_W)
     rr_w = ", ".join(str(w) for w in RQ_RR_W)
     return f"""
     WITH {_trained_ivf_ctes(RQ_NQ, RQ_PROBE)},
-    approx AS (SELECT query_id, neighbor_id, rank FROM (
-      SELECT p.query_id, a.vid AS neighbor_id,
-             CAST(row_number() OVER (PARTITION BY p.query_id
-               ORDER BY {cos_qa} DESC, a.vid) AS INTEGER) AS rank
-      FROM probes p JOIN assigned a USING (cell)
-      WHERE p.query_id <> a.vid) t
-    WHERE rank <= {RQ_K}),
+    approx AS ({_trained_ivf_ranked_sql(RQ_K)}),
     ed AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   {D.cosine('q.v', 'c.v')} AS cos_sim
            FROM e q JOIN e c ON q.vec_id <> c.vec_id
@@ -752,11 +740,12 @@ def _retrieval_quality_oracle() -> str:
                                             rank)) AS rr_r
               FROM scored GROUP BY query_id)
     SELECT 'ivf_trained' AS method,
-           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST({RQ_NQ} AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_answered,
            round(CAST(SUM(rr_r) AS DOUBLE)
-                 / (COUNT(*) * 1000000000.0), 6) AS mrr,
+                 / ({RQ_NQ} * 1000000000.0), 6) AS mrr,
            round(CAST(SUM(dcg_r) AS DOUBLE)
-                 / (COUNT(*) * {RQ_IDCG}.0), 6) AS mean_ndcg
+                 / ({RQ_NQ} * {RQ_IDCG}.0), 6) AS mean_ndcg
     FROM per_q
     """
 
@@ -804,17 +793,21 @@ def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("rel") * dcg_w).alias("dcg_r"),
         F.max(F.col("rel") * rr_w).alias("rr_r"),
     )
+    # divide by the FULL evaluated query count, not the answered one:
+    # a query whose probed cells yield no candidates is a retrieval
+    # failure (implicit RR = DCG = 0) and must penalize the mean —
+    # n_answered < n_queries is the visible tell
     return per_q.agg(
         F.lit("ivf_trained").alias("method"),
-        F.count(F.lit(1)).alias("n_queries"),
+        F.lit(RQ_NQ).cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_answered"),
         F.round(
-            F.sum("rr_r").cast("double")
-            / (F.count(F.lit(1)) * F.lit(1e9)),
+            F.sum("rr_r").cast("double") / (F.lit(RQ_NQ) * F.lit(1e9)),
             6,
         ).alias("mrr"),
         F.round(
             F.sum("dcg_r").cast("double")
-            / (F.count(F.lit(1)) * F.lit(float(RQ_IDCG))),
+            / (F.lit(RQ_NQ) * F.lit(float(RQ_IDCG))),
             6,
         ).alias("mean_ndcg"),
     )

@@ -1039,6 +1039,7 @@ ivfpq_index_vacuum = ivf_index_vacuum
 def ivf_index_retrain(
     spark, target_dir: str, *, k_cells: int | None = None,
     train_iters: int = 2, init: str = "lowest",
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
 ) -> int:
     """Re-train the coarse quantizer on the CURRENT live corpus and
     re-assign every live row — the remediation the occupancy-skew
@@ -1191,7 +1192,7 @@ def ivf_index_retrain(
     new_meta.pop("occupancy_warning", None)
     new_meta.pop("occupancy_skew", None)
     new_meta.pop("cell_counts", None)
-    new_meta.update(_occupancy_meta(None, new_counts))
+    new_meta.update(_occupancy_meta(None, new_counts, warn_skew=warn_skew))
     with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
         json.dump(new_meta, f)
     _atomic_swap(stage, target_dir, batch_id)
@@ -1748,6 +1749,7 @@ def ivfpq_index_rebuild(
     spark, target_dir: str, vectors: DataFrame, *,
     id_col: str = "vec_id", k_cells: int | None = None,
     train_iters: int = 2, init: str = "lowest",
+    warn_skew: float = OCCUPANCY_SKEW_WARN,
 ) -> int:
     """Drift remediation for the PQ-CODED index — the rebuild
     `ivf_index_retrain` points PQ targets at: the codes store holds no
@@ -1957,7 +1959,9 @@ def ivfpq_index_rebuild(
     new_meta.pop("occupancy_warning", None)
     new_meta.pop("occupancy_skew", None)
     new_meta.pop("cell_counts", None)
-    new_meta.update(_occupancy_meta(None, delta_counts))
+    new_meta.update(
+        _occupancy_meta(None, delta_counts, warn_skew=warn_skew)
+    )
     with open(os.path.join(stage, "_ivm_meta.json"), "w") as f:
         json.dump(new_meta, f)
     _atomic_swap(stage, target_dir, batch_id)
@@ -1979,8 +1983,24 @@ def ann_index_maintain(
     safe to call after every ingestion cycle; the corpus-sized work
     runs only when the free per-batch signal says drift warrants it.
     Returns {"action": "none"|"retrain"|"rebuild", "rows": n,
-    "skew_before": s, "skew_after": s'}."""
+    "skew_before": s, "skew_after": s'}. The remediation rebuilds the
+    occupancy advisory against the TUNED threshold the firing
+    advisory carried (``warning["threshold"]``), not the module
+    default — so a target whose sink warns at 1.5 stays held to 1.5
+    through the loop."""
+    # the recovery contract every entry point honors: a crash between
+    # the two renames of a prior _atomic_swap leaves the committed
+    # state in <target>.old-N — reading meta without recovering first
+    # would report a half-swapped index as a healthy virgin sink
+    _recover_swap(target_dir)
     meta = _read_sink_meta(target_dir)
+    store = "codes" if meta.get("pq_layout") else "vectors"
+    if not store_has_files(read_manifest(target_dir, store)):
+        # refuse loudly like the sibling entry points: a typo'd path
+        # in a maintenance loop must not report 'healthy' forever
+        raise RuntimeError(
+            f"ann_index_maintain: no committed index at {target_dir}"
+        )
     warning = meta.get("occupancy_warning")
     if warning is None:
         return {
@@ -1989,6 +2009,7 @@ def ann_index_maintain(
             "skew_before": meta.get("occupancy_skew"),
             "skew_after": meta.get("occupancy_skew"),
         }
+    tuned = float(warning.get("threshold", OCCUPANCY_SKEW_WARN))
     if meta.get("pq_layout"):
         if vectors is None:
             raise RuntimeError(
@@ -1998,12 +2019,14 @@ def ann_index_maintain(
                 "vectors=<the table serve-time re-rank already reads>"
             )
         n = ivfpq_index_rebuild(
-            spark, target_dir, vectors, init=init, train_iters=train_iters
+            spark, target_dir, vectors, init=init,
+            train_iters=train_iters, warn_skew=tuned,
         )
         action = "rebuild"
     else:
         n = ivf_index_retrain(
-            spark, target_dir, init=init, train_iters=train_iters
+            spark, target_dir, init=init, train_iters=train_iters,
+            warn_skew=tuned,
         )
         action = "retrain"
     new_meta = _read_sink_meta(target_dir)

@@ -101,6 +101,9 @@ def test_retrieval_quality_report_matches_duckdb(spark):
     want = con.execute(_retrieval_quality_oracle()).fetchall()
     assert len(want) == 1
     g, w = got[0], want[0]
-    assert (g.method, g.n_queries, g.mrr, g.mean_ndcg) == tuple(w)
+    assert (
+        g.method, g.n_queries, g.n_answered, g.mrr, g.mean_ndcg
+    ) == tuple(w)
+    assert g.n_answered == g.n_queries  # every query found candidates here
     # sanity: the IVF path finds the true top-1 for most queries
     assert g.mrr > 0.8 and 0.5 < g.mean_ndcg <= 1.0
