@@ -3538,6 +3538,15 @@ def streaming_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
     one deliberately corpus-sized op in the PQ index family, run at
     drift cadence; the source-table read is an id-join (live-ids ×
     vector row lookup), and everything else stays delta-sized."""
+    return _rebuild_run(spark, sf_dir, "lowest")
+
+
+def _rebuild_run(spark: SparkSession, sf_dir: str, init: str) -> DataFrame:
+    """Shared body of the PQ rebuild certifications (the lowest-id
+    one above and the spread variant staged for r16): land the I/U/D
+    change plan, rebuild the PQ target from the system-of-record
+    vectors table with the given coarse seeding, serve from the NEW
+    cells with NEW ADC tables."""
     import os
     import shutil
     import tempfile
@@ -3576,7 +3585,7 @@ def streaming_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
         vectors = live.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
-        n = ivfpq_index_rebuild(spark, target, vectors)
+        n = ivfpq_index_rebuild(spark, target, vectors, init=init)
         if n <= 0:
             raise RuntimeError(
                 "ivfpq_index_rebuild: rebuild re-encoded 0 rows"
@@ -3595,3 +3604,32 @@ def streaming_ivfpq_index_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _ivfpq_index_rebuild_spread_oracle() -> str:
+    """`_ivfpq_index_rebuild_oracle` with the coarse Lloyd init
+    swapped for the unrolled farthest-first chain — the r16
+    registration candidate's oracle, already differentially verified
+    every round by tests/test_ann_index.py::
+    test_ivfpq_rebuild_spread_matches_duckdb."""
+    return _ivfpq_index_oracle(
+        corpus="lvv",
+        coarse=_gen1_coarse_ctes(
+            after_e=_live_corpus_ctes(),
+            train_sql="SELECT vec_id, v, vv FROM lvv",
+            init_ctes=_spread_init_ctes(AIDX_CELLS),
+        ),
+        train_is_corpus=True,
+    )
+
+
+def ivfpq_index_rebuild_spread_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNREGISTERED r16 candidate: `streaming_ivfpq_index_rebuild`
+    with farthest-first coarse seeding (`init='spread'`) — the PQ
+    analogue of the certified `streaming_ann_index_retrain_spread`.
+    Registration needs only a window slot + the `@query` decorator
+    with `_ivfpq_index_rebuild_spread_oracle`; the differential runs
+    as a pytest meanwhile."""
+    return _rebuild_run(spark, sf_dir, "spread")

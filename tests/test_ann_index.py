@@ -1480,3 +1480,33 @@ def test_ann_index_maintain_dispatches_the_drift_loop(spark, tmp_path):
     out = ann_index_maintain(spark, pq_target, vectors=ev)
     assert out["action"] == "rebuild" and out["rows"] == 4 * per
     assert out["skew_after"] < 2.0
+
+
+def test_ivfpq_rebuild_spread_matches_duckdb(spark):
+    """The r16 registration candidate's full differential, run every
+    round meanwhile: the PQ rebuild with farthest-first coarse seeding
+    must hash-match (here: exact row-set match) the from-scratch
+    DuckDB recompute whose coarse init unrolls the same traversal and
+    whose both stages train on the live corpus."""
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _ivfpq_index_rebuild_spread_oracle,
+        ivfpq_index_rebuild_spread_query,
+    )
+
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.l2_dist)
+        for r in ivfpq_index_rebuild_spread_query(spark, SF_DIR).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in
+        con.execute(_ivfpq_index_rebuild_spread_oracle()).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
