@@ -706,9 +706,9 @@ def _retrieval_quality_oracle() -> str:
     top-{RQ_K} ground truth, the shared trained-IVF probe chain as
     the candidate list, binary relevance, MRR and mean NDCG@{RQ_K}
     aggregated through exact BIGINT sums (one double division each at
-    the very end). NOT yet registered — r16 window candidate; the
-    pytest `test_retrieval_quality_report_matches_duckdb` runs this
-    differential every round meanwhile."""
+    the very end). Registered r16; the pytest
+    `test_retrieval_quality_report_matches_duckdb` runs the same
+    differential every round."""
     from epe_data_wrangling_spark.catalog.mlprep_q import (
         _trained_ivf_ctes,
         _trained_ivf_ranked_sql,
@@ -750,6 +750,7 @@ def _retrieval_quality_oracle() -> str:
     """
 
 
+@query("retrieval_quality_report", oracle=_retrieval_quality_oracle())
 def retrieval_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality accounting for the served ANN path — the
     position-aware complement to `ann_recall_report`: MRR and mean

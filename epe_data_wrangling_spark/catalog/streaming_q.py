@@ -16,13 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
 from epe_data_wrangling_spark.streaming import ops
+from epe_data_wrangling_spark.streaming.ops import STREAM_TIMEOUT_SEC
 from epe_data_wrangling_spark.streaming.sources import stream_events
 
 QUERIES: dict[str, CatalogQuery] = {}
 query = make_registrar(QUERIES)
 
 
-def _await_or_stop(q, tag: str, timeout_sec: int = 300) -> None:
+def _await_or_stop(q, tag: str, timeout_sec: int = STREAM_TIMEOUT_SEC) -> None:
     """`awaitTermination` with the return value CHECKED — the idiom
     `streaming.ops._run_foreach_batch` uses, shared by the catalog
     queries that drive a query handle directly: a hung stream must
@@ -3608,10 +3609,9 @@ def _rebuild_run(spark: SparkSession, sf_dir: str, init: str) -> DataFrame:
 
 def _ivfpq_index_rebuild_spread_oracle() -> str:
     """`_ivfpq_index_rebuild_oracle` with the coarse Lloyd init
-    swapped for the unrolled farthest-first chain — the r16
-    registration candidate's oracle, already differentially verified
-    every round by tests/test_ann_index.py::
-    test_ivfpq_rebuild_spread_matches_duckdb."""
+    swapped for the unrolled farthest-first chain — registered r16;
+    the same differential also runs every round as
+    tests/test_ann_index.py::test_ivfpq_rebuild_spread_matches_duckdb."""
     return _ivfpq_index_oracle(
         corpus="lvv",
         coarse=_gen1_coarse_ctes(
@@ -3623,13 +3623,24 @@ def _ivfpq_index_rebuild_spread_oracle() -> str:
     )
 
 
+@query(
+    "streaming_ivfpq_index_rebuild_spread",
+    oracle=_ivfpq_index_rebuild_spread_oracle(),
+)
 def ivfpq_index_rebuild_spread_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """UNREGISTERED r16 candidate: `streaming_ivfpq_index_rebuild`
-    with farthest-first coarse seeding (`init='spread'`) — the PQ
-    analogue of the certified `streaming_ann_index_retrain_spread`.
-    Registration needs only a window slot + the `@query` decorator
-    with `_ivfpq_index_rebuild_spread_oracle`; the differential runs
-    as a pytest meanwhile."""
+    """`streaming_ivfpq_index_rebuild` with farthest-first coarse
+    seeding (`init='spread'`) — the PQ analogue of
+    `streaming_ann_index_retrain_spread`, completing the remediation
+    matrix (raw/PQ × lowest/spread): on a drifted multi-cluster
+    corpus the lowest-id coarse seeds are all born in the OLDEST
+    cluster and plain Lloyd cannot migrate them, so the PQ rebuild
+    needs the same Gonzalez traversal the raw retrain got (measured
+    rebalance: tests/test_ann_index.py::
+    test_ivfpq_index_rebuild_spread_rebalances_clustered_drift).
+    The oracle unrolls the identical k-step farthest-first seed
+    selection, trains BOTH frozen stages on the live corpus, and
+    re-encodes + serves via ADC + exact re-rank. Scale: seeding adds
+    k−1 corpus scans at rebuild cadence — never on the ingest path."""
     return _rebuild_run(spark, sf_dir, "spread")

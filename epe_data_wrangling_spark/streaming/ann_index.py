@@ -96,6 +96,7 @@ from epe_data_wrangling_spark.streaming.manifest import (
     write_store_delta,
 )
 from epe_data_wrangling_spark.streaming.ops import (
+    STREAM_TIMEOUT_SEC,
     _atomic_swap,
     _batch_provenance,
     _clean_stale_stages,
@@ -296,7 +297,7 @@ def ivf_index_foreach_batch(
     train_iters: int = 2,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
     adopt: bool = False,
-    timeout_sec: int = 300,
+    timeout_sec: int = STREAM_TIMEOUT_SEC,
     checkpoint_dir: str | None = None,
 ) -> None:
     """Maintain the IVF index at ``target_dir`` from an append-only
@@ -790,7 +791,7 @@ def ivf_index_changes_foreach_batch(
     loc_buckets: int = 32,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
     adopt: bool = False,
-    timeout_sec: int = 300,
+    timeout_sec: int = STREAM_TIMEOUT_SEC,
     checkpoint_dir: str | None = None,
 ) -> None:
     """Maintain the IVF index from a CHANGE stream — rows
@@ -1228,7 +1229,7 @@ def ivfpq_index_foreach_batch(
     cbk: int = 32,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
     adopt: bool = False,
-    timeout_sec: int = 300,
+    timeout_sec: int = STREAM_TIMEOUT_SEC,
     checkpoint_dir: str | None = None,
 ) -> None:
     """PQ-coded twin of `ivf_index_foreach_batch` — the
@@ -1558,7 +1559,7 @@ def ivfpq_index_changes_foreach_batch(
     loc_buckets: int = 32,
     warn_skew: float = OCCUPANCY_SKEW_WARN,
     adopt: bool = False,
-    timeout_sec: int = 300,
+    timeout_sec: int = STREAM_TIMEOUT_SEC,
     checkpoint_dir: str | None = None,
 ) -> None:
     """CDC form of the PQ-coded index — `ivf_index_changes_foreach_

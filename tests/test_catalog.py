@@ -60,6 +60,13 @@ RECERTIFY: set[str] = {
     # r15: 14 rounds of deliberate `err: no_oracle` rows; the fix is
     # the rank-level oracle + pinned gap witness (see ROWS_ONLY note)
     "ann_cosine_topk_arrow",
+    # r15 red: TimeoutError after 300 s in the change-batch LANDING
+    # stream on a ~2× noisy driver host (the round's probe readings
+    # failed BASELINE.md's own dispersion gate) — machinery identical
+    # to streaming_ann_index_retrain, hash-green in r14. The fix is
+    # the ambient-aware STREAM_TIMEOUT_SEC default (900 s,
+    # streaming/ops.py) replacing every fixed 300 s literal.
+    "streaming_ann_index_retrain_spread",
 }
 #: Historical recerts (kept for the red-row evidence check below):
 #: variant_shred_events (r4 canonical-JSON red), xml_source_nations
