@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from epe_data_wrangling_spark.catalog import CatalogQuery, make_registrar
+from epe_data_wrangling_spark.operators.kmeans import SPREAD_SAMPLE_CAP
 from epe_data_wrangling_spark.streaming import ops
 from epe_data_wrangling_spark.streaming.ops import STREAM_TIMEOUT_SEC
 from epe_data_wrangling_spark.streaming.sources import stream_events
@@ -2684,23 +2685,32 @@ AIDX_PROBE = 4   #: probed cells per query
 AIDX_K = 3       #: neighbors per query
 
 
-def _spread_init_ctes(k: int) -> str:
+def _spread_init_ctes(k: int, sample_cap: int = SPREAD_SAMPLE_CAP) -> str:
     """Unrolled FARTHEST-FIRST seeding over ``tv`` (the Gonzalez
     traversal `operators.kmeans.farthest_first_seeds` runs Spark-side,
-    step for step): fs0 = the lowest id's row; fs(i) = the row
-    maximizing its accumulated min dist² to fs0..fs(i-1) (ties by
-    lowest id), the min accumulated pairwise via LEAST exactly as
-    Spark's flat F.least (min is exact, so flat vs chained agree
-    bit-for-bit). Ends at ``c0l`` (cid = pick order, c) — a drop-in
-    replacement for the lowest-id init block in
+    step for step): ``tvs`` = the deterministic md5-ranked sample the
+    traversal is bounded to (the ``sample_cap`` rows with the lowest
+    (md5(CAST(vec_id AS VARCHAR)), vec_id) — identity whenever the
+    corpus is smaller than the cap, which holds at every
+    certification scale); fs0 = the sample's lowest id's row; fs(i) =
+    the sample row maximizing its accumulated min dist² to
+    fs0..fs(i-1) (ties by lowest id), the min accumulated pairwise
+    via LEAST exactly as Spark's flat F.least (min is exact, so flat
+    vs chained agree bit-for-bit). Ends at ``c0l`` (cid = pick order,
+    c) — a drop-in replacement for the lowest-id init block in
     `_gen1_coarse_ctes(init_ctes=...)`."""
-    steps = ["fs0 AS (SELECT vec_id, v, vv FROM tv ORDER BY vec_id LIMIT 1)"]
+    steps = [
+        "tvs AS (SELECT vec_id, v, vv FROM tv\n"
+        f"        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+        f" LIMIT {sample_cap})",
+        "fs0 AS (SELECT vec_id, v, vv FROM tvs ORDER BY vec_id LIMIT 1)",
+    ]
     for i in range(1, k):
         if i == 1:
             steps.append(
                 "fm1 AS (SELECT t.vec_id, t.v, t.vv,\n"
                 "        (t.vv - 2 * list_dot_product(t.v, s.v)) + s.vv AS d\n"
-                "        FROM tv t, fs0 s)"
+                "        FROM tvs t, fs0 s)"
             )
         else:
             steps.append(

@@ -20,6 +20,34 @@ from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.functions import vectors as V
 
+#: Default bound on the corpus slice farthest-first seeding actually
+#: traverses (`farthest_first_seeds`): the k−1 argmax scans run over
+#: the ``SPREAD_SAMPLE_CAP`` rows with the lowest
+#: (md5(CAST(id AS string)), id) — a deterministic, stateless,
+#: SQL-mirrorable uniform sample (md5 is the one hash both engines
+#: share; the certified spread oracles unroll the same ORDER BY …
+#: LIMIT). This decouples seeding cost from corpus size: one
+#: TakeOrdered pass over the corpus (per-partition top-cap heaps, no
+#: full sort) + k−1 scans of ≤ cap rows, instead of k−1 serialized
+#: full-corpus scans — the difference between a retrain that seeds in
+#: seconds and one that re-reads 100 TB sixty-three times at k=64.
+#: Identity when the corpus is smaller than the cap (every row kept),
+#: which holds at every certification scale, so the hash-certified
+#: spread queries are unchanged by sampling. 4096 points is far more
+#: than k ever needs to find every drift cluster a k-cell quantizer
+#: could separate (a cluster holding ≥ ~0.1% of the corpus lands
+#: ~4 sample points).
+SPREAD_SAMPLE_CAP = 4096
+
+#: Documented bound on k for farthest-first seeding: the accumulated
+#: min-dist expression is O(k) dot products deep (one per chosen
+#: seed), and past ~64 terms the codegen/analysis cost of that
+#: expression — not the (sample-bounded) scan — dominates.
+#: `ann_index_maintain` falls back to 'lowest' seeding with a warning
+#: beyond this rather than hand a production target an expression
+#: the planner chokes on.
+SPREAD_SEED_MAX_K = 64
+
 
 def lloyd_means(
     ev: DataFrame, k: int, iters: int, id_col: str = "vec_id",
@@ -70,7 +98,8 @@ def lloyd_means(
 
 
 def farthest_first_seeds(
-    ev: DataFrame, k: int, id_col: str = "vec_id"
+    ev: DataFrame, k: int, id_col: str = "vec_id",
+    sample_cap: int | None = SPREAD_SAMPLE_CAP,
 ) -> DataFrame:
     """Deterministic FARTHEST-FIRST ("spread") seeding — the init for
     re-training over a DRIFTED corpus, where the default lowest-id
@@ -88,13 +117,31 @@ def farthest_first_seeds(
     determinism — the property the lowest-id init existed for — is
     kept.
 
-    Cost: k−1 corpus scans (each a broadcast-free argmax over the
-    accumulated min-dist expression) plus k−1 one-row collects —
-    deliberate for a retrain-cadence operation; do not use it on the
-    per-batch ingest path. The accumulated expression holds one dot
-    product per chosen seed, so keep k modest (≤ ~64) or pre-sample.
+    Cost: one TakeOrdered pass over the corpus to draw the
+    deterministic md5-ranked sample (``sample_cap`` rows — see
+    `SPREAD_SAMPLE_CAP`; pass None to traverse the full corpus), then
+    k−1 argmax scans over the ≤ cap-row sample plus k−1 one-row
+    collects — bounded regardless of corpus size, but still a
+    retrain-cadence operation, not a per-batch one. The accumulated
+    min-dist expression holds one dot product per chosen seed, so
+    keep k modest (≤ `SPREAD_SEED_MAX_K`) — beyond that the
+    O(k)-deep codegen expression is the limit, not the scan.
     Returns (cid 0..k−1 BIGINT in pick order, c array<double>)."""
     pts = ev.select(id_col, "v", "vv")
+    if sample_cap is not None:
+        # the SQL-mirrored sample rule: the cap rows with the lowest
+        # (md5(CAST(id AS string)), id). orderBy+limit compiles to
+        # TakeOrdered — per-partition top-cap heaps merged on the
+        # driver, one corpus pass, never a full sort. Materialize the
+        # tiny result so the k−1 argmax scans below never touch the
+        # corpus again.
+        pts = (
+            pts.orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col)
+            )
+            .limit(sample_cap)
+            .localCheckpoint(eager=True)
+        )
     head = pts.orderBy(id_col).limit(1).collect()
     if not head:
         raise ValueError(
@@ -118,14 +165,21 @@ def farthest_first_seeds(
             .limit(1)
             .collect()[0]
         )
-        if nxt["_fd"] <= 0.0:
-            # every remaining point coincides with a chosen seed
-            # (d² is exactly 0 for bit-identical vectors): stop —
-            # further picks would be duplicate seeds that can never
-            # win an argmin tie-break (lower cid wins), so returning
-            # fewer seeds yields the SAME trained means as the SQL
-            # mirror, which unrolls all k steps and lets the empty
-            # duplicate cells drop in the mean update.
+        if any(list(nxt["v"]) == list(s["v"]) for s in seeds):
+            # the argmax winner is BIT-EQUAL to a chosen seed: its d²
+            # to that seed is exactly 0 (same dot fold both sides), so
+            # every point's min-dist is ≤ 0 from here on and adding
+            # the duplicate changes no point's min — the SQL mirror,
+            # which unrolls all k steps, picks this same point at
+            # every remaining step (same ordering over unchanged d²,
+            # same id tie-break). All its remaining seeds are thus
+            # copies that can never win an argmin tie-break (lower
+            # cid wins), so stopping here trains the SAME means as
+            # the full-k mirror, whose empty duplicate cells drop in
+            # the mean update. Note the test is vector EQUALITY, not
+            # d² ≤ 0: catastrophic cancellation in vv − 2·dot + svv
+            # can round d² to ≤ 0 for a DISTINCT near-duplicate — the
+            # mirror would seed that distinct point, so we must too.
             break
         seeds.append(nxt)
     sc = ev.sparkSession

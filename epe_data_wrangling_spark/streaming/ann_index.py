@@ -1095,6 +1095,10 @@ def ivf_index_retrain(
         raise RuntimeError(
             f"ivf_index_retrain: no committed vectors at {target_dir}"
         )
+    # same pre-upgrade witness the append sinks carry: retrain reads
+    # _gen per live row to preserve CDC ordering, so a pre-_gen target
+    # must refuse actionably, not with an unresolved-column error
+    _require_gen_schema(vec_manifest, "vectors", "ivf_index_retrain")
     k = int(k_cells or meta.get("k_cells") or 8)
     vecs = read_store(spark, target_dir, "vectors", manifest=vec_manifest)
     id_col = [c for c in vecs.columns if c not in ("v", "_kb", "_gen")][0]
@@ -1121,9 +1125,11 @@ def ivf_index_retrain(
         "vv", V.dot(F.col("v"), F.col("v"))
     )
     if init == "spread":
-        # materialize before seeding: farthest-first makes k-1 argmax
-        # passes, and each would otherwise re-read the vectors store
-        # and recompute the tombstone anti-join from scratch
+        # materialize before seeding: the sample draw scans the full
+        # corpus once (and Lloyd scans it per iteration below), which
+        # would otherwise re-read the vectors store and recompute the
+        # tombstone anti-join from scratch; the k-1 argmax passes
+        # themselves run on the seeding sample (SPREAD_SAMPLE_CAP)
         ev = ev.localCheckpoint(eager=True)
         seed_df = farthest_first_seeds(ev, k, id_col=id_col)
     else:
@@ -1823,6 +1829,10 @@ def ivfpq_index_rebuild(
         raise RuntimeError(
             f"ivfpq_index_rebuild: no committed codes at {target_dir}"
         )
+    # same pre-upgrade witness the append sinks carry: the rebuild
+    # reads _gen per live code row to preserve CDC ordering, so a
+    # pre-_gen target must refuse actionably
+    _require_gen_schema(codes_manifest, "codes", "ivfpq_index_rebuild")
     codes = read_store(spark, target_dir, "codes", manifest=codes_manifest)
     tombs_manifest = read_manifest(target_dir, "tombs")
     tombs = (
@@ -1875,8 +1885,10 @@ def ivfpq_index_rebuild(
         )
     ev = live.withColumn("vv", V.dot(F.col("v"), F.col("v")))
     if init == "spread":
-        # materialize before seeding: k-1 argmax passes would
-        # otherwise each re-run the source join from scratch
+        # materialize before seeding: the sample draw scans the full
+        # live corpus once (and Lloyd scans it per iteration below),
+        # which would otherwise re-run the source join from scratch;
+        # the k-1 argmax passes run on the seeding sample
         ev = ev.localCheckpoint(eager=True)
         seed_df = farthest_first_seeds(ev, k, id_col=id_col)
     else:
@@ -1984,11 +1996,29 @@ def ann_index_maintain(
     safe to call after every ingestion cycle; the corpus-sized work
     runs only when the free per-batch signal says drift warrants it.
     Returns {"action": "none"|"retrain"|"rebuild", "rows": n,
-    "skew_before": s, "skew_after": s'}. The remediation rebuilds the
-    occupancy advisory against the TUNED threshold the firing
-    advisory carried (``warning["threshold"]``), not the module
-    default — so a target whose sink warns at 1.5 stays held to 1.5
-    through the loop."""
+    "skew_before": s, "skew_after": s', "improved": bool|None}. The
+    remediation rebuilds the occupancy advisory against the TUNED
+    threshold the firing advisory carried (``warning["threshold"]``),
+    not the module default — so a target whose sink warns at 1.5
+    stays held to 1.5 through the loop.
+
+    Two guards for the call-every-cycle posture: (a) a committed
+    ``k_cells`` above `SPREAD_SEED_MAX_K` falls back to
+    ``init='lowest'`` with a warning — farthest-first's accumulated
+    min-dist expression is O(k) dot products deep and past ~64 terms
+    the codegen cost dominates (the scan itself is sample-bounded,
+    `SPREAD_SAMPLE_CAP`); (b) if the remediation fails to IMPROVE the
+    skew (``skew_after`` ≥ ``skew_before``), a warning fires and
+    ``improved=False`` is returned — the advisory may still be
+    standing, and a caller loop that re-dispatches on it without
+    checking ``improved`` would re-run the corpus-sized remediation
+    every cycle for nothing (the corpus is genuinely concentrated;
+    raise the threshold or change k instead)."""
+    import warnings
+
+    from epe_data_wrangling_spark.operators.kmeans import (
+        SPREAD_SEED_MAX_K,
+    )
     # the recovery contract every entry point honors: a crash between
     # the two renames of a prior _atomic_swap leaves the committed
     # state in <target>.old-N — reading meta without recovering first
@@ -2011,6 +2041,21 @@ def ann_index_maintain(
             "skew_after": meta.get("occupancy_skew"),
         }
     tuned = float(warning.get("threshold", OCCUPANCY_SKEW_WARN))
+    layout = meta.get("pq_layout")
+    k_committed = int(
+        layout[0] if layout is not None else (meta.get("k_cells") or 8)
+    )
+    if init == "spread" and k_committed > SPREAD_SEED_MAX_K:
+        warnings.warn(
+            f"ann_index_maintain: committed k_cells={k_committed} exceeds "
+            f"the farthest-first seeding bound ({SPREAD_SEED_MAX_K}: the "
+            "accumulated min-dist expression is O(k) deep and codegen "
+            "cost dominates past it) — falling back to init='lowest' for "
+            "this remediation; retrain/rebuild explicitly with a smaller "
+            "k_cells to use spread seeding",
+            stacklevel=2,
+        )
+        init = "lowest"
     if meta.get("pq_layout"):
         if vectors is None:
             raise RuntimeError(
@@ -2031,9 +2076,27 @@ def ann_index_maintain(
         )
         action = "retrain"
     new_meta = _read_sink_meta(target_dir)
+    skew_before = warning["skew"]
+    skew_after = new_meta.get("occupancy_skew")
+    improved = (
+        skew_after < skew_before
+        if skew_after is not None and skew_before is not None
+        else None
+    )
+    if improved is False:
+        warnings.warn(
+            f"ann_index_maintain: {action} did not improve occupancy "
+            f"skew ({skew_before:.3g} -> {skew_after:.3g}) — the corpus "
+            "is genuinely concentrated at this k; re-dispatching on the "
+            "standing advisory would re-run the corpus-sized "
+            f"{action} every cycle. Raise the threshold, change "
+            "k_cells, or gate the loop on improved=False",
+            stacklevel=2,
+        )
     return {
         "action": action,
         "rows": n,
-        "skew_before": warning["skew"],
-        "skew_after": new_meta.get("occupancy_skew"),
+        "skew_before": skew_before,
+        "skew_after": skew_after,
+        "improved": improved,
     }

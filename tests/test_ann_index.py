@@ -1510,3 +1510,214 @@ def test_ivfpq_rebuild_spread_matches_duckdb(spark):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_farthest_first_seeds_sampled_matches_sql_mirror(spark):
+    """The bounded-seeding scale path (sample_cap < corpus) verified
+    differentially: with a cap the traversal runs over the
+    deterministic md5-ranked sample, and the SQL mirror
+    (`_spread_init_ctes` with the same cap) must pick the IDENTICAL
+    seed sequence — the same guarantee the certified spread queries
+    rely on, exercised here at the cap the certification scales never
+    reach."""
+    import hashlib
+
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _spread_init_ctes,
+    )
+    from epe_data_wrangling_spark.operators.kmeans import (
+        farthest_first_seeds,
+    )
+
+    # 40 distinct points (7 invertible mod 40 -> first coord unique)
+    rows = [(i, [float(7 * i % 40), float(i % 5)]) for i in range(40)]
+    ev = spark.createDataFrame(
+        rows, "vec_id BIGINT, v ARRAY<DOUBLE>"
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    got = [
+        (s["cid"], tuple(s["c"]))
+        for s in farthest_first_seeds(ev, 4, sample_cap=12).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE corpus(vec_id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+    sql = (
+        "WITH tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv"
+        " FROM corpus),\n    "
+        + _spread_init_ctes(4, sample_cap=12)
+        + "\n    SELECT cid, c FROM c0l ORDER BY cid"
+    )
+    want = [(cid, tuple(c)) for cid, c in con.execute(sql).fetchall()]
+    assert got == want and len(got) == 4
+    # the cap genuinely restricted the traversal: every seed vector
+    # comes from the md5-lowest-12 id set, not the full corpus
+    sample_ids = sorted(
+        range(40),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:12]
+    sample_vecs = {tuple(map(float, rows[i][1])) for i in sample_ids}
+    assert all(c in sample_vecs for _, c in got)
+    assert len(sample_ids) < 40
+
+
+def test_farthest_first_seeds_sample_identity_when_cap_covers(spark):
+    """A cap at or above the corpus size keeps every row in the
+    sample, so the seeds are bit-identical to the uncapped traversal
+    — the property that keeps the hash-certified spread queries
+    unchanged by the default `SPREAD_SAMPLE_CAP` (every certification
+    corpus is far below 4096 rows)."""
+    from epe_data_wrangling_spark.operators.kmeans import (
+        farthest_first_seeds,
+    )
+
+    rows = [
+        (c * 30 + i, [100.0 * c + 0.001 * i] * 4)
+        for c in range(3)
+        for i in range(30)
+    ]
+    ev = spark.createDataFrame(
+        rows, "vec_id BIGINT, v ARRAY<DOUBLE>"
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    capped = farthest_first_seeds(ev, 3).collect()  # default cap 4096
+    uncapped = farthest_first_seeds(ev, 3, sample_cap=None).collect()
+    assert [(s["cid"], tuple(s["c"])) for s in capped] == [
+        (s["cid"], tuple(s["c"])) for s in uncapped
+    ]
+
+
+def test_farthest_first_seeds_cancellation_near_duplicate(spark):
+    """Catastrophic cancellation can round d² to <= 0 for DISTINCT
+    near-duplicate vectors (here d(v1, v0) computes to exactly -2.0
+    while the true d² is 0.01): the traversal must stop only on a
+    BIT-EQUAL argmax winner, and stopping must agree with the full-k
+    SQL mirror — whose unrolled later steps re-pick the same
+    bit-equal point (ties by lowest id over unchanged d), producing
+    duplicate seeds that lose every argmin tie-break and drop out of
+    the trained means."""
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _spread_init_ctes,
+    )
+    from epe_data_wrangling_spark.operators.kmeans import (
+        farthest_first_seeds,
+    )
+
+    rows = [(0, [1e8]), (1, [1e8 + 0.1]), (2, [-1e8])]
+    ev = spark.createDataFrame(
+        rows, "vec_id BIGINT, v ARRAY<DOUBLE>"
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    seeds = farthest_first_seeds(ev, 3, sample_cap=None).collect()
+    # pick 2's winner ties at d=0 -> lowest id (v0, bit-equal) -> stop
+    assert [tuple(s["c"]) for s in seeds] == [(1e8,), (-1e8,)]
+    # the mirror unrolls all 3 steps; its extra seed is a bit-equal
+    # COPY of seed 0 -> same trained means (empty duplicate cell)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE corpus(vec_id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+    sql = (
+        "WITH tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv"
+        " FROM corpus),\n    "
+        + _spread_init_ctes(3, sample_cap=4096)
+        + "\n    SELECT cid, c FROM c0l ORDER BY cid"
+    )
+    mirror = con.execute(sql).fetchall()
+    assert [tuple(c) for _, c in mirror] == [(1e8,), (-1e8,), (1e8,)]
+
+
+def test_ann_index_maintain_guards(spark, tmp_path):
+    """The call-every-cycle guards: (a) a committed k_cells above
+    SPREAD_SEED_MAX_K falls back to lowest-id seeding with a warning
+    instead of building an O(k)-deep codegen expression; (b) a
+    remediation that fails to improve the skew warns and returns
+    improved=False — the tell a maintenance loop must gate on to
+    avoid re-running the corpus-sized remediation every cycle."""
+    import json
+
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ann_index_maintain,
+    )
+
+    # (a) k_cells = 70 > 64: spread request falls back to 'lowest'
+    rows70 = [
+        (i, [float(i % 70) * 10.0 + 0.01 * (i // 70)] * 4)
+        for i in range(140)
+    ]
+    e70 = spark.createDataFrame(
+        rows70, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    land70 = str(tmp_path / "land70")
+    tgt70 = str(tmp_path / "tgt70")
+    _land(e70, land70, "g1.parquet", 1)
+    ivf_index_foreach_batch(
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land70),
+        tgt70, k_cells=70, train_iters=1, warn_skew=0.99,
+        checkpoint_dir=str(tmp_path / "ck70"),
+    )
+    meta = json.load(open(os.path.join(tgt70, "_ivm_meta.json")))
+    assert "occupancy_warning" in meta
+    with pytest.warns(UserWarning, match="exceeds the farthest-first"):
+        out = ann_index_maintain(spark, tgt70)
+    assert out["action"] == "retrain" and out["rows"] == 140
+
+    # (b) 99 copies of A + 1 B (B at id 0 so the lowest-id bootstrap
+    # seeds split the two locations): skew 1.98 is structural (2
+    # distinct points), no retrain can improve it -> warn +
+    # improved=False
+    rows = [(0, [50.0, 50.0])] + [(i, [0.0, 0.0]) for i in range(1, 100)]
+    e = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    )
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(e, landing, "g1.parquet", 1)
+    ivf_index_foreach_batch(
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+        target, k_cells=8, train_iters=2, warn_skew=1.5,
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    meta = json.load(open(os.path.join(target, "_ivm_meta.json")))
+    assert "occupancy_warning" in meta
+    with pytest.warns(UserWarning, match="did not improve"):
+        out = ann_index_maintain(spark, target)
+    assert out["action"] == "retrain"
+    assert out["improved"] is False
+    assert out["skew_after"] >= out["skew_before"]
+
+
+def test_retrain_and_rebuild_refuse_pre_gen_target(spark, tmp_path):
+    """The maintenance entry points get the same pre-_gen upgrade
+    witness the append sinks carry: retrain/rebuild read _gen per live
+    row to preserve CDC ordering, so a legacy target must refuse with
+    the actionable message, not an unresolved-column
+    AnalysisException."""
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivf_index_retrain,
+        ivfpq_index_rebuild,
+    )
+
+    gens, e = _gens(spark)
+    landing = str(tmp_path / "landing")
+    target = str(tmp_path / "state")
+    _land(gens[0], landing, "g1.parquet", 1)
+    _run(spark, landing, target, str(tmp_path / "ck1"))
+    _strip_gen_from_manifest(target, "vectors")
+    with pytest.raises(Exception, match="predates the _gen"):
+        ivf_index_retrain(spark, target)
+
+    pq_landing = str(tmp_path / "pq_landing")
+    pq_target = str(tmp_path / "pq_state")
+    _land(gens[0], pq_landing, "g1.parquet", 1)
+    _pq_run(spark, pq_landing, pq_target, str(tmp_path / "pq_ck1"))
+    _strip_gen_from_manifest(pq_target, "codes")
+    src = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with pytest.raises(Exception, match="predates the _gen"):
+        ivfpq_index_rebuild(spark, pq_target, src)

@@ -51,10 +51,26 @@ def test_arrow_rank_gap_witness(spark):
     noise between numpy's pairwise reduction and the expression tree's
     sequential order is ~1e-15, so a gap floor of 1e-9 proves no rank
     can flip between the two implementations — measured floors are
-    ~5.7e-5 (sf0.001) and ~1.9e-5 (sf0.01)."""
+    ~5.7e-5 (sf0.001) and ~1.9e-5 (sf0.01). The checked scale factors
+    are DERIVED, not hardcoded: every sf* dir the driver's testdata
+    root contains, plus $SPARK_GRAFT_SF_DIR if set — a new scale
+    factor can never silently escape the gap guarantee."""
+    import glob
+    import os
+
     from pyspark.sql import Window
 
-    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    sf_dirs = sorted(
+        os.path.dirname(p)
+        for p in glob.glob("/root/testdata/sf*/embeddings.parquet")
+    )
+    env_dir = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env_dir and os.path.exists(
+        os.path.join(env_dir, "embeddings.parquet")
+    ) and env_dir.rstrip("/") not in sf_dirs:
+        sf_dirs.append(env_dir.rstrip("/"))
+    assert SF_DIR in sf_dirs, "test SF missing from the derived witness set"
+    for sf_dir in sf_dirs:
         e = load_table(spark, sf_dir, "embeddings")
         q = e.filter(F.col("vec_id") < 10)
         scored = S.brute_topk(
