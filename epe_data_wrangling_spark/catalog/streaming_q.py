@@ -3508,8 +3508,11 @@ def streaming_ann_index_retrain_spread(
     so THIS query hash-certifies the whole chain: the oracle unrolls
     the same {AIDX_CELLS}-step farthest-first seed selection, the same
     {AIDX_ITERS} Lloyd iterations over the live corpus, and the same
-    probed serve. Scale: seeding costs k−1 extra corpus scans — a
-    retrain-cadence cost, never on the ingest path."""
+    probed serve (including the md5-sample CTE — identity below the
+    {SPREAD_SAMPLE_CAP}-row cap, which every certification corpus is).
+    Scale: seeding costs one TakeOrdered corpus pass + k−1 scans of
+    the ≤{SPREAD_SAMPLE_CAP}-row sample (r16; was k−1 full-corpus
+    scans) — a retrain-cadence cost, never on the ingest path."""
     return _retrain_run(spark, sf_dir, "spread")
 
 def _ivfpq_index_rebuild_oracle() -> str:
@@ -3651,6 +3654,9 @@ def ivfpq_index_rebuild_spread_query(
     test_ivfpq_index_rebuild_spread_rebalances_clustered_drift).
     The oracle unrolls the identical k-step farthest-first seed
     selection, trains BOTH frozen stages on the live corpus, and
-    re-encodes + serves via ADC + exact re-rank. Scale: seeding adds
-    k−1 corpus scans at rebuild cadence — never on the ingest path."""
+    re-encodes + serves via ADC + exact re-rank. Scale: seeding costs
+    one TakeOrdered corpus pass + k−1 scans of the ≤{SPREAD_SAMPLE_CAP}
+    -row md5 sample (r16 — identity at certification scale, so the
+    oracle's sample CTE keeps the hash), at rebuild cadence — never on
+    the ingest path."""
     return _rebuild_run(spark, sf_dir, "spread")

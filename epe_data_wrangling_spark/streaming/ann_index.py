@@ -2039,6 +2039,8 @@ def ann_index_maintain(
             "rows": 0,
             "skew_before": meta.get("occupancy_skew"),
             "skew_after": meta.get("occupancy_skew"),
+            "improved": None,  # nothing ran — same shape as the
+            # remediation return so loop callers can key on it safely
         }
     tuned = float(warning.get("threshold", OCCUPANCY_SKEW_WARN))
     layout = meta.get("pq_layout")
@@ -2056,7 +2058,7 @@ def ann_index_maintain(
             stacklevel=2,
         )
         init = "lowest"
-    if meta.get("pq_layout"):
+    if layout is not None:
         if vectors is None:
             raise RuntimeError(
                 "ann_index_maintain: the PQ target's advisory is firing "

@@ -58,6 +58,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.streaming.ops import (
+    STREAM_TIMEOUT_SEC,
     _additive_merge,
     _atomic_swap,
     _clean_stale_stages,
@@ -85,7 +86,7 @@ def epe_monthly_refresh(
     target_dir: str,
     *,
     checkpoint_dir: str | None = None,
-    timeout_sec: int = 600,
+    timeout_sec: int = STREAM_TIMEOUT_SEC,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the landing-zone stream to completion (availableNow) and
     return ``(fact, annual)`` as batch DataFrames: the standing
