@@ -551,3 +551,77 @@ def test_hash_u32_matches_duckdb_hex_int(spark):
         ).fetchone()
         assert got[v] == (ea, eb), f"hash_u32 diverged for {v!r}"
         assert 0 <= ea < 2**32
+
+
+# bounded exact doubles for the seeding property: float32-width keeps
+# every value exactly representable (and its square finite) in both
+# engines' float64 arithmetic
+_seed_double = st.floats(
+    allow_nan=False, allow_infinity=False, width=32, min_value=-1e6,
+    max_value=1e6,
+)
+
+
+@given(
+    data=st.data(),
+    dim=st.integers(1, 3),
+    k=st.integers(2, 4),
+    cap=st.sampled_from([None, 3, 6, 4096]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_farthest_first_seeds_always_match_sql_mirror(
+    spark, data, dim, k, cap
+):
+    """PROPERTY: for ANY corpus (duplicates included), any k, and any
+    sample cap — active or identity — the Spark Gonzalez traversal
+    and the unrolled DuckDB mirror (`_spread_init_ctes`) pick
+    bit-identical seed sequences; where Spark stops early (bit-equal
+    argmax winner), every extra mirror pick is a copy of an
+    already-chosen seed, so the trained means cannot differ. This is
+    the exact contract the certified spread retrain/rebuild hashes
+    rest on, exercised over random corpora instead of the fixtures."""
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _spread_init_ctes,
+    )
+    from epe_data_wrangling_spark.functions import vectors as V
+    from epe_data_wrangling_spark.operators.kmeans import (
+        farthest_first_seeds,
+    )
+
+    vecs = data.draw(
+        st.lists(
+            st.lists(_seed_double, min_size=dim, max_size=dim),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    ev = spark.createDataFrame(
+        rows, "vec_id BIGINT, v ARRAY<DOUBLE>"
+    ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
+    got = [
+        tuple(s["c"])
+        for s in farthest_first_seeds(ev, k, sample_cap=cap).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE corpus(vec_id BIGINT, v DOUBLE[])")
+    con.executemany("INSERT INTO corpus VALUES (?, ?)", rows)
+    sql = (
+        "WITH tv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv"
+        " FROM corpus),\n    "
+        + _spread_init_ctes(k, sample_cap=cap if cap is not None else 10**9)
+        + "\n    SELECT cid, c FROM c0l ORDER BY cid"
+    )
+    mirror = [tuple(c) for _, c in con.execute(sql).fetchall()]
+    assert 1 <= len(got) <= k and len(mirror) == k
+    assert mirror[: len(got)] == got
+    # early-stop equivalence: every extra mirror pick duplicates an
+    # already-chosen seed (empty cell under argmin lowest-cid ties)
+    for extra in mirror[len(got):]:
+        assert extra in got
