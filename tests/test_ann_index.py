@@ -1721,3 +1721,34 @@ def test_retrain_and_rebuild_refuse_pre_gen_target(spark, tmp_path):
     )
     with pytest.raises(Exception, match="predates the _gen"):
         ivfpq_index_rebuild(spark, pq_target, src)
+
+
+def test_index_quality_report_matches_duckdb(spark):
+    """The r17 registration candidate's full differential, run every
+    round meanwhile: retrieval quality (MRR + mean binary NDCG@k) of
+    the MAINTAINED index — candidates from the certified upsert flow
+    (landing, tombstones, vacuum, probed serve), truth from the
+    exact-l2 scan of the live corpus — must match the DuckDB oracle
+    EXACTLY (the oracle embeds the certified upsert oracle verbatim
+    as its candidate subquery, so the two reports cannot drift)."""
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _index_quality_oracle,
+        index_quality_report_query,
+    )
+
+    got = index_quality_report_query(spark, SF_DIR).collect()
+    assert len(got) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = con.execute(_index_quality_oracle()).fetchall()
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert (
+        g.method, g.n_queries, g.n_answered, g.mrr, g.mean_ndcg
+    ) == tuple(w)
+    assert 0.0 <= g.mean_ndcg <= 1.0 and 0.0 <= g.mrr <= 1.0
