@@ -3844,3 +3844,176 @@ def index_quality_report_query(
             6,
         ).alias("mean_ndcg"),
     )
+
+
+#: PQ twin's staged weights at its own serve depth AIDXQ_K.
+IQRP_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, AIDXQ_K + 1)]
+IQRP_RR_W = [round(1e9 / i) for i in range(1, AIDXQ_K + 1)]
+IQRP_IDCG = sum(IQRP_DCG_W)
+
+
+def _ivfpq_index_quality_oracle() -> str:
+    """PQ twin of `_index_quality_oracle`: candidates are the FULL
+    certified PQ upsert oracle embedded verbatim (ADC shortlist +
+    exact re-rank over the live vectors), truth is the exact-l2
+    top-{AIDXQ_K} over the live corpus."""
+    dcg_w = ", ".join(str(w) for w in IQRP_DCG_W)
+    rr_w = ", ".join(str(w) for w in IQRP_RR_W)
+    return f"""
+    WITH approx AS (SELECT query_id, neighbor_id, rank
+                    FROM ({_ivfpq_index_upsert_oracle()}) s),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_live_corpus_ctes()},
+    qv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
+           WHERE vec_id < {AIDXQ_NQ}),
+    ed AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  (q.vv - 2 * list_dot_product(q.v, c.v)) + c.vv AS d2
+           FROM qv q JOIN lvv c ON q.vec_id <> c.vec_id),
+    exact AS (SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY d2, neighbor_id) AS rank
+      FROM ed) t WHERE rank <= {AIDXQ_K}),
+    scored AS (SELECT a.query_id, a.rank,
+                      CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+               FROM approx a LEFT JOIN exact x
+                 ON a.query_id = x.query_id
+                AND a.neighbor_id = x.neighbor_id),
+    per_q AS (SELECT query_id,
+                     SUM(rel * list_extract(CAST([{dcg_w}] AS BIGINT[]),
+                                            rank)) AS dcg_r,
+                     MAX(rel * list_extract(CAST([{rr_w}] AS BIGINT[]),
+                                            rank)) AS rr_r
+              FROM scored GROUP BY query_id)
+    SELECT 'ivfpq_maintained' AS method,
+           CAST({AIDXQ_NQ} AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_answered,
+           round(CAST(SUM(rr_r) AS DOUBLE)
+                 / ({AIDXQ_NQ} * 1000000000.0), 6) AS mrr,
+           round(CAST(SUM(dcg_r) AS DOUBLE)
+                 / ({AIDXQ_NQ} * {IQRP_IDCG}.0), 6) AS mean_ndcg
+    FROM per_q
+    """
+
+
+def ivfpq_index_quality_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNREGISTERED r17 candidate — the PQ twin of
+    `index_quality_report_query`: retrieval quality of the MAINTAINED
+    PQ-coded index (certified upsert flow: landing, tombstones,
+    vacuum, ADC shortlist of {AIDXQ_CAND} + exact re-rank, top-
+    {AIDXQ_K} at probe {AIDXQ_PROBE}/{AIDX_CELLS}) against the
+    exact-l2 truth over the live corpus — the recall accounting for
+    the codes-only index form, where quantization loss joins probe
+    loss as a recall channel and a dashboard needs to see BOTH from
+    the committed state. Oracle embeds the certified PQ upsert oracle
+    verbatim; metrics use the BIGINT-staged weight idiom. Scale: as
+    the raw twin — truth is the sampled evaluation leg at 100 TB,
+    serve reads ~probe/K of the codes (~16× smaller than vectors) +
+    the shortlist's exact vectors."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.functions import vectors as V
+    from epe_data_wrangling_spark.sources.tables import load_table
+    from epe_data_wrangling_spark.streaming.ann_index import (
+        ivfpq_index_changes_foreach_batch,
+        ivfpq_index_topk,
+        ivfpq_index_vacuum,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    live = _live_corpus_df(e)
+    work = tempfile.mkdtemp(prefix="ivfpq_index_quality_")
+    landing = os.path.join(work, "landing")
+    target = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(landing)
+    try:
+        _land_generations(landing, _upsert_change_batches(e))
+        stream = (
+            spark.readStream.schema(
+                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        ivfpq_index_changes_foreach_batch(
+            stream, target,
+            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS,
+            pq_m=AIDXQ_M, pq_sub=AIDXQ_SUB, cbk=AIDXQ_CBK,
+            checkpoint_dir=ckpt,
+        )
+        if ivfpq_index_vacuum(spark, target) == 0:
+            raise RuntimeError(
+                "ivfpq_index_quality_report: vacuum found nothing dead — "
+                "the change batch's deletes/upserts never tombstoned"
+            )
+        queries = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
+        vectors = live.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        approx = spark.createDataFrame(
+            ivfpq_index_topk(
+                spark, target, queries, vectors,
+                probe=AIDXQ_PROBE, cand=AIDXQ_CAND, k=AIDXQ_K,
+            ).select("query_id", "neighbor_id", "rank").collect(),
+            "query_id BIGINT, neighbor_id BIGINT, rank INT",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    qv = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q"),
+    ).withColumn("qq", V.dot(F.col("q"), F.col("q")))
+    corpus = live.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    ).withColumn("cc", V.dot(F.col("cv"), F.col("cv")))
+    d2 = (F.col("qq") - 2 * V.dot(F.col("q"), F.col("cv"))) + F.col("cc")
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        qv.crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("d2", d2)
+        .withColumn("xrank", F.row_number().over(w))
+        .filter(F.col("xrank") <= AIDXQ_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("rel"))
+    )
+    dcg_w = F.element_at(
+        F.array(*[F.lit(x) for x in IQRP_DCG_W]), F.col("rank")
+    )
+    rr_w = F.element_at(
+        F.array(*[F.lit(x) for x in IQRP_RR_W]), F.col("rank")
+    )
+    per_q = (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") * dcg_w).alias("dcg_r"),
+            F.max(F.col("rel") * rr_w).alias("rr_r"),
+        )
+    )
+    return per_q.agg(
+        F.lit("ivfpq_maintained").alias("method"),
+        F.lit(AIDXQ_NQ).cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_answered"),
+        F.round(
+            F.sum("rr_r").cast("double") / (F.lit(AIDXQ_NQ) * F.lit(1e9)),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.sum("dcg_r").cast("double")
+            / (F.lit(AIDXQ_NQ) * F.lit(float(IQRP_IDCG))),
+            6,
+        ).alias("mean_ndcg"),
+    )

@@ -1752,3 +1752,31 @@ def test_index_quality_report_matches_duckdb(spark):
         g.method, g.n_queries, g.n_answered, g.mrr, g.mean_ndcg
     ) == tuple(w)
     assert 0.0 <= g.mean_ndcg <= 1.0 and 0.0 <= g.mrr <= 1.0
+
+
+def test_ivfpq_index_quality_report_matches_duckdb(spark):
+    """PQ twin of the staged maintained-index quality differential:
+    candidates from the certified PQ upsert flow (ADC shortlist +
+    exact re-rank), truth from the exact-l2 scan — bit-exact vs the
+    oracle that embeds the certified PQ upsert oracle verbatim."""
+    import duckdb
+
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _ivfpq_index_quality_oracle,
+        ivfpq_index_quality_report_query,
+    )
+
+    got = ivfpq_index_quality_report_query(spark, SF_DIR).collect()
+    assert len(got) == 1
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/embeddings.parquet')"
+    )
+    want = con.execute(_ivfpq_index_quality_oracle()).fetchall()
+    assert len(want) == 1
+    g, w = got[0], want[0]
+    assert (
+        g.method, g.n_queries, g.n_answered, g.mrr, g.mean_ndcg
+    ) == tuple(w)
+    assert 0.0 <= g.mean_ndcg <= 1.0 and 0.0 <= g.mrr <= 1.0
