@@ -690,15 +690,25 @@ def hybrid_rrf_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 import math as _math  # noqa: E402
 
+
+def staged_rank_weights(k: int) -> tuple[list[int], list[int], int]:
+    """Position weights for rank metrics, staged to exact BIGINTs
+    ONCE in Python and inlined as literals on BOTH engines — log2 is
+    libm-dependent in the last ulp, so neither engine computes it at
+    query time. Returns (dcg_weights 1e9/log2(rank+1),
+    rr_weights 1e9/rank, idcg = sum of dcg weights) for ranks
+    1..k. Shared by every quality report (trained chain here, the
+    maintained-index twins in streaming_q) so the idiom is
+    structural, not copy-maintained."""
+    dcg = [round(1e9 / _math.log2(i + 1)) for i in range(1, k + 1)]
+    rr = [round(1e9 / i) for i in range(1, k + 1)]
+    return dcg, rr, sum(dcg)
+
+
 RQ_NQ = 20    #: queries evaluated by retrieval_quality_report
 RQ_K = 5      #: depth of both the truth and candidate lists
 RQ_PROBE = 4  #: probed cells of the evaluated IVF path
-#: position weights, staged to exact integers ONCE in Python and
-#: inlined as literals on BOTH engines — log2 is libm-dependent in the
-#: last ulp, so neither engine computes it at query time
-RQ_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, RQ_K + 1)]
-RQ_RR_W = [round(1e9 / i) for i in range(1, RQ_K + 1)]
-RQ_IDCG = sum(RQ_DCG_W)
+RQ_DCG_W, RQ_RR_W, RQ_IDCG = staged_rank_weights(RQ_K)
 
 
 def _retrieval_quality_oracle() -> str:

@@ -3662,35 +3662,31 @@ def ivfpq_index_rebuild_spread_query(
     return _rebuild_run(spark, sf_dir, "spread")
 
 
-import math as _math  # noqa: E402
 
-#: BIGINT-staged position weights for the MAINTAINED-index quality
-#: report (same idiom as similarity_q's trained-chain report, at the
-#: index family's serve depth AIDX_K): log2/reciprocal are
-#: libm-dependent in the last ulp, so both engines get the SAME
-#: Python-staged integer literals and perform exactly one double
-#: division per metric at the end.
-IQR_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, AIDX_K + 1)]
-IQR_RR_W = [round(1e9 / i) for i in range(1, AIDX_K + 1)]
-IQR_IDCG = sum(IQR_DCG_W)
+def _maintained_quality_oracle(
+    candidate_oracle: str, nq: int, k: int, method: str
+) -> str:
+    """Shared oracle builder for the maintained-index quality
+    reports: the candidate list is a CERTIFIED upsert oracle embedded
+    verbatim as a subquery (zero drift from the certified serve), the
+    truth is the exact-l2 top-``k`` over the LIVE corpus for the
+    first ``nq`` queries, and MRR / mean binary NDCG@k aggregate
+    through exact BIGINT sums (`similarity_q.staged_rank_weights` —
+    one double division per metric at the end)."""
+    from epe_data_wrangling_spark.catalog.similarity_q import (
+        staged_rank_weights,
+    )
 
-
-def _index_quality_oracle() -> str:
-    """DuckDB mirror of `index_quality_report_query`: the candidate
-    list is the FULL certified upsert oracle embedded verbatim as a
-    subquery (zero drift from `streaming_ann_index_upsert`'s
-    hash-certified serve), the truth is the exact-l2 top-{AIDX_K}
-    over the LIVE corpus, and MRR / mean NDCG@{AIDX_K} aggregate
-    through exact BIGINT sums."""
-    dcg_w = ", ".join(str(w) for w in IQR_DCG_W)
-    rr_w = ", ".join(str(w) for w in IQR_RR_W)
+    dcg, rr, idcg = staged_rank_weights(k)
+    dcg_w = ", ".join(str(w) for w in dcg)
+    rr_w = ", ".join(str(w) for w in rr)
     return f"""
     WITH approx AS (SELECT query_id, neighbor_id, rank
-                    FROM ({_ann_index_upsert_oracle()}) s),
+                    FROM ({candidate_oracle}) s),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     {_live_corpus_ctes()},
     qv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
-           WHERE vec_id < {AIDX_NQ}),
+           WHERE vec_id < {nq}),
     ed AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                   (q.vv - 2 * list_dot_product(q.v, c.v)) + c.vv AS d2
            FROM qv q JOIN lvv c ON q.vec_id <> c.vec_id),
@@ -3698,7 +3694,7 @@ def _index_quality_oracle() -> str:
       SELECT query_id, neighbor_id,
              row_number() OVER (PARTITION BY query_id
                ORDER BY d2, neighbor_id) AS rank
-      FROM ed) t WHERE rank <= {AIDX_K}),
+      FROM ed) t WHERE rank <= {k}),
     scored AS (SELECT a.query_id, a.rank,
                       CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
                FROM approx a LEFT JOIN exact x
@@ -3710,92 +3706,59 @@ def _index_quality_oracle() -> str:
                      MAX(rel * list_extract(CAST([{rr_w}] AS BIGINT[]),
                                             rank)) AS rr_r
               FROM scored GROUP BY query_id)
-    SELECT 'ivf_maintained' AS method,
-           CAST({AIDX_NQ} AS BIGINT) AS n_queries,
+    SELECT '{method}' AS method,
+           CAST({nq} AS BIGINT) AS n_queries,
            CAST(COUNT(*) AS BIGINT) AS n_answered,
            round(CAST(SUM(rr_r) AS DOUBLE)
-                 / ({AIDX_NQ} * 1000000000.0), 6) AS mrr,
+                 / ({nq} * 1000000000.0), 6) AS mrr,
            round(CAST(SUM(dcg_r) AS DOUBLE)
-                 / ({AIDX_NQ} * {IQR_IDCG}.0), 6) AS mean_ndcg
+                 / ({nq} * {idcg}.0), 6) AS mean_ndcg
     FROM per_q
     """
 
 
-def index_quality_report_query(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """UNREGISTERED r17 candidate — retrieval quality of the
-    MAINTAINED index: the complement to `retrieval_quality_report`
-    (which grades the batch-TRAINED chain): after the certified
-    upsert change plan lands (bootstrap I, insert I, mixed I/U/D) and
-    vacuum runs, the COMMITTED index serves top-{AIDX_K} for
-    {AIDX_NQ} queries (probe {AIDX_PROBE}/{AIDX_CELLS}), and MRR +
-    mean binary NDCG@{AIDX_K} are computed against the exact-l2
-    ground truth over the LIVE corpus. This is the drift loop's
-    missing READOUT: the occupancy-skew advisory is a structural
-    proxy, while this reports the quantity a production vector index
-    is actually judged on — recall quality of what is SERVED — from
-    the same committed state, with the same hash-certifiable
-    BIGINT-staged metric arithmetic. The candidate list reproduces
-    `streaming_ann_index_upsert`'s certified flow step for step
-    (landing, tombstones, vacuum, probed serve); the oracle embeds
-    that query's full certified oracle verbatim as its candidate
-    subquery, so the two reports cannot drift. Scale: truth is the
-    expensive leg (exact top-k — run on an evaluation sample at
-    100 TB); the serve leg reads ~{AIDX_PROBE}/{AIDX_CELLS} of the
-    corpus through manifest bucket pruning."""
-    import os
-    import shutil
-    import tempfile
+def _index_quality_oracle() -> str:
+    """DuckDB mirror of `index_quality_report_query` — the raw-index
+    form of `_maintained_quality_oracle` over the certified
+    `streaming_ann_index_upsert` oracle."""
+    return _maintained_quality_oracle(
+        _ann_index_upsert_oracle(), AIDX_NQ, AIDX_K, "ivf_maintained"
+    )
 
+
+def _ivfpq_index_quality_oracle() -> str:
+    """DuckDB mirror of `ivfpq_index_quality_report_query` — the
+    PQ-index form over the certified `streaming_ivfpq_index_upsert`
+    oracle (ADC shortlist + exact re-rank)."""
+    return _maintained_quality_oracle(
+        _ivfpq_index_upsert_oracle(), AIDXQ_NQ, AIDXQ_K,
+        "ivfpq_maintained",
+    )
+
+
+def _maintained_quality_report(
+    spark: SparkSession, sf_dir: str, approx: DataFrame,
+    nq: int, k: int, method: str,
+) -> DataFrame:
+    """Shared Spark body of the maintained-index quality reports:
+    exact-l2 top-``k`` truth over the LIVE corpus for the first
+    ``nq`` queries, binary relevance against the ``approx``
+    (query_id, neighbor_id, rank) candidates, MRR + mean binary
+    NDCG@k through the staged-BIGINT weights. Divides by the FULL
+    evaluated query count — an unanswered query is a retrieval
+    failure; ``n_answered`` < ``n_queries`` is the visible tell."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from epe_data_wrangling_spark.catalog.similarity_q import (
+        staged_rank_weights,
+    )
     from epe_data_wrangling_spark.functions import vectors as V
     from epe_data_wrangling_spark.sources.tables import load_table
-    from epe_data_wrangling_spark.streaming.ann_index import (
-        ivf_index_changes_foreach_batch,
-        ivf_index_topk,
-        ivf_index_vacuum,
-    )
 
+    dcg, rr, idcg = staged_rank_weights(k)
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    work = tempfile.mkdtemp(prefix="ann_index_quality_")
-    landing = os.path.join(work, "landing")
-    target = os.path.join(work, "state")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(landing)
-    try:
-        _land_generations(landing, _upsert_change_batches(e))
-        stream = (
-            spark.readStream.schema(
-                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(landing)
-        )
-        ivf_index_changes_foreach_batch(
-            stream, target,
-            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS, checkpoint_dir=ckpt,
-        )
-        if ivf_index_vacuum(spark, target) == 0:
-            raise RuntimeError(
-                "index_quality_report: vacuum found nothing dead — the "
-                "change batch's deletes/upserts never tombstoned"
-            )
-        queries = e.filter(F.col("vec_id") < AIDX_NQ).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        approx = spark.createDataFrame(
-            ivf_index_topk(
-                spark, target, queries, probe=AIDX_PROBE, k=AIDX_K
-            ).select("query_id", "neighbor_id", "rank").collect(),
-            "query_id BIGINT, neighbor_id BIGINT, rank INT",
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    qv = e.filter(F.col("vec_id") < AIDX_NQ).select(
+    qv = e.filter(F.col("vec_id") < nq).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q"),
     ).withColumn("qq", V.dot(F.col("q"), F.col("q")))
@@ -3810,15 +3773,11 @@ def index_quality_report_query(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("d2", d2)
         .withColumn("xrank", F.row_number().over(w))
-        .filter(F.col("xrank") <= AIDX_K)
+        .filter(F.col("xrank") <= k)
         .select("query_id", "neighbor_id", F.lit(1).alias("rel"))
     )
-    dcg_w = F.element_at(
-        F.array(*[F.lit(x) for x in IQR_DCG_W]), F.col("rank")
-    )
-    rr_w = F.element_at(
-        F.array(*[F.lit(x) for x in IQR_RR_W]), F.col("rank")
-    )
+    dcg_w = F.element_at(F.array(*[F.lit(x) for x in dcg]), F.col("rank"))
+    rr_w = F.element_at(F.array(*[F.lit(x) for x in rr]), F.col("rank"))
     per_q = (
         approx.join(exact, ["query_id", "neighbor_id"], "left")
         .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
@@ -3828,72 +3787,47 @@ def index_quality_report_query(
             F.max(F.col("rel") * rr_w).alias("rr_r"),
         )
     )
-    # divide by the FULL evaluated query count (an unanswered query is
-    # a retrieval failure); n_answered < n_queries is the visible tell
     return per_q.agg(
-        F.lit("ivf_maintained").alias("method"),
-        F.lit(AIDX_NQ).cast("bigint").alias("n_queries"),
+        F.lit(method).alias("method"),
+        F.lit(nq).cast("bigint").alias("n_queries"),
         F.count(F.lit(1)).alias("n_answered"),
         F.round(
-            F.sum("rr_r").cast("double") / (F.lit(AIDX_NQ) * F.lit(1e9)),
-            6,
+            F.sum("rr_r").cast("double") / (F.lit(nq) * F.lit(1e9)), 6
         ).alias("mrr"),
         F.round(
-            F.sum("dcg_r").cast("double")
-            / (F.lit(AIDX_NQ) * F.lit(float(IQR_IDCG))),
+            F.sum("dcg_r").cast("double") / (F.lit(nq) * F.lit(float(idcg))),
             6,
         ).alias("mean_ndcg"),
     )
 
 
-#: PQ twin's staged weights at its own serve depth AIDXQ_K.
-IQRP_DCG_W = [round(1e9 / _math.log2(i + 1)) for i in range(1, AIDXQ_K + 1)]
-IQRP_RR_W = [round(1e9 / i) for i in range(1, AIDXQ_K + 1)]
-IQRP_IDCG = sum(IQRP_DCG_W)
-
-
-def _ivfpq_index_quality_oracle() -> str:
-    """PQ twin of `_index_quality_oracle`: candidates are the FULL
-    certified PQ upsert oracle embedded verbatim (ADC shortlist +
-    exact re-rank over the live vectors), truth is the exact-l2
-    top-{AIDXQ_K} over the live corpus."""
-    dcg_w = ", ".join(str(w) for w in IQRP_DCG_W)
-    rr_w = ", ".join(str(w) for w in IQRP_RR_W)
-    return f"""
-    WITH approx AS (SELECT query_id, neighbor_id, rank
-                    FROM ({_ivfpq_index_upsert_oracle()}) s),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    {_live_corpus_ctes()},
-    qv AS (SELECT vec_id, v, list_dot_product(v, v) AS vv FROM e
-           WHERE vec_id < {AIDXQ_NQ}),
-    ed AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  (q.vv - 2 * list_dot_product(q.v, c.v)) + c.vv AS d2
-           FROM qv q JOIN lvv c ON q.vec_id <> c.vec_id),
-    exact AS (SELECT query_id, neighbor_id FROM (
-      SELECT query_id, neighbor_id,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY d2, neighbor_id) AS rank
-      FROM ed) t WHERE rank <= {AIDXQ_K}),
-    scored AS (SELECT a.query_id, a.rank,
-                      CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
-               FROM approx a LEFT JOIN exact x
-                 ON a.query_id = x.query_id
-                AND a.neighbor_id = x.neighbor_id),
-    per_q AS (SELECT query_id,
-                     SUM(rel * list_extract(CAST([{dcg_w}] AS BIGINT[]),
-                                            rank)) AS dcg_r,
-                     MAX(rel * list_extract(CAST([{rr_w}] AS BIGINT[]),
-                                            rank)) AS rr_r
-              FROM scored GROUP BY query_id)
-    SELECT 'ivfpq_maintained' AS method,
-           CAST({AIDXQ_NQ} AS BIGINT) AS n_queries,
-           CAST(COUNT(*) AS BIGINT) AS n_answered,
-           round(CAST(SUM(rr_r) AS DOUBLE)
-                 / ({AIDXQ_NQ} * 1000000000.0), 6) AS mrr,
-           round(CAST(SUM(dcg_r) AS DOUBLE)
-                 / ({AIDXQ_NQ} * {IQRP_IDCG}.0), 6) AS mean_ndcg
-    FROM per_q
-    """
+def index_quality_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNREGISTERED r17 candidate — retrieval quality of the
+    MAINTAINED index: the complement to `retrieval_quality_report`
+    (which grades the batch-TRAINED chain). The candidate list IS the
+    certified `streaming_ann_index_upsert` flow, called directly (the
+    change plan lands, tombstones apply, vacuum runs, the COMMITTED
+    index serves top-{AIDX_K} at probe {AIDX_PROBE}/{AIDX_CELLS}) —
+    reusing the certified function means the quality report can never
+    drift from the serve it grades, on either engine (the oracle
+    embeds that query's certified oracle verbatim as its candidate
+    subquery). MRR + mean binary NDCG@{AIDX_K} are then computed
+    against the exact-l2 ground truth over the LIVE corpus with
+    hash-certifiable BIGINT-staged weights. This is the drift loop's
+    missing READOUT: the occupancy-skew advisory is a structural
+    proxy, while this reports the quantity a production vector index
+    is actually judged on — recall quality of what is SERVED. Scale:
+    truth is the expensive leg (exact top-k — run on an evaluation
+    sample at 100 TB); the serve leg reads ~{AIDX_PROBE}/{AIDX_CELLS}
+    of the corpus through manifest bucket pruning."""
+    approx = streaming_ann_index_upsert(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    return _maintained_quality_report(
+        spark, sf_dir, approx, AIDX_NQ, AIDX_K, "ivf_maintained"
+    )
 
 
 def ivfpq_index_quality_report_query(
@@ -3901,119 +3835,21 @@ def ivfpq_index_quality_report_query(
 ) -> DataFrame:
     """UNREGISTERED r17 candidate — the PQ twin of
     `index_quality_report_query`: retrieval quality of the MAINTAINED
-    PQ-coded index (certified upsert flow: landing, tombstones,
-    vacuum, ADC shortlist of {AIDXQ_CAND} + exact re-rank, top-
-    {AIDXQ_K} at probe {AIDXQ_PROBE}/{AIDX_CELLS}) against the
-    exact-l2 truth over the live corpus — the recall accounting for
-    the codes-only index form, where quantization loss joins probe
-    loss as a recall channel and a dashboard needs to see BOTH from
-    the committed state. Oracle embeds the certified PQ upsert oracle
-    verbatim; metrics use the BIGINT-staged weight idiom. Scale: as
-    the raw twin — truth is the sampled evaluation leg at 100 TB,
-    serve reads ~probe/K of the codes (~16× smaller than vectors) +
-    the shortlist's exact vectors."""
-    import os
-    import shutil
-    import tempfile
-
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    from epe_data_wrangling_spark.functions import vectors as V
-    from epe_data_wrangling_spark.sources.tables import load_table
-    from epe_data_wrangling_spark.streaming.ann_index import (
-        ivfpq_index_changes_foreach_batch,
-        ivfpq_index_topk,
-        ivfpq_index_vacuum,
+    PQ-coded index, candidates from the certified
+    `streaming_ivfpq_index_upsert` flow called directly (ADC
+    shortlist of {AIDXQ_CAND} + exact re-rank, top-{AIDXQ_K} at probe
+    {AIDXQ_PROBE}/{AIDX_CELLS}), truth the exact-l2 top-{AIDXQ_K}
+    over the live corpus. The recall accounting for the codes-only
+    index form, where quantization loss joins probe loss as a recall
+    channel and a dashboard needs BOTH measured from the committed
+    state (observed at sf0.01: NDCG 0.673 vs the raw twin's 0.765
+    with MRR 1.0 on both — quantization loss beyond the exact
+    re-ranked top-1). Scale: as the raw twin; serve reads ~probe/K of
+    the codes (~16× smaller than vectors) + the shortlist's exact
+    vectors."""
+    approx = streaming_ivfpq_index_upsert(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
     )
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    live = _live_corpus_df(e)
-    work = tempfile.mkdtemp(prefix="ivfpq_index_quality_")
-    landing = os.path.join(work, "landing")
-    target = os.path.join(work, "state")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(landing)
-    try:
-        _land_generations(landing, _upsert_change_batches(e))
-        stream = (
-            spark.readStream.schema(
-                "op STRING, vec_id BIGINT, embedding ARRAY<FLOAT>"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(landing)
-        )
-        ivfpq_index_changes_foreach_batch(
-            stream, target,
-            k_cells=AIDX_CELLS, train_iters=AIDX_ITERS,
-            pq_m=AIDXQ_M, pq_sub=AIDXQ_SUB, cbk=AIDXQ_CBK,
-            checkpoint_dir=ckpt,
-        )
-        if ivfpq_index_vacuum(spark, target) == 0:
-            raise RuntimeError(
-                "ivfpq_index_quality_report: vacuum found nothing dead — "
-                "the change batch's deletes/upserts never tombstoned"
-            )
-        queries = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").cast("array<double>").alias("qv"),
-        )
-        vectors = live.select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("v")
-        )
-        approx = spark.createDataFrame(
-            ivfpq_index_topk(
-                spark, target, queries, vectors,
-                probe=AIDXQ_PROBE, cand=AIDXQ_CAND, k=AIDXQ_K,
-            ).select("query_id", "neighbor_id", "rank").collect(),
-            "query_id BIGINT, neighbor_id BIGINT, rank INT",
-        )
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    qv = e.filter(F.col("vec_id") < AIDXQ_NQ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("q"),
-    ).withColumn("qq", V.dot(F.col("q"), F.col("q")))
-    corpus = live.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("cv"),
-    ).withColumn("cc", V.dot(F.col("cv"), F.col("cv")))
-    d2 = (F.col("qq") - 2 * V.dot(F.col("q"), F.col("cv"))) + F.col("cc")
-    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    exact = (
-        qv.crossJoin(corpus)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("d2", d2)
-        .withColumn("xrank", F.row_number().over(w))
-        .filter(F.col("xrank") <= AIDXQ_K)
-        .select("query_id", "neighbor_id", F.lit(1).alias("rel"))
-    )
-    dcg_w = F.element_at(
-        F.array(*[F.lit(x) for x in IQRP_DCG_W]), F.col("rank")
-    )
-    rr_w = F.element_at(
-        F.array(*[F.lit(x) for x in IQRP_RR_W]), F.col("rank")
-    )
-    per_q = (
-        approx.join(exact, ["query_id", "neighbor_id"], "left")
-        .withColumn("rel", F.coalesce(F.col("rel"), F.lit(0)))
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.col("rel") * dcg_w).alias("dcg_r"),
-            F.max(F.col("rel") * rr_w).alias("rr_r"),
-        )
-    )
-    return per_q.agg(
-        F.lit("ivfpq_maintained").alias("method"),
-        F.lit(AIDXQ_NQ).cast("bigint").alias("n_queries"),
-        F.count(F.lit(1)).alias("n_answered"),
-        F.round(
-            F.sum("rr_r").cast("double") / (F.lit(AIDXQ_NQ) * F.lit(1e9)),
-            6,
-        ).alias("mrr"),
-        F.round(
-            F.sum("dcg_r").cast("double")
-            / (F.lit(AIDXQ_NQ) * F.lit(float(IQRP_IDCG))),
-            6,
-        ).alias("mean_ndcg"),
+    return _maintained_quality_report(
+        spark, sf_dir, approx, AIDXQ_NQ, AIDXQ_K, "ivfpq_maintained"
     )
