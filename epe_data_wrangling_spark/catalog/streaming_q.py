@@ -1000,18 +1000,30 @@ def streaming_distinct_count_oplog_pipeline(
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
     from epe_data_wrangling_spark.sources.tables import load_table
 
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = v2.withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
-            F.col("o_orderstatus")
-        ),
-    ).filter(F.col("o_orderkey") % 17 != 1)
-    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # The three generations are `_snapshot_versions`/v3 carvings of
+    # ONE keyed base, so the changelogs are emitted row-wise by
+    # `_carved_oplog` (identical row sets to the former
+    # `_rel_oplog(v1, v2, …)` full-outer diffs — pytest-pinned
+    # differential `test_carved_oplog_matches_rel_oplog` — without
+    # the two snapshot-sized join exchanges per generation). The
+    # carving rules below mirror _snapshot_versions/_retrain-v3 AND
+    # this query's oracle verbatim.
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    st1 = F.col("o_orderstatus")
+    st2 = F.when(k % 13 == 0, "X").otherwise(st1)
+    st3 = F.when(k % 19 == 0, "Y").otherwise(st2)
+    ck = F.col("o_custkey")
+    spec1 = (k % 7 != 3, {"o_custkey": ck, "o_orderstatus": st1})
+    spec2 = (k % 11 != 5, {"o_custkey": ck, "o_orderstatus": st2})
+    spec3 = (
+        (k % 11 != 5) & (k % 17 != 1),
+        {"o_custkey": ck, "o_orderstatus": st3},
+    )
     cols = ["o_custkey", "o_orderstatus"]
     work = tempfile.mkdtemp(prefix="distinct_oplog_")
     landing = os.path.join(work, "landing")
@@ -1022,9 +1034,9 @@ def streaming_distinct_count_oplog_pipeline(
         _land_generations(
             landing,
             [
-                _rel_oplog(None, v1, "o_orderkey", cols, 1 * G),
-                _rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
-                _rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+                _carved_oplog(base, "o_orderkey", cols, None, spec1, 1 * G),
+                _carved_oplog(base, "o_orderkey", cols, spec1, spec2, 2 * G),
+                _carved_oplog(base, "o_orderkey", cols, spec2, spec3, 3 * G),
             ],
             prefix="log",
         )
@@ -2056,6 +2068,52 @@ def streaming_join_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _carved_oplog(base, key: str, cols: list[str], old_spec, new_spec, seq_base: int):
+    """Row-wise twin of `_rel_oplog` for the fixture case where BOTH
+    versions are deterministic carvings of the SAME keyed base
+    relation (the `_snapshot_versions` family): a version spec is
+    ``(presence_predicate, {col: value_expr})``, each over ``base``'s
+    columns, and the I/U/D classification runs as ONE projection over
+    ONE base scan — no keyed full-outer self-join (two snapshot-sized
+    exchanges + sorts) to re-discover a diff the carving rules
+    already state. ``old_spec is None`` = bootstrap (all 'I').
+
+    Emits bit-identical ROW SETS to ``_rel_oplog(old, new, …)`` for
+    the same carvings (pytest-pinned differential): same null-safe
+    ``changed`` (a value↔NULL flip emits), same op classification,
+    same ``seq = seq_base + key``, NULL after-images on D and NULL
+    ``prev_`` on I. Only row order within the landed file differs —
+    immaterial to the sinks (signed application is order-free) and to
+    the validation agg."""
+    from pyspark.sql import functions as F
+
+    if old_spec is None:
+        p_new, new_cols = new_spec
+        return base.filter(p_new).select(
+            key,
+            (F.lit(seq_base) + F.col(key)).alias("seq"),
+            F.lit("I").alias("op"),
+            *[new_cols[c].alias(c) for c in cols],
+            *[
+                F.when(F.lit(False), new_cols[c]).alias(f"prev_{c}")
+                for c in cols
+            ],
+        )
+    p_old, old_cols = old_spec
+    p_new, new_cols = new_spec
+    a_abs, b_abs = ~p_old, ~p_new
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~old_cols[c].eqNullSafe(new_cols[c])
+    return base.filter((p_old | p_new) & (a_abs | b_abs | changed)).select(
+        key,
+        (F.lit(seq_base) + F.col(key)).alias("seq"),
+        F.when(a_abs, "I").when(b_abs, "D").otherwise("U").alias("op"),
+        *[F.when(p_new, new_cols[c]).alias(c) for c in cols],
+        *[F.when(p_old, old_cols[c]).alias(f"prev_{c}") for c in cols],
+    )
 
 
 def _rel_oplog(old, new, key: str, cols: list[str], seq_base: int):

@@ -35,3 +35,46 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def centroid_array(cents_cc, *key_cols: str):
+    """(``key_cols``…, cid, c, cc) centroid rows → ONE row per key
+    (or one global row when no keys) holding the whole candidate set
+    as ``_cands`` = array<struct<cid, c, cc>>, cid-sorted.
+
+    This is the broadcast side of `nearest_centroid`: collapsing the
+    (small — k ≤ a few hundred) centroid relation to an array lets the
+    argmin run as a row-wise expression over the corpus scan instead
+    of a k-way row explosion + per-id window, which is what keeps the
+    corpus from ever being shuffled by an assignment (guide §2.4) —
+    the exchange+sort the window form pays carries k× the corpus."""
+    from pyspark.sql import DataFrame  # local: avoid module cycle at import
+
+    assert isinstance(cents_cc, DataFrame)
+    agg = F.array_sort(F.collect_list(F.struct("cid", "c", "cc"))).alias(
+        "_cands"
+    )
+    return (
+        cents_cc.groupBy(*key_cols).agg(agg) if key_cols else cents_cc.agg(agg)
+    )
+
+
+def nearest_centroid(cands: Column, v: Column, vv: Column) -> Column:
+    """argmin over a candidate array (from `centroid_array`) of
+    dist² = (vv − 2·v·c) + cc, ties by lowest cid — the SAME operand
+    tree and the same (d2, cid) ordering as the window/row_number
+    assignment form it replaces, so the winner (and its d2) is
+    bit-identical; only the physical shape changes (no explosion, no
+    exchange, no sort). Returns struct<d2 double, cid, c>; null only
+    for an empty candidate array (callers keep the original
+    empty-centroids semantics by filtering nulls)."""
+    return F.array_min(
+        F.transform(
+            cands,
+            lambda s: F.struct(
+                ((vv - 2 * dot(v, s["c"])) + s["cc"]).alias("d2"),
+                s["cid"].alias("cid"),
+                s["c"].alias("c"),
+            ),
+        )
+    )

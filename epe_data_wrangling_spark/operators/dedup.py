@@ -501,10 +501,18 @@ def shared_span_pairs(
                 F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.md5(F.concat_ws(" ", F.slice(w, i, n)).cast("binary")).alias("g"),
+                    # unhex: the 32-char md5 hex only ever gates
+                    # EQUALITY (seed join + frequency count — never
+                    # output), and hex↔bytes is a bijection, so the
+                    # 16-byte binary form has identical equality
+                    # classes while halving every gram-keyed shuffle
+                    # row (guide §2.3 "narrower types")
+                    F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice(w, i, n)).cast("binary"))
+                    ).alias("g"),
                 ),
             ),
-        ).otherwise(F.array().cast("array<struct<pos:int,g:string>>")),
+        ).otherwise(F.array().cast("array<struct<pos:int,g:binary>>")),
     )
     grams = (
         df.select(F.col(id_col).alias("_id"), F.explode(grams_arr).alias("s"))

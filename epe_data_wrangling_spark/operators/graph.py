@@ -41,7 +41,11 @@ def _damped_update(nodes: DataFrame, nn: DataFrame, s: DataFrame,
                    damping: float, broadcast_s: bool) -> DataFrame:
     """One damping update r = (1-d)/n + d * sum; ``nn`` is a 1-row
     scalar (broadcast at any scale — it is not the rank vector)."""
-    s_side = F.broadcast(s) if broadcast_s else s
+    # non-broadcast mode: both sides are hash(node) (nodes from the
+    # pinned cache, s from the contribution groupBy), so a hinted
+    # shuffled-hash join is exchange-free AND skips the two sorts a
+    # sort-merge join would add per iteration
+    s_side = F.broadcast(s) if broadcast_s else s.hint("shuffle_hash")
     return (
         nodes.crossJoin(F.broadcast(nn))
         .join(s_side, "node", "left")
@@ -77,11 +81,22 @@ def pagerank(
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if mode == "partitioned":
-        # ONE up-front shuffle fixes hash(src, p) for the whole run;
-        # localCheckpoint both truncates the (possibly expensive) edge
-        # derivation AND pins the physical partitioning so every
-        # iteration's share⋈edges join plans exchange-free.
-        edges = edges.repartition(p, "src").localCheckpoint(eager=True)
+        # ONE up-front shuffle fixes hash(src, p) for the whole run.
+        # Pinned via persist (NOT localCheckpoint): a checkpointed
+        # plan is a LogicalRDD whose outputPartitioning is UNKNOWN
+        # when the materialized plan was adaptive (AQE on — the bench
+        # session), so every iteration silently re-Exchanged the
+        # edges; an InMemoryRelation preserves hash(src, p) under
+        # both AQE modes, so the share⋈edges joins plan exchange-free
+        # (measured r16: the before-plan carried one edge Exchange +
+        # two sorts per iteration that the docstring said weren't
+        # there). The eager count() keeps the old checkpoint's
+        # materialize-once barrier semantics. Caching the
+        # co-partitioned edge list for the life of an iterative walk
+        # is the standard cluster posture (MEMORY_AND_DISK; spills,
+        # never recomputes through the shuffle).
+        edges = edges.repartition(p, "src").persist()
+        edges.count()
     else:
         # materialization barrier only — Spark does not CSE across
         # DataFrame branches, so an un-checkpointed edge derivation
@@ -101,15 +116,27 @@ def pagerank(
         .distinct()
     )
     if mode == "partitioned":
-        # distinct() leaves hash(node, p) — keep it via checkpoint so
-        # the per-iteration rank update joins exchange-free too
-        nodes = nodes.repartition(p, "node")
-    nodes = nodes.localCheckpoint(eager=True)
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    outdeg = (
-        edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+        # pin hash(node, p) the same way (persist, not checkpoint —
+        # see the edges note) so the per-iteration rank update joins
+        # plan exchange-free too
+        nodes = nodes.repartition(p, "node").persist()
+        nodes.count()
+    else:
+        nodes = nodes.localCheckpoint(eager=True)
+    # nn is 1 row but referenced 2× per iteration plus r0: without a
+    # barrier each reference re-runs the node-count aggregate (no CSE
+    # across DataFrame branches) — materialize the scalar once
+    nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if mode == "partitioned":
+        # over the cached hash(src) edges this aggregate is
+        # exchange-free and its output KEEPS hash(src); persist so
+        # each iteration's share join reads the node-sized result
+        # instead of re-aggregating the edge list
+        outdeg = outdeg.persist()
+        outdeg.count()
+    else:
+        outdeg = outdeg.localCheckpoint(eager=True)
 
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("r")
@@ -122,7 +149,14 @@ def pagerank(
         # order-free on any partitioning (and matches the oracle).
         share = (
             r.withColumnRenamed("node", "src")
-            .join(outdeg, "src")
+            # partitioned mode: both sides hash(src, p) — the hinted
+            # shuffled-hash join is exchange-free and sort-free
+            .join(
+                outdeg.hint("shuffle_hash")
+                if mode == "partitioned"
+                else outdeg,
+                "src",
+            )
             .select(
                 "src",
                 F.round(F.col("r") / F.col("deg"), 12)

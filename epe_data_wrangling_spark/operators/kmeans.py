@@ -15,7 +15,7 @@ oracle mirrors the staging)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.functions import vectors as V
@@ -69,15 +69,19 @@ def lloyd_means(
     staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
 
     def assign(cents_df: DataFrame) -> DataFrame:
+        # broadcast-array argmin (V.nearest_centroid): same (dist2,
+        # cid) pick as the former per-id window over a k-way
+        # crossJoin, but as a row-wise expression — the corpus is
+        # scanned once and NEVER shuffled by the assignment (the
+        # window form exchanged+sorted k× the corpus per iteration)
         c = cents_df.withColumn("cc", V.dot(F.col("c"), F.col("c")))
-        dist2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
-        w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("cid"))
+        cands = V.centroid_array(c.select("cid", "c", "cc"))
+        best = V.nearest_centroid(F.col("_cands"), F.col("v"), F.col("vv"))
         return (
-            ev.crossJoin(F.broadcast(c.select("cid", "c", "cc")))
-            .withColumn("dist2", dist2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "v", "cid")
+            ev.crossJoin(F.broadcast(cands))
+            .withColumn("_best", best)
+            .filter(F.col("_best").isNotNull())  # empty-centroids parity
+            .select(id_col, "v", F.col("_best.cid").alias("cid"))
         )
 
     def update(assigned: DataFrame) -> DataFrame:

@@ -17,7 +17,7 @@ encoded vectors are ~PQ_SUB× smaller than floats."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from epe_data_wrangling_spark.functions import vectors as V
@@ -45,14 +45,19 @@ def with_cc(cb: DataFrame) -> DataFrame:
 
 def assign_codes(rsub: DataFrame, cb_cc: DataFrame, id_col: str) -> DataFrame:
     """Nearest-codebook-entry per (id, subspace) — dist² argmin against
-    the broadcast codebooks. Returns ``rsub``'s rows + ``cid``."""
-    d2 = (F.col("rvv") - 2 * V.dot(F.col("rv"), F.col("c"))) + F.col("cc")
-    w = Window.partitionBy(id_col, "m").orderBy(F.col("d2"), F.col("cid"))
+    the broadcast codebooks. Returns ``rsub``'s rows + ``cid``.
+
+    Physical shape: per-subspace candidate arrays joined broadcast on
+    ``m`` and reduced row-wise (V.nearest_centroid) — same (d2, cid)
+    winner as the former per-(id, m) window over the cbk-way join,
+    without exploding cbk× rows through an exchange + sort."""
+    cands = V.centroid_array(cb_cc.select("m", "cid", "c", "cc"), "m")
+    best = V.nearest_centroid(F.col("_cands"), F.col("rv"), F.col("rvv"))
+    cols = rsub.columns
     return (
-        rsub.join(F.broadcast(cb_cc), "m")
-        .withColumn("d2", d2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        rsub.join(F.broadcast(cands), "m")
+        .withColumn("_best", best)
+        .select(*cols, F.col("_best.cid").alias("cid"))
     )
 
 
@@ -63,12 +68,16 @@ def train_residual_codebooks(
     init = the ``cbk`` lowest ids' residuals per subspace, one assign
     + integer-staged mean update. Returns codebooks (m, cid, c, cc)
     ready to broadcast."""
-    init = (
-        rsub.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("m").orderBy(id_col))
-        )
-        .filter(F.col("rn") <= cbk)
-        .select("m", F.col(id_col).alias("cid"), F.col("rv").alias("c"))
+    # init = the cbk lowest ids' residuals per subspace. ``rsub`` is a
+    # full (id × m) grid (split_residual_subspaces emits every id in
+    # every subspace), so the per-m cbk lowest ids ARE the global cbk
+    # lowest ids: one narrow TakeOrdered over distinct ids + a
+    # broadcast semi-join replaces the former window over
+    # partitionBy("m") — which funneled the whole corpus through m
+    # partitions and sorted it (the anti-scale shape; guide §2.5).
+    low = rsub.select(id_col).distinct().orderBy(id_col).limit(cbk)
+    init = rsub.join(F.broadcast(low), id_col).select(
+        "m", F.col(id_col).alias("cid"), F.col("rv").alias("c")
     )
     staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
     a1 = assign_codes(rsub, with_cc(init), id_col).select(

@@ -271,18 +271,20 @@ def _assign_cells(batch: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     with its trainer). Returns (id, v, _kb = cell, cv = the cell's
     centroid vector — the residual encoders need it; plain callers
     drop it)."""
+    # broadcast-array argmin (V.nearest_centroid): same (dist2, cid)
+    # winner as the former per-id window over a k-way crossJoin, with
+    # the batch scanned once and never shuffled by the assignment
     c = cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
-    dist2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
-    w = Window.partitionBy(id_col).orderBy(F.col("dist2"), F.col("cid"))
+    cands = V.centroid_array(c.select("cid", "c", "cc"))
+    best = V.nearest_centroid(F.col("_cands"), F.col("v"), F.col("vv"))
     return (
         batch.withColumn("vv", V.dot(F.col("v"), F.col("v")))
-        .crossJoin(F.broadcast(c.select("cid", "c", "cc")))
-        .withColumn("dist2", dist2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .crossJoin(F.broadcast(cands))
+        .withColumn("_best", best)
+        .filter(F.col("_best").isNotNull())  # empty-centroids parity
         .select(
-            id_col, "v", F.col("cid").cast("int").alias("_kb"),
-            F.col("c").alias("cv"),
+            id_col, "v", F.col("_best.cid").cast("int").alias("_kb"),
+            F.col("_best.c").alias("cv"),
         )
     )
 

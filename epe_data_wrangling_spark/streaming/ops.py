@@ -1729,16 +1729,24 @@ def _distinct_state_refresh(
     caller's stage. The caller owns meta + the atomic swap."""
     import os
 
-    signed = signed.localCheckpoint(eager=True)  # feeds dn, dsup
-    dn = signed.groupBy(group_col).agg(
-        F.sum("_sign").cast("bigint").alias("n")
-    )
-    dsup = (
-        signed.filter(F.col(value_col).isNotNull())
-        .groupBy(group_col, value_col)
+    # ONE pass over the signed rows: the (group, value) partial agg is
+    # the only corpus-delta-sized work, and both downstream deltas
+    # derive from its (touched-pairs-sized) result — dn by re-summing
+    # the per-pair counts (Σ over values of Σ_sign ≡ Σ_sign per group,
+    # exact bigint), dsup by filtering. The former shape materialized
+    # the ROW-LEVEL signed delta (localCheckpoint) and aggregated it
+    # twice; delta-sized vs pair-sized is the difference on a
+    # bootstrap-like batch.
+    dsup0 = (
+        signed.groupBy(group_col, value_col)
         .agg(F.sum("_sign").cast("bigint").alias("cnt"))
-        .filter(F.col("cnt") != 0)
         .localCheckpoint(eager=True)
+    )
+    dn = dsup0.groupBy(group_col).agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    dsup = dsup0.filter(
+        F.col(value_col).isNotNull() & (F.col("cnt") != 0)
     )
     merged, sup_old, touched, manifest = _merge_bucketed_support(
         spark, target_dir, dsup, [group_col], value_col, kb, tag

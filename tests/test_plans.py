@@ -259,8 +259,6 @@ def test_pagerank_partitioned_no_rank_broadcast(spark):
     bit-identical to the broadcast form (the decimal contribution
     staging makes it partitioning-invariant), which is what lets both
     physical forms share one DuckDB oracle in the catalog."""
-    import re
-
     from epe_data_wrangling_spark.operators.graph import pagerank
 
     confs = {
@@ -279,12 +277,29 @@ def test_pagerank_partitioned_no_rank_broadcast(spark):
         part = pagerank(df, iters=iters, mode="partitioned")
         plan = _plan(part)
         assert "BroadcastHashJoin" not in plan, "rank vector was broadcast"
-        assert plan.count("ShuffledHashJoin") == iters, plan
-        # one exchange per iteration (groupBy dst→node); the up-front
-        # edge/node repartitions happen BEFORE the localCheckpoint so
-        # they never appear in this plan at all
-        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        # r16: the co-partitioned edges/nodes/outdeg are pinned in
+        # InMemoryRelations (persist — a localCheckpoint's LogicalRDD
+        # reports UnknownPartitioning under AQE and re-shuffled the
+        # edges every iteration), and ALL THREE per-iteration joins
+        # (share⋈outdeg, share⋈edges, update⋈s) are hinted
+        # shuffled-hash on the co-located keys: zero exchange, zero
+        # sort. Count nodes by walking the executed tree — cached
+        # relations' stored plans are NOT children, so the up-front
+        # repartitions (echoed in the plan STRING by every
+        # InMemoryRelation print) don't pollute the count.
+        def count_nodes(jnode, name: str) -> int:
+            n = 1 if name in jnode.getClass().getSimpleName() else 0
+            for i in range(jnode.children().size()):
+                n += count_nodes(jnode.children().apply(i), name)
+            return n
+
+        root = part._jdf.queryExecution().executedPlan()
+        assert count_nodes(root, "ShuffledHashJoin") == 3 * iters, plan
+        # one LIVE exchange per iteration: the contribution groupBy
+        n_exchanges = count_nodes(root, "ShuffleExchange")
         assert n_exchanges == iters, f"{n_exchanges} exchanges for {iters} iterations:\n{plan}"
+        # and no per-iteration sort anywhere (SMJ would add two each)
+        assert count_nodes(root, "SortExec") == 0, plan
     finally:
         for k, v in old.items():
             if v is None:

@@ -3723,3 +3723,64 @@ def test_digest_pruned_image_diffs_digestless_bucket_disappearance(
     signed2 = dpi2.diff(_img([(1, 10)]))
     got2 = {(r["k"], r["v"], r["_sign"]) for r in signed2.collect()}
     assert got2 == {(2, 20, -1)}
+
+
+def test_carved_oplog_matches_rel_oplog(spark):
+    """The r16 row-wise changelog emitter (`_carved_oplog` — one base
+    scan, no keyed full-outer self-join) must emit the SAME ROW SET as
+    the join-based `_rel_oplog` for the exact carvings the headline
+    distinct-count pipeline lands (bootstrap, v1→v2, v2→v3), including
+    the D rows' NULL after-images and the I rows' NULL before-images.
+    Order is not compared: the sinks' signed application and the
+    validation agg are order-free."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    from epe_data_wrangling_spark.catalog.streaming_q import (
+        _carved_oplog,
+        _rel_oplog,
+    )
+
+    v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
+    v3 = v2.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
+            F.col("o_orderstatus")
+        ),
+    ).filter(F.col("o_orderkey") % 17 != 1)
+    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
+    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+
+    base = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    k = F.col("o_orderkey")
+    st1 = F.col("o_orderstatus")
+    st2 = F.when(k % 13 == 0, "X").otherwise(st1)
+    st3 = F.when(k % 19 == 0, "Y").otherwise(st2)
+    ck = F.col("o_custkey")
+    spec1 = (k % 7 != 3, {"o_custkey": ck, "o_orderstatus": st1})
+    spec2 = (k % 11 != 5, {"o_custkey": ck, "o_orderstatus": st2})
+    spec3 = (
+        (k % 11 != 5) & (k % 17 != 1),
+        {"o_custkey": ck, "o_orderstatus": st3},
+    )
+    cols = ["o_custkey", "o_orderstatus"]
+    G = 10**10
+    cases = [
+        (_rel_oplog(None, v1, "o_orderkey", cols, 1 * G),
+         _carved_oplog(base, "o_orderkey", cols, None, spec1, 1 * G)),
+        (_rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
+         _carved_oplog(base, "o_orderkey", cols, spec1, spec2, 2 * G)),
+        (_rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+         _carved_oplog(base, "o_orderkey", cols, spec2, spec3, 3 * G)),
+    ]
+    for i, (joined, carved) in enumerate(cases, start=1):
+        assert joined.columns == carved.columns, i
+        assert [f.dataType for f in joined.schema.fields] == [
+            f.dataType for f in carved.schema.fields
+        ], i
+        a = {tuple(r) for r in joined.collect()}
+        b = {tuple(r) for r in carved.collect()}
+        assert a == b, f"generation {i}: {len(a)} join rows vs {len(b)} carved"
+        assert a, f"generation {i} emitted nothing — vacuous differential"
