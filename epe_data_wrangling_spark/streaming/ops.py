@@ -1164,12 +1164,12 @@ def _merge_bucketed_support(
     construction on both sides), and RAISE if any merged count goes
     negative — a retraction of a (group, value) the support never held
     means the log diverged, and the support table is the divergence
-    witness. Returns ``(merged, sup_old, touched, manifest)``;
-    ``merged`` is localCheckpointed (it feeds the guard agg, the
-    caller's re-aggregation, and the write), ``sup_old`` is the pruned
-    pre-merge support (None on bootstrap or when no touched bucket
-    holds files) for callers that also need the OLD counts (the
-    distinct transition rule)."""
+    witness. Returns ``(merged, touched, manifest)``; ``merged`` is
+    localCheckpointed (it feeds the guard agg, the caller's
+    re-aggregation, and the write) and carries the transition
+    bookkeeping columns ``_old`` (pre-merge count) / ``_ds`` (whether
+    the delta touched the pair) so the distinct dialects never re-read
+    or re-join the standing support."""
     touched = sorted(
         int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
     )
@@ -1200,6 +1200,16 @@ def _merge_bucketed_support(
             F.coalesce(F.col("so.cnt"), F.lit(0))
             + F.coalesce(F.col("ds.cnt"), F.lit(0))
         ).alias("cnt"),
+        # transition bookkeeping, so the distinct-count dialects read
+        # the OLD counts from THIS join instead of re-reading the
+        # touched buckets and joining a second time (r16): the
+        # pre-merge count, and whether the DELTA touched this pair
+        # (sp-only rows must not feed the transition sums — and a
+        # NULL-group pair is a legitimate delta pair, so the flag
+        # rides the join rather than re-deriving membership).
+        # `_write_bucketed_support` drops both before the store write.
+        F.coalesce(F.col("so.cnt"), F.lit(0)).alias("_old"),
+        F.col("ds.cnt").isNotNull().alias("_ds"),
     ).localCheckpoint(eager=True)
     worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
     if worst is not None and worst < 0:
@@ -1208,7 +1218,7 @@ def _merge_bucketed_support(
             "log retracted a (group, value) it never inserted (bad "
             "before-image?); refusing to apply"
         )
-    return merged, sup_old, touched, manifest
+    return merged, touched, manifest
 
 
 def _write_bucketed_support(
@@ -1227,7 +1237,9 @@ def _write_bucketed_support(
     manifest rows."""
     write_store_delta(
         spark,
-        merged.filter(F.col("cnt") > 0).withColumn("_kb", kb),
+        merged.filter(F.col("cnt") > 0)
+        .drop("_old", "_ds")  # transition bookkeeping never hits the store
+        .withColumn("_kb", kb),
         target_dir,
         "support",
         stage,
@@ -1527,46 +1539,6 @@ def cdc_tombstone_foreach_batch(
     return oplog.sparkSession.read.parquet(os.path.join(target_dir, "view"))
 
 
-def _support_transitions(
-    spark, dsup: DataFrame, support: DataFrame | None, group_col: str, value_col: str
-) -> DataFrame:
-    """Per-group COUNT(DISTINCT) delta from net signed support deltas
-    against the standing support: each touched (group, value) joins
-    its OLD count (NULL-SAFE on the group — a NULL group is a
-    legitimate group; plain equality would re-transition it 0→1 every
-    delta) and contributes +1 on a 0→positive transition, −1 on
-    positive→0, 0 otherwise. Shared by the snapshot-fed and the
-    op-log-fed distinct-count sinks so the transition rule cannot
-    drift between them. A zero-count stored row and an absent row
-    behave identically here, which is what lets the bucketed sink
-    drop zeros."""
-    ds_ = dsup.alias("ds")
-    sp = (
-        support
-        if support is not None
-        else spark.createDataFrame([], dsup.schema)
-    ).alias("sp")
-    trans = ds_.join(
-        sp,
-        F.col(f"ds.{group_col}").eqNullSafe(F.col(f"sp.{group_col}"))
-        & (F.col(f"ds.{value_col}") == F.col(f"sp.{value_col}")),
-        "left",
-    ).select(
-        F.col(f"ds.{group_col}").alias(group_col),
-        F.coalesce(F.col("sp.cnt"), F.lit(0)).alias("old"),
-        (F.coalesce(F.col("sp.cnt"), F.lit(0)) + F.col("ds.cnt")).alias("new"),
-    )
-    return trans.groupBy(group_col).agg(
-        F.sum(
-            F.when((F.col("new") > 0) & (F.col("old") == 0), 1)
-            .when((F.col("new") == 0) & (F.col("old") > 0), -1)
-            .otherwise(0)
-        )
-        .cast("bigint")
-        .alias("d"),
-    )
-
-
 def _combine_n_d(dn: DataFrame, dd: DataFrame, group_col: str) -> DataFrame:
     """Zip the row-count delta and the distinct-count delta into one
     view delta row per group (null-safe full outer — either side may
@@ -1748,12 +1720,29 @@ def _distinct_state_refresh(
     dsup = dsup0.filter(
         F.col(value_col).isNotNull() & (F.col("cnt") != 0)
     )
-    merged, sup_old, touched, manifest = _merge_bucketed_support(
+    merged, touched, manifest = _merge_bucketed_support(
         spark, target_dir, dsup, [group_col], value_col, kb, tag
     )
-    dd = _support_transitions(
-        spark, dsup, sup_old.drop("_kb") if sup_old is not None else None,
-        group_col, value_col,
+    # Per-group COUNT(DISTINCT) delta straight from the merge's
+    # transition bookkeeping (r16 — formerly a SECOND read of the
+    # touched buckets + a second delta⋈support join): each
+    # delta-touched (group, value) contributes +1 on a 0→positive
+    # transition of its support count, −1 on positive→0, 0 otherwise;
+    # `_ds` excludes same-bucket hash neighbors the delta never
+    # touched (their old == new contributes 0 anyway — the flag keeps
+    # the row set, and therefore the emitted groups, bit-identical to
+    # the former join over the delta). A zero-count stored row and an
+    # absent row behave identically here, which is what lets the
+    # bucketed sink drop zeros; a NULL group is a legitimate group
+    # (the merge join is null-safe on it).
+    dd = merged.filter(F.col("_ds")).groupBy(group_col).agg(
+        F.sum(
+            F.when((F.col("cnt") > 0) & (F.col("_old") == 0), 1)
+            .when((F.col("cnt") == 0) & (F.col("_old") > 0), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d"),
     )
     dview = _combine_n_d(dn, dd, group_col)
     view = (
@@ -2048,18 +2037,23 @@ def _minmax_state_refresh(
     stage. The caller owns meta + the atomic swap."""
     import os
 
-    signed = signed.localCheckpoint(eager=True)  # feeds dn, dsup
-    dn = signed.groupBy(*group_cols).agg(
-        F.sum("_sign").cast("bigint").alias("n")
-    )
-    dsup = (
-        signed.filter(F.col(value_col).isNotNull())
-        .groupBy(*group_cols, value_col)
+    # ONE pass over the signed rows (same shape as
+    # `_distinct_state_refresh`, r16): aggregate to (group, value)
+    # first, derive dn by re-summing per-pair counts (exact bigint)
+    # and dsup by filter — no row-level materialization, no second
+    # full pass.
+    dsup0 = (
+        signed.groupBy(*group_cols, value_col)
         .agg(F.sum("_sign").cast("bigint").alias("cnt"))
-        .filter(F.col("cnt") != 0)
         .localCheckpoint(eager=True)
     )
-    merged, _sup_old, touched, m_sup = _merge_bucketed_support(
+    dn = dsup0.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    dsup = dsup0.filter(
+        F.col(value_col).isNotNull() & (F.col("cnt") != 0)
+    )
+    merged, touched, m_sup = _merge_bucketed_support(
         spark, target_dir, dsup, list(group_cols), value_col, kb, tag
     )
     live = merged.filter(F.col("cnt") > 0)
