@@ -1015,33 +1015,25 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("vv", V.dot(F.col("v"), F.col("v")))
     )
-    # init = the PQ_K lowest vec_ids' subvectors per subspace. ``sub``
-    # is a full (vec × m) grid (the posexplode emits every vector in
-    # every subspace), so the per-m PQ_K lowest ids ARE the global
-    # PQ_K lowest: a narrow TakeOrdered over distinct ids + broadcast
-    # semi-join replaces the former window over partitionBy("m"),
-    # which funneled the whole corpus through m partitions + a sort.
-    low = sub.select("vec_id").distinct().orderBy("vec_id").limit(PQ_K)
-    init = sub.join(F.broadcast(low), "vec_id").select(
-        "m", F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    init = (
+        sub.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("m").orderBy("vec_id"))
+        )
+        .filter(F.col("rn") <= PQ_K)
+        .select("m", F.col("vec_id").alias("cid"), F.col("v").alias("c"))
     )
 
     def with_cc(cents: DataFrame) -> DataFrame:
         return cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
 
     def assign(cents_cc: DataFrame) -> DataFrame:
-        # per-subspace broadcast-array argmin (V.nearest_centroid) —
-        # same (d2, cid) winner as the former per-(vec, m) window,
-        # without exploding PQ_K× rows through an exchange + sort
-        cands = V.centroid_array(cents_cc.select("m", "cid", "c", "cc"), "m")
-        best = V.nearest_centroid(F.col("_cands"), F.col("v"), F.col("vv"))
+        d2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
+        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("cid"))
         return (
-            sub.join(F.broadcast(cands), "m")
-            .withColumn("_best", best)
-            .select(
-                "vec_id", "m", "v", "vv",
-                F.col("_best.cid").alias("cid"),
-            )
+            sub.join(F.broadcast(cents_cc), "m")
+            .withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
         )
     staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
     a1 = assign(with_cc(init)).select("vec_id", "m", "v", "cid")
@@ -1252,21 +1244,15 @@ def ann_ivfpq_topk(
     ev = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
-    # broadcast-array argmin (V.nearest_centroid): same (d2, cell)
-    # winner as the former per-vec window over the k-way crossJoin,
-    # with the corpus scanned once and never shuffled by assignment
-    asg_cands = V.centroid_array(
-        cents.select(F.col("cell").alias("cid"), F.col("cv").alias("c"), "cc")
-    )
-    asg_best = V.nearest_centroid(F.col("_cands"), F.col("v"), F.col("vv"))
+    w_asg = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
     asg = (
-        ev.crossJoin(F.broadcast(asg_cands))
-        .withColumn("_best", asg_best)
-        .select(
-            "vec_id", "v",
-            F.col("_best.cid").alias("cell"),
-            F.col("_best.c").alias("cv"),
+        ev.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "d2", (F.col("vv") - 2 * V.dot(F.col("v"), F.col("cv"))) + F.col("cc")
         )
+        .withColumn("rn", F.row_number().over(w_asg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cell", "cv")
     )
     res = asg.select(
         "vec_id",
