@@ -37,6 +37,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Pin ``df`` with its output partitioning PRESERVED for
+    downstream planning: a LAZY ``localCheckpoint`` whose plan is
+    compiled with AQE temporarily OFF.
+
+    Why not plain ``localCheckpoint``: a checkpoint taken of an
+    ADAPTIVE plan has reported UnknownPartitioning (the r16 root
+    cause — every iteration silently re-Exchanged the edges), so the
+    materialization is pinned to a non-adaptive plan whose
+    ``outputPartitioning`` is the literal hash(key, p) the repartition
+    states. Why not ``persist()``: an InMemoryRelation build pays a
+    columnar-compression encode that 3 toy iterations never amortize
+    (r16 measured ~2-4 s per invocation at sf0.1), and CacheManager
+    holds STRONG references — repeated invocations in a long-lived
+    session leak caches until explicit unpersist. A localCheckpoint
+    is the cheap encoding (raw UnsafeRow blocks, MEMORY_AND_DISK) and
+    its RDD is freed by ContextCleaner as soon as the DataFrame is
+    GC'd — no cache entry outlives the caller, and a fresh invocation
+    can never reuse a previous call's materialization (no CacheManager
+    canonical-plan dedup), which keeps repeated-measurement harnesses
+    honest without tokens.
+
+    LAZY (eager=False): the LogicalRDD — and the partitioning it
+    reports — is fixed at CALL time; the blocks materialize inside
+    whichever job first computes them, so one downstream barrier
+    (pagerank's 1-row ``nn`` checkpoint) materializes the whole
+    edges→nodes chain in a single job instead of one serialized job
+    per pin (measured r17: eager pins cost ~1.3 s of extra
+    job-serialization at sf0.1)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def _damped_update(nodes: DataFrame, nn: DataFrame, s: DataFrame,
                    damping: float, broadcast_s: bool) -> DataFrame:
     """One damping update r = (1-d)/n + d * sum; ``nn`` is a 1-row
@@ -81,41 +119,15 @@ def pagerank(
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     if mode == "partitioned":
-        # ONE up-front shuffle fixes hash(src, p) for the whole run.
-        # Pinned via persist (NOT localCheckpoint): a checkpointed
-        # plan is a LogicalRDD whose outputPartitioning is UNKNOWN
-        # when the materialized plan was adaptive (AQE on — the bench
-        # session), so every iteration silently re-Exchanged the
-        # edges; an InMemoryRelation preserves hash(src, p) under
-        # both AQE modes, so the share⋈edges joins plan exchange-free
-        # (measured r16: the before-plan carried one edge Exchange +
-        # two sorts per iteration that the docstring said weren't
-        # there). The materialize-once barrier is the eager 1-row
-        # `nn` checkpoint below (it aggregates the cached nodes, which
-        # derive from the cached edges, so both caches materialize in
-        # that one job — no dedicated count() jobs). Caching the
-        # co-partitioned edge list for the life of an iterative walk
-        # is the standard cluster posture (MEMORY_AND_DISK; spills,
-        # never recomputes through the shuffle).
-        #
-        # The `_run` token makes each CALL's cache plan-unique:
-        # Spark's CacheManager dedupes by canonicalized plan, so
-        # without it a SECOND pagerank invocation in the same session
-        # would silently reuse the first call's materialized edges —
-        # cross-invocation result reuse a repeated-measurement
-        # harness (bench.py best-of-N) must never see. One constant
-        # column, RLE-compressed in the cache, dropped immediately
-        # below (the projection keeps hash(src, p)); nodes/outdeg
-        # derive from this plan, so their caches inherit uniqueness.
-        import uuid
-
-        tok = uuid.uuid4().hex
-        edges = (
-            edges.withColumn("_run", F.lit(tok))
-            .repartition(p, "src")
-            .persist()
-        )
-        edges = edges.drop("_run")
+        # ONE up-front shuffle fixes hash(src, p) for the whole run,
+        # pinned by `_pin` (AQE-off localCheckpoint): the co-located
+        # share⋈edges joins below then plan exchange-free, the
+        # materialization is the cheap RDD encoding (not a persist()
+        # columnar build — r16's persist cost ~2-4 s/invocation at
+        # sf0.1 that 3 toy iterations never amortize, and its
+        # CacheManager entries leaked across invocations), and
+        # ContextCleaner frees the blocks when the result is GC'd.
+        edges = _pin(edges.repartition(p, "src"))
     else:
         # materialization barrier only — Spark does not CSE across
         # DataFrame branches, so an un-checkpointed edge derivation
@@ -135,23 +147,25 @@ def pagerank(
         .distinct()
     )
     if mode == "partitioned":
-        # pin hash(node, p) the same way (persist, not checkpoint —
-        # see the edges note) so the per-iteration rank update joins
-        # plan exchange-free too
-        nodes = nodes.repartition(p, "node").persist()
+        # pin hash(node, p) the same way so the per-iteration rank
+        # update joins plan exchange-free too
+        nodes = _pin(nodes.repartition(p, "node"))
     else:
         nodes = nodes.localCheckpoint(eager=True)
     # nn is 1 row but referenced 2× per iteration plus r0: without a
     # barrier each reference re-runs the node-count aggregate (no CSE
-    # across DataFrame branches) — materialize the scalar once
+    # across DataFrame branches) — materialize the scalar once. In
+    # partitioned mode this eager job is ALSO the materialization
+    # barrier for the lazy edge/node pins above (one job computes and
+    # caches the whole chain).
     nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     if mode == "partitioned":
-        # over the cached hash(src) edges this aggregate is
-        # exchange-free and its output KEEPS hash(src); persist so
+        # over the pinned hash(src) edges this aggregate is
+        # exchange-free and its output KEEPS hash(src); pin it so
         # each iteration's share join reads the node-sized result
         # instead of re-aggregating the edge list
-        outdeg = outdeg.persist()
+        outdeg = _pin(outdeg)
     else:
         outdeg = outdeg.localCheckpoint(eager=True)
 

@@ -277,16 +277,15 @@ def test_pagerank_partitioned_no_rank_broadcast(spark):
         part = pagerank(df, iters=iters, mode="partitioned")
         plan = _plan(part)
         assert "BroadcastHashJoin" not in plan, "rank vector was broadcast"
-        # r16: the co-partitioned edges/nodes/outdeg are pinned in
-        # InMemoryRelations (persist — a localCheckpoint's LogicalRDD
-        # reports UnknownPartitioning under AQE and re-shuffled the
-        # edges every iteration), and ALL THREE per-iteration joins
-        # (share⋈outdeg, share⋈edges, update⋈s) are hinted
-        # shuffled-hash on the co-located keys: zero exchange, zero
-        # sort. Count nodes by walking the executed tree — cached
-        # relations' stored plans are NOT children, so the up-front
-        # repartitions (echoed in the plan STRING by every
-        # InMemoryRelation print) don't pollute the count.
+        # r17: the co-partitioned edges/nodes/outdeg are pinned by
+        # AQE-off localCheckpoints (operators.graph._pin — materialized
+        # LogicalRDDs that KEEP hash(key, p); r16 used persist(), whose
+        # InMemoryRelation build cost ~2-4 s/invocation and whose
+        # CacheManager entries leaked across invocations), and ALL
+        # THREE per-iteration joins (share⋈outdeg, share⋈edges,
+        # update⋈s) are hinted shuffled-hash on the co-located keys:
+        # zero exchange, zero sort. Count nodes by walking the
+        # executed tree.
         def count_nodes(jnode, name: str) -> int:
             n = 1 if name in jnode.getClass().getSimpleName() else 0
             for i in range(jnode.children().size()):
@@ -309,6 +308,33 @@ def test_pagerank_partitioned_no_rank_broadcast(spark):
     # same doubles out of both physical forms
     bcast = pagerank(df, iters=iters, mode="broadcast")
     assert sorted(map(tuple, part.collect())) == sorted(map(tuple, bcast.collect()))
+    # cache-lifecycle pin (r17): the partitioned mode must leave NO
+    # SQL-cache entry behind — its pins are localCheckpoints (RDD
+    # blocks freed by ContextCleaner on GC), never CacheManager
+    # entries, which hold strong references and would accumulate
+    # across invocations in a long-lived session.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "pagerank left a CacheManager entry behind"
+    )
+    # and the co-partition pin must hold under the DEFAULT session
+    # (AQE on) too: the executed tree of a fresh invocation still
+    # plans exchange-free iterations over the pinned relations.
+    part2 = pagerank(df, iters=iters, mode="partitioned")
+
+    def walk_live(jnode, name: str) -> int:
+        cls = jnode.getClass().getSimpleName()
+        n = 1 if name in cls else 0
+        if cls == "AdaptiveSparkPlanExec":
+            n += walk_live(jnode.executedPlan(), name)
+        if "QueryStage" in cls:
+            n += walk_live(jnode.plan(), name)
+        for i in range(jnode.children().size()):
+            n += walk_live(jnode.children().apply(i), name)
+        return n
+
+    root2 = part2._jdf.queryExecution().executedPlan()
+    n_ex = walk_live(root2, "ShuffleExchange")
+    assert n_ex == iters, f"AQE-on plan re-exchanges the pins: {n_ex}"
 
 
 def test_snapshot_diff_joins_on_key_no_nested_loop(spark):
