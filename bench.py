@@ -15,7 +15,13 @@ The JSON also carries ``calibration_probe_sec`` (scan-bound) and
 ``calibration_probe_shuffle_sec`` (shuffle-bound, r10+) — readings of
 two frozen probe plans taken immediately before each timed pass — so
 round-over-round ratios can be normalized for the shared VM's ambient
-noise (rule in BASELINE.md "Calibration").
+noise (rule in BASELINE.md "Calibration"). Since r17 it additionally
+carries ``calibration_probe_parallel_sec`` (a frozen CORE-SCALING
+probe: fixed CPU work, no I/O/shuffle, reading ~ work/cores) and the
+session facts ``cpus``/``master``/``sf_dir`` resolved from inside the
+session — together they make the scaling contract self-evidencing
+(the headline set is fixed-overhead-bound at sf0.1, which a core
+ratio alone cannot distinguish from an ignored $SPARK_GRAFT_CPUS).
 """
 
 from __future__ import annotations
@@ -100,6 +106,35 @@ def calibration_probe_shuffle(spark, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def calibration_probe_parallel(spark) -> float:
+    """THIRD frozen probe (r17), CORE-SCALING where the other two are
+    scan- and shuffle-bound: a fixed amount of embarrassingly-parallel
+    CPU work (400M rows x a 16-deep xxhash64 chain) split into 128
+    equal tasks with no shuffle and no input I/O, so its runtime is
+    ~(total work / active cores) plus a small scheduling floor
+    (sized empirically r17: 1.8 s at local[32] vs 5.0 s at local[8]
+    on this host — a 2.8x separation one ambient spike cannot fake
+    flat). The r16 driver's
+    ``suspect_cpus_ignored`` heuristic fired because every
+    8-vs-32-core ratio on the HEADLINE set read ~1.0 — the set is
+    fixed-overhead-bound at sf0.1, which is indistinguishable from
+    "the bench ignores $SPARK_GRAFT_CPUS" from the JSON alone. This
+    probe makes core count MEASURABLE from bench output: its 8-core
+    reading should be ~4x its 32-core reading whenever the session
+    really runs at the requested width (the `cpus`/`master` fields
+    echo what the session resolved). DO NOT EDIT this plan — its
+    round-over-round comparability is the point."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400_000_000, 1, 128)
+    h = F.col("id")
+    for _ in range(16):
+        h = F.xxhash64(h)
+    t0 = time.perf_counter()
+    df.select(h.alias("h")).agg(F.max("h")).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -155,9 +190,11 @@ def main() -> None:
     # neighbor.
     calibration_probe(spark, sf_dir)  # compile the probes' codegen once
     calibration_probe_shuffle(spark, sf_dir)
+    calibration_probe_parallel(spark)
     passes: list[dict[str, float]] = []
     probes: list[float] = []
     probes_shuffle: list[float] = []
+    probes_parallel: list[float] = []
     for _ in range(2):
         # SIX probe readings per pass (r15+; r10-r14 took three, r9
         # one): the r9/r10 comparison showed a single reading's own
@@ -173,6 +210,13 @@ def main() -> None:
             probes.append(round(calibration_probe(spark, sf_dir), 3))
             probes_shuffle.append(
                 round(calibration_probe_shuffle(spark, sf_dir), 3)
+            )
+        # the core-scaling probe is CPU-saturating by design; two
+        # readings per pass (not six) keep its footprint small while
+        # min() still sees a repeated quiet state
+        for _p in range(2):
+            probes_parallel.append(
+                round(calibration_probe_parallel(spark), 3)
             )
         sweep = {}
         for name, q in sorted(queries.items()):
@@ -216,6 +260,7 @@ def main() -> None:
                 "passes": passes,
                 "calibration_probe_sec": probes,
                 "calibration_probe_shuffle_sec": probes_shuffle,
+                "calibration_probe_parallel_sec": probes_parallel,
                 "sf": sf,
             },
             f,
@@ -234,6 +279,21 @@ def main() -> None:
                 # per-pass sweeps live in `passes_file`
                 "calibration_probe_sec": round(min(probes), 3),
                 "calibration_probe_shuffle_sec": round(min(probes_shuffle), 3),
+                # core-SCALING probe (r17): fixed CPU work, no I/O, no
+                # shuffle — its reading moves ~linearly with the core
+                # count, so "overhead-bound headline set at this SF"
+                # is mechanically distinguishable from "the bench
+                # ignored $SPARK_GRAFT_CPUS"
+                "calibration_probe_parallel_sec": round(
+                    min(probes_parallel), 3
+                ),
+                # self-evidencing session facts (r17): what the session
+                # actually resolved, read from INSIDE it — the r16
+                # driver could not refute its suspect_cpus_ignored
+                # heuristic from bench output alone
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                "sf_dir": sf_dir,
                 "passes_file": f".benchmarks/{detail_name}",
                 "sf": sf,
             },
