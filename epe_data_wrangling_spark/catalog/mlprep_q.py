@@ -1015,25 +1015,59 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("vv", V.dot(F.col("v"), F.col("v")))
     )
+    # Codebook init (r17): the grid property — `sub` emits EVERY
+    # vec_id in EVERY subspace m — makes the per-m PQ_K lowest
+    # vec_ids the global PQ_K lowest, so one TakeOrdered over the
+    # base scan (8 rows back) replaces the former per-m window that
+    # funneled the whole (id x m) grid through m=4 partitions and
+    # fully sorted it. The slice tree mirrors `sub`'s exactly, so
+    # the init rows are bit-identical to the window's rn<=PQ_K set.
     init = (
-        sub.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("m").orderBy("vec_id"))
+        e.select("vec_id", v.alias("_v"))
+        .orderBy("vec_id")
+        .limit(PQ_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("_v"), m * PQ_SUB + 1, PQ_SUB)
+                        for m in range(PQ_M)
+                    ]
+                )
+            ).alias("m", "c"),
         )
-        .filter(F.col("rn") <= PQ_K)
-        .select("m", F.col("vec_id").alias("cid"), F.col("v").alias("c"))
+        .select("m", "cid", "c")
     )
 
     def with_cc(cents: DataFrame) -> DataFrame:
         return cents.withColumn("cc", V.dot(F.col("c"), F.col("c")))
 
     def assign(cents_cc: DataFrame) -> DataFrame:
+        # argmin per (vec_id, m) as a min_by AGGREGATE (r17), not a
+        # row_number window: the partial aggregate collapses the k
+        # joined candidate rows map-side (they are co-located — the
+        # centroid side is broadcast), so the exchange carries the
+        # corpus once instead of k times and the per-partition SORT
+        # disappears; everything stays whole-stage-codegen (the r16
+        # broadcast-array transform() rewrite lost locally to its
+        # CodegenFallback HOFs). Bit-identical winner: min_by's
+        # ordering struct (d2, cid) is the same total order as the
+        # window's orderBy(d2, cid) — same d2 operand tree, NaN
+        # sorts greatest in both, and cid is unique per candidate
+        # set so the order has no ties.
         d2 = (F.col("vv") - 2 * V.dot(F.col("v"), F.col("c"))) + F.col("cc")
-        w = Window.partitionBy("vec_id", "m").orderBy(F.col("d2"), F.col("cid"))
         return (
             sub.join(F.broadcast(cents_cc), "m")
             .withColumn("d2", d2)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id", "m")
+            .agg(F.min_by(F.struct("cid", "v"), F.struct("d2", "cid")).alias("_w"))
+            .select(
+                "vec_id",
+                "m",
+                F.col("_w.cid").alias("cid"),
+                F.col("_w.v").alias("v"),
+            )
         )
     staged = F.round(F.col("x") * F.lit(1e9)).cast("bigint")
     a1 = assign(with_cc(init)).select("vec_id", "m", "v", "cid")
