@@ -1278,15 +1278,25 @@ def ann_ivfpq_topk(
     ev = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("vv", V.dot(F.col("v"), F.col("v")))
-    w_asg = Window.partitionBy("vec_id").orderBy(F.col("d2"), F.col("cell"))
+    # cell argmin as a min_by AGGREGATE (r17, same treatment as
+    # pq_adc_topk's assign): the partial aggregate collapses the
+    # KMEANS_K broadcast-joined candidate rows map-side, ordering
+    # struct (d2, cell) is the window's exact total order (same d2
+    # tree, NaN-greatest, cell unique), so the winner row is
+    # bit-identical and the exchange carries the corpus once.
     asg = (
         ev.crossJoin(F.broadcast(cents))
         .withColumn(
             "d2", (F.col("vv") - 2 * V.dot(F.col("v"), F.col("cv"))) + F.col("cc")
         )
-        .withColumn("rn", F.row_number().over(w_asg))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell", "cv")
+        .groupBy("vec_id")
+        .agg(F.min_by(F.struct("v", "cell", "cv"), F.struct("d2", "cell")).alias("_w"))
+        .select(
+            "vec_id",
+            F.col("_w.v").alias("v"),
+            F.col("_w.cell").alias("cell"),
+            F.col("_w.cv").alias("cv"),
+        )
     )
     res = asg.select(
         "vec_id",
