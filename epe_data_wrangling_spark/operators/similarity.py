@@ -139,6 +139,43 @@ def brute_topk_arrow(
     )
 
 
+def _cells_array(centroids: DataFrame, *, vec_col: str, id_col: str) -> DataFrame:
+    """Collapse the (small, broadcastable) centroid relation to ONE
+    row holding ``_cells`` = cell-sorted array<struct<cell, cv>> — the
+    broadcast side of the row-wise argmax below. Empty centroids give
+    zero rows (the ``size > 0`` filter), preserving the former inner
+    join's empty-result semantics."""
+    return (
+        centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
+        .agg(F.array_sort(F.collect_list(F.struct("cell", "cv"))).alias("_cells"))
+        .where(F.size(F.col("_cells")) > 0)
+    )
+
+
+def _best_cell(vec: Column) -> Column:
+    """argmax over ``_cells`` of cosine(vec, cv), ties → LOWEST cell —
+    as a row-wise expression, so the corpus is never shuffled by the
+    assignment. NaN/ordering parity with the window form it replaces
+    (orderBy cell_sim DESC, cell ASC) is exact BECAUSE this is a MAX
+    over struct(sim, -cell): Spark orders NaN greater than every
+    number in both sort-desc (NaN first) and struct-max (NaN wins),
+    NaN equals NaN, and a null sim (null input vector) loses in both
+    (desc puts nulls last; struct-max ranks a null field lowest) — the
+    r16 attempt was blocked because a MIN over the NEGATED sim flips
+    NaN to the losing end; the negation lives on the TIE-BREAK key
+    instead (numeric cell ids — every in-repo caller packs bigint
+    ids), where -cell under max = lowest cell. Pinned by the
+    zero-norm witness test (tests/test_plans.py)."""
+    return F.array_max(
+        F.transform(
+            F.col("_cells"),
+            lambda s: F.struct(
+                cosine(vec, s["cv"]).alias("s"), (-s["cell"]).alias("nc")
+            ),
+        )
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -147,17 +184,28 @@ def ivf_assign(
     id_col: str,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid cell (max cosine,
-    ties → lowest centroid id). Centroids are broadcast — assignment
-    is one narrow pass over the corpus, the IVF build step."""
+    ties → lowest centroid id). Centroids are broadcast as ONE array
+    row and the argmax runs row-wise (r17) — assignment is one narrow
+    pass over the corpus with NO exchange and NO sort (the former
+    per-vid window shuffled the corpus — embedding payloads included —
+    by vid; WindowGroupLimit bounded it to 1x corpus, not kx, but a
+    corpus-sized embedding shuffle is still the term that dominates at
+    design scale), the IVF build step. Requires numeric cell ids (the
+    tie-break negates them; see `_best_cell` for the NaN-parity
+    argument).
+
+    Regime note (r17, same trade as the kmeans/PQ operator argmins):
+    the row-wise argmax is a nested higher-order expression
+    (CodegenFallback), measurably SLOWER at toy scale — interleaved
+    A/B on ann_ivf_topk at sf0.1 read 1.95 s vs the window form's
+    1.65 s (ann_recall_report at parity) — and kept anyway because
+    the exchange it removes carries the corpus with its vectors,
+    which no local interpreted-expression overhead can outweigh once
+    the corpus exceeds an executor."""
     v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vv"))
-    c = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
-    w = Window.partitionBy("vid").orderBy(F.col("cell_sim").desc(), F.col("cell"))
-    return (
-        v.join(F.broadcast(c))
-        .select("vid", "vv", "cell", cosine(F.col("vv"), F.col("cv")).alias("cell_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vid", "vv", "cell")
+    cands = _cells_array(centroids, vec_col=vec_col, id_col=id_col)
+    return v.crossJoin(F.broadcast(cands)).select(
+        "vid", "vv", (-_best_cell(F.col("vv"))["nc"]).alias("cell")
     )
 
 
@@ -190,15 +238,34 @@ def ivf_topk(
     )
     assigned = ivf_assign(candidates, cents, vec_col=vec_col, id_col=id_col)
 
+    # probe selection (r17): top-n_probe cells per query as a row-wise
+    # sort_array(desc)+slice over the SAME one-row broadcast cell
+    # array — no per-query exchange/sort. Ordering parity with the
+    # former window (cell_sim DESC, cell ASC): sort_array(desc) over
+    # struct(sim, -cell) puts NaN first and breaks sim ties by lowest
+    # cell, exactly like the window's NaN-greatest desc sort (see
+    # `_best_cell` for the argument; slice tolerates < n_probe cells
+    # like rn<= did).
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = cents.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cv"))
-    wp = Window.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+    qcands = _cells_array(cents, vec_col=vec_col, id_col=id_col)
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("_cells"),
+                lambda s: F.struct(
+                    cosine(F.col("qv"), s["cv"]).alias("s"),
+                    (-s["cell"]).alias("nc"),
+                ),
+            ),
+            asc=False,
+        ),
+        1,
+        n_probe,
+    )
     probes = (
-        q.join(F.broadcast(c))
-        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("cv")).alias("cell_sim"))
-        .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell")
+        q.crossJoin(F.broadcast(qcands))
+        .select("query_id", "qv", F.explode(ranked).alias("_p"))
+        .select("query_id", "qv", (-F.col("_p")["nc"]).alias("cell"))
     )
 
     wk = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))

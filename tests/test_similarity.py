@@ -123,3 +123,108 @@ def test_retrieval_quality_report_matches_duckdb(spark):
     assert g.n_answered == g.n_queries  # every query found candidates here
     # sanity: the IVF path finds the true top-1 for most queries
     assert g.mrr > 0.8 and 0.5 < g.mean_ndcg <= 1.0
+
+
+def test_ivf_assign_zero_norm_nan_witness(spark):
+    """The r17 row-wise argmax (max over struct(sim, -cell)) must
+    match the former per-vid window (ORDER BY cell_sim DESC, cell)
+    BIT-EXACTLY under the NaN cases that blocked the r16 rewrite:
+    cosine of a ZERO-NORM vector is NaN (0/0), and Spark sorts NaN
+    greater than every number — so a zero-norm QUERY vector ties NaN
+    across all cells (lowest cell must win) and a zero-norm CENTROID
+    beats every finite similarity (every vector must assign to it).
+    A min-over-negated-sim form would flip NaN to the losing end,
+    which is exactly what this witness exists to catch. Duplicate
+    centroids additionally pin the finite-tie path, and probe
+    selection (sort_array desc + slice) is held to the same order."""
+    from pyspark.sql import Window
+
+    from epe_data_wrangling_spark.functions.vectors import cosine
+
+    def window_assign(vectors, centroids):
+        v = vectors.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("vv"))
+        c = centroids.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+        w = Window.partitionBy("vid").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+        return (
+            v.join(F.broadcast(c))
+            .select("vid", "vv", "cell", cosine(F.col("vv"), F.col("cv")).alias("cell_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vid", "vv", "cell")
+        )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+
+    # case 1: zero-norm VECTOR (NaN sim to every cell -> lowest cell)
+    vecs = mk([(100, [0.0, 0.0]), (101, [1.0, 0.0]), (102, [0.0, -1.0])])
+    cents = mk([(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])])
+    # case 2: zero-norm CENTROID (NaN beats all finite sims everywhere)
+    cents_zn = mk([(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 1.0])])
+    # case 3: duplicate centroids (finite ties -> lowest cell)
+    cents_dup = mk([(5, [1.0, 1.0]), (4, [1.0, 1.0]), (9, [-1.0, 1.0])])
+
+    for cs in (cents, cents_zn, cents_dup):
+        got = sorted(
+            (r.vid, r.cell)
+            for r in S.ivf_assign(vecs, cs, vec_col="embedding", id_col="vec_id").collect()
+        )
+        want = sorted((r.vid, r.cell) for r in window_assign(vecs, cs).collect())
+        assert got == want, (got, want)
+
+    # empty centroids: former inner join produced ZERO rows
+    empty = mk([])
+    assert S.ivf_assign(vecs, empty, vec_col="embedding", id_col="vec_id").count() == 0
+
+    # probe selection: same ordering through sort_array desc + slice,
+    # including the NaN-first and tie-by-lowest-cell paths
+    def window_probes(queries, centroids, n_probe):
+        q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        c = centroids.select(F.col("vec_id").alias("cell"), F.col("embedding").alias("cv"))
+        w = Window.partitionBy("query_id").orderBy(F.col("cell_sim").desc(), F.col("cell"))
+        return (
+            q.join(F.broadcast(c))
+            .select("query_id", "cell", cosine(F.col("qv"), F.col("cv")).alias("cell_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_probe)
+            .select("query_id", "cell")
+        )
+
+    for cs in (cents, cents_zn, cents_dup):
+        full = S.ivf_topk(
+            vecs, vecs.unionAll(vecs.select(F.col("vec_id") + 1000, "embedding")),
+            vec_col="embedding", id_col="vec_id", k=2, n_centroids=3, n_probe=2,
+        )
+        full.collect()  # the composed operator stays executable on witness data
+        got = sorted((r.query_id, r.cell) for r in _probe_cells(vecs, cs, 2).collect())
+        want = sorted((r.query_id, r.cell) for r in window_probes(vecs, cs, 2).collect())
+        assert got == want, (got, want)
+
+
+def _probe_cells(queries, centroids, n_probe):
+    """The probe-selection fragment of ivf_topk, isolated for the
+    witness differential."""
+    from epe_data_wrangling_spark.functions.vectors import cosine
+    from epe_data_wrangling_spark.operators.similarity import _cells_array
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    qcands = _cells_array(centroids, vec_col="embedding", id_col="vec_id")
+    ranked = F.slice(
+        F.sort_array(
+            F.transform(
+                F.col("_cells"),
+                lambda s: F.struct(
+                    cosine(F.col("qv"), s["cv"]).alias("s"),
+                    (-s["cell"]).alias("nc"),
+                ),
+            ),
+            asc=False,
+        ),
+        1,
+        n_probe,
+    )
+    return (
+        q.crossJoin(F.broadcast(qcands))
+        .select("query_id", F.explode(ranked).alias("_p"))
+        .select("query_id", (-F.col("_p")["nc"]).alias("cell"))
+    )
