@@ -43,13 +43,75 @@ def _land_generations(landing: str, gens, prefix: str = "g") -> None:
     """Write each generation DataFrame as ONE parquet file into the
     landing dir with strictly increasing mtimes, so file-source
     discovery order equals generation order — the ordering contract
-    the snapshot sinks enforce. Thin loop over the shared
-    `streaming.sources.land_single_file` (the glob-diff + rename +
-    utime core exists exactly once, there)."""
+    the snapshot sinks enforce.
+
+    All generations land from ONE Spark job (r17): the tagged union
+    writes ``partitionBy("_gen")`` with each generation hash-pinned
+    to a single task (so exactly one file per generation), and the
+    files rename into the landing exactly as the per-generation
+    loop produced them — same schema (the partition column never
+    reaches the file), same rows, same name/mtime contract. The
+    former loop paid one job + single-task write + commit per
+    generation (measured r17: 4.6 s of the distinct-oplog headline's
+    landing was 3 serialized jobs). An empty generation (no
+    ``_gen=i`` dir) falls back to the shared single-file lander."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
     from epe_data_wrangling_spark.streaming.sources import land_single_file
 
-    for i, gdf in enumerate(gens, start=1):
-        land_single_file(gdf, landing, f"{prefix}{i}.parquet", i)
+    gens = list(gens)
+    os.makedirs(landing, exist_ok=True)
+    if len(gens) == 1:
+        land_single_file(gens[0], landing, f"{prefix}1.parquet", 1)
+        return
+    cols = gens[0].columns
+    u = None
+    for i, g in enumerate(gens, start=1):
+        t = g.select(*cols).withColumn("_gen", F.lit(i))
+        u = t if u is None else u.unionByName(t)
+    # tmp beside (not inside) the landing: same filesystem for the
+    # renames, invisible to the landing glob
+    tmp = tempfile.mkdtemp(
+        prefix="_land-", dir=os.path.dirname(os.path.abspath(landing))
+    )
+    (
+        # range partitioning: each _gen VALUE gets its own partition
+        # (hash could collide all generations into one task and
+        # serialize the whole write again)
+        u.repartitionByRange(len(gens), "_gen")
+        .write.mode("overwrite")
+        .partitionBy("_gen")
+        .parquet(tmp)
+    )
+    for i, g in enumerate(gens, start=1):
+        gdir = os.path.join(tmp, f"_gen={i}")
+        files = (
+            sorted(globmod.glob(os.path.join(gdir, "*.parquet")))
+            if os.path.isdir(gdir)
+            else []
+        )
+        dest = os.path.join(landing, f"{prefix}{i}.parquet")
+        if len(files) == 1:
+            os.rename(files[0], dest)
+        else:
+            # empty generation, or a write that split unexpectedly
+            land_single_file(g, landing, f"{prefix}{i}.parquet", i)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # one normalization pass AFTER every file exists: mtimes strictly
+    # increase in generation order regardless of which path landed a
+    # file (the discovery-order contract land_single_file states)
+    base = max(
+        os.path.getmtime(os.path.join(landing, f"{prefix}{i}.parquet"))
+        for i in range(1, len(gens) + 1)
+    )
+    for i in range(1, len(gens) + 1):
+        p = os.path.join(landing, f"{prefix}{i}.parquet")
+        os.utime(p, (base + i, base + i))
 
 
 

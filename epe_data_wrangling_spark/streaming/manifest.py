@@ -436,6 +436,7 @@ def write_store_delta(
     digests: dict | None = None,
     compact: bool = True,
     append: bool = False,
+    counts=None,
 ) -> None:
     """Commit one store's new version into the caller's staging dir:
     ``df`` (the full post-batch rows of the touched buckets, carrying
@@ -471,7 +472,16 @@ def write_store_delta(
     post-batch rows). They ride the manifest; untouched buckets carry
     theirs, a touched bucket not re-supplied loses its digest (absent
     digests compare as changed — conservative, never wrong). Mate
-    rewrites preserve mate digests (content unchanged)."""
+    rewrites preserve mate digests (content unchanged).
+
+    ``counts`` (r17): optional caller-supplied per-bucket row tally of
+    ``df`` (rows indexable as ``r["_kb"]``/``r["c"]``, only buckets
+    with rows). When the caller already counted the delta — e.g. the
+    support sinks' negative-count guard aggregates per bucket anyway —
+    passing it here lets BOTH the stray-bucket witness and the pool
+    write's packing plan run without their own count job: one fewer
+    Spark job per commit. Must tally exactly the rows in ``df``;
+    when omitted the commit counts for itself as before."""
     pool = pool_store_dir(target_dir, store)
     os.makedirs(pool, exist_ok=True)
     buckets = dict(manifest["buckets"]) if manifest is not None else {}
@@ -570,11 +580,12 @@ def write_store_delta(
     # mate-free pool write REUSES as its packing plan (no extra job),
     # skipped entirely when no stray is possible: bootstrap (nothing
     # committed) or every pre-existing bucket already declared touched.
-    df_counts = None
+    df_counts = counts
     if mate_ids or not pre_existing <= touched_keys:
-        df_counts = df.groupBy("_kb").agg(
-            F.count(F.lit(1)).alias("c")
-        ).collect()
+        if df_counts is None:
+            df_counts = df.groupBy("_kb").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
         df_buckets = {str(int(r["_kb"])) for r in df_counts}
         stray_in_mates = df_buckets & mate_ids
         if stray_in_mates:

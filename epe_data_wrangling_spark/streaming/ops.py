@@ -1164,12 +1164,18 @@ def _merge_bucketed_support(
     construction on both sides), and RAISE if any merged count goes
     negative — a retraction of a (group, value) the support never held
     means the log diverged, and the support table is the divergence
-    witness. Returns ``(merged, touched, manifest)``; ``merged`` is
-    localCheckpointed (it feeds the guard agg, the caller's
-    re-aggregation, and the write) and carries the transition
+    witness. Returns ``(merged, touched, manifest, counts)``;
+    ``merged`` is localCheckpointed (it feeds the guard agg, the
+    caller's re-aggregation, and the write) and carries the transition
     bookkeeping columns ``_old`` (pre-merge count) / ``_ds`` (whether
     the delta touched the pair) so the distinct dialects never re-read
-    or re-join the standing support."""
+    or re-join the standing support. ``counts`` is the per-bucket
+    positive-row tally of ``merged`` — exactly the rows
+    `_write_bucketed_support` commits — computed in the SAME job as
+    the negative-count guard (r17: the guard was one agg job and
+    `write_store_delta` re-counted the written delta in another; one
+    groupBy over the checkpointed merge now feeds both, one fewer
+    Spark job per batch in every support-store dialect)."""
     touched = sorted(
         int(r["b"]) for r in dsup.select(kb.alias("b")).distinct().collect()
     )
@@ -1182,7 +1188,12 @@ def _merge_bucketed_support(
         if sup_old is not None
         else spark.createDataFrame([], dsup.schema)
     ).alias("so")
-    ds_ = dsup.alias("ds")
+    # shuffled-hash hint (r17): the merge ran as a sort-merge join —
+    # two sorts per batch on state that is guard-checked and
+    # re-aggregated anyway; full-outer shuffled-hash (Spark 3.1+)
+    # skips both sorts, and the build side is the delta (touched
+    # pairs), bounded by batch volume at any corpus size.
+    ds_ = dsup.hint("shuffle_hash").alias("ds")
     merged = so.join(
         ds_,
         _ns_cond("so", "ds", group_cols)
@@ -1211,14 +1222,23 @@ def _merge_bucketed_support(
         F.coalesce(F.col("so.cnt"), F.lit(0)).alias("_old"),
         F.col("ds.cnt").isNotNull().alias("_ds"),
     ).localCheckpoint(eager=True)
-    worst = merged.agg(F.min("cnt").alias("m")).collect()[0]["m"]
+    stats = (
+        merged.groupBy(kb.alias("_kb"))
+        .agg(
+            F.min("cnt").alias("m"),
+            F.count(F.when(F.col("cnt") > 0, 1)).alias("c"),
+        )
+        .collect()
+    )
+    worst = min((r["m"] for r in stats), default=None)
     if worst is not None and worst < 0:
         raise RuntimeError(
             f"{tag} sink: a support count went NEGATIVE ({worst}) — the "
             "log retracted a (group, value) it never inserted (bad "
             "before-image?); refusing to apply"
         )
-    return merged, touched, manifest
+    counts = [r for r in stats if r["c"] > 0]
+    return merged, touched, manifest, counts
 
 
 def _write_bucketed_support(
@@ -1230,11 +1250,14 @@ def _write_bucketed_support(
     touched: list,
     manifest: dict | None,
     batch_id: int,
+    counts=None,
 ) -> None:
     """Commit the merged support's touched buckets to the ``support``
     store (zero-count rows dropped — indistinguishable from absent for
     every consumer of a support multiset); untouched buckets carry as
-    manifest rows."""
+    manifest rows. ``counts`` (from `_merge_bucketed_support`'s guard
+    job) is this exact delta's per-bucket row tally, so the commit
+    skips its own count job."""
     write_store_delta(
         spark,
         merged.filter(F.col("cnt") > 0)
@@ -1246,6 +1269,7 @@ def _write_bucketed_support(
         batch_id=batch_id,
         touched=touched,
         manifest=manifest,
+        counts=counts,
     )
 
 
@@ -1720,7 +1744,7 @@ def _distinct_state_refresh(
     dsup = dsup0.filter(
         F.col(value_col).isNotNull() & (F.col("cnt") != 0)
     )
-    merged, touched, manifest = _merge_bucketed_support(
+    merged, touched, manifest, counts = _merge_bucketed_support(
         spark, target_dir, dsup, [group_col], value_col, kb, tag
     )
     # Per-group COUNT(DISTINCT) delta straight from the merge's
@@ -1752,7 +1776,8 @@ def _distinct_state_refresh(
     )
     view = _additive_merge(view, dview, [group_col], ["n", "d"])
     _write_bucketed_support(
-        spark, target_dir, stage, merged, kb, touched, manifest, batch_id
+        spark, target_dir, stage, merged, kb, touched, manifest, batch_id,
+        counts=counts,
     )
     view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
 
@@ -2053,7 +2078,7 @@ def _minmax_state_refresh(
     dsup = dsup0.filter(
         F.col(value_col).isNotNull() & (F.col("cnt") != 0)
     )
-    merged, touched, m_sup = _merge_bucketed_support(
+    merged, touched, m_sup, counts = _merge_bucketed_support(
         spark, target_dir, dsup, list(group_cols), value_col, kb, tag
     )
     live = merged.filter(F.col("cnt") > 0)
@@ -2121,7 +2146,8 @@ def _minmax_state_refresh(
         )
     )
     _write_bucketed_support(
-        spark, target_dir, stage, merged, kb, touched, m_sup, batch_id
+        spark, target_dir, stage, merged, kb, touched, m_sup, batch_id,
+        counts=counts,
     )
     view.write.mode("overwrite").parquet(os.path.join(stage, "view"))
 

@@ -443,3 +443,43 @@ def test_append_mode_accumulates_without_rewriting(spark, tmp_path):
         len(names) <= COMPACT_FILE_THRESHOLD + 1
         for names in m["buckets"].values()
     ), {b: len(n) for b, n in m["buckets"].items()}
+
+
+def test_caller_supplied_counts_match_self_counted_commit(spark, tmp_path):
+    """r17: `write_store_delta(counts=...)` lets a caller that already
+    tallied the delta per bucket (the support sinks' guard aggregate)
+    skip the commit's own count job. The supplied-counts commit must
+    behave exactly like the self-counting one: same committed rows,
+    same bucket->packing layout, and the stray-bucket witness still
+    fires (pre-write) when the counts reveal an undeclared bucket."""
+    from pyspark.sql import Row
+
+    def counts_of(df):
+        return (
+            df.groupBy("_kb").agg(F.count(F.lit(1)).alias("c")).collect()
+        )
+
+    rows = [(k, k * 10) for k in range(64)]
+    base, delta = _df(spark, rows), _df(spark, [(3, 999), (11, 111)])
+    ta, tb = str(tmp_path / "a"), str(tmp_path / "b")
+    for t in (ta, tb):
+        _commit(spark, t, "s", base, list(range(8)), 0)
+    touched = sorted({int(r["_kb"]) for r in delta.select("_kb").distinct().collect()})
+    _commit(spark, ta, "s", delta, touched, 1)                       # self-counted
+    _commit(spark, tb, "s", delta, touched, 1, counts=counts_of(delta))  # supplied
+    ma, mb = read_manifest(ta, "s"), read_manifest(tb, "s")
+    assert sorted(ma["buckets"]) == sorted(mb["buckets"])
+    assert {b: len(n) for b, n in ma["buckets"].items()} == {
+        b: len(n) for b, n in mb["buckets"].items()
+    }, "packing layout diverged between self-counted and supplied counts"
+    ra = sorted(map(tuple, read_store(spark, ta, "s").collect()))
+    rb = sorted(map(tuple, read_store(spark, tb, "s").collect()))
+    assert ra == rb and ra, "committed rows diverged"
+
+    # the witness must still fire from SUPPLIED counts (no count job,
+    # same guarantee): bucket of k=3 not declared touched
+    stray = _df(spark, [(3, 42)])
+    b3 = int(stray.select("_kb").collect()[0]["_kb"])
+    other = next(b for b in range(8) if b != b3)
+    with pytest.raises(RuntimeError, match="not declared in touched"):
+        _commit(spark, tb, "s", stray, [other], 2, counts=counts_of(stray))
