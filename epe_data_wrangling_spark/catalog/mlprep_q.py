@@ -1312,8 +1312,16 @@ def ann_ivfpq_topk(
     rsub = split_residual_subspaces(
         res, PQ_M, PQ_SUB, keep=["vec_id", "cell"]
     )
+    # init_ids (r17): rsub's distinct ids ARE the corpus ids (the
+    # assignment keeps every vector), so the trainer's cbk lowest init
+    # ids come from a pruned base scan instead of a distinct over the
+    # unmaterialized (id x m) residual grid — which re-executed the
+    # whole coarse-assignment chain just to find 32 ids.
     cb1 = train_residual_codebooks(
-        rsub, IVFPQ_CBK, "vec_id"
+        rsub,
+        IVFPQ_CBK,
+        "vec_id",
+        init_ids=ev.select("vec_id").orderBy("vec_id").limit(IVFPQ_CBK),
     ).localCheckpoint(eager=False)
     # ^ barrier: cb1 feeds corpus encoding AND the query tables
     codes = assign_codes(rsub, cb1, "vec_id").select(

@@ -62,12 +62,21 @@ def assign_codes(rsub: DataFrame, cb_cc: DataFrame, id_col: str) -> DataFrame:
 
 
 def train_residual_codebooks(
-    rsub: DataFrame, cbk: int, id_col: str
+    rsub: DataFrame, cbk: int, id_col: str, init_ids: DataFrame | None = None
 ) -> DataFrame:
     """One staged-Lloyd round per subspace over the residual rows:
     init = the ``cbk`` lowest ids' residuals per subspace, one assign
     + integer-staged mean update. Returns codebooks (m, cid, c, cc)
-    ready to broadcast."""
+    ready to broadcast.
+
+    ``init_ids`` (r17): optional single-column (``id_col``) relation
+    that MUST equal ``rsub``'s ``cbk`` lowest distinct ids. A caller
+    holding the pre-split corpus passes them from a pruned base scan
+    (ids only), skipping the distinct-id TakeOrdered over the
+    (id × m) grid — which, when ``rsub`` is an unmaterialized plan,
+    re-executes the whole residual derivation (coarse assignment
+    included) just to find ``cbk`` ids. Identical codebooks by the
+    grid property below."""
     # init = the cbk lowest ids' residuals per subspace. ``rsub`` is a
     # full (id × m) grid (split_residual_subspaces emits every id in
     # every subspace), so the per-m cbk lowest ids ARE the global cbk
@@ -75,7 +84,11 @@ def train_residual_codebooks(
     # broadcast semi-join replaces the former window over
     # partitionBy("m") — which funneled the whole corpus through m
     # partitions and sorted it (the anti-scale shape; guide §2.5).
-    low = rsub.select(id_col).distinct().orderBy(id_col).limit(cbk)
+    low = (
+        init_ids.select(id_col)
+        if init_ids is not None
+        else rsub.select(id_col).distinct().orderBy(id_col).limit(cbk)
+    )
     init = rsub.join(F.broadcast(low), id_col).select(
         "m", F.col(id_col).alias("cid"), F.col("rv").alias("c")
     )
