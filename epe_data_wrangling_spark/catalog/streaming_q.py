@@ -996,6 +996,117 @@ def streaming_distinct_count_view_maintenance(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _orders_specs(cols: list[str]):
+    """Carving specs over the RAW orders base for the three fixture
+    generations every orders-fed changelog pipeline shares, mirroring
+    `evolve_q._snapshot_versions` (v1, v2) + `_snapshot_version3` (v3)
+    EXACTLY: presence v1 = key%7≠3, v2 = key%11≠5, v3 = v2 ∧ key%17≠1;
+    o_orderstatus flips to 'X' on %13 (v2) then 'Y' on %19 (v3);
+    cents = round(o_totalprice·100) bumps +500 on %23 in v3;
+    o_custkey / o_orderpriority ride unchanged.
+
+    Restricted to ``cols`` ⊆ {o_custkey, cents, o_orderstatus,
+    o_orderpriority}; returns ``(raw_cols, [spec1, spec2, spec3])``
+    where each spec is the ``(presence_predicate, {col: value_expr})``
+    shape `_carved_oplog`/`_carved_tombstone_log` consume. Hoisted so
+    the pipelines AND their differential tests import ONE carving
+    (r16 advice: hand-duplicated specs let the pipeline drift from the
+    test's pin) and every landing is ONE projection over ONE base scan
+    instead of a keyed full-outer self-diff (2 exchanges + 2 sorts per
+    generation)."""
+    from pyspark.sql import functions as F
+
+    k = F.col("o_orderkey")
+    st1 = F.col("o_orderstatus")
+    st2 = F.when(k % 13 == 0, "X").otherwise(st1)
+    st3 = F.when(k % 19 == 0, "Y").otherwise(st2)
+    c12 = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    c3 = F.when(k % 23 == 0, c12 + 500).otherwise(c12)
+    vals = {
+        "o_custkey": (F.col("o_custkey"),) * 3,
+        "o_orderstatus": (st1, st2, st3),
+        "cents": (c12, c12, c3),
+        "o_orderpriority": (F.col("o_orderpriority"),) * 3,
+    }
+    raw_of = {
+        "o_custkey": "o_custkey",
+        "o_orderstatus": "o_orderstatus",
+        "cents": "o_totalprice",
+        "o_orderpriority": "o_orderpriority",
+    }
+    presence = (k % 7 != 3, k % 11 != 5, (k % 11 != 5) & (k % 17 != 1))
+    raw_cols = ["o_orderkey"] + [raw_of[c] for c in cols]
+    specs = [
+        (p, {c: vals[c][i] for c in cols}) for i, p in enumerate(presence)
+    ]
+    return raw_cols, specs
+
+
+def _orders_carved_base(spark: SparkSession, sf_dir: str, cols: list[str]):
+    """`_orders_specs` plus the raw base scan: ``(base, [spec1, spec2,
+    spec3])`` ready for `_carved_oplog` / `_carved_tombstone_log`."""
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    raw_cols, specs = _orders_specs(cols)
+    return load_table(spark, sf_dir, "orders").select(*raw_cols), specs
+
+
+def _customer_carved_base(spark: SparkSession, sf_dir: str):
+    """Customer-dim twin of `_orders_carved_base`, mirroring
+    `evolve_q._dim_versions` exactly: presence s1 = key%9≠2,
+    s2 = key%9≠5; c_mktsegment moves to 'MACHINERY' on %8 in s2.
+    Returns ``(base, [spec_s1, spec_s2])`` over cols
+    ``["c_mktsegment"]``."""
+    from pyspark.sql import functions as F
+
+    from epe_data_wrangling_spark.sources.tables import load_table
+
+    ck = F.col("c_custkey")
+    seg1 = F.col("c_mktsegment")
+    seg2 = F.when(ck % 8 == 0, "MACHINERY").otherwise(seg1)
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return base, [
+        (ck % 9 != 2, {"c_mktsegment": seg1}),
+        (ck % 9 != 5, {"c_mktsegment": seg2}),
+    ]
+
+
+def _carved_tombstone_log(
+    base, key: str, cols: list[str], old_spec, new_spec, seq_base: int
+):
+    """Row-wise twin of `_tombstone_rel_log` (the compacted-topic
+    emitter: 'U' upserts carry only the after-image, 'D' tombstones
+    only the key) for carvings of ONE keyed base — same presence/spec
+    algebra as `_carved_oplog`, same bit-identical-row-set contract
+    (pytest-pinned differential), one base scan instead of a keyed
+    full-outer self-join per generation. ``old_spec is None`` =
+    bootstrap (all 'U')."""
+    from pyspark.sql import functions as F
+
+    if old_spec is None:
+        p_new, new_cols = new_spec
+        return base.filter(p_new).select(
+            key,
+            (F.lit(seq_base) + F.col(key)).alias("seq"),
+            F.lit("U").alias("op"),
+            *[new_cols[c].alias(c) for c in cols],
+        )
+    p_old, old_cols = old_spec
+    p_new, new_cols = new_spec
+    a_abs, b_abs = ~p_old, ~p_new
+    changed = F.lit(False)
+    for c in cols:
+        changed = changed | ~old_cols[c].eqNullSafe(new_cols[c])
+    return base.filter((p_old | p_new) & (a_abs | b_abs | changed)).select(
+        key,
+        (F.lit(seq_base) + F.col(key)).alias("seq"),
+        F.when(b_abs, "D").otherwise("U").alias("op"),
+        *[F.when(p_new, new_cols[c]).alias(c) for c in cols],
+    )
+
+
 def _oplog_from_versions(old, new, seq_base: int):
     """Orders-shaped op-log emitter — thin wrapper over the generic
     null-safe `_rel_oplog` (one change-detection implementation; a
@@ -1062,31 +1173,17 @@ def streaming_distinct_count_oplog_pipeline(
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.sources.tables import load_table
-
     # The three generations are `_snapshot_versions`/v3 carvings of
     # ONE keyed base, so the changelogs are emitted row-wise by
     # `_carved_oplog` (identical row sets to the former
     # `_rel_oplog(v1, v2, …)` full-outer diffs — pytest-pinned
     # differential `test_carved_oplog_matches_rel_oplog` — without
     # the two snapshot-sized join exchanges per generation). The
-    # carving rules below mirror _snapshot_versions/_retrain-v3 AND
-    # this query's oracle verbatim.
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
-    )
-    k = F.col("o_orderkey")
-    st1 = F.col("o_orderstatus")
-    st2 = F.when(k % 13 == 0, "X").otherwise(st1)
-    st3 = F.when(k % 19 == 0, "Y").otherwise(st2)
-    ck = F.col("o_custkey")
-    spec1 = (k % 7 != 3, {"o_custkey": ck, "o_orderstatus": st1})
-    spec2 = (k % 11 != 5, {"o_custkey": ck, "o_orderstatus": st2})
-    spec3 = (
-        (k % 11 != 5) & (k % 17 != 1),
-        {"o_custkey": ck, "o_orderstatus": st3},
-    )
+    # carving specs are the SHARED `_orders_specs` (r17) the
+    # differential test imports too, mirroring this query's oracle
+    # verbatim.
     cols = ["o_custkey", "o_orderstatus"]
+    base, (spec1, spec2, spec3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="distinct_oplog_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1195,16 +1292,13 @@ def streaming_cdc_oplog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17): the generations are `_orders_specs`
+    # carvings of one keyed base — row-wise `_carved_oplog`
+    # projections (row sets pytest-pinned identical to the former
+    # `_oplog_from_versions` full-outer diffs) instead of 2 exchanges
+    # + 2 sorts per generation
+    cols = ["o_orderstatus", "cents"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="cdc_oplog_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1213,9 +1307,9 @@ def streaming_cdc_oplog_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         _land_generations(
             landing,
             [
-                _oplog_from_versions(None, v1, 1_0000000000),
-                _oplog_from_versions(v1, v2, 2_0000000000),
-                _oplog_from_versions(v2, v3, 3_0000000000),
+                _carved_oplog(base, "o_orderkey", cols, None, sp1, 1_0000000000),
+                _carved_oplog(base, "o_orderkey", cols, sp1, sp2, 2_0000000000),
+                _carved_oplog(base, "o_orderkey", cols, sp2, sp3, 3_0000000000),
             ],
             prefix="log",
         )
@@ -1312,16 +1406,9 @@ def streaming_minmax_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17) — see streaming_cdc_oplog_pipeline
+    cols = ["o_orderstatus", "cents"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="minmax_oplog_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1330,9 +1417,9 @@ def streaming_minmax_view_maintenance(spark: SparkSession, sf_dir: str) -> DataF
         _land_generations(
             landing,
             [
-                _oplog_from_versions(None, v1, 1_0000000000),
-                _oplog_from_versions(v1, v2, 2_0000000000),
-                _oplog_from_versions(v2, v3, 3_0000000000),
+                _carved_oplog(base, "o_orderkey", cols, None, sp1, 1_0000000000),
+                _carved_oplog(base, "o_orderkey", cols, sp1, sp2, 2_0000000000),
+                _carved_oplog(base, "o_orderkey", cols, sp2, sp3, 3_0000000000),
             ],
             prefix="log",
         )
@@ -1433,17 +1520,9 @@ def streaming_topk_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda d: d.select("o_orderkey", "o_custkey", "cents")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17) — see streaming_cdc_oplog_pipeline
     cols = ["o_custkey", "cents"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="topk_oplog_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1453,9 +1532,9 @@ def streaming_topk_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         _land_generations(
             landing,
             [
-                _rel_oplog(None, v1, "o_orderkey", cols, 1 * G),
-                _rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
-                _rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
+                _carved_oplog(base, "o_orderkey", cols, None, sp1, 1 * G),
+                _carved_oplog(base, "o_orderkey", cols, sp1, sp2, 2 * G),
+                _carved_oplog(base, "o_orderkey", cols, sp2, sp3, 3 * G),
             ],
             prefix="log",
         )
@@ -1583,19 +1662,11 @@ def streaming_distinct_count_tombstone_pipeline(
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = v2.withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
-            F.col("o_orderstatus")
-        ),
-    ).filter(F.col("o_orderkey") % 17 != 1)
-    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17): same shared `_orders_specs` carving, the
+    # compacted-topic emitter `_carved_tombstone_log` (row sets
+    # pytest-pinned identical to `_tombstone_rel_log` diffs)
     cols = ["o_custkey", "o_orderstatus"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="distinct_tomb_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1605,9 +1676,9 @@ def streaming_distinct_count_tombstone_pipeline(
         _land_generations(
             landing,
             [
-                _tombstone_rel_log(None, v1, "o_orderkey", cols, 1 * G),
-                _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
-                _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, None, sp1, 1 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp1, sp2, 2 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp2, sp3, 3 * G),
             ],
             prefix="log",
         )
@@ -1703,17 +1774,9 @@ def streaming_minmax_tombstone_pipeline(
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda d: d.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17) — see streaming_distinct_count_tombstone_pipeline
     cols = ["o_orderstatus", "cents"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="minmax_tomb_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1723,9 +1786,9 @@ def streaming_minmax_tombstone_pipeline(
         _land_generations(
             landing,
             [
-                _tombstone_rel_log(None, v1, "o_orderkey", cols, 1 * G),
-                _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
-                _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, None, sp1, 1 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp1, sp2, 2 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp2, sp3, 3 * G),
             ],
             prefix="log",
         )
@@ -1816,17 +1879,9 @@ def streaming_topk_tombstone_pipeline(
     import shutil
     import tempfile
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda d: d.select("o_orderkey", "o_custkey", "cents")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17) — see streaming_distinct_count_tombstone_pipeline
     cols = ["o_custkey", "cents"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="topk_tomb_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1836,9 +1891,9 @@ def streaming_topk_tombstone_pipeline(
         _land_generations(
             landing,
             [
-                _tombstone_rel_log(None, v1, "o_orderkey", cols, 1 * G),
-                _tombstone_rel_log(v1, v2, "o_orderkey", cols, 2 * G),
-                _tombstone_rel_log(v2, v3, "o_orderkey", cols, 3 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, None, sp1, 1 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp1, sp2, 2 * G),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp2, sp3, 3 * G),
             ],
             prefix="log",
         )
@@ -1927,16 +1982,9 @@ def streaming_cdc_tombstone_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda df: df.select("o_orderkey", "o_orderstatus", "cents")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    # carved landing (r17) — see streaming_distinct_count_tombstone_pipeline
+    cols = ["o_orderstatus", "cents"]
+    base, (sp1, sp2, sp3) = _orders_carved_base(spark, sf_dir, cols)
     work = tempfile.mkdtemp(prefix="cdc_tombstone_")
     landing = os.path.join(work, "landing")
     target = os.path.join(work, "state")
@@ -1945,9 +1993,9 @@ def streaming_cdc_tombstone_pipeline(spark: SparkSession, sf_dir: str) -> DataFr
         _land_generations(
             landing,
             [
-                _tombstone_log_from_versions(None, v1, 1_0000000000),
-                _tombstone_log_from_versions(v1, v2, 2_0000000000),
-                _tombstone_log_from_versions(v2, v3, 3_0000000000),
+                _carved_tombstone_log(base, "o_orderkey", cols, None, sp1, 1_0000000000),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp1, sp2, 2_0000000000),
+                _carved_tombstone_log(base, "o_orderkey", cols, sp2, sp3, 3_0000000000),
             ],
             prefix="log",
         )
@@ -2274,23 +2322,16 @@ def streaming_join_view_oplog_pipeline(spark: SparkSession, sf_dir: str) -> Data
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _dim_versions,
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda d: d.select(  # noqa: E731
-        "o_orderkey", "o_custkey", "cents", "o_orderstatus"
-    )
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
-    s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
-
+    # carved landings (r17): both relations' generations are carvings
+    # of their keyed bases (shared `_orders_specs` /
+    # `_customer_carved_base`) — row-wise `_carved_oplog` projections,
+    # pytest-pinned row-set-identical to the former `_rel_oplog`
+    # full-outer self-diffs; the shared-LSN interleaving is just the
+    # per-relation seq offsets riding the same tag/union as before
     R_COLS = ["o_custkey", "cents", "o_orderstatus"]
     S_COLS = ["c_mktsegment"]
+    rbase, (rp1, rp2, rp3) = _orders_carved_base(spark, sf_dir, R_COLS)
+    sbase, (ssp1, ssp2) = _customer_carved_base(spark, sf_dir)
 
     def tag_r(log):
         return log.select(
@@ -2324,12 +2365,24 @@ def streaming_join_view_oplog_pipeline(spark: SparkSession, sf_dir: str) -> Data
 
     G = 10**10
     gens = (
-        tag_r(_rel_oplog(None, v1, "o_orderkey", R_COLS, 1 * G)).unionByName(
-            tag_s(_rel_oplog(None, s1, "c_custkey", S_COLS, 1 * G + 5 * 10**9))
+        tag_r(
+            _carved_oplog(rbase, "o_orderkey", R_COLS, None, rp1, 1 * G)
+        ).unionByName(
+            tag_s(
+                _carved_oplog(
+                    sbase, "c_custkey", S_COLS, None, ssp1, 1 * G + 5 * 10**9
+                )
+            )
         ),
-        tag_r(_rel_oplog(v1, v2, "o_orderkey", R_COLS, 2 * G)),
-        tag_r(_rel_oplog(v2, v3, "o_orderkey", R_COLS, 3 * G)).unionByName(
-            tag_s(_rel_oplog(s1, s2, "c_custkey", S_COLS, 3 * G + 5 * 10**9))
+        tag_r(_carved_oplog(rbase, "o_orderkey", R_COLS, rp1, rp2, 2 * G)),
+        tag_r(
+            _carved_oplog(rbase, "o_orderkey", R_COLS, rp2, rp3, 3 * G)
+        ).unionByName(
+            tag_s(
+                _carved_oplog(
+                    sbase, "c_custkey", S_COLS, ssp1, ssp2, 3 * G + 5 * 10**9
+                )
+            )
         ),
     )
     work = tempfile.mkdtemp(prefix="join_view_oplog_")
@@ -2441,23 +2494,16 @@ def streaming_outer_join_view_oplog_pipeline(
 
     from pyspark.sql import functions as F
 
-    from epe_data_wrangling_spark.catalog.evolve_q import (
-        _dim_versions,
-        _snapshot_version3,
-        _snapshot_versions,
-    )
-    from epe_data_wrangling_spark.sources.tables import load_table
-
-    v1, v2 = _snapshot_versions(load_table(spark, sf_dir, "orders"))
-    v3 = _snapshot_version3(v2)
-    sel = lambda d: d.select(  # noqa: E731
-        "o_orderkey", "o_custkey", "cents", "o_orderstatus"
-    )
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
-    s1, s2 = _dim_versions(load_table(spark, sf_dir, "customer"))
-
+    # carved landings (r17): both relations' generations are carvings
+    # of their keyed bases (shared `_orders_specs` /
+    # `_customer_carved_base`) — row-wise `_carved_oplog` projections,
+    # pytest-pinned row-set-identical to the former `_rel_oplog`
+    # full-outer self-diffs; the shared-LSN interleaving is just the
+    # per-relation seq offsets riding the same tag/union as before
     R_COLS = ["o_custkey", "cents", "o_orderstatus"]
     S_COLS = ["c_mktsegment"]
+    rbase, (rp1, rp2, rp3) = _orders_carved_base(spark, sf_dir, R_COLS)
+    sbase, (ssp1, ssp2) = _customer_carved_base(spark, sf_dir)
 
     def tag_r(log):
         return log.select(
@@ -2491,12 +2537,24 @@ def streaming_outer_join_view_oplog_pipeline(
 
     G = 10**10
     gens = (
-        tag_r(_rel_oplog(None, v1, "o_orderkey", R_COLS, 1 * G)).unionByName(
-            tag_s(_rel_oplog(None, s1, "c_custkey", S_COLS, 1 * G + 5 * 10**9))
+        tag_r(
+            _carved_oplog(rbase, "o_orderkey", R_COLS, None, rp1, 1 * G)
+        ).unionByName(
+            tag_s(
+                _carved_oplog(
+                    sbase, "c_custkey", S_COLS, None, ssp1, 1 * G + 5 * 10**9
+                )
+            )
         ),
-        tag_r(_rel_oplog(v1, v2, "o_orderkey", R_COLS, 2 * G)),
-        tag_r(_rel_oplog(v2, v3, "o_orderkey", R_COLS, 3 * G)).unionByName(
-            tag_s(_rel_oplog(s1, s2, "c_custkey", S_COLS, 3 * G + 5 * 10**9))
+        tag_r(_carved_oplog(rbase, "o_orderkey", R_COLS, rp1, rp2, 2 * G)),
+        tag_r(
+            _carved_oplog(rbase, "o_orderkey", R_COLS, rp2, rp3, 3 * G)
+        ).unionByName(
+            tag_s(
+                _carved_oplog(
+                    sbase, "c_custkey", S_COLS, ssp1, ssp2, 3 * G + 5 * 10**9
+                )
+            )
         ),
     )
     work = tempfile.mkdtemp(prefix="outer_join_view_oplog_")
@@ -3921,10 +3979,11 @@ def _maintained_quality_report(
     )
 
 
+@query("index_quality_report", oracle=_index_quality_oracle())
 def index_quality_report_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """UNREGISTERED r17 candidate — retrieval quality of the
+    """Retrieval quality of the
     MAINTAINED index: the complement to `retrieval_quality_report`
     (which grades the batch-TRAINED chain). The candidate list IS the
     certified `streaming_ann_index_upsert` flow, called directly (the
@@ -3950,10 +4009,11 @@ def index_quality_report_query(
     )
 
 
+@query("ivfpq_index_quality_report", oracle=_ivfpq_index_quality_oracle())
 def ivfpq_index_quality_report_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """UNREGISTERED r17 candidate — the PQ twin of
+    """The PQ twin of
     `index_quality_report_query`: retrieval quality of the MAINTAINED
     PQ-coded index, candidates from the certified
     `streaming_ivfpq_index_upsert` flow called directly (ADC

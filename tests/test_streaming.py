@@ -3726,61 +3726,90 @@ def test_digest_pruned_image_diffs_digestless_bucket_disappearance(
 
 
 def test_carved_oplog_matches_rel_oplog(spark):
-    """The r16 row-wise changelog emitter (`_carved_oplog` — one base
-    scan, no keyed full-outer self-join) must emit the SAME ROW SET as
-    the join-based `_rel_oplog` for the exact carvings the headline
-    distinct-count pipeline lands (bootstrap, v1→v2, v2→v3), including
-    the D rows' NULL after-images and the I rows' NULL before-images.
-    Order is not compared: the sinks' signed application and the
-    validation agg are order-free."""
-    from pyspark.sql import functions as F
-
-    from epe_data_wrangling_spark.catalog.evolve_q import _snapshot_versions
+    """The row-wise changelog emitters (`_carved_oplog` r16,
+    `_carved_tombstone_log` r17 — one base scan, no keyed full-outer
+    self-join) must emit the SAME ROW SET as the join-based
+    `_rel_oplog` / `_tombstone_rel_log` over the evolve_q version
+    carvings, for EVERY (emitter, column set) the pipelines land
+    (r17: all eight non-headline oplog/tombstone landings moved to
+    the carved form; the specs come from the SHARED `_orders_specs` /
+    `_customer_carved_base` the pipelines themselves import, so query
+    and differential cannot drift apart — the reference side derives
+    independently from evolve_q's versions). Includes the D rows'
+    NULL after-images, the I rows' NULL before-images, and the
+    tombstone dialect's key-only deletes. Order is not compared: the
+    sinks' signed application and the validation agg are order-free.
+    """
+    from epe_data_wrangling_spark.catalog.evolve_q import (
+        _dim_versions,
+        _snapshot_version3,
+        _snapshot_versions,
+    )
     from epe_data_wrangling_spark.catalog.streaming_q import (
         _carved_oplog,
+        _carved_tombstone_log,
+        _customer_carved_base,
+        _orders_carved_base,
         _rel_oplog,
+        _tombstone_rel_log,
     )
 
     v1, v2 = _snapshot_versions(load_table(spark, SF_DIR, "orders"))
-    v3 = v2.withColumn(
-        "o_orderstatus",
-        F.when(F.col("o_orderkey") % 19 == 0, "Y").otherwise(
-            F.col("o_orderstatus")
-        ),
-    ).filter(F.col("o_orderkey") % 17 != 1)
-    sel = lambda d: d.select("o_orderkey", "o_custkey", "o_orderstatus")  # noqa: E731
-    v1, v2, v3 = sel(v1), sel(v2), sel(v3)
+    v3 = _snapshot_version3(v2)
 
-    base = load_table(spark, SF_DIR, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
-    )
-    k = F.col("o_orderkey")
-    st1 = F.col("o_orderstatus")
-    st2 = F.when(k % 13 == 0, "X").otherwise(st1)
-    st3 = F.when(k % 19 == 0, "Y").otherwise(st2)
-    ck = F.col("o_custkey")
-    spec1 = (k % 7 != 3, {"o_custkey": ck, "o_orderstatus": st1})
-    spec2 = (k % 11 != 5, {"o_custkey": ck, "o_orderstatus": st2})
-    spec3 = (
-        (k % 11 != 5) & (k % 17 != 1),
-        {"o_custkey": ck, "o_orderstatus": st3},
-    )
-    cols = ["o_custkey", "o_orderstatus"]
+    def differential(cases):
+        for name, joined, carved in cases:
+            assert joined.columns == carved.columns, name
+            assert [f.dataType for f in joined.schema.fields] == [
+                f.dataType for f in carved.schema.fields
+            ], name
+            a = {tuple(r) for r in joined.collect()}
+            b = {tuple(r) for r in carved.collect()}
+            assert a == b, f"{name}: {len(a)} join rows vs {len(b)} carved"
+            assert a, f"{name} emitted nothing — vacuous differential"
+
     G = 10**10
-    cases = [
-        (_rel_oplog(None, v1, "o_orderkey", cols, 1 * G),
-         _carved_oplog(base, "o_orderkey", cols, None, spec1, 1 * G)),
-        (_rel_oplog(v1, v2, "o_orderkey", cols, 2 * G),
-         _carved_oplog(base, "o_orderkey", cols, spec1, spec2, 2 * G)),
-        (_rel_oplog(v2, v3, "o_orderkey", cols, 3 * G),
-         _carved_oplog(base, "o_orderkey", cols, spec2, spec3, 3 * G)),
+    col_sets = [
+        ["o_custkey", "o_orderstatus"],   # distinct dialects
+        ["o_orderstatus", "cents"],       # cdc + minmax dialects
+        ["o_custkey", "cents"],           # topk dialects
+        ["o_custkey", "cents", "o_orderstatus"],  # join-view R side
     ]
-    for i, (joined, carved) in enumerate(cases, start=1):
-        assert joined.columns == carved.columns, i
-        assert [f.dataType for f in joined.schema.fields] == [
-            f.dataType for f in carved.schema.fields
-        ], i
-        a = {tuple(r) for r in joined.collect()}
-        b = {tuple(r) for r in carved.collect()}
-        assert a == b, f"generation {i}: {len(a)} join rows vs {len(b)} carved"
-        assert a, f"generation {i} emitted nothing — vacuous differential"
+    for cols in col_sets:
+        sel = lambda d: d.select("o_orderkey", *cols)  # noqa: E731
+        w1, w2, w3 = sel(v1), sel(v2), sel(v3)
+        base, (sp1, sp2, sp3) = _orders_carved_base(spark, SF_DIR, cols)
+        tag = "+".join(cols)
+        differential([
+            (f"oplog[{tag}] g1",
+             _rel_oplog(None, w1, "o_orderkey", cols, 1 * G),
+             _carved_oplog(base, "o_orderkey", cols, None, sp1, 1 * G)),
+            (f"oplog[{tag}] g2",
+             _rel_oplog(w1, w2, "o_orderkey", cols, 2 * G),
+             _carved_oplog(base, "o_orderkey", cols, sp1, sp2, 2 * G)),
+            (f"oplog[{tag}] g3",
+             _rel_oplog(w2, w3, "o_orderkey", cols, 3 * G),
+             _carved_oplog(base, "o_orderkey", cols, sp2, sp3, 3 * G)),
+            (f"tomb[{tag}] g1",
+             _tombstone_rel_log(None, w1, "o_orderkey", cols, 1 * G),
+             _carved_tombstone_log(base, "o_orderkey", cols, None, sp1, 1 * G)),
+            (f"tomb[{tag}] g2",
+             _tombstone_rel_log(w1, w2, "o_orderkey", cols, 2 * G),
+             _carved_tombstone_log(base, "o_orderkey", cols, sp1, sp2, 2 * G)),
+            (f"tomb[{tag}] g3",
+             _tombstone_rel_log(w2, w3, "o_orderkey", cols, 3 * G),
+             _carved_tombstone_log(base, "o_orderkey", cols, sp2, sp3, 3 * G)),
+        ])
+
+    # customer dim side of the join-view pipelines
+    s1, s2 = _dim_versions(load_table(spark, SF_DIR, "customer"))
+    sbase, (ssp1, ssp2) = _customer_carved_base(spark, SF_DIR)
+    S_COLS = ["c_mktsegment"]
+    differential([
+        ("dim g1",
+         _rel_oplog(None, s1, "c_custkey", S_COLS, 1 * G),
+         _carved_oplog(sbase, "c_custkey", S_COLS, None, ssp1, 1 * G)),
+        ("dim g3",
+         _rel_oplog(s1, s2, "c_custkey", S_COLS, 3 * G),
+         _carved_oplog(sbase, "c_custkey", S_COLS, ssp1, ssp2, 3 * G)),
+    ])

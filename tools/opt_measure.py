@@ -72,8 +72,14 @@ def main() -> None:
         if os.path.isdir(warm_dir):
             try:
                 q.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001
+                # a failed warm-up silently skews the first measured
+                # pass (it absorbs codegen/JIT cost) — say so
+                print(
+                    f"WARN: sf0.001 warm-up failed for {name}: "
+                    f"{type(e).__name__}: {str(e)[:200]}",
+                    file=sys.stderr,
+                )
         spark.sparkContext.setJobDescription(f"{name} [{args.tag}]")
         times = []
         for i in range(args.passes):
