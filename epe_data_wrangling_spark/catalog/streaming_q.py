@@ -66,6 +66,8 @@ def _land_generations(landing: str, gens, prefix: str = "g") -> None:
 
     gens = list(gens)
     os.makedirs(landing, exist_ok=True)
+    if not gens:
+        return
     if len(gens) == 1:
         land_single_file(gens[0], landing, f"{prefix}1.parquet", 1)
         return
