@@ -517,7 +517,7 @@ def write_store_delta(
                 "per-bucket content digest requires the full post-batch "
                 "bucket contents, which an append commit never reads"
             )
-        entries = _write_pool_files(df, pool, batch_id)
+        entries = _write_pool_files(df, pool, batch_id, counts=counts)
         for b, names in entries.items():
             buckets[b] = buckets.get(b, []) + names
         if compact:
